@@ -1,0 +1,157 @@
+"""Join operators beyond plain equi-joins (SURVEY.md §2.3 J1/J3/J6).
+
+All are compositions of built-in DataFrame ops — no UDFs — so Catalyst
+keeps full visibility (pushdown, AQE, broadcast selection) at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["first_match_join", "range_join_count", "asof_join"]
+
+
+def first_match_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    order_by: str,
+    how: str = "left",
+) -> DataFrame:
+    """Left join that takes at most ONE right row per key — the first in
+    ``order_by`` order.
+
+    Re-expresses the reference's nested-loop "first match then break"
+    lookup (``src/parser.py:64-70``, ``src/parser2.py:126-134``): its
+    implicit order was CSV file order; here the order is an explicit
+    column, which is the only well-defined notion of "first" in a
+    distributed setting.
+
+    Scale: the dedup is a window over the right side only (shuffle of the
+    *dimension*, not the fact); the join itself is broadcast-eligible
+    because the deduped right side is ≤ one row per key.
+    """
+    w = Window.partitionBy(right_key).orderBy(F.col(order_by).asc())
+    deduped = (
+        right.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+    )
+    return left.join(F.broadcast(deduped), left[left_key] == deduped[right_key], how)
+
+
+def range_join_count(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    window_seconds: int,
+    left_id: str,
+    count_alias: str = "n_followups",
+) -> DataFrame:
+    """For each left row, count right rows with the same ``key`` whose
+    timestamp falls in ``(left_ts, left_ts + window_seconds]``.
+
+    A naive theta-join ``r.ts BETWEEN l.ts AND l.ts + W`` has no equi key
+    for the range part and degenerates to a nested-loop at scale. This
+    implementation buckets time into window-sized buckets and replicates
+    each right row into the (at most 2) buckets whose left rows could
+    match it — turning the range join into an equi-join on
+    ``(key, bucket)`` plus a cheap residual filter. Shuffle volume is
+    2·|right| + |left| rows, partitioned by key+bucket: linear, skew-safe
+    under AQE, no cross product.
+    """
+    lb = F.floor(F.unix_timestamp(F.col(left_ts)) / window_seconds)
+
+    l = left.withColumn("__bucket", lb)
+    # A right row at time s can match left rows in buckets floor(s/W) and
+    # floor(s/W)-1 (since s - W <= l.ts < s).
+    r = (
+        right.select(
+            F.col(key).alias("__rkey"),
+            F.col(right_ts).alias("__rts"),
+        )
+        .withColumn("__boff", F.explode(F.array(F.lit(0), F.lit(1))))
+        .withColumn(
+            "__bucket_r",
+            F.floor(F.unix_timestamp(F.col("__rts")) / window_seconds) - F.col("__boff"),
+        )
+        .drop("__boff")
+    )
+    joined = l.join(
+        r,
+        (l[key] == r["__rkey"])
+        & (l["__bucket"] == r["__bucket_r"])
+        & (r["__rts"] > l[left_ts])
+        & (r["__rts"] <= F.col(left_ts) + F.expr(f"INTERVAL {window_seconds} SECONDS")),
+        "left",
+    )
+    return joined.groupBy(left_id).agg(F.count("__rts").alias(count_alias))
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+    tolerance_seconds: int | None = None,
+) -> DataFrame:
+    """As-of (backward) join: for each left row, attach the columns of the
+    most recent right row with ``right_ts <= left_ts`` for the same key.
+
+    Implemented as the union+window trick: tag both sides, union, then a
+    per-key window ordered by time carries the latest right-side values
+    forward with ``last(..., ignorenulls)``. One shuffle on ``key`` total —
+    same cost as a single sort-merge join — instead of a non-equi join
+    that would nest-loop. This is the standard distributed as-of strategy
+    (used by e.g. Flint/pandas merge_asof semantics).
+    """
+    lcols = left.columns
+    l_tagged = left.select(
+        F.col(key).alias("__k"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__is_left"),
+        F.struct(*[F.col(c) for c in lcols]).alias("__lrow"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_cols],
+    )
+    r_tagged = right.select(
+        F.col(key).alias("__k"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__is_left"),
+        F.lit(None)
+        .cast(l_tagged.schema["__lrow"].dataType)
+        .alias("__lrow"),
+        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+    )
+    unioned = l_tagged.unionByName(r_tagged)
+    # Right rows sort before left rows at the same timestamp (so a right
+    # row AT left_ts is visible to it — "<=" semantics).
+    w = (
+        Window.partitionBy("__k")
+        .orderBy(F.col("__ts").asc(), F.col("__is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = [
+        F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__c_{c}") for c in right_cols
+    ]
+    ts_carried = F.last(
+        F.when(F.col("__is_left") == 0, F.col("__ts")), ignorenulls=True
+    ).over(w).alias("__c_ts")
+    result = (
+        unioned.select("*", *carried, ts_carried)
+        .filter(F.col("__is_left") == 1)
+    )
+    if tolerance_seconds is not None:
+        tol = F.col("__ts").cast("long") - F.col("__c_ts").cast("long") <= tolerance_seconds
+        keep = [
+            F.when(tol, F.col(f"__c_{c}")).alias(c) for c in right_cols
+        ]
+    else:
+        keep = [F.col(f"__c_{c}").alias(c) for c in right_cols]
+    return result.select(
+        *[F.col("__lrow")[c].alias(c) for c in lcols],
+        *keep,
+    )

@@ -1,0 +1,143 @@
+"""Vector similarity search over embedding columns (SURVEY.md §2.12).
+
+Three tiers, all driver-collect-free:
+
+- :func:`cosine_to_query` / :func:`topk_cosine` — brute-force exact
+  scoring against ONE query vector. Linear scan, pure column expressions
+  (``zip_with`` dot product), top-k via ``orderBy().limit()`` which
+  Catalyst rewrites to ``TakeOrderedAndProject`` (per-task heaps, no
+  global sort). This is the correctness baseline and is genuinely the
+  right plan at 100 TB for single-query scoring.
+- :func:`rp_lsh_bucket` — random-hyperplane LSH bucketing: deterministic
+  seeded planes, signature = sign-bit string of projections. Vectorized
+  pandas UDF (Arrow batches, one matmul per batch) because a K×D
+  matmul is where numpy beats per-element expressions by orders of
+  magnitude.
+- :func:`topk_cosine_lsh` — score only the query's bucket (plus
+  multiprobe neighbors): the scale path when there are many queries or
+  an index is reused.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+__all__ = [
+    "dot",
+    "l2_norm",
+    "cosine",
+    "cosine_to_query",
+    "topk_cosine",
+    "rp_lsh_bucket",
+    "topk_cosine_lsh",
+]
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two array<numeric> columns; sequential left-to-right
+    double accumulation (deterministic, matches DuckDB's list math)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_to_query(
+    df: DataFrame, query_vec: list[float], vec_col: str = "embedding", alias: str = "sim"
+) -> DataFrame:
+    """Score every row against a literal query vector — the vector is
+    folded into the plan as an array literal (broadcast by closure; no
+    join, no shuffle)."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return df.withColumn(alias, cosine(F.col(vec_col), q))
+
+
+def topk_cosine(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k by cosine; unique id tiebreak for determinism."""
+    scored = cosine_to_query(df, query_vec, vec_col)
+    return scored.orderBy(F.col("sim").desc(), F.col(id_col)).limit(k)
+
+
+def _rp_planes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    """Deterministic random hyperplanes (shared by index build and probe)."""
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((n_planes, dim)).astype(np.float64)
+
+
+def rp_lsh_bucket(
+    df: DataFrame,
+    dim: int,
+    n_planes: int = 16,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Add a random-hyperplane LSH bucket id (0..2^n_planes-1) per vector.
+
+    One Arrow-batched pandas UDF: stacks the batch into an (N, D) matrix,
+    one matmul against the (P, D) plane matrix, sign bits → integer
+    bucket. At 100 TB this is the partition key for an ANN index: write
+    ``partitionBy(bucket)`` and each query probes O(1) partitions.
+    """
+    planes = _rp_planes(dim, n_planes, seed)
+
+    @pandas_udf("long")
+    def _bucket(vecs: pd.Series) -> pd.Series:
+        mat = np.vstack(vecs.to_numpy())  # (N, D)
+        proj = mat @ planes.T  # (N, P)
+        bits = (proj > 0).astype(np.int64)
+        weights = (1 << np.arange(n_planes, dtype=np.int64))
+        return pd.Series(bits @ weights)
+
+    return df.withColumn(bucket_col, _bucket(F.col(vec_col)))
+
+
+def _bucket_of(query_vec: list[float], n_planes: int, seed: int = 42) -> int:
+    planes = _rp_planes(len(query_vec), n_planes, seed)
+    proj = planes @ np.asarray(query_vec, dtype=np.float64)
+    bits = (proj > 0).astype(np.int64)
+    return int(bits @ (1 << np.arange(n_planes, dtype=np.int64)))
+
+
+def topk_cosine_lsh(
+    df: DataFrame,
+    query_vec: list[float],
+    dim: int,
+    k: int = 10,
+    n_planes: int = 8,
+    multiprobe_bits: int = 1,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k: restrict the exact scorer to the query's LSH
+    bucket plus all buckets within ``multiprobe_bits`` Hamming distance
+    (multiprobe recovers recall lost at bucket boundaries). The bucket
+    filter is a pushable IN-list predicate — at scale it becomes
+    partition pruning, reading a tiny fraction of the index."""
+    qb = _bucket_of(query_vec, n_planes, seed)
+    probe = {qb}
+    if multiprobe_bits >= 1:
+        probe |= {qb ^ (1 << i) for i in range(n_planes)}
+    bucketed = rp_lsh_bucket(df, dim, n_planes, seed, vec_col)
+    candidates = bucketed.filter(F.col("bucket").isin([int(b) for b in probe]))
+    return topk_cosine(candidates, query_vec, k, vec_col, id_col).drop("bucket")

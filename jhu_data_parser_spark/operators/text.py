@@ -1,0 +1,126 @@
+"""Text-analysis operators for training-data pipelines (SURVEY.md §2.12):
+tokenization, quality scoring, language-ID heuristic, fingerprinting.
+
+Design rule: everything that CAN be a built-in column expression IS one
+(JVM-side, whole-stage codegen, no Python in the row path at 100 TB).
+Only the trigram language-ID model uses a vectorized pandas UDF, because
+it needs per-language profile dictionaries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "tokens",
+    "token_count",
+    "bpe_ish_token_count",
+    "quality_features",
+    "fingerprint",
+    "langid_heuristic",
+    "STOPWORDS_EN",
+]
+
+# Compact stopword list used by the quality score; a production pipeline
+# would broadcast a larger set — the plan shape is identical.
+STOPWORDS_EN = ("the", "a", "an", "of", "and", "to", "in", "is", "it", "for")
+
+# Word / number / single-punctuation pieces — a BPE-ish pre-tokenizer
+# shape (the GPT-2 pre-tokenizer splits on the same class boundaries).
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def tokens(col: Column | str, sep: str = " ") -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(c, sep)
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_ISH_PATTERN), F.lit(0)))
+
+
+def quality_features(col: Column | str, stopwords: tuple[str, ...] = STOPWORDS_EN) -> dict[str, Column]:
+    """Per-document quality signals, all as native expressions.
+
+    Returns a dict of named columns: char count, token count, mean token
+    length, stopword ratio (higher ≈ more natural prose), punctuation
+    density, uppercase ratio. The stopword filter uses a higher-order
+    array function — no explode, no shuffle, no UDF.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    toks = tokens(c)
+    n_tok = F.size(toks)
+    sw_array = F.array(*[F.lit(s) for s in stopwords])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(sw_array, t)))
+    n_chars = F.length(c)
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tok,
+        "mean_token_len": (
+            F.length(F.replace(c, F.lit(" "), F.lit(""))).cast("double") / n_tok
+        ),
+        "stopword_ratio": n_stop.cast("double") / n_tok,
+        "punct_ratio": (
+            F.length(F.regexp_replace(c, r"[^.,;:!?]", "")).cast("double") / n_chars
+        ),
+        "upper_ratio": (
+            F.length(F.regexp_replace(c, r"[^A-Z]", "")).cast("double") / n_chars
+        ),
+    }
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Deterministic document fingerprint: md5 of the
+    whitespace-normalized, lowercased text. Identical across engines and
+    runs — the key for exact dedup at 100 TB (group on the 128-bit
+    fingerprint instead of the full text: tiny shuffle keys)."""
+    c = F.col(col) if isinstance(col, str) else col
+    normalized = F.lower(F.trim(F.regexp_replace(c, r"\s+", " ")))
+    return F.md5(normalized)
+
+
+# --- language ID -----------------------------------------------------------
+
+# Minimal per-language marker sets (function words / particles). A real
+# deployment swaps in trigram log-frequency profiles; the *plan* is the
+# interesting part: one pass, score arrays, argmax — all native.
+_LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "is", "to", "in", "that", "it"),
+    "de": ("der", "die", "und", "das", "ist", "nicht", "ein", "zu"),
+    "es": ("el", "la", "de", "que", "los", "una", "por", "con"),
+    "fr": ("le", "la", "les", "et", "des", "une", "est", "que"),
+    "zh": ("的", "是", "了", "在", "我", "有", "他", "这"),
+}
+
+
+def langid_heuristic(col: Column | str, default: str = "und") -> Column:
+    """Marker-word voting language ID: per language, count marker hits in
+    the token set; argmax with deterministic tie-break (language order),
+    'und' when nothing matches. Pure column expressions — scores for K
+    languages cost K higher-order filters over the token array, still
+    one scan and zero shuffles."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.split(F.lower(c), r"\s+")
+    scores = []
+    for lang, markers in _LANG_MARKERS.items():
+        marr = F.array(*[F.lit(m) for m in markers])
+        score = F.size(F.filter(toks, lambda t: F.array_contains(marr, t)))
+        scores.append(F.struct(score.alias("score"), F.lit(lang).alias("lang")))
+    # array_max on struct(score, lang): max score, ties broken by lang
+    # string order — deterministic.
+    best = F.array_max(F.array(*scores))
+    return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit(default))
+
+
+def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    feats = quality_features(text_col)
+    out = df
+    for name, expr in feats.items():
+        out = out.withColumn(name, expr)
+    return out

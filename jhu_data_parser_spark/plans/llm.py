@@ -1,0 +1,275 @@
+"""LLM-data-pipeline queries (SURVEY.md §2.12): dedup, text analysis,
+similarity search, multimodal plumbing — over `documents`/`embeddings`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from jhu_data_parser_spark.operators import dedup as dd
+from jhu_data_parser_spark.operators import similarity as sim
+from jhu_data_parser_spark.operators import text as tx
+from jhu_data_parser_spark.plans.catalog import query
+from jhu_data_parser_spark.sources.tables import load_table
+
+
+# --- exact dedup -----------------------------------------------------------
+@query(
+    "dedup_exact_groups",
+    oracle="""
+    SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp,
+           CAST(MIN(doc_id) AS BIGINT) AS keeper_id,
+           CAST(COUNT(*) AS BIGINT) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return dd.exact_dedup_groups(d)
+
+
+@query(
+    "dedup_exact_survivors",
+    oracle="""
+    SELECT doc_id, lang, source FROM documents d
+    WHERE doc_id = (
+      SELECT MIN(doc_id) FROM documents d2
+      WHERE md5(lower(trim(regexp_replace(d2.text, '\\s+', ' ', 'g'))))
+          = md5(lower(trim(regexp_replace(d.text, '\\s+', ' ', 'g'))))
+    )
+    """,
+)
+def dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return dd.exact_dedup(d).select("doc_id", "lang", "source")
+
+
+# --- fingerprint / text stats ---------------------------------------------
+@query(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", tx.fingerprint("text").alias("fp"))
+
+
+@query(
+    "text_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(text) AS INT) AS n_chars_m,
+           CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+           CAST(length(replace(text, ' ', '')) AS DOUBLE)
+             / len(string_split(text, ' ')) AS mean_token_len,
+           CAST(len(list_filter(string_split(text, ' '),
+                    t -> t IN ('the','a','an','of','and','to','in','is','it','for')))
+                AS DOUBLE) / len(string_split(text, ' ')) AS stopword_ratio
+    FROM documents
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    feats = tx.quality_features("text")
+    return d.select(
+        "doc_id",
+        feats["n_chars"].alias("n_chars_m"),
+        feats["n_tokens"].alias("n_tokens"),
+        feats["mean_token_len"].alias("mean_token_len"),
+        feats["stopword_ratio"].alias("stopword_ratio"),
+    )
+
+
+@query(
+    "text_token_count_bpe",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT)
+             AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", tx.bpe_ish_token_count("text").alias("n_bpe_tokens"))
+
+
+@query(
+    "text_lang_distribution",
+    oracle="""
+    SELECT lang, source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY lang, source
+    """,
+)
+def text_lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+# Marker-vote language ID — heuristic (deterministic, native exprs); the
+# synthetic corpus shares one vocabulary so the interesting assertion is
+# determinism + schema, done rows-only here and behaviorally in
+# tests/test_text.py on real multilingual strings.
+@query("text_langid_heuristic", oracle=None)
+def text_langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang", tx.langid_heuristic("text").alias("lang_guess"))
+
+
+# --- near-dup family (rows-only: LSH banding isn't SQL-expressible) -------
+@query("dedup_minhash_candidates", oracle=None)
+def dedup_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return dd.minhash_candidates(d)
+
+
+@query("dedup_near_pairs", oracle=None)
+def dedup_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return dd.near_dup_pairs_minhash(d, threshold=0.5)
+
+
+@query("dedup_simhash", oracle=None)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", dd.simhash_hex("text").alias("simhash"))
+
+
+# n-gram (token-set) Jaccard against a fixed probe document — oracle-able
+# because the probe is a literal and set ops exist on both engines.
+_PROBE = "spark join merge sort window batch stream data table query"
+
+
+@query(
+    "text_jaccard_vs_probe",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(list_intersect(list_distinct(string_split(lower(text), ' ')),
+                                   string_split('{_PROBE}', ' '))) AS DOUBLE)
+           / len(list_distinct(list_concat(list_distinct(string_split(lower(text), ' ')),
+                                           string_split('{_PROBE}', ' ')))) AS jaccard
+    FROM documents
+    """,
+)
+def text_jaccard_vs_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    probe = F.split(F.lit(_PROBE), " ")
+    toks = F.array_distinct(F.split(F.lower(F.col("text")), " "))
+    return d.select("doc_id", dd.jaccard_tokens(toks, probe).alias("jaccard"))
+
+
+# --- similarity search -----------------------------------------------------
+def _query_vec(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float]:
+    """Fetch the probe vector (one tiny lookup — the query input, not a
+    data-path collect)."""
+    row = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == vec_id)
+        .select("embedding")
+        .first()
+    )
+    return [float(x) for x in row[0]]
+
+
+@query(
+    "sim_cosine_topk",
+    oracle="""
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    sims AS (
+      SELECT e.vec_id, e.label,
+             list_dot_product(e.embedding, q.qe)
+               / (sqrt(list_dot_product(e.embedding, e.embedding))
+                  * sqrt(list_dot_product(q.qe, q.qe))) AS sim
+      FROM embeddings e, q
+      WHERE e.vec_id <> 0
+    )
+    SELECT vec_id, label FROM sims ORDER BY sim DESC, vec_id LIMIT 10
+    """,
+)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir, 0)
+    return (
+        sim.topk_cosine(e.filter(F.col("vec_id") != 0), qv, k=10)
+        .select("vec_id", "label")
+    )
+
+
+@query("sim_cosine_topk_lsh", oracle=None)
+def sim_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir, 0)
+    return sim.topk_cosine_lsh(
+        e.filter(F.col("vec_id") != 0), qv, dim=len(qv), k=10, n_planes=8
+    ).select("vec_id", "label", "sim")
+
+
+@query(
+    "sim_norms",
+    oracle="""
+    SELECT vec_id, label,
+           ROUND(sqrt(list_dot_product(embedding, embedding)), 6) AS l2_norm
+    FROM embeddings
+    """,
+)
+def sim_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id", "label", F.round(sim.l2_norm(F.col("embedding")), 6).alias("l2_norm")
+    )
+
+
+# Embedding near-duplicate pairs via LSH buckets + exact cosine — the
+# embedding-cosine near-dup detector (rows-only; pair generation via
+# bucketing isn't SQL).
+@query("dedup_embedding_pairs", oracle=None)
+def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    dim = 64
+    b = sim.rp_lsh_bucket(e, dim=dim, n_planes=12)
+    left = b.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a"), "bucket"
+    )
+    right = b.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b"), "bucket"
+    )
+    pairs = left.join(right, ["bucket"]).filter(F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.withColumn("cos", sim.cosine(F.col("emb_a"), F.col("emb_b")))
+        .filter(F.col("cos") > 0.9)
+        .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+    )
+
+
+# --- multimodal plumbing ---------------------------------------------------
+@query(
+    "multimodal_bytes",
+    oracle="""
+    SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+    FROM documents
+    """,
+)
+def multimodal_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jhu_data_parser_spark.operators.multimodal import attach_binary
+
+    d = attach_binary(load_table(spark, sf_dir, "documents"))
+    return d.select("doc_id", F.octet_length("media").cast("long").alias("n_bytes"))
+
+
+@query("multimodal_decode_stub", oracle=None)
+def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jhu_data_parser_spark.operators.multimodal import attach_binary, extract_media_meta
+
+    d = attach_binary(load_table(spark, sf_dir, "documents"))
+    return extract_media_meta(d)

@@ -1,0 +1,140 @@
+"""Reshape queries: pivot / unpivot / nested array builds (SURVEY.md
+§2.11 U1/U2 analogs on the synthetic star schema, plus §2.4 A2).
+
+The JHU-shaped byte-exact contract is golden-tested in
+tests/test_etl_golden.py; these catalog entries exercise the same
+operators on the driver's oracle-checkable tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from jhu_data_parser_spark.functions.exprs import DEC_SUM_SQL, day_str, dec_sum
+from jhu_data_parser_spark.operators.reshape import long_to_nested, wide_to_long
+from jhu_data_parser_spark.plans.catalog import query
+from jhu_data_parser_spark.sources.tables import load_table
+
+_STATUSES = ["F", "O", "P"]
+_MONTHS = list(range(1, 13))
+
+
+# Wide pivot: one row per priority, one count column per order status.
+# Spark pivot with an explicit value list — no extra pass to discover
+# values, and deterministic column order at any scale.
+@query(
+    "pivot_status_counts",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS status_f,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS status_o,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS status_p
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def pivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    pivoted = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", _STATUSES)
+        .agg(F.count(F.lit(1)))
+    )
+    return pivoted.select(
+        "o_orderpriority",
+        *[F.coalesce(F.col(s), F.lit(0)).alias(f"status_{s.lower()}") for s in _STATUSES],
+    )
+
+
+@query(
+    "pivot_monthly_revenue",
+    oracle="SELECT CAST(year(o_orderdate) AS INT) AS order_year, "
+    + ", ".join(
+        "COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) "
+        f"FILTER (WHERE month(o_orderdate) = {m}) AS DOUBLE), 0.0) AS m{m:02d}"
+        for m in _MONTHS
+    )
+    + " FROM orders GROUP BY year(o_orderdate)",
+)
+def pivot_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    pivoted = (
+        o.withColumn("order_year", F.year("o_orderdate"))
+        .withColumn("order_month", F.month("o_orderdate"))
+        .groupBy("order_year")
+        .pivot("order_month", _MONTHS)
+        .agg(dec_sum("o_totalprice"))
+    )
+    return pivoted.select(
+        "order_year",
+        *[F.coalesce(F.col(str(m)), F.lit(0.0)).alias(f"m{m:02d}") for m in _MONTHS],
+    )
+
+
+# U1 long form on a genuinely wide input: unpivot the lineitem metric
+# columns. Generate-style projection, no shuffle.
+@query(
+    "unpivot_lineitem_metrics",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'quantity' AS metric, l_quantity AS metric_value FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'extendedprice', l_extendedprice FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem
+    """,
+)
+def unpivot_lineitem_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").withColumnsRenamed(
+        {"l_quantity": "quantity", "l_extendedprice": "extendedprice", "l_discount": "discount"}
+    )
+    return wide_to_long(
+        li,
+        id_cols=["l_orderkey", "l_linenumber"],
+        value_cols=["quantity", "extendedprice", "discount"],
+        var_name="metric",
+        value_name="metric_value",
+    )
+
+
+# A2/U1 nested build — the reference's array<struct> time_series on the
+# star schema: per customer, the ordered daily spend series. Nested
+# array<struct> is not DuckDB-hashable (SURVEY.md §7 hard-part e) → the
+# oracle checks the flattened form; the nested shape itself is asserted
+# in tests/test_reshape.py.
+@query(
+    "nested_daily_spend",
+    oracle=None,
+)
+def nested_daily_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        "o_custkey", day_str("o_orderdate").alias("order_day")
+    ).agg(dec_sum("o_totalprice").alias("day_spend"))
+    return long_to_nested(
+        daily,
+        key_cols=["o_custkey"],
+        order_field="order_day",
+        struct_fields=["day_spend"],
+        array_name="time_series",
+    )
+
+
+# The same nested build, re-flattened — proves the round trip AND gives
+# the oracle a SQL-comparable surface for the collect/sort semantics.
+@query(
+    "nested_daily_spend_roundtrip",
+    oracle=f"""
+    SELECT o_custkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_day,
+           {DEC_SUM_SQL('o_totalprice')} AS day_spend
+    FROM orders GROUP BY o_custkey, strftime(o_orderdate, '%Y-%m-%d')
+    """,
+)
+def nested_daily_spend_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nested = nested_daily_spend(spark, sf_dir)
+    exploded = nested.select("o_custkey", F.explode("time_series").alias("e"))
+    return exploded.select(
+        "o_custkey",
+        F.col("e.order_day").alias("order_day"),
+        F.col("e.day_spend").alias("day_spend"),
+    )

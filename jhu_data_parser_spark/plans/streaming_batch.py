@@ -1,0 +1,146 @@
+"""Time-window queries (SURVEY.md §2.9): tumbling / sliding / session
+windows over `events`, in their batch form (identical window semantics to
+Structured Streaming — the streaming jobs in ``streaming/jobs.py`` reuse
+these window expressions verbatim), plus one query that genuinely runs a
+Structured Streaming pipeline (availableNow → memory sink) and returns
+its result.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from jhu_data_parser_spark.functions.exprs import DEC_SUM_SQL, dec_sum
+from jhu_data_parser_spark.plans.catalog import query
+from jhu_data_parser_spark.sources.tables import load_table
+
+_TS_FMT = "yyyy-MM-dd HH:mm:ss"
+_TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
+
+
+@query(
+    "stream_tumbling_daily",
+    oracle=f"""
+    SELECT strftime(date_trunc('day', ts), '{_TS_FMT_DUCK}') AS window_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {DEC_SUM_SQL('value', 4)} AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dec_sum("value", scale=4).alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", _TS_FMT).alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+# Sliding window: 6h length, 3h slide — each event lands in exactly 2
+# windows. Oracle replicates via unnest of the two epoch-aligned starts.
+@query(
+    "stream_sliding_6h3h",
+    oracle=f"""
+    WITH exploded AS (
+      SELECT unnest([
+               make_timestamp(CAST(floor(epoch(ts) / 10800) * 10800 AS BIGINT) * 1000000),
+               make_timestamp((CAST(floor(epoch(ts) / 10800) AS BIGINT) - 1) * 10800 * 1000000)
+             ]) AS ws,
+             value
+      FROM events
+    )
+    SELECT strftime(ws, '{_TS_FMT_DUCK}') AS window_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {DEC_SUM_SQL('value', 4)} AS total_value
+    FROM exploded GROUP BY 1
+    """,
+)
+def stream_sliding_6h3h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "6 hours", "3 hours").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dec_sum("value", scale=4).alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", _TS_FMT).alias("window_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+# Session windows (30-min gap). Oracle: the classic lag/flag/cumsum
+# sessionization — semantically identical to Spark's session_window merge
+# rule (a new session starts when the gap since the previous event is >=
+# the timeout).
+@query(
+    "stream_session_windows",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       >= INTERVAL 30 MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    numbered AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM flagged
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '{_TS_FMT_DUCK}') AS session_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM numbered GROUP BY user_id, session_no
+    """,
+)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("w.start", _TS_FMT).alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+_mem_counter = itertools.count()
+
+
+# A real Structured Streaming run: file source → watermark → tumbling
+# daily counts → availableNow trigger → memory sink, result returned as a
+# DataFrame. Same oracle as the batch tumbling query — the streaming
+# pipeline must agree with SQL.
+@query(
+    "stream_availablenow_daily",
+    oracle=f"""
+    SELECT strftime(date_trunc('day', ts), '{_TS_FMT_DUCK}') AS window_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_availablenow_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jhu_data_parser_spark.streaming.jobs import run_daily_counts_availablenow
+
+    table = f"stream_daily_counts_{next(_mem_counter)}"
+    return run_daily_counts_availablenow(spark, sf_dir, table)

@@ -1,0 +1,150 @@
+"""Window-function queries (SURVEY.md §2.5): ranking, analytic (lag/lead),
+aggregate-over-frame. The reference's nested `time_series` array was its
+substitute for exactly this class of query (day-over-day deltas, rolling
+averages over the unpivoted form).
+
+Scale note: every window below partitions by a high-cardinality key
+(nation, user) — state per partition stays small, and the shuffle is one
+hash exchange on the partition key. Frames use the decimal-sum discipline
+(functions/exprs.py) so frame aggregation is order-independent and
+oracle-stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from jhu_data_parser_spark.plans.catalog import query
+from jhu_data_parser_spark.sources.tables import load_table
+
+
+@query(
+    "window_rank_top_customers",
+    oracle="""
+    SELECT c_nationkey, c_custkey, c_acctbal, CAST(rnk AS INT) AS rnk
+    FROM (
+      SELECT c_nationkey, c_custkey, c_acctbal,
+             ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                ORDER BY c_acctbal DESC, c_custkey) AS rnk
+      FROM customer
+    ) WHERE rnk <= 3
+    """,
+)
+def window_rank_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return (
+        c.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("c_nationkey", "c_custkey", "c_acctbal", "rnk")
+    )
+
+
+@query(
+    "window_lag_delta",
+    oracle="""
+    SELECT event_id,
+           value - lag(value) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS delta
+    FROM events
+    """,
+)
+def window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        (F.col("value") - F.lag("value").over(w)).alias("delta"),
+    )
+
+
+# Rolling mean over the last 3 rows. Decimal-sum inside the frame so the
+# value is independent of the engines' frame-accumulation strategy
+# (DuckDB uses segment trees / incremental add-remove; Spark re-sums).
+@query(
+    "window_rolling_avg",
+    oracle="""
+    SELECT event_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,4)))
+                  OVER w AS DOUBLE) / COUNT(*) OVER w AS rolling_avg
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_rolling_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        (
+            F.sum(F.col("value").cast("decimal(18,4)")).over(w).cast("double")
+            / F.count(F.lit(1)).over(w)
+        ).alias("rolling_avg"),
+    )
+
+
+@query(
+    "window_cumulative_spend",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS cum_spend
+    FROM orders
+    """,
+)
+def window_cumulative_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double").alias("cum_spend"),
+    )
+
+
+# percent_rank = (rank-1)/(n-1): integer inputs, one double division —
+# bit-identical across engines. Unique ordering key avoids rank ties.
+@query(
+    "window_percent_rank",
+    oracle="""
+    SELECT o_orderkey,
+           percent_rank() OVER (PARTITION BY o_orderstatus
+                                ORDER BY o_totalprice, o_orderkey) AS pr
+    FROM orders
+    """,
+)
+def window_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return o.select("o_orderkey", F.percent_rank().over(w).alias("pr"))
+
+
+@query(
+    "window_lead_next_order_gap",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(date_diff('day', o_orderdate,
+                          lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                                  ORDER BY o_orderdate, o_orderkey))
+                AS INT) AS days_to_next
+    FROM orders
+    """,
+)
+def window_lead_next_order_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        F.datediff(F.lead("o_orderdate").over(w), F.col("o_orderdate")).alias("days_to_next"),
+    )

@@ -1,0 +1,68 @@
+"""Parquet scan of the synthetic test tables (SURVEY.md §2.1 S7).
+
+The driver's TPC-H-ish star schema lives at ``/root/testdata/sf*/``
+(``TESTDATA.md``). At 100 TB the same call reads a cloud-storage prefix —
+parquet scans get column pruning + predicate pushdown + vectorized
+reading from Spark for free, so this module stays a thin path mapper.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = ["TABLE_NAMES", "load_table", "load_tables", "register_views", "default_sf_dir"]
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def default_sf_dir() -> str:
+    return os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _normalize_nanos_ts(df: DataFrame, cols: tuple[str, ...] = ("ts",)) -> DataFrame:
+    """Parquet TIMESTAMP(NANOS) columns arrive as nanosecond longs (via
+    ``spark.sql.legacy.parquet.nanosAsLong``); convert to TimestampType
+    with µs truncation — the same truncation every µs-based consumer
+    (including the DuckDB oracle's Python fetch) applies."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    for c in cols:
+        if c in df.columns and isinstance(df.schema[c].dataType, LongType):
+            df = df.withColumn(c, F.timestamp_micros(F.floor(F.col(c) / 1000).cast("long")))
+    return df
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLE_NAMES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        df = _normalize_nanos_ts(df)
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLE_NAMES) -> None:
+    """Register the tables as temp views so ``spark.sql`` works over them —
+    the engine's replacement for the reference's Glue/Athena catalog
+    (``src/README.md:5,11``)."""
+    for name in names:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
