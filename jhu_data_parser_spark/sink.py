@@ -1,0 +1,45 @@
+"""JSON lake sink (SURVEY.md §2.1 S3/S4/S5).
+
+The reference PUT one JSON object per record to S3, with Hive-style
+``type=<category>/`` prefixes for Athena partition pruning
+(``src/parser.py:71-82``). The distributed equivalent is a single
+``df.write.partitionBy("type").json(root)`` — tasks write multi-record
+part files; record *content* and partition *layout* are the contract,
+per-record filenames are not (they can't be reproduced distributed, and
+nothing downstream reads them — Athena scans prefixes).
+
+Null-valued fields are dropped by Spark's JSON writer — which exactly
+reproduces the reference's absent-on-join-miss behavior (lookup fields
+simply missing from the record, ``src/parser.py:64-70``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["record_key", "write_partitioned_json", "write_flat_json"]
+
+
+def record_key(
+    country_col: str = "country/region", province_col: str = "province/state"
+) -> Column:
+    """S5: the reference's object-key rule — ``<country>`` when the
+    province is blank, else ``<country>-<province>``
+    (``src/parser.py:72-75``). Kept as a data column; '' (not null)
+    signals blank, matching DictReader semantics (P3)."""
+    return F.when(
+        F.col(province_col) == "", F.col(country_col)
+    ).otherwise(F.concat_ws("-", F.col(country_col), F.col(province_col)))
+
+
+def write_partitioned_json(df: DataFrame, out_dir: str, mode: str = "overwrite") -> None:
+    """S4: Hive-partitioned JSON lake (``partitioned/type=<cat>/``). One
+    distributed job for all categories — the reference ran three
+    sequential full passes (``src/parser.py:95-102``)."""
+    df.write.mode(mode).partitionBy("type").json(out_dir)
+
+
+def write_flat_json(df: DataFrame, out_dir: str, mode: str = "overwrite") -> None:
+    """The parser2.py flat layout (``flat/...``, ``src/parser2.py:20``)."""
+    df.write.mode(mode).json(out_dir)

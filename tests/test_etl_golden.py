@@ -1,0 +1,152 @@
+"""Golden-output tests for the reference-parity ETL contract
+(SURVEY.md §5 item 2): JHU-shaped fixtures → pipelines → emitted JSON
+records compared against hand-derived goldens capturing the quirks:
+lowercased keys, 'YYYY-MM-DD 00:00:00' date strings (F2), default-0
+(F8), first-match join (J1), absent-fields-on-lookup-miss, empty-string
+(not null) provinces (P3), partition layout (S4).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import pytest
+
+FIX = os.path.join(os.path.dirname(__file__), "fixtures")
+
+
+def _fixture_paths() -> dict[str, str]:
+    return {
+        "confirmed": os.path.join(FIX, "fixture_timeseries_confirmed.csv"),
+        "deaths": os.path.join(FIX, "fixture_timeseries_deaths.csv"),
+        "recovered": os.path.join(FIX, "fixture_timeseries_recovered.csv"),
+        "lookup": os.path.join(FIX, "fixture_lookup.csv"),
+    }
+
+
+def _load_golden(name: str) -> list[dict]:
+    with open(os.path.join(FIX, name)) as f:
+        return [json.loads(line) for line in f if line.strip()]
+
+
+def _read_written_json(path_glob: str) -> list[dict]:
+    records = []
+    for path in glob.glob(path_glob):
+        with open(path) as f:
+            for line in f:
+                if line.strip():
+                    records.append(json.loads(line))
+    return records
+
+
+def _by_key(records: list[dict]) -> dict:
+    return {
+        (r["country/region"], r.get("province/state", "")): r for r in records
+    }
+
+
+def test_category_pipeline_golden(spark, tmp_path):
+    from jhu_data_parser_spark.etl import category_pipeline
+
+    p = _fixture_paths()
+    out = str(tmp_path / "partitioned")
+    category_pipeline(
+        spark,
+        {"confirmed": p["confirmed"], "deaths": p["deaths"], "recovered": p["recovered"]},
+        p["lookup"],
+        out,
+    )
+    # S4: Hive-style partition dirs per category.
+    for cat in ("confirmed", "deaths", "recovered"):
+        assert os.path.isdir(os.path.join(out, f"type={cat}")), f"missing partition {cat}"
+
+    written = _by_key(_read_written_json(os.path.join(out, "type=confirmed", "part-*")))
+    golden = _by_key(_load_golden("golden_parser_confirmed.jsonl"))
+    assert set(written) == set(golden)
+    for key in golden:
+        assert written[key] == golden[key], f"record mismatch for {key}"
+
+    # Absent-on-miss: Utopia has no lookup row → fields must be ABSENT,
+    # not null (src/parser.py:64-70 silent miss).
+    utopia = written[("Utopia", "")]
+    assert "country-iso2" not in utopia
+    assert "country-lat" not in utopia
+
+
+def test_combined_pipeline_golden(spark, tmp_path):
+    from jhu_data_parser_spark.etl import combined_pipeline
+
+    p = _fixture_paths()
+    out = str(tmp_path / "flat")
+    combined_pipeline(spark, p["confirmed"], p["deaths"], p["recovered"], p["lookup"], out)
+
+    written = _by_key(_read_written_json(os.path.join(out, "part-*")))
+    golden = _by_key(_load_golden("golden_parser2_combined.jsonl"))
+    assert set(written) == set(golden)
+    for key in golden:
+        assert written[key] == golden[key], f"record mismatch for {key}"
+
+    # J3 miss: Utopia gets no iso2 field at all.
+    assert "iso2" not in written[("Utopia", "")]
+    # Whole-family miss: recovered has no BC row → every element 0
+    # (src/parser2.py:118 fix_record(c, d, {})).
+    bc = written[("Canada", "British Columbia")]
+    assert all(e["recovered"] == 0 for e in bc["time_series"])
+
+
+def test_record_key_and_field_order(spark):
+    """S5 key format + field order of the emitted records."""
+    from jhu_data_parser_spark.etl import category_pipeline
+    from jhu_data_parser_spark.sink import record_key
+
+    p = _fixture_paths()
+    df = category_pipeline(spark, {"confirmed": p["confirmed"]}, p["lookup"])
+    keyed = df.withColumn("record_key", record_key())
+    keys = {r["record_key"] for r in keyed.select("record_key").collect()}
+    assert keys == {"Albania", "Canada-British Columbia", "Canada-Ontario", "Utopia"}
+
+    # Field order mirrors fix_record insertion order (time_series first,
+    # then lowercased scalars, then lookup fields).
+    assert df.columns[:5] == ["time_series", "province/state", "country/region", "lat", "long"]
+
+
+def test_http_source_file_url(spark):
+    """S1: the HTTP staging source, driven through a file:// URL."""
+    from jhu_data_parser_spark.sources.http import read_http_csv
+
+    p = _fixture_paths()
+    df = read_http_csv(spark, "file://" + p["lookup"])
+    assert df.count() == 3
+    assert df.columns[0] == "Country_Region"
+    # DictReader semantics: blanks are '', never null.
+    assert df.filter(df["Province_State"].isNull()).count() == 0
+
+
+def test_lake_roundtrip_sql(spark, tmp_path):
+    """S6: the written lake is queryable via Spark SQL with partition
+    pruning on type= (the Athena replacement)."""
+    from jhu_data_parser_spark.etl import category_pipeline
+    from jhu_data_parser_spark.sources.lake import read_partitioned_lake
+
+    p = _fixture_paths()
+    out = str(tmp_path / "lake")
+    category_pipeline(
+        spark, {"confirmed": p["confirmed"], "deaths": p["deaths"]}, p["lookup"], out
+    )
+    lake = read_partitioned_lake(spark, out)
+    lake.createOrReplaceTempView("covid")
+    rows = spark.sql(
+        """
+        SELECT `country/region`, e.date, e.value
+        FROM covid LATERAL VIEW explode(time_series) AS e
+        WHERE type = 'confirmed' AND `province/state` = ''
+        """
+    ).collect()
+    assert len(rows) == 6  # Albania + Utopia × 3 dates
+    # Partition pruning: the physical plan reads only type=confirmed.
+    plan = spark.sql(
+        "SELECT count(*) FROM covid WHERE type = 'confirmed'"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "type=confirmed" in plan or "PartitionFilters" in plan

@@ -1,0 +1,97 @@
+"""Property-based tests (SURVEY.md §5 item 3): reshape round-trips and
+join-cardinality invariants on generated JHU-shaped frames."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+# Small generated wide frames: location rows × date columns with int values.
+locations = st.lists(
+    st.tuples(
+        st.sampled_from(["", "Prov A", "Prov B"]),
+        st.sampled_from(["Xland", "Yland", "Zland"]),
+    ),
+    min_size=1,
+    max_size=5,
+    unique=True,
+)
+date_cols = st.lists(
+    st.sampled_from(["1/22/20", "1/23/20", "2/1/20", "12/31/20", "3/5/21"]),
+    min_size=1,
+    max_size=4,
+    unique=True,
+)
+values = st.integers(min_value=0, max_value=10**6)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(locs=locations, dates=date_cols, seed=st.integers(0, 10**6))
+def test_unpivot_roundtrip(spark, locs, dates, seed):
+    """wide → U1 long (unpivot) → pivot back == original values."""
+    import random
+
+    from jhu_data_parser_spark.operators.reshape import wide_to_long
+
+    rng = random.Random(seed)
+    header = ["Province/State", "Country/Region"] + dates
+    rows = [(p, c, *[rng.randint(0, 10**6) for _ in dates]) for p, c in locs]
+    schema = ", ".join(
+        ["`Province/State` string", "`Country/Region` string"]
+        + [f"`{d}` int" for d in dates]
+    )
+    df = spark.createDataFrame(rows, schema)
+
+    long = wide_to_long(df, id_cols=["Province/State", "Country/Region"], value_cols=dates)
+    back = (
+        long.groupBy("Province/State", "Country/Region")
+        .pivot("date", dates)
+        .agg(F.first("value"))
+    )
+    orig = {tuple(r) for r in df.collect()}
+    rt = {tuple(r) for r in back.collect()}
+    assert orig == rt
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(locs=locations, dates=date_cols)
+def test_nested_build_invariants(spark, locs, dates):
+    """U1 nested build: |output| == |input| (no fan-out), array length ==
+    #date columns, chronological order == column order."""
+    from jhu_data_parser_spark.operators.reshape import wide_to_nested
+
+    header_dates = dates
+    rows = [(p, c, "1.5", "-2.5", *[str(i) for i in range(len(header_dates))]) for p, c in locs]
+    schema = ", ".join(
+        ["`Province/State` string", "`Country/Region` string", "Lat string", "Long string"]
+        + [f"`{d}` string" for d in header_dates]
+    )
+    df = spark.createDataFrame(rows, schema)
+    nested = wide_to_nested(df)
+    out = nested.collect()
+    assert len(out) == len(locs)
+    for r in out:
+        assert len(r["time_series"]) == len(header_dates)
+        assert [e["value"] for e in r["time_series"]] == list(range(len(header_dates)))
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(n_facts=st.integers(1, 20), n_dim_dupes=st.integers(1, 4))
+def test_first_match_join_cardinality(spark, n_facts, n_dim_dupes):
+    """J1 invariant: |first_match_join(fact, dim)| == |fact| no matter
+    how many duplicate keys the dimension has (the reference's
+    first-match-and-break, src/parser.py:70)."""
+    from jhu_data_parser_spark.operators.joins import first_match_join
+
+    fact = spark.createDataFrame(
+        [(i, i % 3) for i in range(n_facts)], "fid int, k int"
+    )
+    dim = spark.createDataFrame(
+        [(k, j, f"v{k}_{j}") for k in range(3) for j in range(n_dim_dupes)],
+        "dk int, ord int, payload string",
+    )
+    out = first_match_join(fact, dim, left_key="k", right_key="dk", order_by="ord")
+    assert out.count() == n_facts
+    # and the payload is always the ord=0 row's
+    assert all(r["payload"].endswith("_0") for r in out.collect() if r["payload"])
