@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric", "value", "unit", "queries", "sf"}.
+
+Each query is materialized with the noop sink (full execution, no
+driver-side collect — measuring the engine, not result transfer).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from jhu_data_parser_spark import plans
+from jhu_data_parser_spark.session import get_spark
+
+# Headline set: one per operator family — star join+agg, grouped agg,
+# top-k join, window, time windows, dedup (exact + MinHash near-dup),
+# vector top-k, unpivot, bucketed range join.
+HEADLINE = [
+    "join_revenue_by_nation",
+    "agg_pricing_summary",
+    "join_shipping_priority_top10",
+    "window_rank_top_customers",
+    "stream_tumbling_daily",
+    "dedup_exact_groups",
+    "dedup_near_pairs",
+    "sim_cosine_topk",
+    "unpivot_lineitem_metrics",
+    "join_range_followup_events",
+]
+
+
+def materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="jdps-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries = plans.get_queries()
+
+    # Warm-up: run every headline plan once at the smallest SF. This JITs
+    # whole-stage codegen for the exact plan shapes, warms the parquet
+    # footer cache and broadcast machinery — so the timed section below
+    # measures steady-state engine throughput, not JVM cold start.
+    warm_dir = "/root/testdata/sf0.001"
+    if not os.path.isdir(warm_dir):
+        warm_dir = sf_dir
+    for name in HEADLINE:
+        materialize(queries[name](spark, warm_dir))
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        materialize(queries[name](spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

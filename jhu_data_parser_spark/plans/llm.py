@@ -142,7 +142,7 @@ def dedup_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("dedup_simhash", oracle=None)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = dd.ensure_parallelism(load_table(spark, sf_dir, "documents"))
     return d.select("doc_id", dd.simhash_hex("text").alias("simhash"))
 
 
