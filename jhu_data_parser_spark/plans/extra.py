@@ -1,0 +1,233 @@
+"""Second-wave catalog queries: as-of join, skew-safe salted agg,
+min/max/stddev stats, map & explode functions, ntile/first/last windows,
+the pure-SQL surface (S6), and unionByName with missing columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from jhu_data_parser_spark.functions.exprs import DEC_SUM_SQL, dec_sum
+from jhu_data_parser_spark.plans.catalog import query
+from jhu_data_parser_spark.sources.tables import load_table, register_views
+
+
+# J6 — as-of (backward) join: for each purchase, the user's most recent
+# click at-or-before it. DuckDB has native ASOF JOIN; Spark doesn't —
+# the operator is the union+window construction (one shuffle on the key,
+# no nested loop; operators/joins.py:asof_join).
+@query(
+    "join_asof_last_click",
+    oracle="""
+    SELECT p.event_id,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS last_click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def join_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jhu_data_parser_spark.operators.joins import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("ts").alias("click_ts")
+    )
+    out = asof_join(
+        purchases, clicks, key="user_id", left_ts="ts", right_ts="ts", right_cols=["click_ts"]
+    )
+    return out.select(
+        "event_id",
+        F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss").alias("last_click_ts"),
+    )
+
+
+# Skew posture — salted two-phase aggregation; must give EXACTLY the
+# plain GROUP BY answer (the oracle is the plain form).
+@query(
+    "agg_salted_skew",
+    oracle=f"""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {DEC_SUM_SQL('value', 4)} AS total_value
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jhu_data_parser_spark.operators.skew import salted_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    out = salted_agg(
+        ev,
+        ["event_type"],
+        {
+            "n_events": F.count(F.lit(1)),
+            "total_value": F.sum(F.col("value").cast("decimal(18,4)")),
+        },
+        salt_buckets=16,
+    )
+    return out.select(
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("total_value").cast("double").alias("total_value"),
+    )
+
+
+# A3 completion — min/max plus a deterministic stddev assembled from
+# decimal power sums (engine-native stddev is FP-order-dependent and
+# never cross-engine reproducible; sample stddev from exact sums is).
+@query(
+    "agg_minmax_stddev",
+    oracle="""
+    SELECT l_returnflag,
+           MIN(l_extendedprice) AS min_price,
+           MAX(l_extendedprice) AS max_price,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           round(sqrt(greatest(
+             (CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,4))) AS DOUBLE)
+              - CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                * CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*))
+             / (COUNT(*) - 1), 0.0)), 4) AS stddev_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_minmax_stddev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = F.col("l_extendedprice")
+    n = F.count(F.lit(1))
+    s1 = F.sum(p.cast("decimal(18,2)")).cast("double")
+    s2 = F.sum((p * p).cast("decimal(28,4)")).cast("double")
+    return li.groupBy("l_returnflag").agg(
+        F.min(p).alias("min_price"),
+        F.max(p).alias("max_price"),
+        n.alias("n"),
+        F.round(
+            F.sqrt(F.greatest((s2 - s1 * s1 / n) / (n - F.lit(1)), F.lit(0.0))), 4
+        ).alias("stddev_price"),
+    )
+
+
+# approx_count_distinct: HLL sketches are engine-specific → rows-only;
+# the exact twin (agg_distinct_customers) is the oracle-checked pair.
+@query("agg_approx_distinct", oracle=None)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers")
+    )
+
+
+# F9 maps — JSON → map<string,bigint>, explode to key/value rows.
+@query(
+    "scalar_map_funcs",
+    oracle="""
+    SELECT event_id, e.key AS prop_key, e.value AS prop_value
+    FROM (
+      SELECT event_id,
+             unnest(map_entries(CAST(json_transform(props,
+               '"MAP(VARCHAR, BIGINT)"') AS MAP(VARCHAR, BIGINT)))) AS e
+      FROM events
+    ) t
+    """,
+)
+def scalar_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,bigint>")
+    return ev.select("event_id", F.explode(m).alias("prop_key", "prop_value"))
+
+
+# F9 explode/posexplode — token position rows for the first 5 tokens.
+@query(
+    "scalar_posexplode_tokens",
+    oracle="""
+    SELECT doc_id, CAST(p.pos AS INT) AS pos, t.toks[p.pos + 1] AS token
+    FROM (SELECT doc_id, string_split(text, ' ')[1:5] AS toks FROM documents) t
+    CROSS JOIN (SELECT unnest([0, 1, 2, 3, 4]) AS pos) p
+    WHERE p.pos < len(t.toks)
+    """,
+)
+def scalar_posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks5 = F.slice(F.split("text", " "), 1, 5)
+    return d.select("doc_id", F.posexplode(toks5).alias("pos", "token"))
+
+
+# §2.5 completion — ntile / first_value / last_value over a running
+# frame with a unique ordering.
+@query(
+    "window_ntile_first_last",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(ntile(4) OVER w AS INT) AS quartile,
+           first_value(o_orderkey) OVER w AS first_key,
+           last_value(o_orderkey) OVER
+             (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_key
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def window_ntile_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.first("o_orderkey").over(w).alias("first_key"),
+        F.last("o_orderkey").over(w_full).alias("last_key"),
+    )
+
+
+# S6 — the pure-SQL surface over registered views (the Athena
+# replacement): CTE + join + agg, executed via spark.sql.
+@query(
+    "sql_surface_cte",
+    oracle=f"""
+    WITH big_orders AS (
+      SELECT o_custkey, o_totalprice FROM orders WHERE o_totalprice > 250000.0
+    )
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_big_orders,
+           {DEC_SUM_SQL('b.o_totalprice')} AS total
+    FROM big_orders b JOIN customer c ON b.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def sql_surface_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("orders", "customer"))
+    return spark.sql(
+        """
+        WITH big_orders AS (
+          SELECT o_custkey, o_totalprice FROM orders WHERE o_totalprice > 250000.0
+        )
+        SELECT c.c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS n_big_orders,
+               CAST(SUM(CAST(b.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM big_orders b JOIN customer c ON b.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment
+        """
+    )
+
+
+# §2.7 — unionByName with missing columns (schema evolution union).
+@query(
+    "set_union_by_name",
+    oracle="""
+    SELECT * FROM (
+      SELECT s_name AS name, s_acctbal AS acctbal, NULL::VARCHAR AS brand FROM supplier
+      UNION ALL BY NAME
+      SELECT p_name AS name, p_brand AS brand FROM part
+    )
+    """,
+)
+def set_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_name").alias("name"), F.col("s_acctbal").alias("acctbal")
+    )
+    p = load_table(spark, sf_dir, "part").select(
+        F.col("p_name").alias("name"), F.col("p_brand").alias("brand")
+    )
+    return s.unionByName(p, allowMissingColumns=True)

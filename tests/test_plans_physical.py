@@ -1,0 +1,69 @@
+"""Physical-plan assertions (the 100 TB posture checks): filters and
+projections reach the parquet scan, dims broadcast, aggregates have a
+map-side partial phase, top-k compiles to TakeOrderedAndProject, and the
+hot paths stay inside WholeStageCodegen."""
+
+from __future__ import annotations
+
+import pytest
+
+from jhu_data_parser_spark import plans
+from tests.conftest import SF_SMOKE
+
+
+def _plan(spark, name: str, execute: bool = False) -> str:
+    df = plans.QUERIES[name](spark, SF_SMOKE)
+    if execute:
+        # AQE finalizes the physical plan only during execution
+        # (isFinalPlan=false before), so codegen markers appear after.
+        df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = _plan(spark, "filter_pushdown")
+    assert "PushedFilters: [" in plan
+    assert "IsNotNull(l_quantity)" in plan or "GreaterThan(l_quantity" in plan
+    # Column pruning: the scan must read only the needed columns.
+    assert "l_extendedprice" not in plan
+
+
+def test_star_join_broadcasts_dims(spark):
+    plan = _plan(spark, "join_revenue_by_nation")
+    assert plan.count("BroadcastHashJoin") >= 3, plan[:2000]
+    # The big fact-side join may be SMJ/SHJ at scale; at tiny SF AQE can
+    # broadcast it too — just require no cartesian/nested-loop.
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_agg_has_partial_phase(spark):
+    plan = _plan(spark, "agg_pricing_summary", execute=True)
+    assert "partial_" in plan  # map-side combine before the exchange
+    assert "*(1)" in plan  # '*(n)' = WholeStageCodegen stage markers
+
+
+def test_topk_is_take_ordered(spark):
+    plan = _plan(spark, "sort_top_orders")
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan.replace("TakeOrderedAndProject", "")
+
+
+def test_range_join_is_hash_not_nested_loop(spark):
+    """The bucketed range join must plan as an equi hash join, not a
+    nested loop — that's the whole point of the bucketing."""
+    plan = _plan(spark, "join_range_followup_events")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan) or (
+        "ShuffledHashJoin" in plan
+    )
+
+
+def test_scalar_battery_single_stage(spark):
+    """Pure scalar queries must be one codegen'd scan stage — no
+    exchange, no Python."""
+    for name in ("scalar_string_funcs", "scalar_date_funcs", "scalar_case_bucket"):
+        plan = _plan(spark, name)
+        assert "Exchange" not in plan, name
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
