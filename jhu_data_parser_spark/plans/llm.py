@@ -215,6 +215,35 @@ def sim_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id", "label", "sim")
 
 
+# IVF (inverted-file) ANN — spherical-kmeans cells, probe the nearest
+# n_probe cells, exact cosine inside. With n_probe == n_centroids the
+# search is exhaustive, so the exact-top-k oracle applies: the approximate
+# index degrades gracefully to the exact answer, which is the property
+# worth gating. The recall-vs-probe tradeoff is tested behaviorally in
+# tests/test_operators.py.
+@query(
+    "sim_cosine_topk_ivf",
+    oracle="""
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    sims AS (
+      SELECT e.vec_id, e.label,
+             list_dot_product(e.embedding, q.qe)
+               / (sqrt(list_dot_product(e.embedding, e.embedding))
+                  * sqrt(list_dot_product(q.qe, q.qe))) AS sim
+      FROM embeddings e, q
+      WHERE e.vec_id <> 0
+    )
+    SELECT vec_id, label FROM sims ORDER BY sim DESC, vec_id LIMIT 10
+    """,
+)
+def sim_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir, 0)
+    return sim.topk_cosine_ivf(
+        e.filter(F.col("vec_id") != 0), qv, k=10, n_centroids=8, n_probe=8
+    ).select("vec_id", "label")
+
+
 @query(
     "sim_norms",
     oracle="""

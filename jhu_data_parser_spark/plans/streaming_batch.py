@@ -144,3 +144,45 @@ def stream_availablenow_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     table = f"stream_daily_counts_{next(_mem_counter)}"
     return run_daily_counts_availablenow(spark, sf_dir, table)
+
+
+# Custom stateful operator (applyInPandasWithState): streaming session
+# assembly with per-user open-session state and event-time-timeout
+# eviction. The oracle is the batch lag/cumsum sessionization — the
+# custom state machine must agree with SQL exactly (same >= gap rule as
+# stream_session_windows, plus session_end).
+@query(
+    "stream_stateful_sessions",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       >= INTERVAL 30 MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    numbered AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM flagged
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '{_TS_FMT_DUCK}') AS session_start,
+           strftime(MAX(ts), '{_TS_FMT_DUCK}') AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM numbered GROUP BY user_id, session_no
+    """,
+)
+def stream_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jhu_data_parser_spark.streaming.stateful import run_sessionize_stateful
+
+    table = f"stream_stateful_sessions_{next(_mem_counter)}"
+    out = run_sessionize_stateful(spark, sf_dir, table, gap_minutes=30)
+    return out.select(
+        "user_id",
+        F.date_format("session_start", _TS_FMT).alias("session_start"),
+        F.date_format("session_end", _TS_FMT).alias("session_end"),
+        "n_events",
+    )

@@ -1,0 +1,199 @@
+"""Custom stateful streaming operator: session assembly with
+``applyInPandasWithState`` (SURVEY.md §2.9 [extension]).
+
+``F.session_window`` covers gap-based sessions declaratively; this module
+is the escape hatch the engine exposes for session logic the built-in
+can't express (per-key custom merge rules, session payload accumulation,
+emit-on-close side effects). The operator is the canonical
+arbitrary-stateful-processing pattern:
+
+- state per ``user_id`` = the one open session (start, last event time,
+  running count/total) — O(keys) state, bounded, evicted by event-time
+  timeout as the watermark advances;
+- events inside a micro-batch are sorted and folded into sessions
+  locally; only the still-open tail session survives in the state store;
+- a session is emitted when a gap >= the timeout closes it, or when the
+  watermark passes the open session's horizon (``state.hasTimedOut``).
+
+Scale: the shuffle is one hash exchange on ``user_id`` per micro-batch
+(identical to the built-in session window); state store size is one
+small row per active user, independent of history length.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from typing import Any, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+__all__ = ["sessionize_stateful", "run_sessionize_stateful"]
+
+_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start", TimestampType()),
+        StructField("session_end", TimestampType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+# State rides as epoch-microsecond longs — engine-portable, no tz pitfalls.
+_STATE_SCHEMA = StructType(
+    [
+        StructField("start_us", LongType()),
+        StructField("last_us", LongType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+_US = 1_000_000
+
+
+def _session_fold(gap_seconds: int):
+    gap_us = gap_seconds * _US
+
+    def fold(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        user_id = key[0]
+
+        def emit(start_us: int, last_us: int, n: int) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "session_start": [pd.Timestamp(start_us, unit="us")],
+                    "session_end": [pd.Timestamp(last_us, unit="us")],
+                    "n_events": [n],
+                }
+            )
+
+        if state.hasTimedOut:
+            start_us, last_us, n = state.get
+            state.remove()
+            yield emit(start_us, last_us, n)
+            return
+
+        ts_us = (
+            pd.concat([pdf["ts"] for pdf in pdfs])
+            .sort_values()
+            .astype("int64")
+            .floordiv(1000)  # pandas ns → µs
+            .to_list()
+        )
+        if state.exists:
+            start_us, last_us, n = state.get
+        else:
+            start_us, last_us, n = ts_us[0], ts_us[0] - gap_us, 0
+
+        for t in ts_us:
+            if t - last_us >= gap_us and n > 0:
+                yield emit(start_us, last_us, n)
+                start_us, n = t, 0
+            elif n == 0:
+                start_us = t
+            last_us = t
+            n += 1
+
+        state.update((start_us, last_us, n))
+        # Close the open session when the watermark passes its horizon.
+        state.setTimeoutTimestamp((last_us + gap_us) // 1000)
+
+    return fold
+
+
+def sessionize_stateful(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Streaming sessionization of an ``events`` stream (needs ``ts`` and
+    ``user_id`` columns). Returns the closed-sessions stream."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _session_fold(gap_minutes * 60),
+            outputStructType=_OUT_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def run_sessionize_stateful(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Run the stateful sessionizer over the events table to completion
+    and return every session (including the per-user tail sessions).
+
+    A finite file stream ends with sessions still open in the state
+    store — the watermark never passes their horizon. Production streams
+    flush them with a punctuation record; this runner does the same: a
+    far-future sentinel event (reserved ``user_id`` −1) lands in a second
+    file, ``maxFilesPerTrigger=1`` makes it a second micro-batch, the
+    watermark jumps past every open horizon, and the engine's final
+    no-data batch fires the event-time timeouts. The sentinel's own
+    session is dropped from the result.
+    """
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from jhu_data_parser_spark.sources.tables import _normalize_nanos_ts
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = os.path.join(sf_dir, "events.parquet")
+    raw = spark.read.parquet(src)  # ts stays a nanosecond long here
+    schema = raw.schema
+
+    stage = tempfile.mkdtemp(prefix="jdps_sessionize_src_")
+    os.symlink(src, os.path.join(stage, "batch-0.parquet"))
+
+    sentinel = raw.limit(1).select(
+        *[
+            F.lit(4102444800 * 1_000_000_000).cast("long").alias("ts")  # 2100-01-01 ns
+            if c == "ts"
+            else F.lit(-1).cast(schema["user_id"].dataType).alias("user_id")
+            if c == "user_id"
+            else raw[c]
+            for c in raw.columns
+        ]
+    )
+    tmp_out = tempfile.mkdtemp(prefix="jdps_sessionize_sentinel_")
+    sentinel.coalesce(1).write.mode("overwrite").parquet(tmp_out)
+    part = glob.glob(os.path.join(tmp_out, "part-*.parquet"))[0]
+    shutil.move(part, os.path.join(stage, "batch-1.parquet"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+    )
+    sessions = sessionize_stateful(_normalize_nanos_ts(stream), gap_minutes)
+    q = (
+        sessions.filter("user_id >= 0")
+        .writeStream.format("memory")
+        .queryName(table)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(table)

@@ -138,6 +138,35 @@ def test_lsh_topk_recall(spark):
     assert len(exact & approx) >= 6
 
 
+def test_ivf_topk_recall_and_exhaustive_exactness(spark):
+    """IVF with n_probe == K must equal brute force exactly; with a
+    partial probe it must still recover the planted neighbors (the
+    cluster structure IVF exists to exploit)."""
+    import numpy as np
+
+    from jhu_data_parser_spark.operators.similarity import topk_cosine, topk_cosine_ivf
+
+    rng = np.random.RandomState(11)
+    q = rng.standard_normal(64)
+    planted = [q + 0.15 * rng.standard_normal(64) for _ in range(15)]
+    noise = [rng.standard_normal(64) for _ in range(500)]
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(planted + noise)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    qv = [float(x) for x in q]
+    exact = [r["vec_id"] for r in topk_cosine(df, qv, k=10).collect()]
+    exhaustive = [
+        r["vec_id"]
+        for r in topk_cosine_ivf(df, qv, k=10, n_centroids=8, n_probe=8).collect()
+    ]
+    assert exhaustive == exact  # full probe ⇒ identical to brute force
+    partial = {
+        r["vec_id"]
+        for r in topk_cosine_ivf(df, qv, k=10, n_centroids=8, n_probe=2).collect()
+    }
+    assert len(set(exact) & partial) >= 8  # planted cluster lands in few cells
+
+
 def test_exact_dedup_survivors(spark):
     from jhu_data_parser_spark.operators.dedup import exact_dedup
 
