@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from jhu_data_parser_spark.functions.exprs import DEC_SUM_SQL, dec_sum
+from jhu_data_parser_spark.functions.exprs import DEC_SUM_SQL, dec_sum, scaled_long
 from jhu_data_parser_spark.plans.catalog import query
 from jhu_data_parser_spark.sources.tables import load_table, register_views
 
@@ -64,14 +64,14 @@ def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["event_type"],
         {
             "n_events": F.count(F.lit(1)),
-            "total_value": F.sum(F.col("value").cast("decimal(18,4)")),
+            "total_value": F.sum(scaled_long("value", 4)),
         },
         salt_buckets=16,
     )
     return out.select(
         "event_type",
         F.col("n_events").cast("long").alias("n_events"),
-        F.col("total_value").cast("double").alias("total_value"),
+        (F.col("total_value").cast("double") / F.lit(10000.0)).alias("total_value"),
     )
 
 
@@ -205,7 +205,8 @@ def sql_surface_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT c.c_mktsegment,
                CAST(COUNT(*) AS BIGINT) AS n_big_orders,
-               CAST(SUM(CAST(b.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+               CAST(SUM(CAST(FLOOR(b.o_totalprice * 100 + 0.5) AS LONG)) AS DOUBLE)
+                 / 100.0 AS total
         FROM big_orders b JOIN customer c ON b.o_custkey = c.c_custkey
         GROUP BY c.c_mktsegment
         """

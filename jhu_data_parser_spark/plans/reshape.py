@@ -50,8 +50,8 @@ def pivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pivot_monthly_revenue",
     oracle="SELECT CAST(year(o_orderdate) AS INT) AS order_year, "
     + ", ".join(
-        "COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) "
-        f"FILTER (WHERE month(o_orderdate) = {m}) AS DOUBLE), 0.0) AS m{m:02d}"
+        "COALESCE(CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) "
+        f"FILTER (WHERE month(o_orderdate) = {m}) AS DOUBLE) / 100.0, 0.0) AS m{m:02d}"
         for m in _MONTHS
     )
     + " FROM orders GROUP BY year(o_orderdate)",

@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from jhu_data_parser_spark.functions.exprs import scaled_long
 from jhu_data_parser_spark.plans.catalog import query
 from jhu_data_parser_spark.sources.tables import load_table
 
@@ -66,8 +67,8 @@ def window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_rolling_avg",
     oracle="""
     SELECT event_id,
-           CAST(SUM(CAST(value AS DECIMAL(18,4)))
-                  OVER w AS DOUBLE) / COUNT(*) OVER w AS rolling_avg
+           CAST(SUM(CAST(floor(value * 10000 + 0.5) AS BIGINT))
+                  OVER w AS DOUBLE) / 10000.0 / COUNT(*) OVER w AS rolling_avg
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
@@ -83,7 +84,8 @@ def window_rolling_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id",
         (
-            F.sum(F.col("value").cast("decimal(18,4)")).over(w).cast("double")
+            F.sum(scaled_long("value", 4)).over(w).cast("double")
+            / F.lit(10000.0)
             / F.count(F.lit(1)).over(w)
         ).alias("rolling_avg"),
     )
@@ -93,10 +95,10 @@ def window_rolling_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_cumulative_spend",
     oracle="""
     SELECT o_orderkey,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+           CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
                   OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                AS DOUBLE) AS cum_spend
+                AS DOUBLE) / 100.0 AS cum_spend
     FROM orders
     """,
 )
@@ -109,7 +111,9 @@ def window_cumulative_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return o.select(
         "o_orderkey",
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double").alias("cum_spend"),
+        (F.sum(scaled_long("o_totalprice", 2)).over(w).cast("double") / F.lit(100.0)).alias(
+            "cum_spend"
+        ),
     )
 
 
