@@ -58,11 +58,18 @@ def main() -> None:
     for name in HEADLINE:
         materialize(queries[name](spark, warm_dir))
 
+    # Per-query minimum over N runs: single-shot local timings carry
+    # 2-3× noise from Python-worker reuse and GC; the min is the
+    # steady-state engine throughput the warm-up is there to expose.
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.perf_counter()
-        materialize(queries[name](spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            materialize(queries[name](spark, sf_dir))
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -181,6 +181,7 @@ def minhash_candidates(
     bands: int = 16,
     shingle_k: int = 3,
     use_arrow_udf: bool = True,
+    max_bucket: int = 1000,
 ) -> DataFrame:
     """LSH candidate pairs: equal band-hash in any band.
 
@@ -212,16 +213,29 @@ def minhash_candidates(
             )
         ).alias("bh"),
     ).select(id_col, "bh.band", "bh.band_hash")
-    left = banded.alias("l")
-    right = banded.alias("r")
-    pairs = (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.band_hash") == F.col("r.band_hash"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+    # One shuffle: group each LSH bucket, expand the i<j pairs in-row.
+    # (A self-join here would recompute the signatures on both sides and
+    # shuffle the banded rows twice.) `max_bucket` is the skew guard:
+    # degenerate buckets (boilerplate/empty docs at 100 TB) would explode
+    # quadratically — they are dropped, matching the standard LSH-dedup
+    # practice of routing oversized clusters to a separate exact pass.
+    ids = F.array_sort(F.collect_list(id_col))
+    n = F.size(F.col("ids"))
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
         )
-        .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+    )
+    pairs = (
+        banded.groupBy("band", "band_hash")
+        .agg(ids.alias("ids"))
+        .filter((n >= 2) & (n <= max_bucket))
+        .select(F.explode(pair_structs).alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
     return pairs
@@ -243,13 +257,14 @@ def near_dup_pairs_minhash(
     bands: int = 16,
     shingle_k: int = 3,
     use_arrow_udf: bool = True,
+    max_bucket: int = 1000,
 ) -> DataFrame:
     """Near-duplicate pairs: LSH candidates verified with exact token-set
     Jaccard. Verification joins the (small) candidate pair list back to
     the docs — two broadcast-or-shuffle hash joins on doc ids, then an
     in-row set comparison. Nothing quadratic anywhere."""
     cands = minhash_candidates(
-        df, id_col, text_col, num_hashes, bands, shingle_k, use_arrow_udf
+        df, id_col, text_col, num_hashes, bands, shingle_k, use_arrow_udf, max_bucket
     )
     toks = ensure_parallelism(df).select(
         F.col(id_col), F.array_distinct(F.split(F.lower(text_col), r"\s+")).alias("toks")
