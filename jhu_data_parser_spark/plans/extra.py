@@ -213,6 +213,74 @@ def sql_surface_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Bucketed co-located join [extension] — both fact tables written
+# hash-clustered + sorted on the join key (sink.write_bucketed_table),
+# so the join itself needs no exchange and no sort: the one-time layout
+# shuffle replaces a per-query fact-table shuffle. The oracle is the
+# plain join — bucketing must be invisible to results.
+@query(
+    "join_bucketed_colocated",
+    oracle=f"""
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           {DEC_SUM_SQL('l.l_extendedprice * (1.0 - l.l_discount)', 4)} AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    joined = _bucketed_join_pair(spark, sf_dir)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        dec_sum(
+            F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), 4
+        ).alias("revenue"),
+    )
+
+
+def _bucketed_join_pair(spark: SparkSession, sf_dir: str, num_buckets: int = 8) -> DataFrame:
+    """Write lineitem/orders bucketed+sorted on the order key, return
+    their exchange-free merge join (shared by the catalog query and the
+    physical-plan test)."""
+    import hashlib
+    import tempfile
+
+    from jhu_data_parser_spark.sink import write_bucketed_table
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    li_tbl, o_tbl = f"li_bkt_{tag}", f"o_bkt_{tag}"
+    if not spark.catalog.tableExists(li_tbl):
+        base = tempfile.mkdtemp(prefix=f"jdps_bucketed_{tag}_")
+        # Repartition on the bucket key first → exactly one file per
+        # bucket (otherwise every writing task emits a file per bucket
+        # it touches — at 1000 executors that's 1000 small files per
+        # bucket). The join still re-sorts locally per bucket: OSS
+        # Spark has no sorted-bucket-scan elision (SPARK-19256); the
+        # shuffle elimination is the scale win.
+        li = (
+            load_table(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_extendedprice", "l_discount")
+            .repartition(num_buckets, "l_orderkey")
+        )
+        o = (
+            load_table(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_orderpriority")
+            .repartition(num_buckets, "o_orderkey")
+        )
+        import os
+
+        write_bucketed_table(
+            li, li_tbl, ["l_orderkey"], num_buckets, ["l_orderkey"],
+            path=os.path.join(base, li_tbl),
+        )
+        write_bucketed_table(
+            o, o_tbl, ["o_orderkey"], num_buckets, ["o_orderkey"],
+            path=os.path.join(base, o_tbl),
+        )
+    li_b, o_b = spark.table(li_tbl), spark.table(o_tbl)
+    return li_b.hint("merge").join(o_b, li_b.l_orderkey == o_b.o_orderkey)
+
+
 # §2.7 — unionByName with missing columns (schema evolution union).
 @query(
     "set_union_by_name",

@@ -60,6 +60,20 @@ def test_range_join_is_hash_not_nested_loop(spark):
     )
 
 
+def test_bucketed_join_is_exchange_free(spark):
+    """Both sides bucketed+sorted on the join key ⇒ the merge join reads
+    co-located buckets with NO shuffle — the layout shuffle is paid once
+    at write time, not per query."""
+    from jhu_data_parser_spark.plans.extra import _bucketed_join_pair
+
+    j = _bucketed_join_pair(spark, SF_SMOKE)
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan
+    assert "Bucketed: true" in plan
+    assert "SelectedBucketsCount" in plan
+
+
 def test_scalar_battery_single_stage(spark):
     """Pure scalar queries must be one codegen'd scan stage — no
     exchange, no Python."""
