@@ -179,6 +179,22 @@ def test_exact_dedup_survivors(spark):
     assert survivors == {1, 2}
 
 
+def test_salted_broadcast_join_matches_plain_join(spark):
+    """Salting must be invisible to results: same rows as the plain
+    inner join, including duplicate small-side keys (row fan-out)."""
+    from jhu_data_parser_spark.operators.skew import salted_broadcast_join
+
+    big = spark.createDataFrame(
+        [(k, i) for i in range(200) for k in ("hot", "cold")], "k string, v int"
+    )
+    small = spark.createDataFrame(
+        [("hot", 1), ("cold", 2), ("cold", 3)], "k string, tag int"
+    )
+    got = salted_broadcast_join(big, small, "k").groupBy("k", "tag").count()
+    plain = big.join(small, "k").groupBy("k", "tag").count()
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, plain.collect()))
+
+
 def test_multimodal_plumbing(spark):
     from jhu_data_parser_spark.operators.multimodal import (
         attach_binary,
