@@ -9,8 +9,12 @@ it needs per-language profile dictionaries.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+from numpy.lib.stride_tricks import sliding_window_view
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 __all__ = [
     "tokens",
@@ -18,6 +22,7 @@ __all__ = [
     "bpe_ish_token_count",
     "quality_features",
     "fingerprint",
+    "rolling_fingerprints",
     "langid_heuristic",
     "STOPWORDS_EN",
 ]
@@ -83,6 +88,50 @@ def fingerprint(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     normalized = F.lower(F.trim(F.regexp_replace(c, r"\s+", " ")))
     return F.md5(normalized)
+
+
+def rolling_fingerprints(
+    col: Column | str, k: int = 8, window: int = 4, base: int = 131
+) -> Column:
+    """Winnowed rolling-hash fingerprints (the MOSS/winnowing scheme):
+    polynomial rolling hash over every k-char gram, then the minimum
+    hash of each sliding window of ``window`` consecutive grams, distinct.
+
+    Near-identical documents share most selected hashes, so grouping on
+    exploded (fingerprint → doc) pairs finds overlapping/contained text
+    (the winnowing guarantee: any shared substring of length
+    ``k + window - 1`` produces at least one shared fingerprint —
+    stronger than whole-document hashing, cheaper than shingle Jaccard).
+
+    Integer discipline: codepoints are capped mod 256 and the hash uses
+    plain int64 arithmetic with no modulus — exact (no wraparound:
+    255·131^7·Σ < 2^63), so the same formula runs as SQL on any engine
+    (the DuckDB oracle twin replicates it with list comprehensions).
+    Implemented as an Arrow-batched pandas UDF: the per-row work is two
+    numpy sliding-window ops; per-char column expressions would be
+    O(n·k) interpreted evals per row.
+    """
+    weights = np.array([base ** (k - 1 - j) for j in range(k)], dtype=np.int64)
+
+    @pandas_udf("array<long>")
+    def _fps(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            t = t or ""
+            if len(t) < k:
+                out.append([])
+                continue
+            codes = np.fromiter((ord(ch) % 256 for ch in t), np.int64, count=len(t))
+            grams = sliding_window_view(codes, k) @ weights
+            if len(grams) < window:
+                out.append([])
+                continue
+            fps = np.unique(sliding_window_view(grams, window).min(axis=1))
+            out.append(fps.tolist())
+        return pd.Series(out)
+
+    c = F.col(col) if isinstance(col, str) else col
+    return _fps(c)
 
 
 # --- language ID -----------------------------------------------------------

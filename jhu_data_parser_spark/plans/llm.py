@@ -117,6 +117,44 @@ def text_lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Winnowed rolling-hash fingerprints (MOSS scheme): k-gram polynomial
+# rolling hash → sliding-window minima → distinct. Exact int64
+# arithmetic (no modulus, codepoints capped mod 256) so the DuckDB twin
+# replicates the formula verbatim as list comprehensions.
+_RH_K, _RH_W, _RH_B = 8, 4, 131
+_RH_POWS = ", ".join(str(_RH_B ** (_RH_K - 1 - j)) for j in range(_RH_K))
+
+
+@query(
+    "text_rolling_fingerprints",
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id,
+             [ CAST(list_sum([ (ascii(text[i+j]) % 256) * ([{_RH_POWS}])[j+1]
+                               for j in range(0, {_RH_K}) ]) AS BIGINT)
+               for i in range(1, length(text) - {_RH_K} + 2) ] AS grams
+      FROM documents
+      WHERE length(text) >= {_RH_K}
+    ),
+    w AS (
+      SELECT doc_id,
+             list_distinct([ list_min(grams[i:i+{_RH_W - 1}])
+                             for i in range(1, len(grams) - {_RH_W} + 2) ]) AS fps
+      FROM g WHERE len(grams) >= {_RH_W}
+    )
+    SELECT doc_id, unnest(fps) AS fp FROM w
+    """,
+)
+def text_rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.explode(tx.rolling_fingerprints("text", k=_RH_K, window=_RH_W, base=_RH_B)).alias(
+            "fp"
+        ),
+    )
+
+
 # Marker-vote language ID — heuristic (deterministic, native exprs); the
 # synthetic corpus shares one vocabulary so the interesting assertion is
 # determinism + schema, done rows-only here and behaviorally in

@@ -179,6 +179,31 @@ def test_exact_dedup_survivors(spark):
     assert survivors == {1, 2}
 
 
+def test_rolling_fingerprints_winnowing_guarantee(spark):
+    """Docs sharing a substring of length >= k + window - 1 must share at
+    least one winnowed fingerprint; disjoint docs share none."""
+    from pyspark.sql import functions as F
+
+    from jhu_data_parser_spark.operators.text import rolling_fingerprints
+
+    shared = "a common stretch of copied text here"
+    df = spark.createDataFrame(
+        [
+            (1, "prefix one " + shared + " suffix alpha"),
+            (2, "other start " + shared + " different end"),
+            (3, "zzz completely unrelated body qqq xyzzy"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = df.select("doc_id", rolling_fingerprints("text").alias("fps")).collect()
+    sets = {r["doc_id"]: set(r["fps"]) for r in fps}
+    assert sets[1] & sets[2]
+    assert not (sets[1] & sets[3])
+    # short docs produce no fingerprints rather than erroring
+    tiny = spark.createDataFrame([(9, "abc")], "doc_id long, text string")
+    assert tiny.select(rolling_fingerprints("text").alias("f")).first()["f"] == []
+
+
 def test_salted_broadcast_join_matches_plain_join(spark):
     """Salting must be invisible to results: same rows as the plain
     inner join, including duplicate small-side keys (row fan-out)."""
