@@ -244,13 +244,47 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sim_cosine_topk_lsh", oracle=None)
+# RP-LSH top-k — oracle-paired: the hyperplanes are deterministic
+# (seeded), so they inline as SQL literals; the oracle recomputes every
+# bucket, the query vector's bucket, and the Hamming<=1 multiprobe set
+# (bit_count(xor(...))), then scores candidates exactly — the same
+# algorithm, independently evaluated.
+def _lsh_oracle_sql(n_planes: int = 8, dim: int = 64, seed: int = 42, k: int = 10) -> str:
+    planes = sim._rp_planes(dim, n_planes, seed)
+    plane_lits = ", ".join(
+        "[" + ", ".join(repr(float(x)) for x in row) + "]" for row in planes
+    )
+    bucket_of = lambda col: " + ".join(  # noqa: E731
+        f"(CASE WHEN list_dot_product({col}, pl.p[{i + 1}]) > 0.0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i in range(n_planes)
+    )
+    return f"""
+    WITH pl AS (SELECT [{plane_lits}]::DOUBLE[][] AS p),
+    q AS (SELECT embedding AS qe, ({bucket_of('embedding')}) AS qb
+          FROM embeddings, pl WHERE vec_id = 0),
+    b AS (SELECT e.vec_id, e.label, e.embedding,
+                 ({bucket_of('e.embedding')}) AS bucket
+          FROM embeddings e, pl WHERE e.vec_id <> 0),
+    cand AS (
+      SELECT b.vec_id, b.label,
+             list_dot_product(b.embedding, q.qe)
+               / (sqrt(list_dot_product(b.embedding, b.embedding))
+                  * sqrt(list_dot_product(q.qe, q.qe))) AS sim
+      FROM b, q
+      WHERE bit_count(xor(b.bucket::BIGINT, q.qb::BIGINT)) <= 1
+    )
+    SELECT vec_id, label FROM cand ORDER BY sim DESC, vec_id LIMIT {k}
+    """
+
+
+@query("sim_cosine_topk_lsh", oracle=_lsh_oracle_sql())
 def sim_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     qv = _query_vec(spark, sf_dir, 0)
     return sim.topk_cosine_lsh(
         e.filter(F.col("vec_id") != 0), qv, dim=len(qv), k=10, n_planes=8
-    ).select("vec_id", "label", "sim")
+    ).select("vec_id", "label")
 
 
 # IVF (inverted-file) ANN — spherical-kmeans cells, probe the nearest
