@@ -155,11 +155,25 @@ def text_rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Marker-vote language ID — heuristic (deterministic, native exprs); the
-# synthetic corpus shares one vocabulary so the interesting assertion is
-# determinism + schema, done rows-only here and behaviorally in
-# tests/test_text.py on real multilingual strings.
-@query("text_langid_heuristic", oracle=None)
+# Marker-vote language ID — deterministic native exprs, so the oracle
+# replays the vote in SQL: per-language marker-hit counts, argmax via
+# struct comparison (lexicographic on both engines, ties break on the
+# language code), 'und' when nothing matches. Behavioral coverage on
+# real multilingual strings lives in tests/test_operators.py.
+def _langid_oracle_sql() -> str:
+    structs = ", ".join(
+        "{'score': len(list_filter(string_split(lower(text), ' '), "
+        f"x -> list_contains({list(markers)!r}, x))), 'lang': '{lang}'}}"
+        for lang, markers in tx._LANG_MARKERS.items()
+    )
+    return f"""
+    SELECT doc_id, lang,
+           CASE WHEN best['score'] > 0 THEN best['lang'] ELSE 'und' END AS lang_guess
+    FROM (SELECT doc_id, lang, list_max([{structs}]) AS best FROM documents) t
+    """
+
+
+@query("text_langid_heuristic", oracle=_langid_oracle_sql())
 def text_langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return d.select("doc_id", "lang", tx.langid_heuristic("text").alias("lang_guess"))
@@ -332,9 +346,34 @@ def sim_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Embedding near-duplicate pairs via LSH buckets + exact cosine — the
-# embedding-cosine near-dup detector (rows-only; pair generation via
-# bucketing isn't SQL).
-@query("dedup_embedding_pairs", oracle=None)
+# embedding-cosine near-dup detector. Oracle-paired like the LSH top-k:
+# plane literals → bucket per vector → same-bucket pair join → exact
+# cosine filter, all re-evaluated in SQL.
+def _emb_pairs_oracle_sql(n_planes: int = 12, dim: int = 64, seed: int = 42) -> str:
+    planes = sim._rp_planes(dim, n_planes, seed)
+    plane_lits = ", ".join(
+        "[" + ", ".join(repr(float(x)) for x in row) + "]" for row in planes
+    )
+    bucket_of = " + ".join(
+        f"(CASE WHEN list_dot_product(embedding, pl.p[{i + 1}]) > 0.0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i in range(n_planes)
+    )
+    return f"""
+    WITH pl AS (SELECT [{plane_lits}]::DOUBLE[][] AS p),
+    b AS (SELECT vec_id, embedding, ({bucket_of}) AS bucket FROM embeddings, pl),
+    pairs AS (
+      SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+             list_dot_product(a.embedding, c.embedding)
+               / (sqrt(list_dot_product(a.embedding, a.embedding))
+                  * sqrt(list_dot_product(c.embedding, c.embedding))) AS cos
+      FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+    )
+    SELECT id_a, id_b, ROUND(cos, 6) AS cos FROM pairs WHERE cos > 0.9
+    """
+
+
+@query("dedup_embedding_pairs", oracle=_emb_pairs_oracle_sql())
 def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     dim = 64
