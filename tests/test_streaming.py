@@ -45,6 +45,99 @@ def test_stream_dedup(spark, sf_dir):
     assert deduped.select("event_id").distinct().count() == n_out
 
 
+def test_stateful_sessions_across_microbatches(spark, sf_dir, tmp_path):
+    """The applyInPandasWithState sessionizer must produce the exact
+    batch sessionization when the input arrives as THREE time-ordered
+    micro-batches — sessions spanning a batch boundary merge through the
+    state store, and the trailing sessions flush via event-time timeout
+    (sentinel batch + final no-data batch)."""
+    import os
+
+    from pyspark.sql import Window
+
+    from jhu_data_parser_spark.sources.tables import load_table
+    from jhu_data_parser_spark.streaming.stateful import sessionize_stateful
+
+    ev = load_table(spark, sf_dir, "events")
+    # Three chronological chunks: chunk k's min ts >= chunk k-1's max ts,
+    # so nothing is late for the 0-second watermark.
+    n = ev.count()
+    chunked = ev.orderBy("ts").withColumn(
+        "__chunk",
+        F.floor(
+            (F.row_number().over(Window.orderBy("ts", "event_id")) - 1) * 3 / F.lit(n)
+        ),
+    )
+    stage = tmp_path / "chunks"
+    os.makedirs(stage)
+    cuts = [r[0] for r in chunked.groupBy("__chunk").agg(F.max("ts")).orderBy("__chunk").collect()]
+    for i in range(3):
+        part = chunked.filter(F.col("__chunk") == i).drop("__chunk").coalesce(1)
+        tmp_out = str(tmp_path / f"w{i}")
+        part.write.mode("overwrite").parquet(tmp_out)
+        src = glob.glob(os.path.join(tmp_out, "part-*.parquet"))[0]
+        os.rename(src, str(stage / f"batch-{i}.parquet"))
+    # Sentinel far-future event flushes the open tail sessions.
+    sent = (
+        ev.limit(1)
+        .withColumn("ts", F.timestamp_seconds(F.lit(4102444800)))
+        .withColumn("user_id", F.lit(-1).cast(ev.schema["user_id"].dataType))
+        .coalesce(1)
+    )
+    tmp_out = str(tmp_path / "wsent")
+    sent.write.mode("overwrite").parquet(tmp_out)
+    os.rename(
+        glob.glob(os.path.join(tmp_out, "part-*.parquet"))[0],
+        str(stage / "batch-3.parquet"),
+    )
+    for i, fname in enumerate(sorted(os.listdir(stage))):
+        os.utime(str(stage / fname), (1_700_000_000 + i, 1_700_000_000 + i))
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(stage))
+    )
+    table = f"t_sessions_{next(_ids)}"
+    q = (
+        sessionize_stateful(stream, gap_minutes=30)
+        .filter("user_id >= 0")
+        .writeStream.format("memory")
+        .queryName(table)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = {tuple(r) for r in spark.table(table).collect()}
+
+    # Batch truth: lag/cumsum sessionization.
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.withColumn(
+        "new_s",
+        F.when(
+            F.col("ts").cast("long") - F.lag("ts").over(w).cast("long") >= 1800, 1
+        ).otherwise(F.when(F.lag("ts").over(w).isNull(), 1).otherwise(0)),
+    )
+    numbered = flagged.withColumn(
+        "s_no", F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    batch = {
+        tuple(r)
+        for r in numbered.groupBy("user_id", "s_no")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select("user_id", "session_start", "session_end", "n_events")
+        .collect()
+    }
+    assert streamed == batch
+    # Progress proof: more than one micro-batch actually ran.
+    assert q.lastProgress is not None
+
+
 def test_stream_json_sink_partitioned(spark, sf_dir, tmp_path):
     from jhu_data_parser_spark.streaming.jobs import (
         read_events_stream,
