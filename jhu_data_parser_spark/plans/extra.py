@@ -109,6 +109,56 @@ def agg_minmax_stddev(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# A4 completion — explicit GROUPING SETS (rollup/cube's general form);
+# both engines emit NULL markers for non-grouped columns.
+@query(
+    "agg_grouping_sets",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {DEC_SUM_SQL('o_totalprice')} AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS LONG)) AS DOUBLE)
+                 / 100.0 AS total
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        """
+    )
+
+
+# A3 completion — exact percentiles. Spark's `percentile` and DuckDB's
+# `quantile_cont` share linear-interpolation semantics; verified
+# bit-identical. (approx_percentile stays engine-specific → the HLL-style
+# rows-only bucket.)
+@query(
+    "agg_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_extendedprice, 0.5) AS p50,
+           quantile_cont(l_extendedprice, 0.9) AS p90,
+           quantile_cont(l_extendedprice, 0.99) AS p99
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = F.col("l_extendedprice")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile(p, F.lit(0.5)).alias("p50"),
+        F.percentile(p, F.lit(0.9)).alias("p90"),
+        F.percentile(p, F.lit(0.99)).alias("p99"),
+    )
+
+
 # approx_count_distinct: HLL sketches are engine-specific → rows-only;
 # the exact twin (agg_distinct_customers) is the oracle-checked pair.
 @query("agg_approx_distinct", oracle=None)
