@@ -146,6 +146,44 @@ def stream_availablenow_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_daily_counts_availablenow(spark, sf_dir, table)
 
 
+# Built-in session windows in a REAL stream (append mode + sentinel
+# flush): must match the batch lag/cumsum sessionization — and the
+# custom stateful operator below — exactly.
+@query(
+    "stream_availablenow_sessions",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       >= INTERVAL 30 MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    numbered AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM flagged
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '{_TS_FMT_DUCK}') AS session_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM numbered GROUP BY user_id, session_no
+    """,
+)
+def stream_availablenow_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jhu_data_parser_spark.streaming.stateful import run_builtin_session_windows
+
+    table = f"stream_builtin_sessions_{next(_mem_counter)}"
+    out = run_builtin_session_windows(spark, sf_dir, table)
+    return out.select(
+        "user_id",
+        F.date_format("session_start", _TS_FMT).alias("session_start"),
+        "n_events",
+    )
+
+
 # Custom stateful operator (applyInPandasWithState): streaming session
 # assembly with per-user open-session state and event-time-timeout
 # eviction. The oracle is the batch lag/cumsum sessionization — the

@@ -36,7 +36,12 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
-__all__ = ["sessionize_stateful", "run_sessionize_stateful"]
+__all__ = [
+    "sessionize_stateful",
+    "run_sessionize_stateful",
+    "read_events_stream_with_sentinel",
+    "run_builtin_session_windows",
+]
 
 _OUT_SCHEMA = StructType(
     [
@@ -133,24 +138,18 @@ def sessionize_stateful(
     )
 
 
-def run_sessionize_stateful(
-    spark: SparkSession,
-    sf_dir: str,
-    table: str,
-    gap_minutes: int = 30,
-) -> DataFrame:
-    """Run the stateful sessionizer over the events table to completion
-    and return every session (including the per-user tail sessions).
+def read_events_stream_with_sentinel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File stream over the events table plus a far-future sentinel
+    micro-batch — the finite-stream flush.
 
-    A finite file stream ends with sessions still open in the state
-    store — the watermark never passes their horizon. Production streams
-    flush them with a punctuation record; this runner does the same: a
-    far-future sentinel event (reserved ``user_id`` −1) lands in a second
-    file, ``maxFilesPerTrigger=1`` makes it a second micro-batch, the
-    watermark jumps past every open horizon, and the engine's final
-    no-data batch fires the event-time timeouts. The sentinel's own
-    session is dropped from the result.
-    """
+    A finite file stream ends with event-time state (open sessions,
+    unfinalized windows) still held — the watermark never passes its
+    horizon. Production streams flush with a punctuation record; this
+    staging does the same: a sentinel event (reserved ``user_id`` −1,
+    ts 2100-01-01) lands in a second file, ``maxFilesPerTrigger=1``
+    makes it a second micro-batch, the watermark jumps past every open
+    horizon, and the engine's final no-data batch finalizes the state.
+    Consumers drop ``user_id < 0`` rows from results."""
     import glob
     import shutil
 
@@ -186,14 +185,63 @@ def run_sessionize_stateful(
         .option("maxFilesPerTrigger", "1")
         .parquet(stage)
     )
-    sessions = sessionize_stateful(_normalize_nanos_ts(stream), gap_minutes)
+    return _normalize_nanos_ts(stream)
+
+
+def run_sessionize_stateful(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Run the stateful sessionizer over the events table to completion
+    and return every session (tail sessions flushed by the sentinel —
+    see :func:`read_events_stream_with_sentinel`)."""
+    sessions = sessionize_stateful(
+        read_events_stream_with_sentinel(spark, sf_dir), gap_minutes
+    )
+    # The sentinel filter goes AFTER the sink: inside the streaming plan
+    # Catalyst would push it below the watermark node, the sentinel row
+    # would never reach the event-time tracker, and the tail state would
+    # never flush.
     q = (
-        sessions.filter("user_id >= 0")
-        .writeStream.format("memory")
+        sessions.writeStream.format("memory")
         .queryName(table)
         .outputMode("append")
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
-    return spark.table(table)
+    return spark.table(table).filter("user_id >= 0")
+
+
+def run_builtin_session_windows(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    gap: str = "30 minutes",
+) -> DataFrame:
+    """The built-in ``F.session_window`` in a REAL stream (append mode:
+    sessions emit only when the watermark finalizes them — the sentinel
+    batch finalizes the tail). The declarative twin of
+    :func:`sessionize_stateful`; both must agree with the batch
+    lag/cumsum sessionization."""
+    from pyspark.sql import functions as F
+
+    ev = read_events_stream_with_sentinel(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "0 seconds")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n_events")
+    )
+    # Sentinel filter after the sink — see run_sessionize_stateful.
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(table)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(table).filter("user_id >= 0")

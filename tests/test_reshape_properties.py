@@ -1,5 +1,6 @@
-"""Property-based tests (SURVEY.md §5 item 3): reshape round-trips and
-join-cardinality invariants on generated JHU-shaped frames."""
+"""Property-based tests (SURVEY.md §5 item 3): reshape round-trips,
+join-cardinality invariants on generated JHU-shaped frames, and the
+order-independence invariant behind the oracle-stable sums."""
 
 from __future__ import annotations
 
@@ -95,3 +96,29 @@ def test_first_match_join_cardinality(spark, n_facts, n_dim_dupes):
     assert out.count() == n_facts
     # and the payload is always the ord=0 row's
     assert all(r["payload"].endswith("_0") for r in out.collect() if r["payload"])
+
+
+def test_scaled_long_sum_order_independent(spark):
+    """The dec_sum discipline exists so aggregate doubles hash-match
+    across engines; the invariant is bit-identical totals under ANY
+    partitioning/ordering of the input — raw SUM(double) breaks this."""
+    import random
+
+    from jhu_data_parser_spark.functions.exprs import dec_sum
+
+    rng = random.Random(7)
+    vals = [round(rng.uniform(-1e6, 1e6), 2) for _ in range(5000)]
+    results = set()
+    for seed in (1, 2, 3):
+        shuffled = vals[:]
+        random.Random(seed).shuffle(shuffled)
+        df = spark.createDataFrame(
+            [(v,) for v in shuffled], "x double"
+        ).repartition(seed * 3 + 2)
+        results.add(df.agg(dec_sum("x").alias("s")).first()["s"])
+    assert len(results) == 1
+    # and the total is the exact cents sum
+    import math
+
+    exact = sum(math.floor(v * 100 + 0.5) for v in vals) / 100.0
+    assert results.pop() == exact
