@@ -21,7 +21,8 @@ from jhu_data_parser_spark.session import get_spark
 
 # Headline set: one per operator family — star join+agg, grouped agg,
 # top-k join, window, time windows, dedup (exact + MinHash near-dup),
-# vector top-k, unpivot, bucketed range join.
+# vector top-k (exact + IVF), rolling-hash fingerprints, unpivot,
+# bucketed range join.
 HEADLINE = [
     "join_revenue_by_nation",
     "agg_pricing_summary",
@@ -31,6 +32,8 @@ HEADLINE = [
     "dedup_exact_groups",
     "dedup_near_pairs",
     "sim_cosine_topk",
+    "sim_cosine_topk_ivf",
+    "text_rolling_fingerprints",
     "unpivot_lineitem_metrics",
     "join_range_followup_events",
 ]
