@@ -112,6 +112,44 @@ def test_record_key_and_field_order(spark):
     assert df.columns[:5] == ["time_series", "province/state", "country/region", "lat", "long"]
 
 
+def test_category_pipeline_realistic_width(spark, tmp_path):
+    """The live JHU frame has ~1100 date columns; the U1 build must
+    handle realistic width (one struct per date inside a single select —
+    no per-column passes, no quadratic planning)."""
+    import csv
+    import datetime
+    import time
+
+    n_dates, n_rows = 400, 200
+    d0 = datetime.date(2020, 1, 22)
+    dates = [(d0 + datetime.timedelta(days=i)) for i in range(n_dates)]
+    headers = ["Province/State", "Country/Region", "Lat", "Long"] + [
+        f"{d.month}/{d.day}/{d.strftime('%y')}" for d in dates
+    ]
+    src = tmp_path / "wide.csv"
+    with open(src, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(headers)
+        for r in range(n_rows):
+            w.writerow([f"P{r % 7}", f"C{r}", "1.5", "2.5"] + [str(r + i) for i in range(n_dates)])
+
+    from jhu_data_parser_spark.etl import category_pipeline
+
+    p = _fixture_paths()
+    t0 = time.monotonic()
+    df = category_pipeline(spark, {"confirmed": str(src)}, p["lookup"])
+    rows = df.select("country/region", "time_series").collect()
+    elapsed = time.monotonic() - t0
+    assert len(rows) == n_rows
+    by_c = {r["country/region"]: r["time_series"] for r in rows}
+    ts = by_c["C3"]
+    assert len(ts) == n_dates
+    assert ts[0]["date"] == "2020-01-22 00:00:00"
+    assert [e["value"] for e in ts[:5]] == [3, 4, 5, 6, 7]
+    # planning + execution stays sane at width (not minutes)
+    assert elapsed < 60, f"wide build took {elapsed:.0f}s"
+
+
 def test_http_source_file_url(spark):
     """S1: the HTTP staging source, driven through a file:// URL."""
     from jhu_data_parser_spark.sources.http import read_http_csv
