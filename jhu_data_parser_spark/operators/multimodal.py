@@ -7,9 +7,11 @@ actual codec step is stubbed (the image/audio libraries are not in this
 container) behind ``decode_stub``: a deterministic fake that derives
 "metadata" from the bytes, or ``NotImplementedError`` in strict mode.
 
-At 100 TB: binary payloads dominate partition size, so the operators
-repartition by a size heuristic before any Python stage, and metadata
-extraction projects the binary column away as early as possible.
+At 100 TB: binary payloads dominate partition size — Arrow batches of
+multi-MB blobs blow Python-worker memory if partitions are sized for
+scalar rows. :func:`repartition_for_payload` right-sizes partitions from
+sampled payload sizes before any Python stage; metadata extraction
+projects the binary column away as early as possible.
 """
 
 from __future__ import annotations
@@ -20,7 +22,13 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["attach_binary", "MEDIA_META_SCHEMA", "extract_media_meta", "frame_sample_stub"]
+__all__ = [
+    "attach_binary",
+    "MEDIA_META_SCHEMA",
+    "extract_media_meta",
+    "frame_sample_stub",
+    "repartition_for_payload",
+]
 
 # Typed metadata contract for decoded media.
 MEDIA_META_SCHEMA = (
@@ -34,6 +42,29 @@ def attach_binary(df: DataFrame, text_col: str = "text", media_col: str = "media
     in tests; in production this is the raw image/audio bytes read via
     ``spark.read.format('binaryFile')``)."""
     return df.withColumn(media_col, F.encode(F.col(text_col), "UTF-8"))
+
+
+def repartition_for_payload(
+    df: DataFrame,
+    media_col: str = "media",
+    target_mb: int = 64,
+    sample_rows: int = 1_000,
+) -> DataFrame:
+    """Partition-size the frame for binary payloads: estimate average
+    payload bytes from a bounded sample, target ``target_mb`` of payload
+    per partition, repartition round-robin.
+
+    One bounded sample + one count — layout-time cost, not per-query.
+    (When reading real media via ``binaryFile`` the file source already
+    sizes splits by bytes; this helper covers payloads synthesized or
+    joined in mid-pipeline, where Spark only counts rows.)"""
+    sample = df.select(F.octet_length(media_col).alias("n")).limit(sample_rows)
+    avg = sample.agg(F.avg("n")).first()[0] or 1.0
+    total = df.count() * avg
+    n_parts = max(1, int(total / (target_mb * 1024 * 1024)) + 1)
+    current = df.rdd.getNumPartitions()
+    min_parts = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(max(n_parts, min(min_parts, current)))
 
 
 def extract_media_meta(

@@ -241,3 +241,14 @@ def test_multimodal_plumbing(spark):
     frames = frame_sample_stub(media).collect()
     assert all(len(r["frame_bytes"]) <= 16 for r in frames)
     assert {r["doc_id"] for r in frames} == {1, 2}
+
+
+def test_payload_repartition_sizing(spark):
+    from jhu_data_parser_spark.operators.multimodal import repartition_for_payload
+
+    big = spark.createDataFrame(
+        [(i, bytearray(512 * 1024)) for i in range(100)], "doc_id long, media binary"
+    ).coalesce(1)
+    sized = repartition_for_payload(big, target_mb=4)
+    # 100 × 0.5 MB at 4 MB targets ⇒ >10 partitions despite 1 input part
+    assert sized.rdd.getNumPartitions() >= 10
