@@ -42,17 +42,26 @@ __all__ = [
 
 
 def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
-    """Repartition iff the input has fewer partitions than cores.
+    """Repartition iff the input's file layout under-splits vs cores.
 
     CPU-heavy per-row operators (signatures, hashing) otherwise run at
     the parallelism of the *file layout* — a single small parquet file
     means a single task regardless of cluster size. At scale inputs have
-    ≥ cores partitions and this is a no-op; the guard only pays one
+    ≥ cores files and this is a no-op; the guard only pays one
     round-robin shuffle when the layout under-splits.
+
+    The probe is ``inputFiles()`` (a listing, ~ms) rather than
+    ``rdd.getNumPartitions()`` (a full plan→RDD conversion, ~300ms per
+    call — measured to dominate fresh-plan latency for the MinHash
+    pipeline, which builds this twice per query). Non-file-backed frames
+    (in-memory test data) report zero files and fall back to the RDD
+    probe.
     """
     if min_partitions is None:
         min_partitions = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < min_partitions:
+    n_files = len(df.inputFiles())
+    n = n_files if n_files > 0 else df.rdd.getNumPartitions()
+    if n < min_partitions:
         return df.repartition(min_partitions)
     return df
 
