@@ -138,3 +138,71 @@ def nested_daily_spend_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("e.order_day").alias("order_day"),
         F.col("e.day_spend").alias("day_spend"),
     )
+
+
+# U2 analog on the star schema — parser2's 3-stream zip re-expressed:
+# three per-(customer, day) metric streams left-joined on the composite
+# key with default-0 on misses (src/parser2.py:35-46), zipped into one
+# sorted array<struct> per customer, then exploded back so the oracle
+# can hash the collect/zip/default semantics.
+@query(
+    "nested_zip_metrics_roundtrip",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_custkey, strftime(o_orderdate, '%Y-%m-%d') AS order_day,
+             CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY 1, 2
+    ),
+    urgent AS (
+      SELECT o_custkey, strftime(o_orderdate, '%Y-%m-%d') AS order_day,
+             CAST(COUNT(*) AS BIGINT) AS n_urgent
+      FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1, 2
+    ),
+    spend AS (
+      SELECT o_custkey, strftime(o_orderdate, '%Y-%m-%d') AS order_day,
+             {DEC_SUM_SQL('o_totalprice')} AS day_spend
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT b.o_custkey, b.order_day, b.n_orders,
+           COALESCE(u.n_urgent, 0) AS n_urgent,
+           COALESCE(s.day_spend, 0.0) AS day_spend
+    FROM base b
+    LEFT JOIN urgent u USING (o_custkey, order_day)
+    LEFT JOIN spend s USING (o_custkey, order_day)
+    """,
+)
+def nested_zip_metrics_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    day = day_str("o_orderdate").alias("order_day")
+    base = o.groupBy("o_custkey", day).agg(F.count(F.lit(1)).alias("n_orders"))
+    urgent = (
+        o.filter(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy("o_custkey", day)
+        .agg(F.count(F.lit(1)).alias("n_urgent"))
+    )
+    spend = o.groupBy("o_custkey", day).agg(dec_sum("o_totalprice").alias("day_spend"))
+    zipped = (
+        base.join(urgent, ["o_custkey", "order_day"], "left")
+        .join(spend, ["o_custkey", "order_day"], "left")
+        .select(
+            "o_custkey",
+            "order_day",
+            "n_orders",
+            F.coalesce("n_urgent", F.lit(0)).alias("n_urgent"),
+            F.coalesce("day_spend", F.lit(0.0)).alias("day_spend"),
+        )
+    )
+    nested = long_to_nested(
+        zipped,
+        key_cols=["o_custkey"],
+        order_field="order_day",
+        struct_fields=["n_orders", "n_urgent", "day_spend"],
+        array_name="time_series",
+    )
+    return nested.select("o_custkey", F.explode("time_series").alias("e")).select(
+        "o_custkey",
+        F.col("e.order_day").alias("order_day"),
+        F.col("e.n_orders").alias("n_orders"),
+        F.col("e.n_urgent").alias("n_urgent"),
+        F.col("e.day_spend").alias("day_spend"),
+    )

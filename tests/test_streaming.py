@@ -138,6 +138,55 @@ def test_stateful_sessions_across_microbatches(spark, sf_dir, tmp_path):
     assert q.lastProgress is not None
 
 
+def test_stream_restart_is_incremental(spark, sf_dir, tmp_path):
+    """The reference reruns its FULL batch daily (systemd timer); the
+    streaming replacement must be incremental across restarts: a second
+    availableNow run from the same checkpoint processes ONLY files that
+    arrived since — no reprocessing, no duplicates."""
+    import os
+    import shutil
+
+    from jhu_data_parser_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    half_a = ev.filter("user_id % 2 = 0").coalesce(1)
+    half_b = ev.filter("user_id % 2 = 1").coalesce(1)
+    n_a, n_b = half_a.count(), half_b.count()
+
+    src_dir, out_dir, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+    os.makedirs(src_dir)
+
+    def land(df, name):
+        tmp = str(tmp_path / f"w_{name}")
+        df.write.mode("overwrite").parquet(tmp)
+        shutil.move(glob.glob(os.path.join(tmp, "part-*.parquet"))[0],
+                    os.path.join(src_dir, f"{name}.parquet"))
+
+    def run_once():
+        stream = spark.readStream.schema(ev.schema).parquet(src_dir)
+
+        def write_batch(bdf, bid):
+            bdf.write.mode("append").parquet(out_dir)
+
+        q = (
+            stream.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    land(half_a, "day1")
+    run_once()
+    assert spark.read.parquet(out_dir).count() == n_a
+
+    land(half_b, "day2")
+    run_once()  # restart from the same checkpoint
+    out = spark.read.parquet(out_dir)
+    assert out.count() == n_a + n_b  # day1 NOT reprocessed
+    assert out.select("event_id").distinct().count() == n_a + n_b
+
+
 def test_stream_json_sink_partitioned(spark, sf_dir, tmp_path):
     from jhu_data_parser_spark.streaming.jobs import (
         read_events_stream,
