@@ -74,6 +74,25 @@ def test_bucketed_join_is_exchange_free(spark):
     assert "SelectedBucketsCount" in plan
 
 
+def test_asof_join_is_one_shuffle(spark):
+    """The union+window as-of construction must cost exactly ONE hash
+    exchange (on the key) — the whole point vs a non-equi nested loop."""
+    plan = _plan(spark, "join_asof_last_click")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_salted_agg_is_two_stage(spark):
+    """Salted aggregation: phase 1 groups on (key, salt), phase 2 on the
+    key — two exchanges, four HashAggregates (partial+final each), hot
+    keys spread across salt_buckets reducers."""
+    plan = _plan(spark, "agg_salted_skew")
+    assert "__salt" in plan
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert plan.count("HashAggregate") == 4
+
+
 def test_scalar_battery_single_stage(spark):
     """Pure scalar queries must be one codegen'd scan stage — no
     exchange, no Python."""
