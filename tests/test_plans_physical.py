@@ -74,6 +74,27 @@ def test_bucketed_join_is_exchange_free(spark):
     assert "SelectedBucketsCount" in plan
 
 
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
+    """A partition-layout fact joined to a filtered dim must scan only
+    the partitions the dim selects (DPP) — at 100 TB this is the
+    difference between reading one day and reading the decade."""
+    from pyspark.sql import functions as F
+
+    from jhu_data_parser_spark.sources.tables import load_table
+
+    out = str(tmp_path / "fact_by_status")
+    o = load_table(spark, SF_SMOKE, "orders")
+    o.write.partitionBy("o_orderstatus").parquet(out, mode="overwrite")
+    fact = spark.read.parquet(out)
+    dim = spark.createDataFrame(
+        [("O", "open"), ("F", "filled"), ("P", "pending")], "st string, label string"
+    )
+    j = fact.join(dim.filter(F.col("label") == "open"), fact.o_orderstatus == dim.st)
+    j.write.format("noop").mode("overwrite").save()
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruningexpression" in plan.lower()
+
+
 def test_asof_join_is_one_shuffle(spark):
     """The union+window as-of construction must cost exactly ONE hash
     exchange (on the key) — the whole point vs a non-equi nested loop."""
