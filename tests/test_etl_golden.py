@@ -162,6 +162,34 @@ def test_http_source_file_url(spark):
     assert df.filter(df["Province_State"].isNull()).count() == 0
 
 
+def test_lake_readable_by_external_engine(spark, tmp_path):
+    """The written lake must stay queryable by OTHER engines — the
+    reference's contract was 'Athena can query this'; here DuckDB plays
+    Athena: hive-partitioned glob read, partition column materializes,
+    record values match."""
+    import duckdb
+
+    from jhu_data_parser_spark.etl import category_pipeline
+
+    p = _fixture_paths()
+    out = str(tmp_path / "lake")
+    category_pipeline(
+        spark, {"confirmed": p["confirmed"], "deaths": p["deaths"]}, p["lookup"], out
+    )
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        SELECT type, "country/region", len(time_series) AS n
+        FROM read_json_auto('{out}/type=*/*.json', hive_partitioning=true)
+        ORDER BY type, "country/region"
+        """
+    ).fetchall()
+    assert {r[0] for r in rows} == {"confirmed", "deaths"}
+    assert all(r[2] == 3 for r in rows)  # 3 dates per fixture series
+    n_spark = spark.read.option("basePath", out).json(out).count()
+    assert len(rows) == n_spark
+
+
 def test_lake_roundtrip_sql(spark, tmp_path):
     """S6: the written lake is queryable via Spark SQL with partition
     pruning on type= (the Athena replacement)."""
