@@ -152,6 +152,16 @@ def _normalize_rows(mat: np.ndarray) -> np.ndarray:
     return mat / norms
 
 
+# Trained centroid cache — an IVF index is built once and probed by many
+# queries; repeated calls with the same corpus+params reuse the (K, D)
+# matrix instead of re-sampling and re-fitting. Keyed by the input's
+# file listing so a different corpus never reuses stale centroids.
+# (Row-level filters over the same files share centroids — centroid
+# placement only affects partial-probe recall, never result
+# correctness; exhaustive probe is exact under any centroids.)
+_IVF_CACHE: dict[tuple, np.ndarray] = {}
+
+
 def ivf_fit_centroids(
     df: DataFrame,
     n_centroids: int = 16,
@@ -169,6 +179,16 @@ def ivf_fit_centroids(
     is a few numpy matmuls; the returned (K, D) matrix ships to executors
     by closure (tiny) for assignment.
     """
+    cache_key = (
+        tuple(sorted(df.inputFiles())),
+        n_centroids,
+        sample_size,
+        n_iter,
+        seed,
+        vec_col,
+    )
+    if cache_key[0] and cache_key in _IVF_CACHE:
+        return _IVF_CACHE[cache_key]
     sample = (
         df.select(vec_col).limit(sample_size).toPandas()[vec_col].to_numpy()
     )
@@ -183,7 +203,10 @@ def ivf_fit_centroids(
             members = mat[assign == j]
             if len(members):
                 cent[j] = members.mean(axis=0)
-    return _normalize_rows(cent)
+    cent = _normalize_rows(cent)
+    if cache_key[0]:
+        _IVF_CACHE[cache_key] = cent
+    return cent
 
 
 def ivf_assign(

@@ -263,6 +263,34 @@ def sql_surface_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# P5/A3 completion — HAVING over a grouped subquery joined back to the
+# dimension (the TPC-H Q18 shape: find big aggregates, then enrich).
+@query(
+    "agg_having_big_customers",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name, c.c_mktsegment, t.total_spend
+    FROM (
+      SELECT o_custkey, {DEC_SUM_SQL('o_totalprice')} AS total_spend
+      FROM orders
+      GROUP BY o_custkey
+      HAVING {DEC_SUM_SQL('o_totalprice')} > 1500000.0
+    ) t
+    JOIN customer c ON c.c_custkey = t.o_custkey
+    """,
+)
+def agg_having_big_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        o.groupBy("o_custkey")
+        .agg(dec_sum("o_totalprice").alias("total_spend"))
+        .filter(F.col("total_spend") > 1500000.0)
+    )
+    return big.join(c, big.o_custkey == c.c_custkey).select(
+        "c_custkey", "c_name", "c_mktsegment", "total_spend"
+    )
+
+
 # Bucketed co-located join [extension] — both fact tables written
 # hash-clustered + sorted on the join key (sink.write_bucketed_table),
 # so the join itself needs no exchange and no sort: the one-time layout
