@@ -22,7 +22,16 @@ def read_csv_dictreader(spark: SparkSession, path: str) -> DataFrame:
     (``src/parser.py:61``, ``src/parser2.py:97``). No ``inferSchema``:
     type casts are explicit plan steps (SURVEY.md §1.2), exactly like the
     reference's per-field ``int()``/``float()`` calls."""
-    df = spark.read.option("header", True).option("inferSchema", False).csv(path)
+    df = (
+        spark.read.option("header", True)
+        .option("inferSchema", False)
+        # Python csv escapes a quote by doubling it ("" inside a quoted
+        # field); Spark's default escape is backslash — set escape=quote
+        # to match DictReader byte-for-byte on fields like
+        # "Quoted ""inner"" name".
+        .option("escape", '"')
+        .csv(path)
+    )
     return df.select(*[F.coalesce(F.col(f"`{c}`"), F.lit("")).alias(c) for c in df.columns])
 
 

@@ -150,6 +150,33 @@ def test_category_pipeline_realistic_width(spark, tmp_path):
     assert elapsed < 60, f"wide build took {elapsed:.0f}s"
 
 
+def test_csv_source_dictreader_parity_on_quoting(spark, tmp_path):
+    """Real JHU data has quoted fields with embedded commas ("Korea,
+    South") and csv-module quote doubling; the Spark scan must match
+    csv.DictReader byte-for-byte on all of them (Spark's default escape
+    is backslash, not the csv-module's doubled quote)."""
+    import csv
+    import io
+
+    from jhu_data_parser_spark.sources.csv_source import read_csv_dictreader
+
+    raw = (
+        "Province/State,Country/Region,Lat,Long,1/22/20\n"
+        ',"Korea, South",35.9,127.7,1\n'
+        '"Bonaire, Sint Eustatius and Saba",Netherlands,12.1,-68.2,2\n'
+        ',"Quoted ""inner"" name",0,0,3\n'
+        ",,,,\n"  # fully blank row: every field '' (never null)
+    )
+    want = list(csv.DictReader(io.StringIO(raw)))
+    p = tmp_path / "quoting.csv"
+    p.write_text(raw)
+    got = [r.asDict() for r in read_csv_dictreader(spark, str(p)).collect()]
+    assert len(got) == len(want)
+    for w, g in zip(want, got):
+        for k, v in w.items():
+            assert g[k] == v, (k, v, g[k])
+
+
 def test_http_source_file_url(spark):
     """S1: the HTTP staging source, driven through a file:// URL."""
     from jhu_data_parser_spark.sources.http import read_http_csv
