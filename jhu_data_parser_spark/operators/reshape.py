@@ -49,9 +49,11 @@ def date_columns(df: DataFrame) -> list[str]:
 
 def _fmt_date(name: str) -> str:
     """'1/22/20' → '2020-01-22 00:00:00' — the reference's serialized form
-    (str(datetime), src/parser.py:34)."""
-    m, d, y = name.split("/")
-    return f"20{int(y):02d}-{int(m):02d}-{int(d):02d} 00:00:00"
+    (str(datetime) after strptime '%m/%d/%y', src/parser.py:23-26,34).
+    strptime's POSIX two-digit-year rule: 00-68 → 2000s, 69-99 → 1900s."""
+    m, d, y = (int(x) for x in name.split("/"))
+    year = 2000 + y if y < 69 else 1900 + y
+    return f"{year:04d}-{m:02d}-{d:02d} 00:00:00"
 
 
 def wide_to_nested(
