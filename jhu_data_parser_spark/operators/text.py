@@ -24,6 +24,7 @@ __all__ = [
     "fingerprint",
     "rolling_fingerprints",
     "langid_heuristic",
+    "langid_ngram",
     "STOPWORDS_EN",
 ]
 
@@ -146,6 +147,50 @@ _LANG_MARKERS: dict[str, tuple[str, ...]] = {
     "fr": ("le", "la", "les", "et", "des", "une", "est", "que"),
     "zh": ("的", "是", "了", "在", "我", "有", "他", "这"),
 }
+
+
+# Tiny built-in char-trigram profiles (most-frequent trigrams per
+# language, space-padded, derived from common function words). A real
+# deployment loads profiles trained on corpora; the operator shape —
+# Arrow-batched profile scoring, no shuffle — is identical.
+_TRIGRAM_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": (" th", "the", "he ", " an", "and", "nd ", " of", "of ", "ing", "ng ",
+           " to", "to ", " in", "in ", "ion", "ed ", " is", "is "),
+    "de": ("er ", " de", "der", "ie ", " di", "die", "und", " un", "nd ", "ch ",
+           "ein", " ei", "ich", "sch", "en ", " ge"),
+    "es": (" de", "de ", " la", "la ", "os ", " el", "el ", " qu", "que", "ue ",
+           " en", "en ", "ción", "ar ", " lo", "los"),
+    "fr": (" le", "le ", " de", "de ", "es ", "ent", " la", "la ", "et ", " et",
+           "ait", "que", " qu", "eur", "ons", " pa"),
+}
+
+
+def langid_ngram(col: Column | str, default: str = "und") -> Column:
+    """Char-trigram profile language ID (the classic Cavnar-Trenkle
+    n-gram approach, profile-overlap scored): count hits of each
+    language's top trigrams in the document's trigram set, argmax with
+    deterministic tie-break. Arrow-batched pandas UDF — per-batch numpy
+    scoring, no shuffle, embarrassingly parallel at any scale."""
+
+    profiles = {k: frozenset(v) for k, v in _TRIGRAM_PROFILES.items()}
+    langs = sorted(profiles)
+
+    @pandas_udf("string")
+    def _lid(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            s = " " + " ".join((t or "").lower().split()) + " "
+            grams = {s[i : i + 3] for i in range(len(s) - 2)}
+            best_lang, best_score = default, 0
+            for lang in langs:
+                score = len(grams & profiles[lang])
+                if score > best_score:
+                    best_lang, best_score = lang, score
+            out.append(best_lang if best_score >= 3 else default)
+        return pd.Series(out)
+
+    c = F.col(col) if isinstance(col, str) else col
+    return _lid(c)
 
 
 def langid_heuristic(col: Column | str, default: str = "und") -> Column:

@@ -117,6 +117,42 @@ def text_lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Quality scoring as the actual pipeline operation: keep documents
+# passing composite thresholds (the LLM-corpus filter step). Oracle
+# replays the same feature math.
+@query(
+    "text_quality_filter",
+    oracle="""
+    SELECT doc_id, lang, n_chars
+    FROM (
+      SELECT doc_id, lang, n_chars,
+             len(string_split(text, ' ')) AS n_tok,
+             CAST(len(list_filter(string_split(text, ' '),
+                      t -> t IN ('the','a','an','of','and','to','in','is','it','for')))
+                  AS DOUBLE) / len(string_split(text, ' ')) AS sw_ratio,
+             CAST(length(replace(text, ' ', '')) AS DOUBLE)
+               / len(string_split(text, ' ')) AS mean_tok
+      FROM documents
+    )
+    WHERE n_tok >= 20 AND sw_ratio >= 0.05 AND mean_tok BETWEEN 2.0 AND 12.0
+    """,
+)
+def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    feats = tx.quality_features("text")
+    return (
+        d.withColumn("n_tok", feats["n_tokens"])
+        .withColumn("sw_ratio", feats["stopword_ratio"])
+        .withColumn("mean_tok", feats["mean_token_len"])
+        .filter(
+            (F.col("n_tok") >= 20)
+            & (F.col("sw_ratio") >= 0.05)
+            & F.col("mean_tok").between(2.0, 12.0)
+        )
+        .select("doc_id", "lang", "n_chars")
+    )
+
+
 # Winnowed rolling-hash fingerprints (MOSS scheme): k-gram polynomial
 # rolling hash → sliding-window minima → distinct. Exact int64
 # arithmetic (no modulus, codepoints capped mod 256) so the DuckDB twin
@@ -177,6 +213,16 @@ def _langid_oracle_sql() -> str:
 def text_langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return d.select("doc_id", "lang", tx.langid_heuristic("text").alias("lang_guess"))
+
+
+# Char-trigram profile language ID (Cavnar-Trenkle) — set-intersection
+# scoring against per-language trigram profiles; the profile tables are
+# Python-side constants so the scoring is a pandas UDF → rows-only check
+# here, multilingual behavior pinned in tests/test_operators.py.
+@query("text_langid_ngram", oracle=None)
+def text_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang", tx.langid_ngram("text").alias("lang_guess"))
 
 
 # --- near-dup family (rows-only: LSH banding isn't SQL-expressible) -------

@@ -109,6 +109,27 @@ def test_langid_on_real_text(spark):
     assert got[6] == "und"
 
 
+def test_langid_ngram_on_real_text(spark):
+    from jhu_data_parser_spark.operators.text import langid_ngram
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat and it was going to sleep in the sun"),
+            (2, "der Hund und die Katze sind nicht zu Hause und ich gehe einkaufen"),
+            (3, "el perro y la gata viven en la casa de los abuelos que quieren"),
+            (4, "le chat et le chien sont dans les jardins de la maison que nous"),
+            (5, "zzz qqq xxx"),
+        ],
+        "id long, text string",
+    )
+    got = {r["id"]: r["g"] for r in df.select("id", langid_ngram("text").alias("g")).collect()}
+    assert got[1] == "en"
+    assert got[2] == "de"
+    assert got[3] == "es"
+    assert got[4] == "fr"
+    assert got[5] == "und"
+
+
 def test_lsh_topk_recall(spark):
     """LSH top-k must recover most of the brute-force top-k when real
     neighbor structure exists (recall@10 >= 0.6 on planted clusters).
