@@ -128,10 +128,14 @@ def asof_join(
     )
     unioned = l_tagged.unionByName(r_tagged)
     # Right rows sort before left rows at the same timestamp (so a right
-    # row AT left_ts is visible to it — "<=" semantics).
+    # row AT left_ts is visible to it — "<=" semantics). Among right
+    # rows sharing (key, ts), the carried payload tuple sorts last —
+    # a deterministic winner under any partitioning (without it, `last`
+    # picks by shuffle arrival order).
+    r_tiebreak = [F.col(f"__r_{c}").asc_nulls_first() for c in right_cols]
     w = (
         Window.partitionBy("__k")
-        .orderBy(F.col("__ts").asc(), F.col("__is_left").asc())
+        .orderBy(F.col("__ts").asc(), F.col("__is_left").asc(), *r_tiebreak)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = [

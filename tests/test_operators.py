@@ -31,6 +31,50 @@ def test_asof_join_backward(spark):
     assert got[(3, 50)] is None  # key with no quotes at all
 
 
+def test_asof_join_duplicate_ts_deterministic(spark):
+    """Two right rows at the SAME (key, ts): the carried value must be
+    deterministic (max payload tuple), not shuffle-arrival order."""
+    from pyspark.sql import functions as F
+
+    from jhu_data_parser_spark.operators.joins import asof_join
+
+    right = spark.createDataFrame(
+        [(1, 10, "a"), (1, 10, "b")], "k int, t int, v string"
+    ).select("k", F.timestamp_seconds("t").alias("t"), "v")
+    left = spark.createDataFrame([(1, 11)], "k int, t int").select(
+        "k", F.timestamp_seconds("t").alias("t")
+    )
+    vals = {
+        asof_join(left.repartition(p), right.repartition(5 - p), "k", "t", "t", ["v"])
+        .first()["v"]
+        for p in (1, 2, 3)
+    }
+    assert vals == {"b"}
+
+
+def test_range_join_window_boundaries(spark):
+    """Range semantics are (l.ts, l.ts + W]: an event exactly AT l.ts is
+    excluded, exactly at l.ts + W included — including across the bucket
+    replication boundary."""
+    from pyspark.sql import functions as F
+
+    from jhu_data_parser_spark.operators.joins import range_join_count
+
+    W = 3600
+    left = spark.createDataFrame([(100, 1, 7200)], "event_id long, user_id int, t long").select(
+        "event_id", "user_id", F.timestamp_seconds("t").alias("ts")
+    )
+    right_times = [7200, 7201, 10800, 10801]  # ==l.ts, inside, ==l.ts+W, beyond
+    right = spark.createDataFrame(
+        [(i, 1, t) for i, t in enumerate(right_times)], "event_id long, user_id int, t long"
+    ).select("event_id", "user_id", F.timestamp_seconds("t").alias("ts"))
+    out = range_join_count(
+        left, right, key="user_id", left_ts="ts", right_ts="ts",
+        window_seconds=W, left_id="event_id", count_alias="n",
+    )
+    assert out.first()["n"] == 2  # 7201 and 10800 only
+
+
 def test_asof_join_tolerance(spark):
     from jhu_data_parser_spark.operators.joins import asof_join
 
