@@ -187,9 +187,13 @@ def join_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    # nation/region are KB-scale — always-safe broadcast hints. customer
+    # is NOT hinted: a forced broadcast OOMs when it outgrows executors
+    # at real scale; below the threshold Catalyst/AQE broadcasts it
+    # anyway (the plan test still sees 3+ broadcast joins locally).
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy(F.col("n_name").alias("nation"))
@@ -225,9 +229,12 @@ def join_shipping_priority_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
+    # The segment-filtered customer side shrinks 5×, but is still
+    # table-proportional — no forced broadcast (Catalyst/AQE upgrades it
+    # when it fits; a hint would OOM at real scale).
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("o_orderkey", day_str("o_orderdate").alias("orderdate"), "o_orderpriority")
         .agg(dec_sum(revenue(), scale=4).alias("revenue"))
         .select("o_orderkey", "revenue", "orderdate", "o_orderpriority")
