@@ -182,7 +182,7 @@ _RH_POWS = ", ".join(str(_RH_B ** (_RH_K - 1 - j)) for j in range(_RH_K))
     """,
 )
 def text_rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = dd.ensure_parallelism(load_table(spark, sf_dir, "documents"))
     return d.select(
         "doc_id",
         F.explode(tx.rolling_fingerprints("text", k=_RH_K, window=_RH_W, base=_RH_B)).alias(
@@ -221,7 +221,7 @@ def text_langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
 # here, multilingual behavior pinned in tests/test_operators.py.
 @query("text_langid_ngram", oracle=None)
 def text_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = dd.ensure_parallelism(load_table(spark, sf_dir, "documents"))
     return d.select("doc_id", "lang", tx.langid_ngram("text").alias("lang_guess"))
 
 
