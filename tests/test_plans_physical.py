@@ -43,6 +43,14 @@ def test_agg_has_partial_phase(spark):
     assert "*(1)" in plan  # '*(n)' = WholeStageCodegen stage markers
 
 
+def test_window_topk_per_group_is_limited_before_shuffle(spark):
+    """filter(rank <= k) compiles to WindowGroupLimit Partial/Final —
+    each map task forwards at most k rows per key to the shuffle."""
+    plan = _plan(spark, "window_rank_top_customers")
+    assert plan.count("WindowGroupLimit") == 2  # Partial + Final
+    assert "Partial" in plan and "Final" in plan
+
+
 def test_topk_is_take_ordered(spark):
     plan = _plan(spark, "sort_top_orders")
     assert "TakeOrderedAndProject" in plan
