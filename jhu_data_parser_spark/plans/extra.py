@@ -159,6 +159,27 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# A3 completion — string aggregation (LISTAGG shape). Deterministic via
+# sorted collect; capped to the first 5 keys per group so the result
+# stays bounded however large the group gets (the 100 TB guard for any
+# collect_list: always bound it).
+@query(
+    "agg_string_concat",
+    oracle="""
+    SELECT o_orderstatus,
+           array_to_string(list_sort(list(o_orderkey))[1:5], ',') AS first_keys
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.array_join(
+            F.slice(F.sort_array(F.collect_list("o_orderkey")), 1, 5), ","
+        ).alias("first_keys")
+    )
+
+
 # approx_count_distinct: HLL sketches are engine-specific → rows-only;
 # the exact twin (agg_distinct_customers) is the oracle-checked pair.
 @query("agg_approx_distinct", oracle=None)
