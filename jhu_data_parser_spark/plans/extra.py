@@ -284,6 +284,27 @@ def sql_surface_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# P4 completion — null-safe equality join (<=> / IS NOT DISTINCT FROM):
+# NULL keys match NULL, unlike plain equality which drops them.
+@query(
+    "join_null_safe_eq",
+    oracle="""
+    SELECT o.o_orderkey, m.label
+    FROM (SELECT o_orderkey, NULLIF(o_orderstatus, 'O') AS s FROM orders) o
+    LEFT JOIN (VALUES ('F', 'final'), ('P', 'partial'), (NULL, 'open')) m(s, label)
+      ON o.s IS NOT DISTINCT FROM m.s
+    """,
+)
+def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.nullif("o_orderstatus", F.lit("O")).alias("s")
+    )
+    m = spark.createDataFrame(
+        [("F", "final"), ("P", "partial"), (None, "open")], "s string, label string"
+    )
+    return o.join(m, o.s.eqNullSafe(m.s), "left").select("o_orderkey", "label")
+
+
 # P5/A3 completion — HAVING over a grouped subquery joined back to the
 # dimension (the TPC-H Q18 shape: find big aggregates, then enrich).
 @query(
