@@ -182,6 +182,17 @@ def agg_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # approx_count_distinct: HLL sketches are engine-specific → rows-only;
 # the exact twin (agg_distinct_customers) is the oracle-checked pair.
+@query("agg_approx_percentile", oracle=None)
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (t-digest-style sketch): engine-specific
+    interpolation → rows-only; the exact twin (agg_percentiles) is the
+    oracle-checked pair."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_percentile("l_extendedprice", F.lit(0.5), F.lit(1000)).alias("p50_approx")
+    )
+
+
 @query("agg_approx_distinct", oracle=None)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
