@@ -23,6 +23,7 @@ __all__ = [
     "write_partitioned_json",
     "write_flat_json",
     "write_bucketed_table",
+    "overwrite_partitions",
 ]
 
 
@@ -48,6 +49,35 @@ def write_partitioned_json(df: DataFrame, out_dir: str, mode: str = "overwrite")
 def write_flat_json(df: DataFrame, out_dir: str, mode: str = "overwrite") -> None:
     """The parser2.py flat layout (``flat/...``, ``src/parser2.py:20``)."""
     df.write.mode(mode).json(out_dir)
+
+
+def overwrite_partitions(
+    df: DataFrame,
+    out_dir: str,
+    partition_cols: list[str],
+    fmt: str = "json",
+) -> None:
+    """Dynamic partition overwrite: replace ONLY the partitions present
+    in ``df``, leaving every other partition untouched.
+
+    The incremental form of the reference's daily full refresh
+    (``systemd/jhu-data-parser.timer:5``): at 100 TB you rewrite the
+    day(s) that changed, not the decade. Spark's static overwrite mode
+    would TRUNCATE the whole root first — the ``partitionOverwriteMode=
+    dynamic`` setting scoped here is what makes this a partition-level
+    upsert."""
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            df.write.mode("overwrite")
+            .partitionBy(*partition_cols)
+            .format(fmt)
+            .save(out_dir)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
 
 def write_bucketed_table(

@@ -189,6 +189,36 @@ def test_http_source_file_url(spark):
     assert df.filter(df["Province_State"].isNull()).count() == 0
 
 
+def test_overwrite_partitions_is_incremental(spark, tmp_path):
+    """Dynamic partition overwrite replaces ONLY the partitions in the
+    incoming frame — the partition-level upsert that turns the
+    reference's daily full rewrite into an incremental refresh."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from jhu_data_parser_spark.sink import overwrite_partitions
+
+    out = str(tmp_path / "lake")
+    day1 = spark.createDataFrame(
+        [("2024-01-01", "a", 1), ("2024-01-02", "b", 2)], "day string, k string, v int"
+    )
+    overwrite_partitions(day1, out, ["day"])
+    # Re-land day 2 with corrected data plus a new day 3.
+    fix = spark.createDataFrame(
+        [("2024-01-02", "b", 99), ("2024-01-03", "c", 3)], "day string, k string, v int"
+    )
+    overwrite_partitions(fix, out, ["day"])
+    got = {
+        (r["day"], r["k"], r["v"])
+        for r in spark.read.option("basePath", out)
+        .json(out)
+        .withColumn("day", F.col("day").cast("string"))
+        .collect()
+    }
+    assert got == {("2024-01-01", "a", 1), ("2024-01-02", "b", 99), ("2024-01-03", "c", 3)}
+
+
 def test_lake_readable_by_external_engine(spark, tmp_path):
     """The written lake must stay queryable by OTHER engines — the
     reference's contract was 'Athena can query this'; here DuckDB plays
