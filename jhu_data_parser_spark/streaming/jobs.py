@@ -23,6 +23,7 @@ __all__ = [
     "run_daily_counts_availablenow",
     "run_dedup_stream",
     "write_json_partitioned_stream",
+    "write_daily_refresh_stream",
 ]
 
 
@@ -107,6 +108,35 @@ def write_json_partitioned_stream(
 
     def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.write.mode("append").partitionBy("event_type").json(out_dir)
+
+    return (
+        events.writeStream.foreachBatch(_write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def write_daily_refresh_stream(
+    events: DataFrame, out_dir: str, checkpoint_dir: str | None = None
+) -> StreamingQuery:
+    """Idempotent incremental daily refresh: each micro-batch REPLACES
+    the day partitions it carries (dynamic partition overwrite) instead
+    of appending.
+
+    This is the exactly-once-per-day landing pattern: if a batch
+    re-lands (checkpoint replay, upstream re-delivery of a corrected
+    day file), the day is rewritten, never duplicated — the streaming
+    version of the reference's daily rerun with the blast radius of one
+    partition instead of the whole lake."""
+    from jhu_data_parser_spark.sink import overwrite_partitions
+
+    if checkpoint_dir is None:
+        checkpoint_dir = tempfile.mkdtemp(prefix="jdps_ckpt_daily_")
+
+    def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        withday = batch_df.withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+        overwrite_partitions(withday, out_dir, ["day"], fmt="json")
 
     return (
         events.writeStream.foreachBatch(_write_batch)

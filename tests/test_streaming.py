@@ -138,6 +138,30 @@ def test_stateful_sessions_across_microbatches(spark, sf_dir, tmp_path):
     assert q.lastProgress is not None
 
 
+def test_daily_refresh_stream_is_idempotent(spark, sf_dir, tmp_path):
+    """Re-running the daily-refresh stream from a FRESH checkpoint (a
+    full re-delivery) must leave the lake identical — day partitions are
+    replaced, never appended."""
+    from jhu_data_parser_spark.streaming.jobs import (
+        read_events_stream,
+        write_daily_refresh_stream,
+    )
+
+    out = str(tmp_path / "daily_lake")
+
+    def run(ck):
+        q = write_daily_refresh_stream(
+            read_events_stream(spark, sf_dir), out, checkpoint_dir=str(tmp_path / ck)
+        )
+        q.awaitTermination()
+        df = spark.read.option("basePath", out).json(out)
+        return df.count(), df.select("event_id").distinct().count()
+
+    n1, d1 = run("ck1")
+    n2, d2 = run("ck2")  # full re-delivery: fresh checkpoint, same data
+    assert n1 == n2 == d1 == d2  # no duplicates, partitions replaced
+
+
 def test_stream_restart_is_incremental(spark, sf_dir, tmp_path):
     """The reference reruns its FULL batch daily (systemd timer); the
     streaming replacement must be incremental across restarts: a second
