@@ -34,6 +34,7 @@ __all__ = [
     "topk_cosine",
     "rp_lsh_bucket",
     "topk_cosine_lsh",
+    "topk_cosine_many",
     "ivf_fit_centroids",
     "ivf_assign",
     "topk_cosine_ivf",
@@ -78,6 +79,43 @@ def topk_cosine(
     """Exact top-k by cosine; unique id tiebreak for determinism."""
     scored = cosine_to_query(df, query_vec, vec_col)
     return scored.orderBy(F.col("sim").desc(), F.col(id_col)).limit(k)
+
+
+def topk_cosine_many(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Batch top-k: exact cosine top-k of the corpus for EVERY query row
+    at once — the ANN serving shape (score a request batch, not one
+    vector).
+
+    The query set broadcasts (requests are small); scoring is a
+    broadcast nested-loop producing |corpus|·|queries| scored rows
+    streamed straight into a per-query partial top-k: ``row_number() <=
+    k`` compiles to WindowGroupLimit, so each task forwards at most k
+    rows per query to the shuffle. Cost is one corpus scan regardless of
+    batch size; at index scale, pre-filter the corpus by LSH/IVF cell
+    per query first."""
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("__qvec")
+    )
+    scored = corpus.join(F.broadcast(q)).withColumn(
+        "__sim", cosine(F.col(vec_col), F.col("__qvec"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("__sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select(query_id_col, id_col, F.col("__rn").alias("rank"))
+    )
 
 
 def _rp_planes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:

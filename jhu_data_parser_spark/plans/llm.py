@@ -347,6 +347,37 @@ def sim_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id", "label")
 
 
+# Batch multi-query top-k — the ANN serving shape: one corpus scan
+# scores every query in the request batch; row_number()<=k compiles to
+# WindowGroupLimit (per-task partial top-k before the shuffle).
+@query(
+    "sim_cosine_topk_multi",
+    oracle="""
+    SELECT query_id, vec_id, CAST(rank AS INT) AS rank
+    FROM (
+      SELECT q.vec_id AS query_id, e.vec_id,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_dot_product(e.embedding, q.embedding)
+                 / (sqrt(list_dot_product(e.embedding, e.embedding))
+                    * sqrt(list_dot_product(q.embedding, q.embedding))) DESC,
+                 e.vec_id
+             ) AS rank
+      FROM embeddings e, (SELECT * FROM embeddings WHERE vec_id < 5) q
+      WHERE e.vec_id >= 5
+    )
+    WHERE rank <= 5
+    """,
+)
+def sim_cosine_topk_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    corpus = e.filter(F.col("vec_id") >= 5)
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return sim.topk_cosine_many(corpus, queries, k=5)
+
+
 # IVF (inverted-file) ANN — spherical-kmeans cells, probe the nearest
 # n_probe cells, exact cosine inside. With n_probe == n_centroids the
 # search is exhaustive, so the exact-top-k oracle applies: the approximate
