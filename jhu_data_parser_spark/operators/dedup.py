@@ -27,6 +27,7 @@ __all__ = [
     "ensure_parallelism",
     "exact_dedup",
     "exact_dedup_groups",
+    "connected_components",
     "token_shingles",
     "minhash_signature",
     "minhash_signature_fast",
@@ -299,6 +300,64 @@ def near_dup_pairs_minhash(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Duplicate-cluster formation: connected components over a
+    near-duplicate pair list → ``(id, component)`` where ``component``
+    is the minimum id reachable from ``id``.
+
+    The step every large-scale dedup pipeline needs after pair
+    generation: pairs (A,B),(B,C) mean {A,B,C} is ONE duplicate group
+    with survivor A. Implemented as iterative min-label propagation —
+    each round, every node takes the min of its own and its neighbors'
+    labels; converges in O(graph diameter) rounds (near-dup clusters
+    are shallow — diameter is small even at corpus scale; for
+    adversarial chains the alternating star-contraction algorithm is
+    the published upgrade path). Each round is one join + groupBy on
+    the label table (|nodes| rows, not |corpus|), localCheckpoint'd to
+    keep the plan from growing with iterations; early-exits when a
+    round changes nothing.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("x"), F.col(id_b).alias("y"))
+        .union(pairs.select(F.col(id_b).alias("x"), F.col(id_a).alias("y")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = edges.select("x").distinct().withColumn("label", F.col("x"))
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(
+                labels.select(F.col("x").alias("y"), F.col("label").alias("nlabel")),
+                "y",
+            )
+            .groupBy("x")
+            .agg(F.min("nlabel").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "x", "left")
+            .select(
+                "x",
+                F.least(F.col("label"), F.coalesce("nmin", "label")).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        n_changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "x")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if n_changed == 0:
+            break
+    return labels.select(F.col("x").alias("id"), F.col("label").alias("component"))
 
 
 def simhash_bits(col: Column | str, nbits: int = 64) -> Column:

@@ -33,6 +33,7 @@ __all__ = [
     "cosine_to_query",
     "topk_cosine",
     "rp_lsh_bucket",
+    "rp_bucket_expr",
     "topk_cosine_lsh",
     "topk_cosine_many",
     "ivf_fit_centroids",
@@ -152,11 +153,40 @@ def rp_lsh_bucket(
     return df.withColumn(bucket_col, _bucket(F.col(vec_col)))
 
 
+def rp_bucket_expr(
+    vec_col: Column | str, n_planes: int = 16, dim: int = 64, seed: int = 42
+) -> Column:
+    """RP-LSH bucket as a PURE column expression: per plane, a
+    sequential left-to-right double dot product (``dot``) → sign bit.
+
+    Numerically exact twin of re-evaluating the plane literals in SQL —
+    unlike the numpy matmul path (:func:`rp_lsh_bucket`), whose BLAS
+    accumulation order can flip sign for near-zero projections. Use
+    this form when bucket ids must be reproducible across engines (the
+    oracle-gated queries); use the matmul form for bulk index builds
+    where only within-engine determinism matters."""
+    c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    planes = _rp_planes(dim, n_planes, seed)
+    total = F.lit(0)
+    for i, row in enumerate(planes):
+        plane = F.array(*[F.lit(float(x)) for x in row])
+        total = total + F.when(dot(c, plane) > 0.0, F.lit(1 << i)).otherwise(F.lit(0))
+    return total
+
+
 def _bucket_of(query_vec: list[float], n_planes: int, seed: int = 42) -> int:
+    """Query-vector bucket with the same sequential-double accumulation
+    as :func:`rp_bucket_expr` / SQL list_dot_product (plain Python sum,
+    not numpy — BLAS order differs at sign boundaries)."""
     planes = _rp_planes(len(query_vec), n_planes, seed)
-    proj = planes @ np.asarray(query_vec, dtype=np.float64)
-    bits = (proj > 0).astype(np.int64)
-    return int(bits @ (1 << np.arange(n_planes, dtype=np.int64)))
+    bucket = 0
+    for i, row in enumerate(planes):
+        acc = 0.0
+        for a, b in zip(row.tolist(), query_vec):
+            acc += a * float(b)
+        if acc > 0.0:
+            bucket |= 1 << i
+    return bucket
 
 
 def topk_cosine_lsh(
@@ -169,17 +199,27 @@ def topk_cosine_lsh(
     seed: int = 42,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    exact_buckets: bool = True,
 ) -> DataFrame:
     """Approximate top-k: restrict the exact scorer to the query's LSH
     bucket plus all buckets within ``multiprobe_bits`` Hamming distance
     (multiprobe recovers recall lost at bucket boundaries). The bucket
     filter is a pushable IN-list predicate — at scale it becomes
-    partition pruning, reading a tiny fraction of the index."""
+    partition pruning, reading a tiny fraction of the index.
+
+    ``exact_buckets=True`` buckets with the sequential-double expression
+    (:func:`rp_bucket_expr`) — cross-engine reproducible; ``False`` uses
+    the Arrow matmul path (:func:`rp_lsh_bucket`) for bulk throughput."""
     qb = _bucket_of(query_vec, n_planes, seed)
     probe = {qb}
     if multiprobe_bits >= 1:
         probe |= {qb ^ (1 << i) for i in range(n_planes)}
-    bucketed = rp_lsh_bucket(df, dim, n_planes, seed, vec_col)
+    if exact_buckets:
+        bucketed = df.withColumn(
+            "bucket", rp_bucket_expr(vec_col, n_planes, dim, seed)
+        )
+    else:
+        bucketed = rp_lsh_bucket(df, dim, n_planes, seed, vec_col)
     candidates = bucketed.filter(F.col("bucket").isin([int(b) for b in probe]))
     return topk_cosine(candidates, query_vec, k, vec_col, id_col).drop("bucket")
 

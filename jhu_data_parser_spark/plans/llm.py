@@ -280,21 +280,22 @@ def _query_vec(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float]
     return [float(x) for x in row[0]]
 
 
-@query(
-    "sim_cosine_topk",
-    oracle="""
-    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+_TOPK_ORACLE = """
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
     sims AS (
       SELECT e.vec_id, e.label,
-             list_dot_product(e.embedding, q.qe)
-               / (sqrt(list_dot_product(e.embedding, e.embedding))
+             list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qe)
+               / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(e.embedding AS DOUBLE[])))
                   * sqrt(list_dot_product(q.qe, q.qe))) AS sim
       FROM embeddings e, q
       WHERE e.vec_id <> 0
     )
     SELECT vec_id, label FROM sims ORDER BY sim DESC, vec_id LIMIT 10
-    """,
-)
+    """
+
+
+@query("sim_cosine_topk", oracle=_TOPK_ORACLE)
 def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     qv = _query_vec(spark, sf_dir, 0)
@@ -319,17 +320,19 @@ def _lsh_oracle_sql(n_planes: int = 8, dim: int = 64, seed: int = 42, k: int = 1
         f"THEN {1 << i} ELSE 0 END)"
         for i in range(n_planes)
     )
+    # DOUBLE[] casts: DuckDB's float-list dot accumulates in float.
     return f"""
     WITH pl AS (SELECT [{plane_lits}]::DOUBLE[][] AS p),
-    q AS (SELECT embedding AS qe, ({bucket_of('embedding')}) AS qb
-          FROM embeddings, pl WHERE vec_id = 0),
-    b AS (SELECT e.vec_id, e.label, e.embedding,
-                 ({bucket_of('e.embedding')}) AS bucket
-          FROM embeddings e, pl WHERE e.vec_id <> 0),
+    q AS (SELECT qe, ({bucket_of('qe')}) AS qb
+          FROM (SELECT CAST(embedding AS DOUBLE[]) AS qe
+                FROM embeddings WHERE vec_id = 0), pl),
+    b AS (SELECT e.vec_id, e.label, e.emb, ({bucket_of('e.emb')}) AS bucket
+          FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+                FROM embeddings WHERE vec_id <> 0) e, pl),
     cand AS (
       SELECT b.vec_id, b.label,
-             list_dot_product(b.embedding, q.qe)
-               / (sqrt(list_dot_product(b.embedding, b.embedding))
+             list_dot_product(b.emb, q.qe)
+               / (sqrt(list_dot_product(b.emb, b.emb))
                   * sqrt(list_dot_product(q.qe, q.qe))) AS sim
       FROM b, q
       WHERE bit_count(xor(b.bucket::BIGINT, q.qb::BIGINT)) <= 1
@@ -358,13 +361,15 @@ def sim_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT q.vec_id AS query_id, e.vec_id,
              row_number() OVER (
                PARTITION BY q.vec_id
-               ORDER BY list_dot_product(e.embedding, q.embedding)
-                 / (sqrt(list_dot_product(e.embedding, e.embedding))
-                    * sqrt(list_dot_product(q.embedding, q.embedding))) DESC,
+               ORDER BY list_dot_product(e.emb, q.emb)
+                 / (sqrt(list_dot_product(e.emb, e.emb))
+                    * sqrt(list_dot_product(q.emb, q.emb))) DESC,
                  e.vec_id
              ) AS rank
-      FROM embeddings e, (SELECT * FROM embeddings WHERE vec_id < 5) q
-      WHERE e.vec_id >= 5
+      FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+            FROM embeddings WHERE vec_id >= 5) e,
+           (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+            FROM embeddings WHERE vec_id < 5) q
     )
     WHERE rank <= 5
     """,
@@ -384,21 +389,7 @@ def sim_cosine_topk_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
 # index degrades gracefully to the exact answer, which is the property
 # worth gating. The recall-vs-probe tradeoff is tested behaviorally in
 # tests/test_operators.py.
-@query(
-    "sim_cosine_topk_ivf",
-    oracle="""
-    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
-    sims AS (
-      SELECT e.vec_id, e.label,
-             list_dot_product(e.embedding, q.qe)
-               / (sqrt(list_dot_product(e.embedding, e.embedding))
-                  * sqrt(list_dot_product(q.qe, q.qe))) AS sim
-      FROM embeddings e, q
-      WHERE e.vec_id <> 0
-    )
-    SELECT vec_id, label FROM sims ORDER BY sim DESC, vec_id LIMIT 10
-    """,
-)
+@query("sim_cosine_topk_ivf", oracle=_TOPK_ORACLE)
 def sim_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     qv = _query_vec(spark, sf_dir, 0)
@@ -411,7 +402,8 @@ def sim_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sim_norms",
     oracle="""
     SELECT vec_id, label,
-           ROUND(sqrt(list_dot_product(embedding, embedding)), 6) AS l2_norm
+           ROUND(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                       CAST(embedding AS DOUBLE[]))), 6) AS l2_norm
     FROM embeddings
     """,
 )
@@ -426,7 +418,16 @@ def sim_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
 # embedding-cosine near-dup detector. Oracle-paired like the LSH top-k:
 # plane literals → bucket per vector → same-bucket pair join → exact
 # cosine filter, all re-evaluated in SQL.
-def _emb_pairs_oracle_sql(n_planes: int = 12, dim: int = 64, seed: int = 42) -> str:
+# The synthetic embeddings are near-uniform random (top pairwise cosine
+# ≈ 0.5) — a production 0.9 near-dup threshold matches nothing, which
+# would make the pair/cluster oracles vacuous. 0.2 exercises the same
+# pipeline against this corpus's actual similarity tail.
+_EMB_PAIR_THRESHOLD = 0.2
+
+
+def _emb_pairs_cte(n_planes: int = 12, dim: int = 64, seed: int = 42) -> str:
+    """Shared CTE body: LSH-bucketed embedding near-dup candidate pairs
+    with exact cosine filter, as replayable SQL."""
     planes = sim._rp_planes(dim, n_planes, seed)
     plane_lits = ", ".join(
         "[" + ", ".join(repr(float(x)) for x in row) + "]" for row in planes
@@ -436,25 +437,71 @@ def _emb_pairs_oracle_sql(n_planes: int = 12, dim: int = 64, seed: int = 42) -> 
         f"THEN {1 << i} ELSE 0 END)"
         for i in range(n_planes)
     )
+    # CAST to DOUBLE[] everywhere: DuckDB's list_dot_product on FLOAT
+    # lists accumulates in float (≈1e-7 error) — double-cast inputs make
+    # it bit-identical to the engine's sequential-double dot.
+    bucket_of = bucket_of.replace("embedding", "emb")
     return f"""
-    WITH pl AS (SELECT [{plane_lits}]::DOUBLE[][] AS p),
-    b AS (SELECT vec_id, embedding, ({bucket_of}) AS bucket FROM embeddings, pl),
-    pairs AS (
+    pl AS (SELECT [{plane_lits}]::DOUBLE[][] AS p),
+    b AS (
+      SELECT vec_id, emb, ({bucket_of}) AS bucket
+      FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), pl
+    ),
+    allpairs AS (
       SELECT a.vec_id AS id_a, c.vec_id AS id_b,
-             list_dot_product(a.embedding, c.embedding)
-               / (sqrt(list_dot_product(a.embedding, a.embedding))
-                  * sqrt(list_dot_product(c.embedding, c.embedding))) AS cos
+             list_dot_product(a.emb, c.emb)
+               / (sqrt(list_dot_product(a.emb, a.emb))
+                  * sqrt(list_dot_product(c.emb, c.emb))) AS cos
       FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
-    )
-    SELECT id_a, id_b, ROUND(cos, 6) AS cos FROM pairs WHERE cos > 0.9
+    ),
+    pairs AS (SELECT id_a, id_b, cos FROM allpairs WHERE cos > {_EMB_PAIR_THRESHOLD})
     """
+
+
+def _emb_pairs_oracle_sql() -> str:
+    return f"""
+    WITH {_emb_pairs_cte()}
+    SELECT id_a, id_b, ROUND(cos, 6) AS cos FROM pairs
+    """
+
+
+# Duplicate-cluster formation: connected components over the embedding
+# near-dup pairs — Spark side by iterative min-label propagation
+# (operators/dedup.connected_components); oracle recomputes the SAME
+# pair set from plane literals, then takes the transitive closure with
+# a recursive CTE. Pairs (A,B),(B,C) ⇒ one cluster {A,B,C}, survivor A.
+@query(
+    "dedup_embedding_groups",
+    oracle=f"""
+    WITH RECURSIVE {_emb_pairs_cte()},
+    edges(x, y) AS (
+      SELECT id_a, id_b FROM pairs UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(x, y) AS (
+      SELECT x, y FROM edges
+      UNION
+      SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x
+    ),
+    nodes(x) AS (SELECT DISTINCT x FROM edges)
+    SELECT n.x AS id, LEAST(n.x, MIN(r.y)) AS component
+    FROM nodes n LEFT JOIN reach r ON r.x = n.x
+    GROUP BY n.x
+    """,
+)
+def dedup_embedding_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jhu_data_parser_spark.operators.dedup import connected_components
+
+    pairs = dedup_embedding_pairs(spark, sf_dir)
+    return connected_components(pairs)
 
 
 @query("dedup_embedding_pairs", oracle=_emb_pairs_oracle_sql())
 def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
-    dim = 64
-    b = sim.rp_lsh_bucket(e, dim=dim, n_planes=12)
+    # Exact (sequential-double) bucket expression — bit-reproducible
+    # against the oracle's SQL plane replay; the numpy matmul bucketing
+    # can flip near-zero projection signs (BLAS accumulation order).
+    b = e.withColumn("bucket", sim.rp_bucket_expr("embedding", n_planes=12, dim=64))
     left = b.select(
         F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a"), "bucket"
     )
@@ -464,7 +511,7 @@ def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = left.join(right, ["bucket"]).filter(F.col("id_a") < F.col("id_b"))
     return (
         pairs.withColumn("cos", sim.cosine(F.col("emb_a"), F.col("emb_b")))
-        .filter(F.col("cos") > 0.9)
+        .filter(F.col("cos") > _EMB_PAIR_THRESHOLD)
         .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
     )
 

@@ -131,6 +131,19 @@ def test_minhash_native_expression_path(spark):
     assert not any(3 in p for p in pairs)
 
 
+def test_connected_components_chains_and_islands(spark):
+    """(1,2),(2,3) chain into one component labeled 1; disjoint pairs
+    stay separate; a 3-hop chain needs multiple propagation rounds."""
+    from jhu_data_parser_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (8, 9), (9, 10), (10, 11)],
+        "id_a long, id_b long",
+    )
+    got = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 8: 8, 9: 8, 10: 8, 11: 8}
+
+
 def test_simhash_locality(spark):
     from jhu_data_parser_spark.operators.dedup import hamming_distance, simhash_bits
 
