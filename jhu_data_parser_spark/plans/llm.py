@@ -117,6 +117,88 @@ def text_lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Corpus n-gram statistics (SURVEY §2.12 "ngram counts via
+# explode+groupBy"): top bigrams across the corpus, deterministic
+# tie-break. explode → two-level partial-agg'd count → TakeOrdered.
+@query(
+    "text_top_bigrams",
+    oracle="""
+    SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (
+      SELECT t.toks[i] || ' ' || t.toks[i+1] AS bigram
+      FROM (SELECT string_split(lower(text), ' ') AS toks FROM documents) t,
+           LATERAL (SELECT unnest(range(1, len(t.toks))) AS i) g
+    )
+    GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20
+    """,
+)
+def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower("text"), " ")
+    bigrams = F.expr(
+        "transform(sequence(1, size(toks) - 1), i -> concat(toks[i-1], ' ', toks[i]))"
+    )
+    return (
+        d.select(toks.alias("toks"))
+        .select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "bigram")
+        .limit(20)
+    )
+
+
+# TF-IDF top terms per document — explode to (doc, term, tf), document
+# frequency per term, idf = ln((N+1)/(df+1)); both engines compute the
+# same IEEE ln/division. Top-3 terms per doc with deterministic
+# tie-break; WindowGroupLimit keeps the per-doc top-k partial.
+@query(
+    "text_tfidf_top_terms",
+    oracle="""
+    WITH tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+            FROM documents)
+      GROUP BY doc_id, term
+    ),
+    df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)) AS tfidf
+      FROM tf JOIN df USING (term), n
+    )
+    SELECT doc_id, term, ROUND(tfidf, 6) AS tfidf
+    FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY tfidf DESC, term) AS rn
+          FROM scored)
+    WHERE rn <= 3
+    """,
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    n_docs = d.count()  # one scalar for the idf constant (index-build input)
+    tf = (
+        d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(df_, "term").select(
+        "doc_id",
+        "term",
+        (F.col("tf") * F.log((n_docs + 1.0) / (F.col("df") + 1.0))).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", F.round("tfidf", 6).alias("tfidf"))
+    )
+
+
 # Quality scoring as the actual pipeline operation: keep documents
 # passing composite thresholds (the LLM-corpus filter step). Oracle
 # replays the same feature math.
