@@ -182,6 +182,33 @@ def agg_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # approx_count_distinct: HLL sketches are engine-specific → rows-only;
 # the exact twin (agg_distinct_customers) is the oracle-checked pair.
+# A3 completion — conditional aggregation (FILTER-clause shape):
+# several differently-filtered aggregates in ONE scan pass.
+@query(
+    "agg_conditional",
+    oracle=f"""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) FILTER (WHERE c_acctbal > 5000.0) AS BIGINT) AS n_rich,
+           CAST(COUNT(*) FILTER (WHERE c_acctbal < 0.0) AS BIGINT) AS n_negative,
+           COALESCE(CAST(SUM(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT))
+             FILTER (WHERE c_acctbal > 5000.0) AS DOUBLE) / 100.0, 0.0) AS rich_total
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    rich = F.col("c_acctbal") > 5000.0
+    return c.groupBy("c_mktsegment").agg(
+        F.count(F.when(rich, 1)).alias("n_rich"),
+        F.count(F.when(F.col("c_acctbal") < 0.0, 1)).alias("n_negative"),
+        F.coalesce(
+            F.sum(F.when(rich, scaled_long("c_acctbal", 2))).cast("double")
+            / F.lit(100.0),
+            F.lit(0.0),
+        ).alias("rich_total"),
+    )
+
+
 @query("agg_approx_percentile", oracle=None)
 def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile (t-digest-style sketch): engine-specific
