@@ -27,6 +27,8 @@ __all__ = [
     "MEDIA_META_SCHEMA",
     "extract_media_meta",
     "frame_sample_stub",
+    "resize_stub",
+    "embed_media_stub",
     "repartition_for_payload",
 ]
 
@@ -109,6 +111,80 @@ def extract_media_meta(
             )
 
     return df.select(id_col, media_col).mapInPandas(_map, MEDIA_META_SCHEMA)
+
+
+def resize_stub(
+    df: DataFrame,
+    width: int = 224,
+    height: int = 224,
+    id_col: str = "doc_id",
+    media_col: str = "media",
+) -> DataFrame:
+    """Image-resize plumbing: media → resized media + recorded target
+    dims. The resample itself is stubbed (no PIL in this container) as a
+    deterministic byte re-sampling to a size proportional to the target
+    area; schema, batch shape, and the 1→1 mapInPandas contract are the
+    production shape (swap `_resize_one` for PIL's ``Image.resize``)."""
+
+    target_len = max(1, (width * height) // 1024)
+
+    def _resize_one(payload: bytes) -> bytes:
+        if not payload:
+            return b""
+        stride = max(1, len(payload) // target_len)
+        return bytes(payload[::stride][:target_len])
+
+    def _map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "media": [_resize_one(p) for p in pdf[media_col]],
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return df.select(id_col, media_col).mapInPandas(
+        _map, "doc_id bigint, media binary, width int, height int"
+    )
+
+
+def embed_media_stub(
+    df: DataFrame,
+    dim: int = 64,
+    id_col: str = "doc_id",
+    media_col: str = "media",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Feature extraction: media → ``array<float>`` embedding, the
+    bridge from binary columns into the similarity/ANN operators.
+
+    The featurizer is a deterministic stand-in (L2-normalized byte
+    bigram histogram folded to ``dim`` buckets — a real, if crude,
+    content feature) where production plugs a vision/audio encoder; the
+    Arrow batch shape, output schema, and downstream compatibility with
+    ``topk_cosine*`` / ``rp_lsh_bucket`` / ``ivf_*`` are the real
+    contract (tested end-to-end)."""
+    import numpy as np
+
+    def _map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vecs = []
+            for payload in pdf[media_col]:
+                arr = np.frombuffer(bytes(payload), dtype=np.uint8)
+                if len(arr) >= 2:
+                    bigrams = (arr[:-1].astype(np.int64) * 256 + arr[1:]) % dim
+                    hist = np.bincount(bigrams, minlength=dim).astype(np.float64)
+                else:
+                    hist = np.ones(dim, dtype=np.float64)
+                norm = np.linalg.norm(hist) or 1.0
+                vecs.append((hist / norm).astype(np.float32).tolist())
+            yield pd.DataFrame({"doc_id": pdf[id_col].astype("int64"), vec_col: vecs})
+
+    return df.select(id_col, media_col).mapInPandas(
+        _map, f"doc_id bigint, {vec_col} array<float>"
+    )
 
 
 def frame_sample_stub(

@@ -342,6 +342,38 @@ def test_multimodal_plumbing(spark):
     assert {r["doc_id"] for r in frames} == {1, 2}
 
 
+def test_multimodal_to_ann_pipeline(spark):
+    """End-to-end composition: binary media → resize → feature-extract →
+    batch ANN top-k. Near-duplicate payloads must rank as each other's
+    nearest neighbors through the whole pipeline."""
+    from pyspark.sql import functions as F
+
+    from jhu_data_parser_spark.operators.multimodal import (
+        attach_binary,
+        embed_media_stub,
+        resize_stub,
+    )
+    from jhu_data_parser_spark.operators.similarity import topk_cosine_many
+
+    base = ("spark engine media payload " * 40).encode()
+    rows = [
+        (1, base),
+        (2, base[:-8] + b"variant!"),  # near-dup of 1
+        (3, bytes(range(256)) * 8),  # uniform byte sweep — different distribution
+        (4, b"ZZZZQQQQXXXX" * 100),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, media binary")
+    resized = resize_stub(df, width=128, height=128)
+    assert resized.first()["width"] == 128
+    emb = embed_media_stub(df, dim=32)
+    corpus = emb.filter("doc_id <> 1").withColumnRenamed("doc_id", "vec_id")
+    queries = emb.filter("doc_id = 1").select(
+        F.col("doc_id").alias("query_id"), "embedding"
+    )
+    top = topk_cosine_many(corpus, queries, k=1).first()
+    assert top["vec_id"] == 2  # the near-dup payload is the nearest neighbor
+
+
 def test_payload_repartition_sizing(spark):
     from jhu_data_parser_spark.operators.multimodal import repartition_for_payload
 
