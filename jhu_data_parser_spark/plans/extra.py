@@ -182,6 +182,52 @@ def agg_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # approx_count_distinct: HLL sketches are engine-specific → rows-only;
 # the exact twin (agg_distinct_customers) is the oracle-checked pair.
+# Data profiling — per-column null and distinct counts in ONE scan
+# (the schema-health check any ingestion pipeline runs first). Spark
+# computes all columns' stats in a single aggregate pass; the oracle
+# unions per-column queries.
+@query(
+    "profile_orders_columns",
+    oracle="""
+    SELECT 'o_orderstatus' AS column_name,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus IS NULL) AS BIGINT) AS n_nulls,
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS n_distinct
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority',
+           CAST(COUNT(*) FILTER (WHERE o_orderpriority IS NULL) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) FROM orders
+    UNION ALL
+    SELECT 'o_custkey',
+           CAST(COUNT(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT),
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) FROM orders
+    """,
+)
+def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    cols = ["o_orderstatus", "o_orderpriority", "o_custkey"]
+    aggs = []
+    for c in cols:
+        aggs.append(F.count(F.when(F.col(c).isNull(), 1)).alias(f"__n_{c}"))
+        aggs.append(F.countDistinct(c).alias(f"__d_{c}"))
+    one = o.agg(*aggs)
+    stacked = one.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column_name"),
+                        F.col(f"__n_{c}").alias("n_nulls"),
+                        F.col(f"__d_{c}").alias("n_distinct"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("p")
+    )
+    return stacked.select("p.column_name", "p.n_nulls", "p.n_distinct")
+
+
 # A3 completion — conditional aggregation (FILTER-clause shape):
 # several differently-filtered aggregates in ONE scan pass.
 @query(

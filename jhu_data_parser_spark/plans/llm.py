@@ -480,6 +480,42 @@ def sim_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id", "label")
 
 
+# Embedding-column analytics: per-dimension distribution stats across
+# the corpus (the drift/health check run before trusting an index).
+# posexplode over the vector → groupBy dimension; scaled-long exact sums.
+@query(
+    "sim_dimension_stats",
+    oracle="""
+    SELECT CAST(dim AS INT) AS dim,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           (CAST(SUM(CAST(floor(v * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+              / 1000000.0 / COUNT(*)) AS mean_v,
+           MIN(v) AS min_v,
+           MAX(v) AS max_v
+    FROM (
+      SELECT g.i - 1 AS dim, CAST(e.embedding[g.i] AS DOUBLE) AS v
+      FROM embeddings e, LATERAL (SELECT unnest(range(1, len(e.embedding) + 1)) AS i) g
+    )
+    GROUP BY dim
+    """,
+)
+def sim_dimension_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    ex = e.select(F.posexplode("embedding").alias("dim", "v")).select(
+        "dim", F.col("v").cast("double").alias("v")
+    )
+    return ex.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.sum(F.floor(F.col("v") * 1_000_000 + F.lit(0.5)).cast("long")).cast("double")
+            / F.lit(1_000_000.0)
+            / F.count(F.lit(1))
+        ).alias("mean_v"),
+        F.min("v").alias("min_v"),
+        F.max("v").alias("max_v"),
+    )
+
+
 @query(
     "sim_norms",
     oracle="""
