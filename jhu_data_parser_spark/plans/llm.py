@@ -117,6 +117,33 @@ def text_lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Deterministic stratified sampling — balanced per-class caps for
+# training-data curation: at most N docs per language, selected by a
+# content-hash order so the "random" sample is reproducible across
+# runs, engines, and partitionings (never rand()/sample(), which no
+# oracle can replay). WindowGroupLimit keeps the per-class cap partial.
+@query(
+    "sample_stratified_by_lang",
+    oracle="""
+    SELECT doc_id, lang
+    FROM (SELECT doc_id, lang,
+                 row_number() OVER (PARTITION BY lang ORDER BY md5(text), doc_id) AS rn
+          FROM documents)
+    WHERE rn <= 50
+    """,
+)
+def sample_stratified_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.md5("text"), "doc_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 50)
+        .select("doc_id", "lang")
+    )
+
+
 # Corpus n-gram statistics (SURVEY §2.12 "ngram counts via
 # explode+groupBy"): top bigrams across the corpus, deterministic
 # tie-break. explode → two-level partial-agg'd count → TakeOrdered.
