@@ -682,3 +682,50 @@ def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = attach_binary(load_table(spark, sf_dir, "documents"))
     return extract_media_meta(d)
+
+
+# Resize plumbing, oracle-checkable on its observable contract: output
+# byte length is the deterministic function of (input length, target
+# area) the stub defines, and the dims are recorded.
+@query(
+    "multimodal_resize",
+    oracle="""
+    SELECT doc_id,
+           CAST(LEAST(
+             CAST(ceil(CAST(octet_length(encode(text)) AS DOUBLE)
+               / greatest(octet_length(encode(text)) // 16, 1)) AS BIGINT),
+             16) AS INT) AS n_resized_bytes,
+           CAST(128 AS INT) AS width, CAST(128 AS INT) AS height
+    FROM documents WHERE length(text) > 0
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jhu_data_parser_spark.operators.multimodal import attach_binary, resize_stub
+
+    d = attach_binary(
+        load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    )
+    out = resize_stub(d, width=128, height=128)
+    return out.select(
+        "doc_id",
+        F.octet_length("media").cast("int").alias("n_resized_bytes"),
+        "width",
+        "height",
+    )
+
+
+# Media → embedding feature extraction, composed straight into the ANN
+# surface: embed every document's payload, return each one's L2 norm
+# (== 1.0 by construction) and vector arity — the schema/batch contract
+# the similarity operators consume. Pure-stub features → rows-only.
+@query("multimodal_embed_features", oracle=None)
+def multimodal_embed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jhu_data_parser_spark.operators.multimodal import attach_binary, embed_media_stub
+
+    d = attach_binary(load_table(spark, sf_dir, "documents"))
+    emb = embed_media_stub(d, dim=64)
+    return emb.select(
+        "doc_id",
+        F.size("embedding").alias("dim"),
+        F.round(sim.l2_norm(F.col("embedding")), 4).alias("l2_norm"),
+    )
