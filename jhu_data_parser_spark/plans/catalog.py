@@ -19,9 +19,11 @@ value hash, columns sorted by name):
 - Cast aggregate outputs explicitly: DuckDB ``SUM(BIGINT)`` yields
   HUGEINT and ``SUM(INT)`` yields INT128 — always ``CAST(... AS BIGINT)``
   / keep doubles as doubles on both sides.
-- Round floating aggregates (``ROUND(x, 2)``) on both sides: summation
-  order differs between engines, so raw double sums differ in the last
-  ulps.
+- Never raw ``SUM(double)``: summation order differs between engines.
+  Use the exact scaled-long discipline (``functions/exprs.py``) for
+  sums/avgs; ``ROUND(x, n)`` on both sides only where the underlying
+  doubles are already bit-identical (it cannot rescue an order-dependent
+  value — see the float dot-product gotcha in the verify skill).
 - Avoid LIMIT ties: every top-k orders by a unique tiebreaker.
 """
 
