@@ -206,17 +206,26 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     d = load_table(spark, sf_dir, "documents")
-    n_docs = d.count()  # one scalar for the idf constant (index-build input)
+    # idf constant as a 1-row agg broadcast-cross-joined in — keeps the
+    # whole query a single job (no driver-side d.count() action; r01
+    # verdict item 2).
+    n = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     tf = (
         d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    scored = tf.join(df_, "term").select(
-        "doc_id",
-        "term",
-        (F.col("tf") * F.log((n_docs + 1.0) / (F.col("df") + 1.0))).alias("tfidf"),
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            (F.col("tf") * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0))).alias(
+                "tfidf"
+            ),
+        )
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
     return (

@@ -97,15 +97,30 @@ def unpivot_lineitem_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # A2/U1 nested build — the reference's array<struct> time_series on the
-# star schema: per customer, the ordered daily spend series. Nested
-# array<struct> is not DuckDB-hashable (SURVEY.md §7 hard-part e) → the
-# oracle checks the flattened form; the nested shape itself is asserted
-# in tests/test_reshape.py.
+# star schema: per customer, the ordered daily spend series. A raw
+# array<struct> column is not hashable by the driver's row canonicalizer
+# (r01 returned TypeError), so the driver-facing surface serializes the
+# array with to_json — the nested build still happens (and is asserted
+# structurally in tests), the JSON string is just the wire format. No
+# portable DuckDB oracle exists for Spark's JSON rendering → rows-only,
+# with the value semantics carried by nested_daily_spend_roundtrip's
+# green hash check on the exploded form.
 @query(
     "nested_daily_spend",
     oracle=None,
 )
 def nested_daily_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nested = nested_daily_spend_raw(spark, sf_dir)
+    return nested.select(
+        "o_custkey",
+        F.size("time_series").alias("n_days"),
+        F.to_json("time_series").alias("time_series_json"),
+    )
+
+
+def nested_daily_spend_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The true nested build (array<struct> retained) used by tests and
+    by the roundtrip query below."""
     o = load_table(spark, sf_dir, "orders")
     daily = o.groupBy(
         "o_custkey", day_str("o_orderdate").alias("order_day")
@@ -131,7 +146,7 @@ def nested_daily_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def nested_daily_spend_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    nested = nested_daily_spend(spark, sf_dir)
+    nested = nested_daily_spend_raw(spark, sf_dir)
     exploded = nested.select("o_custkey", F.explode("time_series").alias("e"))
     return exploded.select(
         "o_custkey",
