@@ -2,10 +2,12 @@
 
 Images/audio/video are opaque ``binary`` columns plus typed metadata
 structs. The Spark-side plumbing — schema, Arrow batch shape,
-``mapInPandas`` signature, partition sizing — is real and tested; the
-actual codec step is stubbed (the image/audio libraries are not in this
-container) behind ``decode_stub``: a deterministic fake that derives
-"metadata" from the bytes, or ``NotImplementedError`` in strict mode.
+``mapInPandas`` signature, partition sizing — is real and tested. The
+decode step is REAL for BMP and PPM (vendored pure-python header
+parsers in ``functions/codecs.py``); formats needing external codec
+libraries (JPEG/PNG/MP4 — not in this container) fall back to a
+documented deterministic fake, or ``NotImplementedError`` in strict
+mode.
 
 At 100 TB: binary payloads dominate partition size — Arrow batches of
 multi-MB blobs blow Python-worker memory if partitions are sized for
@@ -24,6 +26,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "attach_binary",
+    "attach_image",
     "MEDIA_META_SCHEMA",
     "extract_media_meta",
     "frame_sample_stub",
@@ -44,6 +47,30 @@ def attach_binary(df: DataFrame, text_col: str = "text", media_col: str = "media
     in tests; in production this is the raw image/audio bytes read via
     ``spark.read.format('binaryFile')``)."""
     return df.withColumn(media_col, F.encode(F.col(text_col), "UTF-8"))
+
+
+def attach_image(
+    df: DataFrame, id_col: str = "doc_id", media_col: str = "media"
+) -> DataFrame:
+    """Synthesize REAL image payloads (valid BMP / binary-P6 PPM bytes,
+    alternating by id parity) with dimensions derived from the id:
+    ``width = id % 64 + 16``, ``height = id % 48 + 16``. Downstream
+    decode then genuinely parses these headers — the dims travel through
+    the byte stream, not through a side channel. In production this
+    column comes from ``spark.read.format('binaryFile')`` instead."""
+    from jhu_data_parser_spark.functions.codecs import encode_bmp, encode_ppm
+
+    def _map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for did in pdf[id_col]:
+                did = int(did)
+                w, h = did % 64 + 16, did % 48 + 16
+                enc = encode_bmp if did % 2 == 0 else encode_ppm
+                payloads.append(enc(w, h, seed=did))
+            yield pd.DataFrame({"doc_id": pdf[id_col].astype("int64"), media_col: payloads})
+
+    return df.select(id_col).mapInPandas(_map, f"doc_id bigint, {media_col} binary")
 
 
 def repartition_for_payload(
@@ -114,22 +141,33 @@ def extract_media_meta(
 ) -> DataFrame:
     """Decode media metadata with ``mapInPandas`` (Arrow batches).
 
-    The decode itself is a STUB: real deployments replace `_decode_one`
-    with PIL/ffmpeg calls; everything around it — batch iteration, output
-    schema, early projection of the heavy binary column — is the real
-    production shape.
+    BMP and PPM payloads are decoded FOR REAL — width/height parsed from
+    the byte stream by the vendored pure-python codecs
+    (``functions/codecs.py``); their ``media_type`` reflects the sniffed
+    format. Other formats (JPEG/PNG/MP4 — no codec libs in this
+    container) fall back to the documented deterministic fake, or raise
+    in ``strict`` mode. Everything around the decode — batch iteration,
+    output schema, early projection of the heavy binary column — is the
+    production shape either way.
     """
+    from jhu_data_parser_spark.functions.codecs import decode_image_meta
 
-    def _decode_one(payload: bytes) -> tuple[int, int, int, int]:
+    def _decode_one(payload: bytes) -> tuple[str, int, int, int, int]:
+        payload = bytes(payload)
+        real = decode_image_meta(payload)
+        if real is not None:
+            fmt, w, h = real
+            return fmt, w, h, 1, 0  # still image: 1 frame, no audio rate
         if strict:
             raise NotImplementedError(
-                "media codecs not available in this environment; "
-                "swap in PIL/ffmpeg for real decode"
+                f"no vendored codec for this payload (magic={payload[:4]!r}); "
+                "swap in PIL/ffmpeg for real decode of other formats"
             )
-        # Deterministic fake: derive dimensions from the byte length so
-        # tests can assert exact values without a codec.
+        # Deterministic fake for formats without a vendored codec:
+        # derive dimensions from the byte length so tests can assert
+        # exact values.
         n = len(payload)
-        return (n % 1920) + 1, (n % 1080) + 1, (n % 30) + 1, 16000
+        return media_type, (n % 1920) + 1, (n % 1080) + 1, (n % 30) + 1, 16000
 
     def _map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -137,12 +175,12 @@ def extract_media_meta(
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].astype("int64"),
-                    "media_type": media_type,
+                    "media_type": [m[0] for m in metas],
                     "n_bytes": [len(p) for p in pdf[media_col]],
-                    "width": [m[0] for m in metas],
-                    "height": [m[1] for m in metas],
-                    "n_frames": [m[2] for m in metas],
-                    "sample_rate": [m[3] for m in metas],
+                    "width": [m[1] for m in metas],
+                    "height": [m[2] for m in metas],
+                    "n_frames": [m[3] for m in metas],
+                    "sample_rate": [m[4] for m in metas],
                 }
             )
 

@@ -693,6 +693,40 @@ def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_media_meta(d)
 
 
+# REAL image decode (r01 verdict item 4): synthesize valid BMP/PPM
+# payloads whose dims are a function of doc_id, then *parse the byte
+# stream* with the vendored pure-python codecs. The oracle recomputes
+# the expected dims (and the exact BMP file size incl. 4-byte row
+# padding) from doc_id arithmetic alone — it never sees the bytes, so a
+# hash match proves the decoder actually read the headers.
+@query(
+    "multimodal_decode_image",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'ppm' END AS media_type,
+           CAST(doc_id % 64 + 16 AS INT) AS width,
+           CAST(doc_id % 48 + 16 AS INT) AS height,
+           CASE WHEN doc_id % 2 = 0
+                THEN CAST(54 + ((doc_id % 64 + 16) * 3 + 3) // 4 * 4
+                          * (doc_id % 48 + 16) AS BIGINT)
+                ELSE CAST(NULL AS BIGINT) END AS bmp_file_bytes
+    FROM documents
+    """,
+)
+def multimodal_decode_image(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jhu_data_parser_spark.operators.multimodal import attach_image, extract_media_meta
+
+    d = attach_image(load_table(spark, sf_dir, "documents"))
+    meta = extract_media_meta(d, strict=True)  # vendored codecs must handle every row
+    return meta.select(
+        "doc_id",
+        "media_type",
+        "width",
+        "height",
+        F.when(F.col("media_type") == "bmp", F.col("n_bytes")).alias("bmp_file_bytes"),
+    )
+
+
 # Resize plumbing, oracle-checkable on its observable contract: output
 # byte length is the deterministic function of (input length, target
 # area) the stub defines, and the dims are recorded.

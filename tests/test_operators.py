@@ -383,3 +383,47 @@ def test_payload_repartition_sizing(spark):
     sized = repartition_for_payload(big, target_mb=4)
     # 100 × 0.5 MB at 4 MB targets ⇒ >10 partitions despite 1 input part
     assert sized.rdd.getNumPartitions() >= 10
+
+
+def test_codecs_bmp_ppm_roundtrip():
+    from jhu_data_parser_spark.functions.codecs import (
+        bmp_row_size,
+        decode_image_meta,
+        encode_bmp,
+        encode_ppm,
+    )
+
+    bmp = encode_bmp(33, 21, seed=7)  # width*3 not 4-aligned → padding path
+    assert decode_image_meta(bmp) == ("bmp", 33, 21)
+    assert len(bmp) == 54 + bmp_row_size(33) * 21
+    ppm = encode_ppm(17, 5, seed=7)  # header carries a # comment line
+    assert decode_image_meta(ppm) == ("ppm", 17, 5)
+    assert len(ppm) > 17 * 5 * 3
+    # Top-down BMP: negative height in the DIB header decodes as abs.
+    import struct
+
+    topdown = bytearray(encode_bmp(8, 4))
+    struct.pack_into("<i", topdown, 22, -4)
+    assert decode_image_meta(bytes(topdown)) == ("bmp", 8, 4)
+    # Unknown magic → None (stub fallback territory).
+    assert decode_image_meta(b"\x89PNG\r\n\x1a\nrest") is None
+    # Recognized-but-corrupt → ValueError.
+    with pytest.raises(ValueError):
+        decode_image_meta(b"BM" + b"\x00" * 10)
+    with pytest.raises(ValueError):
+        decode_image_meta(b"P6\n12")
+
+
+def test_extract_media_meta_real_decode(spark):
+    from jhu_data_parser_spark.functions.codecs import encode_bmp, encode_ppm
+    from jhu_data_parser_spark.operators.multimodal import extract_media_meta
+
+    rows = [(1, encode_bmp(40, 30, seed=1)), (2, encode_ppm(20, 10, seed=2))]
+    df = spark.createDataFrame(rows, "doc_id long, media binary")
+    out = {r["doc_id"]: r for r in extract_media_meta(df, strict=True).collect()}
+    assert (out[1]["media_type"], out[1]["width"], out[1]["height"]) == ("bmp", 40, 30)
+    assert (out[2]["media_type"], out[2]["width"], out[2]["height"]) == ("ppm", 20, 10)
+    # strict mode refuses formats without a vendored codec
+    bad = spark.createDataFrame([(3, b"\xff\xd8\xffJPEG-ish")], "doc_id long, media binary")
+    with pytest.raises(Exception, match="NotImplementedError|PythonException"):
+        extract_media_meta(bad, strict=True).collect()
