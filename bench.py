@@ -81,6 +81,7 @@ def main() -> None:
                 "metric": "headline_queries_total_sec",
                 "value": total,
                 "unit": "sec",
+                "n": runs,
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

@@ -24,6 +24,7 @@ __all__ = [
     "write_flat_json",
     "write_bucketed_table",
     "overwrite_partitions",
+    "write_partitioned_json_report",
 ]
 
 
@@ -44,6 +45,68 @@ def write_partitioned_json(df: DataFrame, out_dir: str, mode: str = "overwrite")
     distributed job for all categories — the reference ran three
     sequential full passes (``src/parser.py:95-102``)."""
     df.write.mode(mode).partitionBy("type").json(out_dir)
+
+
+def write_partitioned_json_report(
+    df: DataFrame, out_dir: str, mode: str = "overwrite"
+) -> DataFrame:
+    """S4 write + observability: the reference checked every PUT's HTTP
+    status and dumped failures (``src/parser.py:78-83``); a Spark job's
+    commit protocol makes partial writes all-or-nothing instead, so the
+    analogous surface is a *write report*: row metrics observed on the
+    actual write job (``df.observe`` — no second scan of the data) plus
+    a post-commit file audit per partition (a listing, not a read).
+
+    Returns a one-row-per-partition DataFrame::
+
+        type | n_files | n_bytes | n_records_total | n_null_type_total
+
+    ``n_null_type_total`` > 0 is the "failed records" signal — rows
+    whose partition key was null land in the
+    ``type=__HIVE_DEFAULT_PARTITION__`` bucket, which downstream
+    Athena-style pruning never reads.
+    """
+    from pyspark.sql import Observation
+
+    spark = df.sparkSession
+    obs = Observation("write_metrics")
+    observed = df.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_records"),
+        F.count_if(F.col("type").isNull()).alias("n_null_type"),
+    )
+    observed.write.mode(mode).partitionBy("type").json(out_dir)
+    metrics = obs.get  # blocks until the write job's metrics arrive
+
+    # Post-commit audit via the Hadoop FileSystem (works for any
+    # scheme — local, HDFS, S3A); one recursive listing, zero data read.
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(out_dir)
+    fs = path.getFileSystem(hconf)
+    per_part: dict[str, list[int]] = {}
+    it = fs.listFiles(path, True)
+    while it.hasNext():
+        status = it.next()
+        p = status.getPath().toString()
+        name = status.getPath().getName()
+        if name.startswith(("_", ".")):  # _SUCCESS, hidden markers
+            continue
+        part = next(
+            (seg[5:] for seg in p.split("/") if seg.startswith("type=")), ""
+        )
+        agg = per_part.setdefault(part, [0, 0])
+        agg[0] += 1
+        agg[1] += status.getLen()
+    rows = [
+        (part, n_files, n_bytes, metrics["n_records"], metrics["n_null_type"])
+        for part, (n_files, n_bytes) in sorted(per_part.items())
+    ]
+    return spark.createDataFrame(
+        rows,
+        "type string, n_files bigint, n_bytes bigint, "
+        "n_records_total bigint, n_null_type_total bigint",
+    )
 
 
 def write_flat_json(df: DataFrame, out_dir: str, mode: str = "overwrite") -> None:

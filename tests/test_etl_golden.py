@@ -273,3 +273,31 @@ def test_lake_roundtrip_sql(spark, tmp_path):
         "SELECT count(*) FROM covid WHERE type = 'confirmed'"
     )._jdf.queryExecution().executedPlan().toString()
     assert "type=confirmed" in plan or "PartitionFilters" in plan
+
+
+def test_write_report_counts_and_audit(spark, tmp_path):
+    """Write-metrics surface (reference src/parser.py:78-83 analog): row
+    counts observed on the write job itself, committed files/bytes per
+    partition from a post-commit listing, null-partition-key rows
+    surfaced as the failed-records signal."""
+    from pyspark.sql import functions as F
+
+    from jhu_data_parser_spark.sink import write_partitioned_json_report
+
+    df = spark.createDataFrame(
+        [("a", "confirmed"), ("b", "confirmed"), ("c", "deaths"), ("d", None)],
+        "k string, type string",
+    ).coalesce(1)
+    out = str(tmp_path / "report_lake")
+    report = write_partitioned_json_report(df, out)
+    rows = {r["type"]: r for r in report.collect()}
+    assert rows["confirmed"]["n_files"] >= 1
+    assert rows["confirmed"]["n_bytes"] > 0
+    assert set(rows) == {"confirmed", "deaths", "__HIVE_DEFAULT_PARTITION__"}
+    assert all(r["n_records_total"] == 4 for r in rows.values())
+    assert all(r["n_null_type_total"] == 1 for r in rows.values())
+    # the audit counts exactly the committed data files
+    import glob
+
+    n_disk = len(glob.glob(os.path.join(out, "type=*", "part-*")))
+    assert n_disk == sum(r["n_files"] for r in rows.values())
