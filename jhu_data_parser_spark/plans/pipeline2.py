@@ -1,0 +1,317 @@
+"""Round-2 catalog wave: training-data pipeline operators (batch
+sessionization, document chunking, vocabulary build, deterministic
+train/test split) and SQL-surface classics (correlated / scalar
+subqueries).
+
+Reference parity note: the reference (/root/reference) has none of
+these — they belong to the LLM-pipeline extension surface (SURVEY.md
+§2.12) and the SQL-over-the-lake surface (§2.1 S6).
+
+Portability discipline (driver hashes Spark vs DuckDB results):
+- timestamps → formatted strings before they leave a query
+- double sums → scaled-long exact pattern (functions/exprs.py)
+- every gap/bucket decision computed on values that are bit-identical
+  in both engines (epoch doubles, md5 hex, integer arithmetic)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from jhu_data_parser_spark.functions.exprs import DEC_SUM_SQL, dec_sum
+from jhu_data_parser_spark.plans.catalog import query
+from jhu_data_parser_spark.sources.tables import load_table, register_views
+
+_TS_FMT = "yyyy-MM-dd HH:mm:ss"
+_TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
+
+_SESSION_GAP_SEC = 1800.0  # 30 min — the classic web-session cutoff
+
+
+# Batch sessionization — the training-data form of the streaming session
+# window (stream_session_windows): split each user's event stream into
+# sessions at >30-min silence gaps, one output row per session. The
+# gap decision runs on epoch doubles (micros/1e6 — bit-identical in both
+# engines); ties on ts break on event_id so lag() order is total.
+# At 100 TB: one shuffle on user_id (window partition), then the
+# session-number prefix sum and the session agg reuse that partitioning
+# — Catalyst collapses both windows + groupBy into one exchange.
+@query(
+    "events_sessionize",
+    oracle=f"""
+    WITH g AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch(ts) - lag(epoch(ts)) OVER w > {_SESSION_GAP_SEC}
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM g
+    )
+    SELECT user_id,
+           CAST(session_no AS BIGINT) AS session_no,
+           strftime(MIN(ts), '{_TS_FMT_DUCK}') AS session_start,
+           strftime(MAX(ts), '{_TS_FMT_DUCK}') AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {DEC_SUM_SQL('value', 4)} AS total_value
+    FROM s GROUP BY user_id, session_no
+    """,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = F.col("ts").cast("double")
+    prev = F.lag(sec).over(w)
+    new_sess = F.when(prev.isNull() | (sec - prev > _SESSION_GAP_SEC), 1).otherwise(0)
+    sessions = ev.withColumn(
+        "session_no",
+        F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sessions.groupBy("user_id", "session_no").agg(
+        F.date_format(F.min("ts"), _TS_FMT).alias("session_start"),
+        F.date_format(F.max("ts"), _TS_FMT).alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        dec_sum("value", scale=4).alias("total_value"),
+    )
+
+
+_CHUNK_SIZE = 50
+_CHUNK_STRIDE = 40  # 10-token overlap between consecutive chunks
+
+
+# Document chunking — the tokenize-and-window step that turns a corpus
+# into fixed-size training sequences with overlap. All native exprs:
+# split → sequence of chunk starts → transform/slice/array_join →
+# posexplode. No shuffle at all (pure generate-style projection), so it
+# scales with the scan.
+@query(
+    "text_chunk_documents",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks
+      FROM documents WHERE length(text) > 0
+    )
+    SELECT doc_id,
+           CAST(i AS INT) AS chunk_no,
+           array_to_string(list_slice(toks, i * {_CHUNK_STRIDE} + 1,
+                                      i * {_CHUNK_STRIDE} + {_CHUNK_SIZE}), ' ')
+             AS chunk_text,
+           CAST(len(list_slice(toks, i * {_CHUNK_STRIDE} + 1,
+                               i * {_CHUNK_STRIDE} + {_CHUNK_SIZE})) AS INT)
+             AS n_tokens
+    FROM t, UNNEST(range((len(toks) - 1) // {_CHUNK_STRIDE} + 1)) AS u(i)
+    """,
+)
+def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    # chunk i exists while i*stride < n_tokens
+    starts = F.sequence(F.lit(0), F.floor((n - 1) / _CHUNK_STRIDE).cast("int"))
+    chunks = F.transform(
+        starts,
+        lambda i: F.struct(
+            F.array_join(
+                F.slice(toks, i * _CHUNK_STRIDE + 1, _CHUNK_SIZE), " "
+            ).alias("chunk_text"),
+            F.size(F.slice(toks, i * _CHUNK_STRIDE + 1, _CHUNK_SIZE)).alias(
+                "n_tokens"
+            ),
+        ),
+    )
+    return d.select(
+        "doc_id", F.posexplode(chunks).alias("chunk_no", "c")
+    ).select(
+        "doc_id",
+        F.col("chunk_no").cast("int").alias("chunk_no"),
+        F.col("c.chunk_text").alias("chunk_text"),
+        F.col("c.n_tokens").alias("n_tokens"),
+    )
+
+
+_VOCAB_MIN_COUNT = 5
+_VOCAB_TOP_K = 100
+
+
+# Vocabulary build — the tokenizer-training step: corpus-wide unigram
+# counts, min-count floor, top-k by (count desc, term). The top-k cut
+# happens via orderBy+limit (TakeOrderedAndProject: per-partition
+# partial top-k, no global sort) BEFORE the rank window touches a
+# single-partition frame of only k rows — the scale-safe order of
+# operations.
+@query(
+    "text_vocab_topk",
+    oracle=f"""
+    WITH counts AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS n
+      FROM (SELECT unnest(string_split(lower(text), ' ')) AS term FROM documents)
+      WHERE term <> ''
+      GROUP BY term
+      HAVING COUNT(*) >= {_VOCAB_MIN_COUNT}
+    )
+    SELECT term, n, CAST(rn AS INT) AS vocab_rank
+    FROM (SELECT term, n, row_number() OVER (ORDER BY n DESC, term) AS rn
+          FROM counts)
+    WHERE rn <= {_VOCAB_TOP_K}
+    """,
+)
+def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(F.split(F.lower("text"), " ")).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= _VOCAB_MIN_COUNT)
+    )
+    topk = counts.orderBy(F.col("n").desc(), "term").limit(_VOCAB_TOP_K)
+    w = Window.orderBy(F.col("n").desc(), "term")
+    return topk.withColumn("vocab_rank", F.row_number().over(w).cast("int"))
+
+
+# Deterministic hash-based train/test split — reproducible corpus
+# partitioning that survives reshuffles and re-runs (unlike
+# df.randomSplit). Bucket = first hex digit of md5(doc_id): digits
+# 0-9,a,b,c → train (13/16 ≈ 81%), d,e,f → test. md5 of the SAME string
+# renders identical lowercase hex in both engines, so the split is
+# bit-portable.
+@query(
+    "sample_train_test_split",
+    oracle="""
+    SELECT split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc_id
+    FROM (
+      SELECT doc_id, n_chars,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'd'
+                  THEN 'train' ELSE 'test' END AS split
+      FROM documents
+    )
+    GROUP BY split
+    """,
+)
+def sample_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 1)
+    split = F.when(bucket < "d", "train").otherwise("test")
+    return (
+        d.withColumn("split", split)
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+    )
+
+
+# --- SQL-surface classics (S6): correlated & scalar subqueries --------------
+# Catalyst decorrelates these into joins — the queries assert the SQL
+# *surface* (what an Athena user would type), while the physical plan is
+# the same join the DataFrame API would build.
+
+
+# Correlated scalar subquery: orders above their customer's average
+# order value (per-customer mean inlined as a decorrelated aggregate).
+@query(
+    "sql_correlated_above_avg",
+    oracle=f"""
+    SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+    FROM orders o
+    WHERE o.o_totalprice > 1.5 * (
+      SELECT {DEC_SUM_SQL('o2.o_totalprice')} / COUNT(*)
+      FROM orders o2 WHERE o2.o_custkey = o.o_custkey
+    )
+    """,
+)
+def sql_correlated_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+        FROM orders o
+        WHERE o.o_totalprice > 1.5 * (
+          SELECT CAST(SUM(CAST(FLOOR(o2.o_totalprice * 100 + 0.5) AS LONG)) AS DOUBLE)
+                   / 100.0 / COUNT(*)
+          FROM orders o2 WHERE o2.o_custkey = o.o_custkey
+        )
+        """
+    )
+
+
+# TPC-H Q4 shape — EXISTS correlated subquery: count orders per priority
+# having at least one lineitem shipped ≥90 days after the order date
+# (this star schema has no commit/receipt dates — ship-lag carries the
+# same correlated-date-predicate shape). Catalyst rewrites EXISTS → left
+# semi join; the oracle runs the equivalent ANSI text.
+@query(
+    "sql_exists_late_lineitem",
+    oracle="""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey
+        AND l.l_shipdate >= o.o_orderdate + INTERVAL 90 DAY
+    )
+    GROUP BY o_orderpriority
+    """,
+)
+def sql_exists_late_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("orders", "lineitem"))
+    return spark.sql(
+        """
+        SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM orders o
+        WHERE EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey
+            AND l.l_shipdate >= o.o_orderdate + INTERVAL 90 DAY
+        )
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+# TPC-H Q22 shape — uncorrelated scalar subquery + NOT EXISTS: customers
+# with above-average account balance and no orders, grouped by nation
+# (this schema has no phone column; nationkey carries the same group
+# shape). Exercises scalar-subquery broadcast + anti join.
+@query(
+    "sql_scalar_sub_no_orders",
+    oracle=f"""
+    SELECT c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_custs,
+           {DEC_SUM_SQL('c_acctbal')} AS total_bal
+    FROM customer c
+    WHERE c_acctbal > (SELECT {DEC_SUM_SQL('c_acctbal')} / COUNT(*)
+                       FROM customer WHERE c_acctbal > 0.0)
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c_nationkey
+    """,
+)
+def sql_scalar_sub_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("customer", "orders"))
+    return spark.sql(
+        """
+        SELECT c_nationkey,
+               CAST(COUNT(*) AS BIGINT) AS n_custs,
+               CAST(SUM(CAST(FLOOR(c_acctbal * 100 + 0.5) AS LONG)) AS DOUBLE) / 100.0
+                 AS total_bal
+        FROM customer c
+        WHERE c_acctbal > (
+            SELECT CAST(SUM(CAST(FLOOR(c_acctbal * 100 + 0.5) AS LONG)) AS DOUBLE)
+                     / 100.0 / COUNT(*)
+            FROM customer WHERE c_acctbal > 0.0)
+          AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        GROUP BY c_nationkey
+        """
+    )
