@@ -224,3 +224,38 @@ def stream_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("session_end", _TS_FMT).alias("session_end"),
         "n_events",
     )
+
+
+# Stream-stream inner join (attribution: purchase ← clicks by the same
+# user in the prior 30 min), both sides watermarked so join state stays
+# bounded by the time-range condition. availableNow processes the whole
+# backlog, so the streaming result must equal the batch range join the
+# oracle runs — a full equivalence check on a genuinely streaming plan.
+@query(
+    "stream_stream_join_attrib",
+    oracle=f"""
+    SELECT c.event_id AS click_id,
+           c.user_id,
+           strftime(c.ts, '{_TS_FMT_DUCK}') AS click_ts,
+           p.event_id AS purchase_id,
+           strftime(p.ts, '{_TS_FMT_DUCK}') AS purchase_ts,
+           p.value AS purchase_value
+    FROM events c JOIN events p
+      ON c.event_type = 'click' AND p.event_type = 'purchase'
+     AND c.user_id = p.user_id
+     AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    """,
+)
+def stream_stream_join_attrib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jhu_data_parser_spark.streaming.jobs import run_stream_stream_join
+
+    table = f"stream_stream_join_{next(_mem_counter)}"
+    out = run_stream_stream_join(spark, sf_dir, table, horizon_min=30)
+    return out.select(
+        "click_id",
+        F.col("c_user").alias("user_id"),
+        F.date_format("click_ts", _TS_FMT).alias("click_ts"),
+        "purchase_id",
+        F.date_format("purchase_ts", _TS_FMT).alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )

@@ -22,6 +22,7 @@ __all__ = [
     "daily_counts",
     "run_daily_counts_availablenow",
     "run_dedup_stream",
+    "run_stream_stream_join",
     "write_json_partitioned_stream",
     "write_daily_refresh_stream",
 ]
@@ -87,6 +88,62 @@ def run_dedup_stream(
     deduped = ev.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
     q = (
         deduped.writeStream.format("memory")
+        .queryName(table)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(table)
+
+
+def run_stream_stream_join(
+    spark: SparkSession, sf_dir: str, table: str, horizon_min: int = 30
+) -> DataFrame:
+    """Stream-stream inner join: each purchase matched to every click by
+    the same user in the preceding ``horizon_min`` minutes — the classic
+    attribution join, both sides unbounded streams.
+
+    Both sides carry watermarks so the join state is bounded: a click
+    can be dropped from state once the purchase-side watermark passes
+    click_ts + horizon (Spark derives the state cleanup bound from the
+    time-range condition — at 100 TB/day this is the difference between
+    O(horizon) and O(stream) state). With availableNow the backlog is
+    processed to completion, so the result equals the batch range join
+    — which is exactly what the catalog oracle checks.
+    """
+    clicks = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {horizon_min} MINUTES")
+        ),
+    )
+    q = (
+        joined.writeStream.format("memory")
         .queryName(table)
         .outputMode("append")
         .trigger(availableNow=True)
