@@ -64,7 +64,7 @@ def main() -> None:
     # Per-query minimum over N runs: single-shot local timings carry
     # 2-3× noise from Python-worker reuse and GC; the min is the
     # steady-state engine throughput the warm-up is there to expose.
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         best = float("inf")

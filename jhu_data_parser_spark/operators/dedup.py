@@ -15,6 +15,8 @@ Scale design:
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
@@ -148,6 +150,16 @@ def minhash_signature_fast(
     so this is the scale path; deterministic (crc32 + fixed odd
     constants), executor-parallel, Arrow batch transfer.
     """
+    return _minhash_udf(num_hashes, shingle_k)(F.col(text_col))
+
+
+@functools.lru_cache(maxsize=8)
+def _minhash_udf(num_hashes: int, shingle_k: int):
+    """Build (once per config) the Arrow-vectorized signature UDF.
+
+    Cached because pandas_udf construction is a measured ~0.1s of
+    driver-side work per call — and the query catalog builds fresh plans
+    per invocation."""
     import zlib
 
     salts = (
@@ -194,7 +206,7 @@ def minhash_signature_fast(
                 out.append(mixed.min(axis=0).astype(np.int64))
         return pd.Series(out)
 
-    return _sig(F.col(text_col))
+    return _sig
 
 
 def minhash_candidates(
@@ -221,20 +233,18 @@ def minhash_candidates(
     else:
         sig = minhash_signature(token_shingles(text_col, shingle_k), num_hashes)
     with_sig = ensure_parallelism(df).select(F.col(id_col), sig.alias("sig"))
+    # Banding as ONE SQL expression: xxhash64 of each band's slice of
+    # the signature. (The earlier form built bands × rows_per_band
+    # Column objects — ~0.5s of driver-side py4j plan construction per
+    # invocation, measured; a single parsed expression is ~free and
+    # bucket-equivalent: two docs collide in a band iff their slices
+    # are equal either way.)
     banded = with_sig.select(
         id_col,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
-                        ).alias("band_hash"),
-                    )
-                    for b in range(bands)
-                ]
-            )
+        F.expr(
+            f"explode(transform(sequence(0, {bands - 1}), b -> "
+            f"struct(b AS band, xxhash64(slice(sig, b * {rows_per_band} + 1, "
+            f"{rows_per_band})) AS band_hash)))"
         ).alias("bh"),
     ).select(id_col, "bh.band", "bh.band_hash")
     # One shuffle: group each LSH bucket, expand the i<j pairs in-row.
@@ -245,14 +255,10 @@ def minhash_candidates(
     # practice of routing oversized clusters to a separate exact pass.
     ids = F.array_sort(F.collect_list(id_col))
     n = F.size(F.col("ids"))
-    pair_structs = F.flatten(
-        F.transform(
-            F.col("ids"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-            ),
-        )
+    pair_structs = F.expr(
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids)), y -> "
+        "struct(x AS id_a, y AS id_b))))"
     )
     pairs = (
         banded.groupBy("band", "band_hash")
@@ -291,12 +297,20 @@ def near_dup_pairs_minhash(
         df, id_col, text_col, num_hashes, bands, shingle_k, use_arrow_udf, max_bucket
     )
     toks = ensure_parallelism(df).select(
-        F.col(id_col), F.array_distinct(F.split(F.lower(text_col), r"\s+")).alias("toks")
+        F.col(id_col),
+        F.expr(f"array_distinct(split(lower({text_col}), '\\\\s+'))").alias("toks"),
     )
     return (
         cands.join(toks.withColumnsRenamed({id_col: "id_a", "toks": "toks_a"}), "id_a")
         .join(toks.withColumnsRenamed({id_col: "id_b", "toks": "toks_b"}), "id_b")
-        .withColumn("jaccard", jaccard_tokens(F.col("toks_a"), F.col("toks_b")))
+        .withColumn(
+            "jaccard",
+            F.expr(
+                "CASE WHEN size(array_union(toks_a, toks_b)) > 0 THEN "
+                "CAST(size(array_intersect(toks_a, toks_b)) AS DOUBLE) "
+                "/ size(array_union(toks_a, toks_b)) ELSE 0.0 END"
+            ),
+        )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )

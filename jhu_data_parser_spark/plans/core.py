@@ -231,13 +231,23 @@ def join_shipping_priority_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     # The segment-filtered customer side shrinks 5×, but is still
     # table-proportional — no forced broadcast (Catalyst/AQE upgrades it
-    # when it fits; a hint would OOM at real scale).
+    # when it fits; a hint would OOM at real scale). Join order keeps
+    # both build sides as direct file scans (they broadcast in parallel;
+    # pre-joining o⋈c first would serialize an intermediate broadcast —
+    # measured slower). Grouping is on the raw date (bigint/date/string
+    # keys); the display string is formatted on the ~|groups| aggregated
+    # rows, not per input row.
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
-        .groupBy("o_orderkey", day_str("o_orderdate").alias("orderdate"), "o_orderpriority")
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
         .agg(dec_sum(revenue(), scale=4).alias("revenue"))
-        .select("o_orderkey", "revenue", "orderdate", "o_orderpriority")
+        .select(
+            "o_orderkey",
+            "revenue",
+            day_str("o_orderdate").alias("orderdate"),
+            "o_orderpriority",
+        )
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
         .limit(10)
     )
