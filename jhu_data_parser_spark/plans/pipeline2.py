@@ -315,3 +315,185 @@ def sql_scalar_sub_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY c_nationkey
         """
     )
+
+
+# --- data-quality & time-series wave ----------------------------------------
+
+
+# Constraint-validation report — the corpus QA gate run before training:
+# each rule is a count_if over one scan (single job, no shuffle beyond
+# the 1-row agg), melted to one row per rule via stack(). The rules
+# themselves are portable ANSI predicates the oracle re-runs.
+@query(
+    "quality_constraint_report",
+    oracle="""
+    SELECT 'empty_text' AS rule,
+           CAST(COUNT(*) FILTER (WHERE length(text) = 0) AS BIGINT) AS n_violations
+    FROM documents
+    UNION ALL
+    SELECT 'n_chars_drift',
+           CAST(COUNT(*) FILTER (WHERE n_chars <> length(text)) AS BIGINT)
+    FROM documents
+    UNION ALL
+    SELECT 'unknown_lang',
+           CAST(COUNT(*) FILTER (WHERE lang NOT IN ('en','es','de','fr','zh','ja'))
+                AS BIGINT)
+    FROM documents
+    UNION ALL
+    SELECT 'bad_doc_id',
+           CAST(COUNT(*) FILTER (WHERE doc_id IS NULL OR doc_id < 0) AS BIGINT)
+    FROM documents
+    """,
+)
+def quality_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    agg = d.agg(
+        F.count_if(F.length("text") == 0).alias("empty_text"),
+        F.count_if(F.col("n_chars") != F.length("text")).alias("n_chars_drift"),
+        F.count_if(
+            ~F.col("lang").isin("en", "es", "de", "fr", "zh", "ja")
+        ).alias("unknown_lang"),
+        F.count_if(F.col("doc_id").isNull() | (F.col("doc_id") < 0)).alias(
+            "bad_doc_id"
+        ),
+    )
+    return agg.selectExpr(
+        "stack(4, 'empty_text', empty_text, 'n_chars_drift', n_chars_drift, "
+        "'unknown_lang', unknown_lang, 'bad_doc_id', bad_doc_id) "
+        "AS (rule, n_violations)"
+    )
+
+
+# Time-series gap filling — resample each event_type's daily counts onto
+# its full [min_day, max_day] calendar with zeros for silent days (the
+# input to any windowed trend model). The day spine is generated from
+# the aggregated spans (|types| rows → sequence/explode), never from a
+# driver-side loop; the counts join reuses the (type, day) partitioning.
+@query(
+    "events_fill_gaps",
+    oracle="""
+    WITH counts AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1, 2
+    ),
+    spans AS (
+      SELECT event_type, MIN(day) AS d0, MAX(day) AS d1 FROM counts GROUP BY 1
+    ),
+    spine AS (
+      SELECT event_type, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+      FROM spans
+    )
+    SELECT s.event_type, strftime(s.day, '%Y-%m-%d') AS day,
+           CAST(COALESCE(c.n_events, 0) AS BIGINT) AS n_events
+    FROM spine s LEFT JOIN counts c USING (event_type, day)
+    """,
+)
+def events_fill_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy(
+        "event_type", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    spans = counts.groupBy("event_type").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    spine = spans.select(
+        "event_type",
+        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("day"),
+    )
+    return (
+        spine.join(counts, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        )
+    )
+
+
+# Z-score outlier detection with ORACLE-EXACT variance: per-type n, Σx,
+# Σx² accumulate as scaled exact integers (value has 2 decimals →
+# scale-4 squares stay integral), the float math happens once per GROUP
+# in a fixed operation order — so mean/std/z are bit-identical across
+# engines and the |z| > 3 cut is portable. The broadcast of the tiny
+# per-type stats frame back onto events keeps it one fact-table scan
+# per side of the join.
+@query(
+    "events_zscore_outliers",
+    oracle="""
+    WITH stats AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS s1,
+             SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)
+                 * CAST(floor(value * 100 + 0.5) AS BIGINT)) AS s2
+      FROM events GROUP BY event_type
+    ),
+    m AS (
+      SELECT event_type, n,
+             CAST(s1 AS DOUBLE) / 100.0 / CAST(n AS DOUBLE) AS mean,
+             sqrt((CAST(s2 AS DOUBLE) / 10000.0
+                   - (CAST(s1 AS DOUBLE) / 100.0) * (CAST(s1 AS DOUBLE) / 100.0)
+                     / CAST(n AS DOUBLE))
+                  / CAST(n - 1 AS DOUBLE)) AS std
+      FROM stats
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           ROUND((e.value - m.mean) / m.std, 6) AS z
+    FROM events e JOIN m USING (event_type)
+    WHERE abs((e.value - m.mean) / m.std) > 3.0
+    """,
+)
+def events_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    scaled = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    stats = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(scaled).alias("s1"),
+        F.sum(scaled * scaled).alias("s2"),
+    )
+    m = stats.select(
+        "event_type",
+        (F.col("s1").cast("double") / 100.0 / F.col("n").cast("double")).alias("mean"),
+        F.sqrt(
+            (
+                F.col("s2").cast("double") / 10000.0
+                - (F.col("s1").cast("double") / 100.0)
+                * (F.col("s1").cast("double") / 100.0)
+                / F.col("n").cast("double")
+            )
+            / (F.col("n") - 1).cast("double")
+        ).alias("std"),
+    )
+    z = (F.col("value") - F.col("mean")) / F.col("std")
+    return (
+        ev.join(F.broadcast(m), "event_type")
+        .filter(F.abs(z) > 3.0)
+        .select("event_id", "event_type", "value", F.round(z, 6).alias("z"))
+    )
+
+
+# Mergeable-sketch distinct counts (Apache DataSketches HLL via Spark
+# built-ins): per-group sketches + a union-merged grand total — the
+# partial-aggregation pattern that makes distinct counting feasible at
+# 100 TB (sketches merge associatively across partitions/days; exact
+# distinct would shuffle every key). Sketch bytes are engine-specific →
+# no SQL oracle; the accuracy bound vs exact distinct is pinned in
+# tests/test_operators.py.
+@query("agg_hll_sketch_merge", oracle=None)
+def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    per_group = o.groupBy("o_orderpriority").agg(
+        F.hll_sketch_agg("o_custkey", 14).alias("sketch")
+    )
+    grand = per_group.agg(
+        F.lit("__ALL__").alias("o_orderpriority"),
+        F.hll_union_agg("sketch").alias("sketch"),
+    )
+    return (
+        per_group.unionByName(grand)
+        .select(
+            "o_orderpriority",
+            F.hll_sketch_estimate("sketch").alias("approx_distinct_customers"),
+        )
+    )

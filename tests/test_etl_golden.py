@@ -301,3 +301,83 @@ def test_write_report_counts_and_audit(spark, tmp_path):
 
     n_disk = len(glob.glob(os.path.join(out, "type=*", "part-*")))
     assert n_disk == sum(r["n_files"] for r in rows.values())
+
+
+def test_merge_upsert_partition_scoped(spark, tmp_path):
+    """CDC merge: updates replace same-key rows, inserts land, untouched
+    partitions keep their files byte-identical (partition-level blast
+    radius)."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from jhu_data_parser_spark.sink import merge_upsert
+
+    lake = str(tmp_path / "lake")
+    base = spark.createDataFrame(
+        [(1, "a", "2024-01-01", 1), (2, "b", "2024-01-01", 1), (3, "c", "2024-01-02", 1)],
+        "id long, v string, day string, version int",
+    )
+    base.repartition(1).write.partitionBy("day").parquet(lake)
+    untouched_before = sorted(glob.glob(f"{lake}/day=2024-01-02/part-*"))
+
+    updates = spark.createDataFrame(
+        [(1, "a2", "2024-01-01", 2), (4, "d", "2024-01-01", 1)],
+        "id long, v string, day string, version int",
+    )
+    merge_upsert(updates, lake, ["id"], "day", "version")
+
+    got = {r["id"]: r["v"] for r in spark.read.parquet(lake).collect()}
+    assert got == {1: "a2", 2: "b", 3: "c", 4: "d"}
+    # untouched partition was not rewritten
+    assert sorted(glob.glob(f"{lake}/day=2024-01-02/part-*")) == untouched_before
+
+
+def test_compact_partitions_reduces_files(spark, tmp_path):
+    import glob
+
+    from jhu_data_parser_spark.sink import compact_partitions
+
+    lake = str(tmp_path / "frag")
+    df = spark.createDataFrame(
+        [(i, f"v{i}", f"2024-01-0{1 + i % 2}") for i in range(200)],
+        "id long, v string, day string",
+    )
+    df.repartition(20).write.partitionBy("day").parquet(lake)
+    before = len(glob.glob(f"{lake}/day=*/part-*"))
+    assert before >= 20
+    report = compact_partitions(spark, lake, "day")
+    after = len(glob.glob(f"{lake}/day=*/part-*"))
+    assert after < before / 2
+    rows = {r["day"]: r for r in report.collect()}
+    assert set(rows) == {"2024-01-01", "2024-01-02"}
+    assert all(r["n_files_target"] == 1 for r in rows.values())
+    # data survives byte-for-byte as rows
+    assert spark.read.parquet(lake).count() == 200
+
+
+def test_hll_sketch_merge_accuracy(spark):
+    """HLL estimates land within the lgK=14 error envelope (~0.8% rse;
+    assert 3σ) of exact distinct counts, and the merged sketch equals
+    the estimate over the union."""
+    from jhu_data_parser_spark import plans
+
+    sf = "/root/testdata/sf0.01"
+    est = {
+        r["o_orderpriority"]: r["approx_distinct_customers"]
+        for r in plans.QUERIES["agg_hll_sketch_merge"](spark, sf).collect()
+    }
+    from jhu_data_parser_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    o = load_table(spark, sf, "orders")
+    exact = {
+        r["o_orderpriority"]: r["n"]
+        for r in o.groupBy("o_orderpriority")
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()
+    }
+    exact["__ALL__"] = o.select("o_custkey").distinct().count()
+    assert set(est) == set(exact)
+    for k, e in exact.items():
+        assert abs(est[k] - e) <= max(3, 0.025 * e), (k, est[k], e)
