@@ -218,3 +218,86 @@ def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     for name, expr in feats.items():
         out = out.withColumn(name, expr)
     return out
+
+
+def bpe_train_merges(
+    df: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 10,
+    min_word_count: int = 1,
+) -> DataFrame:
+    """Train byte-pair-encoding merges over the corpus — the tokenizer-
+    construction step (`text_token_count_bpe` *applies* a BPE-ish rule;
+    this *learns* one).
+
+    Distributed form of the classic algorithm:
+
+    1. ONE pass over the corpus builds the word-frequency table (the
+       only fact-table-sized job; everything after runs on |vocab| rows).
+    2. Each word becomes its symbol array (characters).
+    3. Per merge step: weighted adjacent-pair counts (explode → groupBy
+       → deterministic top-1 by count desc / pair asc), then a greedy
+       left-to-right in-row fold (`F.aggregate`) rewrites every word's
+       symbol array. The top-1 `.first()` is a 1-row driver action per
+       iteration — inherent to iterative BPE (same class as IVF centroid
+       fits); the word table itself never leaves the executors.
+
+    At 100 TB the word table is ~|distinct words| (millions, not
+    trillions) — each of the K iterations is a small shuffle on pair
+    keys. `localCheckpoint` every few rounds truncates the growing
+    lineage exactly like `connected_components` does.
+
+    Returns the ordered merge table: (merge_rank, left, right, merged,
+    pair_count).
+    """
+    words = (
+        df.select(F.explode(F.split(F.lower(text_col), r"\s+")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wc"))
+        .filter(F.col("wc") >= min_word_count)
+    )
+    syms = words.select(
+        "wc", F.split("w", "").alias("s")
+    )
+    spark = df.sparkSession
+    merges = []
+    for rank in range(num_merges):
+        pairs = (
+            syms.select(
+                "wc",
+                F.expr(
+                    "explode(transform(slice(s, 1, size(s) - 1), "
+                    "(x, i) -> struct(x AS a, element_at(s, i + 2) AS b)))"
+                ).alias("p"),
+            )
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("wc").alias("n"))
+            .orderBy(F.col("n").desc(), "a", "b")
+        )
+        best = pairs.first()
+        if best is None or best["n"] < 2:
+            break
+        a, b, n = best["a"], best["b"], int(best["n"])
+        merges.append((rank, a, b, a + b, n))
+        # Greedy left-to-right merge of (a,b) in every symbol array.
+        syms = syms.select(
+            "wc",
+            F.expr(
+                "aggregate(s, CAST(array() AS array<string>), (acc, x) -> "
+                f"CASE WHEN size(acc) > 0 AND element_at(acc, -1) = {_sql_str(a)} "
+                f"AND x = {_sql_str(b)} "
+                f"THEN concat(slice(acc, 1, size(acc) - 1), array({_sql_str(a + b)})) "
+                "ELSE concat(acc, array(x)) END)"
+            ).alias("s"),
+        )
+        if (rank + 1) % 4 == 0:
+            syms = syms.localCheckpoint(eager=False)
+    return spark.createDataFrame(
+        merges, "merge_rank int, left string, right string, merged string, pair_count bigint"
+    )
+
+
+def _sql_str(s: str) -> str:
+    """SQL string literal (single-quote escaped)."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"

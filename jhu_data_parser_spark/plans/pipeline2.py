@@ -497,3 +497,17 @@ def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.hll_sketch_estimate("sketch").alias("approx_distinct_customers"),
         )
     )
+
+
+# BPE tokenizer TRAINING (text_token_count_bpe applies a BPE-ish rule;
+# this learns the merge table from the corpus). Iterative: K small
+# shuffles over the |vocab| word table after one corpus-sized pass.
+# Inherently non-SQL (driver loop + argmax per round) → rows-only for
+# the driver; equivalence to a pure-python reference BPE is pinned in
+# tests/test_operators.py.
+@query("text_bpe_train_merges", oracle=None)
+def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jhu_data_parser_spark.operators.text import bpe_train_merges
+
+    d = load_table(spark, sf_dir, "documents")
+    return bpe_train_merges(d, num_merges=10, min_word_count=2)

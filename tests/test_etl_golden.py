@@ -381,3 +381,57 @@ def test_hll_sketch_merge_accuracy(spark):
     assert set(est) == set(exact)
     for k, e in exact.items():
         assert abs(est[k] - e) <= max(3, 0.025 * e), (k, est[k], e)
+
+
+def test_jsonl_quarantine_split(spark, tmp_path):
+    """PERMISSIVE JSONL ingest: typed good rows, raw corrupt lines
+    quarantined (nothing dropped, nothing fails the job)."""
+    from jhu_data_parser_spark.sources.jsonl import read_jsonl_quarantine
+
+    p = tmp_path / "landing.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "ok one"}\n'
+        "this is not json at all\n"
+        '{"doc_id": 2, "text": "ok two"}\n'
+        '{"doc_id": "NaN-ish", "text": 3}\n'  # parses as JSON, fails types
+        '{"doc_id": 4, "text": "ok four"\n'  # truncated
+    )
+    good, quarantine = read_jsonl_quarantine(
+        spark, str(p), "doc_id bigint, text string"
+    )
+    assert good.columns == ["doc_id", "text"]
+    rows = {r["doc_id"]: r["text"] for r in good.collect()}
+    assert rows == {1: "ok one", 2: "ok two"}
+    bad = sorted(r["raw"] for r in quarantine.collect())
+    assert len(bad) == 3
+    assert any("not json" in b for b in bad)
+    assert any("NaN-ish" in b for b in bad)
+
+
+def test_format_matrix_roundtrip(spark, tmp_path):
+    """Source/sink format matrix: the same frame survives parquet, ORC,
+    JSON, and CSV round trips with values intact (types re-asserted via
+    explicit schema where the format is schemaless)."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "a,b \"q\"", 1.5), (2, "", 2.5), (3, "plain", -0.25)],
+        "id long, s string, v double",
+    ).coalesce(1)
+    expected = {(r["id"], r["s"] or "", r["v"]) for r in df.collect()}
+    for fmt in ("parquet", "orc", "json", "csv"):
+        out = str(tmp_path / fmt)
+        w = df.write.mode("overwrite").format(fmt)
+        if fmt == "csv":
+            w = w.option("header", True).option("escape", '"')
+        w.save(out)
+        r = spark.read.format(fmt)
+        if fmt in ("json", "csv"):
+            r = r.schema("id long, s string, v double")
+        if fmt == "csv":
+            r = r.option("header", True).option("escape", '"')
+        got = {
+            (row["id"], row["s"] or "", row["v"])
+            for row in r.load(out).collect()
+        }
+        assert got == expected, fmt

@@ -484,3 +484,61 @@ def test_salted_agg_spreads_hot_key(spark):
         ).collect()
     }
     assert got == expected
+
+
+def _bpe_reference(word_counts, num_merges):
+    """Pure-python classic BPE (Sennrich-style) for cross-checking."""
+    vocab = {tuple(w): c for w, c in word_counts.items()}
+    merges = []
+    for rank in range(num_merges):
+        pairs = {}
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] = pairs.get((syms[i], syms[i + 1]), 0) + c
+        if not pairs:
+            break
+        best = max(pairs.items(), key=lambda kv: (kv[1], [-ord(ch) for ch in kv[0][0]]))
+        # deterministic: count desc, then lexicographically smallest pair
+        top_n = max(pairs.values())
+        cands = sorted([p for p, n in pairs.items() if n == top_n])
+        a, b = cands[0]
+        n = pairs[(a, b)]
+        if n < 2:
+            break
+        merges.append((rank, a, b, a + b, n))
+        new_vocab = {}
+        for syms, c in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + c
+        vocab = new_vocab
+    return merges
+
+
+def test_bpe_train_matches_reference(spark):
+    from jhu_data_parser_spark.operators.text import bpe_train_merges
+
+    texts = [
+        "low low low low low",
+        "lower lower newest newest",
+        "newest newest newest newest",
+        "wider wider new new",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [
+        (r["merge_rank"], r["left"], r["right"], r["merged"], r["pair_count"])
+        for r in bpe_train_merges(df, num_merges=8).orderBy("merge_rank").collect()
+    ]
+    wc = {}
+    for t in texts:
+        for w in t.split():
+            wc[w] = wc.get(w, 0) + 1
+    expected = _bpe_reference(wc, 8)
+    assert got == expected
+    assert got[0][1:3] == ("e", "w")  # 'ew': newest×6 + new×2 = 8, top pair
