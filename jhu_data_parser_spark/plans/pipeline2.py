@@ -511,3 +511,108 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return bpe_train_merges(d, num_merges=10, min_word_count=2)
+
+
+# RANGE-frame window over event time (not row count): each order sees
+# the customer's trailing-30-day spend — the feature-engineering frame
+# where row-based frames are wrong (orders per window vary). Both
+# engines run the frame over epoch-seconds longs so the boundary
+# semantics are identical; the windowed sum itself is a scaled-long
+# (exact, order-independent).
+@query(
+    "window_trailing_30d_spend",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(trailing_cents AS DOUBLE) / 100.0 AS trailing_30d_spend,
+           CAST(n_in_window AS BIGINT) AS n_in_window
+    FROM (
+      SELECT o_orderkey, o_custkey,
+             SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) OVER w
+               AS trailing_cents,
+             COUNT(*) OVER w AS n_in_window
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
+                   RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)
+    )
+    """,
+)
+def window_trailing_30d_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    # TIMESTAMP_NTZ has no direct long cast in Spark 4; the session TZ is
+    # pinned UTC so the ltz hop is exact epoch seconds (= DuckDB epoch()).
+    epoch_s = F.col("o_orderdate").cast("timestamp_ltz").cast("long")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(epoch_s)
+        .rangeBetween(-2592000, 0)
+    )
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        (F.sum(cents).over(w).cast("double") / 100.0).alias("trailing_30d_spend"),
+        F.count(F.lit(1)).over(w).alias("n_in_window"),
+    )
+
+
+# Per-customer spend trend (OLS slope over day index) with EXACT
+# portable arithmetic: x = day index (int), y = cents (long); n, Σx,
+# Σy, Σxy, Σx² accumulate as exact integers and the slope divides once
+# at the end — bit-identical across engines where a naive regr_slope
+# (order-dependent double sums) would hash-mismatch. The
+# feature-engineering shape for per-entity model inputs at 100 TB: one
+# shuffle on the entity key, everything else map-side.
+@query(
+    "agg_spend_trend_per_customer",
+    oracle="""
+    SELECT o_custkey,
+           CAST(n AS BIGINT) AS n_days,
+           ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                 / 100.0, 6) AS slope_per_day
+    FROM (
+      SELECT o_custkey,
+             COUNT(*) AS n,
+             SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy, SUM(x * x) AS sxx
+      FROM (
+        SELECT o_custkey,
+               CAST(datediff('day', TIMESTAMP '1992-01-01', o_orderdate) AS BIGINT) AS x,
+               SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS y
+        FROM orders GROUP BY o_custkey, datediff('day', TIMESTAMP '1992-01-01', o_orderdate)
+      )
+      GROUP BY o_custkey
+    )
+    WHERE n >= 2 AND (n * sxx - sx * sx) <> 0
+    """,
+)
+def agg_spend_trend_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        "o_custkey",
+        F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("timestamp"))
+        .cast("long")
+        .alias("x"),
+    ).agg(F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")).alias("y"))
+    s = daily.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    nd, sxd, syd = (F.col(c).cast("double") for c in ("n", "sx", "sy"))
+    sxyd, sxxd = F.col("sxy").cast("double"), F.col("sxx").cast("double")
+    slope = (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd) / 100.0
+    return (
+        s.filter(
+            (F.col("n") >= 2)
+            & (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx") != 0)
+        )
+        .select(
+            "o_custkey",
+            F.col("n").alias("n_days"),
+            F.round(slope, 6).alias("slope_per_day"),
+        )
+    )
