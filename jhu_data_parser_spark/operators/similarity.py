@@ -333,3 +333,61 @@ def topk_cosine_ivf(
     assigned = ivf_assign(df, cent, vec_col)
     candidates = assigned.filter(F.col("cell").isin([int(c) for c in probe]))
     return topk_cosine(candidates, query_vec, k, vec_col, id_col).drop("cell")
+
+
+def quantize_int8(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    q_col: str = "qvec",
+    scale_col: str = "qscale",
+) -> DataFrame:
+    """Symmetric int8 quantization per vector: ``q_i = floor(x_i·127/m +
+    0.5)`` with ``m = max|x|``, ``scale = m/127``. 4× smaller vectors,
+    integer dot products (exact, order-independent), recovered score =
+    ``int_dot · scale_a · scale_b``.
+
+    The scale story: at 100 TB of embeddings the index shrinks 4× and
+    the scoring hot loop becomes integer multiply-adds; the quantization
+    itself is a shuffle-free projection. Every arithmetic step (abs,
+    max, one multiply, one divide, floor) is a single IEEE op identical
+    in DuckDB — so quantized scores are bit-portable and oracle-checkable
+    (unlike float-sum cosines, which need the sequential-double dance).
+    """
+    maxabs = F.array_max(
+        F.transform(F.col(vec_col), lambda x: F.abs(x.cast("double")))
+    )
+    safe = F.when(maxabs > 0.0, maxabs).otherwise(F.lit(1.0))
+    q = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * 127.0 / safe + 0.5).cast("long"),
+    )
+    return df.withColumn(q_col, q).withColumn(scale_col, safe / 127.0)
+
+
+def int_dot(a: Column, b: Column) -> Column:
+    """Exact integer dot product of two array<long> columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("long"), lambda acc, v: acc + v
+    )
+
+
+def topk_quantized(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-k by int8-quantized dot product against a literal query
+    vector. Scores = qdot·scale_row·scale_query; ranking matches exact
+    cosine up to quantization error (recall pinned in tests)."""
+    import math
+
+    m = max((abs(float(x)) for x in query_vec), default=0.0) or 1.0
+    qq = [int(math.floor(float(x) * 127.0 / m + 0.5)) for x in query_vec]
+    q_lit = F.array(*[F.lit(v).cast("long") for v in qq])
+    quant = quantize_int8(df, vec_col)
+    scored = quant.withColumn(
+        "qscore", int_dot(F.col("qvec"), q_lit) * F.col("qscale") * F.lit(m / 127.0)
+    )
+    return scored.orderBy(F.col("qscore").desc(), F.col(id_col)).limit(k)

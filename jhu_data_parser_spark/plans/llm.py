@@ -772,3 +772,48 @@ def multimodal_embed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("embedding").alias("dim"),
         F.round(sim.l2_norm(F.col("embedding")), 4).alias("l2_norm"),
     )
+
+
+# Int8-quantized top-k — the memory/bandwidth scale path (4× smaller
+# index, integer dot products). FULLY oracle-paired: every quantization
+# step is a single IEEE op (abs/max/mul/div/floor), the dot is exact
+# integer arithmetic, and the two scale multiplies happen in the same
+# order in both engines — so even the SCORES hash-match, not just the
+# ranking. Recall vs exact cosine is pinned in tests/test_operators.py.
+_INT8_Q = """
+    (SELECT list_transform(qe, x -> CAST(floor(x * 127.0 / m + 0.5) AS BIGINT)) AS qq,
+            m / 127.0 AS qs
+     FROM (SELECT qe, CASE WHEN list_max(list_transform(qe, y -> abs(y))) > 0.0
+                           THEN list_max(list_transform(qe, y -> abs(y)))
+                           ELSE 1.0 END AS m
+           FROM (SELECT CAST(embedding AS DOUBLE[]) AS qe
+                 FROM embeddings WHERE vec_id = 0)))
+"""
+
+
+@query(
+    "sim_cosine_topk_int8",
+    oracle=f"""
+    WITH q AS {_INT8_Q},
+    c AS (SELECT vec_id, label,
+                 list_transform(emb, x -> CAST(floor(x * 127.0 / m + 0.5) AS BIGINT)) AS qv,
+                 m / 127.0 AS s
+          FROM (SELECT vec_id, label, emb,
+                       CASE WHEN list_max(list_transform(emb, y -> abs(y))) > 0.0
+                            THEN list_max(list_transform(emb, y -> abs(y)))
+                            ELSE 1.0 END AS m
+                FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+                      FROM embeddings WHERE vec_id <> 0)))
+    SELECT vec_id, label,
+           CAST(list_sum(list_transform(list_zip(c.qv, q.qq), z -> z[1] * z[2]))
+                AS DOUBLE) * c.s * q.qs AS qscore
+    FROM c, q
+    ORDER BY qscore DESC, vec_id LIMIT 10
+    """,
+)
+def sim_cosine_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir, 0)
+    return sim.topk_quantized(e.filter(F.col("vec_id") != 0), qv, k=10).select(
+        "vec_id", "label", "qscore"
+    )

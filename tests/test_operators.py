@@ -542,3 +542,19 @@ def test_bpe_train_matches_reference(spark):
     expected = _bpe_reference(wc, 8)
     assert got == expected
     assert got[0][1:3] == ("e", "w")  # 'ew': newest×6 + new×2 = 8, top pair
+
+
+def test_quantized_topk_recall(spark):
+    """Int8 quantization must preserve the neighborhood: recall@10 vs
+    exact cosine >= 0.8 on the real embeddings table, and integer dots
+    are exact (no float drift in the quantized domain)."""
+    from jhu_data_parser_spark.operators import similarity as sim
+    from jhu_data_parser_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.01"
+    e = load_table(spark, sf, "embeddings")
+    qv = [float(x) for x in e.filter("vec_id = 0").first()["embedding"]]
+    corpus = e.filter("vec_id <> 0")
+    exact = {r["vec_id"] for r in sim.topk_cosine(corpus, qv, k=10).collect()}
+    quant = {r["vec_id"] for r in sim.topk_quantized(corpus, qv, k=10).collect()}
+    assert len(exact & quant) >= 8

@@ -129,3 +129,37 @@ def test_scalar_battery_single_stage(spark):
         plan = _plan(spark, name)
         assert "Exchange" not in plan, name
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+
+
+def test_sessionize_is_one_exchange(spark):
+    """Both windows (lag, prefix sum) and the session aggregation must
+    reuse the single user_id hash partitioning — one fact shuffle total."""
+    plan = _plan(spark, "events_sessionize")
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
+    assert plan.count("Window ") == 2
+
+
+def test_chunking_is_shuffle_free(spark):
+    plan = _plan(spark, "text_chunk_documents")
+    assert "Exchange" not in plan, plan[:2000]
+    assert "Generate posexplode" in plan
+    # column pruning: chunking needs only (doc_id, text)
+    assert "n_chars" not in plan and "lang" not in plan
+
+
+def test_trailing_window_is_range_frame(spark):
+    plan = _plan(spark, "window_trailing_30d_spend")
+    assert "RangeFrame" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_trend_partials_are_map_side(spark):
+    plan = _plan(spark, "agg_spend_trend_per_customer")
+    assert "partial_sum" in plan  # integer partials combine before shuffle
+    assert plan.count("Exchange hashpartitioning") == 2  # (cust,day) then cust
+
+
+def test_zscore_stats_join_is_broadcast(spark):
+    plan = _plan(spark, "events_zscore_outliers")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
