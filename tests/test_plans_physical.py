@@ -163,3 +163,45 @@ def test_zscore_stats_join_is_broadcast(spark):
     plan = _plan(spark, "events_zscore_outliers")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark):
+    """Runtime (bloom-filter) row pruning: a selective dim filter
+    injects a bloom_filter_agg built from the dim keys into the fact
+    scan side of a shuffle join. Default-on in this Spark; the 10 GB
+    application-side scan threshold means it only engages at real scale
+    — this test lowers the threshold to pin the MECHANISM, which is the
+    100 TB behavior (fact rows failing the bloom test drop before the
+    shuffle)."""
+    from pyspark.sql import functions as F
+
+    from jhu_data_parser_spark.sources.tables import load_table
+
+    prev = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+        li = load_table(spark, SF_SMOKE, "lineitem")
+        o = load_table(spark, SF_SMOKE, "orders").filter(
+            F.col("o_totalprice") > 500000
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan, plan[:2000]
+        assert "might_contain" in plan.lower() or "BloomFilter" in plan
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
