@@ -616,3 +616,143 @@ def agg_spend_trend_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(slope, 6).alias("slope_per_day"),
         )
     )
+
+
+# TPC-H Q9 shape (profit by nation and year): the widest join in the
+# catalog — fact ⋈ part ⋈ supplier ⋈ nation with a pushed-down part
+# filter. Both dims broadcast; profit = revenue − retail-cost proxy in
+# exact scaled cents; grouping on (nation, year) after the fact-side
+# projection narrows to 4 columns. The brand filter prunes parts BEFORE
+# the join (PushedFilters on p_brand), so the fact join probes a
+# reduced build side — the selective-dim star shape at any scale.
+@query(
+    "join_profit_by_nation_year",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(year(o.o_orderdate) AS INT) AS order_year,
+           CAST(SUM(CAST(floor((l.l_extendedprice * (1.0 - l.l_discount)
+                                - p.p_retailprice * l.l_quantity) * 100 + 0.5)
+                         AS BIGINT)) AS DOUBLE) / 100.0 AS profit
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE p.p_brand <> 'Brand#45'
+    GROUP BY n.n_name, year(o.o_orderdate)
+    """,
+)
+def join_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") != "Brand#45")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    profit_cents = F.floor(
+        (
+            F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+            - F.col("p_retailprice") * F.col("l_quantity")
+        )
+        * 100
+        + F.lit(0.5)
+    ).cast("long")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("order_year"),
+        )
+        .agg((F.sum(profit_cents).cast("double") / 100.0).alias("profit"))
+    )
+
+
+# Funnel analysis: how many users complete each prefix of the
+# signup → click → purchase sequence IN ORDER. Stage times are per-user
+# MINs (one shuffle on user_id); the ordered-prefix test is a pure
+# projection over the tiny per-user frame. The classic product-analytics
+# query, exactly SQL-portable.
+@query(
+    "events_funnel_ordered",
+    oracle="""
+    WITH stages AS (
+      SELECT user_id,
+             MIN(ts) FILTER (WHERE event_type = 'signup') AS t_signup,
+             MIN(ts) FILTER (WHERE event_type = 'click') AS t_click,
+             MIN(ts) FILTER (WHERE event_type = 'purchase') AS t_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT
+      CAST(COUNT(*) FILTER (WHERE t_signup IS NOT NULL) AS BIGINT) AS n_signup,
+      CAST(COUNT(*) FILTER (WHERE t_signup IS NOT NULL AND t_click > t_signup)
+           AS BIGINT) AS n_signup_click,
+      CAST(COUNT(*) FILTER (WHERE t_signup IS NOT NULL AND t_click > t_signup
+                            AND t_purchase > t_click)
+           AS BIGINT) AS n_signup_click_purchase
+    FROM stages
+    """,
+)
+def events_funnel_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    stage = lambda t: F.min(F.when(F.col("event_type") == t, F.col("ts")))  # noqa: E731
+    stages = ev.groupBy("user_id").agg(
+        stage("signup").alias("t_signup"),
+        stage("click").alias("t_click"),
+        stage("purchase").alias("t_purchase"),
+    )
+    c1 = F.col("t_signup").isNotNull()
+    c2 = c1 & (F.col("t_click") > F.col("t_signup"))
+    c3 = c2 & (F.col("t_purchase") > F.col("t_click"))
+    return stages.agg(
+        F.count_if(c1).alias("n_signup"),
+        F.count_if(c2).alias("n_signup_click"),
+        F.count_if(c3).alias("n_signup_click_purchase"),
+    )
+
+
+# Exact rolling median over a bounded row frame (last 5 orders per
+# customer): collect the frame into an array, sort, take the exact
+# middle (average of the two middles on even counts, computed in exact
+# cents). Median-over-window has no native Spark aggregate; the
+# collect+sort form is exact and stays correct because the frame is
+# BOUNDED (5 rows) — the pattern for small-frame exact order statistics
+# at scale. Oracle: DuckDB's native windowed median (same tie/interp
+# semantics on even frames).
+@query(
+    "window_rolling_median_spend",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(median(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) OVER w
+                AS DOUBLE) / 100.0 AS rolling_median
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_rolling_median_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-4, 0)
+    )
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    frame = F.array_sort(F.collect_list(cents).over(w))
+    n = F.size(frame)
+    median = F.when(
+        n % 2 == 1,
+        F.element_at(frame, ((n + 1) / 2).cast("int")).cast("double"),
+    ).otherwise(
+        (
+            F.element_at(frame, (n / 2).cast("int"))
+            + F.element_at(frame, (n / 2 + 1).cast("int"))
+        ).cast("double")
+        / 2.0
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        (median / 100.0).alias("rolling_median"),
+    )
