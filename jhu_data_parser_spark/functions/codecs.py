@@ -1,6 +1,6 @@
-"""Pure-python image codecs for the multimodal metadata path.
+"""Pure-python media codecs for the multimodal metadata path.
 
-Two genuinely-decoded formats, both public, stdlib-only:
+Three genuinely-decoded formats, all public, stdlib+numpy-only:
 
 - **BMP** (Windows bitmap): 14-byte file header (``BM`` magic, file
   size at offset 2) + BITMAPINFOHEADER (width int32le at offset 18,
@@ -9,6 +9,10 @@ Two genuinely-decoded formats, both public, stdlib-only:
 - **PPM** (netpbm P6 binary / P3 ASCII): ASCII header
   ``P6 <width> <height> <maxval>`` with ``#`` comments allowed between
   tokens, then raw RGB bytes.
+- **WAV** (RIFF/WAVE, PCM 16-bit): chunked RIFF container — the parser
+  walks the chunk list (fmt / data / unknown chunks skipped with
+  word-alignment), validates the PCM format tag, and decodes the raw
+  little-endian int16 samples.
 
 These make ``extract_media_meta`` a *real* decoder for at least these
 codecs (r01 verdict item 4): width/height are parsed from the byte
@@ -24,7 +28,14 @@ from __future__ import annotations
 
 import struct
 
-__all__ = ["encode_bmp", "encode_ppm", "decode_image_meta", "sniff_format"]
+__all__ = [
+    "encode_bmp",
+    "encode_ppm",
+    "encode_wav",
+    "decode_image_meta",
+    "decode_wav",
+    "sniff_format",
+]
 
 _BMP_HEADER_SIZE = 14 + 40  # BITMAPFILEHEADER + BITMAPINFOHEADER
 
@@ -99,12 +110,85 @@ def encode_ppm(width: int, height: int, seed: int = 0) -> bytes:
 
 
 def sniff_format(payload: bytes) -> str | None:
-    """Return 'bmp' / 'ppm' for recognized magics, else None."""
+    """Return 'bmp' / 'ppm' / 'wav' for recognized magics, else None."""
     if len(payload) >= 2 and payload[:2] == b"BM":
         return "bmp"
     if len(payload) >= 2 and payload[:2] in (b"P6", b"P3"):
         return "ppm"
+    if len(payload) >= 12 and payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return "wav"
     return None
+
+
+def _wav_samples(n_samples: int, seed: int):
+    """Deterministic int16 PCM samples: ``(seed*7919 + i*104729) % 65536
+    - 32768``. Pure integer arithmetic so a SQL oracle can recompute any
+    aggregate of the waveform without ever seeing the bytes."""
+    import numpy as np
+
+    i = np.arange(n_samples, dtype=np.int64)
+    return ((seed * 7919 + i * 104729) % 65536 - 32768).astype(np.int16)
+
+
+def encode_wav(n_samples: int, sample_rate: int, seed: int = 0) -> bytes:
+    """Build a valid RIFF/WAVE file: PCM (audio format 1), mono, 16-bit,
+    canonical 44-byte header + little-endian samples from
+    :func:`_wav_samples`."""
+    if n_samples <= 0 or sample_rate <= 0:
+        raise ValueError("WAV needs positive n_samples and sample_rate")
+    data = _wav_samples(n_samples, seed).tobytes()  # numpy int16 is LE on all our platforms
+    byte_rate = sample_rate * 2  # mono * 16bit
+    header = (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate, byte_rate, 2, 16)
+        + b"data"
+        + struct.pack("<I", len(data))
+    )
+    return header + data
+
+
+def decode_wav(payload: bytes):
+    """Parse a RIFF/WAVE byte stream: walk the chunk list, read the fmt
+    chunk, locate the data chunk, and return
+    ``(sample_rate, n_channels, bit_depth, samples: np.ndarray[int16])``.
+
+    A real (if minimal) PCM WAV reader — handles arbitrary chunk order
+    and skips unknown chunks (LIST/INFO etc.), like any compliant
+    parser. Raises ValueError on malformed streams.
+    """
+    import numpy as np
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE stream")
+    pos, n = 12, len(payload)
+    fmt = None
+    data = None
+    while pos + 8 <= n:
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            if size < 16:
+                raise ValueError("short fmt chunk")
+            audio_fmt, channels, rate, _brate, _align, bits = struct.unpack_from(
+                "<HHIIHH", body, 0
+            )
+            if audio_fmt != 1:
+                raise ValueError(f"unsupported WAV audio format {audio_fmt} (PCM only)")
+            fmt = (rate, channels, bits)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt or data chunk")
+    rate, channels, bits = fmt
+    if bits != 16:
+        raise ValueError(f"unsupported bit depth {bits}")
+    samples = np.frombuffer(data, dtype="<i2")
+    return int(rate), int(channels), int(bits), samples
 
 
 def _decode_bmp(payload: bytes) -> tuple[int, int]:

@@ -727,6 +727,44 @@ def multimodal_decode_image(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# REAL audio decode: synthesize valid RIFF/WAVE PCM16 payloads whose
+# properties (sample count, rate, waveform values) are integer functions
+# of doc_id, then *parse the byte stream* — chunk walk, fmt validation,
+# int16 sample decode. The oracle recomputes every output, including
+# Σ|sample| over the full waveform, from doc_id arithmetic alone
+# (generate_series cross join — it never sees a byte), so a hash match
+# proves the decoder read both the header AND the PCM data.
+@query(
+    "multimodal_decode_audio",
+    oracle="""
+    WITH wave AS (
+      SELECT d.doc_id,
+             CAST(SUM(abs((d.doc_id * 7919 + g.i * 104729) % 65536 - 32768))
+                  AS BIGINT) AS abs_amplitude_sum
+      FROM documents d CROSS JOIN generate_series(0, 255) g(i)
+      WHERE g.i < d.doc_id % 192 + 64
+      GROUP BY d.doc_id)
+    SELECT d.doc_id,
+           'wav' AS media_type,
+           CAST(CASE d.doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                ELSE 44100 END AS INT) AS sample_rate,
+           CAST(1 AS INT) AS n_channels,
+           CAST(16 AS INT) AS bit_depth,
+           CAST(d.doc_id % 192 + 64 AS BIGINT) AS n_samples,
+           CAST((d.doc_id % 192 + 64) * 1000000
+                // CASE d.doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                   ELSE 44100 END AS BIGINT) AS duration_us,
+           wave.abs_amplitude_sum
+    FROM documents d JOIN wave USING (doc_id)
+    """,
+)
+def multimodal_decode_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jhu_data_parser_spark.operators.multimodal import attach_audio, extract_audio_meta
+
+    d = attach_audio(load_table(spark, sf_dir, "documents"))
+    return extract_audio_meta(d)
+
+
 # Resize plumbing, oracle-checkable on its observable contract: output
 # byte length is the deterministic function of (input length, target
 # area) the stub defines, and the dims are recorded.

@@ -414,6 +414,50 @@ def test_codecs_bmp_ppm_roundtrip():
         decode_image_meta(b"P6\n12")
 
 
+def test_codecs_wav_roundtrip():
+    import struct
+
+    import numpy as np
+
+    from jhu_data_parser_spark.functions.codecs import decode_wav, encode_wav, sniff_format
+
+    wav = encode_wav(100, 16000, seed=9)
+    assert sniff_format(wav) == "wav"
+    rate, channels, bits, samples = decode_wav(wav)
+    assert (rate, channels, bits, len(samples)) == (16000, 1, 16, 100)
+    # Sample values follow the documented integer recurrence.
+    expected = (9 * 7919 + np.arange(100, dtype=np.int64) * 104729) % 65536 - 32768
+    assert (samples.astype(np.int64) == expected).all()
+    # Parser is a real chunk walker: an unknown odd-sized chunk inserted
+    # before fmt/data is skipped with word alignment.
+    body = wav[12:]
+    junk = b"LIST" + struct.pack("<I", 5) + b"junk!" + b"\x00"  # 5 bytes + pad
+    rebuilt = b"RIFF" + struct.pack("<I", 4 + len(junk) + len(body)) + b"WAVE" + junk + body
+    assert decode_wav(rebuilt)[:3] == (16000, 1, 16)
+    # Corruption → ValueError: bad magic, non-PCM format tag, no data chunk.
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFX" + wav[4:])
+    nonpcm = bytearray(wav)
+    struct.pack_into("<H", nonpcm, 20, 3)  # IEEE float format tag
+    with pytest.raises(ValueError):
+        decode_wav(bytes(nonpcm))
+    with pytest.raises(ValueError):
+        decode_wav(wav[: 12 + 24])  # fmt only, truncated before data
+
+
+def test_extract_audio_meta_real_decode(spark):
+    from jhu_data_parser_spark.functions.codecs import encode_wav
+    from jhu_data_parser_spark.operators.multimodal import extract_audio_meta
+
+    rows = [(7, encode_wav(64 + 7 % 192, 16000, seed=7))]
+    df = spark.createDataFrame(rows, "doc_id long, media binary")
+    out = extract_audio_meta(df).collect()[0]
+    assert out["media_type"] == "wav"
+    assert out["n_samples"] == 71
+    assert out["duration_us"] == 71 * 1_000_000 // 16000
+    assert out["abs_amplitude_sum"] > 0
+
+
 def test_extract_media_meta_real_decode(spark):
     from jhu_data_parser_spark.functions.codecs import encode_bmp, encode_ppm
     from jhu_data_parser_spark.operators.multimodal import extract_media_meta
