@@ -1,0 +1,143 @@
+"""Iterative + multi-way-join graph operators (extension surface).
+
+The reference (/root/reference/src/parser.py, parser2.py) has no graph
+surface at all — this module belongs to the LLM-pipeline extension:
+dedup clustering already needs connected components
+(``operators/dedup.py``); PageRank-style scoring and triangle counting
+are the next two graph shapes a corpus-curation pipeline reaches for
+(authority scoring of link/citation graphs, community density).
+
+All arithmetic is **integer-exact** (fixed-point ranks, integer
+division) so results are engine-independent and oracle-checkable —
+floating-point PageRank is order-dependent across reducers and can
+never hash-match a second engine.
+
+100 TB posture:
+- Edges and ranks shuffle on node keys only — payloads never travel.
+- Each PageRank iteration is one join + one groupBy; the rank table is
+  |V| rows, not |E|. ``localCheckpoint`` per round truncates lineage so
+  the plan does not grow with iteration count (same discipline as
+  ``dedup.connected_components``).
+- Triangle counting orients edges (low id → high id here; by-degree at
+  scale, the standard skew bound: fan-out per node becomes O(sqrt(m))
+  instead of O(max_degree)).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["trade_edges", "pagerank", "triangle_counts"]
+
+PR_SCALE = 1_000_000_000_000  # fixed-point: rank 1.0 == 10^12
+
+
+def trade_edges(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+) -> DataFrame:
+    """Derive a directed nation-level trade graph: one edge
+    ``supplier-nation → customer-nation`` per distinct trading pair
+    (self-loops dropped). The fact table shuffles only its two key
+    columns; nation arity bounds the distinct output at |N|²."""
+    return (
+        lineitem.select("l_orderkey", "l_suppkey")
+        .join(orders.select("o_orderkey", "o_custkey"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer.select("c_custkey", "c_nationkey")), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supplier.select("s_suppkey", "s_nationkey")), F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .select(F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst"))
+        .distinct()
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 5,
+    damping_pct: int = 85,
+    scale: int = PR_SCALE,
+) -> DataFrame:
+    """Fixed-iteration integer PageRank → ``(node, rank_scaled)``.
+
+    Update rule (all integer, reproducible bit-for-bit in any engine)::
+
+        r0(v)  = scale // n_nodes
+        r_i(v) = scale // n_nodes * (100-d) // 100
+                 + coalesce(sum over in-edges u→v of r_{i-1}(u) // outdeg(u), 0)
+                 * d // 100
+
+    Dangling mass (nodes with no out-edges) is dropped, the common
+    simplified variant — documented so the oracle applies the same rule.
+    ``n_nodes`` enters as a cross-joined 1-row aggregate, not a driver
+    action, so the whole thing stays one lazy plan per iteration.
+    """
+    edges = edges.select("src", "dst").localCheckpoint(eager=True)
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_nodes = nodes.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    outdeg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("outdeg")
+    )
+    teleport = F.expr(f"{scale} div n_nodes * {100 - damping_pct} div 100")
+
+    ranks = nodes.crossJoin(n_nodes).select(
+        "node", F.expr(f"{scale} div n_nodes").alias("r")
+    )
+    for _ in range(iterations):
+        contrib = (
+            ranks.join(outdeg, "node")
+            .join(edges, ranks["node"] == edges["src"])
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.expr("r div outdeg")).alias("s"))
+        )
+        ranks = (
+            nodes.crossJoin(n_nodes)
+            .join(contrib, "node", "left")
+            .select(
+                "node",
+                (teleport + F.expr(f"coalesce(s, 0L) * {damping_pct} div 100")).alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("node", F.col("r").alias("rank_scaled"))
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle participation over the undirected version of
+    ``edges`` → ``(node, n_triangles)``, every node present (0 if none).
+
+    Canonical orientation (a < b) makes each undirected edge one row and
+    each triangle a single (a<b<c) path join: e1=(a,b) ⋈ e2=(b,c) ⋈
+    e3=(a,c). At corpus scale the orientation key switches to
+    (degree, id) — bounding per-node fan-out by O(sqrt(m)) — which
+    counts the same triangles; id-orientation keeps the oracle twin
+    byte-identical here."""
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    e1 = und.select(F.col("a").alias("t_a"), F.col("b").alias("t_b"))
+    e2 = und.select(F.col("a").alias("t_b"), F.col("b").alias("t_c"))
+    e3 = und.select(F.col("a").alias("t_a"), F.col("b").alias("t_c"))
+    tri = e1.join(e2, "t_b").join(e3, ["t_a", "t_c"])
+    nodes = und.select(F.col("a").alias("node")).union(und.select("b")).distinct()
+    member = (
+        tri.select(F.col("t_a").alias("node"))
+        .unionAll(tri.select("t_b"))
+        .unionAll(tri.select("t_c"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    return nodes.join(member, "node", "left").select(
+        "node", F.coalesce("n", F.lit(0).cast("long")).alias("n_triangles")
+    )

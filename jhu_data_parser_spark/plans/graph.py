@@ -1,0 +1,117 @@
+"""Graph-analytics catalog wave: integer-exact PageRank and triangle
+counting over a nation-level trade graph derived from the fact tables.
+
+Reference parity note: the reference (/root/reference) has no graph
+surface — these are extension operators (the iterative-join and
+multi-way self-join shapes corpus curation needs: authority scoring,
+community density, dedup-cluster diagnostics).
+
+Oracle discipline: PageRank is fixed-point integer arithmetic (rank
+1.0 == 10^12, integer division everywhere), so the DuckDB twin — the
+same five update steps unrolled as chained CTEs — reproduces every rank
+bit-for-bit. Floating-point PageRank could never hash-match across
+engines (reducer-order-dependent sums).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from jhu_data_parser_spark.plans.catalog import query
+from jhu_data_parser_spark.sources.tables import load_table
+
+_EDGES_SQL = """
+    SELECT DISTINCT s.s_nationkey AS src, c.c_nationkey AS dst
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    WHERE s.s_nationkey <> c.c_nationkey
+"""
+
+_PR_ITERATIONS = 5
+_PR_SCALE = 1_000_000_000_000
+
+
+def _pagerank_oracle() -> str:
+    """Unroll the five integer update steps as chained CTEs (DuckDB
+    disallows aggregates in recursive-CTE terms, and a fixed iteration
+    count needs no recursion anyway)."""
+    steps = []
+    for i in range(1, _PR_ITERATIONS + 1):
+        steps.append(f"""
+    r{i} AS (
+      SELECT n.node,
+             CAST({_PR_SCALE} // nn.n_nodes * 15 // 100
+                  + COALESCE(c.s, 0) * 85 // 100 AS BIGINT) AS r
+      FROM nodes n CROSS JOIN nn
+      LEFT JOIN (
+        SELECT e.dst AS node, CAST(SUM(p.r // od.outdeg) AS BIGINT) AS s
+        FROM r{i - 1} p
+        JOIN outdeg od ON p.node = od.node
+        JOIN edges e ON e.src = p.node
+        GROUP BY e.dst) c ON c.node = n.node)""")
+    return f"""
+    WITH edges AS ({_EDGES_SQL}),
+    nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM nodes),
+    outdeg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS outdeg
+               FROM edges GROUP BY src),
+    r0 AS (SELECT node, CAST({_PR_SCALE} // n_nodes AS BIGINT) AS r
+           FROM nodes CROSS JOIN nn),{",".join(steps)}
+    SELECT node, r AS rank_scaled FROM r{_PR_ITERATIONS}
+    """
+
+
+@query("graph_pagerank_trade", oracle=_pagerank_oracle())
+def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Authority scoring of the supplier→customer nation trade graph:
+    5 fixed-point PageRank iterations (operators/graph.py). Each
+    iteration: one |V|-row join + groupBy, lineage checkpointed — the
+    shape that runs unchanged on a billion-edge graph."""
+    from jhu_data_parser_spark.operators.graph import pagerank, trade_edges
+
+    edges = trade_edges(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "supplier"),
+    )
+    return pagerank(edges, iterations=_PR_ITERATIONS, scale=_PR_SCALE)
+
+
+@query(
+    "graph_triangle_count",
+    oracle=f"""
+    WITH edges AS ({_EDGES_SQL}),
+    und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+            FROM edges),
+    tri AS (SELECT e1.a AS ta, e1.b AS tb, e2.b AS tc
+            FROM und e1
+            JOIN und e2 ON e2.a = e1.b
+            JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+    nodes AS (SELECT a AS node FROM und UNION SELECT b FROM und),
+    member AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS n
+               FROM (SELECT ta AS node FROM tri
+                     UNION ALL SELECT tb FROM tri
+                     UNION ALL SELECT tc FROM tri)
+               GROUP BY node)
+    SELECT n.node, CAST(COALESCE(m.n, 0) AS BIGINT) AS n_triangles
+    FROM nodes n LEFT JOIN member m ON m.node = n.node
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle participation in the undirected trade graph —
+    the community-density primitive. Canonically oriented (a<b<c) so
+    each triangle is one 3-way join path; degree-orientation is the
+    at-scale skew upgrade (operators/graph.py docstring)."""
+    from jhu_data_parser_spark.operators.graph import trade_edges, triangle_counts
+
+    edges = trade_edges(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "supplier"),
+    )
+    return triangle_counts(edges)

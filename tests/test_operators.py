@@ -414,6 +414,45 @@ def test_codecs_bmp_ppm_roundtrip():
         decode_image_meta(b"P6\n12")
 
 
+def test_pagerank_integer_exact(spark):
+    """Spark integer PageRank must equal a plain-Python mirror of the
+    documented update rule on a hand-built graph (incl. a dangling node
+    4 and a no-in-edge node 1)."""
+    from jhu_data_parser_spark.operators.graph import PR_SCALE, pagerank
+
+    edge_list = [(1, 2), (2, 3), (3, 2), (2, 4)]
+    edges = spark.createDataFrame(edge_list, "src int, dst int")
+    got = {r["node"]: r["rank_scaled"] for r in pagerank(edges, iterations=5).collect()}
+
+    nodes = sorted({n for e in edge_list for n in e})
+    outdeg = {}
+    for s, _ in edge_list:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    n = len(nodes)
+    r = {v: PR_SCALE // n for v in nodes}
+    for _ in range(5):
+        contrib = {}
+        for s, d in edge_list:
+            contrib[d] = contrib.get(d, 0) + r[s] // outdeg[s]
+        r = {v: PR_SCALE // n * 15 // 100 + contrib.get(v, 0) * 85 // 100 for v in nodes}
+    assert got == r
+    # sanity: node 2 (two in-edges) outranks the no-in-edge node 1
+    assert got[2] > got[1]
+
+
+def test_triangle_counts(spark):
+    """Two triangles sharing edge (1,2); node 5 connected but
+    triangle-free; directions/duplicates must not matter."""
+    from jhu_data_parser_spark.operators.graph import triangle_counts
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (2, 1), (1, 4), (2, 4), (4, 5)],
+        "src int, dst int",
+    )
+    got = {r["node"]: r["n_triangles"] for r in triangle_counts(edges).collect()}
+    assert got == {1: 2, 2: 2, 3: 1, 4: 1, 5: 0}
+
+
 def test_codecs_wav_roundtrip():
     import struct
 
