@@ -226,6 +226,36 @@ def stream_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Streaming exactly-once dedup under at-least-once delivery: the source
+# delivers every event TWICE (same file staged under two names — the
+# checkpoint-replay/re-send failure mode), and
+# dropDuplicatesWithinWatermark must collapse the stream back to one row
+# per event_id. Oracle: the events table itself — a hash match proves
+# both that duplicates were planted (append sink, no implicit distinct)
+# and that the stateful dedup removed every one of them.
+@query(
+    "stream_dedup_watermark",
+    oracle=f"""
+    SELECT event_id, user_id, event_type,
+           strftime(ts, '{_TS_FMT_DUCK}') AS ts,
+           value
+    FROM events
+    """,
+)
+def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jhu_data_parser_spark.streaming.jobs import run_dedup_stream
+
+    table = f"stream_dedup_{next(_mem_counter)}"
+    out = run_dedup_stream(spark, sf_dir, table, watermark="1 day", copies=2)
+    return out.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.date_format("ts", _TS_FMT).alias("ts"),
+        "value",
+    )
+
+
 # Stream-stream inner join (attribution: purchase ← clicks by the same
 # user in the prior 30 min), both sides watermarked so join state stays
 # bounded by the time-range condition. availableNow processes the whole

@@ -28,10 +28,14 @@ __all__ = [
 ]
 
 
-def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def read_events_stream(spark: SparkSession, sf_dir: str, copies: int = 1) -> DataFrame:
     """File-source stream over the events parquet. In production the path
     is a landing prefix that grows; availableNow processes the backlog in
-    bounded batches and exits."""
+    bounded batches and exits.
+
+    ``copies > 1`` stages the same file under N names — an at-least-once
+    delivery simulation (checkpoint replay / upstream re-send) where
+    every record arrives N times, for exercising streaming dedup."""
     from jhu_data_parser_spark.sources.tables import _normalize_nanos_ts
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -40,7 +44,8 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The file source wants a directory (a growing landing prefix in
     # production); testdata is read-only single files, so stage a symlink.
     stage = tempfile.mkdtemp(prefix="jdps_stream_src_")
-    os.symlink(src, os.path.join(stage, "events.parquet"))
+    for i in range(copies):
+        os.symlink(src, os.path.join(stage, f"events_{i}.parquet"))
     stream = spark.readStream.schema(schema).parquet(stage)
     return _normalize_nanos_ts(stream)
 
@@ -79,12 +84,18 @@ def run_daily_counts_availablenow(
 
 
 def run_dedup_stream(
-    spark: SparkSession, sf_dir: str, table: str, watermark: str = "1 day"
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    watermark: str = "1 day",
+    copies: int = 1,
 ) -> DataFrame:
     """Stateful streaming dedup on event_id within the watermark horizon —
     the streaming twin of exact dedup. State = one key per event inside
-    the watermark window, evicted as the watermark advances."""
-    ev = read_events_stream(spark, sf_dir)
+    the watermark window, evicted as the watermark advances. ``copies``
+    plants duplicate deliveries (see :func:`read_events_stream`), which
+    the operator must collapse back to exactly-once."""
+    ev = read_events_stream(spark, sf_dir, copies=copies)
     deduped = ev.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
     q = (
         deduped.writeStream.format("memory")
