@@ -152,3 +152,38 @@ def window_lead_next_order_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.datediff(F.lead("o_orderdate").over(w), F.col("o_orderdate")).alias("days_to_next"),
     )
+
+
+# Distinct count over a trailing time window — a frame aggregate NEITHER
+# engine supports natively (no COUNT(DISTINCT) OVER ... RANGE): Spark
+# side composes collect_list → array_distinct → size inside the frame;
+# the oracle recomputes each row's answer with a correlated range
+# subquery. Both sides range on floor'd epoch seconds so the frame
+# boundaries are integer-identical. At 100 TB the exact form's state is
+# the value list per frame — the documented sketch upgrade is an HLL
+# register set per frame (agg_hll_sketch_merge shows the sketch
+# machinery) when values-per-window stops fitting.
+@query(
+    "window_rolling_distinct_types",
+    oracle="""
+    SELECT e.event_id,
+           (SELECT CAST(COUNT(DISTINCT e2.event_type) AS INT)
+            FROM events e2
+            WHERE e2.user_id = e.user_id
+              AND CAST(floor(epoch(e2.ts)) AS BIGINT)
+                  BETWEEN CAST(floor(epoch(e.ts)) AS BIGINT) - 3600
+                      AND CAST(floor(epoch(e.ts)) AS BIGINT)
+           ) AS n_distinct_types
+    FROM events e
+    """,
+)
+def window_rolling_distinct_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    sec = F.col("ts").cast("long")  # session TZ pinned UTC → exact epoch s
+    w = Window.partitionBy("user_id").orderBy(sec).rangeBetween(-3600, 0)
+    return ev.select(
+        "event_id",
+        F.size(F.array_distinct(F.collect_list("event_type").over(w))).alias(
+            "n_distinct_types"
+        ),
+    )
