@@ -119,22 +119,27 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     (degree, id) — bounding per-node fan-out by O(sqrt(m)) — which
     counts the same triangles; id-orientation keeps the oracle twin
     byte-identical here."""
+    # Materialize the oriented edge set ONCE — it feeds four plan arms
+    # (e1/e2/e3/nodes); without the checkpoint each arm re-runs the full
+    # upstream edge-derivation pipeline (audited: 8 redundant fact scans
+    # on the trade graph).
     und = (
         edges.select(
             F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     e1 = und.select(F.col("a").alias("t_a"), F.col("b").alias("t_b"))
     e2 = und.select(F.col("a").alias("t_b"), F.col("b").alias("t_c"))
     e3 = und.select(F.col("a").alias("t_a"), F.col("b").alias("t_c"))
     tri = e1.join(e2, "t_b").join(e3, ["t_a", "t_c"])
     nodes = und.select(F.col("a").alias("node")).union(und.select("b")).distinct()
+    # One pass over the (potentially huge) triangle set: explode the 3
+    # corners per row instead of scanning tri three times via unionAll.
     member = (
-        tri.select(F.col("t_a").alias("node"))
-        .unionAll(tri.select("t_b"))
-        .unionAll(tri.select("t_c"))
+        tri.select(F.explode(F.array("t_a", "t_b", "t_c")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )

@@ -205,3 +205,26 @@ def test_runtime_bloom_filter_prunes_fact_side(spark):
     finally:
         for k, v in prev.items():
             spark.conf.set(k, v)
+
+
+def test_triangle_count_materializes_edges_once(spark):
+    """The oriented edge set feeds four plan arms; the checkpoint must
+    cut the upstream fact-table derivation out of the query plan (no
+    re-derivation per arm) and triangle-corner counting must be one
+    explode pass, not three unionAll scans."""
+    plan = _plan(spark, "graph_triangle_count")
+    assert "lineitem.parquet" not in plan  # edges materialized, not re-derived
+    assert "Generate explode" in plan
+    # exactly one Union (the nodes arm: und.a ∪ und.b) — the triangle
+    # corner scan must NOT be a 3-way unionAll over tri
+    assert plan.count("Union") == 1
+
+
+def test_pagerank_rank_table_stays_checkpointed(spark):
+    """Each PageRank iteration must start from the checkpointed |V|-row
+    rank table: the final plan is a read of the last checkpoint, not a
+    5-iteration join tower over the fact tables."""
+    plan = _plan(spark, "graph_pagerank_trade")
+    assert "lineitem.parquet" not in plan
+    assert "Scan ExistingRDD" in plan
+    assert "Join" not in plan  # the returned frame IS the checkpointed result
