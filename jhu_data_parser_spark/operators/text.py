@@ -25,6 +25,8 @@ __all__ = [
     "rolling_fingerprints",
     "langid_heuristic",
     "langid_ngram",
+    "shingles",
+    "contamination_hits",
     "STOPWORDS_EN",
 ]
 
@@ -79,6 +81,55 @@ def quality_features(col: Column | str, stopwords: tuple[str, ...] = STOPWORDS_E
             F.length(F.regexp_replace(c, r"[^A-Z]", "")).cast("double") / n_chars
         ),
     }
+
+
+def shingles(col: Column | str, k: int = 8) -> Column:
+    """Distinct k-token shingles of lowercased space-split text, as an
+    array column — all native higher-order functions, no UDF: a length-k
+    string window at every token position (``sequence`` + ``slice`` +
+    ``concat_ws``). The unit of benchmark-decontamination matching."""
+    c = F.col(col) if isinstance(col, str) else col
+    t = F.filter(F.split(F.lower(c), " "), lambda x: x != "")
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(t) - (k - 1), F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(t, i, k)),
+        )
+    )
+
+
+def contamination_hits(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination (the n-gram-overlap flagging step every
+    LLM training pipeline runs before training): flag every corpus doc
+    sharing at least one k-token shingle with the benchmark set →
+    ``(doc_id, n_hits)``, n_hits = number of distinct overlapping
+    shingles.
+
+    Plan shape for 100 TB: the benchmark side (eval sets — thousands of
+    docs, not billions) collapses to a distinct-shingle set and is
+    **broadcast**, so the corpus is scanned once with a map-side hash
+    probe — no shuffle of corpus shingles. If the benchmark ever
+    outgrows broadcast, drop the hint and the same plan shuffle-joins
+    on the shingle key; at that point hash the shingles (xxhash64) so
+    16-byte keys travel instead of strings."""
+    probe = (
+        benchmark.select(F.explode(shingles(text_col, k)).alias("shingle"))
+        .distinct()
+    )
+    doc_shingles = docs.select(
+        F.col(id_col), F.explode(shingles(text_col, k)).alias("shingle")
+    )
+    return (
+        doc_shingles.join(F.broadcast(probe), "shingle")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
 
 
 def fingerprint(col: Column | str) -> Column:

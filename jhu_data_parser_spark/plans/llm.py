@@ -855,3 +855,35 @@ def sim_cosine_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.topk_quantized(e.filter(F.col("vec_id") != 0), qv, k=10).select(
         "vec_id", "label", "qscore"
     )
+
+
+# Benchmark decontamination — the n-gram-overlap flagging step run
+# before any LLM training job: docs with doc_id % 97 == 0 stand in for
+# the benchmark/eval set; every OTHER doc sharing a k-token shingle
+# with it is flagged with its overlap count. The benchmark's distinct
+# shingle set is broadcast (eval sets are small), so the corpus is one
+# map-side probe — no corpus-shingle shuffle (operators/text.py).
+# k=4 here so the synthetic corpus exhibits observable overlap (8 docs
+# at sf0.01); production decontamination uses k=8..13 — same plan.
+@query(
+    "text_decontaminate_overlap",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+      FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, array_to_string(t[i:i+3], ' ') AS shingle
+      FROM toks, unnest(generate_series(1, greatest(len(t) - 3, 0))) AS u(i)),
+    probe AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0)
+    SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+    FROM sh s JOIN probe p USING (shingle)
+    WHERE s.doc_id % 97 <> 0
+    GROUP BY s.doc_id
+    """,
+)
+def text_decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    benchmark = d.filter(F.col("doc_id") % 97 == 0)
+    corpus = d.filter(F.col("doc_id") % 97 != 0)
+    return tx.contamination_hits(corpus, benchmark, k=4)

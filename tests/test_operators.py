@@ -641,3 +641,31 @@ def test_quantized_topk_recall(spark):
     exact = {r["vec_id"] for r in sim.topk_cosine(corpus, qv, k=10).collect()}
     quant = {r["vec_id"] for r in sim.topk_quantized(corpus, qv, k=10).collect()}
     assert len(exact & quant) >= 8
+
+
+def test_contamination_hits_planted(spark):
+    from jhu_data_parser_spark.operators.text import contamination_hits
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            # two distinct overlapping 4-shingles ("the quick brown fox",
+            # "quick brown fox jumps")
+            (1, "prefix the quick brown fox jumps suffix"),
+            # repeated shingle must count once (distinct semantics)
+            (2, "lazy dog bites lazy dog bites lazy dog bites"),
+            (3, "completely unrelated words only here"),
+            # case-insensitive match
+            (4, "THE QUICK BROWN FOX stops"),
+        ],
+        "doc_id long, text string",
+    )
+    out = contamination_hits(docs, bench, k=4)
+    got = {r["doc_id"]: r["n_hits"] for r in out.collect()}
+    assert got == {1: 2, 4: 1}
+    # benchmark probe set must broadcast: corpus-side map probe, no
+    # corpus-shingle shuffle
+    assert "BroadcastHashJoin" in out._jdf.queryExecution().executedPlan().toString()
