@@ -887,3 +887,54 @@ def text_decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     benchmark = d.filter(F.col("doc_id") % 97 == 0)
     corpus = d.filter(F.col("doc_id") % 97 != 0)
     return tx.contamination_hits(corpus, benchmark, k=4)
+
+
+# PII redaction — the scrubbing pass every training corpus gets before
+# use. Deterministic PII (an email and a phone built from doc_id) is
+# planted into each doc, then redacted with the same regexes in both
+# engines; the oracle hash-matches the md5 of the REDACTED text plus
+# the match counts, so the gate proves both engines found and replaced
+# the same spans. Pure regexp_replace/extract_all — whole-stage
+# codegen, no UDF, shuffle-free.
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\d{3}-\d{3}-\d{4}"
+
+
+@query(
+    "text_redact_pii",
+    oracle=f"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or call 555-'
+                  || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+      FROM documents)
+    SELECT doc_id,
+           md5(regexp_replace(regexp_replace(t, '{_EMAIL_RE}', '[EMAIL]', 'g'),
+                              '{_PHONE_RE}', '[PHONE]', 'g')) AS redacted_md5,
+           CAST(len(regexp_extract_all(t, '{_EMAIL_RE}')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(t, '{_PHONE_RE}')) AS INT) AS n_phones
+    FROM aug
+    """,
+)
+def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or call 555-"),
+        F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    t = F.regexp_replace(
+        F.regexp_replace(aug, _EMAIL_RE, "[EMAIL]"), _PHONE_RE, "[PHONE]"
+    )
+    return d.select(
+        "doc_id",
+        F.md5(t).alias("redacted_md5"),
+        F.size(F.regexp_extract_all(aug, F.lit(_EMAIL_RE), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all(aug, F.lit(_PHONE_RE), 0)).alias("n_phones"),
+    )
