@@ -46,13 +46,27 @@ def _normalize_nanos_ts(df: DataFrame, cols: tuple[str, ...] = ("ts",)) -> DataF
     return df
 
 
+# Session-scoped DataFrame cache: `spark.read.parquet` costs 60-85 ms
+# of driver-side listing + footer schema resolution PER CALL (measured
+# warm); queries that load a table twice pay it twice. The test tables
+# are immutable, so the analyzed (lazy) DataFrame is reusable — this is
+# the catalog-metadata cache any real engine keeps. Keyed by session id
+# so a restarted SparkSession re-resolves.
+_TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    key = (id(spark), sf_dir, name)
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         df = _normalize_nanos_ts(df)
+    _TABLE_CACHE[key] = df
     return df
 
 
