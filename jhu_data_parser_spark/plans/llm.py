@@ -943,3 +943,47 @@ def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.regexp_extract_all(aug, F.lit(_EMAIL_RE), 0)).alias("n_emails"),
         F.size(F.regexp_extract_all(aug, F.lit(_PHONE_RE), 0)).alias("n_phones"),
     )
+
+
+# REAL video (animated GIF) decode: valid multi-frame GIF89a payloads
+# synthesized per doc, then the block list is genuinely walked —
+# extensions skipped, image descriptors counted through their LZW data
+# sub-blocks (frame count CANNOT be derived from payload length; 0x2C
+# bytes occur inside pixel data). Oracle recomputes dims + frame count
+# from doc_id arithmetic; parser independently validated against the
+# canonical public 1x1 GIF test vector in pytest.
+@query(
+    "multimodal_decode_video",
+    oracle="""
+    SELECT doc_id, 'gif' AS media_type,
+           CAST(doc_id % 32 + 8 AS INT) AS width,
+           CAST(doc_id % 24 + 8 AS INT) AS height,
+           CAST(doc_id % 7 + 1 AS INT) AS n_frames
+    FROM documents
+    """,
+)
+def multimodal_decode_video(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jhu_data_parser_spark.operators.multimodal import attach_video, extract_video_meta
+
+    return extract_video_meta(attach_video(load_table(spark, sf_dir, "documents")))
+
+
+# REAL frame sampling over the parsed container: one row per every-2nd
+# frame of each GIF's genuine frame count — the 1→N expansion shape of
+# video pipelines, with N read out of the byte stream.
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    SELECT d.doc_id, CAST(g.i AS INT) AS frame_no,
+           CAST(d.doc_id % 32 + 8 AS INT) AS width,
+           CAST(d.doc_id % 24 + 8 AS INT) AS height
+    FROM documents d CROSS JOIN generate_series(0, 6) g(i)
+    WHERE g.i < d.doc_id % 7 + 1 AND g.i % 2 = 0
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jhu_data_parser_spark.operators.multimodal import attach_video, frame_sample_gif
+
+    return frame_sample_gif(
+        attach_video(load_table(spark, sf_dir, "documents")), every_nth=2
+    )
