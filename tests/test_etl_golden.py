@@ -435,3 +435,61 @@ def test_format_matrix_roundtrip(spark, tmp_path):
             for row in r.load(out).collect()
         }
         assert got == expected, fmt
+
+
+def test_zorder_write_shrinks_file_envelopes(spark, tmp_path):
+    """Z-order clustering must give every output file a narrow min/max
+    envelope in BOTH key columns — the parquet-statistics property that
+    lets scans skip files on filters against either column. Measured
+    from the real footers (pyarrow), compared against a round-robin
+    layout of the same data."""
+    import pyarrow.parquet as pq
+
+    from jhu_data_parser_spark.sink import write_zordered
+    from jhu_data_parser_spark.sources.tables import load_table
+
+    li = load_table(spark, "/root/testdata/sf0.01", "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    zdir, rdir = str(tmp_path / "z"), str(tmp_path / "r")
+    write_zordered(li, zdir, "l_orderkey", "l_partkey", n_files=16, bits=20)
+    li.repartition(16).write.mode("overwrite").parquet(rdir)
+
+    def mean_envelope(d):
+        import glob
+
+        spans = {"l_orderkey": [], "l_partkey": []}
+        lo = {"l_orderkey": None, "l_partkey": None}
+        hi = {"l_orderkey": None, "l_partkey": None}
+        per_file = []
+        for f in glob.glob(d + "/part-*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            fmins, fmaxs = {}, {}
+            for rg in range(md.num_row_groups):
+                row = md.row_group(rg)
+                for ci in range(row.num_columns):
+                    col = row.column(ci)
+                    name = col.path_in_schema
+                    if name not in spans:
+                        continue
+                    st = col.statistics
+                    fmins[name] = min(fmins.get(name, st.min), st.min)
+                    fmaxs[name] = max(fmaxs.get(name, st.max), st.max)
+            per_file.append((fmins, fmaxs))
+            for name in spans:
+                lo[name] = fmins[name] if lo[name] is None else min(lo[name], fmins[name])
+                hi[name] = fmaxs[name] if hi[name] is None else max(hi[name], fmaxs[name])
+        out = {}
+        for name in spans:
+            total = hi[name] - lo[name] or 1
+            fracs = [(fmaxs[name] - fmins[name]) / total for fmins, fmaxs in per_file]
+            out[name] = sum(fracs) / len(fracs)
+        return out
+
+    z, r = mean_envelope(zdir), mean_envelope(rdir)
+    # Round-robin files each cover ~the full domain of both columns;
+    # z-ordered files must cover well under half of each.
+    for name in ("l_orderkey", "l_partkey"):
+        assert r[name] > 0.9, (name, r)
+        assert z[name] < 0.5, (name, z)
+        assert z[name] < r[name] / 2, (name, z, r)
