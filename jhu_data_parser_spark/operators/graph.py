@@ -109,28 +109,52 @@ def pagerank(
     return ranks.select("node", F.col("r").alias("rank_scaled"))
 
 
-def triangle_counts(edges: DataFrame) -> DataFrame:
+def triangle_counts(edges: DataFrame, orient: str = "id") -> DataFrame:
     """Per-node triangle participation over the undirected version of
     ``edges`` → ``(node, n_triangles)``, every node present (0 if none).
 
-    Canonical orientation (a < b) makes each undirected edge one row and
-    each triangle a single (a<b<c) path join: e1=(a,b) ⋈ e2=(b,c) ⋈
-    e3=(a,c). At corpus scale the orientation key switches to
-    (degree, id) — bounding per-node fan-out by O(sqrt(m)) — which
-    counts the same triangles; id-orientation keeps the oracle twin
-    byte-identical here."""
-    # Materialize the oriented edge set ONCE — it feeds four plan arms
-    # (e1/e2/e3/nodes); without the checkpoint each arm re-runs the full
-    # upstream edge-derivation pipeline (audited: 8 redundant fact scans
-    # on the trade graph).
-    und = (
+    Orienting every undirected edge along a total order turns each
+    triangle into exactly one 2-path + closing edge: e1=(a,b) ⋈ e2=(b,c)
+    ⋈ e3=(a,c). ``orient='id'`` uses the node id (keeps the oracle twin
+    byte-identical); ``orient='degree'`` uses (degree, id) — the
+    standard skew bound: every node's out-fan is O(sqrt(m)) regardless
+    of max degree, so a celebrity node cannot blow up the e1⋈e2 join.
+    Both orientations count the same triangles (pinned in tests)."""
+    und0 = (
         edges.select(
             F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
+    if orient == "degree":
+        deg = (
+            und0.select(F.col("a").alias("node"))
+            .unionAll(und0.select("b"))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        und0 = (
+            und0.join(deg.withColumnsRenamed({"node": "a", "deg": "da"}), "a")
+            .join(deg.withColumnsRenamed({"node": "b", "deg": "db"}), "b")
+            .select(
+                F.when(
+                    (F.col("da") < F.col("db"))
+                    | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))),
+                    F.struct(F.col("a").alias("a"), F.col("b").alias("b")),
+                )
+                .otherwise(F.struct(F.col("b").alias("a"), F.col("a").alias("b")))
+                .alias("e")
+            )
+            .select("e.a", "e.b")
+        )
+    elif orient != "id":
+        raise ValueError(f"unknown orientation {orient!r}")
+    # Materialize the oriented edge set ONCE — it feeds four plan arms
+    # (e1/e2/e3/nodes); without the checkpoint each arm re-runs the full
+    # upstream edge-derivation pipeline (audited: 8 redundant fact scans
+    # on the trade graph).
+    und = und0.localCheckpoint(eager=True)
     e1 = und.select(F.col("a").alias("t_a"), F.col("b").alias("t_b"))
     e2 = und.select(F.col("a").alias("t_b"), F.col("b").alias("t_c"))
     e3 = und.select(F.col("a").alias("t_a"), F.col("b").alias("t_c"))

@@ -104,6 +104,7 @@ def contamination_hits(
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 8,
+    hash_shingles: bool = False,
 ) -> DataFrame:
     """Benchmark decontamination (the n-gram-overlap flagging step every
     LLM training pipeline runs before training): flag every corpus doc
@@ -116,15 +117,15 @@ def contamination_hits(
     **broadcast**, so the corpus is scanned once with a map-side hash
     probe — no shuffle of corpus shingles. If the benchmark ever
     outgrows broadcast, drop the hint and the same plan shuffle-joins
-    on the shingle key; at that point hash the shingles (xxhash64) so
-    16-byte keys travel instead of strings."""
-    probe = (
-        benchmark.select(F.explode(shingles(text_col, k)).alias("shingle"))
-        .distinct()
-    )
-    doc_shingles = docs.select(
-        F.col(id_col), F.explode(shingles(text_col, k)).alias("shingle")
-    )
+    on the shingle key; ``hash_shingles=True`` is that regime's key
+    compression — xxhash64 the shingles so fixed 8-byte longs travel
+    and broadcast instead of arbitrary-length strings (equivalence
+    modulo 64-bit collisions, pinned in tests)."""
+    sh = shingles(text_col, k)
+    if hash_shingles:
+        sh = F.transform(sh, lambda s: F.xxhash64(s))
+    probe = benchmark.select(F.explode(sh).alias("shingle")).distinct()
+    doc_shingles = docs.select(F.col(id_col), F.explode(sh).alias("shingle"))
     return (
         doc_shingles.join(F.broadcast(probe), "shingle")
         .groupBy(id_col)

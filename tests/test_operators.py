@@ -705,3 +705,43 @@ def test_frame_sample_gif_real_counts(spark):
         (r["doc_id"], r["frame_no"]) for r in frame_sample_gif(df, every_nth=2).collect()
     )
     assert got == [(1, 0), (1, 2), (1, 4), (2, 0)]
+
+
+def test_triangle_degree_orientation_equivalent(spark):
+    """Degree-orientation (the at-scale skew bound) must count exactly
+    the same triangles as id-orientation — on a skewed star-plus-cliques
+    graph AND on the derived trade graph."""
+    from jhu_data_parser_spark.operators.graph import trade_edges, triangle_counts
+    from jhu_data_parser_spark.sources.tables import load_table
+
+    # hub node 0 connected to everyone (degree skew) + two triangles
+    edges = [(0, i) for i in range(1, 8)] + [(1, 2), (3, 4), (4, 5), (3, 5)]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    by_id = {r["node"]: r["n_triangles"] for r in triangle_counts(df, orient="id").collect()}
+    by_deg = {r["node"]: r["n_triangles"] for r in triangle_counts(df, orient="degree").collect()}
+    assert by_id == by_deg
+    assert by_id[0] == 4  # hub: (0,1,2), (0,3,4), (0,4,5), (0,3,5)
+    sf = "/root/testdata/sf0.001"
+    trade = trade_edges(
+        load_table(spark, sf, "lineitem"),
+        load_table(spark, sf, "orders"),
+        load_table(spark, sf, "customer"),
+        load_table(spark, sf, "supplier"),
+    )
+    a = sorted(triangle_counts(trade, orient="id").collect())
+    b = sorted(triangle_counts(trade, orient="degree").collect())
+    assert a == b
+
+
+def test_contamination_hashed_shingles_equivalent(spark):
+    """The xxhash64-shingle scale path must flag identical (doc, count)
+    results as the raw-string path on the real documents table."""
+    from jhu_data_parser_spark.operators.text import contamination_hits
+    from jhu_data_parser_spark.sources.tables import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    corpus = d.filter(F.col("doc_id") % 97 != 0)
+    raw = sorted(contamination_hits(corpus, bench, k=4).collect())
+    hashed = sorted(contamination_hits(corpus, bench, k=4, hash_shingles=True).collect())
+    assert raw == hashed and len(raw) > 0

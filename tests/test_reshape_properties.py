@@ -122,3 +122,54 @@ def test_scaled_long_sum_order_independent(spark):
 
     exact = sum(math.floor(v * 100 + 0.5) for v in vals) / 100.0
     assert results.pop() == exact
+
+
+# --- codec round-trip properties (no Spark needed) -------------------------
+@settings(max_examples=50, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=200),
+    h=st.integers(min_value=1, max_value=120),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+def test_bmp_ppm_roundtrip_property(w, h, seed):
+    from jhu_data_parser_spark.functions.codecs import (
+        bmp_row_size,
+        decode_image_meta,
+        encode_bmp,
+        encode_ppm,
+    )
+
+    bmp = encode_bmp(w, h, seed)
+    assert decode_image_meta(bmp) == ("bmp", w, h)
+    assert len(bmp) == 54 + bmp_row_size(w) * h
+    assert decode_image_meta(encode_ppm(w, h, seed)) == ("ppm", w, h)
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    n=st.integers(min_value=1, max_value=2000),
+    rate=st.sampled_from([8000, 16000, 22050, 44100, 48000]),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+def test_wav_roundtrip_property(n, rate, seed):
+    import numpy as np
+
+    from jhu_data_parser_spark.functions.codecs import decode_wav, encode_wav
+
+    r, ch, bits, samples = decode_wav(encode_wav(n, rate, seed))
+    assert (r, ch, bits, len(samples)) == (rate, 1, 16, n)
+    expected = (seed * 7919 + np.arange(n, dtype=np.int64) * 104729) % 65536 - 32768
+    assert (samples.astype(np.int64) == expected).all()
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=64),
+    h=st.integers(min_value=1, max_value=48),
+    frames=st.integers(min_value=1, max_value=9),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+def test_gif_roundtrip_property(w, h, frames, seed):
+    from jhu_data_parser_spark.functions.codecs import decode_gif, encode_gif
+
+    assert decode_gif(encode_gif(w, h, frames, seed)) == (w, h, frames)
