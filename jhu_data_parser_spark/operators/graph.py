@@ -59,6 +59,7 @@ def pagerank(
     iterations: int = 5,
     damping_pct: int = 85,
     scale: int = PR_SCALE,
+    dangling: str = "drop",
 ) -> DataFrame:
     """Fixed-iteration integer PageRank → ``(node, rank_scaled)``.
 
@@ -68,12 +69,19 @@ def pagerank(
         r_i(v) = scale // n_nodes * (100-d) // 100
                  + coalesce(sum over in-edges u→v of r_{i-1}(u) // outdeg(u), 0)
                  * d // 100
+                 [+ dangling_sum * d // 100 // n_nodes    if redistribute]
 
-    Dangling mass (nodes with no out-edges) is dropped, the common
-    simplified variant — documented so the oracle applies the same rule.
-    ``n_nodes`` enters as a cross-joined 1-row aggregate, not a driver
-    action, so the whole thing stays one lazy plan per iteration.
+    ``dangling='drop'`` discards sink-node mass (the common simplified
+    variant; the oracle twin applies the same rule); ``'redistribute'``
+    is the textbook-complete version — the summed rank of zero-outdeg
+    nodes is spread uniformly, conserving total mass up to integer
+    truncation (pinned in tests). The dangling sum is one extra 1-row
+    aggregate per iteration — still no driver action. ``n_nodes`` enters
+    as a cross-joined 1-row aggregate, so the whole thing stays one lazy
+    plan per iteration.
     """
+    if dangling not in ("drop", "redistribute"):
+        raise ValueError(f"unknown dangling mode {dangling!r}")
     edges = edges.select("src", "dst").localCheckpoint(eager=True)
     nodes = (
         edges.select(F.col("src").alias("node"))
@@ -97,15 +105,23 @@ def pagerank(
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum(F.expr("r div outdeg")).alias("s"))
         )
-        ranks = (
-            nodes.crossJoin(n_nodes)
-            .join(contrib, "node", "left")
-            .select(
-                "node",
-                (teleport + F.expr(f"coalesce(s, 0L) * {damping_pct} div 100")).alias("r"),
+        base = nodes.crossJoin(n_nodes).join(contrib, "node", "left")
+        if dangling == "redistribute":
+            dang = ranks.join(outdeg, "node", "left_anti").agg(
+                F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("dang_sum")
             )
-            .localCheckpoint(eager=True)
-        )
+            base = base.crossJoin(dang)
+            share = F.expr(f"dang_sum * {damping_pct} div 100 div n_nodes")
+        else:
+            share = F.lit(0).cast("long")
+        ranks = base.select(
+            "node",
+            (
+                teleport
+                + F.expr(f"coalesce(s, 0L) * {damping_pct} div 100")
+                + share
+            ).alias("r"),
+        ).localCheckpoint(eager=True)
     return ranks.select("node", F.col("r").alias("rank_scaled"))
 
 

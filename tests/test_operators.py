@@ -745,3 +745,19 @@ def test_contamination_hashed_shingles_equivalent(spark):
     raw = sorted(contamination_hits(corpus, bench, k=4).collect())
     hashed = sorted(contamination_hits(corpus, bench, k=4, hash_shingles=True).collect())
     assert raw == hashed and len(raw) > 0
+
+
+def test_pagerank_dangling_redistribution_conserves_mass(spark):
+    """With redistribution, total rank mass must stay ~= scale (within
+    integer-truncation loss) even when a sink node keeps absorbing rank;
+    with drop, mass visibly leaks. Node 4 is the sink."""
+    from jhu_data_parser_spark.operators.graph import PR_SCALE, pagerank
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (2, 4)], "src int, dst int"
+    )
+    redis = sum(r["rank_scaled"] for r in pagerank(edges, 5, dangling="redistribute").collect())
+    drop = sum(r["rank_scaled"] for r in pagerank(edges, 5, dangling="drop").collect())
+    # truncation loses at most a few units per node per iteration
+    assert abs(redis - PR_SCALE) < PR_SCALE * 0.001
+    assert drop < PR_SCALE * 0.9  # sink leak is material without redistribution
