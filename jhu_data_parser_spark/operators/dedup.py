@@ -408,3 +408,63 @@ def simhash_hex(col: Column | str, nbits: int = 64) -> Column:
 def hamming_distance(bits_a: Column, bits_b: Column) -> Column:
     """Hamming distance between two equal-length bit arrays."""
     return F.size(F.filter(F.zip_with(bits_a, bits_b, lambda a, b: a != b), lambda x: x))
+
+
+def simhash_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    nbits: int = 64,
+    bands: int = 4,
+    max_hamming: int | None = None,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """SimHash near-dup candidate pairs via the pigeonhole band trick:
+    split the ``nbits`` signature into ``bands`` equal chunks — any two
+    docs within Hamming distance ``bands - 1`` MUST agree on at least
+    one whole chunk, so exact-matching chunk values (one shuffle on
+    (band, chunk-bits), same bucketed shape as the MinHash LSH pipeline)
+    finds every such pair with zero distance computations outside the
+    buckets. Pairs are then verified with the exact Hamming distance
+    (``max_hamming``, default ``bands - 1`` — the radius the pigeonhole
+    guarantees recall for). ``max_bucket`` is the same degenerate-bucket
+    skew guard as the MinHash path."""
+    if max_hamming is None:
+        max_hamming = bands - 1
+    chunk = nbits // bands
+    sig = simhash_bits(text_col, nbits)
+    with_sig = ensure_parallelism(df).select(
+        F.col(id_col), sig.alias("bits")
+    ).localCheckpoint(eager=True)
+    banded = with_sig.select(
+        id_col,
+        F.expr(
+            f"explode(transform(sequence(0, {bands - 1}), b -> "
+            f"struct(b AS band, concat_ws('', transform(slice(bits, b * {chunk} + 1, "
+            f"{chunk}), x -> CAST(x AS STRING))) AS chunk_bits)))"
+        ).alias("bc"),
+    ).select(id_col, "bc.band", "bc.chunk_bits")
+    ids = F.array_sort(F.collect_list(id_col))
+    n = F.size(F.col("ids"))
+    pair_structs = F.expr(
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids)), y -> "
+        "struct(x AS id_a, y AS id_b))))"
+    )
+    cands = (
+        banded.groupBy("band", "chunk_bits")
+        .agg(ids.alias("ids"))
+        .filter((n >= 2) & (n <= max_bucket))
+        .select(F.explode(pair_structs).alias("p"))
+        .select("p.id_a", "p.id_b")
+        .distinct()
+    )
+    a = with_sig.withColumnsRenamed({id_col: "id_a", "bits": "bits_a"})
+    b = with_sig.withColumnsRenamed({id_col: "id_b", "bits": "bits_b"})
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("hamming", hamming_distance(F.col("bits_a"), F.col("bits_b")))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -987,3 +987,13 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample_gif(
         attach_video(load_table(spark, sf_dir, "documents")), every_nth=2
     )
+
+
+# SimHash banded candidates (pigeonhole: hamming <= bands-1 implies an
+# exact match on >= 1 signature chunk — one shuffle, no all-pairs;
+# verified with exact Hamming). xxhash64-based signature is not
+# SQL-portable -> rows-only; pigeonhole recall pinned in pytest.
+@query("dedup_simhash_candidates", oracle=None)
+def dedup_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return dd.simhash_candidates(d, bands=8)

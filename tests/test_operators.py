@@ -761,3 +761,23 @@ def test_pagerank_dangling_redistribution_conserves_mass(spark):
     # truncation loses at most a few units per node per iteration
     assert abs(redis - PR_SCALE) < PR_SCALE * 0.001
     assert drop < PR_SCALE * 0.9  # sink leak is material without redistribution
+
+
+def test_simhash_candidates_pigeonhole_recall(spark):
+    """bands=8 guarantees recall for hamming <= 7: the near-dup pair
+    (measured hamming 7) and exact dups must surface; the unrelated doc
+    (hamming 34) must not."""
+    from jhu_data_parser_spark.operators.dedup import simhash_candidates
+
+    base = "the quick brown fox jumps over the lazy dog again and again " * 5
+    docs = [
+        (1, base),
+        (2, base.replace("lazy", "sleepy")),
+        (3, "completely different content about engines " * 5),
+        (4, base),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in simhash_candidates(df, bands=8).collect()}
+    assert got[(1, 4)] == 0
+    assert got[(1, 2)] == 7 and got[(2, 4)] == 7
+    assert not any(3 in p for p in got)
