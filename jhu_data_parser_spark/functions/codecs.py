@@ -39,6 +39,8 @@ __all__ = [
     "encode_wav",
     "encode_gif",
     "decode_image_meta",
+    "decode_bmp_pixels",
+    "resize_bmp_nearest",
     "decode_wav",
     "decode_gif",
     "sniff_format",
@@ -236,6 +238,52 @@ def _decode_ppm(payload: bytes) -> tuple[int, int]:
     if len(tokens) < 3 or tokens[0] not in (b"P6", b"P3"):
         raise ValueError("truncated or invalid PPM header")
     return int(tokens[1]), int(tokens[2])
+
+
+def decode_bmp_pixels(payload: bytes):
+    """Decode a 24bpp BMP's pixel array → numpy (height, width, 3) BGR,
+    top-down row order regardless of the file's row direction. Handles
+    the 4-byte row padding and negative-height (top-down) files."""
+    import numpy as np
+
+    if sniff_format(payload) != "bmp":
+        raise ValueError("not a BMP stream")
+    (data_offset,) = struct.unpack_from("<I", payload, 10)
+    width, height = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    if bpp != 24:
+        raise ValueError(f"unsupported BMP bit depth {bpp}")
+    topdown = height < 0
+    height = abs(height)
+    row = bmp_row_size(width)
+    need = data_offset + row * height
+    if len(payload) < need:
+        raise ValueError("truncated BMP pixel array")
+    arr = np.frombuffer(payload, dtype=np.uint8, count=row * height, offset=data_offset)
+    arr = arr.reshape(height, row)[:, : width * 3].reshape(height, width, 3)
+    return arr if topdown else arr[::-1]
+
+
+def resize_bmp_nearest(payload: bytes, new_w: int, new_h: int) -> bytes:
+    """REAL image resize for BMP: decode the pixel array, nearest-
+    neighbor resample with numpy index maps, re-encode a valid
+    bottom-up 24bpp BMP. Deterministic (floor index mapping)."""
+    import numpy as np
+
+    px = decode_bmp_pixels(payload)  # (h, w, 3) top-down
+    h, w = px.shape[:2]
+    yi = (np.arange(new_h, dtype=np.int64) * h) // new_h
+    xi = (np.arange(new_w, dtype=np.int64) * w) // new_w
+    out = px[yi][:, xi]  # (new_h, new_w, 3)
+    row = bmp_row_size(new_w)
+    buf = np.zeros((new_h, row), dtype=np.uint8)
+    buf[:, : new_w * 3] = out.reshape(new_h, new_w * 3)
+    img = buf[::-1].tobytes()  # bottom-up rows
+    file_size = _BMP_HEADER_SIZE + len(img)
+    header = struct.pack("<2sIHHI", b"BM", file_size, 0, 0, _BMP_HEADER_SIZE) + struct.pack(
+        "<IiiHHIIiiII", 40, new_w, new_h, 1, 24, 0, len(img), 2835, 2835, 0, 0
+    )
+    return header + img
 
 
 def _gif_lzw_literal_stream(pixels: bytes, min_code: int = 2) -> bytes:

@@ -37,6 +37,7 @@ __all__ = [
     "extract_audio_meta",
     "frame_sample_stub",
     "resize_stub",
+    "resize_image_real",
     "embed_media_stub",
     "repartition_for_payload",
 ]
@@ -348,6 +349,47 @@ def extract_media_meta(
             )
 
     return df.select(id_col, media_col).mapInPandas(_map, MEDIA_META_SCHEMA)
+
+
+def resize_image_real(
+    df: DataFrame,
+    scale_den: int = 2,
+    id_col: str = "doc_id",
+    media_col: str = "media",
+) -> DataFrame:
+    """REAL image resize for BMP payloads: decode the pixel array,
+    nearest-neighbor resample (numpy index maps), re-encode a valid BMP
+    at ``dims // scale_den`` (``codecs.resize_bmp_nearest``). The
+    1→1 ``mapInPandas`` shape of :func:`resize_stub`, with an actual
+    resampler inside — pixel correctness pinned against a direct numpy
+    reference in pytest."""
+    from jhu_data_parser_spark.functions.codecs import decode_image_meta, resize_bmp_nearest
+
+    def _map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_media, out_w, out_h = [], [], []
+            for payload in pdf[media_col]:
+                payload = bytes(payload)
+                meta = decode_image_meta(payload)
+                if meta is None or meta[0] != "bmp":
+                    raise ValueError("resize_image_real requires BMP payloads")
+                _, w, h = meta
+                nw, nh = max(w // scale_den, 1), max(h // scale_den, 1)
+                out_media.append(resize_bmp_nearest(payload, nw, nh))
+                out_w.append(nw)
+                out_h.append(nh)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "media": out_media,
+                    "width": out_w,
+                    "height": out_h,
+                }
+            )
+
+    return df.select(id_col, media_col).mapInPandas(
+        _map, "doc_id bigint, media binary, width int, height int"
+    )
 
 
 def resize_stub(

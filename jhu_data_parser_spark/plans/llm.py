@@ -997,3 +997,30 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return dd.simhash_candidates(d, bands=8)
+
+
+# REAL image resize: BMP payloads decoded to pixel arrays, nearest-
+# neighbor resampled to half dims, re-encoded as valid BMPs. Oracle
+# recomputes the output dims AND the exact output file size (incl.
+# 4-byte row padding) from doc_id arithmetic; pixel-level correctness
+# vs a direct numpy reference is pinned in pytest (the resampled bytes
+# themselves aren't SQL-reachable).
+@query(
+    "multimodal_resize_real",
+    oracle="""
+    SELECT doc_id,
+           CAST((doc_id % 64 + 16) // 2 AS INT) AS width,
+           CAST((doc_id % 48 + 16) // 2 AS INT) AS height,
+           CAST(54 + ((doc_id % 64 + 16) // 2 * 3 + 3) // 4 * 4
+                * ((doc_id % 48 + 16) // 2) AS BIGINT) AS n_bytes
+    FROM documents WHERE doc_id % 2 = 0
+    """,
+)
+def multimodal_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jhu_data_parser_spark.operators.multimodal import attach_image, resize_image_real
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 0)
+    out = resize_image_real(attach_image(d), scale_den=2)
+    return out.select(
+        "doc_id", "width", "height", F.octet_length("media").cast("long").alias("n_bytes")
+    )

@@ -781,3 +781,28 @@ def test_simhash_candidates_pigeonhole_recall(spark):
     assert got[(1, 4)] == 0
     assert got[(1, 2)] == 7 and got[(2, 4)] == 7
     assert not any(3 in p for p in got)
+
+
+def test_resize_bmp_real_pixels(spark):
+    """The distributed resize must produce byte-identical output to the
+    local codec reference, and the codec itself must match direct numpy
+    index-map resampling."""
+    import numpy as np
+
+    from jhu_data_parser_spark.functions.codecs import (
+        decode_bmp_pixels,
+        encode_bmp,
+        resize_bmp_nearest,
+    )
+    from jhu_data_parser_spark.operators.multimodal import resize_image_real
+
+    src = encode_bmp(34, 22, seed=9)
+    px = decode_bmp_pixels(src)
+    ref = px[(np.arange(11) * 22) // 11][:, (np.arange(17) * 34) // 17]
+    local = resize_bmp_nearest(src, 17, 11)
+    assert (decode_bmp_pixels(local) == ref).all()
+
+    df = spark.createDataFrame([(2, src)], "doc_id long, media binary")
+    out = resize_image_real(df, scale_den=2).collect()[0]
+    assert (out["width"], out["height"]) == (17, 11)
+    assert bytes(out["media"]) == local
