@@ -1,0 +1,150 @@
+"""Distributed k-means clustering over embedding columns (extension
+surface — corpus curation: topic bucketing, dedup-cluster seeding,
+stratified sampling by semantic cluster).
+
+The reference (/root/reference/src/parser.py, parser2.py) has no
+clustering surface; this belongs to the LLM-pipeline extension family
+alongside ``operators/similarity.py`` (ANN) and ``operators/dedup.py``
+(near-dup clustering).
+
+All arithmetic is **fixed-point integer** (embeddings quantized to
+``round(x * 10^6)`` longs, squared L2 distances in int64, centroid
+means via ``floor(sum/n)``), so every iteration is bit-reproducible in
+any engine — the DuckDB oracle unrolls the same update steps as chained
+CTEs and hash-matches exactly. Floating-point k-means can never do
+this: reducer-order-dependent sums diverge across engines.
+
+Overflow envelope: |x| < 2 ⇒ |q_i| < 2·10^6 ⇒ element diff² < 1.6·10^13
+⇒ 64-dim distance < 1.1·10^15 ≪ 2^63. Coordinate sums: |Σ q_i| ≤
+n·2·10^6 — safe for n up to ~4.6·10^12 rows per cluster.
+
+100 TB posture:
+- **Assignment never shuffles the point table.** Centroids fold into a
+  single broadcast array-of-structs row; per-point argmin is one
+  codegen expression — ``array_min(transform(carr, ctr -> (dist,
+  cid)))`` — evaluated in the scan stage (struct ordering gives the
+  deterministic lowest-cid tie-break for free).
+- The only per-iteration shuffle is the centroid update: posexplode →
+  groupBy(cid, pos) with map-side partial sums — k·dim ≤ a few hundred
+  groups regardless of table size.
+- Centroids are ``localCheckpoint``-ed each round (k rows — trivial),
+  truncating lineage exactly like ``operators/graph.pagerank``; without
+  it the plan tree doubles per iteration.
+- k-means|| seeding and early termination on centroid movement are the
+  production upgrades; fixed iterations + lowest-id seeding are chosen
+  here for cross-engine reproducibility, not cost.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["KM_SCALE", "quantize_vectors", "kmeans_assign"]
+
+KM_SCALE = 1_000_000  # fixed point: 1.0 == 10^6
+
+# argmin over the broadcast centroid array — evaluated per point inside
+# whole-stage codegen, no shuffle, no UDF. array_min on struct(d, cid)
+# is lexicographic: smallest distance, ties to the lowest centroid id.
+_ARGMIN_EXPR = """
+array_min(transform(carr, ctr -> named_struct(
+  'd', aggregate(zip_with(q, ctr.c, (a, b) -> (a - b) * (a - b)),
+                 CAST(0 AS BIGINT), (s, x) -> s + x),
+  'cid', ctr.cid)))
+"""
+
+
+def quantize_vectors(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = KM_SCALE,
+) -> DataFrame:
+    """``(id, q: array<bigint>)`` with ``q_i = round(double(x_i)·scale)``.
+
+    Round-half-away-from-zero is identical in Spark (HALF_UP) and DuckDB,
+    so quantized vectors are bit-portable (same discipline as
+    ``similarity.quantize_int8``).
+    """
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.expr(
+            f"transform({vec_col}, x -> "
+            f"CAST(ROUND(CAST(x AS DOUBLE) * {scale}, 0) AS BIGINT))"
+        ).alias("q"),
+    )
+
+
+def _centroid_array(centroids: DataFrame) -> DataFrame:
+    """Fold the (cid, c) table into ONE row holding a cid-sorted
+    array<struct<cid,c>> — the broadcastable unit the assignment
+    expression iterates."""
+    return centroids.agg(
+        F.array_sort(F.collect_list(F.struct("cid", "c"))).alias("carr")
+    )
+
+
+def _assign(points: DataFrame, centroids: DataFrame) -> DataFrame:
+    """``(id, q, cid, d)`` — nearest centroid per point, shuffle-free."""
+    return (
+        points.crossJoin(F.broadcast(_centroid_array(centroids)))
+        .withColumn("m", F.expr(_ARGMIN_EXPR))
+        .select("id", "q", F.col("m.cid").alias("cid"), F.col("m.d").alias("d"))
+    )
+
+
+def _update(assigned: DataFrame, prev: DataFrame) -> DataFrame:
+    """New centroids = floor element-wise mean of member vectors;
+    clusters that lost every member keep their previous centroid."""
+    sums = (
+        assigned.select("cid", F.posexplode("q").alias("pos", "val"))
+        .groupBy("cid", "pos")
+        .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+        .withColumn("e", F.expr("CAST(FLOOR(CAST(s AS DOUBLE) / n) AS BIGINT)"))
+    )
+    new = sums.groupBy("cid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "e"))), lambda x: x["e"]
+        ).alias("c")
+    )
+    return (
+        prev.alias("p")
+        .join(new.alias("u"), "cid", "left")
+        .select("cid", F.coalesce("u.c", "p.c").alias("c"))
+    )
+
+
+def kmeans_assign(
+    points: DataFrame, k: int = 10, iterations: int = 3
+) -> DataFrame:
+    """Fixed-iteration Lloyd's k-means → ``(id, cluster, dist_sq)``.
+
+    Seeding: the k lowest-id points (deterministic, oracle-replayable).
+    Each round assigns every point to its nearest centroid (integer
+    squared L2, lowest-cid tie-break) and recomputes centroids as the
+    floor element-wise mean. The returned frame is the LAST round's
+    assignment — i.e. distances against the round-``iterations-1``
+    centroids, exactly what the unrolled oracle reproduces.
+    """
+    w = Window.orderBy("id")
+    centroids = (
+        points.orderBy("id")
+        .limit(k)
+        .select(
+            (F.row_number().over(w) - 1).cast("long").alias("cid"),
+            F.col("q").alias("c"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    assigned = None
+    for step in range(iterations):
+        assigned = _assign(points, centroids)
+        if step < iterations - 1:
+            # k-row table: checkpoint truncates the doubling plan tree.
+            centroids = _update(assigned, centroids).localCheckpoint(eager=False)
+    return assigned.select(
+        "id",
+        F.col("cid").alias("cluster"),
+        F.col("d").alias("dist_sq"),
+    )

@@ -1,0 +1,109 @@
+"""Clustering catalog wave: distributed k-means over the embeddings
+table (fixed-point Lloyd's — `operators/clustering.py`).
+
+Reference parity note: the reference (/root/reference) has no
+clustering surface — extension operator for the LLM-data-pipeline
+family (topic bucketing / cluster-stratified sampling over ~10^9
+embedding rows).
+
+Oracle discipline: identical to ``plans/graph.py`` PageRank — every
+update step is integer-exact (quantized vectors, int64 distances,
+floor-mean centroids), so the DuckDB twin unrolls the same rounds as
+chained CTEs and reproduces every assignment and distance bit-for-bit.
+The oracle hardcodes dim=64 (the testdata layout); the Spark operator
+is dimension-agnostic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from jhu_data_parser_spark.plans.catalog import query
+from jhu_data_parser_spark.sources.tables import load_table
+
+_K = 10
+_ITERS = 3
+_SCALE = 1_000_000
+_DIM = 64  # oracle-side only; testdata embeddings are 64-dim
+
+
+def _kmeans_oracle(k: int = _K, iters: int = _ITERS) -> str:
+    """Unroll assign/update rounds as chained CTEs (same fixed-point
+    rules as the operator; QUALIFY row_number gives the lowest-cid
+    tie-break that struct-ordering gives the Spark side)."""
+    parts = [
+        f"""
+    pts AS (SELECT vec_id AS id,
+                   list_transform(CAST(embedding AS DOUBLE[]),
+                                  x -> CAST(ROUND(x * {_SCALE}) AS BIGINT)) AS q
+            FROM embeddings),
+    c0 AS (SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS BIGINT) AS cid, q AS c
+           FROM (SELECT id, q FROM pts ORDER BY id LIMIT {k}))"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(f"""
+    a{i} AS (SELECT p.id, p.q, c.cid,
+                    CAST(list_sum(list_transform(list_zip(p.q, c.c),
+                         z -> (z[1] - z[2]) * (z[1] - z[2]))) AS BIGINT) AS d
+             FROM pts p CROSS JOIN c{i - 1} c
+             QUALIFY row_number() OVER (PARTITION BY p.id ORDER BY d, c.cid) = 1)""")
+        if i < iters:
+            parts.append(f"""
+    s{i} AS (SELECT cid, t.i AS pos,
+                    CAST(SUM(q[t.i + 1]) AS BIGINT) AS s, COUNT(*) AS n
+             FROM a{i}, range({_DIM}) t(i) GROUP BY cid, t.i),
+    c{i} AS (SELECT p.cid, COALESCE(u.c, p.c) AS c
+             FROM c{i - 1} p LEFT JOIN
+                  (SELECT cid, list(CAST(FLOOR(CAST(s AS DOUBLE) / n) AS BIGINT)
+                                    ORDER BY pos) AS c
+                   FROM s{i} GROUP BY cid) u ON u.cid = p.cid)""")
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f"\n    SELECT id AS vec_id, cid AS cluster, d AS dist_sq FROM a{iters}"
+    )
+
+
+@query("cluster_kmeans_embeddings", oracle=_kmeans_oracle())
+def cluster_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k=10 / 3-round fixed-point k-means over the embeddings table →
+    per-vector (cluster, dist_sq). Assignment is a shuffle-free codegen
+    argmin against a broadcast centroid array; each update round is one
+    k·dim-group shuffle (operators/clustering.py docstring for the
+    100 TB posture)."""
+    from jhu_data_parser_spark.operators.clustering import (
+        kmeans_assign,
+        quantize_vectors,
+    )
+
+    pts = quantize_vectors(load_table(spark, sf_dir, "embeddings"))
+    out = kmeans_assign(pts, k=_K, iterations=_ITERS)
+    return out.select(F.col("id").alias("vec_id"), "cluster", "dist_sq")
+
+
+@query(
+    "cluster_kmeans_sizes",
+    oracle=_kmeans_oracle()
+    .replace(
+        "SELECT id AS vec_id, cid AS cluster, d AS dist_sq",
+        "SELECT cid AS cluster, CAST(COUNT(*) AS BIGINT) AS n_points, "
+        "CAST(SUM(d) AS BIGINT) AS inertia_scaled",
+    )
+    + " GROUP BY cid",
+)
+def cluster_kmeans_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster cardinality + integer inertia (Σ dist_sq) — the
+    convergence/skew diagnostic you watch when clustering a corpus:
+    one extra k-group agg over the assignment."""
+    from jhu_data_parser_spark.operators.clustering import (
+        kmeans_assign,
+        quantize_vectors,
+    )
+
+    pts = quantize_vectors(load_table(spark, sf_dir, "embeddings"))
+    out = kmeans_assign(pts, k=_K, iterations=_ITERS)
+    return out.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum("dist_sq").alias("inertia_scaled"),
+    )

@@ -806,3 +806,61 @@ def test_resize_bmp_real_pixels(spark):
     out = resize_image_real(df, scale_den=2).collect()[0]
     assert (out["width"], out["height"]) == (17, 11)
     assert bytes(out["media"]) == local
+
+
+def test_kmeans_recovers_planted_clusters(spark):
+    """Three well-separated planted centers → every point assigned with
+    its center-mates, regardless of id order; empty-cluster branch keeps
+    the orphaned centroid alive."""
+    from jhu_data_parser_spark.operators.clustering import kmeans_assign
+
+    centers = {0: 0, 1: 8_000_000, 2: -8_000_000}
+    rows = []
+    for i in range(60):
+        c = i % 3
+        # deterministic jitter well inside the separation
+        jit = [((i * 131 + d * 17) % 2001) - 1000 for d in range(4)]
+        rows.append((i, [centers[c] + j for j in jit]))
+    pts = spark.createDataFrame(rows, "id long, q array<bigint>")
+    out = kmeans_assign(pts, k=3, iterations=4).collect()
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster"], set()).add(r["id"] % 3)
+    # each produced cluster contains exactly one planted center's points
+    assert sorted(len(v) for v in by_cluster.values()) == [1, 1, 1]
+    assert len(out) == 60
+
+
+def test_kmeans_empty_cluster_keeps_previous_centroid(spark):
+    """Duplicate seed points make round 1 a full tie — the lowest-cid
+    tie-break empties cluster 1, and the update must RETAIN its previous
+    centroid ([0,0]) instead of dropping the row. Round 2 then pulls the
+    origin points back to it; if the retention branch were broken,
+    cluster 1 could never reappear."""
+    from jhu_data_parser_spark.operators.clustering import kmeans_assign
+
+    rows = [(0, [0, 0]), (1, [0, 0]), (2, [5, 5]), (3, [6, 6])]
+    pts = spark.createDataFrame(rows, "id long, q array<bigint>")
+    out = kmeans_assign(pts, k=2, iterations=2).collect()
+    assigned = {r["id"]: r["cluster"] for r in out}
+    assert len(assigned) == 4
+    # origin duplicates reclaimed by the retained [0,0] centroid
+    assert assigned[0] == 1 and assigned[1] == 1
+    assert assigned[2] == 0 and assigned[3] == 0
+
+
+def test_kmeans_deterministic_across_runs(spark):
+    """Fixed-point arithmetic + lowest-id seeding ⇒ bit-identical
+    output on re-run (the property the cross-engine oracle relies on)."""
+    from jhu_data_parser_spark.operators.clustering import (
+        kmeans_assign,
+        quantize_vectors,
+    )
+    from jhu_data_parser_spark.sources.tables import load_table
+
+    from tests.conftest import SF_SMOKE
+
+    pts = quantize_vectors(load_table(spark, SF_SMOKE, "embeddings"))
+    a = sorted(map(tuple, kmeans_assign(pts, k=5, iterations=2).collect()))
+    b = sorted(map(tuple, kmeans_assign(pts, k=5, iterations=2).collect()))
+    assert a == b
