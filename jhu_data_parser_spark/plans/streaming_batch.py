@@ -146,6 +146,27 @@ def stream_availablenow_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_daily_counts_availablenow(spark, sf_dir, table)
 
 
+# Stream-static join in a REAL stream: per-micro-batch broadcast
+# enrichment against the static customer dimension — the production
+# dimension-enrichment shape (static side re-resolved each trigger,
+# stream side never shuffles for the join).
+@query(
+    "stream_static_enrich",
+    oracle=f"""
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {DEC_SUM_SQL('e.value', 4)} AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jhu_data_parser_spark.streaming.jobs import run_stream_static_enrich
+
+    table = f"stream_static_enrich_{next(_mem_counter)}"
+    return run_stream_static_enrich(spark, sf_dir, table)
+
+
 # Built-in session windows in a REAL stream (append mode + sentinel
 # flush): must match the batch lag/cumsum sessionization — and the
 # custom stateful operator below — exactly.

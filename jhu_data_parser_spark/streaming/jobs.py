@@ -22,6 +22,7 @@ __all__ = [
     "daily_counts",
     "run_daily_counts_availablenow",
     "run_dedup_stream",
+    "run_stream_static_enrich",
     "run_stream_stream_join",
     "write_json_partitioned_stream",
     "write_daily_refresh_stream",
@@ -101,6 +102,39 @@ def run_dedup_stream(
         deduped.writeStream.format("memory")
         .queryName(table)
         .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(table)
+
+
+def run_stream_static_enrich(
+    spark: SparkSession, sf_dir: str, table: str
+) -> DataFrame:
+    """Stream-static join: the events stream enriched per micro-batch
+    against the static customer dimension, aggregated by market segment.
+
+    The production shape for dimension enrichment: the static side is
+    re-resolved each micro-batch (so a dim refresh is picked up on the
+    next trigger) and — being a small dimension — broadcast, so the
+    stream side never shuffles for the join. No watermark is needed:
+    the static side is bounded, and the segment aggregate runs in
+    complete mode."""
+    from jhu_data_parser_spark.functions.exprs import dec_sum
+    from jhu_data_parser_spark.sources.tables import load_table
+
+    ev = read_events_stream(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    enriched = ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey)
+    agg = enriched.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dec_sum("value", scale=4).alias("total_value"),
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(table)
+        .outputMode("complete")
         .trigger(availableNow=True)
         .start()
     )
