@@ -626,9 +626,7 @@ def _emb_pairs_oracle_sql() -> str:
 # (operators/dedup.connected_components); oracle recomputes the SAME
 # pair set from plane literals, then takes the transitive closure with
 # a recursive CTE. Pairs (A,B),(B,C) ⇒ one cluster {A,B,C}, survivor A.
-@query(
-    "dedup_embedding_groups",
-    oracle=f"""
+_EMB_GROUPS_ORACLE = f"""
     WITH RECURSIVE {_emb_pairs_cte()},
     edges(x, y) AS (
       SELECT id_a, id_b FROM pairs UNION SELECT id_b, id_a FROM pairs
@@ -642,13 +640,29 @@ def _emb_pairs_oracle_sql() -> str:
     SELECT n.x AS id, LEAST(n.x, MIN(r.y)) AS component
     FROM nodes n LEFT JOIN reach r ON r.x = n.x
     GROUP BY n.x
-    """,
-)
+    """
+
+
+@query("dedup_embedding_groups", oracle=_EMB_GROUPS_ORACLE)
 def dedup_embedding_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jhu_data_parser_spark.operators.dedup import connected_components
 
     pairs = dedup_embedding_pairs(spark, sf_dir)
     return connected_components(pairs)
+
+
+# The same clustering through the O(log² n)-round star-contraction path
+# (the at-scale algorithm for adversarial-diameter graphs) — same
+# recursive-CTE oracle, so the driver proves both implementations
+# produce identical components.
+@query("dedup_embedding_groups_contraction", oracle=_EMB_GROUPS_ORACLE)
+def dedup_embedding_groups_contraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jhu_data_parser_spark.operators.dedup import (
+        connected_components_contraction,
+    )
+
+    pairs = dedup_embedding_pairs(spark, sf_dir)
+    return connected_components_contraction(pairs)
 
 
 @query("dedup_embedding_pairs", oracle=_emb_pairs_oracle_sql())

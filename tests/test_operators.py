@@ -864,3 +864,35 @@ def test_kmeans_deterministic_across_runs(spark):
     a = sorted(map(tuple, kmeans_assign(pts, k=5, iterations=2).collect()))
     b = sorted(map(tuple, kmeans_assign(pts, k=5, iterations=2).collect()))
     assert a == b
+
+
+def test_star_contraction_matches_propagation(spark):
+    """Star contraction (the O(log² n)-round scale path) must produce
+    exactly the same (id → component-min) labeling as min-label
+    propagation on: a long chain (worst case for propagation), a star
+    entered from the leaf side, a cycle, isolated pairs, and a random
+    graph."""
+    import random
+
+    from jhu_data_parser_spark.operators.dedup import (
+        connected_components,
+        connected_components_contraction,
+    )
+
+    rng = random.Random(7)
+    edges = [(i, i + 1) for i in range(100, 140)]          # 41-node chain
+    edges += [(200, leaf) for leaf in range(201, 208)]     # star
+    edges += [(300, 301), (301, 302), (302, 300)]          # cycle
+    edges += [(400, 401), (402, 403)]                      # islands
+    edges += [(rng.randrange(500, 540), rng.randrange(500, 540)) for _ in range(60)]
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in edges if a != b], "id_a long, id_b long"
+    )
+    prop = {r["id"]: r["component"] for r in connected_components(pairs, max_iter=60).collect()}
+    star = {
+        r["id"]: r["component"]
+        for r in connected_components_contraction(pairs).collect()
+    }
+    assert star == prop
+    # chain collapses to its minimum
+    assert star[139] == 100 and star[302] == 300

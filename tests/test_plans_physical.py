@@ -228,3 +228,15 @@ def test_pagerank_rank_table_stays_checkpointed(spark):
     assert "lineitem.parquet" not in plan
     assert "Scan ExistingRDD" in plan
     assert "Join" not in plan  # the returned frame IS the checkpointed result
+
+
+def test_kmeans_assignment_never_shuffles_points(spark):
+    """The k-means assignment must be a codegen argmin against a
+    broadcast centroid array: the embeddings scan feeds the projection
+    directly — no Exchange on the point-table side, column-pruned scan,
+    and the only exchanges belong to the tiny k-row centroid fold."""
+    plan = _plan(spark, "cluster_kmeans_embeddings")
+    assert "BroadcastExchange" in plan  # centroid array rides a broadcast
+    scan_branch = plan.split("BroadcastExchange")[0]
+    assert "Exchange" not in scan_branch  # points: scan → project, no shuffle
+    assert "ReadSchema: struct<vec_id:bigint,embedding:array<float>>" in plan
