@@ -64,15 +64,18 @@ def main() -> None:
     # Per-query minimum over N runs: single-shot local timings carry
     # 2-3× noise from Python-worker reuse and GC; the min is the
     # steady-state engine throughput the warm-up is there to expose.
+    # Rounds are INTERLEAVED (run the whole headline list N times, not
+    # each query N times back-to-back): a co-tenant CPU burst then
+    # poisons at most one round of each query instead of every repeat
+    # of whichever query it landed on.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        best = float("inf")
-        for _ in range(runs):
+    timings: dict[str, float] = {name: float("inf") for name in HEADLINE}
+    for _ in range(runs):
+        for name in HEADLINE:
             t0 = time.perf_counter()
             materialize(queries[name](spark, sf_dir))
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            timings[name] = min(timings[name], time.perf_counter() - t0)
+    timings = {name: round(t, 3) for name, t in timings.items()}
 
     total = round(sum(timings.values()), 3)
     print(
