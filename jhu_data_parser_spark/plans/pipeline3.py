@@ -122,3 +122,142 @@ def sample_quality_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long"),
     )
     return scored.filter(draw < thresh)
+
+
+_TS_FMT = "yyyy-MM-dd HH:mm:ss"
+_TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
+
+# Shared session-derivation CTE (identical rules to events_sessionize —
+# 30-min gap cutoff; see plans/pipeline2.py).
+_SESS_CTE = """
+    g AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch(ts) - lag(epoch(ts)) OVER w > 1800.0
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM g
+    ),
+    sess AS (SELECT user_id, session_no, MIN(ts) AS st, MAX(ts) AS en
+             FROM s GROUP BY 1, 2)
+"""
+
+
+@query(
+    "events_retention_weekly",
+    oracle="""
+    WITH f AS (SELECT user_id, date_trunc('week', MIN(ts)) AS cw
+               FROM events GROUP BY 1),
+    a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events)
+    SELECT strftime(f.cw, '%Y-%m-%d') AS cohort_week,
+           CAST(date_diff('day', CAST(f.cw AS DATE), CAST(a.wk AS DATE)) // 7
+                AS BIGINT) AS week_offset,
+           CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users
+    FROM a JOIN f USING (user_id) GROUP BY 1, 2
+    """,
+)
+def events_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-activity week, counted
+    in each later week they return — the table behind every retention
+    curve. Two aggregations over the same user_id partitioning (first
+    week, distinct active weeks) joined on user_id: Catalyst reuses one
+    exchange; nothing is driver-side."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cw")
+    )
+    act = ev.select("user_id", F.date_trunc("week", "ts").alias("wk")).distinct()
+    joined = act.join(first, "user_id")
+    return joined.groupBy(
+        F.date_format("cw", "yyyy-MM-dd").alias("cohort_week"),
+        (F.datediff(F.col("wk").cast("date"), F.col("cw").cast("date")) / 7)
+        .cast("long")
+        .alias("week_offset"),
+    ).agg(F.count_distinct("user_id").alias("n_users"))
+
+
+@query(
+    "events_session_concurrency",
+    oracle=f"""
+    WITH {_SESS_CTE}
+    SELECT a.user_id,
+           strftime(a.st, '{_TS_FMT_DUCK}') AS session_start,
+           CAST(COUNT(b.user_id) AS BIGINT) AS n_concurrent
+    FROM sess a LEFT JOIN sess b
+      ON b.user_id <> a.user_id AND b.st <= a.en AND a.st <= b.en
+    GROUP BY a.user_id, a.st
+    """,
+)
+def events_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval overlap self-join: for every session, how many OTHER
+    users' sessions overlap it in time (platform concurrency). The
+    naive form is an all-pairs interval predicate — quadratic. The
+    scalable rewrite: replicate each interval to the hour buckets it
+    spans (``explode(sequence(hour(st), hour(en)))``), equi-join on the
+    bucket, and count each overlapping pair exactly ONCE without any
+    distinct by keeping only the bucket containing the overlap's start
+    (``bucket == hour(greatest(a.st, b.st))`` — that bucket is unique
+    and lies in both replication ranges). Replication factor is bounded
+    by interval length / bucket width; the oracle is the quadratic
+    form, proving the rewrite exact."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = F.col("ts").cast("double")
+    prev = F.lag(sec).over(w)
+    new_sess = F.when(prev.isNull() | (sec - prev > 1800.0), 1).otherwise(0)
+    sess = (
+        ev.withColumn(
+            "session_no",
+            F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("user_id", "session_no")
+        .agg(F.min("ts").alias("st"), F.max("ts").alias("en"))
+    )
+    b = sess.withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(
+                F.date_trunc("hour", "st"),
+                F.date_trunc("hour", "en"),
+                F.expr("interval 1 hour"),
+            )
+        ),
+    )
+    left = b.select(
+        F.col("user_id").alias("ua"),
+        F.col("st").alias("sa"),
+        F.col("en").alias("ea"),
+        "bucket",
+    )
+    right = b.select(
+        F.col("user_id").alias("ub"),
+        F.col("st").alias("sb"),
+        F.col("en").alias("eb"),
+        "bucket",
+    )
+    pairs = left.join(
+        right,
+        (left.bucket == right.bucket)
+        & (F.col("ua") != F.col("ub"))
+        & (F.col("sb") <= F.col("ea"))
+        & (F.col("sa") <= F.col("eb"))
+        & (left.bucket == F.date_trunc("hour", F.greatest("sa", "sb"))),
+    )
+    counts = pairs.groupBy("ua", "sa").agg(F.count(F.lit(1)).alias("n_concurrent"))
+    return (
+        sess.join(
+            counts,
+            (sess.user_id == counts.ua) & (sess.st == counts.sa),
+            "left",
+        )
+        .select(
+            "user_id",
+            F.date_format("st", _TS_FMT).alias("session_start"),
+            F.coalesce("n_concurrent", F.lit(0)).alias("n_concurrent"),
+        )
+    )
