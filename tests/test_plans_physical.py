@@ -240,3 +240,23 @@ def test_kmeans_assignment_never_shuffles_points(spark):
     scan_branch = plan.split("BroadcastExchange")[0]
     assert "Exchange" not in scan_branch  # points: scan → project, no shuffle
     assert "ReadSchema: struct<vec_id:bigint,embedding:array<float>>" in plan
+
+
+def test_interval_overlap_join_is_equi_on_bucket(spark):
+    """The session-concurrency interval join must compile to an EQUI
+    join on the hour bucket (hash or sort-merge; overlap predicate as a
+    residual filter) — never a nested-loop/cartesian pair scan."""
+    plan = _plan(spark, "events_session_concurrency")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("BroadcastHashJoin [bucket" in plan) or (
+        "SortMergeJoin [bucket" in plan
+    )
+
+
+def test_pack_sequences_single_exchange(spark):
+    """Offset packing: the running-sum window (partitionBy lang) and the
+    pack aggregate (groupBy lang, pack_id) must share ONE exchange —
+    partial aggregation happens on the window's partitioning."""
+    plan = _plan(spark, "text_pack_sequences")
+    assert plan.count("Exchange hashpartitioning") == 1
