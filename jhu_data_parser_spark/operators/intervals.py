@@ -1,0 +1,127 @@
+"""Interval analytics without pair materialization (extension surface).
+
+``events_session_concurrency`` (plans/pipeline3.py) materializes every
+overlapping session pair through a bucketed equi join — exact, but any
+pair-producing plan must grow with the pair count: the 10× scaling
+series measured ~100× work when 10× sessions share the same time span
+(PLANS.md round-2c). For COUNT-only semantics this module computes the
+same numbers by sweep-line rank arithmetic instead:
+
+    overlaps(a) = #{b : b.st ≤ a.en} − #{b : b.en < a.st} − 1
+
+(sessions not overlapping ``a`` either end before it starts or start
+after it ends; the two global ranks are evaluated at a's endpoints;
+−1 removes ``a`` itself. Same-key sessions never overlap under
+gap-based sessionization, so "other users only" needs no further
+correction.)
+
+The ranks come from a DISTRIBUTED prefix sum — no global
+single-partition window, no driver collect:
+
+1. union points (weight 1) and probes (weight 0), tagged so the
+   inclusive/strict tie rule is encoded in the sort key;
+2. ``repartitionByRange`` on the sort key (correctness never depends on
+   where the range boundaries fall — only on the per-row ordering);
+3. per-partition running sum (window over ``spark_partition_id``);
+4. per-partition totals (≤ n_parts rows) → exclusive cumulative offsets
+   (a window over a tiny frame) → broadcast-joined back.
+
+Every step is linear in |sessions|; wall-clock scales with rows, not
+with overlap density.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["global_rank", "session_overlap_counts"]
+
+
+def global_rank(
+    df: DataFrame, order_cols: list[str], weight_col: str, n_parts: int = 32
+) -> DataFrame:
+    """Append ``rank`` = running sum of ``weight_col`` over the global
+    ``order_cols`` ordering, computed as a distributed two-level prefix
+    sum (see module docstring). Rows with equal keys may order
+    arbitrarily among themselves — their ranks are unaffected (weights
+    at equal keys either all count or all don't, by the caller's
+    tie-encoding)."""
+    part = df.repartitionByRange(n_parts, *order_cols).sortWithinPartitions(
+        *order_cols
+    )
+    # RangePartitioning SAMPLES its boundaries per evaluation — without
+    # pinning, `totals` (a second evaluation of `part`) can see a
+    # different row→pid assignment than the branch it is joined back to,
+    # silently corrupting ranks (observed: same probe ranked 917 then
+    # 941). The checkpoint makes the pid assignment a fact.
+    part = part.withColumn("__pid", F.spark_partition_id()).localCheckpoint(
+        eager=True
+    )
+    w_local = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    part = part.withColumn("__local", F.sum(weight_col).over(w_local))
+    totals = part.groupBy("__pid").agg(F.sum(weight_col).alias("__tot"))
+    # ≤ n_parts rows: the single-partition window here is a deliberate
+    # tiny-frame exception, same class as a broadcast dim.
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.withColumn(
+        "__off", F.coalesce(F.sum("__tot").over(w_off), F.lit(0))
+    ).select("__pid", "__off")
+    return (
+        part.join(F.broadcast(offsets), "__pid")
+        .withColumn("rank", (F.col("__local") + F.col("__off")).cast("long"))
+        .drop("__pid", "__local", "__off")
+    )
+
+
+def session_overlap_counts(
+    sessions: DataFrame,
+    key_cols: list[str],
+    st: str = "st",
+    en: str = "en",
+    n_parts: int = 32,
+) -> DataFrame:
+    """``sessions(key_cols…, st, en)`` → same frame + ``n_concurrent`` =
+    number of OTHER sessions overlapping [st, en] (closed intervals),
+    assuming same-key sessions are disjoint (gap sessionization).
+
+    Two sweeps:
+    - starts≤en: points at ``st`` (tag 0) BEFORE probes at ``en``
+      (tag 1) on equal timestamps → inclusive count.
+    - ends<st: probes at ``st`` (tag 0) BEFORE points at ``en``
+      (tag 1) on equal timestamps → strict count.
+    """
+    base = sessions.select(*key_cols, st, en)
+
+    def sweep(point_col: str, probe_col: str, point_tag: int) -> DataFrame:
+        points = base.select(
+            F.col(point_col).alias("t"),
+            F.lit(point_tag).alias("tag"),
+            F.lit(1).cast("long").alias("w"),
+            *[F.lit(None).cast(base.schema[k].dataType).alias(k) for k in key_cols],
+        )
+        probes = base.select(
+            F.col(probe_col).alias("t"),
+            F.lit(1 - point_tag).alias("tag"),
+            F.lit(0).cast("long").alias("w"),
+            *key_cols,
+        )
+        ranked = global_rank(
+            points.unionByName(probes), ["t", "tag"], "w", n_parts=n_parts
+        )
+        return ranked.filter(F.col("w") == 0).select(*key_cols, "rank")
+
+    n_start_le_en = sweep(st, en, point_tag=0).withColumnRenamed("rank", "n_le")
+    n_end_lt_st = sweep(en, st, point_tag=1).withColumnRenamed("rank", "n_lt")
+    return (
+        base.join(n_start_le_en, key_cols)
+        .join(n_end_lt_st, key_cols)
+        .withColumn(
+            "n_concurrent", (F.col("n_le") - F.col("n_lt") - F.lit(1)).cast("long")
+        )
+        .drop("n_le", "n_lt")
+    )

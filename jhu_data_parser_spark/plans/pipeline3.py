@@ -261,3 +261,45 @@ def events_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_concurrent", F.lit(0)).alias("n_concurrent"),
         )
     )
+
+
+@query(
+    "events_session_concurrency_sweep",
+    oracle=f"""
+    WITH {_SESS_CTE}
+    SELECT a.user_id,
+           strftime(a.st, '{_TS_FMT_DUCK}') AS session_start,
+           CAST(COUNT(b.user_id) AS BIGINT) AS n_concurrent
+    FROM sess a LEFT JOIN sess b
+      ON b.user_id <> a.user_id AND b.st <= a.en AND a.st <= b.en
+    GROUP BY a.user_id, a.st
+    """,
+)
+def events_session_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same concurrency numbers as ``events_session_concurrency``
+    (identical quadratic oracle) WITHOUT materializing overlap pairs:
+    sweep-line rank arithmetic via a distributed two-level prefix sum
+    (operators/intervals.py). Work is linear in session count — immune
+    to the ~100× pair-density blowup the bucketed join showed in the
+    10× scaling series (PLANS.md round-2c)."""
+    from jhu_data_parser_spark.operators.intervals import session_overlap_counts
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = F.col("ts").cast("double")
+    prev = F.lag(sec).over(w)
+    new_sess = F.when(prev.isNull() | (sec - prev > 1800.0), 1).otherwise(0)
+    sess = (
+        ev.withColumn(
+            "session_no",
+            F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("user_id", "session_no")
+        .agg(F.min("ts").alias("st"), F.max("ts").alias("en"))
+    )
+    out = session_overlap_counts(sess, key_cols=["user_id", "session_no"])
+    return out.select(
+        "user_id",
+        F.date_format("st", _TS_FMT).alias("session_start"),
+        "n_concurrent",
+    )

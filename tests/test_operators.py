@@ -896,3 +896,46 @@ def test_star_contraction_matches_propagation(spark):
     assert star == prop
     # chain collapses to its minimum
     assert star[139] == 100 and star[302] == 300
+
+
+def test_interval_sweep_overlap_counts(spark):
+    """Sweep-line concurrency must count closed-interval overlaps
+    exactly: chain overlaps, touching endpoints (st == other.en) count,
+    disjoint and singleton sessions count zero."""
+    from jhu_data_parser_spark.operators.intervals import session_overlap_counts
+
+    sess = spark.createDataFrame(
+        [
+            (1, 0, 1.0, 3.0),   # overlaps B (and touches C at 3.0? no - C starts 3.0)
+            (2, 0, 2.0, 4.0),   # overlaps A and C
+            (3, 0, 4.0, 5.0),   # touches B at 4.0 → counts (closed intervals)
+            (4, 0, 9.0, 9.0),   # zero-length, alone
+        ],
+        "uid long, session_no long, st double, en double",
+    )
+    out = {
+        r["uid"]: r["n_concurrent"]
+        for r in session_overlap_counts(sess, key_cols=["uid", "session_no"]).collect()
+    }
+    assert out == {1: 1, 2: 2, 3: 1, 4: 0}
+
+
+def test_global_rank_is_stable_across_evaluations(spark):
+    """Regression: RangePartitioning samples boundaries per evaluation —
+    without the checkpoint pin inside global_rank, the offsets branch
+    could see a different row→partition assignment than the local-sum
+    branch, corrupting ranks nondeterministically. Ranks must be
+    identical across repeated actions AND match the sequential truth."""
+    from jhu_data_parser_spark.operators.intervals import global_rank
+
+    rows = [(float(i % 997), 0, 1, None) for i in range(5000)] + [
+        (float(p), 1, 0, f"p{p}") for p in (0, 100, 996)
+    ]
+    df = spark.createDataFrame(rows, "t double, tag int, w long, sid string")
+    ranked = global_rank(df, ["t", "tag"], "w", n_parts=16)
+    probe = ranked.filter(F.col("w") == 0).select("sid", "rank")
+    a = sorted(map(tuple, probe.collect()))
+    b = sorted(map(tuple, probe.collect()))
+    assert a == b
+    truth = {f"p{p}": sum(1 for i in range(5000) if (i % 997) <= p) for p in (0, 100, 996)}
+    assert dict(a) == truth
