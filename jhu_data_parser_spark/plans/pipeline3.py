@@ -303,3 +303,51 @@ def events_session_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFr
         F.date_format("st", _TS_FMT).alias("session_start"),
         "n_concurrent",
     )
+
+
+_MIX_RATE_SQL = """CASE WHEN source IN ('src0','src1','src2','src3') THEN 1.0
+             WHEN source IN ('src4','src5','src6','src7') THEN 0.5
+             ELSE 0.2 END"""
+
+
+@query(
+    "sample_mixture_weights",
+    oracle=f"""
+    WITH rated AS (
+      SELECT doc_id, source, ({_MIX_RATE_SQL}) AS rate FROM documents),
+    kept AS (
+      SELECT doc_id, source FROM rated
+      WHERE rate >= 1.0
+         OR md5('mix:' || CAST(doc_id AS VARCHAR))[1:8]
+            < printf('%08x', CAST(FLOOR(rate * 4294967296) AS BIGINT)))
+    SELECT r.source,
+           CAST(COUNT(k.doc_id) AS BIGINT) AS n_kept,
+           CAST(COUNT(*) AS BIGINT) AS n_total
+    FROM rated r LEFT JOIN kept k ON r.doc_id = k.doc_id
+    GROUP BY r.source
+    """,
+)
+def sample_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data mixing for pretraining: each source is downsampled at its
+    mixture rate (full web-quality sources at 1.0, mid at 0.5, tail at
+    0.2) with the same deterministic md5-threshold Bernoulli draw as
+    ``sample_quality_weighted`` (salted 'mix:' so the two samples are
+    independent). Returns the per-source audit (kept vs total) a
+    mixture spec review needs. One scan + one k-group agg; the draw is
+    reproducible across engines and re-runs, so the mixture is an
+    artifact of the SPEC, not of a seed."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    rate = F.expr(_MIX_RATE_SQL)
+    draw = F.substring(
+        F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string")).cast("binary")),
+        1,
+        8,
+    )
+    thresh = F.format_string(
+        "%08x", F.floor(rate * F.lit(4294967296.0)).cast("long")
+    )
+    kept = F.when((rate >= 1.0) | (draw < thresh), F.lit(1)).otherwise(F.lit(0))
+    return d.groupBy("source").agg(
+        F.sum(kept).cast("long").alias("n_kept"),
+        F.count(F.lit(1)).alias("n_total"),
+    )
