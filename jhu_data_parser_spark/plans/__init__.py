@@ -28,6 +28,7 @@ from jhu_data_parser_spark.plans import pipeline2  # noqa: E402,F401
 from jhu_data_parser_spark.plans import graph  # noqa: E402,F401
 from jhu_data_parser_spark.plans import clustering  # noqa: E402,F401
 from jhu_data_parser_spark.plans import pipeline3  # noqa: E402,F401
+from jhu_data_parser_spark.plans import pipeline4  # noqa: E402,F401
 
 __all__ = [
     "QUERIES",

@@ -1,0 +1,391 @@
+"""Round-2 third wave: corpus-statistics quality scoring, ranked
+retrieval, ANN recall measurement, and in-stream sampling.
+
+Reference parity note: the reference (/root/reference) stops at flat
+JSON records; these are LLM-data-pipeline extensions — the
+quality-filter / retrieval / index-evaluation steps a training-data
+pipeline runs between raw scan and batch assembly.
+
+Oracle discipline (same rules as pipeline2/pipeline3):
+
+- Counts and per-term fixed-point contributions are BIGINT — summed as
+  integers, so aggregation order cannot move the result.
+- Every double is produced by a fixed, explicitly-parenthesized chain of
+  IEEE ops written identically in the Spark expression and the DuckDB
+  SQL (single divisions, no reassociation left to either optimizer).
+- BM25's one transcendental (ln) is rounded to 1e-6 fixed-point BEFORE
+  the cross-term sum; per-term values are far from rounding boundaries
+  relative to any last-ulp libm divergence.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from jhu_data_parser_spark.plans.catalog import query
+from jhu_data_parser_spark.sources.tables import load_table
+
+_mem_counter = itertools.count()
+
+# Max run length in the SORTED token array == max occurrence count of any
+# token — computed per row with a single higher-order fold (no explode,
+# no shuffle). Accumulator: (previous element, current run, best run).
+_MAX_RUN_SQL = (
+    "aggregate({arr}, "
+    "named_struct('p', CAST(NULL AS STRING), 'r', 0L, 'b', 0L), "
+    "(a, t) -> named_struct("
+    "'p', t, "
+    "'r', IF(a.p <=> t, a.r + 1L, 1L), "
+    "'b', GREATEST(a.b, IF(a.p <=> t, a.r + 1L, 1L))), "
+    "a -> a.b)"
+)
+
+
+@query(
+    "text_repetition_signals",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      FROM documents),
+    tc AS (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+    t1 AS (SELECT doc_id, MAX(c) AS max_tok, SUM(c) AS n_tokens,
+                  COUNT(*) AS d_tok
+           FROM tc GROUP BY 1),
+    big AS (
+      -- DuckDB's generate_series table function rejects lateral column
+      -- args; the scalar list range() + list_transform doesn't.
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(t)),
+                                   i -> t[i] || ' ' || t[i + 1])) AS bg
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+    bc AS (SELECT doc_id, bg, COUNT(*) AS c FROM big GROUP BY 1, 2),
+    b1 AS (SELECT doc_id, MAX(c) AS max_bg, SUM(c) AS n_bg,
+                  COUNT(*) AS d_bg
+           FROM bc GROUP BY 1)
+    SELECT t1.doc_id,
+           CAST(t1.n_tokens AS BIGINT) AS n_tokens,
+           CAST(t1.max_tok AS DOUBLE) / CAST(t1.n_tokens AS DOUBLE)
+             AS top_token_frac,
+           CAST(b1.max_bg AS DOUBLE) / CAST(b1.n_bg AS DOUBLE)
+             AS top_bigram_frac,
+           1.0 - (CAST(b1.d_bg AS DOUBLE) / CAST(b1.n_bg AS DOUBLE))
+             AS dup_bigram_frac,
+           CAST(t1.d_tok AS DOUBLE) / CAST(t1.n_tokens AS DOUBLE)
+             AS distinct_token_ratio,
+           (CAST(t1.max_tok AS DOUBLE) / CAST(t1.n_tokens AS DOUBLE) <= 0.20
+            AND CAST(b1.max_bg AS DOUBLE) / CAST(b1.n_bg AS DOUBLE) <= 0.10)
+             AS passes_repetition
+    FROM t1 JOIN b1 USING (doc_id)
+    """,
+)
+def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1):
+    fraction of tokens taken by the most frequent token, fraction of
+    bigrams taken by the most frequent bigram, duplicate-bigram
+    fraction, distinct-token ratio, and the resulting keep flag.
+
+    Scale posture: everything is computed PER ROW with higher-order
+    functions — sort the token array and take the longest run (equal to
+    the max occurrence count), so there is no explode, no shuffle, and
+    no per-doc aggregation state; the whole operator is one narrow
+    codegen projection over the scan, embarrassingly parallel at any
+    corpus size. The oracle recomputes the same statistics the classic
+    way (unnest → GROUP BY) — two independent formulations must agree.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    d = d.select(
+        "doc_id",
+        toks.alias("toks"),
+        F.size(toks).cast("long").alias("n_tokens"),
+    )
+    d = d.select(
+        "doc_id",
+        "n_tokens",
+        F.expr(_MAX_RUN_SQL.format(arr="array_sort(toks)")).alias("max_tok"),
+        F.size(F.array_distinct("toks")).cast("long").alias("d_tok"),
+        F.expr(
+            "IF(n_tokens >= 2, "
+            "transform(sequence(1, CAST(n_tokens AS INT) - 1), "
+            "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))), "
+            "CAST(array() AS ARRAY<STRING>))"
+        ).alias("bigrams"),
+    )
+    d = d.select(
+        "doc_id",
+        "n_tokens",
+        "max_tok",
+        "d_tok",
+        F.expr(_MAX_RUN_SQL.format(arr="array_sort(bigrams)")).alias("max_bg"),
+        F.size("bigrams").cast("long").alias("n_bg"),
+        F.size(F.array_distinct("bigrams")).cast("long").alias("d_bg"),
+    )
+    top_tok = F.col("max_tok").cast("double") / F.col("n_tokens").cast("double")
+    top_bg = F.col("max_bg").cast("double") / F.col("n_bg").cast("double")
+    return d.select(
+        "doc_id",
+        "n_tokens",
+        top_tok.alias("top_token_frac"),
+        top_bg.alias("top_bigram_frac"),
+        (
+            F.lit(1.0) - (F.col("d_bg").cast("double") / F.col("n_bg").cast("double"))
+        ).alias("dup_bigram_frac"),
+        (F.col("d_tok").cast("double") / F.col("n_tokens").cast("double")).alias(
+            "distinct_token_ratio"
+        ),
+        ((top_tok <= 0.20) & (top_bg <= 0.10)).alias("passes_repetition"),
+    )
+
+
+@query(
+    "text_unigram_likelihood",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      FROM documents),
+    vocab AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY 1),
+    tot AS (SELECT COUNT(*) AS t FROM toks),
+    per_doc AS (
+      SELECT d.doc_id, COUNT(*) AS n_tokens, SUM(v.c) AS sum_corpus_count
+      FROM toks d JOIN vocab v USING (tok) GROUP BY 1)
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(sum_corpus_count AS BIGINT) AS sum_corpus_count,
+           (CAST(sum_corpus_count AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+             / CAST(t AS DOUBLE) AS mean_token_freq
+    FROM per_doc, tot
+    """,
+)
+def text_unigram_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-likelihood quality score — the shape of the perplexity
+    filter (CCNet / Wenzek et al. 2020) with the language model replaced
+    by the corpus's own unigram distribution: score each document by the
+    mean corpus frequency of its tokens, so rare-token (noisy) documents
+    score low and can be culled or bucketed.
+
+    Exactness: per-document we sum the INTEGER corpus count of each
+    token (order-free), and divide twice at the end in a fixed order —
+    no float accumulation anywhere. (A production filter would sum log
+    probabilities; the integer sum keeps the cross-engine oracle exact
+    and ranks low-likelihood documents the same way for filtering.)
+
+    Scale posture: vocab build is word-count (map-side combine, tiny
+    result), broadcast back onto the exploded tokens (Zipf vocabularies
+    fit in a broadcast long past 100 TB corpora — else this join
+    degrades to sort-merge on the token key with stopword salting), and
+    the per-doc sum shuffles uniform doc_id keys once. The corpus total
+    is a 1-row aggregate cross-joined in — never a driver action."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    vocab = d.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = vocab.agg(F.sum("c").alias("t"))
+    per_doc = (
+        d.join(F.broadcast(vocab), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("c").alias("sum_corpus_count"),
+        )
+    )
+    return per_doc.crossJoin(F.broadcast(total)).select(
+        "doc_id",
+        "n_tokens",
+        "sum_corpus_count",
+        (
+            (
+                F.col("sum_corpus_count").cast("double")
+                / F.col("n_tokens").cast("double")
+            )
+            / F.col("t").cast("double")
+        ).alias("mean_token_freq"),
+    )
+
+
+_BM25_TERMS = ("join", "window", "hash")
+_BM25_K1 = 1.2  # k1 + 1 = 2.2 written literally below
+_BM25_B = 0.75  # 1 - b = 0.25 written literally below
+_BM25_TOPK = 20
+
+
+def _bm25_contrib_sql(tf: str, df: str) -> str:
+    """The per-term BM25 contribution, rounded to 1e-6 fixed point —
+    IDENTICAL text evaluated by Spark (via F.expr) and DuckDB, so both
+    engines execute the same IEEE op chain in the same order."""
+    return (
+        f"CASE WHEN {tf} = 0 THEN 0 ELSE CAST(ROUND("
+        f"ln(1.0 + (CAST(n_docs - {df} AS DOUBLE) + 0.5) / (CAST({df} AS DOUBLE) + 0.5))"
+        f" * ((CAST({tf} AS DOUBLE) * 2.2) / (CAST({tf} AS DOUBLE)"
+        f" + 1.2 * (0.25 + (0.75 * CAST(dl AS DOUBLE))"
+        f" / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))"
+        f" * 1000000.0) AS BIGINT) END"
+    )
+
+
+def _bm25_oracle_sql() -> str:
+    tf_cols = ", ".join(
+        f"len(list_filter(toks, x -> x = '{t}')) AS tf{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    df_cols = ", ".join(
+        f"COUNT(*) FILTER (WHERE tf{i} > 0) AS df{i}"
+        for i in range(len(_BM25_TERMS))
+    )
+    contrib = " + ".join(
+        _bm25_contrib_sql(f"tf{i}", f"df{i}") for i in range(len(_BM25_TERMS))
+    )
+    n_terms = " + ".join(
+        f"CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END" for i in range(len(_BM25_TERMS))
+    )
+    return f"""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks,
+                      CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+               FROM documents),
+    t AS (SELECT doc_id, dl, {tf_cols} FROM d),
+    s AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl, {df_cols} FROM t)
+    SELECT doc_id, CAST({n_terms} AS INT) AS n_terms_hit,
+           CAST({contrib} AS BIGINT) AS score_fp
+    FROM t, s
+    WHERE {" + ".join(f"tf{i}" for i in range(len(_BM25_TERMS)))} > 0
+    ORDER BY score_fp DESC, doc_id LIMIT {_BM25_TOPK}
+    """
+
+
+@query("text_bm25_search", oracle=_bm25_oracle_sql())
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (Robertson–Spärck Jones, k1=1.2 b=0.75)
+    for a fixed literal term set, top-20 documents.
+
+    Scale posture — full-corpus scoring in ONE pass and ZERO wide
+    shuffles: per-document term frequencies come from higher-order
+    `filter` over the token array (no explode), corpus statistics
+    (N, Σdl, per-term document frequencies) are ONE 1-row aggregate
+    broadcast-cross-joined back, and the top-k is
+    TakeOrderedAndProject (per-partition partial top-k, no sort
+    shuffle). An inverted-index engine prunes non-matching docs
+    up front; the scan-scoring form is the Spark-native equivalent
+    and the WHERE tf>0 filter drops non-matches before ranking.
+
+    The per-term contribution is rounded to 1e-6 fixed point and the
+    cross-term sum is an INTEGER sum, so the result hash cannot move
+    with aggregation or addition order; Spark and DuckDB evaluate the
+    literally-identical arithmetic expression (see _bm25_contrib_sql).
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.split("text", " ").alias("toks"),
+        F.size(F.split("text", " ")).cast("long").alias("dl"),
+    )
+    t = d.select(
+        "doc_id",
+        "dl",
+        *[
+            F.expr(f"size(filter(toks, x -> x = '{term}'))")
+            .cast("long")
+            .alias(f"tf{i}")
+            for i, term in enumerate(_BM25_TERMS)
+        ],
+    )
+    stats = t.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.count_if(F.col(f"tf{i}") > 0).alias(f"df{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
+    )
+    scored = t.crossJoin(F.broadcast(stats))
+    contrib = " + ".join(
+        _bm25_contrib_sql(f"tf{i}", f"df{i}") for i in range(len(_BM25_TERMS))
+    )
+    n_terms = " + ".join(
+        f"CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END" for i in range(len(_BM25_TERMS))
+    )
+    any_hit = " + ".join(f"tf{i}" for i in range(len(_BM25_TERMS)))
+    return (
+        scored.filter(F.expr(any_hit) > 0)
+        .select(
+            "doc_id",
+            F.expr(n_terms).cast("int").alias("n_terms_hit"),
+            F.expr(contrib).cast("long").alias("score_fp"),
+        )
+        .orderBy(F.col("score_fp").desc(), "doc_id")
+        .limit(_BM25_TOPK)
+    )
+
+
+def _recall_oracle_sql() -> str:
+    # Compose the two existing, independently-verified oracles: exact
+    # brute-force top-10 and the full LSH replay (planes inlined as SQL
+    # literals). Nested WITH inside a CTE body is standard SQL.
+    from jhu_data_parser_spark.plans.llm import _TOPK_ORACLE, _lsh_oracle_sql
+
+    return f"""
+    WITH bf AS ({_TOPK_ORACLE}),
+    lsh AS ({_lsh_oracle_sql()})
+    SELECT CAST(10 AS INT) AS k,
+           CAST(COUNT(*) AS BIGINT) AS n_overlap,
+           CAST(COUNT(*) AS DOUBLE) / CAST(10 AS DOUBLE) AS recall
+    FROM bf JOIN lsh USING (vec_id)
+    """
+
+
+@query("sim_lsh_recall_report", oracle=_recall_oracle_sql())
+def sim_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the RP-LSH ANN path against exact brute force — the
+    index-evaluation query every ANN deployment runs before trusting an
+    approximate index, expressed as a first-class catalog entry so the
+    driver gate MEASURES the approximation instead of taking it on
+    faith.
+
+    Both arms are existing oracle-verified operators (`sim_cosine_topk`,
+    `sim_cosine_topk_lsh`); this query inner-joins their top-10 id sets
+    and reports |BF ∩ LSH| / k. At scale the two arms share the one
+    corpus scan; the join is 10×10 rows — free. The oracle replays BOTH
+    algorithms end-to-end in SQL (planes as literals) and intersects
+    them independently."""
+    from jhu_data_parser_spark.operators import similarity as sim
+    from jhu_data_parser_spark.plans.llm import _query_vec
+
+    e = load_table(spark, sf_dir, "embeddings")
+    corpus = e.filter(F.col("vec_id") != 0)
+    qv = _query_vec(spark, sf_dir, 0)
+    bf = sim.topk_cosine(corpus, qv, k=10).select("vec_id")
+    lsh = sim.topk_cosine_lsh(corpus, qv, dim=len(qv), k=10, n_planes=8).select(
+        "vec_id"
+    )
+    return bf.join(lsh, "vec_id").agg(
+        F.lit(10).cast("int").alias("k"),
+        F.count(F.lit(1)).alias("n_overlap"),
+        (F.count(F.lit(1)).cast("double") / F.lit(10).cast("double")).alias(
+            "recall"
+        ),
+    )
+
+
+@query(
+    "stream_sample_bernoulli",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           (CAST(SUM(CAST(ROUND(value * 10000) AS BIGINT)) AS DOUBLE)
+              / 10000.0) AS kept_value
+    FROM events
+    WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 8) < '40000000'
+    GROUP BY 1
+    """,
+)
+def stream_sample_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Bernoulli sampling inside a REAL availableNow
+    stream (keep rate 0.25 = hex threshold 40000000): the md5-keyed draw
+    is a pure function of the record, so the sampled stream equals the
+    sampled batch bit-for-bit — restarts, repartitions, and micro-batch
+    boundaries cannot change membership. The oracle is the batch filter
+    + aggregate; see streaming/jobs.run_stream_sample."""
+    from jhu_data_parser_spark.streaming.jobs import run_stream_sample
+
+    table = f"stream_sample_{next(_mem_counter)}"
+    return run_stream_sample(spark, sf_dir, table)

@@ -22,6 +22,7 @@ __all__ = [
     "daily_counts",
     "run_daily_counts_availablenow",
     "run_dedup_stream",
+    "run_stream_sample",
     "run_stream_static_enrich",
     "run_stream_stream_join",
     "write_json_partitioned_stream",
@@ -102,6 +103,42 @@ def run_dedup_stream(
         deduped.writeStream.format("memory")
         .queryName(table)
         .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(table)
+
+
+def run_stream_sample(
+    spark: SparkSession, sf_dir: str, table: str, threshold_hex: str = "40000000"
+) -> DataFrame:
+    """Deterministic Bernoulli sampling INSIDE a stream: keep an event iff
+    the first 8 md5-hex chars of its event_id sort below ``threshold_hex``
+    (the keep rate rendered as a 32-bit hex threshold — ``"40000000"`` =
+    0.25), then count/sum what survived per event type.
+
+    The point being demonstrated: because the draw is a pure function of
+    the record key — no seed, no RNG state, no partition dependence — the
+    sampled stream is EXACTLY the sampled batch. A restart, a
+    repartition, or a micro-batch boundary shift cannot change which
+    records are kept, so downstream training-data consumers see one
+    stable sample regardless of delivery. (``df.sample`` on a stream has
+    none of these properties.) The filter is stateless and evaluated
+    map-side per micro-batch; only the keyed aggregate carries state."""
+    from jhu_data_parser_spark.functions.exprs import dec_sum
+
+    ev = read_events_stream(spark, sf_dir)
+    draw = F.substring(F.md5(F.col("event_id").cast("string").cast("binary")), 1, 8)
+    kept = ev.filter(draw < F.lit(threshold_hex))
+    agg = kept.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        dec_sum("value", scale=4).alias("kept_value"),
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(table)
+        .outputMode("complete")
         .trigger(availableNow=True)
         .start()
     )

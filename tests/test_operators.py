@@ -939,3 +939,37 @@ def test_global_rank_is_stable_across_evaluations(spark):
     assert a == b
     truth = {f"p{p}": sum(1 for i in range(5000) if (i % 997) <= p) for p in (0, 100, 996)}
     assert dict(a) == truth
+
+
+def test_repetition_signals_planted(spark, tmp_path):
+    """Planted repetitive vs diverse docs: the run-length HOF must equal
+    hand-computed top-token/top-bigram fractions exactly."""
+    import pyspark.sql.functions as F  # noqa: F811
+    from jhu_data_parser_spark.plans.pipeline4 import text_repetition_signals
+
+    rows = [
+        # "spam spam spam spam eggs": top tok 4/5, bigrams: "spam spam"x3,
+        # "spam eggs" -> top bigram 3/4, distinct toks 2/5
+        (0, "spam spam spam spam eggs", "en", "s", 24),
+        # all-distinct, long enough that 1/(n-1) clears the 0.10
+        # bigram threshold: top tok 1/20, top bigram 1/19
+        (1, " ".join(chr(ord("a") + i) for i in range(20)), "en", "s", 39),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    p = str(tmp_path / "documents.parquet")
+    df.write.parquet(p)
+    # load_table reads <sf_dir>/documents.parquet
+    out = {
+        r["doc_id"]: r
+        for r in text_repetition_signals(spark, str(tmp_path)).collect()
+    }
+    assert out[0]["top_token_frac"] == 4 / 5
+    assert out[0]["top_bigram_frac"] == 3 / 4
+    assert out[0]["distinct_token_ratio"] == 2 / 5
+    assert not out[0]["passes_repetition"]
+    assert out[1]["top_token_frac"] == 1 / 20
+    assert out[1]["top_bigram_frac"] == 1 / 19
+    assert out[1]["dup_bigram_frac"] == 0.0
+    assert out[1]["passes_repetition"]
