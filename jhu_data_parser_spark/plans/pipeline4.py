@@ -389,3 +389,211 @@ def stream_sample_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     table = f"stream_sample_{next(_mem_counter)}"
     return run_stream_sample(spark, sf_dir, table)
+
+
+@query(
+    "pipeline_curation_funnel",
+    oracle="""
+    WITH flagged AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_tok,
+             row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+               AS surv,
+             (len(string_split(text, ' ')) >= 20
+              AND CAST(len(list_filter(string_split(text, ' '),
+                       t -> t IN ('the','a','an','of','and','to','in','is','it','for')))
+                   AS DOUBLE) / len(string_split(text, ' ')) >= 0.05
+              AND CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                   / len(string_split(text, ' ')) BETWEEN 2.0 AND 12.0)
+               AS q,
+             (CAST(tokmax.mx AS DOUBLE) / len(string_split(text, ' ')) <= 0.20
+              AND CAST(bgmax.mx AS DOUBLE)
+                   / (len(string_split(text, ' ')) - 1) <= 0.10) AS r
+      FROM documents,
+      LATERAL (SELECT MAX(c) AS mx FROM (
+                 SELECT COUNT(*) AS c
+                 FROM unnest(string_split(text, ' ')) AS u(tok) GROUP BY tok))
+               AS tokmax,
+      LATERAL (SELECT MAX(c) AS mx FROM (
+                 SELECT COUNT(*) AS c FROM unnest(
+                   list_transform(range(1, len(string_split(text, ' '))),
+                     i -> string_split(text, ' ')[i] || ' '
+                          || string_split(text, ' ')[i + 1])) AS u(bg)
+                 GROUP BY bg)) AS bgmax),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS c0,
+             CAST(SUM(n_tok) AS BIGINT) AS t0,
+             CAST(COUNT(*) FILTER (WHERE surv) AS BIGINT) AS c1,
+             CAST(COALESCE(SUM(n_tok) FILTER (WHERE surv), 0) AS BIGINT) AS t1,
+             CAST(COUNT(*) FILTER (WHERE surv AND q) AS BIGINT) AS c2,
+             CAST(COALESCE(SUM(n_tok) FILTER (WHERE surv AND q), 0) AS BIGINT) AS t2,
+             CAST(COUNT(*) FILTER (WHERE surv AND q AND r) AS BIGINT) AS c3,
+             CAST(COALESCE(SUM(n_tok) FILTER (WHERE surv AND q AND r), 0) AS BIGINT) AS t3
+      FROM flagged)
+    SELECT CAST(0 AS INT) AS stage, 'raw' AS stage_name, c0 AS n_docs, t0 AS n_tokens FROM s
+    UNION ALL
+    SELECT 1, 'exact_dedup', c1, t1 FROM s
+    UNION ALL
+    SELECT 2, 'quality', c2, t2 FROM s
+    UNION ALL
+    SELECT 3, 'repetition', c3, t3 FROM s
+    """,
+)
+def pipeline_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-curation funnel as ONE query: raw → exact-dedup
+    survivors → +quality thresholds (text_quality_filter's exact rules)
+    → +repetition thresholds (text_repetition_signals' exact rules),
+    reporting per-stage document and token counts — the stage-by-stage
+    yield table every training-data pipeline reviews before a run.
+
+    Scale posture: one scan computes every flag (dedup survivorship is a
+    row_number over md5(text) — 16-byte keys shuffled once, never the
+    text), then ONE 1-row aggregate with conditional counts and a
+    4-row stack — no per-stage rescans, no driver loop. The funnel adds
+    exactly one wide shuffle to what exact-dedup alone costs."""
+    d = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    toks = F.split(F.col("text"), " ")
+    w = Window.partitionBy(F.md5(F.col("text").cast("binary"))).orderBy("doc_id")
+    flagged = d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tok"),
+        toks.alias("toks"),
+        (F.row_number().over(w) == 1).alias("surv"),
+        F.expr(
+            "CAST(size(filter(split(text, ' '), "
+            "t -> array_contains(array('the','a','an','of','and','to','in','is','it','for'), t)))"
+            " AS DOUBLE) / size(split(text, ' '))"
+        ).alias("sw_ratio"),
+        (
+            F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double")
+            / F.size(toks)
+        ).alias("mean_tok"),
+    )
+    flagged = flagged.select(
+        "doc_id",
+        "n_tok",
+        "surv",
+        (
+            (F.col("n_tok") >= 20)
+            & (F.col("sw_ratio") >= 0.05)
+            & F.col("mean_tok").between(2.0, 12.0)
+        ).alias("q"),
+        (
+            (
+                F.expr(_MAX_RUN_SQL.format(arr="array_sort(toks)")).cast("double")
+                / F.col("n_tok").cast("double")
+                <= 0.20
+            )
+            & (
+                F.expr(
+                    _MAX_RUN_SQL.format(
+                        arr="array_sort(transform(sequence(1, CAST(n_tok AS INT) - 1), "
+                        "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))))"
+                    )
+                ).cast("double")
+                / (F.col("n_tok") - F.lit(1)).cast("double")
+                <= 0.10
+            )
+        ).alias("r"),
+    )
+    s = flagged.agg(
+        F.count(F.lit(1)).alias("c0"),
+        F.sum("n_tok").alias("t0"),
+        F.count_if(F.col("surv")).alias("c1"),
+        F.coalesce(F.sum(F.when(F.col("surv"), F.col("n_tok"))), F.lit(0)).alias("t1"),
+        F.count_if(F.col("surv") & F.col("q")).alias("c2"),
+        F.coalesce(
+            F.sum(F.when(F.col("surv") & F.col("q"), F.col("n_tok"))), F.lit(0)
+        ).alias("t2"),
+        F.count_if(F.col("surv") & F.col("q") & F.col("r")).alias("c3"),
+        F.coalesce(
+            F.sum(F.when(F.col("surv") & F.col("q") & F.col("r"), F.col("n_tok"))),
+            F.lit(0),
+        ).alias("t3"),
+    )
+    return s.selectExpr(
+        "inline(array("
+        "named_struct('stage', CAST(0 AS INT), 'stage_name', 'raw', 'n_docs', c0, 'n_tokens', t0), "
+        "named_struct('stage', CAST(1 AS INT), 'stage_name', 'exact_dedup', 'n_docs', c1, 'n_tokens', t1), "
+        "named_struct('stage', CAST(2 AS INT), 'stage_name', 'quality', 'n_docs', c2, 'n_tokens', t2), "
+        "named_struct('stage', CAST(3 AS INT), 'stage_name', 'repetition', 'n_docs', c3, 'n_tokens', t3)))"
+    )
+
+
+@query(
+    "scd2_event_state_history",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                  THEN 1 ELSE 0 END AS chg
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    v AS (
+      SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS version
+      FROM o),
+    g AS (
+      SELECT user_id, version, MIN(event_type) AS state,
+             MIN(ts) AS vf, COUNT(*) AS n
+      FROM v GROUP BY 1, 2)
+    SELECT user_id,
+           CAST(version AS BIGINT) AS version,
+           state,
+           epoch_us(vf) AS valid_from_us,
+           lead(epoch_us(vf)) OVER (PARTITION BY user_id ORDER BY version)
+             AS valid_to_us,
+           (lead(vf) OVER (PARTITION BY user_id ORDER BY version) IS NULL)
+             AS is_current,
+           CAST(n AS BIGINT) AS n_events
+    FROM g
+    """,
+)
+def scd2_event_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension assembly from an event log:
+    collapse each user's consecutive runs of the same state
+    (event_type) into versioned validity intervals —
+    [valid_from, valid_to) with an open current row — the standard
+    lakehouse dimension-history build (Kimball SCD type 2), derived
+    with gaps-and-islands instead of a MERGE loop.
+
+    Scale posture: ONE exchange total. The change-flag window, the
+    cumulative version sum, the per-version aggregate, and the
+    valid_to lead window are all clustered by user_id —
+    HashPartitioning(user_id) satisfies every downstream distribution
+    (groupBy(user_id, version) clusters on a superset of the
+    partitioning keys), so Catalyst inserts no further shuffle.
+    Timestamps surface as integer epoch-microseconds, so the driver
+    hash is exact."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.withColumn(
+        "chg",
+        F.when(
+            ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type")), 1
+        ).otherwise(0),
+    )
+    v = o.withColumn(
+        "version", F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    g = v.groupBy("user_id", "version").agg(
+        F.min("event_type").alias("state"),
+        F.min("ts").alias("vf"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("version")
+    return g.select(
+        "user_id",
+        F.col("version").cast("long").alias("version"),
+        "state",
+        F.unix_micros("vf").alias("valid_from_us"),
+        F.unix_micros(F.lead("vf").over(w2)).alias("valid_to_us"),
+        F.lead("vf").over(w2).isNull().alias("is_current"),
+        F.col("n_events").cast("long").alias("n_events"),
+    )

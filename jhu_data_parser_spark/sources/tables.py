@@ -42,7 +42,11 @@ def _normalize_nanos_ts(df: DataFrame, cols: tuple[str, ...] = ("ts",)) -> DataF
 
     for c in cols:
         if c in df.columns and isinstance(df.schema[c].dataType, LongType):
-            df = df.withColumn(c, F.timestamp_micros(F.floor(F.col(c) / 1000).cast("long")))
+            # Integer `div`, NOT `/`: epoch-nanos (~1.7e18) exceed double's
+            # 2^53 mantissa, so float division + floor is off by ±1 µs on
+            # roughly half of all values (caught by the scd2 epoch_us
+            # oracle; second-granularity consumers masked it).
+            df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
     return df
 
 

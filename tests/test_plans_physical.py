@@ -260,3 +260,45 @@ def test_pack_sequences_single_exchange(spark):
     partial aggregation happens on the window's partitioning."""
     plan = _plan(spark, "text_pack_sequences")
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_repetition_signals_is_shuffle_free(spark):
+    """The per-row run-length formulation must compile to a pure codegen
+    projection: zero exchanges, no explode-driven Generate."""
+    plan = _plan(spark, "text_repetition_signals")
+    assert "Exchange" not in plan
+    assert "Generate" not in plan
+
+
+def test_bm25_is_single_pass_topk(spark):
+    """BM25 scoring: per-partition partial top-k (TakeOrderedAndProject),
+    corpus stats broadcast back (no shuffle of the corpus rows for the
+    stats join), no explode of the token arrays."""
+    plan = _plan(spark, "text_bm25_search")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "Generate" not in plan
+    # The only non-broadcast exchange is the 1-row stats aggregate's.
+    import re
+    wide = [ln for ln in plan.splitlines()
+            if re.search(r"\bExchange hashpartitioning", ln)]
+    assert not wide, wide
+
+
+def test_scd2_is_single_exchange(spark):
+    """Change-flag window, version cumsum, per-version agg, and the
+    valid_to lead window all cluster on user_id: HashPartitioning(user_id)
+    satisfies every downstream distribution, so exactly ONE
+    hash-partitioning exchange appears."""
+    plan = _plan(spark, "scd2_event_state_history")
+    import re
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan[:3000]
+
+
+def test_curation_funnel_is_one_wide_shuffle(spark):
+    """One scan, one md5-key window shuffle, one 1-row aggregate — the
+    funnel must not rescan per stage (no union of 4 scan branches)."""
+    plan = _plan(spark, "pipeline_curation_funnel")
+    import re
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan[:3000]
+    assert plan.count("Scan parquet") == 1, plan.count("Scan parquet")
