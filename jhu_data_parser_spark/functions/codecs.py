@@ -413,3 +413,23 @@ def decode_image_meta(payload: bytes) -> tuple[str, int, int] | None:
         w, h = _decode_ppm(payload)
         return ("ppm", w, h)
     return None
+
+
+def dhash64_bmp(payload: bytes, grid_w: int = 9, grid_h: int = 8) -> int:
+    """64-bit difference hash (dHash, Krawetz) over GENUINELY decoded BMP
+    pixels: decode the byte stream, nearest-neighbor-sample a
+    ``grid_h x (grid_w)`` grayscale grid (floor index maps — the same
+    convention as :func:`resize_bmp_nearest`), and set bit ``y*8+x`` iff
+    ``gray[y][x] > gray[y][x+1]``. Integer arithmetic throughout
+    (channel mean via ``// 3``), so the hash is bit-exact and
+    SQL-replayable. Returned as a signed two's-complement int64."""
+    import numpy as np
+
+    px = decode_bmp_pixels(payload).astype(np.int64)  # (h, w, 3) top-down
+    h, w = px.shape[:2]
+    yi = (np.arange(grid_h, dtype=np.int64) * h) // grid_h
+    xi = (np.arange(grid_w, dtype=np.int64) * w) // grid_w
+    gray = px[yi][:, xi].sum(axis=2) // 3  # (grid_h, grid_w)
+    bits = (gray[:, :-1] > gray[:, 1:]).astype(np.uint64).flatten()  # row-major
+    ph = int((bits << np.arange(bits.size, dtype=np.uint64)).sum(dtype=np.uint64))
+    return ph - (1 << 64) if ph >= (1 << 63) else ph

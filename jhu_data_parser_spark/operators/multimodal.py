@@ -27,6 +27,8 @@ from pyspark.sql import functions as F
 __all__ = [
     "attach_binary",
     "attach_image",
+    "attach_image_bucketed",
+    "perceptual_dhash",
     "attach_audio",
     "attach_video",
     "extract_video_meta",
@@ -493,3 +495,50 @@ def frame_sample_stub(
     return df.select(id_col, media_col).mapInPandas(
         _map, "doc_id bigint, frame_no int, frame_bytes binary"
     )
+
+
+def attach_image_bucketed(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    media_col: str = "media",
+    seed_mod: int = 23,
+) -> DataFrame:
+    """Synthesize BMP payloads whose CONTENT (dims + pixels) is keyed by
+    ``id % seed_mod`` rather than the id itself, so distinct documents
+    deliberately carry byte-identical images — the planted-duplicate
+    corpus for content-addressed image dedup. In production this column
+    comes from ``spark.read.format('binaryFile')``."""
+    from jhu_data_parser_spark.functions.codecs import encode_bmp
+
+    def _map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for did in pdf[id_col]:
+                s = int(did) % seed_mod
+                payloads.append(encode_bmp(s % 64 + 16, s % 48 + 16, seed=s))
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col].astype("int64"), media_col: payloads}
+            )
+
+    return df.select(id_col).mapInPandas(_map, f"doc_id bigint, {media_col} binary")
+
+
+def perceptual_dhash(
+    df: DataFrame, id_col: str = "doc_id", media_col: str = "media"
+) -> DataFrame:
+    """Per-image 64-bit perceptual difference hash from genuinely decoded
+    pixel bytes (see codecs.dhash64_bmp). Arrow-batched mapInPandas —
+    embarrassingly parallel, no shuffle; the hash column (8 bytes/row)
+    is what downstream dedup shuffles, never the payloads."""
+    from jhu_data_parser_spark.functions.codecs import dhash64_bmp
+
+    def _map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "phash": [dhash64_bmp(bytes(b)) for b in pdf[media_col]],
+                }
+            )
+
+    return df.mapInPandas(_map, "doc_id bigint, phash bigint")

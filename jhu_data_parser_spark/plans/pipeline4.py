@@ -597,3 +597,102 @@ def scd2_event_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("vf").over(w2).isNull().alias("is_current"),
         F.col("n_events").cast("long").alias("n_events"),
     )
+
+
+_PHASH_SEED_MOD = 23
+_PHASH_POWERS = ", ".join(str(1 << i) for i in range(64))
+
+
+def _phash_oracle_sql(seed_mod: int = _PHASH_SEED_MOD) -> str:
+    """Replay the ENTIRE image pipeline in SQL from doc_id arithmetic:
+    the BMP pixel bytes are an LCG over the padded pixel buffer
+    (codecs._fill_bytes), so every sampled grid byte — and therefore the
+    dHash — is recomputable without ever seeing a payload. 64-bit
+    wraparound multiply is emulated in HUGEINT (DuckDB integer ops trap
+    on overflow rather than wrapping)."""
+
+    def byte(i: str) -> str:
+        return (
+            f"CAST((((({i}) + s) * 6364136223846793005 + 1442695040888963407)"
+            f" % 170141183460469231731687303715884105728"  # keep HUGEINT ctx
+            f" % 18446744073709551616) // 8589934592 % 256 AS BIGINT)"
+        )
+
+    base = "((h - 1 - sy) * ((w * 3 + 3) // 4 * 4) + sx * 3)"
+    return f"""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(doc_id % {seed_mod} AS HUGEINT) AS s,
+             CAST(doc_id % {seed_mod} % 64 + 16 AS BIGINT) AS w,
+             CAST(doc_id % {seed_mod} % 48 + 16 AS BIGINT) AS h
+      FROM documents),
+    grid AS (
+      SELECT d.*, gy.y, gx.x,
+             (gx.x * d.w) // 9 AS sx,
+             (gy.y * d.h) // 8 AS sy
+      FROM d, generate_series(0, 7) gy(y), generate_series(0, 8) gx(x)),
+    gray AS (
+      SELECT doc_id, y, x,
+             ({byte(base)} + {byte(base + " + 1")} + {byte(base + " + 2")}) // 3
+               AS g
+      FROM grid),
+    bits AS (
+      SELECT doc_id, y, x,
+             CASE WHEN g > lead(g) OVER (PARTITION BY doc_id, y ORDER BY x)
+                  THEN 1 ELSE 0 END AS bit
+      FROM gray),
+    ph AS (
+      SELECT doc_id,
+             SUM(CAST(bit AS HUGEINT)
+                 * ([{_PHASH_POWERS}]::HUGEINT[])[y * 8 + x + 1]) AS pu
+      FROM bits WHERE x < 8 GROUP BY doc_id),
+    signed AS (
+      SELECT doc_id,
+             CAST(CASE WHEN pu >= 9223372036854775808
+                       THEN pu - 18446744073709551616 ELSE pu END AS BIGINT)
+               AS phash
+      FROM ph)
+    SELECT doc_id, phash,
+           COUNT(*) OVER (PARTITION BY phash) AS group_size,
+           COUNT(*) OVER (PARTITION BY phash) > 1 AS is_duplicate
+    FROM signed
+    """
+
+
+@query("multimodal_phash_dedup", oracle=_phash_oracle_sql())
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressed IMAGE dedup via perceptual difference hashing:
+    synthesize a corpus with planted byte-identical images (content
+    keyed by doc_id % 23), decode the REAL BMP byte streams, compute a
+    64-bit dHash from the decoded pixels (9×8 nearest-neighbor
+    grayscale, adjacent-comparison bits), and group documents by hash —
+    the image-pipeline analog of md5-text exact dedup, robust to
+    re-encoding in production.
+
+    Scale posture: decode + hash is Arrow-batched mapInPandas —
+    embarrassingly parallel, no shuffle; the only shuffled column is the
+    8-byte hash (window over phash), never the payloads. Near-dup
+    (hamming ≤ k) extends via the same pigeonhole banding as
+    dedup_simhash_candidates.
+
+    The oracle replays decode→sample→hash END-TO-END from doc_id
+    arithmetic (the pixel LCG emulated with HUGEINT wraparound) — it
+    never sees a byte, so the hash match proves the Spark side genuinely
+    parsed headers, padding, bottom-up row order, and pixel values."""
+    from jhu_data_parser_spark.operators.multimodal import (
+        attach_image_bucketed,
+        perceptual_dhash,
+    )
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    hashed = perceptual_dhash(
+        attach_image_bucketed(d, seed_mod=_PHASH_SEED_MOD)
+    )
+    w = Window.partitionBy("phash")
+    n = F.count(F.lit(1)).over(w)
+    return hashed.select(
+        "doc_id", "phash",
+        n.cast("long").alias("group_size"),
+        (n > 1).alias("is_duplicate"),
+    )

@@ -973,3 +973,20 @@ def test_repetition_signals_planted(spark, tmp_path):
     assert out[1]["top_bigram_frac"] == 1 / 19
     assert out[1]["dup_bigram_frac"] == 0.0
     assert out[1]["passes_repetition"]
+
+
+def test_dhash_identity_and_locality():
+    """Same payload -> same hash; a single-pixel perturbation can flip at
+    most the 2 comparison bits that touch the perturbed grid cell."""
+    from jhu_data_parser_spark.functions.codecs import dhash64_bmp, encode_bmp
+
+    a = encode_bmp(40, 30, seed=7)
+    assert dhash64_bmp(a) == dhash64_bmp(bytes(a))
+    assert dhash64_bmp(encode_bmp(40, 30, seed=7)) == dhash64_bmp(a)
+    # different content -> (overwhelmingly) different hash
+    assert dhash64_bmp(encode_bmp(40, 30, seed=8)) != dhash64_bmp(a)
+    # perturb one pixel byte inside the pixel array (offset 54+) by +128
+    b = bytearray(a)
+    b[54 + 5] = (b[54 + 5] + 128) % 256
+    d = bin(dhash64_bmp(bytes(b)) ^ dhash64_bmp(a)).count("1")
+    assert d <= 2
