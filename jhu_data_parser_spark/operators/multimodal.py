@@ -502,20 +502,34 @@ def attach_image_bucketed(
     id_col: str = "doc_id",
     media_col: str = "media",
     seed_mod: int = 23,
+    perturb_odd: bool = False,
 ) -> DataFrame:
     """Synthesize BMP payloads whose CONTENT (dims + pixels) is keyed by
     ``id % seed_mod`` rather than the id itself, so distinct documents
     deliberately carry byte-identical images — the planted-duplicate
-    corpus for content-addressed image dedup. In production this column
-    comes from ``spark.read.format('binaryFile')``."""
-    from jhu_data_parser_spark.functions.codecs import encode_bmp
+    corpus for content-addressed image dedup. With ``perturb_odd``, odd
+    ids additionally get a +128 perturbation of the pixel the 9×8 dHash
+    grid samples at its center (gx=4, gy=4, channel 0) — planted NEAR
+    duplicates at small nonzero Hamming distance from their even twins.
+    In production this column comes from
+    ``spark.read.format('binaryFile')``."""
+    from jhu_data_parser_spark.functions.codecs import bmp_row_size, encode_bmp
 
     def _map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = []
             for did in pdf[id_col]:
-                s = int(did) % seed_mod
-                payloads.append(encode_bmp(s % 64 + 16, s % 48 + 16, seed=s))
+                did = int(did)
+                s = did % seed_mod
+                w, h = s % 64 + 16, s % 48 + 16
+                payload = encode_bmp(w, h, seed=s)
+                if perturb_odd and did % 2 == 1:
+                    sx, sy = (4 * w) // 9, (4 * h) // 8
+                    pidx = (h - 1 - sy) * bmp_row_size(w) + sx * 3
+                    buf = bytearray(payload)
+                    buf[54 + pidx] = (buf[54 + pidx] + 128) % 256
+                    payload = bytes(buf)
+                payloads.append(payload)
             yield pd.DataFrame(
                 {"doc_id": pdf[id_col].astype("int64"), media_col: payloads}
             )

@@ -603,24 +603,34 @@ _PHASH_SEED_MOD = 23
 _PHASH_POWERS = ", ".join(str(1 << i) for i in range(64))
 
 
-def _phash_oracle_sql(seed_mod: int = _PHASH_SEED_MOD) -> str:
-    """Replay the ENTIRE image pipeline in SQL from doc_id arithmetic:
-    the BMP pixel bytes are an LCG over the padded pixel buffer
-    (codecs._fill_bytes), so every sampled grid byte — and therefore the
-    dHash — is recomputable without ever seeing a payload. 64-bit
-    wraparound multiply is emulated in HUGEINT (DuckDB integer ops trap
-    on overflow rather than wrapping)."""
+def _phash_cte_sql(seed_mod: int, perturb_odd: bool) -> str:
+    """Shared CTE chain replaying the ENTIRE image pipeline in SQL from
+    doc_id arithmetic: the BMP pixel bytes are an LCG over the padded
+    pixel buffer (codecs._fill_bytes), so every sampled grid byte — and
+    therefore the dHash — is recomputable without ever seeing a payload.
+    64-bit wraparound multiply is emulated in HUGEINT (DuckDB integer
+    ops trap on overflow rather than wrapping). With ``perturb_odd``,
+    odd documents get the planted +128 perturbation of the sampled
+    grid-center pixel's first channel (see attach_image_bucketed)."""
 
     def byte(i: str) -> str:
-        return (
+        raw = (
             f"CAST((((({i}) + s) * 6364136223846793005 + 1442695040888963407)"
             f" % 170141183460469231731687303715884105728"  # keep HUGEINT ctx
             f" % 18446744073709551616) // 8589934592 % 256 AS BIGINT)"
         )
+        if not perturb_odd:
+            return raw
+        # center pixel (gx=4, gy=4), channel 0 — same arithmetic as the
+        # Spark-side synthesis
+        pidx = "((h - 1 - (4 * h) // 8) * ((w * 3 + 3) // 4 * 4) + ((4 * w) // 9) * 3)"
+        return (
+            f"CASE WHEN doc_id % 2 = 1 AND ({i}) = {pidx}"
+            f" THEN ({raw} + 128) % 256 ELSE {raw} END"
+        )
 
     base = "((h - 1 - sy) * ((w * 3 + 3) // 4 * 4) + sx * 3)"
-    return f"""
-    WITH d AS (
+    return f"""d AS (
       SELECT doc_id,
              CAST(doc_id % {seed_mod} AS HUGEINT) AS s,
              CAST(doc_id % {seed_mod} % 64 + 16 AS BIGINT) AS w,
@@ -651,7 +661,12 @@ def _phash_oracle_sql(seed_mod: int = _PHASH_SEED_MOD) -> str:
              CAST(CASE WHEN pu >= 9223372036854775808
                        THEN pu - 18446744073709551616 ELSE pu END AS BIGINT)
                AS phash
-      FROM ph)
+      FROM ph)"""
+
+
+def _phash_oracle_sql(seed_mod: int = _PHASH_SEED_MOD) -> str:
+    return f"""
+    WITH {_phash_cte_sql(seed_mod, perturb_odd=False)}
     SELECT doc_id, phash,
            COUNT(*) OVER (PARTITION BY phash) AS group_size,
            COUNT(*) OVER (PARTITION BY phash) > 1 AS is_duplicate
@@ -696,3 +711,81 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.cast("long").alias("group_size"),
         (n > 1).alias("is_duplicate"),
     )
+
+
+def _phash_pairs_oracle_sql(seed_mod: int = _PHASH_SEED_MOD) -> str:
+    # Ground truth, not a replay of the algorithm: brute-force ALL-PAIRS
+    # Hamming join over independently recomputed hashes. The banded
+    # Spark plan must reproduce it exactly — the pigeonhole guarantee
+    # (hamming <= bands-1 => some 16-bit chunk matches) says recall is
+    # 100% at radius 2, and the driver hash-match proves it.
+    return f"""
+    WITH {_phash_cte_sql(seed_mod, perturb_odd=True)}
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+    FROM signed a JOIN signed b
+      ON a.doc_id < b.doc_id
+     AND bit_count(xor(a.phash, b.phash)) <= 2
+    """
+
+
+@query("multimodal_phash_near_pairs", oracle=_phash_pairs_oracle_sql())
+def multimodal_phash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-duplicate image pairs (Hamming ≤ 2 on the 64-bit dHash) via
+    pigeonhole banding — the image analog of SimHash text dedup. The
+    planted corpus has byte-identical twins (hamming 0) AND odd-id
+    variants perturbed at a grid-sampled pixel (hamming 1-2), so the
+    result exercises genuinely-near-but-not-identical matches.
+
+    Scale posture: the hash splits into four 16-bit chunks; any pair
+    within Hamming 3 must agree on a whole chunk, so ONE shuffle on
+    (band, chunk) + in-bucket i<j expansion finds every candidate with
+    zero distance computations outside buckets — never an all-pairs
+    join. Verification is a codegen bit_count(xor) on the carried
+    hashes. The ORACLE is the opposite plan — brute-force quadratic
+    ground truth over independently recomputed hashes — so the driver
+    match proves the banding loses nothing at radius 2."""
+    from jhu_data_parser_spark.operators.multimodal import (
+        attach_image_bucketed,
+        perceptual_dhash,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    hashed = perceptual_dhash(
+        attach_image_bucketed(d, seed_mod=_PHASH_SEED_MOD, perturb_odd=True)
+    ).localCheckpoint(eager=False)
+    banded = hashed.select(
+        "doc_id",
+        "phash",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, 3), b -> "
+                "struct(b AS band, shiftright(phash, b * 16) & 65535 AS chunk))"
+            )
+        ).alias("bc"),
+    ).select("doc_id", "phash", "bc.band", "bc.chunk")
+    members = F.array_sort(
+        F.collect_list(F.struct(F.col("doc_id"), F.col("phash")))
+    )
+    pairs = (
+        banded.groupBy("band", "chunk")
+        .agg(members.alias("ms"))
+        .filter((F.size("ms") >= 2) & (F.size("ms") <= 10000))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ms, (a, i) -> "
+                    "transform(slice(ms, i + 2, size(ms)), b -> "
+                    "struct(a.doc_id AS id_a, b.doc_id AS id_b, "
+                    "a.phash AS ph_a, b.phash AS ph_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.*")
+        .distinct()
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.bit_count(F.expr("ph_a ^ ph_b")).cast("int").alias("hamming"),
+    ).filter(F.col("hamming") <= 2)
