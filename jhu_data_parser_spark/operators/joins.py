@@ -159,3 +159,89 @@ def asof_join(
         *[F.col("__lrow")[c].alias(c) for c in lcols],
         *keep,
     )
+
+
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_id: str,
+    tolerance_us: int,
+) -> DataFrame:
+    """As-of NEAREST join: for each left row, the right row (same key)
+    minimizing ``|left_ts - right_ts|`` within ``tolerance_us``
+    microseconds, ties broken toward the EARLIER right timestamp and
+    then the smaller ``right_id`` — fully deterministic.
+
+    Same union+window strategy as :func:`asof_join` (one shuffle on the
+    key, never a non-equi nested loop), run in BOTH directions over one
+    union: a backward pass carries ``max(struct(ts, -id))`` over the
+    preceding frame (latest earlier right row, min-id on ties) and a
+    forward pass carries ``min(struct(ts, id))`` over the following
+    frame; a codegen projection then picks the closer candidate. Both
+    window frames sort within the same key partitioning, so Catalyst
+    inserts exactly one exchange. Timestamps are compared as integer
+    epoch-µs — exact, engine-portable arithmetic.
+
+    Returns the left columns plus ``<right_id>`` (nullable), ``side``
+    ('backward' / 'forward' / null) and ``delta_us``."""
+    lcols = left.columns
+    l_tagged = left.select(
+        F.col(key).alias("__k"),
+        F.unix_micros(F.col(left_ts)).alias("__t"),
+        F.lit(1).alias("__tag"),
+        F.struct(*[F.col(c) for c in lcols]).alias("__lrow"),
+        F.lit(None).cast("long").alias("__rid"),
+    )
+    r_tagged = right.select(
+        F.col(key).alias("__k"),
+        F.unix_micros(F.col(right_ts)).alias("__t"),
+        F.lit(0).alias("__tag"),
+        F.lit(None).cast(l_tagged.schema["__lrow"].dataType).alias("__lrow"),
+        F.col(right_id).cast("long").alias("__rid"),
+    )
+    u = l_tagged.unionByName(r_tagged)
+    # Right rows sort before left rows at equal ts => "<=" goes backward.
+    order = [F.col("__t").asc(), F.col("__tag").asc()]
+    wb = (
+        Window.partitionBy("__k")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("__k")
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    r_struct = F.when(
+        F.col("__tag") == 0, F.struct(F.col("__t"), (-F.col("__rid")).alias("__nid"))
+    )
+    f_struct = F.when(F.col("__tag") == 0, F.struct(F.col("__t"), F.col("__rid")))
+    cand = (
+        u.select(
+            "__tag",
+            "__lrow",
+            "__t",
+            F.max(r_struct).over(wb).alias("__b"),  # latest earlier; min id on tie
+            F.min(f_struct).over(wf).alias("__f"),  # earliest later; min id on tie
+        )
+        .filter(F.col("__tag") == 1)
+    )
+    db = F.col("__t") - F.col("__b.__t")
+    df_ = F.col("__f.__t") - F.col("__t")
+    b_ok = F.col("__b").isNotNull() & (db <= tolerance_us)
+    f_ok = F.col("__f").isNotNull() & (df_ <= tolerance_us)
+    # backward wins exact-delta ties (earlier timestamp), matching the
+    # ORDER BY delta, ts, id ground truth.
+    use_b = b_ok & (~f_ok | (db <= df_))
+    use_f = f_ok & ~use_b
+    return cand.select(
+        *[F.col("__lrow")[c].alias(c) for c in lcols],
+        F.when(use_b, -F.col("__b.__nid"))
+        .when(use_f, F.col("__f.__rid"))
+        .alias(right_id),
+        F.when(use_b, F.lit("backward")).when(use_f, F.lit("forward")).alias("side"),
+        F.when(use_b, db).when(use_f, df_).alias("delta_us"),
+    )

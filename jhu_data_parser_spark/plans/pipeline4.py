@@ -789,3 +789,52 @@ def multimodal_phash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id_b",
         F.bit_count(F.expr("ph_a ^ ph_b")).cast("int").alias("hamming"),
     ).filter(F.col("hamming") <= 2)
+
+
+@query(
+    "join_asof_nearest_click",
+    oracle="""
+    WITH p AS (
+      SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS pt
+      FROM events WHERE event_type = 'purchase'),
+    c AS (
+      SELECT event_id AS cid, user_id, epoch_us(ts) AS ct
+      FROM events WHERE event_type = 'click')
+    SELECT p.purchase_id, m.cid AS click_id, m.side, m.delta_us
+    FROM p LEFT JOIN LATERAL (
+      SELECT cid,
+             CASE WHEN ct <= pt THEN 'backward' ELSE 'forward' END AS side,
+             CASE WHEN ct <= pt THEN pt - ct ELSE ct - pt END AS delta_us
+      FROM c
+      WHERE c.user_id = p.user_id AND abs(ct - pt) <= 1800000000
+      ORDER BY delta_us, ct, cid
+      LIMIT 1) m ON TRUE
+    """,
+)
+def join_asof_nearest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-event attribution: each purchase matched to the CLOSEST
+    click by the same user within ±30 minutes, whichever side of the
+    purchase it falls on (ties → earlier click) — the bidirectional
+    complement of the backward as-of join.
+
+    Scale posture: operators/joins.asof_join_nearest — one union, one
+    user_id exchange, two window passes over the same partitioning, and
+    a codegen candidate pick; never a non-equi nested-loop join. The
+    oracle is the quadratic ground truth (LATERAL min-|Δ| per purchase),
+    so the driver match proves the two-pass window rewrite implements
+    nearest semantics exactly, tie-breaks included."""
+    from jhu_data_parser_spark.operators.joins import asof_join_nearest
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    out = asof_join_nearest(
+        purchases, clicks,
+        key="user_id", left_ts="ts", right_ts="ts",
+        right_id="click_id", tolerance_us=1_800_000_000,
+    )
+    return out.select("purchase_id", "click_id", "side", "delta_us")
