@@ -190,14 +190,14 @@ def asof_join_nearest(
     lcols = left.columns
     l_tagged = left.select(
         F.col(key).alias("__k"),
-        F.unix_micros(F.col(left_ts)).alias("__t"),
+        F.unix_micros(F.col(left_ts).cast("timestamp")).alias("__t"),
         F.lit(1).alias("__tag"),
         F.struct(*[F.col(c) for c in lcols]).alias("__lrow"),
         F.lit(None).cast("long").alias("__rid"),
     )
     r_tagged = right.select(
         F.col(key).alias("__k"),
-        F.unix_micros(F.col(right_ts)).alias("__t"),
+        F.unix_micros(F.col(right_ts).cast("timestamp")).alias("__t"),
         F.lit(0).alias("__tag"),
         F.lit(None).cast(l_tagged.schema["__lrow"].dataType).alias("__lrow"),
         F.col(right_id).cast("long").alias("__rid"),

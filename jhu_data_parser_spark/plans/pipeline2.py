@@ -65,7 +65,7 @@ _SESSION_GAP_SEC = 1800.0  # 30 min — the classic web-session cutoff
 def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    sec = F.col("ts").cast("double")
+    sec = F.col("ts").cast("timestamp").cast("double")  # NTZ-safe numeric seconds
     prev = F.lag(sec).over(w)
     new_sess = F.when(prev.isNull() | (sec - prev > _SESSION_GAP_SEC), 1).otherwise(0)
     sessions = ev.withColumn(

@@ -88,7 +88,8 @@ def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents)
     SELECT doc_id, lang, n_tokens
     FROM scored
-    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+    WHERE n_tokens >= 512
+       OR substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
           < printf('%08x', CAST(FLOOR(
                CAST(LEAST(n_tokens, 512) AS DOUBLE) / 512 * 4294967296)
                AS BIGINT))
@@ -121,7 +122,12 @@ def sample_quality_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             * F.lit(4294967296.0)
         ).cast("long"),
     )
-    return scored.filter(draw < thresh)
+    # Weight 1.0 must keep EVERY row: floor(1.0·2³²) renders as 9 hex
+    # chars ("100000000") while the draw is 8, so the lexicographic
+    # compare alone keeps only draws starting with '0' (~1/16). The
+    # explicit rate>=1 guard (same pattern as sample_mixture_weights)
+    # makes the max-weight branch exact.
+    return scored.filter((F.col("n_tokens") >= 512) | (draw < thresh))
 
 
 _TS_FMT = "yyyy-MM-dd HH:mm:ss"
@@ -207,7 +213,7 @@ def events_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     form, proving the rewrite exact."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    sec = F.col("ts").cast("double")
+    sec = F.col("ts").cast("timestamp").cast("double")  # NTZ-safe numeric seconds
     prev = F.lag(sec).over(w)
     new_sess = F.when(prev.isNull() | (sec - prev > 1800.0), 1).otherwise(0)
     sess = (
@@ -286,7 +292,7 @@ def events_session_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFr
 
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    sec = F.col("ts").cast("double")
+    sec = F.col("ts").cast("timestamp").cast("double")  # NTZ-safe numeric seconds
     prev = F.lag(sec).over(w)
     new_sess = F.when(prev.isNull() | (sec - prev > 1800.0), 1).otherwise(0)
     sess = (

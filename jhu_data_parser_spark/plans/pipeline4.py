@@ -592,8 +592,8 @@ def scd2_event_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.col("version").cast("long").alias("version"),
         "state",
-        F.unix_micros("vf").alias("valid_from_us"),
-        F.unix_micros(F.lead("vf").over(w2)).alias("valid_to_us"),
+        F.unix_micros(F.col("vf").cast("timestamp")).alias("valid_from_us"),
+        F.unix_micros(F.lead("vf").over(w2).cast("timestamp")).alias("valid_to_us"),
         F.lead("vf").over(w2).isNull().alias("is_current"),
         F.col("n_events").cast("long").alias("n_events"),
     )

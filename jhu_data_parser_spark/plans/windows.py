@@ -179,7 +179,9 @@ def window_lead_next_order_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def window_rolling_distinct_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    sec = F.col("ts").cast("long")  # session TZ pinned UTC → exact epoch s
+    # cast via timestamp so the expression is legal even on TIMESTAMP_NTZ;
+    # session TZ pinned UTC → exact epoch s either way
+    sec = F.col("ts").cast("timestamp").cast("long")
     w = Window.partitionBy("user_id").orderBy(sec).rangeBetween(-3600, 0)
     return ev.select(
         "event_id",

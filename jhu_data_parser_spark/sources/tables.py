@@ -33,20 +33,35 @@ def default_sf_dir() -> str:
 
 
 def _normalize_nanos_ts(df: DataFrame, cols: tuple[str, ...] = ("ts",)) -> DataFrame:
-    """Parquet TIMESTAMP(NANOS) columns arrive as nanosecond longs (via
-    ``spark.sql.legacy.parquet.nanosAsLong``); convert to TimestampType
-    with µs truncation — the same truncation every µs-based consumer
-    (including the DuckDB oracle's Python fetch) applies."""
+    """Normalize event timestamps to TimestampType regardless of how the
+    feed stored them. Two physical encodings have been observed:
+
+    - parquet TIMESTAMP(NANOS) → nanosecond longs (via
+      ``spark.sql.legacy.parquet.nanosAsLong``): convert with µs
+      truncation — the same truncation every µs-based consumer
+      (including the DuckDB oracle's Python fetch) applies.
+    - parquet ``timestamp[us]`` without tz → Spark TIMESTAMP_NTZ: cast
+      to TimestampType. Under the pinned-UTC session (``session.py``)
+      the wall-clock reinterpretation is the identity on epoch µs, so
+      the cast is exact — and it restores every downstream numeric
+      cast / ``unix_micros`` / ``withWatermark`` use, all of which
+      Spark rejects on NTZ at analysis time.
+    """
     from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType
+    from pyspark.sql.types import LongType, TimestampNTZType
 
     for c in cols:
-        if c in df.columns and isinstance(df.schema[c].dataType, LongType):
+        if c not in df.columns:
+            continue
+        dt = df.schema[c].dataType
+        if isinstance(dt, LongType):
             # Integer `div`, NOT `/`: epoch-nanos (~1.7e18) exceed double's
             # 2^53 mantissa, so float division + floor is off by ±1 µs on
             # roughly half of all values (caught by the scd2 epoch_us
             # oracle; second-granularity consumers masked it).
             df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
+        elif isinstance(dt, TimestampNTZType):
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 

@@ -157,17 +157,27 @@ def read_events_stream_with_sentinel(spark: SparkSession, sf_dir: str) -> DataFr
 
     from jhu_data_parser_spark.sources.tables import _normalize_nanos_ts
 
+    from pyspark.sql.types import LongType
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     src = os.path.join(sf_dir, "events.parquet")
-    raw = spark.read.parquet(src)  # ts stays a nanosecond long here
+    raw = spark.read.parquet(src)  # ts arrives un-normalized (nanos long or NTZ)
     schema = raw.schema
 
     stage = tempfile.mkdtemp(prefix="jdps_sessionize_src_")
     os.symlink(src, os.path.join(stage, "batch-0.parquet"))
 
+    # The sentinel file must match the RAW schema byte-for-byte (the
+    # stream reads both files with one schema), so build 2100-01-01 in
+    # whatever physical type the feed stored ts as.
+    ts_type = schema["ts"].dataType
+    if isinstance(ts_type, LongType):
+        sentinel_ts = F.lit(4102444800 * 1_000_000_000).cast("long")  # epoch ns
+    else:
+        sentinel_ts = F.lit("2100-01-01 00:00:00").cast(ts_type)
     sentinel = raw.limit(1).select(
         *[
-            F.lit(4102444800 * 1_000_000_000).cast("long").alias("ts")  # 2100-01-01 ns
+            sentinel_ts.alias("ts")
             if c == "ts"
             else F.lit(-1).cast(schema["user_id"].dataType).alias("user_id")
             if c == "user_id"
