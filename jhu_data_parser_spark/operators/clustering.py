@@ -101,7 +101,13 @@ def _update(assigned: DataFrame, prev: DataFrame) -> DataFrame:
         assigned.select("cid", F.posexplode("q").alias("pos", "val"))
         .groupBy("cid", "pos")
         .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
-        .withColumn("e", F.expr("CAST(FLOOR(CAST(s AS DOUBLE) / n) AS BIGINT)"))
+        # Exact integer floor division (DIV truncates toward zero, so
+        # negative sums need the ceil-of-negation form): the double
+        # round-trip would lose exactness once |s| exceeds 2^53 —
+        # reachable at ~4.5e9 rows per cluster at this quantization.
+        .withColumn(
+            "e", F.expr("IF(s >= 0, s DIV n, -((-s + n - 1) DIV n))")
+        )
     )
     new = sums.groupBy("cid").agg(
         F.transform(

@@ -220,13 +220,17 @@ def minhash_candidates(
     use_arrow_udf: bool = True,
     max_bucket: int = 1000,
 ) -> DataFrame:
-    """LSH candidate pairs: equal band-hash in any band.
+    """LSH candidate pairs: equal band-hash in any band, each pair
+    emitted exactly once (from its first colliding band — no terminal
+    distinct pass).
 
     Pipeline: signature (in-row) → explode to B rows/doc → group by
     (band, hash of the band's rows) → pairs within buckets. The only
-    shuffle is on band hashes; bucket sizes are bounded in practice (and
-    a skew-safe cap can drop degenerate buckets — `max_bucket`
-    guards against e.g. empty-text clusters at 100 TB).
+    full shuffle is on band hashes; buckets larger than ``max_bucket``
+    (degenerate boilerplate/empty-text clusters at 100 TB) are routed
+    through a row-wise self-join instead of in-row expansion, so recall
+    stays 100% with bounded task memory (an Observation reports how
+    many buckets took that path).
     """
     rows_per_band = num_hashes // bands
     if use_arrow_udf:
@@ -234,42 +238,73 @@ def minhash_candidates(
     else:
         sig = minhash_signature(token_shingles(text_col, shingle_k), num_hashes)
     with_sig = ensure_parallelism(df).select(F.col(id_col), sig.alias("sig"))
-    # Banding as ONE SQL expression: xxhash64 of each band's slice of
-    # the signature. (The earlier form built bands × rows_per_band
-    # Column objects — ~0.5s of driver-side py4j plan construction per
-    # invocation, measured; a single parsed expression is ~free and
-    # bucket-equivalent: two docs collide in a band iff their slices
-    # are equal either way.)
-    banded = with_sig.select(
-        id_col,
-        F.expr(
-            f"explode(transform(sequence(0, {bands - 1}), b -> "
-            f"struct(b AS band, xxhash64(slice(sig, b * {rows_per_band} + 1, "
-            f"{rows_per_band})) AS band_hash)))"
-        ).alias("bh"),
-    ).select(id_col, "bh.band", "bh.band_hash")
-    # One shuffle: group each LSH bucket, expand the i<j pairs in-row.
-    # (A self-join here would recompute the signatures on both sides and
-    # shuffle the banded rows twice.) `max_bucket` is the skew guard:
-    # degenerate buckets (boilerplate/empty docs at 100 TB) would explode
-    # quadratically — they are dropped, matching the standard LSH-dedup
-    # practice of routing oversized clusters to a separate exact pass.
-    ids = F.array_sort(F.collect_list(id_col))
-    n = F.size(F.col("ids"))
-    pair_structs = F.expr(
-        "flatten(transform(ids, (x, i) -> "
-        "transform(slice(ids, i + 2, size(ids)), y -> "
-        "struct(x AS id_a, y AS id_b))))"
+    # Banding as ONE SQL expression: the per-doc array of band hashes
+    # (xxhash64 of each band's slice), posexploded to one row per band.
+    # Each banded row also carries the hashes of the EARLIER bands
+    # (avg B/2 longs): a pair is emitted only from the FIRST band where
+    # the two docs collide — "no earlier band hash equal" is decidable
+    # in-row — so the pair set needs no terminal ``distinct()`` exchange.
+    # "Earlier band equal" uses the same xxhash64 values as bucketing,
+    # so emitted-exactly-once is exact w.r.t. bucket membership.
+    bhs = F.expr(
+        f"transform(sequence(0, {bands - 1}), b -> "
+        f"xxhash64(slice(sig, b * {rows_per_band} + 1, {rows_per_band})))"
     )
-    pairs = (
+    banded = (
+        with_sig.select(F.col(id_col).alias("id"), bhs.alias("bhs"))
+        .select("id", "bhs", F.posexplode("bhs").alias("band", "band_hash"))
+        .select("id", "band", "band_hash", F.expr("slice(bhs, 1, band)").alias("prev"))
+    )
+    # One shuffle: group each LSH bucket. (A self-join here would
+    # recompute the signatures on both sides and shuffle the banded rows
+    # twice.)
+    grouped = (
         banded.groupBy("band", "band_hash")
-        .agg(ids.alias("ids"))
-        .filter((n >= 2) & (n <= max_bucket))
-        .select(F.explode(pair_structs).alias("p"))
-        .select("p.id_a", "p.id_b")
-        .distinct()
+        .agg(
+            F.array_sort(F.collect_list(F.struct(F.col("id"), F.col("prev")))).alias(
+                "ms"
+            )
+        )
+        .filter(F.size("ms") >= 2)
     )
-    return pairs
+    first_band_pairs = F.expr(
+        "flatten(transform(ms, (a, i) -> "
+        "filter(transform(slice(ms, i + 2, size(ms)), b -> "
+        "struct(a.id AS id_a, b.id AS id_b, "
+        "size(filter(zip_with(a.prev, b.prev, (p, q) -> p = q), v -> v)) AS n_prev)), "
+        "s -> s.n_prev = 0)))"
+    )
+    small_pairs = (
+        grouped.filter(F.size("ms") <= max_bucket)
+        .select(F.explode(first_band_pairs).alias("p"))
+        .select("p.id_a", "p.id_b")
+    )
+    # `max_bucket` is the skew ROUTER, not a drop: a degenerate bucket
+    # (boilerplate / empty docs at 100 TB) would expand quadratically
+    # INSIDE one row — an O(n²)-memory array in a single task. Oversized
+    # buckets are instead exploded back to rows and self-joined on the
+    # bucket key, which streams the same pairs through the shuffle
+    # machinery with bounded task memory. Recall is 100% either way; the
+    # Observation surfaces how much work took the slow path.
+    big_buckets = grouped.filter(F.size("ms") > max_bucket).observe(
+        "minhash_oversized_buckets",
+        F.count(F.lit(1)).alias("n_oversized_buckets"),
+        F.sum(F.size("ms")).alias("n_docs_in_oversized_buckets"),
+    )
+    big = big_buckets.select("band", "band_hash", F.explode("ms").alias("m"))
+    ba = big.select(
+        "band", "band_hash", F.col("m.id").alias("id_a"), F.col("m.prev").alias("prev_a")
+    )
+    bb = big.select(
+        "band", "band_hash", F.col("m.id").alias("id_b"), F.col("m.prev").alias("prev_b")
+    )
+    big_pairs = (
+        ba.join(bb, ["band", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.expr("size(filter(zip_with(prev_a, prev_b, (p, q) -> p = q), v -> v)) = 0"))
+        .select("id_a", "id_b")
+    )
+    return small_pairs.unionByName(big_pairs)
 
 
 def jaccard_tokens(a: Column, b: Column) -> Column:
@@ -397,14 +432,18 @@ def connected_components_contraction(
     small-star: every neighbor v ≤ u (and u itself) attaches to that
     min. Both preserve connectivity and strictly shrink tree height.
     """
-    e = (
+    sym_all = (
         pairs.select(F.col(id_a).alias("x"), F.col(id_b).alias("y"))
         .union(pairs.select(F.col(id_b).alias("x"), F.col(id_a).alias("y")))
-        .filter(F.col("x") != F.col("y"))
         .distinct()
         .localCheckpoint(eager=True)
     )
-    nodes = e.select("x").distinct().localCheckpoint(eager=True)
+    # Node set BEFORE the self-loop filter: a node appearing only in
+    # self-pairs (A,A) carries no proper edge but is still a (singleton)
+    # component — the propagation sibling and the shared oracle keep it,
+    # so the contraction variant must too.
+    nodes = sym_all.select("x").distinct().localCheckpoint(eager=True)
+    e = sym_all.filter(F.col("x") != F.col("y")).localCheckpoint(eager=True)
 
     def star_min(sym: DataFrame) -> DataFrame:
         return (
@@ -535,29 +574,61 @@ def simhash_candidates(
     with_sig = ensure_parallelism(df).select(
         F.col(id_col), sig.alias("bits")
     ).localCheckpoint(eager=True)
-    banded = with_sig.select(
-        id_col,
-        F.expr(
-            f"explode(transform(sequence(0, {bands - 1}), b -> "
-            f"struct(b AS band, concat_ws('', transform(slice(bits, b * {chunk} + 1, "
-            f"{chunk}), x -> CAST(x AS STRING))) AS chunk_bits)))"
-        ).alias("bc"),
-    ).select(id_col, "bc.band", "bc.chunk_bits")
-    ids = F.array_sort(F.collect_list(id_col))
-    n = F.size(F.col("ids"))
-    pair_structs = F.expr(
-        "flatten(transform(ids, (x, i) -> "
-        "transform(slice(ids, i + 2, size(ids)), y -> "
-        "struct(x AS id_a, y AS id_b))))"
+    # Same first-colliding-band emission + oversized-bucket routing as
+    # minhash_candidates: each banded row carries the earlier bands'
+    # chunk strings so pairs emit exactly once with no distinct() pass,
+    # and buckets beyond max_bucket stream through a row-wise self-join
+    # instead of an O(n²)-memory in-row expansion.
+    chunks = F.expr(
+        f"transform(sequence(0, {bands - 1}), b -> "
+        f"concat_ws('', transform(slice(bits, b * {chunk} + 1, {chunk}), "
+        f"x -> CAST(x AS STRING))))"
     )
-    cands = (
+    banded = (
+        with_sig.select(F.col(id_col).alias("id"), chunks.alias("chs"))
+        .select("id", "chs", F.posexplode("chs").alias("band", "chunk_bits"))
+        .select("id", "band", "chunk_bits", F.expr("slice(chs, 1, band)").alias("prev"))
+    )
+    grouped = (
         banded.groupBy("band", "chunk_bits")
-        .agg(ids.alias("ids"))
-        .filter((n >= 2) & (n <= max_bucket))
-        .select(F.explode(pair_structs).alias("p"))
-        .select("p.id_a", "p.id_b")
-        .distinct()
+        .agg(
+            F.array_sort(F.collect_list(F.struct(F.col("id"), F.col("prev")))).alias(
+                "ms"
+            )
+        )
+        .filter(F.size("ms") >= 2)
     )
+    first_band_pairs = F.expr(
+        "flatten(transform(ms, (a, i) -> "
+        "filter(transform(slice(ms, i + 2, size(ms)), b -> "
+        "struct(a.id AS id_a, b.id AS id_b, "
+        "size(filter(zip_with(a.prev, b.prev, (p, q) -> p = q), v -> v)) AS n_prev)), "
+        "s -> s.n_prev = 0)))"
+    )
+    small_pairs = (
+        grouped.filter(F.size("ms") <= max_bucket)
+        .select(F.explode(first_band_pairs).alias("p"))
+        .select("p.id_a", "p.id_b")
+    )
+    big_buckets = grouped.filter(F.size("ms") > max_bucket).observe(
+        "simhash_oversized_buckets",
+        F.count(F.lit(1)).alias("n_oversized_buckets"),
+        F.sum(F.size("ms")).alias("n_docs_in_oversized_buckets"),
+    )
+    big = big_buckets.select("band", "chunk_bits", F.explode("ms").alias("m"))
+    ba = big.select(
+        "band", "chunk_bits", F.col("m.id").alias("id_a"), F.col("m.prev").alias("prev_a")
+    )
+    bb = big.select(
+        "band", "chunk_bits", F.col("m.id").alias("id_b"), F.col("m.prev").alias("prev_b")
+    )
+    big_pairs = (
+        ba.join(bb, ["band", "chunk_bits"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.expr("size(filter(zip_with(prev_a, prev_b, (p, q) -> p = q), v -> v)) = 0"))
+        .select("id_a", "id_b")
+    )
+    cands = small_pairs.unionByName(big_pairs)
     a = with_sig.withColumnsRenamed({id_col: "id_a", "bits": "bits_a"})
     b = with_sig.withColumnsRenamed({id_col: "id_b", "bits": "bits_b"})
     return (

@@ -55,7 +55,8 @@ def _kmeans_oracle(k: int = _K, iters: int = _ITERS) -> str:
              FROM a{i}, range({_DIM}) t(i) GROUP BY cid, t.i),
     c{i} AS (SELECT p.cid, COALESCE(u.c, p.c) AS c
              FROM c{i - 1} p LEFT JOIN
-                  (SELECT cid, list(CAST(FLOOR(CAST(s AS DOUBLE) / n) AS BIGINT)
+                  (SELECT cid, list(CAST(CASE WHEN s >= 0 THEN s // n
+                                         ELSE -((-s + n - 1) // n) END AS BIGINT)
                                     ORDER BY pos) AS c
                    FROM s{i} GROUP BY cid) u ON u.cid = p.cid)""")
     return (

@@ -166,15 +166,25 @@ def merge_upsert(
     partitions, not the lake. (With a transactional table format —
     Delta/Iceberg — this is ``MERGE INTO``; the partition-overwrite
     form is the format-free equivalent with partition-level atomicity.)
+
+    The touched-partition set never lands on the driver: pruning the
+    existing lake to the update batch's partitions is a broadcast
+    left-semi join on the partition column, which dynamic partition
+    pruning turns into a partition-level skip at scan time — at 10⁶
+    touched partitions a driver-side ``collect`` + IN-list would be the
+    scale ceiling.
     """
     spark = updates.sparkSession
-    touched = [r[0] for r in updates.select(partition_col).distinct().collect()]
-    if not touched:
+    if updates.isEmpty():
         return
     existing = (
         spark.read.format(fmt)
         .load(lake_dir)
-        .filter(F.col(partition_col).isin(touched))
+        .join(
+            F.broadcast(updates.select(partition_col).distinct()),
+            [partition_col],
+            "left_semi",
+        )
     )
     keep = existing.join(
         F.broadcast(updates.select(*key_cols).distinct()), key_cols, "left_anti"

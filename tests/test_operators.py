@@ -990,3 +990,78 @@ def test_dhash_identity_and_locality():
     b[54 + 5] = (b[54 + 5] + 128) % 256
     d = bin(dhash64_bmp(bytes(b)) ^ dhash64_bmp(a)).count("1")
     assert d <= 2
+
+
+def test_minhash_oversized_bucket_routing(spark):
+    """A planted identical cluster LARGER than max_bucket must still
+    yield every pair (the cap routes dense buckets through a row-wise
+    self-join instead of dropping them), each pair exactly once, and
+    the small-bucket fast path must keep working alongside."""
+    from jhu_data_parser_spark.operators.dedup import minhash_candidates
+
+    n = 1200
+    base = "identical boilerplate content repeated across the corpus " * 3
+    near = "totally separate pair of documents about spark physical plans " * 3
+    docs = [(i, base) for i in range(n)]
+    docs += [(5001, near), (5002, near)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    pairs = minhash_candidates(
+        df, num_hashes=16, bands=4, max_bucket=1000
+    ).localCheckpoint(eager=True)
+    expected_cluster = n * (n - 1) // 2
+    assert pairs.count() == expected_cluster + 1
+    assert pairs.distinct().count() == expected_cluster + 1  # exactly-once
+    assert pairs.filter("id_a = 5001 AND id_b = 5002").count() == 1
+
+
+def test_simhash_candidates_exactly_once(spark):
+    """First-colliding-band emission: identical docs collide in EVERY
+    band but each pair must appear once, without a distinct() pass."""
+    from jhu_data_parser_spark.operators.dedup import simhash_candidates
+
+    base = "spark is a distributed engine for large scale data processing " * 4
+    docs = [(i, base) for i in range(10)] + [
+        (100, "cooking pasta requires salted boiling water and timing " * 4)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = simhash_candidates(df).groupBy("id_a", "id_b").count().collect()
+    assert len(got) == 45  # C(10,2); outsider excluded
+    assert all(r["count"] == 1 for r in got)
+
+
+def test_contraction_keeps_self_pair_only_nodes(spark):
+    """A node that appears ONLY in self-pairs (A,A) is a singleton
+    component — both CC variants must agree with each other (and the
+    shared oracle) on that edge case."""
+    from jhu_data_parser_spark.operators.dedup import (
+        connected_components,
+        connected_components_contraction,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 7), (9, 9), (3, 3)],
+        "id_a long, id_b long",
+    )
+    prop = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+    star = {
+        r["id"]: r["component"]
+        for r in connected_components_contraction(pairs).collect()
+    }
+    assert star == prop == {1: 1, 2: 1, 3: 1, 7: 7, 9: 9}
+
+
+def test_quality_weighted_keeps_max_weight_docs(spark, tmp_path):
+    """Weight 1.0 (>=512 tokens) must keep 100% of documents — the
+    9-hex-threshold regression kept ~1/16 of them."""
+    from jhu_data_parser_spark import plans
+
+    long_text = "tok " * 600
+    docs = [(i, "en", long_text) for i in range(64)]
+    docs += [(1000 + i, "en", "short doc") for i in range(64)]
+    spark.createDataFrame(docs, "doc_id long, lang string, text string").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    kept = plans.QUERIES["sample_quality_weighted"](spark, str(tmp_path))
+    # every max-weight doc survives; the 2-token docs draw at ~2/512
+    assert kept.filter("n_tokens >= 512").count() == 64
+    assert kept.filter("n_tokens < 512").count() < 64

@@ -302,3 +302,13 @@ def test_curation_funnel_is_one_wide_shuffle(spark):
     import re
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan[:3000]
     assert plan.count("Scan parquet") == 1, plan.count("Scan parquet")
+
+
+def test_minhash_pairs_have_no_distinct_exchange(spark):
+    """First-colliding-band emission removed the terminal distinct()
+    over the pair set: the only hash partitioning keys in the candidate
+    plan are the bucket keys (band, band_hash/chunk) — never the pair
+    ids. (The old plan had `Exchange hashpartitioning(id_a, id_b...)`.)"""
+    for name in ("dedup_minhash_candidates", "multimodal_phash_near_pairs"):
+        plan = _plan(spark, name)
+        assert "hashpartitioning(id_a" not in plan, name
