@@ -76,9 +76,12 @@ _MAX_RUN_SQL = (
            CAST(t1.d_tok AS DOUBLE) / CAST(t1.n_tokens AS DOUBLE)
              AS distinct_token_ratio,
            (CAST(t1.max_tok AS DOUBLE) / CAST(t1.n_tokens AS DOUBLE) <= 0.20
-            AND CAST(b1.max_bg AS DOUBLE) / CAST(b1.n_bg AS DOUBLE) <= 0.10)
+            AND (b1.n_bg IS NULL
+                 OR CAST(b1.max_bg AS DOUBLE) / CAST(b1.n_bg AS DOUBLE) <= 0.10))
              AS passes_repetition
-    FROM t1 JOIN b1 USING (doc_id)
+    -- LEFT join: a 1-token doc has no bigrams, so it is absent from b1;
+    -- its bigram stats are NULL and only the token signal gates it.
+    FROM t1 LEFT JOIN b1 USING (doc_id)
     """,
 )
 def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -124,19 +127,26 @@ def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.array_distinct("bigrams")).cast("long").alias("d_bg"),
     )
     top_tok = F.col("max_tok").cast("double") / F.col("n_tokens").cast("double")
-    top_bg = F.col("max_bg").cast("double") / F.col("n_bg").cast("double")
+    # Bigram stats are undefined (NULL, not NaN/∞) for <2-token docs;
+    # such docs are gated by the token signal alone — mirrors the
+    # oracle's LEFT join against the bigram aggregate.
+    has_bg = F.col("n_bg") > 0
+    top_bg = F.when(
+        has_bg, F.col("max_bg").cast("double") / F.col("n_bg").cast("double")
+    )
     return d.select(
         "doc_id",
         "n_tokens",
         top_tok.alias("top_token_frac"),
         top_bg.alias("top_bigram_frac"),
-        (
-            F.lit(1.0) - (F.col("d_bg").cast("double") / F.col("n_bg").cast("double"))
+        F.when(
+            has_bg,
+            F.lit(1.0) - (F.col("d_bg").cast("double") / F.col("n_bg").cast("double")),
         ).alias("dup_bigram_frac"),
         (F.col("d_tok").cast("double") / F.col("n_tokens").cast("double")).alias(
             "distinct_token_ratio"
         ),
-        ((top_tok <= 0.20) & (top_bg <= 0.10)).alias("passes_repetition"),
+        ((top_tok <= 0.20) & (~has_bg | (top_bg <= 0.10))).alias("passes_repetition"),
     )
 
 

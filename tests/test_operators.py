@@ -954,6 +954,8 @@ def test_repetition_signals_planted(spark, tmp_path):
         # all-distinct, long enough that 1/(n-1) clears the 0.10
         # bigram threshold: top tok 1/20, top bigram 1/19
         (1, " ".join(chr(ord("a") + i) for i in range(20)), "en", "s", 39),
+        # 1-token doc: no bigrams -> NULL bigram stats, token-only gate
+        (2, "solo", "en", "s", 4),
     ]
     df = spark.createDataFrame(
         rows, "doc_id long, text string, lang string, source string, n_chars long"
@@ -973,6 +975,10 @@ def test_repetition_signals_planted(spark, tmp_path):
     assert out[1]["top_bigram_frac"] == 1 / 19
     assert out[1]["dup_bigram_frac"] == 0.0
     assert out[1]["passes_repetition"]
+    assert out[2]["top_token_frac"] == 1.0
+    assert out[2]["top_bigram_frac"] is None
+    assert out[2]["dup_bigram_frac"] is None
+    assert not out[2]["passes_repetition"]  # top_token_frac 1.0 > 0.20
 
 
 def test_dhash_identity_and_locality():
