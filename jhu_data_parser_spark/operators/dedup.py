@@ -218,19 +218,23 @@ def minhash_candidates(
     bands: int = 16,
     shingle_k: int = 3,
     use_arrow_udf: bool = True,
-    max_bucket: int = 1000,
 ) -> DataFrame:
     """LSH candidate pairs: equal band-hash in any band, each pair
     emitted exactly once (from its first colliding band — no terminal
     distinct pass).
 
     Pipeline: signature (in-row) → explode to B rows/doc → group by
-    (band, hash of the band's rows) → pairs within buckets. The only
-    full shuffle is on band hashes; buckets larger than ``max_bucket``
-    (degenerate boilerplate/empty-text clusters at 100 TB) are routed
-    through a row-wise self-join instead of in-row expansion, so recall
-    stays 100% with bounded task memory (an Observation reports how
-    many buckets took that path).
+    (band, hash of the band's rows) → pairs within buckets via CHAINED
+    generators: posexplode the bucket to one row per anchor member,
+    then explode each anchor's i<j tail into pairs. The only full
+    shuffle is on band hashes; peak task memory is O(bucket size) per
+    row — never O(bucket²) — so degenerate buckets (boilerplate /
+    empty-text clusters at 100 TB) stream their quadratic pair OUTPUT
+    through the generator without a cap, a drop, or a separate routing
+    join. Recall is 100% at any bucket density by construction. (A
+    bucket so dense that even its pair *output* is infeasible — ≥10⁷
+    identical docs — is an exact-duplicate cluster; route those to
+    :func:`exact_dedup_groups`, which reports them in O(n).)
     """
     rows_per_band = num_hashes // bands
     if use_arrow_udf:
@@ -267,44 +271,17 @@ def minhash_candidates(
         )
         .filter(F.size("ms") >= 2)
     )
-    first_band_pairs = F.expr(
-        "flatten(transform(ms, (a, i) -> "
-        "filter(transform(slice(ms, i + 2, size(ms)), b -> "
-        "struct(a.id AS id_a, b.id AS id_b, "
-        "size(filter(zip_with(a.prev, b.prev, (p, q) -> p = q), v -> v)) AS n_prev)), "
-        "s -> s.n_prev = 0)))"
-    )
-    small_pairs = (
-        grouped.filter(F.size("ms") <= max_bucket)
-        .select(F.explode(first_band_pairs).alias("p"))
-        .select("p.id_a", "p.id_b")
-    )
-    # `max_bucket` is the skew ROUTER, not a drop: a degenerate bucket
-    # (boilerplate / empty docs at 100 TB) would expand quadratically
-    # INSIDE one row — an O(n²)-memory array in a single task. Oversized
-    # buckets are instead exploded back to rows and self-joined on the
-    # bucket key, which streams the same pairs through the shuffle
-    # machinery with bounded task memory. Recall is 100% either way; the
-    # Observation surfaces how much work took the slow path.
-    big_buckets = grouped.filter(F.size("ms") > max_bucket).observe(
-        "minhash_oversized_buckets",
-        F.count(F.lit(1)).alias("n_oversized_buckets"),
-        F.sum(F.size("ms")).alias("n_docs_in_oversized_buckets"),
-    )
-    big = big_buckets.select("band", "band_hash", F.explode("ms").alias("m"))
-    ba = big.select(
-        "band", "band_hash", F.col("m.id").alias("id_a"), F.col("m.prev").alias("prev_a")
-    )
-    bb = big.select(
-        "band", "band_hash", F.col("m.id").alias("id_b"), F.col("m.prev").alias("prev_b")
-    )
-    big_pairs = (
-        ba.join(bb, ["band", "band_hash"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(F.expr("size(filter(zip_with(prev_a, prev_b, (p, q) -> p = q), v -> v)) = 0"))
-        .select("id_a", "id_b")
-    )
-    return small_pairs.unionByName(big_pairs)
+    anchors = grouped.select("ms", F.posexplode("ms").alias("i", "a"))
+    return anchors.select(
+        F.explode(
+            F.expr(
+                "filter(transform(slice(ms, i + 2, size(ms)), b -> "
+                "struct(a.id AS id_a, b.id AS id_b, "
+                "size(filter(zip_with(a.prev, b.prev, (p, q) -> p = q), v -> v))"
+                " AS n_prev)), s -> s.n_prev = 0)"
+            )
+        ).alias("p")
+    ).select("p.id_a", "p.id_b")
 
 
 def jaccard_tokens(a: Column, b: Column) -> Column:
@@ -323,14 +300,14 @@ def near_dup_pairs_minhash(
     bands: int = 16,
     shingle_k: int = 3,
     use_arrow_udf: bool = True,
-    max_bucket: int = 1000,
 ) -> DataFrame:
     """Near-duplicate pairs: LSH candidates verified with exact token-set
     Jaccard. Verification joins the (small) candidate pair list back to
     the docs — two broadcast-or-shuffle hash joins on doc ids, then an
-    in-row set comparison. Nothing quadratic anywhere."""
+    in-row set comparison. Nothing quadratic outside the candidate pair
+    set itself."""
     cands = minhash_candidates(
-        df, id_col, text_col, num_hashes, bands, shingle_k, use_arrow_udf, max_bucket
+        df, id_col, text_col, num_hashes, bands, shingle_k, use_arrow_udf
     )
     toks = ensure_parallelism(df).select(
         F.col(id_col),
@@ -555,7 +532,6 @@ def simhash_candidates(
     nbits: int = 64,
     bands: int = 4,
     max_hamming: int | None = None,
-    max_bucket: int = 1000,
 ) -> DataFrame:
     """SimHash near-dup candidate pairs via the pigeonhole band trick:
     split the ``nbits`` signature into ``bands`` equal chunks — any two
@@ -565,8 +541,7 @@ def simhash_candidates(
     finds every such pair with zero distance computations outside the
     buckets. Pairs are then verified with the exact Hamming distance
     (``max_hamming``, default ``bands - 1`` — the radius the pigeonhole
-    guarantees recall for). ``max_bucket`` is the same degenerate-bucket
-    skew guard as the MinHash path."""
+    guarantees recall for)."""
     if max_hamming is None:
         max_hamming = bands - 1
     chunk = nbits // bands
@@ -574,11 +549,11 @@ def simhash_candidates(
     with_sig = ensure_parallelism(df).select(
         F.col(id_col), sig.alias("bits")
     ).localCheckpoint(eager=True)
-    # Same first-colliding-band emission + oversized-bucket routing as
-    # minhash_candidates: each banded row carries the earlier bands'
-    # chunk strings so pairs emit exactly once with no distinct() pass,
-    # and buckets beyond max_bucket stream through a row-wise self-join
-    # instead of an O(n²)-memory in-row expansion.
+    # Same first-colliding-band exactly-once emission and chained-
+    # generator expansion as minhash_candidates: each banded row carries
+    # the earlier bands' chunk strings so a pair emits only from its
+    # first colliding band (no distinct() pass), and the anchor-wise
+    # second generator keeps task memory O(bucket), not O(bucket²).
     chunks = F.expr(
         f"transform(sequence(0, {bands - 1}), b -> "
         f"concat_ws('', transform(slice(bits, b * {chunk} + 1, {chunk}), "
@@ -598,37 +573,17 @@ def simhash_candidates(
         )
         .filter(F.size("ms") >= 2)
     )
-    first_band_pairs = F.expr(
-        "flatten(transform(ms, (a, i) -> "
-        "filter(transform(slice(ms, i + 2, size(ms)), b -> "
-        "struct(a.id AS id_a, b.id AS id_b, "
-        "size(filter(zip_with(a.prev, b.prev, (p, q) -> p = q), v -> v)) AS n_prev)), "
-        "s -> s.n_prev = 0)))"
-    )
-    small_pairs = (
-        grouped.filter(F.size("ms") <= max_bucket)
-        .select(F.explode(first_band_pairs).alias("p"))
-        .select("p.id_a", "p.id_b")
-    )
-    big_buckets = grouped.filter(F.size("ms") > max_bucket).observe(
-        "simhash_oversized_buckets",
-        F.count(F.lit(1)).alias("n_oversized_buckets"),
-        F.sum(F.size("ms")).alias("n_docs_in_oversized_buckets"),
-    )
-    big = big_buckets.select("band", "chunk_bits", F.explode("ms").alias("m"))
-    ba = big.select(
-        "band", "chunk_bits", F.col("m.id").alias("id_a"), F.col("m.prev").alias("prev_a")
-    )
-    bb = big.select(
-        "band", "chunk_bits", F.col("m.id").alias("id_b"), F.col("m.prev").alias("prev_b")
-    )
-    big_pairs = (
-        ba.join(bb, ["band", "chunk_bits"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(F.expr("size(filter(zip_with(prev_a, prev_b, (p, q) -> p = q), v -> v)) = 0"))
-        .select("id_a", "id_b")
-    )
-    cands = small_pairs.unionByName(big_pairs)
+    anchors = grouped.select("ms", F.posexplode("ms").alias("i", "a"))
+    cands = anchors.select(
+        F.explode(
+            F.expr(
+                "filter(transform(slice(ms, i + 2, size(ms)), b -> "
+                "struct(a.id AS id_a, b.id AS id_b, "
+                "size(filter(zip_with(a.prev, b.prev, (p, q) -> p = q), v -> v))"
+                " AS n_prev)), s -> s.n_prev = 0)"
+            )
+        ).alias("p")
+    ).select("p.id_a", "p.id_b")
     a = with_sig.withColumnsRenamed({id_col: "id_a", "bits": "bits_a"})
     b = with_sig.withColumnsRenamed({id_col: "id_b", "bits": "bits_b"})
     return (

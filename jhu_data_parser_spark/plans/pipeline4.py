@@ -780,54 +780,28 @@ def multimodal_phash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Emit each pair only from the FIRST band whose chunks collide — the
     # check is pure hash arithmetic on the carried phashes, so no
     # distinct() exchange over the pair set is needed and no payload
-    # grows. Buckets beyond the cap are not dropped (that silently lost
-    # recall in dense corpora): they stream through a row-wise self-join
-    # with the same first-band filter — 100% recall at any density, with
-    # an Observation reporting how much took the slow path.
-    _first_band = (
-        "size(filter(sequence(0, 3), j -> j < band AND "
-        "(shiftright({a}, j * 16) & 65535) = (shiftright({b}, j * 16) & 65535))) = 0"
-    )
+    # grows. Expansion is CHAINED generators (posexplode to anchor rows,
+    # then explode each anchor's i<j tail): task memory stays O(bucket)
+    # per row, so dense buckets stream their quadratic pair output with
+    # no cap and no silent recall loss at any density.
     grouped = (
         banded.groupBy("band", "chunk")
         .agg(members.alias("ms"))
         .filter(F.size("ms") >= 2)
     )
-    small_pairs = (
-        grouped.filter(F.size("ms") <= 10000)
-        .select(
-            "band",
-            F.explode(
-                F.expr(
-                    "flatten(transform(ms, (a, i) -> "
-                    "transform(slice(ms, i + 2, size(ms)), b -> "
-                    "struct(a.doc_id AS id_a, b.doc_id AS id_b, "
-                    "a.phash AS ph_a, b.phash AS ph_b))))"
-                )
-            ).alias("p"),
-        )
-        .filter(F.expr(_first_band.format(a="p.ph_a", b="p.ph_b")))
-        .select("p.*")
-    )
-    big_buckets = grouped.filter(F.size("ms") > 10000).observe(
-        "phash_oversized_buckets",
-        F.count(F.lit(1)).alias("n_oversized_buckets"),
-        F.sum(F.size("ms")).alias("n_docs_in_oversized_buckets"),
-    )
-    big = big_buckets.select("band", "chunk", F.explode("ms").alias("m"))
-    ba = big.select(
-        "band", "chunk", F.col("m.doc_id").alias("id_a"), F.col("m.phash").alias("ph_a")
-    )
-    bb = big.select(
-        "band", "chunk", F.col("m.doc_id").alias("id_b"), F.col("m.phash").alias("ph_b")
-    )
-    big_pairs = (
-        ba.join(bb, ["band", "chunk"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(F.expr(_first_band.format(a="ph_a", b="ph_b")))
-        .select("id_a", "id_b", "ph_a", "ph_b")
-    )
-    pairs = small_pairs.select("id_a", "id_b", "ph_a", "ph_b").unionByName(big_pairs)
+    anchors = grouped.select("band", "ms", F.posexplode("ms").alias("i", "a"))
+    pairs = anchors.select(
+        F.explode(
+            F.expr(
+                "filter(transform(slice(ms, i + 2, size(ms)), b -> "
+                "struct(a.doc_id AS id_a, b.doc_id AS id_b, "
+                "a.phash AS ph_a, b.phash AS ph_b)), s -> "
+                "size(filter(sequence(0, 3), j -> j < band AND "
+                "(shiftright(s.ph_a, j * 16) & 65535) = "
+                "(shiftright(s.ph_b, j * 16) & 65535))) = 0)"
+            )
+        ).alias("p")
+    ).select("p.*")
     return pairs.select(
         "id_a",
         "id_b",

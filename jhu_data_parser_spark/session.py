@@ -67,6 +67,16 @@ def get_spark(
         # Deterministic session timezone so date_format/oracle comparisons
         # never depend on host TZ.
         "spark.sql.session.timeZone": "UTC",
+        # InferFiltersFromGenerate turns every explode(f(x)) into an extra
+        # `size(f(x)) > 0` filter that predicate pushdown then re-plants
+        # BELOW upstream exchanges — re-evaluating f(x) wholesale. When
+        # f(x) contains a pandas UDF (MinHash signatures) that is a 2×
+        # Python-eval per row (measured: the LSH candidate pass dropped
+        # 1.25 s → 0.80 s at sf0.1 with the rule excluded). Our generates
+        # run over fixed-width transform(sequence(...)) arrays where the
+        # inferred guard can never help anyway.
+        "spark.sql.optimizer.excludedRules":
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
         # Some feeds (events) carry parquet TIMESTAMP(NANOS), which the
         # Spark reader rejects by default; read as long and convert in
         # sources/tables.py.

@@ -998,11 +998,11 @@ def test_dhash_identity_and_locality():
     assert d <= 2
 
 
-def test_minhash_oversized_bucket_routing(spark):
-    """A planted identical cluster LARGER than max_bucket must still
-    yield every pair (the cap routes dense buckets through a row-wise
-    self-join instead of dropping them), each pair exactly once, and
-    the small-bucket fast path must keep working alongside."""
+def test_minhash_dense_bucket_full_recall(spark):
+    """A planted identical cluster much denser than any sane bucket must
+    still yield every pair — the chained-generator expansion streams the
+    quadratic pair output with O(bucket) task memory instead of capping
+    or dropping — each pair exactly once, alongside normal buckets."""
     from jhu_data_parser_spark.operators.dedup import minhash_candidates
 
     n = 1200
@@ -1011,9 +1011,7 @@ def test_minhash_oversized_bucket_routing(spark):
     docs = [(i, base) for i in range(n)]
     docs += [(5001, near), (5002, near)]
     df = spark.createDataFrame(docs, "doc_id long, text string")
-    pairs = minhash_candidates(
-        df, num_hashes=16, bands=4, max_bucket=1000
-    ).localCheckpoint(eager=True)
+    pairs = minhash_candidates(df, num_hashes=16, bands=4).localCheckpoint(eager=True)
     expected_cluster = n * (n - 1) // 2
     assert pairs.count() == expected_cluster + 1
     assert pairs.distinct().count() == expected_cluster + 1  # exactly-once
