@@ -1069,3 +1069,59 @@ def test_quality_weighted_keeps_max_weight_docs(spark, tmp_path):
     # every max-weight doc survives; the 2-token docs draw at ~2/512
     assert kept.filter("n_tokens >= 512").count() == 64
     assert kept.filter("n_tokens < 512").count() < 64
+
+
+def test_minhash_exactly_once_matches_distinct_reference(spark):
+    """Invariant: first-colliding-band emission produces EXACTLY the
+    distinct candidate set of the naive any-band bucket join, each pair
+    once, on a randomized corpus with planted exact dups (which collide
+    in every band) and shuffled near-dups."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from jhu_data_parser_spark.operators.dedup import (
+        ensure_parallelism,
+        minhash_candidates,
+        minhash_signature_fast,
+    )
+
+    rng = random.Random(42)
+    vocab = [f"w{i}" for i in range(50)]
+    docs = []
+    for i in range(120):
+        docs.append((i, " ".join(rng.choice(vocab) for _ in range(30))))
+    # exact-dup clusters (collide in all 16 bands)
+    for i in range(120, 140):
+        docs.append((i, docs[i % 7][1]))
+    # near-dups: copy with one word swapped
+    for i in range(140, 160):
+        base = docs[i % 11][1].split()
+        base[3] = "swapped"
+        docs.append((i, " ".join(base)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    got = sorted((r["id_a"], r["id_b"]) for r in minhash_candidates(df).collect())
+    assert len(got) == len(set(got)), "pair emitted more than once"
+
+    # independent reference: any-band bucket join + distinct
+    bands, rpb = 16, 4
+    sig = minhash_signature_fast("text", 64, 3)
+    ws = ensure_parallelism(df).select(F.col("doc_id"), sig.alias("sig"))
+    banded = ws.select(
+        "doc_id",
+        F.expr(
+            f"explode(transform(sequence(0, {bands - 1}), b -> "
+            f"struct(b AS band, xxhash64(slice(sig, b * {rpb} + 1, {rpb})) AS h)))"
+        ).alias("bh"),
+    ).select("doc_id", "bh.band", "bh.h")
+    ref = sorted(
+        (r["id_a"], r["id_b"])
+        for r in banded.alias("a")
+        .join(banded.alias("b"), ["band", "h"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+        .collect()
+    )
+    assert got == ref
