@@ -38,6 +38,7 @@ __all__ = [
     "topk_cosine_many",
     "ivf_fit_centroids",
     "ivf_assign",
+    "ivf_assign_native",
     "topk_cosine_ivf",
 ]
 
@@ -309,6 +310,46 @@ def ivf_assign(
     return df.withColumn(cell_col, _cell(F.col(vec_col)))
 
 
+def ivf_assign_native(
+    df: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+) -> DataFrame:
+    """Cell assignment as a pure column expression — JVM-side argmax of
+    the dot product against the centroid literals (same broadcast-argmin
+    shape as ``operators/clustering``), no Python round-trip.
+
+    The query-path twin of :func:`ivf_assign`: for inline search the
+    K·D literal matrix folds into one expression; the pandas-UDF
+    variant stays the bulk index-BUILD path, where Arrow-batched numpy
+    matmuls over millions of rows beat interpreted HOFs."""
+    rows = [
+        F.struct(
+            F.array(*[F.lit(float(v)) for v in centroids[j]]).alias("c"),
+            F.lit(int(j)).alias("cid"),
+        )
+        for j in range(len(centroids))
+    ]
+    # max over struct(score, -cid): highest dot wins, ties to lowest cid.
+    best = F.array_max(
+        F.transform(
+            F.array(*rows),
+            lambda ctr: F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        F.col(vec_col), ctr["c"], lambda a, b: a.cast("double") * b
+                    ),
+                    F.lit(0.0),
+                    lambda s, x: s + x,
+                ).alias("score"),
+                (-ctr["cid"]).alias("ncid"),
+            ),
+        )
+    )
+    return df.withColumn(cell_col, (-best["ncid"]).cast("int"))
+
+
 def topk_cosine_ivf(
     df: DataFrame,
     query_vec: list[float],
@@ -324,13 +365,13 @@ def topk_cosine_ivf(
     centroids are closest to the query (FAISS-style inverted-file
     search). The cell filter is a pushable IN-list — with a
     ``partitionBy(cell)`` index layout it becomes partition pruning,
-    touching n_probe/K of the data; here it is computed inline so the
-    query is self-contained."""
+    touching n_probe/K of the data; here it is computed inline (native
+    expression assignment, no UDF) so the query is self-contained."""
     cent = ivf_fit_centroids(df, n_centroids, sample_size, seed=seed, vec_col=vec_col)
     q = np.asarray(query_vec, dtype=np.float64)
     qn = q / (np.linalg.norm(q) or 1.0)
     probe = np.argsort(-(cent @ qn))[: min(n_probe, len(cent))]
-    assigned = ivf_assign(df, cent, vec_col)
+    assigned = ivf_assign_native(df, cent, vec_col)
     candidates = assigned.filter(F.col("cell").isin([int(c) for c in probe]))
     return topk_cosine(candidates, query_vec, k, vec_col, id_col).drop("cell")
 
