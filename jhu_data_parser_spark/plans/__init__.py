@@ -65,9 +65,9 @@ _PRIORITY_WINDOW = [
     "sim_dimension_stats",
     "sim_norms",
     "sim_lsh_recall_report",
-    # multimodal
+    # multimodal (decode_stub rotates with the remainder blocks — its
+    # rows-only row is the least informative of the family)
     "multimodal_bytes",
-    "multimodal_decode_stub",
     "multimodal_decode_image",
     "multimodal_decode_audio",
     "multimodal_decode_video",
@@ -82,7 +82,8 @@ _PRIORITY_WINDOW = [
     "graph_triangle_count",
     "cluster_kmeans_embeddings",
     "cluster_kmeans_sizes",
-    # near-dup dedup family
+    # near-dup dedup family (portable variant first: full value-hash gate)
+    "dedup_minhash_portable_pairs",
     "dedup_minhash_candidates",
     "dedup_near_pairs",
     "dedup_simhash",

@@ -358,6 +358,127 @@ def dedup_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.near_dup_pairs_minhash(d, threshold=0.5)
 
 
+# Engine-portable MinHash — the ORACLE-PAIRED variant of the near-dup
+# pipeline. The production path (dedup_near_pairs) hashes with xxhash64
+# + crc32 (fast, JVM/numpy-side) which no other engine reproduces, so it
+# carries a rows-only gate; this twin swaps the hash for md5-hex-prefix
+# strings (byte-identical in Spark and DuckDB) so the ENTIRE pipeline —
+# shingling, K minhashes, banding, bucket pairing, Jaccard verify —
+# replays in the oracle and the driver value-hash proves every stage.
+_PORTABLE_MH_ORACLE = """
+    WITH t AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+    s AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= 3
+                  THEN list_transform(range(1, len(toks) - 1),
+                         i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])
+                  ELSE [array_to_string(toks, ' ')] END AS sh
+      FROM t),
+    m AS (
+      SELECT doc_id,
+             list_transform(range(0, 16), j ->
+               list_min(list_transform(sh,
+                 x -> substr(md5(j::VARCHAR || ':' || x), 1, 8)))) AS mh
+      FROM s),
+    b AS (
+      SELECT doc_id, g.b AS band,
+             md5(array_to_string(mh[g.b * 4 + 1 : g.b * 4 + 4], '|')) AS band_sig
+      FROM m, (SELECT unnest(range(0, 4)) AS b) g),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+      FROM b a JOIN b c
+        ON a.band = c.band AND a.band_sig = c.band_sig AND a.doc_id < c.doc_id)
+    SELECT id_a, id_b,
+           CAST(len(list_intersect(list_distinct(ta.toks), list_distinct(tb.toks)))
+                AS DOUBLE)
+             / len(list_distinct(list_concat(ta.toks, tb.toks))) AS jaccard
+    FROM cand
+    JOIN t ta ON ta.doc_id = cand.id_a
+    JOIN t tb ON tb.doc_id = cand.id_b
+    WHERE CAST(len(list_intersect(list_distinct(ta.toks), list_distinct(tb.toks)))
+               AS DOUBLE)
+            / len(list_distinct(list_concat(ta.toks, tb.toks))) >= 0.5
+    """
+
+
+@query("dedup_minhash_portable_pairs", oracle=_PORTABLE_MH_ORACLE)
+def dedup_minhash_portable_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs with an engine-portable MinHash (16 hashes,
+    4 bands × 4 rows, threshold 0.5): each permutation hash is the first
+    8 md5-hex chars of ``j:shingle`` and the min is the LEXICOGRAPHIC
+    string min — identical bytes in any engine with md5, at ~3× the cost
+    of the xxhash production path (``dedup_near_pairs``), which is the
+    price of a full cross-engine value-hash gate over every stage.
+
+    Same plan shape as the production path: signatures and banding
+    in-row, ONE shuffle on (band, band_sig), chained-generator i<j
+    expansion with first-colliding-band exactly-once emission, Jaccard
+    verification via two hash joins. The oracle replays the identical
+    algorithm in DuckDB (self-join + DISTINCT instead of first-band)."""
+    d = dd.ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    t = d.select("doc_id", F.split(F.lower(F.col("text")), " ").alias("toks"))
+    sh = F.expr(
+        "CASE WHEN size(toks) >= 3 THEN transform(sequence(1, size(toks) - 2), "
+        "i -> concat_ws(' ', slice(toks, i, 3))) "
+        "ELSE array(concat_ws(' ', toks)) END"
+    )
+    mh = F.expr(
+        "transform(sequence(0, 15), j -> array_min(transform(sh, "
+        "x -> substring(md5(cast(concat(cast(j AS string), ':', x) AS binary)), 1, 8))))"
+    )
+    bs = F.expr(
+        "transform(sequence(0, 3), b -> "
+        "md5(cast(concat_ws('|', slice(mh, b * 4 + 1, 4)) AS binary)))"
+    )
+    banded = (
+        t.select("doc_id", sh.alias("sh"))
+        .select("doc_id", mh.alias("mh"))
+        .select("doc_id", bs.alias("bs"))
+        .select("doc_id", "bs", F.posexplode("bs").alias("band", "band_sig"))
+        .select(
+            "doc_id", "band", "band_sig", F.expr("slice(bs, 1, band)").alias("prev")
+        )
+    )
+    grouped = (
+        banded.groupBy("band", "band_sig")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("doc_id").alias("id"), F.col("prev")))
+            ).alias("ms")
+        )
+        .filter(F.size("ms") >= 2)
+    )
+    anchors = grouped.select("ms", F.posexplode("ms").alias("i", "a"))
+    cands = anchors.select(
+        F.explode(
+            F.expr(
+                "filter(transform(slice(ms, i + 2, size(ms)), b -> "
+                "struct(a.id AS id_a, b.id AS id_b, "
+                "size(filter(zip_with(a.prev, b.prev, (p, q) -> p = q), v -> v))"
+                " AS n_prev)), s -> s.n_prev = 0)"
+            )
+        ).alias("p")
+    ).select("p.id_a", "p.id_b")
+    jac = F.expr(
+        "CAST(size(array_intersect(array_distinct(toks_a), array_distinct(toks_b)))"
+        " AS DOUBLE) / size(array_distinct(concat(toks_a, toks_b)))"
+    )
+    return (
+        cands.join(
+            t.select(F.col("doc_id").alias("id_a"), F.col("toks").alias("toks_a")),
+            "id_a",
+        )
+        .join(
+            t.select(F.col("doc_id").alias("id_b"), F.col("toks").alias("toks_b")),
+            "id_b",
+        )
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= 0.5)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 @query("dedup_simhash", oracle=None)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = dd.ensure_parallelism(load_table(spark, sf_dir, "documents"))
