@@ -485,6 +485,137 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", dd.simhash_hex("text").alias("simhash"))
 
 
+# Engine-portable SimHash (the oracle-paired twin of dedup_simhash, same
+# role as dedup_minhash_portable_pairs for the minhash family): token
+# bit-vectors come from md5 hex NIBBLES — hex char i >= '8' is exactly
+# the nibble's high bit, so a 32-char md5 yields a 32-bit signature with
+# nothing but substr/compare, identical bytes in any engine with md5.
+# The signed accumulation is an integer sum (order-independent), the
+# packed signature a '0'/'1' string.
+_SIMHASH_PORTABLE_SIG_CTE = """
+    t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+    bits AS (
+      SELECT doc_id, g.i,
+             CASE WHEN substr(md5(tok), g.i, 1) >= '8' THEN 1 ELSE -1 END AS v
+      FROM (SELECT doc_id, unnest(toks) AS tok FROM t),
+           (SELECT unnest(range(1, 33)) AS i) g),
+    acc AS (SELECT doc_id, i, SUM(v) AS s FROM bits GROUP BY 1, 2),
+    sig AS (
+      SELECT doc_id,
+             string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY i)
+               AS simhash
+      FROM acc GROUP BY doc_id)"""
+
+
+def _simhash_portable_sig_col() -> "F.Column":
+    """32-bit portable SimHash as a '0'/'1' string column (one SQL
+    expression; per-row fold over the token array, no shuffle)."""
+    return F.expr(
+        "concat_ws('', transform("
+        "aggregate(split(lower(text), ' '), array_repeat(0, 32), "
+        "(a, t) -> zip_with(a, transform(sequence(1, 32), i -> "
+        "IF(substring(md5(cast(t AS binary)), i, 1) >= '8', 1, -1)), "
+        "(x, y) -> x + y)), "
+        "v -> IF(v > 0, '1', '0')))"
+    )
+
+
+@query(
+    "dedup_simhash_portable",
+    oracle=f"""
+    WITH {_SIMHASH_PORTABLE_SIG_CTE}
+    SELECT doc_id, simhash FROM sig
+    """,
+)
+def dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document portable SimHash signature; the driver value-hash
+    gate proves the whole construction (tokenization → per-token md5
+    nibble bits → signed accumulation → sign pack) cross-engine."""
+    d = dd.ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    # Spark folds per-row over the token array (no explode, no shuffle);
+    # the oracle recomputes the classic way (unnest -> GROUP BY) — two
+    # independent formulations must agree bit-for-bit.
+    expr = _simhash_portable_sig_col()
+    return d.select("doc_id", expr.alias("simhash"))
+
+
+@query(
+    "dedup_simhash_portable_candidates",
+    oracle=f"""
+    WITH {_SIMHASH_PORTABLE_SIG_CTE},
+    b AS (
+      SELECT doc_id, simhash, g.b AS band,
+             substr(simhash, g.b * 8 + 1, 8) AS chunk
+      FROM sig, (SELECT unnest(range(0, 4)) AS b) g),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+             a.simhash AS sa, c.simhash AS sb
+      FROM b a JOIN b c
+        ON a.band = c.band AND a.chunk = c.chunk AND a.doc_id < c.doc_id)
+    SELECT id_a, id_b,
+           CAST(len(list_filter(range(1, 33),
+                i -> substr(sa, i, 1) <> substr(sb, i, 1))) AS INT) AS hamming
+    FROM cand
+    WHERE len(list_filter(range(1, 33),
+              i -> substr(sa, i, 1) <> substr(sb, i, 1))) <= 3
+    """,
+)
+def dedup_simhash_portable_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs at Hamming ≤ 3 over the portable 32-bit SimHash —
+    pigeonhole banding (4 bands × 8 bits: distance ≤ 3 forces ≥ 1 equal
+    chunk), ONE shuffle on (band, chunk), chained-generator exactly-once
+    expansion, exact Hamming verify — the complete banded pipeline under
+    a cross-engine value-hash gate."""
+    d = dd.ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    sig = d.select("doc_id", _simhash_portable_sig_col().alias("simhash"))
+    chunks = F.expr(
+        "transform(sequence(0, 3), b -> substring(simhash, b * 8 + 1, 8))"
+    )
+    banded = (
+        sig.select("doc_id", "simhash", chunks.alias("cs"))
+        .select("doc_id", "simhash", "cs", F.posexplode("cs").alias("band", "chunk"))
+        .select(
+            "doc_id", "simhash", "band", "chunk",
+            F.expr("slice(cs, 1, band)").alias("prev"),
+        )
+    )
+    grouped = (
+        banded.groupBy("band", "chunk")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("doc_id").alias("id"),
+                        F.col("simhash").alias("sg"),
+                        F.col("prev"),
+                    )
+                )
+            ).alias("ms")
+        )
+        .filter(F.size("ms") >= 2)
+    )
+    anchors = grouped.select("ms", F.posexplode("ms").alias("i", "a"))
+    ham = (
+        "aggregate(sequence(1, 32), 0, (s, i) -> "
+        "s + IF(substring({a}, i, 1) != substring({b}, i, 1), 1, 0))"
+    )
+    pairs = anchors.select(
+        F.explode(
+            F.expr(
+                "filter(transform(slice(ms, i + 2, size(ms)), b -> "
+                "struct(a.id AS id_a, b.id AS id_b, a.sg AS sa, b.sg AS sb, "
+                "size(filter(zip_with(a.prev, b.prev, (p, q) -> p = q), v -> v))"
+                " AS n_prev)), s -> s.n_prev = 0)"
+            )
+        ).alias("p")
+    ).select("p.*")
+    return (
+        pairs.withColumn("hamming", F.expr(ham.format(a="sa", b="sb")).cast("int"))
+        .filter(F.col("hamming") <= 3)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 # n-gram (token-set) Jaccard against a fixed probe document — oracle-able
 # because the probe is a literal and set ops exist on both engines.
 _PROBE = "spark join merge sort window batch stream data table query"
