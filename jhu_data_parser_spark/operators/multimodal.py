@@ -437,6 +437,7 @@ def embed_media_stub(
     id_col: str = "doc_id",
     media_col: str = "media",
     vec_col: str = "embedding",
+    with_stats: bool = False,
 ) -> DataFrame:
     """Feature extraction: media → ``array<float>`` embedding, the
     bridge from binary columns into the similarity/ANN operators.
@@ -446,12 +447,17 @@ def embed_media_stub(
     content feature) where production plugs a vision/audio encoder; the
     Arrow batch shape, output schema, and downstream compatibility with
     ``topk_cosine*`` / ``rp_lsh_bucket`` / ``ivf_*`` are the real
-    contract (tested end-to-end)."""
+    contract (tested end-to-end).
+
+    ``with_stats`` adds the pre-normalization integer facts —
+    ``top_bucket`` (argmax bucket, lowest index on ties) and
+    ``top_count`` — which are exactly replayable from the payload bytes
+    in SQL, giving the featurizer a cross-engine value-hash gate."""
     import numpy as np
 
     def _map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            vecs = []
+            vecs, tb, tc = [], [], []
             for payload in pdf[media_col]:
                 arr = np.frombuffer(bytes(payload), dtype=np.uint8)
                 if len(arr) >= 2:
@@ -461,11 +467,18 @@ def embed_media_stub(
                     hist = np.ones(dim, dtype=np.float64)
                 norm = np.linalg.norm(hist) or 1.0
                 vecs.append((hist / norm).astype(np.float32).tolist())
-            yield pd.DataFrame({"doc_id": pdf[id_col].astype("int64"), vec_col: vecs})
+                tb.append(int(np.argmax(hist)))  # first max → lowest bucket
+                tc.append(int(hist.max()))
+            out = {"doc_id": pdf[id_col].astype("int64"), vec_col: vecs}
+            if with_stats:
+                out["top_bucket"] = pd.Series(tb, dtype="int32")
+                out["top_count"] = pd.Series(tc, dtype="int64")
+            yield pd.DataFrame(out)
 
-    return df.select(id_col, media_col).mapInPandas(
-        _map, f"doc_id bigint, {vec_col} array<float>"
-    )
+    schema = f"doc_id bigint, {vec_col} array<float>"
+    if with_stats:
+        schema += ", top_bucket int, top_count bigint"
+    return df.select(id_col, media_col).mapInPandas(_map, schema)
 
 
 def frame_sample_stub(

@@ -1067,15 +1067,44 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # surface: embed every document's payload, return each one's L2 norm
 # (== 1.0 by construction) and vector arity — the schema/batch contract
 # the similarity operators consume. Pure-stub features → rows-only.
-@query("multimodal_embed_features", oracle=None)
+# The featurizer runs in Arrow-batched numpy (mapInPandas), but its
+# content is GATED: the media payload is the UTF-8 text bytes and the
+# corpus is ASCII, so the byte-bigram histogram replays exactly in SQL
+# (ascii(char) == byte) — top bucket + count are integer facts both
+# engines must agree on, proving the featurizer read the real bytes.
+@query(
+    "multimodal_embed_features",
+    oracle="""
+    WITH bg AS (
+      SELECT doc_id,
+             (ascii(substr(text, g.i, 1)) * 256
+              + ascii(substr(text, g.i + 1, 1))) % 64 AS b
+      FROM documents, LATERAL (SELECT unnest(range(1, length(text))) AS i) g
+      WHERE length(text) >= 2),
+    h AS (SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+    top AS (
+      SELECT doc_id, b, c,
+             row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, b) AS rn
+      FROM h)
+    SELECT d.doc_id,
+           64 AS dim,
+           CAST(COALESCE(t.b, 0) AS INT) AS top_bucket,
+           CAST(COALESCE(t.c, 1) AS BIGINT) AS top_count,
+           1.0 AS l2_norm
+    FROM documents d LEFT JOIN (SELECT * FROM top WHERE rn = 1) t
+      ON d.doc_id = t.doc_id
+    """,
+)
 def multimodal_embed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jhu_data_parser_spark.operators.multimodal import attach_binary, embed_media_stub
 
     d = attach_binary(load_table(spark, sf_dir, "documents"))
-    emb = embed_media_stub(d, dim=64)
+    emb = embed_media_stub(d, dim=64, with_stats=True)
     return emb.select(
         "doc_id",
         F.size("embedding").alias("dim"),
+        "top_bucket",
+        "top_count",
         F.round(sim.l2_norm(F.col("embedding")), 4).alias("l2_norm"),
     )
 
