@@ -312,3 +312,13 @@ def test_minhash_pairs_have_no_distinct_exchange(spark):
     for name in ("dedup_minhash_candidates", "multimodal_phash_near_pairs"):
         plan = _plan(spark, name)
         assert "hashpartitioning(id_a" not in plan, name
+
+
+def test_portable_banded_pipelines_single_bucket_exchange(spark):
+    """The oracle-paired portable MinHash/SimHash pipelines keep the
+    production plan shape: exactly one hash exchange on the bucket key
+    for candidate generation, never an exchange keyed by the pair ids.
+    (Verification joins add broadcast exchanges, not pair-key hashes.)"""
+    for name in ("dedup_minhash_portable_pairs", "dedup_simhash_portable_candidates"):
+        plan = _plan(spark, name)
+        assert "hashpartitioning(id_a" not in plan, name
