@@ -336,13 +336,86 @@ def text_langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Char-trigram profile language ID (Cavnar-Trenkle) — set-intersection
-# scoring against per-language trigram profiles; the profile tables are
-# Python-side constants so the scoring is a pandas UDF → rows-only check
-# here, multilingual behavior pinned in tests/test_operators.py.
-@query("text_langid_ngram", oracle=None)
+# Cavnar-Trenkle trigram-profile language ID, fully oracle-paired: the
+# profile tables fold into literal arrays, the trigram set build and
+# profile-overlap argmax (first-language-wins ties, >= 3 hits threshold
+# — byte-for-byte the pandas-UDF operator's semantics, parity-tested in
+# tests/test_operators.py) are set ops both engines evaluate identically.
+def _langid_profile_lits(quote: str = "'") -> dict[str, str]:
+    return {
+        lang: ", ".join(
+            quote + t.replace(quote, quote * 2) + quote
+            for t in tx._TRIGRAM_PROFILES[lang]
+        )
+        for lang in sorted(tx._TRIGRAM_PROFILES)
+    }
+
+
+def _langid_ngram_oracle() -> str:
+    p = _langid_profile_lits()
+    return f"""
+    WITH s AS (
+      SELECT doc_id, lang,
+             ' ' || trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) || ' ' AS s
+      FROM documents),
+    g AS (
+      SELECT doc_id, lang,
+             CASE WHEN length(s) >= 3
+                  THEN list_distinct(list_transform(range(1, length(s) - 1),
+                                                    i -> substr(s, i, 3)))
+                  ELSE CAST([] AS VARCHAR[]) END AS g
+      FROM s),
+    sc AS (
+      SELECT doc_id, lang,
+             len(list_intersect(g, [{p['de']}])) AS s_de,
+             len(list_intersect(g, [{p['en']}])) AS s_en,
+             len(list_intersect(g, [{p['es']}])) AS s_es,
+             len(list_intersect(g, [{p['fr']}])) AS s_fr
+      FROM g)
+    SELECT doc_id, lang,
+           CASE WHEN m < 3 THEN 'und'
+                WHEN s_de = m THEN 'de'
+                WHEN s_en = m THEN 'en'
+                WHEN s_es = m THEN 'es'
+                ELSE 'fr' END AS lang_guess
+    FROM (SELECT *, greatest(s_de, s_en, s_es, s_fr) AS m FROM sc)
+    """
+
+
+@query("text_langid_ngram", oracle=_langid_ngram_oracle())
 def text_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = dd.ensure_parallelism(load_table(spark, sf_dir, "documents"))
-    return d.select("doc_id", "lang", tx.langid_ngram("text").alias("lang_guess"))
+    p = _langid_profile_lits()
+    s = d.select(
+        "doc_id",
+        "lang",
+        F.expr(
+            "concat(' ', trim(regexp_replace(lower(text), '\\\\s+', ' ')), ' ')"
+        ).alias("s"),
+    )
+    g = s.select(
+        "doc_id",
+        "lang",
+        F.expr(
+            "CASE WHEN length(s) >= 3 THEN array_distinct(transform("
+            "sequence(1, length(s) - 2), i -> substring(s, i, 3))) "
+            "ELSE CAST(array() AS ARRAY<STRING>) END"
+        ).alias("g"),
+    )
+    sc = g.select(
+        "doc_id",
+        "lang",
+        *[
+            F.expr(f"size(array_intersect(g, array({p[lang]})))").alias(f"s_{lang}")
+            for lang in sorted(tx._TRIGRAM_PROFILES)
+        ],
+    )
+    langs = sorted(tx._TRIGRAM_PROFILES)
+    m = F.greatest(*[F.col(f"s_{lang}") for lang in langs])
+    guess = F.when(m < 3, F.lit("und"))
+    for lang in langs:  # first-language-wins tie order, as the UDF scores
+        guess = guess.when(F.col(f"s_{lang}") == m, F.lit(lang))
+    return sc.select("doc_id", "lang", guess.otherwise(F.lit("und")).alias("lang_guess"))
 
 
 # --- near-dup family (rows-only: LSH banding isn't SQL-expressible) -------

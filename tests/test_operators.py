@@ -1125,3 +1125,25 @@ def test_minhash_exactly_once_matches_distinct_reference(spark):
         .collect()
     )
     assert got == ref
+
+
+def test_langid_ngram_native_matches_udf(spark):
+    """The oracle-paired native-expression trigram language ID (catalog
+    query) must agree with the pandas-UDF operator byte-for-byte on the
+    real corpus — same normalization, same first-language-wins ties,
+    same >=3-hit threshold."""
+    from jhu_data_parser_spark import plans
+    from jhu_data_parser_spark.operators import text as tx
+    from jhu_data_parser_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    native = {
+        (r["doc_id"], r["lang_guess"])
+        for r in plans.QUERIES["text_langid_ngram"](spark, SF_SMOKE).collect()
+    }
+    d = load_table(spark, SF_SMOKE, "documents")
+    udf = {
+        (r["doc_id"], r["g"])
+        for r in d.select("doc_id", tx.langid_ngram("text").alias("g")).collect()
+    }
+    assert native == udf
