@@ -82,6 +82,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if cached is not None:
         return cached
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Deterministic timestamp semantics even under a HARNESS-OWNED
+    # session (the driver builds its own SparkSession without our
+    # engine config): the NTZ→timestamp normalization and every
+    # epoch-based output (unix_micros, epoch-second frames) are exact
+    # only when the session interprets wall-clock as UTC — the same
+    # convention the DuckDB oracle's naive timestamps use. Pinning it
+    # at the load choke point makes correctness independent of host TZ.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         df = _normalize_nanos_ts(df)

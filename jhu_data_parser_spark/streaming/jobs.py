@@ -41,6 +41,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str, copies: int = 1) -> Dat
     from jhu_data_parser_spark.sources.tables import _normalize_nanos_ts
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")  # see sources/tables.load_table
     src = os.path.join(sf_dir, "events.parquet")
     schema = spark.read.parquet(src).schema
     # The file source wants a directory (a growing landing prefix in

@@ -164,6 +164,7 @@ def read_events_stream_with_sentinel(spark: SparkSession, sf_dir: str) -> DataFr
     from pyspark.sql.types import LongType
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")  # see sources/tables.load_table
     src = os.path.join(sf_dir, "events.parquet")
     raw = spark.read.parquet(src)  # ts arrives un-normalized (nanos long or NTZ)
     schema = raw.schema
