@@ -502,10 +502,52 @@ def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 # BPE tokenizer TRAINING (text_token_count_bpe applies a BPE-ish rule;
 # this learns the merge table from the corpus). Iterative: K small
 # shuffles over the |vocab| word table after one corpus-sized pass.
-# Inherently non-SQL (driver loop + argmax per round) → rows-only for
-# the driver; equivalence to a pure-python reference BPE is pinned in
-# tests/test_operators.py.
-@query("text_bpe_train_merges", oracle=None)
+# The driver loop (argmax per round) is not one SQL statement, but with
+# a FIXED merge budget each round unrolls into a CTE: words ride as
+# \x01-delimited symbol strings (every symbol wrapped, so a literal
+# replace() is exactly the greedy non-overlapping left-to-right merge
+# fold the Spark operator applies), pair counts come from the split
+# symbol list, and the per-round argmax is ORDER BY n DESC, a, b LIMIT 1
+# — the operator's exact tie-break. Equivalence to a pure-python
+# reference BPE is additionally pinned in tests/test_operators.py.
+def _bpe_merges_oracle(num_merges: int = 10, min_word_count: int = 2) -> str:
+    sep = "chr(1)"
+    parts = [
+        f"""w AS (
+      SELECT tok AS w, COUNT(*) AS wc
+      FROM (SELECT unnest(string_split_regex(lower(text), '\\s+')) AS tok
+            FROM documents)
+      WHERE tok <> '' GROUP BY tok HAVING COUNT(*) >= {min_word_count}),
+    s0 AS (
+      SELECT wc,
+             {sep} || array_to_string(
+               list_transform(range(1, length(w) + 1), i -> substr(w, i, 1)),
+               {sep} || {sep}) || {sep} AS s
+      FROM w)"""
+    ]
+    for r in range(1, num_merges + 1):
+        parts.append(f"""sy{r} AS (
+      SELECT wc, string_split(substr(s, 2, length(s) - 2), {sep} || {sep}) AS L
+      FROM s{r - 1}),
+    p{r} AS (
+      SELECT L[g.i] AS a, L[g.i + 1] AS b, SUM(wc) AS n
+      FROM sy{r}, LATERAL (SELECT unnest(range(1, len(L))) AS i) g
+      GROUP BY 1, 2),
+    b{r} AS (SELECT a, b, CAST(n AS BIGINT) AS n FROM p{r}
+             ORDER BY n DESC, a, b LIMIT 1),
+    s{r} AS (
+      SELECT wc, replace(s, {sep} || b{r}.a || {sep} || {sep} || b{r}.b || {sep},
+                            {sep} || b{r}.a || b{r}.b || {sep}) AS s
+      FROM s{r - 1}, b{r})""")
+    unions = "\n    UNION ALL ".join(
+        f"""SELECT CAST({r - 1} AS INT) AS merge_rank, a AS "left", b AS "right",
+               a || b AS merged, n AS pair_count FROM b{r}"""
+        for r in range(1, num_merges + 1)
+    )
+    return "WITH " + ",\n    ".join(parts) + "\n    " + unions
+
+
+@query("text_bpe_train_merges", oracle=_bpe_merges_oracle())
 def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jhu_data_parser_spark.operators.text import bpe_train_merges
 
