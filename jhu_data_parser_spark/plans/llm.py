@@ -1026,7 +1026,24 @@ def multimodal_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", F.octet_length("media").cast("long").alias("n_bytes"))
 
 
-@query("multimodal_decode_stub", oracle=None)
+# The stub-decode path is deterministic from the payload length (the
+# documented fake for formats without a vendored codec), and the
+# payload here is the document's UTF-8 bytes over an ASCII corpus — so
+# the whole output replays from length(text) and the driver value-hash
+# gate proves the mapInPandas plumbing delivered every payload intact.
+@query(
+    "multimodal_decode_stub",
+    oracle="""
+    SELECT doc_id,
+           'image' AS media_type,
+           CAST(length(text) AS BIGINT) AS n_bytes,
+           CAST(length(text) % 1920 + 1 AS INT) AS width,
+           CAST(length(text) % 1080 + 1 AS INT) AS height,
+           CAST(length(text) % 30 + 1 AS INT) AS n_frames,
+           16000 AS sample_rate
+    FROM documents
+    """,
+)
 def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jhu_data_parser_spark.operators.multimodal import attach_binary, extract_media_meta
 
