@@ -448,12 +448,17 @@ _PORTABLE_MH_ORACLE = """
                          i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])
                   ELSE [array_to_string(toks, ' ')] END AS sh
       FROM t),
+    hs AS (
+      SELECT doc_id,
+             list_transform(sh, x ->
+               md5('0:' || x) || md5('1:' || x)
+               || md5('2:' || x) || md5('3:' || x)) AS hs
+      FROM s),
     m AS (
       SELECT doc_id,
              list_transform(range(0, 16), j ->
-               list_min(list_transform(sh,
-                 x -> substr(md5(j::VARCHAR || ':' || x), 1, 8)))) AS mh
-      FROM s),
+               list_min(list_transform(hs, h -> substr(h, j * 8 + 1, 8)))) AS mh
+      FROM hs),
     b AS (
       SELECT doc_id, g.b AS band,
              md5(array_to_string(mh[g.b * 4 + 1 : g.b * 4 + 4], '|')) AS band_sig
@@ -496,9 +501,20 @@ def dedup_minhash_portable_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "i -> concat_ws(' ', slice(toks, i, 3))) "
         "ELSE array(concat_ws(' ', toks)) END"
     )
+    # 16 permutation hashes from FOUR md5 digests per shingle (salts
+    # 0-3), concatenated into one 128-hex-char pre-hash so every window
+    # is a substring of an already-computed digest — md5 is the dominant
+    # cost and HOF lambdas don't CSE it across iterations, so hashing
+    # inside the per-j lambda would run 16 md5s per shingle instead of 4
+    # (measured ~4×). Identical lexicographic-min discipline both engines.
+    hs = F.expr(
+        "transform(sh, x -> concat("
+        "md5(cast(concat('0:', x) AS binary)), md5(cast(concat('1:', x) AS binary)), "
+        "md5(cast(concat('2:', x) AS binary)), md5(cast(concat('3:', x) AS binary))))"
+    )
     mh = F.expr(
-        "transform(sequence(0, 15), j -> array_min(transform(sh, "
-        "x -> substring(md5(cast(concat(cast(j AS string), ':', x) AS binary)), 1, 8))))"
+        "transform(sequence(0, 15), j -> array_min(transform(hs, "
+        "h -> substring(h, j * 8 + 1, 8))))"
     )
     bs = F.expr(
         "transform(sequence(0, 3), b -> "
@@ -506,6 +522,7 @@ def dedup_minhash_portable_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     banded = (
         t.select("doc_id", sh.alias("sh"))
+        .select("doc_id", hs.alias("hs"))
         .select("doc_id", mh.alias("mh"))
         .select("doc_id", bs.alias("bs"))
         .select("doc_id", "bs", F.posexplode("bs").alias("band", "band_sig"))
@@ -561,17 +578,23 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Engine-portable SimHash (the oracle-paired twin of dedup_simhash, same
 # role as dedup_minhash_portable_pairs for the minhash family): token
 # bit-vectors come from md5 hex NIBBLES — hex char i >= '8' is exactly
-# the nibble's high bit, so a 32-char md5 yields a 32-bit signature with
-# nothing but substr/compare, identical bytes in any engine with md5.
-# The signed accumulation is an integer sum (order-independent), the
-# packed signature a '0'/'1' string.
+# the nibble's high bit, so two 32-char salted digests per token yield a
+# 64-bit signature with nothing but substr/compare, identical bytes in
+# any engine with md5. 64 bits (like the production operator) matter at
+# density, not just fidelity: 16-bit band chunks give 65536 bucket
+# values where a 32-bit/8-bit-chunk layout collapses a 5k-doc corpus
+# into ~256 buckets per band (measured: a 3253-doc bucket and 7.5M
+# candidate combos — quadratic blowup by construction). The signed
+# accumulation is an integer sum (order-independent), the packed
+# signature a '0'/'1' string.
 _SIMHASH_PORTABLE_SIG_CTE = """
     t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
     bits AS (
       SELECT doc_id, g.i,
-             CASE WHEN substr(md5(tok), g.i, 1) >= '8' THEN 1 ELSE -1 END AS v
+             CASE WHEN substr(md5('0:' || tok) || md5('1:' || tok), g.i, 1) >= '8'
+                  THEN 1 ELSE -1 END AS v
       FROM (SELECT doc_id, unnest(toks) AS tok FROM t),
-           (SELECT unnest(range(1, 33)) AS i) g),
+           (SELECT unnest(range(1, 65)) AS i) g),
     acc AS (SELECT doc_id, i, SUM(v) AS s FROM bits GROUP BY 1, 2),
     sig AS (
       SELECT doc_id,
@@ -581,13 +604,22 @@ _SIMHASH_PORTABLE_SIG_CTE = """
 
 
 def _simhash_portable_sig_col() -> "F.Column":
-    """32-bit portable SimHash as a '0'/'1' string column (one SQL
-    expression; per-row fold over the token array, no shuffle)."""
+    """64-bit portable SimHash as a '0'/'1' string column (one SQL
+    expression; per-row fold over the token array, no shuffle).
+
+    Each token is md5-hashed ONCE into a 64-char two-digest pre-hash
+    (the ``transform`` below) and all 64 bits read off that string —
+    hashing inside the per-bit lambda instead would re-evaluate md5 on
+    every iteration (no CSE across HOF lambdas; measured 30× slower at
+    sf0.1)."""
     return F.expr(
         "concat_ws('', transform("
-        "aggregate(split(lower(text), ' '), array_repeat(0, 32), "
-        "(a, t) -> zip_with(a, transform(sequence(1, 32), i -> "
-        "IF(substring(md5(cast(t AS binary)), i, 1) >= '8', 1, -1)), "
+        "aggregate(transform(split(lower(text), ' '), t -> "
+        "concat(md5(cast(concat('0:', t) AS binary)), "
+        "md5(cast(concat('1:', t) AS binary)))), "
+        "array_repeat(0, 64), "
+        "(a, h) -> zip_with(a, transform(sequence(1, 64), i -> "
+        "IF(substring(h, i, 1) >= '8', 1, -1)), "
         "(x, y) -> x + y)), "
         "v -> IF(v > 0, '1', '0')))"
     )
@@ -618,7 +650,7 @@ def dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH {_SIMHASH_PORTABLE_SIG_CTE},
     b AS (
       SELECT doc_id, simhash, g.b AS band,
-             substr(simhash, g.b * 8 + 1, 8) AS chunk
+             substr(simhash, g.b * 16 + 1, 16) AS chunk
       FROM sig, (SELECT unnest(range(0, 4)) AS b) g),
     cand AS (
       SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
@@ -626,23 +658,23 @@ def dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM b a JOIN b c
         ON a.band = c.band AND a.chunk = c.chunk AND a.doc_id < c.doc_id)
     SELECT id_a, id_b,
-           CAST(len(list_filter(range(1, 33),
+           CAST(len(list_filter(range(1, 65),
                 i -> substr(sa, i, 1) <> substr(sb, i, 1))) AS INT) AS hamming
     FROM cand
-    WHERE len(list_filter(range(1, 33),
+    WHERE len(list_filter(range(1, 65),
               i -> substr(sa, i, 1) <> substr(sb, i, 1))) <= 3
     """,
 )
 def dedup_simhash_portable_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs at Hamming ≤ 3 over the portable 32-bit SimHash —
-    pigeonhole banding (4 bands × 8 bits: distance ≤ 3 forces ≥ 1 equal
+    """Near-dup pairs at Hamming ≤ 3 over the portable 64-bit SimHash —
+    pigeonhole banding (4 bands × 16 bits: distance ≤ 3 forces ≥ 1 equal
     chunk), ONE shuffle on (band, chunk), chained-generator exactly-once
     expansion, exact Hamming verify — the complete banded pipeline under
     a cross-engine value-hash gate."""
     d = dd.ensure_parallelism(load_table(spark, sf_dir, "documents"))
     sig = d.select("doc_id", _simhash_portable_sig_col().alias("simhash"))
     chunks = F.expr(
-        "transform(sequence(0, 3), b -> substring(simhash, b * 8 + 1, 8))"
+        "transform(sequence(0, 3), b -> substring(simhash, b * 16 + 1, 16))"
     )
     banded = (
         sig.select("doc_id", "simhash", chunks.alias("cs"))
@@ -669,7 +701,7 @@ def dedup_simhash_portable_candidates(spark: SparkSession, sf_dir: str) -> DataF
     )
     anchors = grouped.select("ms", F.posexplode("ms").alias("i", "a"))
     ham = (
-        "aggregate(sequence(1, 32), 0, (s, i) -> "
+        "aggregate(sequence(1, 64), 0, (s, i) -> "
         "s + IF(substring({a}, i, 1) != substring({b}, i, 1), 1, 0))"
     )
     pairs = anchors.select(
