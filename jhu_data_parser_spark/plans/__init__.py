@@ -29,6 +29,7 @@ from jhu_data_parser_spark.plans import graph  # noqa: E402,F401
 from jhu_data_parser_spark.plans import clustering  # noqa: E402,F401
 from jhu_data_parser_spark.plans import pipeline3  # noqa: E402,F401
 from jhu_data_parser_spark.plans import pipeline4  # noqa: E402,F401
+from jhu_data_parser_spark.plans import etl_contract  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Catalog presentation order.
@@ -82,12 +83,16 @@ _PRIORITY_WINDOW = [
     "graph_triangle_count",
     "cluster_kmeans_embeddings",
     "cluster_kmeans_sizes",
-    # near-dup dedup family (portable variant first: full value-hash gate)
+    # near-dup dedup family (portable variant first: full value-hash
+    # gate; the rows-only *_candidates twins rotate with the remainder —
+    # their driver rows are the least informative of the family)
     "dedup_minhash_portable_pairs",
-    "dedup_minhash_candidates",
     "dedup_near_pairs",
     "dedup_simhash",
-    "dedup_simhash_candidates",
+    # ETL record contracts (round-2 ask: a driver row for the
+    # reference's own parser.py/parser2.py output contract)
+    "etl_category_records",
+    "etl_combined_records",
     "dedup_embedding_pairs",
     "dedup_embedding_groups",
     "dedup_embedding_groups_contraction",

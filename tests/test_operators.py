@@ -1147,3 +1147,28 @@ def test_langid_ngram_native_matches_udf(spark):
         for r in d.select("doc_id", tx.langid_ngram("text").alias("g")).collect()
     }
     assert native == udf
+
+
+def test_etl_contract_first_match_and_defaults(spark):
+    """Behavioral assertions behind the etl_contract hash gates: the
+    DECOY lookup row (higher file order) never leaks into the enrich
+    output, lookup misses surface as NULL (category) and the two U2
+    miss shapes (family join miss, missing date column) default to 0."""
+    from jhu_data_parser_spark import plans
+    from tests.conftest import SF_SMOKE
+
+    cat = plans.QUERIES["etl_category_records"](spark, SF_SMOKE).collect()
+    assert len(cat) > 0
+    assert all(r["country-iso2"] != "ZZ" for r in cat)
+    assert all(r["country-lat"] != -99.0 for r in cat)
+    misses = [r for r in cat if r["country-iso2"] is None]
+    assert misses and all(r["country-lat"] is None and r["country-long"] is None for r in misses)
+
+    comb = plans.QUERIES["etl_combined_records"](spark, SF_SMOKE).collect()
+    assert all(r["iso2"] != "ZZ" for r in comb)
+    # whole-family miss: odd nations have deaths == 0 on every date
+    assert any(r["deaths"] == 0 for r in comb)
+    # missing-column miss: the third date has recovered == 0 everywhere
+    third = [r for r in comb if r["series_date"].startswith("1969")]
+    assert third and all(r["recovered"] == 0 for r in third)
+    assert any(r["recovered"] > 0 for r in comb)
