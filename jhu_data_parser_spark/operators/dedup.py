@@ -40,6 +40,7 @@ __all__ = [
     "simhash_hex",
     "hamming_distance",
     "jaccard_tokens",
+    "jaccard_prefix_pairs",
 ]
 
 
@@ -289,6 +290,85 @@ def jaccard_tokens(a: Column, b: Column) -> Column:
     inter = F.size(F.array_intersect(a, b))
     union = F.size(F.array_union(a, b))
     return F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+
+
+def jaccard_prefix_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Exact shingle-Jaccard >= threshold pairs via AllPairs prefix
+    filtering (Bayardo et al., WWW'07) — the DETERMINISTIC member of the
+    near-dup family: 100% recall by construction, no banding
+    probability, no sketch.
+
+    Order each doc's distinct k-token shingle set by ascending global
+    document frequency (rarest first; shingle string tie-break — a
+    canonical total order), index only the first
+    ``|s| - ceil(tau*|s|) + 1`` shingles, and self-join on those prefix
+    shingles: the AllPairs lemma guarantees any pair with J >= tau
+    shares at least one prefix shingle. A length filter
+    (``tau * max(|a|,|b|) <= min(|a|,|b|)``) prunes before the exact
+    array_intersect/array_union verify.
+
+    Scale shape: shuffles on the shingle key are skew-bounded — a
+    shingle's fan-out is its df, and high-df (boilerplate) shingles are
+    exactly the ones the df-ascending prefix EXCLUDES from the index.
+    The verify joins ship candidate ids + shingle sets only. vs
+    MinHash-LSH (:func:`near_dup_pairs_minhash`): ~2 extra shuffles,
+    zero recall loss.
+    """
+    d = ensure_parallelism(df)
+    t = d.select(F.col(id_col), F.split(F.lower(F.col(text_col)), " ").alias("toks"))
+    sh_expr = F.expr(
+        f"array_distinct(CASE WHEN size(toks) >= {shingle_k} THEN "
+        f"transform(sequence(1, size(toks) - {shingle_k - 1}), "
+        f"i -> concat_ws(' ', slice(toks, i, {shingle_k}))) "
+        "ELSE array(concat_ws(' ', toks)) END)"
+    )
+    s = t.select(F.col(id_col), sh_expr.alias("sh"))
+    e = s.select(F.col(id_col), F.explode("sh").alias("shingle"))
+    freq = e.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    ordered = (
+        e.join(freq, "shingle")
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_list(F.struct("df", "shingle"))).alias("os"))
+    )
+    pre = ordered.select(
+        F.col(id_col),
+        F.size("os").alias("n"),
+        F.expr(
+            f"transform(slice(os, 1, size(os) - CAST(ceil({threshold} * size(os)) AS INT) + 1), "
+            "x -> x.shingle)"
+        ).alias("prefix"),
+    )
+    pe = pre.select(F.col(id_col), "n", F.explode("prefix").alias("shingle"))
+    left = pe.select("shingle", F.col(id_col).alias("id_a"), F.col("n").alias("n_a"))
+    right = pe.select("shingle", F.col(id_col).alias("id_b"), F.col("n").alias("n_b"))
+    cand = (
+        left.join(right, "shingle")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("n_a") * threshold <= F.col("n_b"))
+            & (F.col("n_b") * threshold <= F.col("n_a"))
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    full_a = s.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    full_b = s.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    jac = F.expr(
+        "CAST(size(array_intersect(sh_a, sh_b)) AS DOUBLE) / size(array_union(sh_a, sh_b))"
+    )
+    return (
+        cand.join(full_a, "id_a")
+        .join(full_b, "id_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
 
 
 def near_dup_pairs_minhash(

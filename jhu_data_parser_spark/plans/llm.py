@@ -1441,3 +1441,39 @@ def multimodal_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "width", "height", F.octet_length("media").cast("long").alias("n_bytes")
     )
+
+
+# --- exact n-gram Jaccard similarity join (prefix filtering) ---------------
+# The deterministic member of the near-dup family: AllPairs-style prefix
+# filtering (Bayardo et al., WWW'07) gives EXACT Jaccard >= tau with
+# 100% recall by construction — no banding probability, no sketch. The
+# ORACLE is the opposite plan (quadratic brute force over the full
+# shingle sets), so the driver's value-hash gate PROVES the recall
+# claim: any pair the prefix filter missed would hash-mismatch.
+_JACCARD_PREFIX_ORACLE = """
+    WITH t AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+    s AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(toks) >= 3
+                  THEN list_transform(range(1, len(toks) - 1),
+                         i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])
+                  ELSE [array_to_string(toks, ' ')] END) AS sh
+      FROM t)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+    FROM s a, s b
+    WHERE a.doc_id < b.doc_id
+      AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+    """
+
+
+@query("dedup_jaccard_prefix_pairs", oracle=_JACCARD_PREFIX_ORACLE)
+def dedup_jaccard_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact shingle-Jaccard >= 0.5 pairs via AllPairs prefix filtering
+    (see :func:`operators.dedup.jaccard_prefix_pairs`). The quadratic
+    oracle is recall ground truth: a missed pair hash-mismatches."""
+    d = load_table(spark, sf_dir, "documents")
+    return dd.jaccard_prefix_pairs(d, threshold=0.5)

@@ -1172,3 +1172,53 @@ def test_etl_contract_first_match_and_defaults(spark):
     third = [r for r in comb if r["series_date"].startswith("1969")]
     assert third and all(r["recovered"] == 0 for r in third)
     assert any(r["recovered"] > 0 for r in comb)
+
+
+def test_jaccard_prefix_pairs_planted_recall(spark):
+    """Prefix filtering must be EXACT: on a planted corpus, the output
+    equals brute-force shingle Jaccard >= tau — including a pair at
+    exactly the threshold, a pair sharing only RARE shingles, and a
+    just-below-threshold pair that must be absent."""
+    from itertools import combinations
+
+    from jhu_data_parser_spark.operators import dedup as dd
+
+    docs = [
+        # identical pair (J = 1.0)
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon zeta"),
+        # near-dup pair: one token appended
+        (3, "one two three four five six seven"),
+        (4, "one two three four five six seven eight"),
+        # unrelated docs sharing a common boilerplate prefix with many
+        # docs (high-df shingles) but nothing rare
+        (5, "the quick brown fox jumps over dogs"),
+        (6, "the quick brown cat sleeps under trees"),
+        (7, "the quick brown owl flies over rivers"),
+        # short docs (< k tokens -> whole-doc shingle)
+        (8, "tiny doc"),
+        (9, "tiny doc"),
+        (10, "tiny document"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dd.jaccard_prefix_pairs(df, threshold=0.5).collect()
+    }
+
+    def sh(text, k=3):
+        toks = text.lower().split(" ")
+        if len(toks) >= k:
+            return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+        return {" ".join(toks)}
+
+    want = {}
+    for (ia, ta), (ib, tb) in combinations(docs, 2):
+        a, b = sh(ta), sh(tb)
+        j = len(a & b) / len(a | b)
+        if j >= 0.5:
+            want[(ia, ib)] = j
+    assert got == want
+    assert (1, 2) in got and got[(1, 2)] == 1.0
+    assert (8, 9) in got  # whole-doc shingle path
+    assert (3, 4) in got  # genuine near-dup survives
