@@ -345,16 +345,35 @@ def jaccard_prefix_pairs(
         ).alias("prefix"),
     )
     pe = pre.select(F.col(id_col), "n", F.explode("prefix").alias("shingle"))
-    left = pe.select("shingle", F.col(id_col).alias("id_a"), F.col("n").alias("n_a"))
-    right = pe.select("shingle", F.col(id_col).alias("id_b"), F.col("n").alias("n_b"))
-    cand = (
-        left.join(right, "shingle")
-        .filter(
-            (F.col("id_a") < F.col("id_b"))
-            & (F.col("n_a") * threshold <= F.col("n_b"))
-            & (F.col("n_b") * threshold <= F.col("n_a"))
+    # Bucket-group instead of self-join: a self-join on the shingle key
+    # would recompute the whole freq+order+prefix pipeline on BOTH
+    # sides (two corpus passes); grouping computes it once and pays one
+    # shuffle on the shingle. In-bucket i<j expansion via the same
+    # chained-generator shape as minhash_candidates — O(bucket) task
+    # memory, and bucket size is bounded by construction (a shingle's
+    # bucket counts only docs holding it in their PREFIX, and high-df
+    # shingles are excluded from prefixes by the df-ascending order).
+    grouped = (
+        pe.groupBy("shingle")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col(id_col).alias("id"), F.col("n")))
+            ).alias("ms")
         )
-        .select("id_a", "id_b")
+        .filter(F.size("ms") >= 2)
+    )
+    anchors = grouped.select("ms", F.posexplode("ms").alias("i", "a"))
+    cand = (
+        anchors.select(
+            F.explode(
+                F.expr(
+                    "filter(transform(slice(ms, i + 2, size(ms)), b -> "
+                    "struct(a.id AS id_a, b.id AS id_b, a.n AS n_a, b.n AS n_b)), "
+                    f"s -> s.n_a * {threshold} <= s.n_b AND s.n_b * {threshold} <= s.n_a)"
+                )
+            ).alias("p")
+        )
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
     full_a = s.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))

@@ -366,3 +366,19 @@ def test_ivf_cell_layout_prunes_partitions(spark, tmp_path):
         for r in assigned.filter(F.col("cell").isin(probe)).select("vec_id").collect()
     }
     assert got == want and got
+
+
+def test_jaccard_prefix_pairs_plan_shape(spark):
+    """The exact-Jaccard prefix-filter join must never fall back to a
+    cartesian/NLJ shape, and candidate generation must be the single
+    bucket-grouped pass (no dual-lineage self-join recomputing the
+    freq+prefix pipeline on both sides)."""
+    plan = _plan(spark, "dedup_jaccard_prefix_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # freq agg + per-doc regroup + shingle bucket + pair distinct; the
+    # verify joins broadcast at test scale (SMJ adds exchanges at real
+    # scale, keyed on ids — fine). More than 6 means a lineage fork
+    # reintroduced a duplicate pipeline.
+    assert plan.count("Exchange hashpartitioning") <= 6
+    assert plan.count("ArrowEvalPython") == 0
