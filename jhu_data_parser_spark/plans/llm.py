@@ -1477,3 +1477,77 @@ def dedup_jaccard_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle is recall ground truth: a missed pair hash-mismatches."""
     d = load_table(spark, sf_dir, "documents")
     return dd.jaccard_prefix_pairs(d, threshold=0.5)
+
+
+# CC + survivor selection over the EXACT pair set — the full n-gram
+# dedup deliverable (pairs -> duplicate clusters -> deduped corpus).
+# Shared recursive-CTE oracle, same shape as _EMB_GROUPS_ORACLE but
+# with the quadratic exact-Jaccard edge set.
+_JACCARD_EDGES_CTE = """
+    t AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+    s AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(toks) >= 3
+                  THEN list_transform(range(1, len(toks) - 1),
+                         i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])
+                  ELSE [array_to_string(toks, ' ')] END) AS sh
+      FROM t),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM s a, s b
+      WHERE a.doc_id < b.doc_id
+        AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
+    edges(x, y) AS (
+      SELECT id_a, id_b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+    reach(x, y) AS (
+      SELECT x, y FROM edges
+      UNION
+      SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x),
+    nodes(x) AS (SELECT DISTINCT x FROM edges)
+"""
+
+_JACCARD_GROUPS_ORACLE = f"""
+    WITH RECURSIVE {_JACCARD_EDGES_CTE}
+    SELECT n.x AS id, LEAST(n.x, MIN(r.y)) AS component
+    FROM nodes n LEFT JOIN reach r ON r.x = n.x
+    GROUP BY n.x
+    """
+
+
+@query("dedup_jaccard_groups", oracle=_JACCARD_GROUPS_ORACLE)
+def dedup_jaccard_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters over the exact n-gram-Jaccard pair set: CC
+    min-label propagation on 100%-recall edges — deterministic
+    duplicate groups (no banding probability anywhere in the chain)."""
+    pairs = dedup_jaccard_prefix_pairs(spark, sf_dir)
+    return dd.connected_components(pairs)
+
+
+_JACCARD_SURVIVORS_ORACLE = f"""
+    WITH RECURSIVE {_JACCARD_EDGES_CTE},
+    comp AS (
+      SELECT n.x AS id, LEAST(n.x, MIN(r.y)) AS component
+      FROM nodes n LEFT JOIN reach r ON r.x = n.x
+      GROUP BY n.x)
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d
+    LEFT JOIN comp c ON c.id = d.doc_id
+    WHERE c.id IS NULL OR c.component = d.doc_id
+    """
+
+
+@query("dedup_jaccard_survivors", oracle=_JACCARD_SURVIVORS_ORACLE)
+def dedup_jaccard_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deduped corpus: keep the min-id member of every exact-Jaccard
+    duplicate cluster plus all unclustered docs — the actual training-
+    corpus deliverable of the n-gram dedup family. Anti-join of the
+    corpus against non-keeper cluster members; the membership table is
+    |clustered docs| rows (tiny vs corpus), so the join broadcasts."""
+    d = load_table(spark, sf_dir, "documents")
+    groups = dedup_jaccard_groups(spark, sf_dir)
+    losers = groups.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias("doc_id")
+    )
+    return d.join(losers, "doc_id", "left_anti").select("doc_id", "lang", "source")
