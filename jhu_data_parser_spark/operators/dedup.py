@@ -41,6 +41,7 @@ __all__ = [
     "hamming_distance",
     "jaccard_tokens",
     "jaccard_prefix_pairs",
+    "shared_span_pairs",
 ]
 
 
@@ -387,6 +388,83 @@ def jaccard_prefix_pairs(
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+# Longest run of CONSECUTIVE integers in a sorted int array, as one
+# higher-order fold (no second explode/shuffle). Accumulator:
+# (previous element, current run, best run).
+_CONSEC_RUN_SQL = (
+    "aggregate(slice({arr}, 2, size({arr}) - 1), "
+    "named_struct('p', {arr}[0], 'r', 1, 'b', 1), "
+    "(a, x) -> named_struct("
+    "'p', x, "
+    "'r', IF(x = a.p + 1, a.r + 1, 1), "
+    "'b', greatest(a.b, IF(x = a.p + 1, a.r + 1, 1))), "
+    "a -> a.b)"
+)
+
+
+def shared_span_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+) -> DataFrame:
+    """Exact shared-span pairs (Lee et al. 2021 substring dedup,
+    re-expressed distributed): for every doc pair sharing at least one
+    exact k-token span, report the number of duplicated k-gram positions
+    in the lower-id doc and the longest exactly-duplicated span length
+    in tokens.
+
+    A shared span of length L >= k is exactly a run of L - k + 1
+    consecutive source positions whose k-grams all occur in the partner,
+    so: positional k-grams keyed by a 16-hex md5 prefix (portable;
+    production swaps in xxhash64 — same plan), ONE shuffle on the gram
+    key with chained-generator in-bucket i<j expansion (docs ascending,
+    each pair emitted from one bucket per position — no distinct), then
+    one pair-key aggregation where a higher-order fold over the sorted
+    position array recovers the longest consecutive run. Skew = gram
+    document frequency, same bound as the prefix-filter pass; at 100 TB
+    add a broadcast stoplist of ultra-high-df grams routed through the
+    pair-verify read."""
+    d = ensure_parallelism(df)
+    t = d.select(F.col(id_col), F.split(F.lower(F.col(text_col)), " ").alias("toks"))
+    grams = t.select(
+        F.col(id_col).alias("doc_id"),
+        F.expr(
+            f"CASE WHEN size(toks) >= {k} THEN "
+            f"transform(sequence(1, size(toks) - {k - 1}), "
+            f"i -> named_struct('pos', i, 'gh', "
+            f"substring(md5(concat_ws(' ', slice(toks, i, {k}))), 1, 16))) "
+            "ELSE CAST(array() AS ARRAY<STRUCT<pos: INT, gh: STRING>>) END"
+        ).alias("gs"),
+    ).select("doc_id", F.explode("gs").alias("g"))
+    e = grams.select("doc_id", F.col("g.pos").alias("pos"), F.col("g.gh").alias("gh"))
+    # One shuffle on the gram key; structs sort by (doc_id, pos) so each
+    # doc's positions sit contiguously and docs ascend.
+    grouped = (
+        e.groupBy("gh")
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "pos"))).alias("ms"))
+        .withColumn("docs", F.expr("array_distinct(transform(ms, x -> x.doc_id))"))
+        .filter(F.size("docs") >= 2)
+    )
+    anchors = grouped.select("ms", "docs", F.posexplode("docs").alias("i", "da"))
+    cand = anchors.select(
+        F.col("da").alias("id_a"),
+        F.explode(F.expr("slice(docs, i + 2, size(docs))")).alias("id_b"),
+        F.expr("transform(filter(ms, e -> e.doc_id = da), e -> e.pos)").alias("ps"),
+    )
+    rows = cand.select("id_a", "id_b", F.explode("ps").alias("pos"))
+    agg = rows.groupBy("id_a", "id_b").agg(
+        F.sort_array(F.collect_list("pos")).alias("ps")
+    )
+    run = _CONSEC_RUN_SQL.format(arr="ps")
+    return agg.select(
+        "id_a",
+        "id_b",
+        F.size("ps").cast("long").alias("n_dup_grams"),
+        (F.expr(run) + F.lit(k - 1)).cast("long").alias("max_span_tokens"),
     )
 
 

@@ -1,0 +1,307 @@
+"""Round-4 continuation wave: exact shared-span dedup, incremental SCD2
+merge, and corpus-frequency quality bucketing.
+
+Reference parity note: the reference (/root/reference) stops at flat
+JSON records; these are LLM-data-pipeline / lakehouse-maintenance
+extensions on top of the same tables.
+
+Oracle discipline (same rules as pipeline2-4): integer counts summed as
+BIGINT; every double produced by one explicitly-written IEEE division
+identical in both engines; portable keys are md5-hex (byte-identical in
+Spark and DuckDB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from jhu_data_parser_spark.operators import dedup as dd
+from jhu_data_parser_spark.plans.catalog import query
+from jhu_data_parser_spark.sources.tables import load_table
+
+# --------------------------------------------------------------------------
+# Exact shared-span dedup (Lee et al. 2021, "Deduplicating Training Data
+# Makes Language Models Better"): find document pairs sharing an exact
+# run of >= K consecutive tokens. The suffix-array formulation is
+# single-machine; the distributed re-expression is positional K-gram
+# fingerprints: a shared token span of length L >= K is exactly a run of
+# L - K + 1 consecutive positions in the source doc whose K-grams all
+# occur in the partner doc — so bucket-join on the K-gram key, keep the
+# matching source positions per pair, and the longest consecutive
+# position run recovers the longest duplicated span length.
+# --------------------------------------------------------------------------
+
+_SPAN_K = 4
+
+
+@query(
+    "dedup_shared_span_pairs",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+    g AS (
+      SELECT doc_id, i AS pos,
+             substr(md5(array_to_string(toks[i:i+{_SPAN_K - 1}], ' ')), 1, 16) AS gh
+      FROM t, unnest(generate_series(1, greatest(len(toks) - {_SPAN_K - 1}, 0))) u(i)),
+    p AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos
+      FROM g a JOIN g b USING (gh)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3),
+    isl AS (
+      SELECT id_a, id_b, pos,
+             pos - row_number() OVER (PARTITION BY id_a, id_b ORDER BY pos) AS grp
+      FROM p),
+    runs AS (
+      SELECT id_a, id_b, COUNT(*) AS run FROM isl GROUP BY id_a, id_b, grp)
+    SELECT r.id_a, r.id_b,
+           CAST(c.n AS BIGINT) AS n_dup_grams,
+           CAST(MAX(r.run) + {_SPAN_K} - 1 AS BIGINT) AS max_span_tokens
+    FROM runs r
+    JOIN (SELECT id_a, id_b, COUNT(*) AS n FROM p GROUP BY 1, 2) c
+      USING (id_a, id_b)
+    GROUP BY r.id_a, r.id_b, c.n
+    """,
+)
+def dedup_shared_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact shared-span near-dup pairs: for every document pair sharing
+    at least one exact {K}-token span, report how many of the source
+    doc's {K}-gram positions are duplicated in the partner and the
+    length (in tokens) of the LONGEST exactly-duplicated span — the
+    distributed re-expression of suffix-array substring dedup (Lee et
+    al. 2021), the pass that catches boilerplate/quotation overlap that
+    set-based Jaccard dilutes away.
+
+    Plan shape: positional K-grams keyed by a 16-hex-char md5 prefix
+    (portable; production would use xxhash64 — same plan), ONE shuffle
+    on the gram key with the same chained-generator in-bucket i<j
+    expansion as the MinHash/prefix-filter family (O(bucket) task
+    memory, docs ascending so each pair emits exactly once), then one
+    aggregation shuffle on the pair key where a single higher-order fold
+    over the sorted position array recovers the longest consecutive run.
+    Nothing quadratic materializes outside per-pair position lists,
+    which are bounded by document length. A gram's fan-out is its
+    document frequency, so boilerplate grams bound the skew exactly as
+    in the prefix-filter pass — at 100 TB you would additionally count
+    ultra-high-df grams into a broadcast stoplist and handle their spans
+    via the pair-verify read, same as the documented LSH dense-bucket
+    routing. The oracle recomputes the pairs quadratically (positional
+    join + island trick), so the driver gate proves the bucketed plan is
+    exactly the quadratic semantics (see
+    :func:`jhu_data_parser_spark.operators.dedup.shared_span_pairs`).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return dd.shared_span_pairs(d, k=_SPAN_K)
+
+
+# --------------------------------------------------------------------------
+# Incremental SCD2 merge — the lakehouse MERGE pattern: the dimension
+# history for events before the cutoff already exists; a new batch
+# arrives and must be merged WITHOUT re-reading the base fact log. The
+# oracle is the FULL REBUILD over all events, so the driver gate proves
+# incremental merge ≡ rebuild.
+# --------------------------------------------------------------------------
+
+_SCD2_CUTOFF = "2024-01-24 00:00:00"
+
+_SCD2_REBUILD_ORACLE = """
+    WITH o AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                  THEN 1 ELSE 0 END AS chg
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    v AS (
+      SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS version
+      FROM o),
+    g AS (
+      SELECT user_id, version, MIN(event_type) AS state,
+             MIN(ts) AS vf, COUNT(*) AS n
+      FROM v GROUP BY 1, 2)
+    SELECT user_id,
+           CAST(version AS BIGINT) AS version,
+           state,
+           epoch_us(vf) AS valid_from_us,
+           lead(epoch_us(vf)) OVER (PARTITION BY user_id ORDER BY version)
+             AS valid_to_us,
+           (lead(vf) OVER (PARTITION BY user_id ORDER BY version) IS NULL)
+             AS is_current,
+           CAST(n AS BIGINT) AS n_events
+    FROM g
+    """
+
+
+def _state_runs(ev: DataFrame) -> DataFrame:
+    """Collapse an event frame into per-user runs of consecutive equal
+    states: (user_id, version, state, vf, n_events), version = 1-based
+    cumulative change count. Single exchange on user_id (both windows
+    and the groupBy cluster on it)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.withColumn(
+        "chg",
+        F.when(
+            ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type")), 1
+        ).otherwise(0),
+    )
+    v = o.withColumn(
+        "version", F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return v.groupBy("user_id", "version").agg(
+        F.min("event_type").alias("state"),
+        F.min("ts").alias("vf"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def _collapse_runs(runs: DataFrame) -> DataFrame:
+    """Re-collapse a per-user run list (adjacent runs may now share a
+    state after stitching history to a new batch): same gaps-and-islands
+    over RUNS instead of events — input is history-sized, not
+    fact-sized, which is the whole point of the incremental path."""
+    w = Window.partitionBy("user_id").orderBy("vf")
+    o = runs.withColumn(
+        "chg",
+        F.when(~F.lag("state").over(w).eqNullSafe(F.col("state")), 1).otherwise(0),
+    )
+    v = o.withColumn(
+        "version", F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return v.groupBy("user_id", "version").agg(
+        F.min("state").alias("state"),
+        F.min("vf").alias("vf"),
+        F.sum("n_events").alias("n_events"),
+    )
+
+
+@query("scd2_incremental_merge", oracle=_SCD2_REBUILD_ORACLE)
+def scd2_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SCD2 MERGE: the pre-cutoff dimension history (built
+    once from the base events) absorbs the post-cutoff batch by
+    STITCHING — affected users' existing version rows (history-sized,
+    not fact-sized) are concatenated with the new batch's state runs and
+    re-collapsed, so a new event continuing the current state extends
+    the open row while a state change closes it and opens a new version.
+    Untouched users' rows pass through byte-identical. This is the
+    Kimball type-2 MERGE re-expressed without a row-loop, and the oracle
+    is the FULL REBUILD over all events — the driver gate therefore
+    proves incremental ≡ rebuild, the invariant every warehouse merge
+    job owes its consumers.
+
+    Scale posture: the base fact log is read only for the initial
+    history (in production that frame IS the stored dimension table —
+    here it is derived in-plan because the catalog query must be
+    self-contained); the merge itself touches (a) the new batch, one
+    exchange on user_id, and (b) the history rows of affected users,
+    pruned by a broadcast semi-join on the affected-user set (dimension
+    maintenance reads nothing for quiet users). All three window passes
+    cluster on user_id, so Catalyst reuses one HashPartitioning end to
+    end."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    cut = F.lit(_SCD2_CUTOFF).cast("timestamp")
+    base = ev.filter(F.col("ts").cast("timestamp") < cut)
+    batch = ev.filter(F.col("ts").cast("timestamp") >= cut)
+
+    hist = _state_runs(base)
+    new_runs = _state_runs(batch).select("user_id", "state", "vf", "n_events")
+    affected = batch.select("user_id").distinct()
+
+    aff_hist = hist.join(F.broadcast(affected), "user_id", "left_semi").select(
+        "user_id", "state", "vf", "n_events"
+    )
+    stitched = _collapse_runs(aff_hist.unionByName(new_runs))
+    untouched = hist.join(F.broadcast(affected), "user_id", "left_anti")
+    merged = untouched.select(
+        "user_id", "version", "state", "vf", "n_events"
+    ).unionByName(stitched.select("user_id", "version", "state", "vf", "n_events"))
+
+    w2 = Window.partitionBy("user_id").orderBy("version")
+    return merged.select(
+        "user_id",
+        F.col("version").cast("long").alias("version"),
+        "state",
+        F.unix_micros(F.col("vf").cast("timestamp")).alias("valid_from_us"),
+        F.unix_micros(F.lead("vf").over(w2).cast("timestamp")).alias("valid_to_us"),
+        F.lead("vf").over(w2).isNull().alias("is_current"),
+        F.col("n_events").cast("long").alias("n_events"),
+    )
+
+
+# --------------------------------------------------------------------------
+# CCNet-style corpus-frequency quality bucketing (Wenzek et al. 2020):
+# bucket documents into head/middle/tail by how "predictable" their
+# tokens are under a corpus-trained unigram model. CCNet scores with a
+# 5-gram LM perplexity; the engine-portable surrogate is the mean corpus
+# frequency of the document's tokens (monotone in unigram log-prob for
+# the dominant term), which keeps every aggregate an exact integer so
+# the cross-engine gate is a value-hash, not a tolerance.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "text_unigram_freq_buckets",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+      FROM documents),
+    vocab AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY tok),
+    per_doc AS (
+      SELECT t.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_tok,
+             CAST(SUM(v.c) AS BIGINT) AS sum_freq
+      FROM toks t JOIN vocab v USING (tok)
+      GROUP BY t.doc_id)
+    SELECT doc_id, n_tok, sum_freq,
+           CAST(sum_freq AS DOUBLE) / CAST(n_tok AS DOUBLE) AS mean_freq,
+           CASE ntile(3) OVER (ORDER BY CAST(sum_freq AS DOUBLE)
+                                          / CAST(n_tok AS DOUBLE) DESC,
+                                        doc_id)
+                WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+             AS bucket
+    FROM per_doc
+    """,
+)
+def text_unigram_freq_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Head/middle/tail quality tertiles over the corpus (the CCNet
+    bucketing step that decides which slice of a crawl feeds training):
+    train the unigram table on the corpus itself, score each document by
+    mean token frequency, and ntile into three buckets.
+
+    Scale posture: the vocab build is one map-side-combining groupBy
+    (vocab ≪ corpus by Zipf); scoring joins the exploded tokens to the
+    vocab — broadcast here, a shuffle hash join on the token key at
+    100 TB vocab sizes — then one aggregation exchange on doc_id. All
+    counts are BIGINT, and the only double is one division written
+    identically in both engines, so the hash gate is exact. The final
+    ntile is a GLOBAL ordering — fine for the ranking step of a curation
+    report; at 100 TB you would range-partition the sort (Spark's
+    orderBy already samples a range partitioner) and derive tertile
+    boundaries from partition-level counts instead of a single window,
+    trading the exact tie ordering for full parallelism."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok"))
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = (
+        toks.join(F.broadcast(vocab), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.sum("c").alias("sum_freq"),
+        )
+    )
+    score = F.col("sum_freq").cast("double") / F.col("n_tok").cast("double")
+    wb = Window.orderBy(score.desc(), "doc_id")
+    return per_doc.select(
+        "doc_id",
+        F.col("n_tok").cast("long").alias("n_tok"),
+        F.col("sum_freq").cast("long").alias("sum_freq"),
+        score.alias("mean_freq"),
+        F.when(F.ntile(3).over(wb) == 1, F.lit("head"))
+        .when(F.ntile(3).over(wb) == 2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )

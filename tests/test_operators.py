@@ -1222,3 +1222,148 @@ def test_jaccard_prefix_pairs_planted_recall(spark):
     assert (1, 2) in got and got[(1, 2)] == 1.0
     assert (8, 9) in got  # whole-doc shingle path
     assert (3, 4) in got  # genuine near-dup survives
+
+
+def test_shared_span_pairs_planted(spark):
+    """Planted exact spans: max_span_tokens must equal the hand-planted
+    longest shared run, and disjoint / sub-k overlaps must not pair."""
+    from jhu_data_parser_spark.operators import dedup as dd
+
+    span6 = "s1 s2 s3 s4 s5 s6"
+    docs = [
+        # pair (1,2): one shared 6-token span -> 3 dup grams (k=4), span 6
+        (1, f"a b c {span6} x y z"),
+        (2, f"p q {span6} r s t u"),
+        # pair (3,4): TWO disjoint shared 4-token spans -> 2 dup grams,
+        # max span still 4 (runs are not consecutive positions in doc 3)
+        (3, "m1 m2 m3 m4 gap1 gap2 n1 n2 n3 n4"),
+        (4, "n1 n2 n3 n4 other m1 m2 m3 m4 tail"),
+        # 3-token overlap only: below k -> must NOT appear
+        (5, "k1 k2 k3 aa bb cc"),
+        (6, "k1 k2 k3 dd ee ff"),
+        # doc shorter than k: no grams, never pairs
+        (7, "x y z"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        (r["id_a"], r["id_b"]): (r["n_dup_grams"], r["max_span_tokens"])
+        for r in dd.shared_span_pairs(df, k=4).collect()
+    }
+    assert got == {(1, 2): (3, 6), (3, 4): (2, 4)}
+
+
+def test_shared_span_repeated_gram_in_partner(spark):
+    """A gram occurring at MULTIPLE positions in the partner must count
+    the source position once (the bucketed plan emits per source
+    position, the quadratic reference dedupes)."""
+    from jhu_data_parser_spark.operators import dedup as dd
+
+    docs = [
+        (1, "w1 w2 w3 w4 solo"),
+        (2, "w1 w2 w3 w4 mid w1 w2 w3 w4"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    rows = dd.shared_span_pairs(df, k=4).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["id_a"], r["id_b"]) == (1, 2)
+    assert r["n_dup_grams"] == 1 and r["max_span_tokens"] == 4
+
+
+def test_scd2_incremental_matches_rebuild_and_prunes(spark, tmp_path):
+    """Synthetic event log covering every merge case: state continuing
+    across the cutoff (open row extends), state changing at the cutoff
+    (version closes), a user with no new events (must pass through), and
+    a brand-new user (history-less insert). Incremental output must
+    equal the full rebuild row-for-row."""
+    import datetime as dt
+
+    from jhu_data_parser_spark import plans
+    from jhu_data_parser_spark.plans.pipeline5 import (
+        _SCD2_CUTOFF,
+        _state_runs,
+    )
+    import pyspark.sql.functions as F  # noqa: F811
+    from pyspark.sql import Window
+
+    cut = dt.datetime.fromisoformat(_SCD2_CUTOFF)
+    b = cut - dt.timedelta(days=2)
+    a = cut + dt.timedelta(hours=1)
+    rows = [
+        # user 1: A A | A B  -> run A extends across cutoff, then B
+        (1, 1, "A", b),
+        (2, 1, "A", b + dt.timedelta(hours=1)),
+        (3, 1, "A", a),
+        (4, 1, "B", a + dt.timedelta(hours=1)),
+        # user 2: A B | (nothing) -> untouched passthrough
+        (5, 2, "A", b),
+        (6, 2, "B", b + dt.timedelta(hours=2)),
+        # user 3: (nothing) | C C  -> history-less insert, one version
+        (7, 3, "C", a),
+        (8, 3, "C", a + dt.timedelta(minutes=5)),
+        # user 4: B | B  -> single version spanning the cutoff
+        (9, 4, "B", b),
+        (10, 4, "B", a),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    ev.select(
+        "event_id", "ts", "user_id", "event_type",
+        F.lit(0.0).alias("value"), F.lit("{}").alias("props"),
+    ).write.parquet(str(tmp_path / "events.parquet"))
+
+    inc = plans.QUERIES["scd2_incremental_merge"](spark, str(tmp_path))
+    got = {
+        (r["user_id"], r["version"]): (
+            r["state"], r["valid_from_us"], r["valid_to_us"],
+            r["is_current"], r["n_events"],
+        )
+        for r in inc.collect()
+    }
+
+    # full rebuild via the same run-collapse on ALL events
+    runs = _state_runs(ev.select("user_id", "event_type", "ts", "event_id"))
+    w2 = Window.partitionBy("user_id").orderBy("version")
+    full = runs.select(
+        "user_id",
+        F.col("version").cast("long").alias("version"),
+        "state",
+        F.unix_micros(F.col("vf").cast("timestamp")).alias("valid_from_us"),
+        F.unix_micros(F.lead("vf").over(w2).cast("timestamp")).alias("valid_to_us"),
+        F.lead("vf").over(w2).isNull().alias("is_current"),
+        F.col("n_events").cast("long").alias("n_events"),
+    )
+    want = {
+        (r["user_id"], r["version"]): (
+            r["state"], r["valid_from_us"], r["valid_to_us"],
+            r["is_current"], r["n_events"],
+        )
+        for r in full.collect()
+    }
+    assert got == want
+    # spot-check the stitch semantics
+    assert got[(1, 1)][0] == "A" and got[(1, 1)][4] == 3  # run extended to 3 events
+    assert got[(1, 2)][0] == "B" and got[(1, 2)][3] is True
+    assert got[(4, 1)][4] == 2 and got[(4, 1)][3] is True  # spans cutoff, still v1
+    assert (2, 1) in got and (2, 2) in got  # untouched user intact
+    assert got[(3, 1)][0] == "C" and got[(3, 1)][4] == 2  # new user
+
+
+def test_unigram_freq_buckets_orders_head_first(spark, tmp_path):
+    """Docs made of corpus-common tokens must land in 'head', rare-token
+    docs in 'tail', and tertiles split 12 docs 4/4/4."""
+    from jhu_data_parser_spark import plans
+
+    common = "the of and to " * 5  # high corpus frequency
+    docs = [(i, "en", "s", common.strip()) for i in range(4)]
+    docs += [(10 + i, "en", "s", f"mid mid rare{i} rare{i}x") for i in range(4)]
+    docs += [(20 + i, "en", "s", f"u{i}a u{i}b u{i}c u{i}d") for i in range(4)]
+    spark.createDataFrame(
+        docs, "doc_id long, lang string, source string, text string"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    out = plans.QUERIES["text_unigram_freq_buckets"](spark, str(tmp_path))
+    rows = {r["doc_id"]: r["bucket"] for r in out.collect()}
+    assert all(rows[i] == "head" for i in range(4))
+    assert all(rows[10 + i] == "middle" for i in range(4))
+    assert all(rows[20 + i] == "tail" for i in range(4))
