@@ -40,7 +40,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["KM_SCALE", "quantize_vectors", "kmeans_assign"]
+__all__ = ["KM_SCALE", "quantize_vectors", "kmeans_assign", "kmeans_fit"]
 
 KM_SCALE = 1_000_000  # fixed point: 1.0 == 10^6
 
@@ -121,10 +121,13 @@ def _update(assigned: DataFrame, prev: DataFrame) -> DataFrame:
     )
 
 
-def kmeans_assign(
+def kmeans_fit(
     points: DataFrame, k: int = 10, iterations: int = 3
-) -> DataFrame:
-    """Fixed-iteration Lloyd's k-means → ``(id, cluster, dist_sq)``.
+) -> tuple[DataFrame, DataFrame]:
+    """Fixed-iteration Lloyd's k-means → ``(assignment, centroids)``
+    where assignment is ``(id, cluster, dist_sq)`` and centroids is the
+    ``(cid, c)`` table the final assignment was scored against (what an
+    IVF index probes at query time).
 
     Seeding: the k lowest-id points (deterministic, oracle-replayable).
     Each round assigns every point to its nearest centroid (integer
@@ -149,8 +152,16 @@ def kmeans_assign(
         if step < iterations - 1:
             # k-row table: checkpoint truncates the doubling plan tree.
             centroids = _update(assigned, centroids).localCheckpoint(eager=False)
-    return assigned.select(
+    out = assigned.select(
         "id",
         F.col("cid").alias("cluster"),
         F.col("d").alias("dist_sq"),
     )
+    return out, centroids
+
+
+def kmeans_assign(
+    points: DataFrame, k: int = 10, iterations: int = 3
+) -> DataFrame:
+    """Assignment half of :func:`kmeans_fit` (see there for semantics)."""
+    return kmeans_fit(points, k, iterations)[0]

@@ -28,16 +28,17 @@ _SCALE = 1_000_000
 _DIM = 64  # oracle-side only; testdata embeddings are 64-dim
 
 
-def _kmeans_oracle(k: int = _K, iters: int = _ITERS) -> str:
-    """Unroll assign/update rounds as chained CTEs (same fixed-point
-    rules as the operator; QUALIFY row_number gives the lowest-cid
-    tie-break that struct-ordering gives the Spark side)."""
+def _kmeans_ctes(k: int = _K, iters: int = _ITERS, where: str = "") -> str:
+    """The unrolled assign/update CTE chain (shared by the kmeans
+    queries here and the IVF recall report in pipeline5, which probes
+    the same fixed-point cells). ``where`` optionally restricts the
+    point set (e.g. corpus-only for an IVF index)."""
     parts = [
         f"""
     pts AS (SELECT vec_id AS id,
                    list_transform(CAST(embedding AS DOUBLE[]),
                                   x -> CAST(ROUND(x * {_SCALE}) AS BIGINT)) AS q
-            FROM embeddings),
+            FROM embeddings {where}),
     c0 AS (SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS BIGINT) AS cid, q AS c
            FROM (SELECT id, q FROM pts ORDER BY id LIMIT {k}))"""
     ]
@@ -59,9 +60,16 @@ def _kmeans_oracle(k: int = _K, iters: int = _ITERS) -> str:
                                          ELSE -((-s + n - 1) // n) END AS BIGINT)
                                     ORDER BY pos) AS c
                    FROM s{i} GROUP BY cid) u ON u.cid = p.cid)""")
+    return ",".join(parts)
+
+
+def _kmeans_oracle(k: int = _K, iters: int = _ITERS) -> str:
+    """Unroll assign/update rounds as chained CTEs (same fixed-point
+    rules as the operator; QUALIFY row_number gives the lowest-cid
+    tie-break that struct-ordering gives the Spark side)."""
     return (
         "WITH "
-        + ",".join(parts)
+        + _kmeans_ctes(k, iters)
         + f"\n    SELECT id AS vec_id, cid AS cluster, d AS dist_sq FROM a{iters}"
     )
 

@@ -231,6 +231,124 @@ def scd2_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# IVF recall report — the index-evaluation twin of sim_lsh_recall_report
+# for the inverted-file path, with PORTABLE cells: the IVF index is the
+# fixed-point integer k-means from operators/clustering.py (bit-exact in
+# both engines), so probing, candidate membership, and the final recall
+# number all replay in the oracle. The production IVF
+# (sim_cosine_topk_ivf) uses a float numpy fit; this report measures the
+# probe-limited recall a real deployment watches.
+# --------------------------------------------------------------------------
+
+_IVF_CELLS = 8
+_IVF_ITERS = 3
+_IVF_PROBE = 2
+_IVF_TOPK = 10
+
+
+def _ivf_recall_oracle_sql() -> str:
+    from jhu_data_parser_spark.plans.clustering import _kmeans_ctes
+    from jhu_data_parser_spark.plans.llm import _TOPK_ORACLE
+
+    ctes = _kmeans_ctes(_IVF_CELLS, _IVF_ITERS, where="WHERE vec_id <> 0")
+    qdist = (
+        "CAST(list_sum(list_transform(list_zip(qq.q, c.c), "
+        "z -> (z[1] - z[2]) * (z[1] - z[2]))) AS BIGINT)"
+    )
+    return f"""
+    WITH {ctes},
+    qq AS (SELECT list_transform(CAST(embedding AS DOUBLE[]),
+                                 x -> CAST(ROUND(x * 1000000) AS BIGINT)) AS q
+           FROM embeddings WHERE vec_id = 0),
+    probe AS (
+      SELECT c.cid FROM c{_IVF_ITERS - 1} c CROSS JOIN qq
+      ORDER BY {qdist}, c.cid LIMIT {_IVF_PROBE}),
+    cand AS (
+      SELECT id AS vec_id FROM a{_IVF_ITERS}
+      WHERE cid IN (SELECT cid FROM probe)),
+    qd AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
+           FROM embeddings WHERE vec_id = 0),
+    sims AS (
+      SELECT e.vec_id,
+             list_dot_product(CAST(e.embedding AS DOUBLE[]), qd.qe)
+               / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(e.embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(qd.qe, qd.qe))) AS sim
+      FROM embeddings e JOIN cand USING (vec_id), qd),
+    ivf AS (SELECT vec_id FROM sims ORDER BY sim DESC, vec_id LIMIT {_IVF_TOPK}),
+    bf AS ({_TOPK_ORACLE})
+    SELECT CAST({_IVF_TOPK} AS INT) AS k,
+           CAST({_IVF_PROBE} AS INT) AS n_probe,
+           CAST(COUNT(*) AS BIGINT) AS n_overlap,
+           CAST(COUNT(*) AS DOUBLE) / CAST({_IVF_TOPK} AS DOUBLE) AS recall
+    FROM bf JOIN ivf USING (vec_id)
+    """
+
+
+@query("sim_ivf_recall_report", oracle=_ivf_recall_oracle_sql())
+def sim_ivf_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{k} of probe-limited IVF search against exact brute force
+    — the acceptance test an inverted-file index must pass before a
+    deployment trusts it with retrieval. Cells come from the
+    INTEGER-EXACT k-means (operators/clustering.py), the query probes
+    only the {n_probe} nearest of {cells} cells, exact cosine ranks the
+    candidates, and the report intersects with the exact top-{k}.
+
+    Scale posture: the index build is the k-means posture (broadcast
+    argmin assignment, k·dim-group update shuffles); probing is a
+    broadcast semi-join of the assignment against a {n_probe}-row cell
+    list — with a partitionBy(cell) layout it becomes partition pruning
+    (pinned for the production IVF in test_plans_physical). Because
+    every stage is integer- or single-division-exact, the ORACLE replays
+    the whole pipeline — index fit, probe choice, candidate set, ranking
+    and the recall arithmetic — so the driver gate certifies the
+    measured recall number itself, not just that some number appeared.
+    """
+    from jhu_data_parser_spark.operators import similarity as sim
+    from jhu_data_parser_spark.operators.clustering import (
+        kmeans_fit,
+        quantize_vectors,
+    )
+    from jhu_data_parser_spark.plans.llm import _query_vec
+
+    e = load_table(spark, sf_dir, "embeddings")
+    corpus = e.filter(F.col("vec_id") != 0)
+    qv = _query_vec(spark, sf_dir, 0)
+
+    assigned, cents = kmeans_fit(
+        quantize_vectors(corpus), k=_IVF_CELLS, iterations=_IVF_ITERS
+    )
+    qq = quantize_vectors(e.filter(F.col("vec_id") == 0)).select("q")
+    dist = cents.crossJoin(F.broadcast(qq)).select(
+        "cid",
+        F.expr(
+            "aggregate(zip_with(q, c, (a, b) -> (a - b) * (a - b)), "
+            "CAST(0 AS BIGINT), (s, x) -> s + x)"
+        ).alias("d"),
+    )
+    probe = dist.orderBy("d", "cid").limit(_IVF_PROBE).select("cid")
+    cand = (
+        assigned.withColumnRenamed("cluster", "cid")
+        .join(F.broadcast(probe), "cid", "left_semi")
+        .select(F.col("id").alias("vec_id"))
+    )
+    # cand is ~n_probe/cells of the corpus — NOT broadcastable at scale;
+    # leave the semi-join strategy to AQE (partition pruning with a
+    # partitionBy(cell) index layout).
+    sub = corpus.join(cand, "vec_id", "left_semi")
+    ivf = sim.topk_cosine(sub, qv, k=_IVF_TOPK).select("vec_id")
+    bf = sim.topk_cosine(corpus, qv, k=_IVF_TOPK).select("vec_id")
+    return bf.join(ivf, "vec_id").agg(
+        F.lit(_IVF_TOPK).cast("int").alias("k"),
+        F.lit(_IVF_PROBE).cast("int").alias("n_probe"),
+        F.count(F.lit(1)).alias("n_overlap"),
+        (F.count(F.lit(1)).cast("double") / F.lit(_IVF_TOPK).cast("double")).alias(
+            "recall"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
 # CCNet-style corpus-frequency quality bucketing (Wenzek et al. 2020):
 # bucket documents into head/middle/tail by how "predictable" their
 # tokens are under a corpus-trained unigram model. CCNet scores with a
