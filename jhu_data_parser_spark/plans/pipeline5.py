@@ -205,9 +205,18 @@ def scd2_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = ev.filter(F.col("ts").cast("timestamp") < cut)
     batch = ev.filter(F.col("ts").cast("timestamp") >= cut)
 
-    hist = _state_runs(base)
-    new_runs = _state_runs(batch).select("user_id", "state", "vf", "n_events")
-    affected = batch.select("user_id").distinct()
+    # Both frames feed two consumers (semi + anti prune; runs + affected
+    # set). localCheckpoint materializes each ONCE — hist is exactly the
+    # stored dimension table of a production merge, and without the
+    # checkpoint every consumer would re-scan the fact log (measured: 5
+    # parquet scans -> 2, pinned in test_plans_physical).
+    hist = _state_runs(base).localCheckpoint(eager=False)
+    new_runs = (
+        _state_runs(batch)
+        .select("user_id", "state", "vf", "n_events")
+        .localCheckpoint(eager=False)
+    )
+    affected = new_runs.select("user_id").distinct()
 
     aff_hist = hist.join(F.broadcast(affected), "user_id", "left_semi").select(
         "user_id", "state", "vf", "n_events"

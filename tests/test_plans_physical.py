@@ -382,3 +382,37 @@ def test_jaccard_prefix_pairs_plan_shape(spark):
     # reintroduced a duplicate pipeline.
     assert plan.count("Exchange hashpartitioning") <= 6
     assert plan.count("ArrowEvalPython") == 0
+
+
+def test_shared_span_pairs_two_hash_exchanges(spark):
+    """The span-dedup plan is: one shuffle on the gram key (bucket
+    grouping), one on the pair key (position aggregation) — plus the
+    parallelism-guard round robin. Never an exchange keyed by positions,
+    never a join (the pair expansion is a chained generator)."""
+    import re
+
+    plan = _plan(spark, "dedup_shared_span_pairs")
+    keys = re.findall(r"Exchange hashpartitioning\((\w+)", plan)
+    assert sorted(set(keys)) == ["gh", "id_a"], keys
+    assert "Join" not in plan, "pair expansion must be generator-based"
+    assert plan.count("Scan parquet") == 1
+
+
+def test_scd2_incremental_reads_each_side_once(spark):
+    """The incremental merge must not re-scan the fact log per consumer:
+    history and batch runs are checkpointed (the stored-dimension-table
+    stand-in), so the merge plan itself contains NO parquet scans and
+    the untouched-user prune is a broadcast anti join."""
+    plan = _plan(spark, "scd2_incremental_merge")
+    assert plan.count("Scan parquet") == 0, plan.count("Scan parquet")
+    assert "BroadcastHashJoin" in plan  # semi + anti prune on user set
+    assert "SortMergeJoin" not in plan
+
+
+def test_unigram_buckets_vocab_is_broadcast(spark):
+    """The vocab join must be broadcast (vocab ≪ corpus by Zipf): the
+    exploded token stream is never shuffled on the token key for the
+    probe side — only the vocab build itself groups on tok."""
+    plan = _plan(spark, "text_unigram_freq_buckets")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
