@@ -61,11 +61,10 @@ _PRIORITY_WINDOW = [
     # similarity / ANN
     "sim_cosine_topk",
     "sim_cosine_topk_lsh",
-    "sim_cosine_topk_multi",
+    "sim_ivf_recall_report",  # round-4: probe-limited recall, full value-hash gate
     "sim_cosine_topk_ivf",
     "sim_cosine_topk_int8",
     "sim_dimension_stats",
-    "sim_norms",
     "sim_lsh_recall_report",
     # multimodal (decode_stub rotates with the remainder blocks — its
     # rows-only row is the least informative of the family)
@@ -73,7 +72,6 @@ _PRIORITY_WINDOW = [
     "multimodal_decode_image",
     "multimodal_decode_audio",
     "multimodal_decode_video",
-    "multimodal_resize",
     "multimodal_resize_real",
     "multimodal_frame_sample",
     "multimodal_embed_features",
@@ -100,13 +98,16 @@ _PRIORITY_WINDOW = [
     # event-time pipeline
     "events_sessionize",
     "events_session_concurrency",
-    "events_session_concurrency_sweep",
     "scd2_event_state_history",
+    "scd2_incremental_merge",  # round-4: merge ≡ rebuild gate
     "pipeline_curation_funnel",
     "join_asof_last_click",
     "join_asof_nearest_click",
     # semantics fix this round — wants a fresh driver row
     "sample_quality_weighted",
+    # round-4 wave: exact span dedup + CCNet bucketing
+    "dedup_shared_span_pairs",
+    "text_unigram_freq_buckets",
 ]
 
 
