@@ -95,6 +95,72 @@ def dedup_shared_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.shared_span_pairs(d, k=_SPAN_K)
 
 
+@query(
+    "dedup_span_coverage",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+    g AS (
+      SELECT doc_id, i AS pos,
+             substr(md5(array_to_string(toks[i:i+{_SPAN_K - 1}], ' ')), 1, 16) AS gh
+      FROM t, unnest(generate_series(1, greatest(len(toks) - {_SPAN_K - 1}, 0))) u(i)),
+    df AS (
+      SELECT gh, COUNT(DISTINCT doc_id) AS nd FROM g GROUP BY gh)
+    SELECT g.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(COUNT(*) FILTER (WHERE df.nd >= 2) AS BIGINT) AS n_dup,
+           CAST(COUNT(*) FILTER (WHERE df.nd >= 2) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS dup_frac
+    FROM g JOIN df USING (gh)
+    GROUP BY g.doc_id
+    """,
+)
+def dedup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-span coverage: the fraction of a doc's
+    K-gram positions whose exact K-token span also occurs in ANY other
+    document — the doc-level signal substring dedup (Lee et al. 2021)
+    thresholds to decide which documents get trimmed or dropped, and the
+    corpus-health metric tracked across crawl snapshots.
+
+    Plan shape: the same positional-gram stream as
+    ``dedup_shared_span_pairs``, ONE shuffle on the gram key to count
+    distinct holders, flag each position in-bucket (no pair expansion at
+    all — coverage needs only "shared by ≥2", so this stays LINEAR even
+    where the pair set would be quadratic), then one doc-key aggregation.
+    The only double is one division written identically in both engines.
+    """
+    d = dd.ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    t = d.select("doc_id", F.split(F.lower(F.col("text")), " ").alias("toks"))
+    k = _SPAN_K
+    e = (
+        t.select(
+            "doc_id",
+            F.expr(
+                f"CASE WHEN size(toks) >= {k} THEN "
+                f"transform(sequence(1, size(toks) - {k - 1}), "
+                f"i -> substring(md5(concat_ws(' ', slice(toks, i, {k}))), 1, 16)) "
+                "ELSE CAST(array() AS ARRAY<STRING>) END"
+            ).alias("gs"),
+        )
+        .select("doc_id", F.explode("gs").alias("gh"))
+    )
+    buckets = e.groupBy("gh").agg(
+        F.collect_list("doc_id").alias("ds"),
+        F.countDistinct("doc_id").alias("nd"),
+    )
+    flags = buckets.select(
+        F.explode("ds").alias("doc_id"), (F.col("nd") >= 2).alias("dup")
+    )
+    return flags.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.count_if(F.col("dup")).alias("n_dup"),
+        (
+            F.count_if(F.col("dup")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("dup_frac"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Incremental SCD2 merge — the lakehouse MERGE pattern: the dimension
 # history for events before the cutoff already exists; a new batch

@@ -173,3 +173,46 @@ def test_gif_roundtrip_property(w, h, frames, seed):
     from jhu_data_parser_spark.functions.codecs import decode_gif, encode_gif
 
     assert decode_gif(encode_gif(w, h, frames, seed)) == (w, h, frames)
+
+
+# --- shared-span dedup vs brute-force reference ---------------------------
+# Tiny alphabet forces genuine k-gram collisions; doc lengths straddle
+# the < k edge. The bucketed distributed plan must equal the quadratic
+# per-pair reference on every generated corpus.
+span_docs = st.lists(
+    st.lists(st.sampled_from("abcde"), min_size=0, max_size=12),
+    min_size=2,
+    max_size=7,
+)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(docs=span_docs)
+def test_shared_span_pairs_matches_bruteforce(spark, docs):
+    from itertools import combinations
+
+    from jhu_data_parser_spark.operators.dedup import shared_span_pairs
+
+    k = 3
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r["id_a"], r["id_b"]): (r["n_dup_grams"], r["max_span_tokens"])
+        for r in shared_span_pairs(df, k=k).collect()
+    }
+
+    def grams(toks):
+        return [tuple(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+
+    want = {}
+    for (ia, ta), (ib, tb) in combinations(rows, 2):
+        ga, gb = grams(ta.split(" ")), set(grams(tb.split(" ")))
+        hits = [i for i, g in enumerate(ga) if g in gb]
+        if not hits:
+            continue
+        best = run = 1
+        for prev, cur in zip(hits, hits[1:]):
+            run = run + 1 if cur == prev + 1 else 1
+            best = max(best, run)
+        want[(ia, ib)] = (len(hits), best + k - 1)
+    assert got == want
