@@ -306,6 +306,135 @@ def scd2_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Incremental near-dup against a stored index — the recurring-crawl
+# pattern: at 100 TB you never re-dedup the whole corpus per snapshot;
+# the OLD corpus's banded MinHash signatures are a stored table, and
+# each incoming batch hashes only ITS documents and probes the index
+# with one equi-join. doc_id % 5 == 0 stands in for the new batch.
+# --------------------------------------------------------------------------
+
+_INC_THRESHOLD = 0.5
+
+
+@query(
+    "dedup_incremental_vs_index",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+    s AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= 3
+                  THEN list_transform(range(1, len(toks) - 1),
+                         i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])
+                  ELSE [array_to_string(toks, ' ')] END AS sh
+      FROM t),
+    hs AS (
+      SELECT doc_id,
+             list_transform(sh, x ->
+               md5('0:' || x) || md5('1:' || x)
+               || md5('2:' || x) || md5('3:' || x)) AS hs
+      FROM s),
+    m AS (
+      SELECT doc_id,
+             list_transform(range(0, 16), j ->
+               list_min(list_transform(hs, h -> substr(h, j * 8 + 1, 8)))) AS mh
+      FROM hs),
+    b AS (
+      SELECT doc_id, g.b AS band,
+             md5(array_to_string(mh[g.b * 4 + 1 : g.b * 4 + 4], '|')) AS band_sig
+      FROM m, (SELECT unnest(range(0, 4)) AS b) g),
+    cand AS (
+      SELECT DISTINCT n.doc_id AS id_new, o.doc_id AS id_old
+      FROM b n JOIN b o ON n.band = o.band AND n.band_sig = o.band_sig
+      WHERE n.doc_id % 5 = 0 AND o.doc_id % 5 <> 0)
+    SELECT id_new, id_old,
+           CAST(len(list_intersect(list_distinct(tn.toks), list_distinct(tb.toks)))
+                AS DOUBLE)
+             / len(list_distinct(list_concat(tn.toks, tb.toks))) AS jaccard
+    FROM cand
+    JOIN t tn ON tn.doc_id = cand.id_new
+    JOIN t tb ON tb.doc_id = cand.id_old
+    WHERE CAST(len(list_intersect(list_distinct(tn.toks), list_distinct(tb.toks)))
+               AS DOUBLE)
+            / len(list_distinct(list_concat(tn.toks, tb.toks))) >= {_INC_THRESHOLD}
+    """,
+)
+def dedup_incremental_vs_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup: flag each NEW document (doc_id % 5 == 0
+    stands in for the incoming crawl batch) that near-duplicates the
+    EXISTING corpus, by probing the old corpus's banded MinHash
+    signature INDEX — the recurring-snapshot shape where re-deduping
+    100 TB per crawl is replaced by hashing only the new batch and one
+    equi-join against a stored signature table.
+
+    Plan shape: the signature pipeline is the portable MinHash (16
+    md5-prefix hashes, 4 bands — same discipline as
+    ``dedup_minhash_portable_pairs``; production swaps in xxhash64, and
+    the index side is READ, not recomputed). One shuffle joins probe
+    bands to index bands on (band, band_sig); candidates are
+    probe-output-sized, so the dedup exchange and the two verify joins
+    ship ids only. New-new pairs are deliberately out of scope — they
+    belong to the batch's own intra-dedup pass. The oracle replays the
+    whole pipeline (signatures, banding, cross-side candidates, exact
+    Jaccard verify) in DuckDB."""
+    d = dd.ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    t = d.select("doc_id", F.split(F.lower(F.col("text")), " ").alias("toks"))
+    sh = F.expr(
+        "CASE WHEN size(toks) >= 3 THEN transform(sequence(1, size(toks) - 2), "
+        "i -> concat_ws(' ', slice(toks, i, 3))) "
+        "ELSE array(concat_ws(' ', toks)) END"
+    )
+    hs = F.expr(
+        "transform(sh, x -> concat("
+        "md5(cast(concat('0:', x) AS binary)), md5(cast(concat('1:', x) AS binary)), "
+        "md5(cast(concat('2:', x) AS binary)), md5(cast(concat('3:', x) AS binary))))"
+    )
+    mh = F.expr(
+        "transform(sequence(0, 15), j -> array_min(transform(hs, "
+        "h -> substring(h, j * 8 + 1, 8))))"
+    )
+    bs = F.expr(
+        "transform(sequence(0, 3), b -> "
+        "md5(cast(concat_ws('|', slice(mh, b * 4 + 1, 4)) AS binary)))"
+    )
+    banded = (
+        t.select("doc_id", sh.alias("sh"))
+        .select("doc_id", hs.alias("hs"))
+        .select("doc_id", mh.alias("mh"))
+        .select("doc_id", bs.alias("bs"))
+        .select("doc_id", F.posexplode("bs").alias("band", "band_sig"))
+    )
+    probes = banded.filter(F.col("doc_id") % 5 == 0).withColumnRenamed(
+        "doc_id", "id_new"
+    )
+    index = banded.filter(F.col("doc_id") % 5 != 0).withColumnRenamed(
+        "doc_id", "id_old"
+    )
+    cand = (
+        probes.join(index, ["band", "band_sig"])
+        .select("id_new", "id_old")
+        .distinct()
+    )
+    jac = F.expr(
+        "CAST(size(array_intersect(array_distinct(toks_n), array_distinct(toks_o)))"
+        " AS DOUBLE) / size(array_distinct(concat(toks_n, toks_o)))"
+    )
+    return (
+        cand.join(
+            t.select(F.col("doc_id").alias("id_new"), F.col("toks").alias("toks_n")),
+            "id_new",
+        )
+        .join(
+            t.select(F.col("doc_id").alias("id_old"), F.col("toks").alias("toks_o")),
+            "id_old",
+        )
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= _INC_THRESHOLD)
+        .select("id_new", "id_old", "jaccard")
+    )
+
+
+# --------------------------------------------------------------------------
 # IVF recall report — the index-evaluation twin of sim_lsh_recall_report
 # for the inverted-file path, with PORTABLE cells: the IVF index is the
 # fixed-point integer k-means from operators/clustering.py (bit-exact in
