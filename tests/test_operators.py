@@ -1367,3 +1367,36 @@ def test_unigram_freq_buckets_orders_head_first(spark, tmp_path):
     assert all(rows[i] == "head" for i in range(4))
     assert all(rows[10 + i] == "middle" for i in range(4))
     assert all(rows[20 + i] == "tail" for i in range(4))
+
+
+def test_tz_host_robustness_subprocess():
+    """The driver may run in ANY host timezone with a VANILLA session;
+    timestamp semantics are pinned at the data-source choke points
+    (load_table / streaming readers set session.timeZone=UTC), so
+    ts-sensitive queries must still hash-match the oracle when the JVM
+    starts under a non-UTC TZ. Subprocess because java.util.TimeZone is
+    fixed at JVM launch."""
+    import subprocess
+    import sys
+
+    script = r"""
+import sys; sys.path.insert(0, "/root/repo")
+from pyspark.sql import SparkSession
+from jhu_data_parser_spark import plans
+from tests.oracle_compare import compare, duckdb_con
+spark = SparkSession.builder.master("local[4]").getOrCreate()
+con = duckdb_con("/root/testdata/sf0.001")
+for name in ("scd2_incremental_merge", "events_sessionize", "scalar_date_funcs"):
+    r = compare(plans.QUERIES[name](spark, "/root/testdata/sf0.001"),
+                con, plans.ORACLES[name])
+    assert r["rows_match"] and r["cols_match"] and r["values_match"], (name, r)
+print("TZ_OK")
+"""
+    import os
+
+    env = dict(os.environ, TZ="America/New_York")
+    out = subprocess.run(
+        [sys.executable, "-c", script], env=env, capture_output=True, text=True,
+        timeout=600,
+    )
+    assert "TZ_OK" in out.stdout, out.stdout[-2000:] + out.stderr[-2000:]
