@@ -42,6 +42,7 @@ __all__ = [
     "jaccard_tokens",
     "jaccard_prefix_pairs",
     "shared_span_pairs",
+    "minhash_signature_portable",
 ]
 
 
@@ -391,6 +392,53 @@ def jaccard_prefix_pairs(
     )
 
 
+def minhash_signature_portable(
+    t: DataFrame, id_col: str = "doc_id", toks_col: str = "toks"
+) -> DataFrame:
+    """``(id_col, mh: array<string>)`` — the ENGINE-PORTABLE 16-hash
+    MinHash signature (md5-hex-prefix permutation hashes, lexicographic
+    string minima — byte-identical in any engine with md5; the
+    production path uses xxhash64, ~an order of magnitude cheaper).
+
+    Implementation note (measured 4× at sf0.1): the per-permutation min
+    is computed as explode → ``groupBy(id).agg(min(substring(h, ...)))``
+    — 16 codegen'd min aggregates with map-side partial combine — NOT as
+    ``transform(sequence(0,15), j -> array_min(transform(hs, ...)))``.
+    Higher-order functions are interpreted per element (no whole-stage
+    codegen), so the HOF formulation pays ~16·n_shingles lambda
+    dispatches per document; the aggregate formulation keeps the whole
+    pass inside codegen and the exchange carries one 16×8-char partial
+    row per document per partition.
+    """
+    sh = F.expr(
+        f"CASE WHEN size({toks_col}) >= 3 THEN "
+        f"transform(sequence(1, size({toks_col}) - 2), "
+        f"i -> concat_ws(' ', slice({toks_col}, i, 3))) "
+        f"ELSE array(concat_ws(' ', {toks_col})) END"
+    )
+    # 16 permutation hashes from FOUR md5 digests per shingle (salts
+    # 0-3) concatenated into one 128-hex pre-digest — md5 dominates, so
+    # hash once and slice 16 windows out of it.
+    hs = F.expr(
+        "transform(sh, x -> concat("
+        "md5(cast(concat('0:', x) AS binary)), md5(cast(concat('1:', x) AS binary)), "
+        "md5(cast(concat('2:', x) AS binary)), md5(cast(concat('3:', x) AS binary))))"
+    )
+    e = (
+        t.select(F.col(id_col), sh.alias("sh"))
+        .select(F.col(id_col), F.explode(hs).alias("h"))
+    )
+    agg = e.groupBy(id_col).agg(
+        *[
+            F.min(F.substring("h", j * 8 + 1, 8)).alias(f"m{j}")
+            for j in range(16)
+        ]
+    )
+    return agg.select(
+        F.col(id_col), F.array(*[f"m{j}" for j in range(16)]).alias("mh")
+    )
+
+
 # Longest run of CONSECUTIVE integers in a sorted int array, as one
 # higher-order fold (no second explode/shuffle). Accumulator:
 # (previous element, current run, best run).
@@ -676,13 +724,25 @@ def simhash_bits(col: Column | str, nbits: int = 64) -> Column:
     parallel, no shuffle, no UDF."""
     c = F.col(col) if isinstance(col, str) else col
     toks = F.split(F.lower(c), r"\s+")
+    # Two speed rules for this interpreted fold (HOF lambdas don't CSE
+    # and don't codegen):
+    # 1. Hash each token ONCE into a padded binary STRING before the
+    #    fold — hashing inside the per-bit lambda would recompute
+    #    xxhash64 nbits× per token.
+    # 2. Read bits with substr on that string, NOT bit_get on the long:
+    #    bit_get takes an interpreted slow path per call (measured 4.6×
+    #    slower for the whole fold at sf0.1: 4.6 s → 1.0 s).
+    # Slot i must equal bit_get(h, i) (bit 0 = LSB), which is character
+    # nbits - i of the MSB-first binary string (1-based substr).
+    hashes = F.transform(toks, lambda t: F.lpad(F.bin(F.xxhash64(t)), nbits, "0"))
     zeros = F.array_repeat(F.lit(0), nbits)
     acc = F.aggregate(
-        toks,
+        hashes,
         zeros,
-        lambda a, t: F.transform(
+        lambda a, h: F.transform(
             a,
-            lambda v, i: v + F.when(F.bit_get(F.xxhash64(t), i) == 1, 1).otherwise(-1),
+            lambda v, i: v
+            + F.when(F.substr(h, F.lit(nbits) - i, F.lit(1)) == "1", 1).otherwise(-1),
         ),
     )
     return F.transform(acc, lambda v: F.when(v > 0, 1).otherwise(0))
@@ -723,50 +783,68 @@ def simhash_candidates(
         max_hamming = bands - 1
     chunk = nbits // bands
     sig = simhash_bits(text_col, nbits)
-    with_sig = ensure_parallelism(df).select(
-        F.col(id_col), sig.alias("bits")
-    ).localCheckpoint(eager=True)
+    # Single consumer since the popcount rework removed the verify
+    # joins — no checkpoint needed; the signature streams straight into
+    # banding in one pass. (A 64-column explode+SUM signature variant
+    # measured SLOWER here: 64 aggregate buffers over the exploded token
+    # stream cost more than the per-row substr fold in simhash_bits.)
+    with_sig = ensure_parallelism(df).select(F.col(id_col), sig.alias("bits"))
+    # hi/lo packed once per doc; the per-pair verify is two
+    # XOR-popcounts carried in the bucket structs — no 64-element
+    # zip_with per candidate and no verify joins (banding leaves ~6x
+    # more candidates than survivors, so the per-pair verify is the hot
+    # loop: the zip_with + two-join form measured 36 s at sf0.1).
     # Same first-colliding-band exactly-once emission and chained-
-    # generator expansion as minhash_candidates: each banded row carries
-    # the earlier bands' chunk strings so a pair emits only from its
-    # first colliding band (no distinct() pass), and the anchor-wise
-    # second generator keeps task memory O(bucket), not O(bucket²).
+    # generator expansion as minhash_candidates.
+    hi_bits = nbits // 2
     chunks = F.expr(
         f"transform(sequence(0, {bands - 1}), b -> "
         f"concat_ws('', transform(slice(bits, b * {chunk} + 1, {chunk}), "
         f"x -> CAST(x AS STRING))))"
     )
     banded = (
-        with_sig.select(F.col(id_col).alias("id"), chunks.alias("chs"))
-        .select("id", "chs", F.posexplode("chs").alias("band", "chunk_bits"))
-        .select("id", "band", "chunk_bits", F.expr("slice(chs, 1, band)").alias("prev"))
+        with_sig.select(
+            F.col(id_col).alias("id"),
+            F.expr(
+                f"aggregate(slice(bits, 1, {hi_bits}), CAST(0 AS BIGINT), "
+                "(s, b) -> s * 2 + b)"
+            ).alias("hi"),
+            F.expr(
+                f"aggregate(slice(bits, {hi_bits} + 1, {nbits - hi_bits}), "
+                "CAST(0 AS BIGINT), (s, b) -> s * 2 + b)"
+            ).alias("lo"),
+            chunks.alias("chs"),
+        )
+        .select("id", "hi", "lo", "chs", F.posexplode("chs").alias("band", "chunk_bits"))
+        .select(
+            "id", "hi", "lo", "band", "chunk_bits",
+            F.expr("slice(chs, 1, band)").alias("prev"),
+        )
     )
     grouped = (
         banded.groupBy("band", "chunk_bits")
         .agg(
-            F.array_sort(F.collect_list(F.struct(F.col("id"), F.col("prev")))).alias(
-                "ms"
-            )
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("id"), F.col("hi"), F.col("lo"), F.col("prev"))
+                )
+            ).alias("ms")
         )
         .filter(F.size("ms") >= 2)
     )
     anchors = grouped.select("ms", F.posexplode("ms").alias("i", "a"))
-    cands = anchors.select(
+    pairs = anchors.select(
         F.explode(
             F.expr(
                 "filter(transform(slice(ms, i + 2, size(ms)), b -> "
                 "struct(a.id AS id_a, b.id AS id_b, "
+                "CAST(bit_count(a.hi ^ b.hi) + bit_count(a.lo ^ b.lo) AS INT)"
+                " AS hamming, "
                 "size(filter(zip_with(a.prev, b.prev, (p, q) -> p = q), v -> v))"
                 " AS n_prev)), s -> s.n_prev = 0)"
             )
         ).alias("p")
-    ).select("p.id_a", "p.id_b")
-    a = with_sig.withColumnsRenamed({id_col: "id_a", "bits": "bits_a"})
-    b = with_sig.withColumnsRenamed({id_col: "id_b", "bits": "bits_b"})
-    return (
-        cands.join(a, "id_a")
-        .join(b, "id_b")
-        .withColumn("hamming", hamming_distance(F.col("bits_a"), F.col("bits_b")))
-        .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+    ).select("p.*")
+    return pairs.filter(F.col("hamming") <= max_hamming).select(
+        "id_a", "id_b", "hamming"
     )

@@ -485,45 +485,27 @@ def dedup_minhash_portable_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate pairs with an engine-portable MinHash (16 hashes,
     4 bands × 4 rows, threshold 0.5): each permutation hash is the first
     8 md5-hex chars of ``j:shingle`` and the min is the LEXICOGRAPHIC
-    string min — identical bytes in any engine with md5, at ~3× the cost
-    of the xxhash production path (``dedup_near_pairs``), which is the
-    price of a full cross-engine value-hash gate over every stage.
+    string min — identical bytes in any engine with md5; the signature
+    pass costs ~10× the xxhash production path (``dedup_near_pairs``),
+    which is the price of a full cross-engine value-hash gate over
+    every stage.
 
-    Same plan shape as the production path: signatures and banding
-    in-row, ONE shuffle on (band, band_sig), chained-generator i<j
-    expansion with first-colliding-band exactly-once emission, Jaccard
-    verification via two hash joins. The oracle replays the identical
-    algorithm in DuckDB (self-join + DISTINCT instead of first-band)."""
+    Same plan shape as the production path for banding onward: ONE
+    shuffle on (band, band_sig), chained-generator i<j expansion with
+    first-colliding-band exactly-once emission, Jaccard verification
+    via two hash joins. The signature pass itself is the codegen
+    explode+min-aggregate form (``dd.minhash_signature_portable`` —
+    measured 4× over the interpreted-HOF formulation at sf0.1). The
+    oracle replays the identical algorithm in DuckDB (self-join +
+    DISTINCT instead of first-band)."""
     d = dd.ensure_parallelism(load_table(spark, sf_dir, "documents"))
     t = d.select("doc_id", F.split(F.lower(F.col("text")), " ").alias("toks"))
-    sh = F.expr(
-        "CASE WHEN size(toks) >= 3 THEN transform(sequence(1, size(toks) - 2), "
-        "i -> concat_ws(' ', slice(toks, i, 3))) "
-        "ELSE array(concat_ws(' ', toks)) END"
-    )
-    # 16 permutation hashes from FOUR md5 digests per shingle (salts
-    # 0-3), concatenated into one 128-hex-char pre-hash so every window
-    # is a substring of an already-computed digest — md5 is the dominant
-    # cost and HOF lambdas don't CSE it across iterations, so hashing
-    # inside the per-j lambda would run 16 md5s per shingle instead of 4
-    # (measured ~4×). Identical lexicographic-min discipline both engines.
-    hs = F.expr(
-        "transform(sh, x -> concat("
-        "md5(cast(concat('0:', x) AS binary)), md5(cast(concat('1:', x) AS binary)), "
-        "md5(cast(concat('2:', x) AS binary)), md5(cast(concat('3:', x) AS binary))))"
-    )
-    mh = F.expr(
-        "transform(sequence(0, 15), j -> array_min(transform(hs, "
-        "h -> substring(h, j * 8 + 1, 8))))"
-    )
     bs = F.expr(
         "transform(sequence(0, 3), b -> "
         "md5(cast(concat_ws('|', slice(mh, b * 4 + 1, 4)) AS binary)))"
     )
     banded = (
-        t.select("doc_id", sh.alias("sh"))
-        .select("doc_id", hs.alias("hs"))
-        .select("doc_id", mh.alias("mh"))
+        dd.minhash_signature_portable(t)
         .select("doc_id", bs.alias("bs"))
         .select("doc_id", "bs", F.posexplode("bs").alias("band", "band_sig"))
         .select(
@@ -670,7 +652,15 @@ def dedup_simhash_portable_candidates(spark: SparkSession, sf_dir: str) -> DataF
     pigeonhole banding (4 bands × 16 bits: distance ≤ 3 forces ≥ 1 equal
     chunk), ONE shuffle on (band, chunk), chained-generator exactly-once
     expansion, exact Hamming verify — the complete banded pipeline under
-    a cross-engine value-hash gate."""
+    a cross-engine value-hash gate.
+
+    Verify arithmetic: the bit-string is packed ONCE per document into
+    two 32-bit halves and per-pair Hamming is
+    ``bit_count(hi⊕hi') + bit_count(lo⊕lo')`` — two XOR-popcounts
+    instead of a 64-iteration string-compare fold per candidate.
+    Banding on 16-bit chunks leaves ~85× more candidates than survivors
+    on this corpus (427k → 1.7k at sf0.1), so the per-pair verify IS the
+    hot loop; the popcount form took the query 14.7 s → ~2 s."""
     d = dd.ensure_parallelism(load_table(spark, sf_dir, "documents"))
     sig = d.select("doc_id", _simhash_portable_sig_col().alias("simhash"))
     chunks = F.expr(
@@ -678,9 +668,19 @@ def dedup_simhash_portable_candidates(spark: SparkSession, sf_dir: str) -> DataF
     )
     banded = (
         sig.select("doc_id", "simhash", chunks.alias("cs"))
-        .select("doc_id", "simhash", "cs", F.posexplode("cs").alias("band", "chunk"))
         .select(
-            "doc_id", "simhash", "band", "chunk",
+            "doc_id",
+            F.expr("CAST(conv(substring(simhash, 1, 32), 2, 10) AS BIGINT)").alias(
+                "hi"
+            ),
+            F.expr("CAST(conv(substring(simhash, 33, 32), 2, 10) AS BIGINT)").alias(
+                "lo"
+            ),
+            "cs",
+        )
+        .select("doc_id", "hi", "lo", "cs", F.posexplode("cs").alias("band", "chunk"))
+        .select(
+            "doc_id", "hi", "lo", "band", "chunk",
             F.expr("slice(cs, 1, band)").alias("prev"),
         )
     )
@@ -691,7 +691,8 @@ def dedup_simhash_portable_candidates(spark: SparkSession, sf_dir: str) -> DataF
                 F.collect_list(
                     F.struct(
                         F.col("doc_id").alias("id"),
-                        F.col("simhash").alias("sg"),
+                        F.col("hi"),
+                        F.col("lo"),
                         F.col("prev"),
                     )
                 )
@@ -700,25 +701,19 @@ def dedup_simhash_portable_candidates(spark: SparkSession, sf_dir: str) -> DataF
         .filter(F.size("ms") >= 2)
     )
     anchors = grouped.select("ms", F.posexplode("ms").alias("i", "a"))
-    ham = (
-        "aggregate(sequence(1, 64), 0, (s, i) -> "
-        "s + IF(substring({a}, i, 1) != substring({b}, i, 1), 1, 0))"
-    )
     pairs = anchors.select(
         F.explode(
             F.expr(
                 "filter(transform(slice(ms, i + 2, size(ms)), b -> "
-                "struct(a.id AS id_a, b.id AS id_b, a.sg AS sa, b.sg AS sb, "
+                "struct(a.id AS id_a, b.id AS id_b, "
+                "CAST(bit_count(a.hi ^ b.hi) + bit_count(a.lo ^ b.lo) AS INT)"
+                " AS hamming, "
                 "size(filter(zip_with(a.prev, b.prev, (p, q) -> p = q), v -> v))"
                 " AS n_prev)), s -> s.n_prev = 0)"
             )
         ).alias("p")
     ).select("p.*")
-    return (
-        pairs.withColumn("hamming", F.expr(ham.format(a="sa", b="sb")).cast("int"))
-        .filter(F.col("hamming") <= 3)
-        .select("id_a", "id_b", "hamming")
-    )
+    return pairs.filter(F.col("hamming") <= 3).select("id_a", "id_b", "hamming")
 
 
 # n-gram (token-set) Jaccard against a fixed probe document — oracle-able

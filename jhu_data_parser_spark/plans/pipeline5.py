@@ -379,28 +379,12 @@ def dedup_incremental_vs_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard verify) in DuckDB."""
     d = dd.ensure_parallelism(load_table(spark, sf_dir, "documents"))
     t = d.select("doc_id", F.split(F.lower(F.col("text")), " ").alias("toks"))
-    sh = F.expr(
-        "CASE WHEN size(toks) >= 3 THEN transform(sequence(1, size(toks) - 2), "
-        "i -> concat_ws(' ', slice(toks, i, 3))) "
-        "ELSE array(concat_ws(' ', toks)) END"
-    )
-    hs = F.expr(
-        "transform(sh, x -> concat("
-        "md5(cast(concat('0:', x) AS binary)), md5(cast(concat('1:', x) AS binary)), "
-        "md5(cast(concat('2:', x) AS binary)), md5(cast(concat('3:', x) AS binary))))"
-    )
-    mh = F.expr(
-        "transform(sequence(0, 15), j -> array_min(transform(hs, "
-        "h -> substring(h, j * 8 + 1, 8))))"
-    )
     bs = F.expr(
         "transform(sequence(0, 3), b -> "
         "md5(cast(concat_ws('|', slice(mh, b * 4 + 1, 4)) AS binary)))"
     )
     banded = (
-        t.select("doc_id", sh.alias("sh"))
-        .select("doc_id", hs.alias("hs"))
-        .select("doc_id", mh.alias("mh"))
+        dd.minhash_signature_portable(t)
         .select("doc_id", bs.alias("bs"))
         .select("doc_id", F.posexplode("bs").alias("band", "band_sig"))
     )
