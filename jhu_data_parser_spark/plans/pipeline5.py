@@ -95,6 +95,90 @@ def dedup_shared_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.shared_span_pairs(d, k=_SPAN_K)
 
 
+# Cluster formation + survivor selection over the exact span-pair set —
+# completes the span family the same way dedup_jaccard_groups/_survivors
+# complete the n-gram-Jaccard family: docs sharing a duplicated span of
+# >= _SPAN_MIN tokens are cluster-mates; the deduped corpus keeps each
+# cluster's min-id member plus all unclustered docs.
+_SPAN_MIN = 8  # tokens: run of _SPAN_MIN - _SPAN_K + 1 consecutive positions
+
+_SPAN_EDGES_CTE = f"""
+    t AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+    g AS (
+      SELECT doc_id, i AS pos,
+             substr(md5(array_to_string(toks[i:i+{_SPAN_K - 1}], ' ')), 1, 16) AS gh
+      FROM t, unnest(generate_series(1, greatest(len(toks) - {_SPAN_K - 1}, 0))) u(i)),
+    p AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos
+      FROM g a JOIN g b USING (gh)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3),
+    isl AS (
+      SELECT id_a, id_b, pos,
+             pos - row_number() OVER (PARTITION BY id_a, id_b ORDER BY pos) AS grp
+      FROM p),
+    runs AS (
+      SELECT id_a, id_b, COUNT(*) AS run FROM isl GROUP BY id_a, id_b, grp),
+    pairs AS (
+      SELECT id_a, id_b FROM runs GROUP BY id_a, id_b
+      HAVING MAX(run) + {_SPAN_K} - 1 >= {_SPAN_MIN}),
+    edges(x, y) AS (
+      SELECT id_a, id_b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+    reach(x, y) AS (
+      SELECT x, y FROM edges
+      UNION
+      SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x),
+    nodes(x) AS (SELECT DISTINCT x FROM edges)
+"""
+
+
+@query(
+    "dedup_span_groups",
+    oracle=f"""
+    WITH RECURSIVE {_SPAN_EDGES_CTE}
+    SELECT n.x AS id, LEAST(n.x, MIN(r.y)) AS component
+    FROM nodes n LEFT JOIN reach r ON r.x = n.x
+    GROUP BY n.x
+    """,
+)
+def dedup_span_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters over the exact shared-span pair set (spans of
+    >= {min} tokens): CC min-label propagation on 100%-recall edges —
+    the boilerplate/mirror clusters substring dedup exists to find."""
+    pairs = dedup_shared_span_pairs(spark, sf_dir).filter(
+        F.col("max_span_tokens") >= _SPAN_MIN
+    )
+    return dd.connected_components(pairs)
+
+
+@query(
+    "dedup_span_survivors",
+    oracle=f"""
+    WITH RECURSIVE {_SPAN_EDGES_CTE},
+    comp AS (
+      SELECT n.x AS id, LEAST(n.x, MIN(r.y)) AS component
+      FROM nodes n LEFT JOIN reach r ON r.x = n.x
+      GROUP BY n.x)
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d
+    LEFT JOIN comp c ON c.id = d.doc_id
+    WHERE c.id IS NULL OR c.component = d.doc_id
+    """,
+)
+def dedup_span_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The span-deduped corpus: keep each span-cluster's min-id member
+    plus every unclustered doc. Same anti-join shape as the Jaccard
+    survivors — the loser list is |clustered docs| rows, broadcastable
+    at any corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    groups = dedup_span_groups(spark, sf_dir)
+    losers = groups.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias("doc_id")
+    )
+    return d.join(losers, "doc_id", "left_anti").select("doc_id", "lang", "source")
+
+
 @query(
     "dedup_span_coverage",
     oracle=f"""
