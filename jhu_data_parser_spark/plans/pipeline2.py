@@ -510,7 +510,9 @@ def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 # symbol list, and the per-round argmax is ORDER BY n DESC, a, b LIMIT 1
 # — the operator's exact tie-break. Equivalence to a pure-python
 # reference BPE is additionally pinned in tests/test_operators.py.
-def _bpe_merges_oracle(num_merges: int = 10, min_word_count: int = 2) -> str:
+def _bpe_trainer_parts(num_merges: int = 10, min_word_count: int = 2) -> list[str]:
+    """The unrolled training CTE chain (b1..bK hold the per-round merge
+    argmax) — shared by the trainer oracle and the encoder oracle."""
     sep = "chr(1)"
     parts = [
         f"""w AS (
@@ -539,6 +541,11 @@ def _bpe_merges_oracle(num_merges: int = 10, min_word_count: int = 2) -> str:
       SELECT wc, replace(s, {sep} || b{r}.a || {sep} || {sep} || b{r}.b || {sep},
                             {sep} || b{r}.a || b{r}.b || {sep}) AS s
       FROM s{r - 1}, b{r})""")
+    return parts
+
+
+def _bpe_merges_oracle(num_merges: int = 10, min_word_count: int = 2) -> str:
+    parts = _bpe_trainer_parts(num_merges, min_word_count)
     unions = "\n    UNION ALL ".join(
         f"""SELECT CAST({r - 1} AS INT) AS merge_rank, a AS "left", b AS "right",
                a || b AS merged, n AS pair_count FROM b{r}"""

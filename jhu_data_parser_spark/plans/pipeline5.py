@@ -621,6 +621,124 @@ def sim_ivf_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# BPE ENCODING with the corpus-trained merge table — completes the
+# tokenizer story (text_bpe_train_merges LEARNS the merges; this APPLIES
+# them), the step that turns a curated corpus into token counts a
+# training run budgets by.
+# --------------------------------------------------------------------------
+
+
+def _bpe_encode_oracle(num_merges: int = 10, min_word_count: int = 2) -> str:
+    from jhu_data_parser_spark.plans.pipeline2 import _bpe_trainer_parts
+
+    sep = "chr(1)"
+    parts = _bpe_trainer_parts(num_merges, min_word_count)
+    parts.append(f"""vocab AS (
+      SELECT DISTINCT tok AS w
+      FROM (SELECT unnest(string_split_regex(lower(text), '\\s+')) AS tok
+            FROM documents)
+      WHERE tok <> ''),
+    e0 AS (
+      SELECT w,
+             {sep} || array_to_string(
+               list_transform(range(1, length(w) + 1), i -> substr(w, i, 1)),
+               {sep} || {sep}) || {sep} AS s
+      FROM vocab)""")
+    for r in range(1, num_merges + 1):
+        parts.append(f"""e{r} AS (
+      SELECT w, replace(s, {sep} || b{r}.a || {sep} || {sep} || b{r}.b || {sep},
+                           {sep} || b{r}.a || b{r}.b || {sep}) AS s
+      FROM e{r - 1}, b{r})""")
+    parts.append(f"""enc AS (
+      SELECT w, s,
+             CAST((length(s) - length(replace(s, {sep}, ''))) // 2 AS BIGINT)
+               AS n_tok
+      FROM e{num_merges}),
+    dt AS (
+      SELECT t.doc_id, g.i AS pos, t.toks[g.i] AS w
+      FROM (SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\\s+'),
+                               x -> x <> '') AS toks
+            FROM documents) t,
+           LATERAL (SELECT unnest(range(1, len(t.toks) + 1)) AS i) g)""")
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + """
+    SELECT dt.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(enc.n_tok) AS BIGINT) AS n_bpe_tokens,
+           md5(string_agg(enc.s, chr(2) ORDER BY dt.pos)) AS stream_md5
+    FROM dt JOIN enc USING (w)
+    GROUP BY dt.doc_id
+    """
+    )
+
+
+@query("text_bpe_encode", oracle=_bpe_encode_oracle())
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode every document with the BPE merge table LEARNED from this
+    corpus (train → apply, end to end): per doc, the word count, the
+    total BPE token count, and an md5 over the in-order encoded token
+    stream — so the driver gate proves the exact token sequence of every
+    document, not just a count.
+
+    The encode representation is the trainer oracle's trick hoisted into
+    the Spark plan: each word rides as a \\x01-delimited symbol string
+    where a literal ``replace`` of ``\\x01a\\x01\\x01b\\x01`` with
+    ``\\x01ab\\x01`` IS the greedy non-overlapping left-to-right merge
+    fold — so applying the K learned merges is K codegen string replaces
+    over the DISTINCT-WORD table (vocab-sized, not corpus-sized), then a
+    broadcast join back to word instances. The K-row merge table is a
+    driver collect (bounded, same class as the trainer's per-round
+    argmax and the IVF centroid fit). At 100 TB: one corpus pass for the
+    vocab, K replaces over |vocab| rows, one broadcast join, one doc-key
+    aggregation; the in-order stream hash rides a per-doc sorted array
+    fold. The oracle replays training AND encoding in SQL."""
+    from jhu_data_parser_spark.operators.text import bpe_train_merges
+
+    d = load_table(spark, sf_dir, "documents")
+    merges = bpe_train_merges(d, num_merges=10, min_word_count=2).collect()
+
+    X = "\x01"
+    toks = F.expr("filter(split(lower(text), '\\\\s+'), x -> x <> '')")
+    dt = d.select("doc_id", F.posexplode(toks).alias("pos", "w"))
+    vocab = dt.select("w").distinct()
+    s = F.expr(
+        f"concat('{X}', array_join(transform(sequence(1, length(w)), "
+        f"i -> substring(w, i, 1)), '{X}{X}'), '{X}')"
+    )
+    for m in merges:
+        a, b, merged = m["left"], m["right"], m["merged"]
+        s = F.replace(
+            s, F.lit(f"{X}{a}{X}{X}{b}{X}"), F.lit(f"{X}{a}{merged[len(a):]}{X}")
+        )
+    enc = vocab.select(
+        "w",
+        s.alias("s"),
+    ).select(
+        "w",
+        "s",
+        (
+            (F.length("s") - F.length(F.replace(F.col("s"), F.lit(X), F.lit(""))))
+            / F.lit(2)
+        )
+        .cast("long")
+        .alias("n_tok"),
+    )
+    joined = dt.join(F.broadcast(enc), "w")
+    stream = F.expr(
+        "concat_ws('\x02', transform(array_sort(collect_list(struct(pos, s))), "
+        "x -> x.s))"
+    )
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum("n_tok").alias("n_bpe_tokens"),
+        F.md5(stream).alias("stream_md5"),
+    )
+
+
+# --------------------------------------------------------------------------
 # CCNet-style corpus-frequency quality bucketing (Wenzek et al. 2020):
 # bucket documents into head/middle/tail by how "predictable" their
 # tokens are under a corpus-trained unigram model. CCNet scores with a

@@ -1400,3 +1400,78 @@ print("TZ_OK")
         timeout=600,
     )
     assert "TZ_OK" in out.stdout, out.stdout[-2000:] + out.stderr[-2000:]
+
+
+def test_bpe_encode_matches_python_reference(spark, tmp_path):
+    """End-to-end train→encode on a tiny corpus must equal a pure-python
+    BPE (greedy left-to-right merge application in rank order): exact
+    per-doc token counts AND the exact token stream."""
+    import hashlib
+
+    from jhu_data_parser_spark import plans
+
+    texts = [
+        "low low low low low",
+        "lower lower newest newest",
+        "newest newest newest newest",
+        "wider wider new new",
+    ]
+    rows = [(i, "en", "s", t) for i, t in enumerate(texts)]
+    spark.createDataFrame(
+        rows, "doc_id long, lang string, source string, text string"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    out = {
+        r["doc_id"]: (r["n_words"], r["n_bpe_tokens"], r["stream_md5"])
+        for r in plans.QUERIES["text_bpe_encode"](spark, str(tmp_path)).collect()
+    }
+
+    # python reference: train 10 merges (count>=2 words), then encode
+    wc = {}
+    for t in texts:
+        for w in t.split():
+            wc[w] = wc.get(w, 0) + 1
+    vocab = {w: list(w) for w, c in wc.items() if c >= 2}
+    merges = []
+    for _ in range(10):
+        pc = {}
+        for w, syms in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] = pc.get((a, b), 0) + wc[w]
+        if not pc:
+            break
+        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[1] < 2:
+            break
+        (a, b), _n = best
+        merges.append((a, b))
+
+        def apply(syms, a=a, b=b):
+            outp = []
+            for x in syms:
+                if outp and outp[-1] == a and x == b:
+                    outp[-1] = a + b
+                else:
+                    outp.append(x)
+            return outp
+
+        vocab = {w: apply(s) for w, s in vocab.items()}
+
+    def encode(w):
+        syms = list(w)
+        for a, b in merges:
+            outp = []
+            for x in syms:
+                if outp and outp[-1] == a and x == b:
+                    outp[-1] = a + b
+                else:
+                    outp.append(x)
+            syms = outp
+        return syms
+
+    for i, t in enumerate(texts):
+        words = t.split()
+        streams = ["\x01" + "\x01\x01".join(encode(w)) + "\x01" for w in words]
+        md5 = hashlib.md5("\x02".join(streams).encode()).hexdigest()
+        ntok = sum(len(encode(w)) for w in words)
+        assert out[i] == (len(words), ntok, md5), (i, out[i])
