@@ -60,7 +60,7 @@ _PRIORITY_WINDOW = [
     "stream_sample_bernoulli",
     # similarity / ANN
     "sim_cosine_topk",
-    "sim_cosine_topk_lsh",
+    "text_bpe_encode",  # round-4: train->encode stream-exact gate
     "sim_ivf_recall_report",  # round-4: probe-limited recall, full value-hash gate
     "sim_cosine_topk_ivf",
     "sim_cosine_topk_int8",
@@ -68,7 +68,7 @@ _PRIORITY_WINDOW = [
     "sim_lsh_recall_report",
     # multimodal (decode_stub rotates with the remainder blocks — its
     # rows-only row is the least informative of the family)
-    "multimodal_bytes",
+    "dedup_incremental_vs_index",  # round-4: stored-index probe
     "multimodal_decode_image",
     "multimodal_decode_audio",
     "multimodal_decode_video",

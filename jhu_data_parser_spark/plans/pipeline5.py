@@ -620,6 +620,58 @@ def sim_ivf_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Full-outer join — the one ANSI join type the catalog lacked: align two
+# independently-aggregated daily series (orders placed vs lineitems
+# shipped), keeping days present in either side. Ship dates trail order
+# dates by up to ~4 months, so BOTH null sides genuinely occur: early
+# days are order-only, the tail past the last order date is ship-only.
+# Aggregate-then-join, so the outer join runs on |distinct days| rows.
+@query(
+    "join_full_outer_daily_activity",
+    oracle="""
+    WITH o AS (
+      SELECT CAST(o_orderdate AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n_ordered
+      FROM orders GROUP BY 1),
+    s AS (
+      SELECT CAST(l_shipdate AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n_shipped
+      FROM lineitem GROUP BY 1)
+    SELECT COALESCE(o.day, s.day) AS day,
+           COALESCE(o.n_ordered, 0) AS n_ordered,
+           COALESCE(s.n_shipped, 0) AS n_shipped,
+           (o.day IS NOT NULL AND s.day IS NOT NULL) AS in_both
+    FROM o FULL OUTER JOIN s ON o.day = s.day
+    """,
+)
+def join_full_outer_daily_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer alignment of two daily activity series (orders placed
+    vs lineitems shipped) — the reconciliation-report shape. Both sides
+    aggregate BEFORE the join, so the full-outer (which cannot
+    broadcast — both sides must stream) runs over |distinct days| rows;
+    at 100 TB the aggregates carry the cost and the join is trivial."""
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_ordered"))
+    )
+    s = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_shipdate").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_shipped"))
+    )
+    return (
+        o.alias("o")
+        .join(s.alias("s"), F.col("o.day") == F.col("s.day"), "full_outer")
+        .select(
+            F.coalesce(F.col("o.day"), F.col("s.day")).alias("day"),
+            F.coalesce("n_ordered", F.lit(0)).alias("n_ordered"),
+            F.coalesce("n_shipped", F.lit(0)).alias("n_shipped"),
+            (F.col("o.day").isNotNull() & F.col("s.day").isNotNull()).alias(
+                "in_both"
+            ),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # BPE ENCODING with the corpus-trained merge table — completes the
 # tokenizer story (text_bpe_train_merges LEARNS the merges; this APPLIES
