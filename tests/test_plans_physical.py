@@ -416,3 +416,33 @@ def test_unigram_buckets_vocab_is_broadcast(spark):
     plan = _plan(spark, "text_unigram_freq_buckets")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_incremental_dedup_probe_joins_are_hash(spark):
+    """New-batch probing against the stored signature index: the band
+    join and both verify joins must be hash joins (broadcast at this
+    scale), never a sort-merge or nested loop, and the signature
+    pipeline feeds both sides from one pass."""
+    plan = _plan(spark, "dedup_incremental_vs_index")
+    assert "SortMergeJoin" not in plan
+    assert "NestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_bpe_encode_vocab_join_is_broadcast(spark):
+    """The encoded distinct-word table joins back to word instances as a
+    broadcast (vocab ≪ corpus); the merge applications are string
+    replaces, not a per-word join per merge."""
+    plan = _plan(spark, "text_bpe_encode")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_full_outer_join_is_smj_on_aggregates(spark):
+    """Full outer cannot broadcast — it must be a sort-merge join, and
+    it must run over the two AGGREGATED daily series (two scans, the
+    join above both aggs), never a fact-sized outer join."""
+    plan = _plan(spark, "join_full_outer_daily_activity")
+    assert plan.count("SortMergeJoin FullOuter") == 1 or "FullOuter" in plan
+    assert "NestedLoopJoin" not in plan
+    assert plan.count("Scan parquet") == 2
