@@ -620,6 +620,52 @@ def sim_ivf_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Per-frame audio features over the REAL RIFF/WAVE parse — the framing
+# step (VAD / energy gating / silence trimming) every audio pipeline
+# runs before modeling. Samples are the integer recurrence
+# (doc_id·7919 + i·104729) % 65536 − 32768, so the oracle replays frame
+# assignment, energy and zero-crossings from id arithmetic without
+# seeing a byte — a hash match proves the decoder read the PCM.
+@query(
+    "multimodal_audio_frame_features",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, doc_id % 192 + 64 AS n FROM documents),
+    s AS (
+      SELECT b.doc_id, b.n, g.i,
+             (b.doc_id * 7919 + g.i * 104729) % 65536 - 32768 AS v
+      FROM base b CROSS JOIN generate_series(0, 255) g(i)
+      WHERE g.i < b.n),
+    fr AS (
+      SELECT doc_id, n, i, v, (4 * i) // n AS frame,
+             lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+      FROM s)
+    SELECT doc_id,
+           CAST(frame AS INT) AS frame,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(SUM(abs(v)) AS BIGINT) AS abs_energy,
+           CAST(COUNT(*) FILTER (WHERE pv IS NOT NULL AND pv * v < 0
+                                   AND (4 * (i - 1)) // n = frame)
+                AS BIGINT) AS zero_crossings
+    FROM fr GROUP BY doc_id, frame
+    """,
+)
+def multimodal_audio_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-frame (4 balanced frames) waveform features — sample count,
+    Σ|sample| energy, strict-sign zero crossings — computed from a REAL
+    chunk-walking RIFF/WAVE parse (functions/codecs.decode_wav), not
+    from metadata. Scale posture: one Arrow-batched mapInPandas over the
+    payload column, output is 4 integer rows per clip — the decode is
+    embarrassingly parallel and nothing but small integers shuffle."""
+    from jhu_data_parser_spark.operators.multimodal import (
+        attach_audio,
+        extract_audio_frames,
+    )
+
+    d = attach_audio(load_table(spark, sf_dir, "documents"))
+    return extract_audio_frames(d, n_frames=4)
+
+
 # Full-outer join — the one ANSI join type the catalog lacked: align two
 # independently-aggregated daily series (orders placed vs lineitems
 # shipped), keeping days present in either side. Ship dates trail order
