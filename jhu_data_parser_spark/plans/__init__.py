@@ -31,6 +31,7 @@ from jhu_data_parser_spark.plans import pipeline3  # noqa: E402,F401
 from jhu_data_parser_spark.plans import pipeline4  # noqa: E402,F401
 from jhu_data_parser_spark.plans import etl_contract  # noqa: E402,F401
 from jhu_data_parser_spark.plans import pipeline5  # noqa: E402,F401
+from jhu_data_parser_spark.plans import pipeline6  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Catalog presentation order.
@@ -64,7 +65,7 @@ _PRIORITY_WINDOW = [
     "sim_ivf_recall_report",  # round-4: probe-limited recall, full value-hash gate
     "sim_cosine_topk_ivf",
     "sim_cosine_topk_int8",
-    "sim_dimension_stats",
+    "join_bloom_filtered_revenue",  # round-4: bloom runtime prune
     "sim_lsh_recall_report",
     # multimodal (decode_stub rotates with the remainder blocks — its
     # rows-only row is the least informative of the family)
@@ -86,19 +87,19 @@ _PRIORITY_WINDOW = [
     # gate; the rows-only *_candidates twins rotate with the remainder —
     # their driver rows are the least informative of the family)
     "dedup_minhash_portable_pairs",
-    "dedup_near_pairs",
-    "dedup_simhash",
+    "join_temporal_pit_state",  # round-4: feature-store PIT join
+    "agg_kmv_distinct_users",  # round-4: value-hash-gated KMV sketch
     # ETL record contracts (round-2 ask: a driver row for the
     # reference's own parser.py/parser2.py output contract)
     "etl_category_records",
     "etl_combined_records",
     "dedup_embedding_pairs",
-    "dedup_embedding_groups",
+    "agg_cms_heavy_hitters",  # round-4: value-hash-gated CMS
     "dedup_embedding_groups_contraction",
     # event-time pipeline
     "events_sessionize",
     "events_session_concurrency",
-    "scd2_event_state_history",
+    "sample_per_source_cap",  # round-4: per-domain cap
     "scd2_incremental_merge",  # round-4: merge ≡ rebuild gate
     "pipeline_curation_funnel",
     "join_asof_last_click",

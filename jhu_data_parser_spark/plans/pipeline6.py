@@ -1,0 +1,472 @@
+"""Round-4 fourth-context wave: portable mergeable sketches (KMV
+distinct, count-min heavy hitters), a bloom-filter runtime-pruned join,
+a point-in-time temporal join, and per-source cap sampling.
+
+Reference parity note: the reference (/root/reference) stops at flat
+JSON records; these are the sketch / runtime-filter / feature-store
+primitives a 100 TB curation pipeline needs on top of the same tables.
+
+Oracle discipline (same rules as pipeline2-5): integer counts summed as
+BIGINT; portable hashes are md5-hex re-derived as integers with the
+SAME explicit polynomial arithmetic in both engines; every division is
+either exact integer `div` or one explicitly-written IEEE op.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from jhu_data_parser_spark.functions.exprs import (
+    DEC_SUM_SQL,
+    REVENUE_SQL,
+    dec_sum,
+    revenue,
+)
+from jhu_data_parser_spark.plans.catalog import query
+from jhu_data_parser_spark.sources.tables import load_table
+
+
+def _hexpoly_sql(hexpr: str, nchars: int) -> str:
+    """DuckDB: first ``nchars`` hex chars of ``hexpr`` as a BIGINT, via an
+    explicit positional polynomial (DuckDB has no ``conv``). The Spark
+    twin is ``conv(substring(h, 1, n), 16, 10)`` — different spelling,
+    same integer, and the integer is what both plans compare on."""
+    terms = " + ".join(
+        f"(strpos('0123456789abcdef', substr({hexpr}, {i + 1}, 1)) - 1) * {16 ** (nchars - 1 - i)}"
+        for i in range(nchars)
+    )
+    return f"CAST({terms} AS BIGINT)"
+
+
+def _hex_long(col: F.Column, nchars: int) -> F.Column:
+    """Spark: first ``nchars`` hex chars of an md5 column as a long."""
+    return F.conv(F.substring(col, 1, nchars), 16, 10).cast("long")
+
+
+# --------------------------------------------------------------------------
+# KMV (K-minimum-values / bottom-k) distinct sketch — the mergeable
+# cardinality estimator (Bar-Yossef et al. 2002). Unlike the engine-private
+# HLL registers behind agg_approx_distinct / agg_hll_sketch_merge (rows-only
+# by necessity), KMV over a portable md5-derived 48-bit hash is replayable
+# bit-for-bit in ANSI SQL — so the ESTIMATE ITSELF is value-hash gated.
+# --------------------------------------------------------------------------
+
+_KMV_K = 32
+_KMV_DOMAIN = 1 << 48  # 12 hex chars
+
+
+@query(
+    "agg_kmv_distinct_users",
+    oracle=f"""
+    WITH d AS (
+      SELECT DISTINCT event_type,
+             {_hexpoly_sql("md5(CAST(user_id AS VARCHAR))", 12)} AS h
+      FROM events),
+    r AS (
+      SELECT event_type, h,
+             row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+      FROM d),
+    a AS (
+      SELECT event_type, COUNT(*) AS n_exact,
+             MAX(CASE WHEN rn = {_KMV_K} THEN h END) AS kth_hash
+      FROM r GROUP BY 1)
+    SELECT event_type,
+           CAST(n_exact AS BIGINT) AS n_exact,
+           CAST(kth_hash AS BIGINT) AS kth_hash,
+           CAST(CASE WHEN n_exact <= {_KMV_K} THEN n_exact
+                     ELSE ({_KMV_K - 1} * {_KMV_DOMAIN}) // kth_hash
+                END AS BIGINT) AS kmv_estimate
+    FROM a
+    """,
+)
+def agg_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-user cardinality per event_type via a K-minimum-values
+    sketch (k=32, 48-bit md5-derived hashes), reported NEXT TO the exact
+    count so the driver gate certifies the estimator's arithmetic AND
+    its input: estimate = (k-1)·2^48 div h_(k) — exact integer division
+    in both engines, never a float.
+
+    Scale posture: KMV is a MERGEABLE sketch — at 100 TB each partition
+    keeps its k smallest hashes and the combine step is a k-way merge
+    (constant state per group, one map-side-combined shuffle), exactly
+    how approx_count_distinct's HLL registers merge. Locally the bottom-k
+    is expressed as the declarative row_number-over-hash window (two
+    exchanges: the distinct and the per-group sort) — the point of the
+    query is the value-hash-gated estimator; the engine-private fast
+    path is agg_approx_distinct.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    d = (
+        ev.select("event_type", "user_id")
+        .distinct()
+        .select(
+            "event_type",
+            _hex_long(F.md5(F.col("user_id").cast("string")), 12).alias("h"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    r = d.withColumn("rn", F.row_number().over(w))
+    a = r.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.max(F.when(F.col("rn") == _KMV_K, F.col("h"))).alias("kth_hash"),
+    )
+    return a.select(
+        "event_type",
+        F.col("n_exact").cast("long").alias("n_exact"),
+        F.col("kth_hash").cast("long").alias("kth_hash"),
+        F.when(F.col("n_exact") <= _KMV_K, F.col("n_exact"))
+        .otherwise(F.expr(f"{(_KMV_K - 1) * _KMV_DOMAIN}L div kth_hash"))
+        .cast("long")
+        .alias("kmv_estimate"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Count-min sketch heavy hitters (Cormode & Muthukrishnan 2005): d=4
+# hash rows × w=256 buckets over the corpus token counts, probed for the
+# exact top-20 tokens. CMS guarantees estimate >= exact; the oracle
+# replays the sketch build AND the probes, so the driver gate certifies
+# the (over-)estimates themselves.
+# --------------------------------------------------------------------------
+
+_CMS_D = 4
+_CMS_W = 256
+
+
+def _cms_bucket_sql(j: str, token: str) -> str:
+    return f"({_hexpoly_sql(f'substr(md5({j} || {token!r} || token), 1, 4)', 4)} % {_CMS_W})"
+
+
+@query(
+    "agg_cms_heavy_hitters",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents),
+    tc AS (
+      SELECT token, COUNT(*) AS cnt FROM tok WHERE token <> '' GROUP BY 1),
+    ex AS (
+      SELECT tc.token, tc.cnt, js.j,
+             ({_hexpoly_sql("substr(md5(CAST(js.j AS VARCHAR) || ':' || tc.token), 1, 4)", 4)}
+              % {_CMS_W}) AS bucket
+      FROM tc CROSS JOIN (VALUES (0), (1), (2), (3)) js(j)),
+    sk AS (
+      SELECT j, bucket, CAST(SUM(cnt) AS BIGINT) AS cell
+      FROM ex GROUP BY 1, 2),
+    cand AS (
+      SELECT token, cnt FROM tc ORDER BY cnt DESC, token LIMIT 20),
+    probe AS (
+      SELECT e.token, e.cnt, s.cell
+      FROM ex e
+      JOIN sk s ON s.j = e.j AND s.bucket = e.bucket
+      WHERE e.token IN (SELECT token FROM cand))
+    SELECT token,
+           CAST(MAX(cnt) AS BIGINT) AS exact_count,
+           CAST(MIN(cell) AS BIGINT) AS cms_estimate
+    FROM probe GROUP BY 1
+    """,
+)
+def agg_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter token counts via a count-min sketch (d=4 rows ×
+    w=256 buckets, md5-derived bucket hashes) probed for the exact
+    top-20 tokens, exact count alongside — the CMS overestimate
+    (min over rows of the bucket sums) is value-hash gated because both
+    engines replay the identical sketch arithmetic.
+
+    Scale posture: the sketch is built FROM the token-count table, not
+    from the raw token stream — one token shuffle (shared with any
+    vocab/tf-idf pass), then the sketch build aggregates ≤ |vocab|·d
+    rows down to ≤ d·w cells (a map-side-combined shuffle of ~1 KB of
+    state per partition; CMS cells are counters, so partial aggregation
+    is exact). Probing joins the 20 candidates against ≤1024 sketch
+    cells — broadcast, no shuffle. At 100 TB the sketch is the thing
+    you ship to the driver / dashboard INSTEAD of the vocab table.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    tc = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+
+    bucket_structs = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"),
+                (
+                    _hex_long(
+                        F.substring(
+                            F.md5(F.concat(F.lit(f"{j}:"), F.col("token"))), 1, 4
+                        ),
+                        4,
+                    )
+                    % _CMS_W
+                ).alias("bucket"),
+            )
+            for j in range(_CMS_D)
+        ]
+    )
+    ex = tc.select("token", "cnt", F.explode(bucket_structs).alias("jb")).select(
+        "token", "cnt", F.col("jb.j").alias("j"), F.col("jb.bucket").alias("bucket")
+    )
+    sk = ex.groupBy("j", "bucket").agg(F.sum("cnt").cast("long").alias("cell"))
+    cand = tc.orderBy(F.desc("cnt"), "token").limit(20)
+    probe = (
+        ex.join(F.broadcast(cand.select("token")), "token", "left_semi")
+        .join(F.broadcast(sk), ["j", "bucket"])
+    )
+    return probe.groupBy("token").agg(
+        F.max("cnt").cast("long").alias("exact_count"),
+        F.min("cell").cast("long").alias("cms_estimate"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Bloom-filter runtime-pruned join: the explicit form of Spark's AQE
+# runtime row-group filtering. The filter keys (URGENT orders) are
+# hashed into a 2^20-bit bloom (k=3, split into 64-bit words held as a
+# ≤16384-row broadcast dim); the fact side is pre-filtered map-side
+# BEFORE the shuffle join, then a final exact semi-join removes the
+# false positives — so the RESULT is exact and the oracle is the plain
+# join (no bloom internals to replay; the bloom uses native xxhash64).
+# --------------------------------------------------------------------------
+
+_BLOOM_BITS = 1 << 20
+_BLOOM_K = 3
+
+
+def _bloom_positions(key: F.Column) -> list[F.Column]:
+    # Double hashing (Kirsch & Mitzenmacher): p_i = h1 + i*h2 (mod m).
+    # Each hash is reduced mod m BEFORE combining — (a + i*b) mod m is
+    # unchanged and the sums stay < 3m, so ANSI overflow checks pass.
+    h1 = F.pmod(F.xxhash64(key), F.lit(_BLOOM_BITS))
+    h2 = F.pmod(F.xxhash64(key, F.lit("bloom-salt-2")), F.lit(_BLOOM_BITS))
+    return [F.pmod(h1 + F.lit(i) * h2, F.lit(_BLOOM_BITS)) for i in range(_BLOOM_K)]
+
+
+@query(
+    "join_bloom_filtered_revenue",
+    oracle=f"""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           {DEC_SUM_SQL(REVENUE_SQL)} AS urgent_revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY 1
+    """,
+)
+def join_bloom_filtered_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue of lineitems belonging to URGENT orders, computed with an
+    explicit bloom-filter runtime prune: the urgent order keys build a
+    2^20-bit / k=3 bloom held as a broadcast (word → 64-bit mask) dim;
+    every lineitem tests its 3 bit positions map-side and only
+    survivors (true matches + ~0.05% false positives at sf0.1 fill)
+    reach the exact semi-join that removes the FPs. The final aggregate
+    is EXACT — the oracle is the plain join, which is the point: the
+    bloom is a physical optimization, not a semantics change.
+
+    Scale posture: this is the hand-rolled version of runtime filter
+    pushdown for the case AQE can't see (filter derived from a
+    different pipeline stage, or the build side too big to broadcast as
+    ROWS but fine as BITS: 2^20 bits = 128 KB regardless of key count).
+    At 100 TB the map-side prune cuts the fact-side shuffle by the
+    build-side selectivity (~80% here) — the shuffle is the bottleneck,
+    the three broadcast-hash probes are free (word dim ≤ 16384 rows).
+    The bloom build itself is one map-side-combined bit_or aggregate.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
+
+    pos = _bloom_positions(F.col("o_orderkey"))
+    build = urgent.select(F.explode(F.array(*pos)).alias("p")).select(
+        (F.col("p") / 64).cast("long").alias("word"),
+        F.expr("shiftleft(1L, CAST(p % 64 AS INT))").alias("mask"),
+    )
+    words = build.groupBy("word").agg(F.expr("bit_or(mask)").alias("bw"))
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"
+    )
+    lpos = _bloom_positions(F.col("l_orderkey"))
+    probe = li
+    for i, p in enumerate(lpos):
+        probe = probe.withColumn(f"p{i}", p).withColumn(
+            f"w{i}", (F.col(f"p{i}") / 64).cast("long")
+        ).withColumn(f"m{i}", F.expr(f"shiftleft(1L, CAST(p{i} % 64 AS INT))"))
+    for i in range(_BLOOM_K):
+        wdim = words.select(
+            F.col("word").alias(f"word_{i}"), F.col("bw").alias(f"bw_{i}")
+        )
+        probe = probe.join(
+            F.broadcast(wdim), F.col(f"w{i}") == F.col(f"word_{i}"), "left"
+        ).filter(F.col(f"bw_{i}").bitwiseAND(F.col(f"m{i}")) == F.col(f"m{i}"))
+
+    exact = probe.join(
+        urgent, probe["l_orderkey"] == urgent["o_orderkey"], "left_semi"
+    )
+    return exact.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        dec_sum(revenue()).alias("urgent_revenue"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Point-in-time (temporal) join — the feature-store correctness
+# primitive: enrich each probe event with the dimension state that was
+# valid AT ITS OWN timestamp (never a later one — the training-data
+# leakage guard). Re-expressed Spark-first as union + forward-fill
+# window instead of a BETWEEN range join: one user-clustered sort pass,
+# no interval explosion, immune to validity-interval skew.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "join_temporal_pit_state",
+    oracle="""
+    WITH s0 AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                  THEN 1 ELSE 0 END AS chg
+      FROM events WHERE event_type <> 'purchase'
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    v AS (
+      SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS version
+      FROM s0),
+    h AS (
+      SELECT user_id, version, MIN(event_type) AS state, MIN(ts) AS vf
+      FROM v GROUP BY 1, 2),
+    u AS (
+      SELECT user_id, vf AS ts, 0 AS src, CAST(version AS BIGINT) AS version,
+             state, CAST(NULL AS BIGINT) AS event_id
+      FROM h
+      UNION ALL
+      SELECT user_id, ts, 1, NULL, NULL, event_id
+      FROM events WHERE event_type = 'purchase'),
+    f AS (
+      SELECT *,
+             last_value(state IGNORE NULLS) OVER pit AS state_at,
+             last_value(version IGNORE NULLS) OVER pit AS version_at
+      FROM u
+      WINDOW pit AS (PARTITION BY user_id
+                     ORDER BY ts, src, coalesce(version, 0)
+                     ROWS UNBOUNDED PRECEDING))
+    SELECT event_id, user_id, epoch_us(ts) AS ts_us, state_at,
+           CAST(version_at AS BIGINT) AS version_at
+    FROM f WHERE src = 1
+    """,
+)
+def join_temporal_pit_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join: each purchase event is enriched with the SCD2
+    state (the user's last non-purchase activity run, versioned by the
+    gaps-and-islands build shared with scd2_event_state_history) that
+    was valid at the purchase's OWN timestamp — the feature-store /
+    training-set assembly primitive that prevents future-state leakage.
+    Purchases before any state row surface NULL state (genuinely
+    occurring cold-start shape).
+
+    Plan shape: instead of the textbook ``BETWEEN valid_from AND
+    valid_to`` range join (interval explosion, skew-fragile), the state
+    rows and probe rows are UNIONED and forward-filled with one
+    ``last(ignorenulls)`` window ordered by (ts, src, version) — state
+    rows sort before probes at equal ts, so valid_from is inclusive.
+    ONE exchange clusters the union by user_id; the history build's
+    windows/agg cluster on the same key. At 100 TB this is the as-of
+    machinery (operators/joins.asof_join) applied to dimension history:
+    linear in |states| + |probes|, no pair blowup, skew bounded by the
+    busiest user.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    st = ev.filter(F.col("event_type") != "purchase").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = st.withColumn(
+        "chg",
+        F.when(
+            ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type")), 1
+        ).otherwise(0),
+    )
+    v = o.withColumn(
+        "version", F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    h = v.groupBy("user_id", "version").agg(
+        F.min("event_type").alias("state"), F.min("ts").alias("vf")
+    )
+    states = h.select(
+        "user_id",
+        F.col("vf").alias("ts"),
+        F.lit(0).alias("src"),
+        F.col("version").cast("long").alias("version"),
+        "state",
+        F.lit(None).cast("long").alias("event_id"),
+    )
+    probes = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("src"),
+        F.lit(None).cast("long").alias("version"),
+        F.lit(None).cast("string").alias("state"),
+        "event_id",
+    )
+    u = states.unionByName(probes)
+    pit = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "src", F.coalesce(F.col("version"), F.lit(0)))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    f = u.withColumn(
+        "state_at", F.last("state", ignorenulls=True).over(pit)
+    ).withColumn("version_at", F.last("version", ignorenulls=True).over(pit))
+    return f.filter(F.col("src") == 1).select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "state_at",
+        F.col("version_at").cast("long").alias("version_at"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Per-source document cap — the Common-Crawl-style curation step that
+# bounds any single domain's contribution to the corpus, keeping each
+# source's highest-quality documents.
+# --------------------------------------------------------------------------
+
+_SOURCE_CAP = 10
+
+
+@query(
+    "sample_per_source_cap",
+    oracle=f"""
+    WITH r AS (
+      SELECT doc_id, source, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id) AS rn
+      FROM documents)
+    SELECT doc_id, source, n_chars, CAST(rn AS BIGINT) AS rank_in_source
+    FROM r WHERE rn <= {_SOURCE_CAP}
+    """,
+)
+def sample_per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source contribution cap: keep at most {cap} documents per
+    source, preferring the longest (quality proxy; ties broken by
+    doc_id so the kept set is deterministic) — the anti-domination
+    guard that stops one crawl domain from flooding the training mix
+    (complement of sample_stratified_by_lang's rate-based draw: a cap
+    is a HARD bound, a rate is not).
+
+    Plan shape: one hash exchange on source + WindowGroupLimit — Spark
+    pushes the rn <= cap filter INTO the window sort as a per-group
+    top-k (no full per-group sort materialized), which is exactly the
+    100 TB posture: per-source state is O(cap), skew bounded by the
+    biggest source's scan share, and the filter prunes before any
+    downstream stage.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), "doc_id")
+    return (
+        docs.select("doc_id", "source", "n_chars")
+        .withColumn("rank_in_source", F.row_number().over(w))
+        .filter(F.col("rank_in_source") <= _SOURCE_CAP)
+        .withColumn("rank_in_source", F.col("rank_in_source").cast("long"))
+    )

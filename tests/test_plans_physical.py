@@ -446,3 +446,57 @@ def test_full_outer_join_is_smj_on_aggregates(spark):
     assert plan.count("SortMergeJoin FullOuter") == 1 or "FullOuter" in plan
     assert "NestedLoopJoin" not in plan
     assert plan.count("Scan parquet") == 2
+
+
+def test_kmv_bottomk_exchanges_are_keyed_right(spark):
+    """KMV sketch build: one exchange for the (event_type, user_id)
+    distinct, one event_type-clustered sort for the bottom-k window; the
+    final aggregate reuses the window's partitioning (no third wide
+    exchange)."""
+    import re
+
+    plan = _plan(spark, "agg_kmv_distinct_users")
+    keys = re.findall(r"Exchange hashpartitioning\((\w+)", plan)
+    assert sorted(set(keys)) == ["event_type"], keys
+    # distinct + window clustering — never an exchange keyed by the hash
+    assert "WindowGroupLimit" in plan or "Window" in plan
+
+
+def test_cms_sketch_probe_is_broadcast(spark):
+    """The CMS probe joins 20 candidates against <= d*w sketch cells:
+    both the candidate semi-join and the sketch join must broadcast —
+    the only wide exchange is the shared token-count shuffle."""
+    plan = _plan(spark, "agg_cms_heavy_hitters")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_bloom_probe_joins_are_broadcast(spark):
+    """The bloom word dim (<= 16384 rows) must broadcast for all three
+    bit-position probes — the map-side prune is only free if no probe
+    shuffles the fact side."""
+    plan = _plan(spark, "join_bloom_filtered_revenue")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pit_join_is_union_window_not_range_join(spark):
+    """The point-in-time join must compile to the union + forward-fill
+    window (user_id-clustered exchanges only), never a range/interval
+    join (no nested loop, no join at all above the union)."""
+    import re
+
+    plan = _plan(spark, "join_temporal_pit_state")
+    assert "Join" not in plan, "PIT must be union+window, not a join"
+    keys = re.findall(r"Exchange hashpartitioning\((\w+)", plan)
+    assert set(keys) == {"user_id"}, keys
+
+
+def test_source_cap_is_windowgrouplimit(spark):
+    """The per-source cap must push rn <= cap into the window sort as a
+    per-group top-k (WindowGroupLimit Partial+Final) — per-source state
+    is O(cap), not O(group)."""
+    plan = _plan(spark, "sample_per_source_cap")
+    assert plan.count("WindowGroupLimit") == 2
+    assert plan.count("Scan parquet") == 1
