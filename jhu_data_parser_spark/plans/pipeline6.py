@@ -1,6 +1,7 @@
 """Round-4 fourth-context wave: portable mergeable sketches (KMV
-distinct, count-min heavy hitters), a bloom-filter runtime-pruned join,
-a point-in-time temporal join, and per-source cap sampling.
+distinct, count-min heavy hitters, fixed-grid histogram quantiles), a
+bloom-filter runtime-pruned join, a point-in-time temporal join, and
+per-source cap sampling.
 
 Reference parity note: the reference (/root/reference) stops at flat
 JSON records; these are the sketch / runtime-filter / feature-store
@@ -469,4 +470,110 @@ def sample_per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank_in_source", F.row_number().over(w))
         .filter(F.col("rank_in_source") <= _SOURCE_CAP)
         .withColumn("rank_in_source", F.col("rank_in_source").cast("long"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Fixed-grid histogram quantile sketch — the mergeable quantile
+# estimator (the portable stand-in for t-digest/KLL, which are
+# engine-private like HLL). The histogram is a plain groupBy — fully
+# mergeable across partitions/days — and the bin-edge estimate is pure
+# integer arithmetic, so the ESTIMATE is value-hash gated next to the
+# exact interpolated quantile it approximates.
+# --------------------------------------------------------------------------
+
+_HQ_BIN = 2500  # o_totalprice grid width
+_HQ_MAX_BIN = 255
+_HQ_QS = (50, 95, 99)
+
+
+@query(
+    "agg_histogram_quantiles",
+    oracle=f"""
+    WITH hist AS (
+      SELECT CAST(least(floor(o_totalprice / {_HQ_BIN}), {_HQ_MAX_BIN}) AS INT) AS bin,
+             COUNT(*) AS cnt
+      FROM orders GROUP BY 1),
+    cum AS (
+      SELECT bin, SUM(cnt) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum
+      FROM hist),
+    ex AS (
+      SELECT COUNT(*) AS n,
+             quantile_cont(o_totalprice, 0.50) AS e50,
+             quantile_cont(o_totalprice, 0.95) AS e95,
+             quantile_cont(o_totalprice, 0.99) AS e99
+      FROM orders),
+    qs AS (
+      SELECT q_pct,
+             (q_pct * n + 99) // 100 AS target,
+             CASE q_pct WHEN 50 THEN e50 WHEN 95 THEN e95 ELSE e99 END AS exact_value,
+             n
+      FROM ex CROSS JOIN (VALUES (50), (95), (99)) v(q_pct))
+    SELECT q.q_pct,
+           CAST(q.n AS BIGINT) AS n_total,
+           CAST((MIN(c.bin) + 1) * {_HQ_BIN} AS BIGINT) AS est_upper,
+           q.exact_value
+    FROM qs q JOIN cum c ON c.cum >= q.target
+    GROUP BY q.q_pct, q.n, q.exact_value
+    """,
+)
+def agg_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile estimation from a fixed-grid histogram sketch (256 bins
+    of width {bin} over o_totalprice), reported next to the EXACT
+    interpolated quantile: the estimate is the upper edge of the first
+    bin whose cumulative count reaches ceil(q·n) — computed with pure
+    integer arithmetic ((q·n + 99) div 100), so the driver gate
+    certifies the sketch's answer, not just its row count. The
+    engine-native approximate path is agg_approx_percentile (rows-only,
+    like all engine-private sketches); this is the portable mergeable
+    formulation.
+
+    Scale posture: the histogram IS a groupBy — mergeable across
+    partitions, files, days (sum the cnt columns), the property t-digest
+    / KLL provide with bounded error and this fixed grid provides with
+    bounded RANGE error (one bin width). One map-side-combined exchange
+    on ≤256 bins; the cumulative window runs over ≤256 rows (a singleton
+    partition by construction, not a scale risk); the quantile probe is
+    a broadcast join of 3 rows against ≤256. The exact-quantile column
+    is the expensive one (full sort per group at scale) — that's the
+    point of shipping the sketch instead.
+    """
+    o = load_table(spark, sf_dir, "orders").select("o_totalprice")
+    hist = (
+        o.select(
+            F.least(F.floor(F.col("o_totalprice") / _HQ_BIN), F.lit(_HQ_MAX_BIN))
+            .cast("int")
+            .alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    cum = hist.withColumn(
+        "cum",
+        F.sum("cnt").over(
+            Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    ex = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.percentile(F.col("o_totalprice"), F.lit(0.50)).alias("e50"),
+        F.percentile(F.col("o_totalprice"), F.lit(0.95)).alias("e95"),
+        F.percentile(F.col("o_totalprice"), F.lit(0.99)).alias("e99"),
+    )
+    qs = ex.selectExpr(
+        "inline(array("
+        "named_struct('q_pct', 50, 'target', (50 * n + 99) div 100, 'exact_value', e50, 'n', n), "
+        "named_struct('q_pct', 95, 'target', (95 * n + 99) div 100, 'exact_value', e95, 'n', n), "
+        "named_struct('q_pct', 99, 'target', (99 * n + 99) div 100, 'exact_value', e99, 'n', n)))"
+    )
+    return (
+        qs.join(F.broadcast(cum), F.col("cum") >= F.col("target"))
+        .groupBy("q_pct", "n", "exact_value")
+        .agg(((F.min("bin") + 1) * _HQ_BIN).cast("long").alias("est_upper"))
+        .select(
+            "q_pct",
+            F.col("n").cast("long").alias("n_total"),
+            "est_upper",
+            "exact_value",
+        )
     )

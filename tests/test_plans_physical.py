@@ -500,3 +500,12 @@ def test_source_cap_is_windowgrouplimit(spark):
     plan = _plan(spark, "sample_per_source_cap")
     assert plan.count("WindowGroupLimit") == 2
     assert plan.count("Scan parquet") == 1
+
+
+def test_histogram_quantiles_probe_is_broadcast(spark):
+    """The quantile probe joins 3 target rows against <= 256 cumulative
+    bins — broadcast, never a sort-merge; the only wide exchange is the
+    <= 256-bin histogram aggregate."""
+    plan = _plan(spark, "agg_histogram_quantiles")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
