@@ -51,7 +51,7 @@ _PRIORITY_WINDOW = [
     # §2.9 streaming — never driver-tested in r01-r03
     "stream_tumbling_daily",
     "stream_sliding_6h3h",
-    "stream_session_windows",
+    "stream_kmv_daily_users",  # round-4: stateful sketch, REAL stream, value-gated
     "stream_availablenow_daily",
     "stream_static_enrich",
     "stream_availablenow_sessions",

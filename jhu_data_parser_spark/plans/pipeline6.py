@@ -577,3 +577,65 @@ def agg_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_value",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming KMV — the bottom-k sketch as a custom stateful streaming
+# operator (applyInPandasWithState): O(k) state per open day, emitted on
+# watermark close. The stream's answer is bit-identical to the batch
+# replay (bottom-k of a set is arrival-order independent), so the oracle
+# is the full batch KMV grouped by day — a REAL stream gated by value
+# hash, not rows-only.
+# --------------------------------------------------------------------------
+
+import itertools as _itertools
+
+_kmv_mem_counter = _itertools.count()
+
+
+@query(
+    "stream_kmv_daily_users",
+    oracle=f"""
+    WITH d AS (
+      SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS day,
+             {_hexpoly_sql("md5(CAST(user_id AS VARCHAR))", 12)} AS h
+      FROM events),
+    r AS (
+      SELECT day, h,
+             row_number() OVER (PARTITION BY day ORDER BY h) AS rn
+      FROM d),
+    a AS (
+      SELECT day, COUNT(*) AS n_distinct,
+             MAX(CASE WHEN rn = {_KMV_K} THEN h END) AS kth
+      FROM r GROUP BY 1)
+    SELECT day,
+           CAST(LEAST(n_distinct, {_KMV_K}) AS BIGINT) AS n_kept,
+           CAST(kth AS BIGINT) AS kth_hash,
+           CAST(CASE WHEN n_distinct < {_KMV_K} THEN n_distinct
+                     ELSE ({_KMV_K - 1} * {_KMV_DOMAIN}) // kth
+                END AS BIGINT) AS kmv_estimate
+    FROM a
+    """,
+)
+def stream_kmv_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day distinct-user estimates from a REAL availableNow stream
+    carrying a custom stateful KMV sketch: bottom-32 distinct hashes per
+    open day held in the state store (`streaming/stateful.kmv_daily_stateful`),
+    each day's estimate emitted when the watermark passes its end (the
+    sentinel batch closes the tail). The oracle replays the ENTIRE
+    sketch in batch SQL — hash, bottom-k, estimator — so the driver
+    gate proves the stream computed the same sketch the batch would,
+    the property that makes KMV safe for incremental/backfill parity.
+
+    Scale posture: the day-key shuffle is the only exchange per
+    micro-batch; state is O(k)=32 longs per open day (an exact
+    streaming distinct would hold every user id); hashes are computed
+    codegen-side before the Python worker, which only merges sorted
+    longs. At 100 TB the same operator keys by (day, shard) and the
+    shards' bottom-k sets merge downstream — KMV's mergeability is
+    exactly what the batch twin `agg_kmv_distinct_users` gates.
+    """
+    from jhu_data_parser_spark.streaming.stateful import run_kmv_daily_stream
+
+    table = f"stream_kmv_daily_{next(_kmv_mem_counter)}"
+    return run_kmv_daily_stream(spark, sf_dir, table, k=_KMV_K)

@@ -30,7 +30,9 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     LongType,
+    StringType,
     StructField,
     StructType,
     TimestampType,
@@ -415,3 +417,129 @@ def run_sessionize_tws(
     )
     q.awaitTermination()
     return spark.table(table).filter("user_id >= 0")
+
+
+# ---------------------------------------------------------------------------
+# Streaming KMV distinct sketch (bottom-k state per day)
+# ---------------------------------------------------------------------------
+
+_KMV_OUT_SCHEMA = StructType(
+    [
+        StructField("day", StringType()),
+        StructField("n_kept", LongType()),
+        StructField("kth_hash", LongType()),
+        StructField("kmv_estimate", LongType()),
+    ]
+)
+
+_KMV_STATE_SCHEMA = StructType(
+    [
+        StructField("hashes", ArrayType(LongType()))
+    ]
+)
+
+_KMV_DOMAIN = 1 << 48
+
+
+def _kmv_fold(k: int):
+    def fold(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        day = key[0]
+
+        def emit(hs: list[int]) -> pd.DataFrame:
+            n = len(hs)
+            if n < k:
+                kth, est = None, n
+            else:
+                kth = hs[k - 1]
+                est = (k - 1) * _KMV_DOMAIN // kth
+            return pd.DataFrame(
+                {
+                    "day": [day],
+                    "n_kept": [n],
+                    "kth_hash": pd.array([kth], dtype="Int64"),
+                    "kmv_estimate": [est],
+                }
+            )
+
+        if state.hasTimedOut:
+            hs = sorted(state.get[0])
+            state.remove()
+            yield emit(hs)
+            return
+
+        cur = list(state.get[0]) if state.exists else []
+        # Fold each Arrow chunk through the k-truncation so transient
+        # memory stays O(chunk + k), never O(|day|): hashes above the
+        # current kth-smallest can never enter the sketch.
+        for pdf in pdfs:
+            cur = sorted(set(cur) | set(pdf["h"].tolist()))[:k]
+        state.update((cur,))
+        day_end_ms = pd.Timestamp(day).value // 1_000_000 + 86_400_000
+        state.setTimeoutTimestamp(day_end_ms)
+
+    return fold
+
+
+def kmv_daily_stateful(events: DataFrame, k: int = 32) -> DataFrame:
+    """Per-day distinct-user KMV sketch as a custom stateful streaming
+    operator: state per day = the k smallest distinct 48-bit user-id
+    hashes (the mergeable bottom-k set), emitted with the closed-form
+    estimate when the watermark closes the day. ``events`` needs ``ts``
+    (watermark column), ``day`` (grouping key) and ``h`` (the portable
+    md5-derived hash, computed codegen-side — Python only ever merges
+    longs).
+
+    This is the streaming twin of the batch ``agg_kmv_distinct_users``:
+    because the bottom-k of a set is arrival-order-independent and the
+    hash is deterministic, the stream's answer is BIT-IDENTICAL to the
+    batch replay — which is what the oracle checks. State is O(k) per
+    open day regardless of traffic (contrast exact distinct: O(users)
+    state per day in dropDuplicates), and eviction is by event-time
+    timeout as the watermark passes each day's end.
+    """
+    return (
+        events.withWatermark("ts", "0 seconds")
+        .groupBy("day")
+        .applyInPandasWithState(
+            _kmv_fold(k),
+            outputStructType=_KMV_OUT_SCHEMA,
+            stateStructType=_KMV_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def run_kmv_daily_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    k: int = 32,
+) -> DataFrame:
+    """Run the streaming KMV sketch over the events table to completion
+    (sentinel flush closes every day) and return the per-day estimates."""
+    from pyspark.sql import functions as F
+
+    ev = read_events_stream_with_sentinel(spark, sf_dir).select(
+        "ts",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 12), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    out = kmv_daily_stateful(ev, k)
+    q = (
+        out.writeStream.format("memory")
+        .queryName(table)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # Sentinel filter after the sink (see run_sessionize_stateful): the
+    # sentinel's 2100-01-01 day key must reach the event-time tracker.
+    return spark.table(table).filter("day < '2100-01-01'")

@@ -352,3 +352,102 @@ def test_tws_sessionize_end_to_end(spark):
         for r in run_sessionize_stateful(spark, sf, "aips_e2e").collect()
     }
     assert tws == aips
+
+
+def test_kmv_stream_state_merges_across_microbatches(spark, sf_dir, tmp_path):
+    """The streaming KMV sketch must produce the exact batch bottom-k
+    when a day's events arrive split across THREE micro-batches — the
+    k-smallest sets merge through the state store, and every day
+    flushes by event-time timeout after the sentinel batch."""
+    import os
+
+    from pyspark.sql import Window
+
+    from jhu_data_parser_spark.sources.tables import load_table
+    from jhu_data_parser_spark.streaming.stateful import kmv_daily_stateful
+
+    K = 32
+    ev = load_table(spark, sf_dir, "events")
+    n = ev.count()
+    chunked = ev.orderBy("ts").withColumn(
+        "__chunk",
+        F.floor(
+            (F.row_number().over(Window.orderBy("ts", "event_id")) - 1) * 3 / F.lit(n)
+        ),
+    )
+    stage = tmp_path / "kmv_chunks"
+    os.makedirs(stage)
+    for i in range(3):
+        part = chunked.filter(F.col("__chunk") == i).drop("__chunk").coalesce(1)
+        tmp_out = str(tmp_path / f"kw{i}")
+        part.write.mode("overwrite").parquet(tmp_out)
+        src = glob.glob(os.path.join(tmp_out, "part-*.parquet"))[0]
+        os.rename(src, str(stage / f"batch-{i}.parquet"))
+    sent = (
+        ev.limit(1)
+        .withColumn("ts", F.timestamp_seconds(F.lit(4102444800)))
+        .withColumn("user_id", F.lit(-1).cast(ev.schema["user_id"].dataType))
+        .coalesce(1)
+    )
+    tmp_out = str(tmp_path / "kwsent")
+    sent.write.mode("overwrite").parquet(tmp_out)
+    os.rename(
+        glob.glob(os.path.join(tmp_out, "part-*.parquet"))[0],
+        str(stage / "batch-3.parquet"),
+    )
+    for i, fname in enumerate(sorted(os.listdir(stage))):
+        os.utime(str(stage / fname), (1_700_000_000 + i, 1_700_000_000 + i))
+
+    def with_sketch_cols(df):
+        return df.select(
+            "ts",
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 12), 16, 10
+            )
+            .cast("long")
+            .alias("h"),
+        )
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(stage))
+    )
+    table = f"t_kmv_{next(_ids)}"
+    q = (
+        kmv_daily_stateful(with_sketch_cols(stream), k=K)
+        .filter("day < '2100-01-01'")
+        .writeStream.format("memory")
+        .queryName(table)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = {tuple(r) for r in spark.table(table).collect()}
+
+    # Batch truth: distinct hashes per day, bottom-k, closed-form estimate.
+    d = with_sketch_cols(ev).select("day", "h").distinct()
+    w = Window.partitionBy("day").orderBy("h")
+    r = d.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= K)
+    batch = {
+        tuple(row)
+        for row in r.groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n_kept"), F.max("h").alias("max_h"))
+        .select(
+            "day",
+            F.col("n_kept").cast("long"),
+            F.when(F.col("n_kept") == K, F.col("max_h"))
+            .cast("long")
+            .alias("kth_hash"),
+            F.when(F.col("n_kept") < K, F.col("n_kept"))
+            .otherwise(F.expr(f"{(K - 1) * (1 << 48)}L div max_h"))
+            .cast("long")
+            .alias("kmv_estimate"),
+        )
+        .collect()
+    }
+    assert streamed == batch
+    # Days split across chunk boundaries actually merged state.
+    assert len(streamed) > 0
