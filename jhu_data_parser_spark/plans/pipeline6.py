@@ -639,3 +639,109 @@ def stream_kmv_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     table = f"stream_kmv_daily_{next(_kmv_mem_counter)}"
     return run_kmv_daily_stream(spark, sf_dir, table, k=_KMV_K)
+
+
+# --------------------------------------------------------------------------
+# Linear-interpolation gap fill — the time-series resample the zero-fill
+# (events_fill_gaps) can't express: missing interior days get the
+# straight line between the neighboring observed days. All arithmetic is
+# scaled-integer (cents) with ONE integer division per filled day —
+# bit-portable, no float accumulation anywhere.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "events_interpolate_linear",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+             SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS v
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+    spans AS (
+      SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY 1),
+    spine AS (
+      SELECT user_id, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+      FROM spans),
+    g AS (
+      SELECT s.user_id, s.day, d.v FROM spine s
+      LEFT JOIN daily d USING (user_id, day)),
+    f AS (
+      SELECT user_id, day, v,
+             last_value(v IGNORE NULLS) OVER
+               (PARTITION BY user_id ORDER BY day ROWS UNBOUNDED PRECEDING) AS v0,
+             last_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS) OVER
+               (PARTITION BY user_id ORDER BY day ROWS UNBOUNDED PRECEDING) AS t0,
+             first_value(v IGNORE NULLS) OVER
+               (PARTITION BY user_id ORDER BY day
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS v1,
+             first_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS) OVER
+               (PARTITION BY user_id ORDER BY day
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS t1
+      FROM g)
+    SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+           CAST(CASE WHEN v IS NOT NULL THEN v
+                     ELSE (v0 * date_diff('day', day, t1)
+                           + v1 * date_diff('day', t0, day))
+                          // date_diff('day', t0, t1)
+                END AS BIGINT) AS filled_e2,
+           (v IS NOT NULL) AS is_observed
+    FROM f
+    """,
+)
+def events_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user daily purchase series resampled onto a dense daily spine
+    with LINEAR interpolation across interior gaps — the time-series
+    cleaning step zero-fill can't express (a user who spends 100 then
+    300 two days later reads 200 on the silent day, not 0). Values ride
+    as exact cents; the interpolated value is
+    (v0·(t1−t) + v1·(t−t0)) div (t1−t0) — pure integer arithmetic, one
+    floor division, bit-identical in both engines. Spine endpoints are
+    each user's own first/last observed day, so v0/v1 always exist.
+
+    Plan shape: every stage — daily aggregate, span aggregate, spine
+    generate, observed join, both fill windows — clusters on user_id,
+    so the forward and backward fills share one sort within one
+    exchange chain (the generate is shuffle-free). At 100 TB this stays
+    linear in |spine| and skew-bounded by the busiest user; the
+    windows never widen beyond the user's own span.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.to_date(F.date_trunc("day", "ts")).alias("day"))
+        .agg(F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias("v"))
+    )
+    spans = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    spine = spans.select(
+        "user_id",
+        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("day"),
+    )
+    g = spine.join(daily, ["user_id", "day"], "left")
+    back = Window.partitionBy("user_id").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    fwd = Window.partitionBy("user_id").orderBy("day").rowsBetween(
+        0, Window.unboundedFollowing
+    )
+    obs_day = F.when(F.col("v").isNotNull(), F.col("day"))
+    f = (
+        g.withColumn("v0", F.last("v", ignorenulls=True).over(back))
+        .withColumn("t0", F.last(obs_day, ignorenulls=True).over(back))
+        .withColumn("v1", F.first("v", ignorenulls=True).over(fwd))
+        .withColumn("t1", F.first(obs_day, ignorenulls=True).over(fwd))
+    )
+    return f.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .otherwise(
+            F.expr(
+                "(v0 * datediff(t1, day) + v1 * datediff(day, t0)) div datediff(t1, t0)"
+            )
+        )
+        .cast("long")
+        .alias("filled_e2"),
+        F.col("v").isNotNull().alias("is_observed"),
+    )
