@@ -63,7 +63,7 @@ _PRIORITY_WINDOW = [
     "sim_cosine_topk",
     "text_bpe_encode",  # round-4: train->encode stream-exact gate
     "sim_ivf_recall_report",  # round-4: probe-limited recall, full value-hash gate
-    "sim_cosine_topk_ivf",
+    "sim_pq_topk",  # round-4: product quantization, full index gate
     "sim_cosine_topk_int8",
     "join_bloom_filtered_revenue",  # round-4: bloom runtime prune
     "sim_lsh_recall_report",

@@ -28,38 +28,50 @@ _SCALE = 1_000_000
 _DIM = 64  # oracle-side only; testdata embeddings are 64-dim
 
 
-def _kmeans_ctes(k: int = _K, iters: int = _ITERS, where: str = "") -> str:
+def _kmeans_ctes(
+    k: int = _K,
+    iters: int = _ITERS,
+    where: str = "",
+    prefix: str = "",
+    dim: int = _DIM,
+    lo: int | None = None,
+) -> str:
     """The unrolled assign/update CTE chain (shared by the kmeans
-    queries here and the IVF recall report in pipeline5, which probes
-    the same fixed-point cells). ``where`` optionally restricts the
-    point set (e.g. corpus-only for an IVF index)."""
+    queries here, the IVF recall report in pipeline5, and the PQ
+    subspace fits in pipeline6). ``where`` optionally restricts the
+    point set (e.g. corpus-only for an IVF index); ``prefix`` namespaces
+    the CTEs so several chains coexist in one statement; ``lo``/``dim``
+    fit on the 1-based slice [lo, lo+dim) of the embedding (a PQ
+    subspace) instead of the full vector."""
+    sl = f"[{lo}:{lo + dim - 1}]" if lo is not None else ""
+    P = prefix
     parts = [
         f"""
-    pts AS (SELECT vec_id AS id,
-                   list_transform(CAST(embedding AS DOUBLE[]),
+    {P}pts AS (SELECT vec_id AS id,
+                   list_transform(CAST(embedding AS DOUBLE[]){sl},
                                   x -> CAST(ROUND(x * {_SCALE}) AS BIGINT)) AS q
             FROM embeddings {where}),
-    c0 AS (SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS BIGINT) AS cid, q AS c
-           FROM (SELECT id, q FROM pts ORDER BY id LIMIT {k}))"""
+    {P}c0 AS (SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS BIGINT) AS cid, q AS c
+           FROM (SELECT id, q FROM {P}pts ORDER BY id LIMIT {k}))"""
     ]
     for i in range(1, iters + 1):
         parts.append(f"""
-    a{i} AS (SELECT p.id, p.q, c.cid,
+    {P}a{i} AS (SELECT p.id, p.q, c.cid,
                     CAST(list_sum(list_transform(list_zip(p.q, c.c),
                          z -> (z[1] - z[2]) * (z[1] - z[2]))) AS BIGINT) AS d
-             FROM pts p CROSS JOIN c{i - 1} c
+             FROM {P}pts p CROSS JOIN {P}c{i - 1} c
              QUALIFY row_number() OVER (PARTITION BY p.id ORDER BY d, c.cid) = 1)""")
         if i < iters:
             parts.append(f"""
-    s{i} AS (SELECT cid, t.i AS pos,
+    {P}s{i} AS (SELECT cid, t.i AS pos,
                     CAST(SUM(q[t.i + 1]) AS BIGINT) AS s, COUNT(*) AS n
-             FROM a{i}, range({_DIM}) t(i) GROUP BY cid, t.i),
-    c{i} AS (SELECT p.cid, COALESCE(u.c, p.c) AS c
-             FROM c{i - 1} p LEFT JOIN
+             FROM {P}a{i}, range({dim}) t(i) GROUP BY cid, t.i),
+    {P}c{i} AS (SELECT p.cid, COALESCE(u.c, p.c) AS c
+             FROM {P}c{i - 1} p LEFT JOIN
                   (SELECT cid, list(CAST(CASE WHEN s >= 0 THEN s // n
                                          ELSE -((-s + n - 1) // n) END AS BIGINT)
                                     ORDER BY pos) AS c
-                   FROM s{i} GROUP BY cid) u ON u.cid = p.cid)""")
+                   FROM {P}s{i} GROUP BY cid) u ON u.cid = p.cid)""")
     return ",".join(parts)
 
 

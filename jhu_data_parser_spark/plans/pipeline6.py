@@ -745,3 +745,165 @@ def events_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("filled_e2"),
         F.col("v").isNotNull().alias("is_observed"),
     )
+
+
+# --------------------------------------------------------------------------
+# Product quantization (PQ) ANN — the memory-compression path of the
+# similarity family (Jégou et al., TPAMI 2011): the 64-dim vector
+# becomes 4 sub-codes (one int in 0..15 per 16-dim subspace, each fit
+# by the integer-exact k-means), and query scoring is ADC — a 4×16
+# lookup table of query-to-centroid distances, one table lookup + add
+# per subspace per vector. Completes the ANN set: brute force ✓ RP-LSH
+# ✓ IVF ✓ int8 ✓ PQ ✓.
+# --------------------------------------------------------------------------
+
+_PQ_M = 4
+_PQ_SUB = 16
+_PQ_K = 16
+_PQ_ITERS = 2
+_PQ_TOPK = 10
+_PQ_SCALE = 1_000_000
+
+
+def _pq_oracle_sql() -> str:
+    from jhu_data_parser_spark.plans.clustering import _kmeans_ctes
+
+    chains = ",".join(
+        _kmeans_ctes(
+            _PQ_K,
+            _PQ_ITERS,
+            where="WHERE vec_id <> 0",
+            prefix=f"p{s}_",
+            dim=_PQ_SUB,
+            lo=s * _PQ_SUB + 1,
+        )
+        for s in range(_PQ_M)
+    )
+    qluts = ",".join(
+        f"""
+    qq{s} AS (SELECT list_transform(CAST(embedding AS DOUBLE[])
+                                    [{s * _PQ_SUB + 1}:{(s + 1) * _PQ_SUB}],
+                                    x -> CAST(ROUND(x * {_PQ_SCALE}) AS BIGINT)) AS q
+              FROM embeddings WHERE vec_id = 0),
+    lut{s} AS (SELECT c.cid,
+                      CAST(list_sum(list_transform(list_zip(q.q, c.c),
+                           z -> (z[1] - z[2]) * (z[1] - z[2]))) AS BIGINT) AS d
+               FROM p{s}_c{_PQ_ITERS - 1} c CROSS JOIN qq{s} q)"""
+        for s in range(_PQ_M)
+    )
+    return f"""
+    WITH {chains},{qluts},
+    codes AS (
+      SELECT a0.id AS vec_id, a0.cid AS code0, a1.cid AS code1,
+             a2.cid AS code2, a3.cid AS code3
+      FROM p0_a{_PQ_ITERS} a0
+      JOIN p1_a{_PQ_ITERS} a1 USING (id)
+      JOIN p2_a{_PQ_ITERS} a2 USING (id)
+      JOIN p3_a{_PQ_ITERS} a3 USING (id)),
+    adc AS (
+      SELECT c.vec_id,
+             CAST(c.code0 AS BIGINT) AS code0, CAST(c.code1 AS BIGINT) AS code1,
+             CAST(c.code2 AS BIGINT) AS code2, CAST(c.code3 AS BIGINT) AS code3,
+             CAST(l0.d + l1.d + l2.d + l3.d AS BIGINT) AS adc_dist
+      FROM codes c
+      JOIN lut0 l0 ON l0.cid = c.code0
+      JOIN lut1 l1 ON l1.cid = c.code1
+      JOIN lut2 l2 ON l2.cid = c.code2
+      JOIN lut3 l3 ON l3.cid = c.code3)
+    SELECT vec_id, code0, code1, code2, code3, adc_dist
+    FROM adc ORDER BY adc_dist, vec_id LIMIT {_PQ_TOPK}
+    """
+
+
+@query("sim_pq_topk", oracle=_pq_oracle_sql())
+def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-compressed nearest neighbors for query vec_id=0: each database
+    vector is 4 sub-codes (16-dim subspaces × 16 integer-exact k-means
+    centroids — 2 bytes total instead of 256 bytes of floats, the
+    memory ratio that makes billion-vector serving fit in RAM), scored
+    by ADC: a 4×16 query-to-centroid lookup table, one element_at + add
+    per subspace. The oracle replays all four subspace fits, the
+    encoding, the LUT and the ranking — the driver gate certifies the
+    whole index, codes included.
+
+    Scale posture: fitting is the index build (4 independent k·sub-dim
+    shuffles); ENCODING is one shuffle-free scan — all four argmins run
+    in a single codegen projection against broadcast centroid arrays —
+    and serving is scan + 4 broadcast-array lookups +
+    TakeOrderedAndProject. No join touches the vector table at query
+    time; the float vectors never leave the scan.
+    """
+    from jhu_data_parser_spark.operators.clustering import kmeans_fit, quantize_vectors
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    db = emb.filter(F.col("vec_id") != 0)
+    qv = emb.filter(F.col("vec_id") == 0)
+
+    carrs = []
+    luts = []
+    for s in range(_PQ_M):
+        sub = db.select(
+            "vec_id", F.slice("embedding", s * _PQ_SUB + 1, _PQ_SUB).alias("embedding")
+        )
+        _, cents = kmeans_fit(quantize_vectors(sub), k=_PQ_K, iterations=_PQ_ITERS)
+        carrs.append(
+            cents.agg(
+                F.array_sort(F.collect_list(F.struct("cid", "c"))).alias(f"carr{s}")
+            )
+        )
+        qsub = quantize_vectors(
+            qv.select(
+                "vec_id",
+                F.slice("embedding", s * _PQ_SUB + 1, _PQ_SUB).alias("embedding"),
+            )
+        ).select(F.col("q").alias(f"qq{s}"))
+        luts.append(
+            cents.crossJoin(F.broadcast(qsub))
+            .select(
+                F.struct(
+                    F.col("cid"),
+                    F.expr(
+                        f"aggregate(zip_with(qq{s}, c, (a, b) -> (a - b) * (a - b)), "
+                        "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+                    ).alias("d"),
+                ).alias("e")
+            )
+            .agg(F.array_sort(F.collect_list("e")).alias(f"lut{s}"))
+        )
+
+    # Single-scan encode + ADC: quantize all four subspaces, argmin each
+    # against its broadcast centroid array, look the code up in the
+    # broadcast LUT — one codegen projection, no join on the vector table.
+    enc = db.select(
+        "vec_id",
+        *[
+            F.expr(
+                f"transform(slice(embedding, {s * _PQ_SUB + 1}, {_PQ_SUB}), "
+                f"x -> CAST(ROUND(CAST(x AS DOUBLE) * {_PQ_SCALE}, 0) AS BIGINT))"
+            ).alias(f"q{s}")
+            for s in range(_PQ_M)
+        ],
+    )
+    for s in range(_PQ_M):
+        enc = enc.crossJoin(F.broadcast(carrs[s])).crossJoin(F.broadcast(luts[s]))
+    for s in range(_PQ_M):
+        enc = enc.withColumn(
+            f"code{s}",
+            F.expr(
+                f"array_min(transform(carr{s}, ctr -> named_struct("
+                f"'d', aggregate(zip_with(q{s}, ctr.c, (a, b) -> (a - b) * (a - b)), "
+                "CAST(0 AS BIGINT), (acc, x) -> acc + x), "
+                "'cid', ctr.cid))).cid"
+            ),
+        )
+    adc = enc.select(
+        "vec_id",
+        *[F.col(f"code{s}").cast("long").alias(f"code{s}") for s in range(_PQ_M)],
+        sum(
+            F.expr(f"filter(lut{s}, e -> e.cid = code{s})[0].d")
+            for s in range(_PQ_M)
+        )
+        .cast("long")
+        .alias("adc_dist"),
+    )
+    return adc.orderBy("adc_dist", "vec_id").limit(_PQ_TOPK)

@@ -509,3 +509,13 @@ def test_histogram_quantiles_probe_is_broadcast(spark):
     plan = _plan(spark, "agg_histogram_quantiles")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_pq_serving_never_joins_the_vector_table(spark):
+    """PQ serving must be scan + broadcast lookups + top-k: no
+    sort-merge join anywhere (the only joins are 1-row broadcast
+    cross joins carrying centroid arrays and LUTs), and the top-10
+    compiles to TakeOrderedAndProject."""
+    plan = _plan(spark, "sim_pq_topk")
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
