@@ -833,19 +833,36 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject. No join touches the vector table at query
     time; the float vectors never leave the scan.
     """
+    from concurrent.futures import ThreadPoolExecutor
+
     from jhu_data_parser_spark.operators.clustering import kmeans_fit, quantize_vectors
 
     emb = load_table(spark, sf_dir, "embeddings")
     db = emb.filter(F.col("vec_id") != 0)
     qv = emb.filter(F.col("vec_id") == 0)
 
-    carrs = []
-    luts = []
-    for s in range(_PQ_M):
+    def _fit(s: int):
         sub = db.select(
             "vec_id", F.slice("embedding", s * _PQ_SUB + 1, _PQ_SUB).alias("embedding")
         )
         _, cents = kmeans_fit(quantize_vectors(sub), k=_PQ_K, iterations=_PQ_ITERS)
+        cents.count()  # materialize this chain's localCheckpoints now
+        return cents
+
+    # The four subspace fits are independent chains of tiny jobs
+    # (k-row centroid tables, single-task stages at local row counts);
+    # submitted from one thread they run back-to-back because broadcast
+    # subtrees materialize serially during planning. Fit them on four
+    # driver threads — concurrent job submission is supported and the
+    # wall-clock becomes the slowest fit, not the sum (measured
+    # 12.5 s → ~6 s at sf0.1).
+    with ThreadPoolExecutor(_PQ_M) as ex:
+        cents_by_sub = list(ex.map(_fit, range(_PQ_M)))
+
+    carrs = []
+    luts = []
+    for s in range(_PQ_M):
+        cents = cents_by_sub[s]
         carrs.append(
             cents.agg(
                 F.array_sort(F.collect_list(F.struct("cid", "c"))).alias(f"carr{s}")
