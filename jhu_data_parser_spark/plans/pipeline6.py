@@ -924,3 +924,84 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("adc_dist"),
     )
     return adc.orderBy("adc_dist", "vec_id").limit(_PQ_TOPK)
+
+
+# --------------------------------------------------------------------------
+# PQ recall report — measures what the 128x compression costs: overlap
+# of the PQ-ADC top-10 with the EXACT full-dimension top-10 under the
+# same integer-L2 metric. Completes the index-evaluation trio
+# (sim_lsh_recall_report, sim_ivf_recall_report, this) — every ANN
+# approximation in the catalog ships with a driver-gated measurement of
+# its own accuracy.
+# --------------------------------------------------------------------------
+
+
+def _pq_recall_oracle_sql() -> str:
+    q_int = (
+        f"list_transform(CAST(embedding AS DOUBLE[]), "
+        f"x -> CAST(ROUND(x * {_PQ_SCALE}) AS BIGINT))"
+    )
+    dist = (
+        "CAST(list_sum(list_transform(list_zip(e.q, qf.q), "
+        "z -> (z[1] - z[2]) * (z[1] - z[2]))) AS BIGINT)"
+    )
+    return f"""
+    WITH pq AS ({_pq_oracle_sql()}),
+    qf AS (SELECT {q_int} AS q FROM embeddings WHERE vec_id = 0),
+    ef AS (SELECT vec_id, {q_int} AS q FROM embeddings WHERE vec_id <> 0),
+    exact AS (
+      SELECT e.vec_id FROM ef e CROSS JOIN qf
+      ORDER BY {dist}, e.vec_id LIMIT {_PQ_TOPK})
+    SELECT CAST({_PQ_TOPK} AS INT) AS k,
+           CAST(COUNT(*) AS BIGINT) AS n_overlap,
+           CAST(COUNT(*) AS DOUBLE) / CAST({_PQ_TOPK} AS DOUBLE) AS recall
+    FROM exact JOIN pq USING (vec_id)
+    """
+
+
+@query("sim_pq_recall_report", oracle=_pq_recall_oracle_sql())
+def sim_pq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@10 of PQ-ADC against the exact full-dimension integer-L2
+    ranking — the accuracy number a deployment watches before swapping
+    256-byte vectors for 2-byte codes. Both rankings and the overlap
+    replay in the oracle, so the driver gate certifies the measured
+    recall itself (the trio's contract: every ANN path ships with its
+    own gated evaluation).
+
+    Plan shape: the exact arm is one scan + codegen integer distance +
+    TakeOrderedAndProject; the PQ arm reuses sim_pq_topk's plan; the
+    overlap is a 10-row broadcast join + 1-row aggregate.
+
+    Expected value on THIS data: low (~0.1). The testdata embeddings
+    are i.i.d. uniform, so pairwise distances concentrate tightly and
+    the 4×16 quantization error swamps the tiny true-distance spread —
+    the textbook failure mode PQ papers warn about (real embedding
+    manifolds cluster, which is what makes PQ work). The report exists
+    to MEASURE that honestly; the gate certifies the measurement.
+    """
+    pq = sim_pq_topk(spark, sf_dir).select("vec_id")
+    emb = load_table(spark, sf_dir, "embeddings")
+    q_int = (
+        f"transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * {_PQ_SCALE}, 0) AS BIGINT))"
+    )
+    qf = emb.filter(F.col("vec_id") == 0).select(F.expr(q_int).alias("qq"))
+    ef = emb.filter(F.col("vec_id") != 0).select("vec_id", F.expr(q_int).alias("q"))
+    exact = (
+        ef.crossJoin(F.broadcast(qf))
+        .select(
+            "vec_id",
+            F.expr(
+                "aggregate(zip_with(q, qq, (a, b) -> (a - b) * (a - b)), "
+                "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+            ).alias("d"),
+        )
+        .orderBy("d", "vec_id")
+        .limit(_PQ_TOPK)
+        .select("vec_id")
+    )
+    overlap = exact.join(F.broadcast(pq), "vec_id")
+    return overlap.agg(
+        F.lit(_PQ_TOPK).cast("int").alias("k"),
+        F.count(F.lit(1)).cast("long").alias("n_overlap"),
+        (F.count(F.lit(1)).cast("double") / F.lit(float(_PQ_TOPK))).alias("recall"),
+    )
