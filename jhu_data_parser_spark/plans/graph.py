@@ -115,3 +115,114 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "supplier"),
     )
     return triangle_counts(edges)
+
+
+# --------------------------------------------------------------------------
+# Link prediction by common neighbors over the STRONG-trade graph. The
+# raw trade graph saturates (every nation pair trades at sf>=0.01), so
+# prediction runs on the top-60 edges by lineitem volume — the classic
+# thresholded-projection step — and scores every absent pair by common
+# neighbors and integer Jaccard.
+# --------------------------------------------------------------------------
+
+_LP_EDGES = 60
+_LP_TOPK = 20
+
+
+@query(
+    "graph_link_prediction",
+    oracle=f"""
+    WITH raw AS (
+      SELECT LEAST(s.s_nationkey, c.c_nationkey) AS a,
+             GREATEST(s.s_nationkey, c.c_nationkey) AS b,
+             COUNT(*) AS w
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      WHERE s.s_nationkey <> c.c_nationkey
+      GROUP BY 1, 2),
+    strong AS (
+      SELECT a, b FROM raw ORDER BY w DESC, a, b LIMIT {_LP_EDGES}),
+    sym AS (
+      SELECT a AS x, b AS y FROM strong
+      UNION ALL SELECT b, a FROM strong),
+    deg AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY x),
+    cn AS (
+      SELECT e1.y AS a, e2.y AS b, CAST(COUNT(*) AS BIGINT) AS common
+      FROM sym e1 JOIN sym e2 ON e1.x = e2.x AND e1.y < e2.y
+      GROUP BY 1, 2),
+    cand AS (
+      SELECT cn.a, cn.b, cn.common,
+             CAST(cn.common * 1000000 // (da.d + db.d - cn.common) AS BIGINT)
+               AS jaccard_e6
+      FROM cn
+      JOIN deg da ON da.x = cn.a
+      JOIN deg db ON db.x = cn.b
+      LEFT JOIN strong s ON s.a = cn.a AND s.b = cn.b
+      WHERE s.a IS NULL)
+    SELECT a, b, common, jaccard_e6
+    FROM cand ORDER BY common DESC, jaccard_e6 DESC, a, b LIMIT {_LP_TOPK}
+    """,
+)
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor link prediction (Liben-Nowell & Kleinberg 2003)
+    over the strong-trade nation graph: project the fact tables to the
+    top-{E} undirected edges by lineitem volume (the raw graph
+    saturates — every pair trades — so thresholding IS the graph-build
+    step), then score every ABSENT pair by shared-neighbor count and
+    integer Jaccard, returning the top-{K} predicted links. Pure
+    integer arithmetic end to end; ties broken by (a, b).
+
+    Plan shape: ONE wide shuffle (the fact-side pair aggregate, dims
+    broadcast); everything after runs on ≤60 edge rows — the wedge
+    join (sym e1 ⋈ sym e2 on the shared endpoint) is the same oriented
+    self-join as graph_triangle_count, whose at-scale skew bound
+    (degree orientation) applies unchanged. The anti-join against the
+    edge set and both degree joins are broadcasts.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    raw = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .select(
+            F.least("s_nationkey", "c_nationkey").alias("a"),
+            F.greatest("s_nationkey", "c_nationkey").alias("b"),
+        )
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    strong = raw.orderBy(F.desc("w"), "a", "b").limit(_LP_EDGES).select("a", "b")
+    sym = strong.select(F.col("a").alias("x"), F.col("b").alias("y")).unionByName(
+        strong.select(F.col("b").alias("x"), F.col("a").alias("y"))
+    )
+    deg = sym.groupBy("x").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    e1 = sym.select(F.col("x"), F.col("y").alias("ya"))
+    e2 = sym.select(F.col("x"), F.col("y").alias("yb"))
+    cn = (
+        e1.join(e2, "x")
+        .filter(F.col("ya") < F.col("yb"))
+        .groupBy(F.col("ya").alias("a"), F.col("yb").alias("b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("common"))
+    )
+    cand = (
+        cn.join(strong, ["a", "b"], "left_anti")
+        .join(F.broadcast(deg.select(F.col("x").alias("a"), F.col("d").alias("da"))), "a")
+        .join(F.broadcast(deg.select(F.col("x").alias("b"), F.col("d").alias("db"))), "b")
+        .select(
+            "a",
+            "b",
+            "common",
+            F.expr("common * 1000000L div (da + db - common)")
+            .cast("long")
+            .alias("jaccard_e6"),
+        )
+    )
+    return cand.orderBy(
+        F.desc("common"), F.desc("jaccard_e6"), "a", "b"
+    ).limit(_LP_TOPK)
