@@ -189,3 +189,41 @@ def window_rolling_distinct_types(spark: SparkSession, sf_dir: str) -> DataFrame
             "n_distinct_types"
         ),
     )
+
+
+# §2.5 completion — the two remaining ANSI window functions without a
+# catalog entry: cume_dist (fraction of peers at-or-below) and nth_value
+# (the frame's n-th row). cume_dist multiplies to a 1e6 fixed-point
+# integer so the hash never touches an engine-ordered float sum.
+@query(
+    "window_cume_dist_nth",
+    oracle="""
+    SELECT o_custkey,
+           o_orderkey,
+           CAST(floor(cume_dist() OVER w * 1000000) AS BIGINT) AS cume_e6,
+           nth_value(o_orderkey, 2) OVER
+             (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS second_cheapest_order
+    FROM orders
+    WHERE o_custkey % 10 = 0
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def window_cume_dist_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cume_dist + nth_value over each sampled customer's orders by
+    price: the cumulative-distribution position (n_at_or_below/n as one
+    IEEE division, floored to 1e6 fixed point — floor() explicitly,
+    because DuckDB's double→BIGINT CAST rounds while Spark's truncates) and the customer's second-cheapest
+    order key (full-frame nth_value). Completes §2.5: every ANSI window
+    function now has a gated catalog entry. One exchange, both
+    functions share the (o_custkey, price) sort."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") % 10 == 0)
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.floor(F.cume_dist().over(w) * 1000000).cast("long").alias("cume_e6"),
+        F.nth_value("o_orderkey", 2).over(wf).alias("second_cheapest_order"),
+    )
