@@ -168,10 +168,10 @@ _LP_TOPK = 20
 def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Common-neighbor link prediction (Liben-Nowell & Kleinberg 2003)
     over the strong-trade nation graph: project the fact tables to the
-    top-{E} undirected edges by lineitem volume (the raw graph
+    top-60 undirected edges by lineitem volume (the raw graph
     saturates — every pair trades — so thresholding IS the graph-build
     step), then score every ABSENT pair by shared-neighbor count and
-    integer Jaccard, returning the top-{K} predicted links. Pure
+    integer Jaccard, returning the top-20 predicted links. Pure
     integer arithmetic end to end; ties broken by (a, b).
 
     Plan shape: ONE wide shuffle (the fact-side pair aggregate, dims

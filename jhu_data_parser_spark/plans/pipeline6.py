@@ -75,7 +75,7 @@ _KMV_DOMAIN = 1 << 48  # 12 hex chars
     SELECT event_type,
            CAST(n_exact AS BIGINT) AS n_exact,
            CAST(kth_hash AS BIGINT) AS kth_hash,
-           CAST(CASE WHEN n_exact <= {_KMV_K} THEN n_exact
+           CAST(CASE WHEN n_exact < {_KMV_K} THEN n_exact
                      ELSE ({_KMV_K - 1} * {_KMV_DOMAIN}) // kth_hash
                 END AS BIGINT) AS kmv_estimate
     FROM a
@@ -98,13 +98,15 @@ def agg_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     path is agg_approx_distinct.
     """
     ev = load_table(spark, sf_dir, "events")
+    # Distinct on the HASH, not the user id: KMV is defined over the set
+    # of distinct hash VALUES (the oracle does the same), so a 48-bit
+    # collision collapses on both sides instead of diverging.
     d = (
-        ev.select("event_type", "user_id")
-        .distinct()
-        .select(
+        ev.select(
             "event_type",
             _hex_long(F.md5(F.col("user_id").cast("string")), 12).alias("h"),
         )
+        .distinct()
     )
     w = Window.partitionBy("event_type").orderBy("h")
     r = d.withColumn("rn", F.row_number().over(w))
@@ -116,7 +118,7 @@ def agg_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.col("n_exact").cast("long").alias("n_exact"),
         F.col("kth_hash").cast("long").alias("kth_hash"),
-        F.when(F.col("n_exact") <= _KMV_K, F.col("n_exact"))
+        F.when(F.col("n_exact") < _KMV_K, F.col("n_exact"))
         .otherwise(F.expr(f"{(_KMV_K - 1) * _KMV_DOMAIN}L div kth_hash"))
         .cast("long")
         .alias("kmv_estimate"),
@@ -133,10 +135,6 @@ def agg_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CMS_D = 4
 _CMS_W = 256
-
-
-def _cms_bucket_sql(j: str, token: str) -> str:
-    return f"({_hexpoly_sql(f'substr(md5({j} || {token!r} || token), 1, 4)', 4)} % {_CMS_W})"
 
 
 @query(
@@ -449,7 +447,7 @@ _SOURCE_CAP = 10
     """,
 )
 def sample_per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-source contribution cap: keep at most {cap} documents per
+    """Per-source contribution cap: keep at most 10 documents per
     source, preferring the longest (quality proxy; ties broken by
     doc_id so the kept set is deterministic) — the anti-domination
     guard that stops one crawl domain from flooding the training mix
@@ -519,7 +517,7 @@ _HQ_QS = (50, 95, 99)
 )
 def agg_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantile estimation from a fixed-grid histogram sketch (256 bins
-    of width {bin} over o_totalprice), reported next to the EXACT
+    of width 2500 over o_totalprice), reported next to the EXACT
     interpolated quantile: the estimate is the upper edge of the first
     bin whose cumulative count reaches ceil(q·n) — computed with pure
     integer arithmetic ((q·n + 99) div 100), so the driver gate
