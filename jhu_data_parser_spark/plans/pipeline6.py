@@ -1,7 +1,9 @@
 """Round-4 fourth-context wave: portable mergeable sketches (KMV
-distinct, count-min heavy hitters, fixed-grid histogram quantiles), a
-bloom-filter runtime-pruned join, a point-in-time temporal join, and
-per-source cap sampling.
+distinct — batch AND as a custom stateful stream — count-min heavy
+hitters, fixed-grid histogram quantiles), a bloom-filter runtime-pruned
+join, a point-in-time temporal join, per-source cap sampling,
+integer-exact linear interpolation, and product-quantization ANN with
+its gated recall report.
 
 Reference parity note: the reference (/root/reference) stops at flat
 JSON records; these are the sketch / runtime-filter / feature-store
