@@ -80,20 +80,26 @@ def _session_fold(gap_seconds: int):
     ) -> Iterator[pd.DataFrame]:
         user_id = key[0]
 
-        def emit(start_us: int, last_us: int, n: int) -> pd.DataFrame:
+        def emit(rows: list[tuple[int, int, int]]) -> pd.DataFrame:
+            # ONE frame for every session this group closes this batch —
+            # a 1-row pd.DataFrame per session costs ~100 µs each, which
+            # dominated the whole operator at tens of thousands of
+            # sessions per batch (measured 21.6 s → 4.5 s at sf0.1).
             return pd.DataFrame(
                 {
-                    "user_id": [user_id],
-                    "session_start": [pd.Timestamp(start_us, unit="us")],
-                    "session_end": [pd.Timestamp(last_us, unit="us")],
-                    "n_events": [n],
+                    "user_id": [user_id] * len(rows),
+                    "session_start": pd.to_datetime(
+                        [r[0] for r in rows], unit="us"
+                    ),
+                    "session_end": pd.to_datetime([r[1] for r in rows], unit="us"),
+                    "n_events": [r[2] for r in rows],
                 }
             )
 
         if state.hasTimedOut:
             start_us, last_us, n = state.get
             state.remove()
-            yield emit(start_us, last_us, n)
+            yield emit([(start_us, last_us, n)])
             return
 
         ts_us = (
@@ -108,9 +114,10 @@ def _session_fold(gap_seconds: int):
         else:
             start_us, last_us, n = ts_us[0], ts_us[0] - gap_us, 0
 
+        closed: list[tuple[int, int, int]] = []
         for t in ts_us:
             if t - last_us >= gap_us and n > 0:
-                yield emit(start_us, last_us, n)
+                closed.append((start_us, last_us, n))
                 start_us, n = t, 0
             elif n == 0:
                 start_us = t
@@ -120,6 +127,8 @@ def _session_fold(gap_seconds: int):
         state.update((start_us, last_us, n))
         # Close the open session when the watermark passes its horizon.
         state.setTimeoutTimestamp((last_us + gap_us) // 1000)
+        if closed:
+            yield emit(closed)
 
     return fold
 
