@@ -1488,7 +1488,24 @@ def test_interpolation_invariants(spark, sf_dir):
     from jhu_data_parser_spark import plans
 
     out = plans.QUERIES["events_interpolate_linear"](spark, sf_dir).toPandas()
-    assert (out.groupby("user_id").size() > 0).all()
+    assert len(out) > 0
+
+    # Observed rows reproduce the exact daily cents sum from the raw table.
+    from jhu_data_parser_spark.sources.tables import load_table
+
+    raw = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(
+            "user_id", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
+        )
+        .agg(F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias("v"))
+        .toPandas()
+    )
+    obs = out[out["is_observed"]][["user_id", "day", "filled_e2"]]
+    merged = obs.merge(raw, on=["user_id", "day"], how="outer", indicator=True)
+    assert (merged["_merge"] == "both").all()
+    assert (merged["filled_e2"] == merged["v"]).all()
 
     for uid, g in out.groupby("user_id"):
         g = g.sort_values("day").reset_index(drop=True)
