@@ -266,6 +266,66 @@ def test_ivf_topk_recall_and_exhaustive_exactness(spark):
     assert len(set(exact) & partial) >= 8  # planted cluster lands in few cells
 
 
+def test_ivf_indexed_serving_matches_exact(spark, tmp_path):
+    """The partitionBy(cell) indexed serving path with an exhaustive
+    probe must equal brute force exactly, with the row_filter applied
+    post-scan (one index serves filtered views)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from jhu_data_parser_spark.operators.similarity import (
+        topk_cosine,
+        topk_cosine_ivf_indexed,
+    )
+
+    rng = np.random.RandomState(7)
+    rows = [
+        (i, [float(x) for x in rng.standard_normal(16)]) for i in range(300)
+    ]
+    src = str(tmp_path / "corpus")
+    spark.createDataFrame(rows, "vec_id long, embedding array<double>").write.parquet(src)
+    df = spark.read.parquet(src)
+
+    qv = [float(x) for x in rng.standard_normal(16)]
+    flt = F.col("vec_id") != 0
+    exact = [r["vec_id"] for r in topk_cosine(df.filter(flt), qv, k=10).collect()]
+    indexed = [
+        r["vec_id"]
+        for r in topk_cosine_ivf_indexed(
+            df, qv, k=10, n_centroids=4, n_probe=4, row_filter=flt
+        ).collect()
+    ]
+    assert indexed == exact
+
+
+def test_ivf_cache_refits_on_inplace_overwrite(spark, tmp_path):
+    """The centroid/index caches key on file mtime+size, not just the
+    listing: overwriting a file IN PLACE (identical path) must refit —
+    the r04 staleness edge."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from jhu_data_parser_spark.operators.similarity import ivf_fit_centroids
+
+    def write(seed: int) -> None:
+        rng = np.random.RandomState(seed)
+        vecs = [[float(x) for x in rng.standard_normal(8) + 5 * seed] for _ in range(64)]
+        tbl = pa.table(
+            {"vec_id": list(range(64)), "embedding": vecs},
+        )
+        pq.write_table(tbl, str(tmp_path / "data.parquet"))
+
+    write(1)
+    df1 = spark.read.parquet(str(tmp_path / "data.parquet"))
+    c1 = ivf_fit_centroids(df1, n_centroids=4, n_iter=2)
+    # same path, new content — a filename-only cache key would alias
+    write(2)
+    df2 = spark.read.parquet(str(tmp_path / "data.parquet"))
+    c2 = ivf_fit_centroids(df2, n_centroids=4, n_iter=2)
+    assert not np.allclose(c1, c2)
+
+
 def test_exact_dedup_survivors(spark):
     from jhu_data_parser_spark.operators.dedup import exact_dedup
 
