@@ -112,41 +112,72 @@ _PRIORITY_WINDOW = [
 ]
 
 
-def _round_index() -> int:
-    """Infer the build round from the committed per-round correctness
-    artifacts (the driver writes ``CORRECTNESS_r{N}.json`` at each
-    round's end). Three files present → round 4 is running. Falls back
-    to 0 (→ the priority block leads) when the artifacts are absent."""
+# The driver's correctness gate samples this many registration-order
+# entries per round (the first one is always the sentinel).
+_DRIVER_WINDOW = 50
+_CHUNK = _DRIVER_WINDOW - 1  # sampled names per round besides the sentinel
+
+
+def check_history() -> dict[str, int]:
+    """name → latest round with a committed driver-correctness row.
+
+    Read straight from the ``CORRECTNESS_r{N}.json`` artifacts the
+    driver commits at each round's end — the explicit source the r04
+    verdict asked for (a bare file COUNT silently misorders if the
+    driver ever prunes or rewrites artifacts; per-name max-round does
+    not). Unreadable artifacts are skipped, degrading that round to
+    "unknown" rather than poisoning the schedule."""
     import glob
+    import json
     import os
+    import re
 
     root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    return len(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")))
+    hist: dict[str, int] = {}
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as fh:
+                keys = list(json.load(fh))
+        except (OSError, ValueError):
+            continue
+        for k in keys:
+            hist[k] = max(hist.get(k, 0), rnd)
+    return hist
+
+
+def rotation_order(names: list[str], history: dict[str, int]) -> list[str]:
+    """Pure rotation schedule: least-recently-driver-checked first.
+
+    The driver samples only the first ``_DRIVER_WINDOW`` registration-
+    order entries per round, so a static order leaves everything past
+    position 50 permanently driver-unchecked (the rounds-1-3 failure
+    mode). Ordering by the round each query last earned a committed
+    driver row (never-checked → 0 → front; this round's window earns
+    fresh rows and rotates to the back next round) makes the window a
+    fair queue: every query enters the gate within ⌈(n−1)/49⌉ rounds of
+    being added, with zero window slots wasted on recently-checked
+    names and no modular-arithmetic anchor to drift (the r04 fragility).
+    Ties keep priority-family-then-registration order (stable sort).
+    The sentinel stays first always. Rotation is a pure reordering —
+    all queries are always present for the judge's full sweep.
+    """
+    sentinel = _PRIORITY_WINDOW[0]
+    in_names = set(names)
+    base = [n for n in _PRIORITY_WINDOW[1:] if n in in_names]
+    seen = set(base)
+    base += [n for n in names if n != sentinel and n not in seen]
+    return [sentinel] + sorted(base, key=lambda n: history.get(n, 0))
 
 
 def _apply_priority_order() -> None:
-    """Rotate which catalog block leads registration order.
-
-    The driver's correctness gate samples the FIRST 50 entries only, so
-    a static order leaves ~90 queries permanently driver-unchecked (the
-    rounds-1-3 failure mode). The catalog is split into the priority
-    block (never-checked families) plus equal blocks of the remainder;
-    each round the lead block advances, so over a full cycle every
-    query gets a driver-verified row. Rotation is a pure reordering —
-    all queries are always present for the judge's full sweep.
-    """
     missing = [n for n in _PRIORITY_WINDOW if n not in QUERIES]
     if missing:
         raise RuntimeError(f"priority window names missing from catalog: {missing}")
-    sentinel = _PRIORITY_WINDOW[0]
-    block_a = _PRIORITY_WINDOW[1:]
-    rest = [n for n in QUERIES if n not in set(_PRIORITY_WINDOW)]
-    half = (len(rest) + 1) // 2
-    blocks = [block_a, rest[:half], rest[half:]]
-    # Round 4 (3 artifacts) → rotation 0 → the priority block leads;
-    # round 5 → the first remainder block; and so on, cycling.
-    rot = max(_round_index() - 3, 0) % len(blocks)
-    ordered = [sentinel] + [n for i in range(len(blocks)) for n in blocks[(rot + i) % len(blocks)]]
+    ordered = rotation_order(list(QUERIES), check_history())
     for registry in (QUERIES, ORACLES):
         snapshot = dict(registry)
         registry.clear()
