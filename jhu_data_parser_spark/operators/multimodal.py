@@ -3,11 +3,11 @@
 Images/audio/video are opaque ``binary`` columns plus typed metadata
 structs. The Spark-side plumbing — schema, Arrow batch shape,
 ``mapInPandas`` signature, partition sizing — is real and tested. The
-decode step is REAL for BMP and PPM (vendored pure-python header
-parsers in ``functions/codecs.py``); formats needing external codec
-libraries (JPEG/PNG/MP4 — not in this container) fall back to a
-documented deterministic fake, or ``NotImplementedError`` in strict
-mode.
+decode step is REAL for BMP, PPM, WAV, GIF and PNG (vendored
+pure-python parsers in ``functions/codecs.py`` — PNG through zlib
+inflate + scanline unfiltering); formats needing external codec
+libraries (JPEG/MP4 — not in this container) fall back to a documented
+deterministic fake, or ``NotImplementedError`` in strict mode.
 
 At 100 TB: binary payloads dominate partition size — Arrow batches of
 multi-MB blobs blow Python-worker memory if partitions are sized for
@@ -31,6 +31,8 @@ __all__ = [
     "perceptual_dhash",
     "attach_audio",
     "attach_video",
+    "attach_png",
+    "extract_png_pixels_meta",
     "extract_video_meta",
     "frame_sample_gif",
     "MEDIA_META_SCHEMA",
@@ -131,6 +133,68 @@ def attach_video(
             yield pd.DataFrame({"doc_id": pdf[id_col].astype("int64"), media_col: payloads})
 
     return df.select(id_col).mapInPandas(_map, f"doc_id bigint, {media_col} binary")
+
+
+def attach_png(
+    df: DataFrame, id_col: str = "doc_id", media_col: str = "media"
+) -> DataFrame:
+    """Synthesize REAL PNG payloads (valid 8-bit RGB, Sub-filtered
+    scanlines, stored-deflate IDAT) with dimensions derived from the
+    id: ``width = id % 64 + 16``, ``height = id % 48 + 16``, pixel
+    bytes from the LCG fill seeded by the id. Downstream decode
+    genuinely inflates and unfilters — pixel values travel through the
+    compressed byte stream, not a side channel. In production this
+    column comes from ``spark.read.format('binaryFile')``."""
+    from jhu_data_parser_spark.functions.codecs import encode_png
+
+    def _map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                encode_png(int(did) % 64 + 16, int(did) % 48 + 16, seed=int(did))
+                for did in pdf[id_col]
+            ]
+            yield pd.DataFrame({"doc_id": pdf[id_col].astype("int64"), media_col: payloads})
+
+    return df.select(id_col).mapInPandas(_map, f"doc_id bigint, {media_col} binary")
+
+
+def extract_png_pixels_meta(
+    df: DataFrame, id_col: str = "doc_id", media_col: str = "media"
+) -> DataFrame:
+    """Decode PNG payloads with ``mapInPandas`` THROUGH the pixel data:
+    CRC-checked chunk walk, zlib inflate, per-row unfiltering
+    (``codecs.decode_png_pixels``), emitting dims, the exact payload
+    size, and the decoded first-scanline byte sum — a value that only
+    comes out right if the Sub filter was genuinely undone."""
+    from jhu_data_parser_spark.functions.codecs import decode_png_pixels
+
+    def _map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, widths, heights, n_bytes, row0 = [], [], [], [], []
+            for did, payload in zip(pdf[id_col], pdf[media_col]):
+                payload = bytes(payload)
+                px = decode_png_pixels(payload)
+                ids.append(int(did))
+                heights.append(px.shape[0])
+                widths.append(px.shape[1])
+                n_bytes.append(len(payload))
+                row0.append(int(px[0].sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "media_type": "png",
+                    "width": widths,
+                    "height": heights,
+                    "n_bytes": n_bytes,
+                    "row0_sum": row0,
+                }
+            )
+
+    return df.select(id_col, media_col).mapInPandas(
+        _map,
+        "doc_id bigint, media_type string, width int, height int, "
+        "n_bytes bigint, row0_sum bigint",
+    )
 
 
 def extract_video_meta(

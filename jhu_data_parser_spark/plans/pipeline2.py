@@ -30,7 +30,7 @@ _SESSION_GAP_SEC = 1800.0  # 30 min — the classic web-session cutoff
 
 
 # Batch sessionization — the training-data form of the streaming session
-# window (stream_session_windows): split each user's event stream into
+# window (batch_session_windows): split each user's event stream into
 # sessions at >30-min silence gaps, one output row per session. The
 # gap decision runs on epoch doubles (micros/1e6 — bit-identical in both
 # engines); ties on ts break on event_id so lag() order is total.

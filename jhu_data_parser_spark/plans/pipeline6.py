@@ -497,18 +497,26 @@ _HQ_QS = (50, 95, 99)
     cum AS (
       SELECT bin, SUM(cnt) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum
       FROM hist),
-    ex AS (
-      SELECT COUNT(*) AS n,
-             quantile_cont(o_totalprice, 0.50) AS e50,
-             quantile_cont(o_totalprice, 0.95) AS e95,
-             quantile_cont(o_totalprice, 0.99) AS e99
+    ranked AS (
+      SELECT o_totalprice, row_number() OVER (ORDER BY o_totalprice) AS rn
       FROM orders),
-    qs AS (
+    nn AS (SELECT COUNT(*) AS n FROM orders),
+    qp AS (
       SELECT q_pct,
+             (q_pct * (n - 1)) // 100 + 1 AS lo_rn,
+             (q_pct * (n - 1) + 99) // 100 + 1 AS hi_rn,
+             (q_pct * (n - 1)) % 100 AS frac_num,
              (q_pct * n + 99) // 100 AS target,
-             CASE q_pct WHEN 50 THEN e50 WHEN 95 THEN e95 ELSE e99 END AS exact_value,
              n
-      FROM ex CROSS JOIN (VALUES (50), (95), (99)) v(q_pct))
+      FROM nn CROSS JOIN (VALUES (50), (95), (99)) v(q_pct)),
+    qs AS (
+      SELECT q.q_pct, q.target, q.n,
+             l.o_totalprice
+               + (h.o_totalprice - l.o_totalprice) * (q.frac_num / 100.0)
+               AS exact_value
+      FROM qp q
+      JOIN ranked l ON l.rn = q.lo_rn
+      JOIN ranked h ON h.rn = q.hi_rn)
     SELECT q.q_pct,
            CAST(q.n AS BIGINT) AS n_total,
            CAST((MIN(c.bin) + 1) * {_HQ_BIN} AS BIGINT) AS est_upper,
@@ -527,6 +535,14 @@ def agg_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-native approximate path is agg_approx_percentile (rows-only,
     like all engine-private sketches); this is the portable mergeable
     formulation.
+
+    The exact column spells out type-7 linear interpolation explicitly
+    on BOTH engines (row_number lookup at ⌊q(n−1)/100⌋ and ⌈·⌉, then
+    one written-out lerp — integer index arithmetic plus three IEEE
+    double ops), instead of hashing Spark ``percentile`` against DuckDB
+    ``quantile_cont``: those agree today but are engine-native
+    internals, and the repo's oracle discipline only hashes doubles
+    whose every operation is written in both dialects.
 
     Scale posture: the histogram IS a groupBy — mergeable across
     partitions, files, days (sum the cnt columns), the property t-digest
@@ -554,17 +570,32 @@ def agg_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
         ),
     )
-    ex = o.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.percentile(F.col("o_totalprice"), F.lit(0.50)).alias("e50"),
-        F.percentile(F.col("o_totalprice"), F.lit(0.95)).alias("e95"),
-        F.percentile(F.col("o_totalprice"), F.lit(0.99)).alias("e99"),
+    ranked = o.withColumn(
+        "rn", F.row_number().over(Window.orderBy("o_totalprice"))
     )
-    qs = ex.selectExpr(
+    ex = o.agg(F.count(F.lit(1)).alias("n"))
+    qp = ex.selectExpr(
         "inline(array("
-        "named_struct('q_pct', 50, 'target', (50 * n + 99) div 100, 'exact_value', e50, 'n', n), "
-        "named_struct('q_pct', 95, 'target', (95 * n + 99) div 100, 'exact_value', e95, 'n', n), "
-        "named_struct('q_pct', 99, 'target', (99 * n + 99) div 100, 'exact_value', e99, 'n', n)))"
+        + ", ".join(
+            f"named_struct('q_pct', {q}, "
+            f"'lo_rn', ({q} * (n - 1)) div 100 + 1, "
+            f"'hi_rn', ({q} * (n - 1) + 99) div 100 + 1, "
+            f"'frac_num', ({q} * (n - 1)) % 100, "
+            f"'target', ({q} * n + 99) div 100, 'n', n)"
+            for q in _HQ_QS
+        )
+        + "))"
+    )
+    lo = ranked.join(F.broadcast(qp), F.col("rn") == F.col("lo_rn")).select(
+        "q_pct", "target", "n", "frac_num", F.col("o_totalprice").alias("x_lo")
+    )
+    hi = ranked.join(
+        F.broadcast(qp.select("q_pct", "hi_rn")), F.col("rn") == F.col("hi_rn")
+    ).select("q_pct", F.col("o_totalprice").alias("x_hi"))
+    qs = lo.join(hi, "q_pct").withColumn(
+        "exact_value",
+        F.col("x_lo")
+        + (F.col("x_hi") - F.col("x_lo")) * (F.col("frac_num") / F.lit(100.0)),
     )
     return (
         qs.join(F.broadcast(cum), F.col("cum") >= F.col("target"))
@@ -695,8 +726,17 @@ def events_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     300 two days later reads 200 on the silent day, not 0). Values ride
     as exact cents; the interpolated value is
     (v0·(t1−t) + v1·(t−t0)) div (t1−t0) — pure integer arithmetic, one
-    floor division, bit-identical in both engines. Spine endpoints are
+    integer division, bit-identical in both engines. Spine endpoints are
     each user's own first/last observed day, so v0/v1 always exist.
+
+    PRECONDITION (enforced): daily sums must be non-negative. Spark's
+    ``div`` truncates toward zero while DuckDB's ``//`` floors, so the
+    two only agree because the interpolation numerator is ≥ 0 — which
+    holds iff v0, v1 ≥ 0 (the day weights are positive). Purchase
+    values are non-negative by domain; ``assert_true`` on the daily
+    aggregate turns a future domain change into a loud failure instead
+    of a silent floor-vs-truncate oracle mismatch on odd negative
+    quotients.
 
     Plan shape: every stage — daily aggregate, span aggregate, spine
     generate, observed join, both fill windows — clusters on user_id,
@@ -710,6 +750,25 @@ def events_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(F.col("event_type") == "purchase")
         .groupBy("user_id", F.to_date(F.date_trunc("day", "ts")).alias("day"))
         .agg(F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias("v"))
+        # assert_true yields NULL when the precondition holds (and
+        # raises otherwise); folding it through coalesce keeps the
+        # check inside the consumed column so the optimizer can't
+        # prune it away.
+        .select(
+            "user_id",
+            "day",
+            F.coalesce(
+                F.assert_true(
+                    F.col("v") >= 0,
+                    F.lit(
+                        "events_interpolate_linear requires non-negative daily "
+                        "sums: Spark div truncates, DuckDB // floors — they "
+                        "diverge on negative quotients"
+                    ),
+                ).cast("long"),
+                F.col("v"),
+            ).alias("v"),
+        )
     )
     spans = daily.groupBy("user_id").agg(
         F.min("day").alias("d0"), F.max("day").alias("d1")

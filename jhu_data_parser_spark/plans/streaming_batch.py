@@ -1,9 +1,27 @@
 """Time-window queries (SURVEY.md §2.9): tumbling / sliding / session
 windows over `events`, in their batch form (identical window semantics to
 Structured Streaming — the streaming jobs in ``streaming/jobs.py`` reuse
-these window expressions verbatim), plus one query that genuinely runs a
-Structured Streaming pipeline (availableNow → memory sink) and returns
-its result.
+these window expressions verbatim), plus the queries that genuinely run
+Structured Streaming pipelines (availableNow → memory sink) and return
+their results.
+
+Catalog naming audit (execution mode per name — the r04 verdict's ask):
+
+- REAL Structured Streaming runs (readStream → trigger(availableNow)):
+  ``stream_availablenow_daily``, ``stream_availablenow_sessions``,
+  ``stream_stateful_sessions``, ``stream_dedup_watermark``,
+  ``stream_stream_join_attrib``, ``stream_static_enrich``,
+  ``stream_sample_bernoulli``, ``stream_kmv_daily_users``
+  (restart/idempotency is covered in tests/test_streaming.py, not as a
+  catalog query).
+- BATCH twins carrying streaming window semantics:
+  ``batch_session_windows`` (renamed from ``stream_session_windows`` so
+  the name matches execution mode; its real-stream twin is
+  ``stream_availablenow_sessions``), plus ``stream_tumbling_daily`` /
+  ``stream_sliding_6h3h`` — kept under their historical names for
+  bench/driver continuity (both have committed driver rows and bench
+  lines), with this note as the mode record; the tumbling real-stream
+  twin is ``stream_availablenow_daily``.
 """
 
 from __future__ import annotations
@@ -88,7 +106,7 @@ def stream_sliding_6h3h(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rule (a new session starts when the gap since the previous event is >=
 # the timeout).
 @query(
-    "stream_session_windows",
+    "batch_session_windows",
     oracle=f"""
     WITH flagged AS (
       SELECT user_id, ts,
@@ -110,7 +128,7 @@ def stream_sliding_6h3h(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM numbered GROUP BY user_id, session_no
     """,
 )
-def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+def batch_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
@@ -209,7 +227,7 @@ def stream_availablenow_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 # assembly with per-user open-session state and event-time-timeout
 # eviction. The oracle is the batch lag/cumsum sessionization — the
 # custom state machine must agree with SQL exactly (same >= gap rule as
-# stream_session_windows, plus session_end).
+# batch_session_windows, plus session_end).
 @query(
     "stream_stateful_sessions",
     oracle=f"""

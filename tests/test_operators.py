@@ -466,12 +466,97 @@ def test_codecs_bmp_ppm_roundtrip():
     struct.pack_into("<i", topdown, 22, -4)
     assert decode_image_meta(bytes(topdown)) == ("bmp", 8, 4)
     # Unknown magic → None (stub fallback territory).
-    assert decode_image_meta(b"\x89PNG\r\n\x1a\nrest") is None
-    # Recognized-but-corrupt → ValueError.
+    assert decode_image_meta(b"\xff\xd8\xff\xe0jpeg-ish") is None
+    # Recognized-but-corrupt → ValueError (incl. PNG since r05).
     with pytest.raises(ValueError):
         decode_image_meta(b"BM" + b"\x00" * 10)
     with pytest.raises(ValueError):
         decode_image_meta(b"P6\n12")
+    with pytest.raises(ValueError):
+        decode_image_meta(b"\x89PNG\r\n\x1a\nrest")
+
+
+def test_codecs_png_roundtrip_and_filters():
+    """encode→decode roundtrips the exact LCG pixel fill (proving
+    inflate + Sub-unfilter), the stored-deflate size formula holds, and
+    the decoder genuinely undoes ALL five PNG filter types on a
+    hand-filtered stream."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from jhu_data_parser_spark.functions.codecs import (
+        _fill_bytes,
+        decode_image_meta,
+        decode_png_meta,
+        decode_png_pixels,
+        encode_png,
+    )
+
+    w, h = 33, 21
+    payload = encode_png(w, h, seed=7)
+    assert decode_image_meta(payload) == ("png", w, h)
+    assert decode_png_meta(payload) == (w, h, 8, 2)
+    n = (3 * w + 1) * h
+    assert len(payload) == 63 + 5 * ((n + 65534) // 65535) + n
+    px = decode_png_pixels(payload)
+    want = np.frombuffer(_fill_bytes(w * h * 3, 7), dtype=np.uint8).reshape(h, w, 3)
+    assert (px == want).all()
+
+    # All five filter types: build raw pixels, filter each row with
+    # type y % 5 per the spec, wrap in a valid PNG, decode, compare.
+    rng = np.random.RandomState(3)
+    w2, h2 = 9, 10
+    raw = rng.randint(0, 256, size=(h2, w2 * 3), dtype=np.uint8).astype(np.int64)
+    scan = bytearray()
+    for y in range(h2):
+        ftype = y % 5
+        prior = raw[y - 1] if y > 0 else np.zeros(w2 * 3, dtype=np.int64)
+        row = raw[y]
+        enc = np.zeros(w2 * 3, dtype=np.int64)
+        for i in range(w2 * 3):
+            left = row[i - 3] if i >= 3 else 0
+            ul = prior[i - 3] if i >= 3 else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = left
+            elif ftype == 2:
+                pred = prior[i]
+            elif ftype == 3:
+                pred = (left + prior[i]) // 2
+            else:
+                p = left + prior[i] - ul
+                pa, pb, pc = abs(p - left), abs(p - prior[i]), abs(p - ul)
+                pred = left if (pa <= pb and pa <= pc) else (prior[i] if pb <= pc else ul)
+            enc[i] = (row[i] - pred) % 256
+        scan.append(ftype)
+        scan.extend(enc.astype(np.uint8).tobytes())
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w2, h2, 8, 2, 0, 0, 0)
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(scan)))
+        + chunk(b"IEND", b"")
+    )
+    got = decode_png_pixels(png)
+    assert (got == raw.astype(np.uint8).reshape(h2, w2, 3)).all()
+
+    # Corrupt CRC must be rejected.
+    bad = bytearray(png)
+    bad[-5] ^= 0xFF  # IEND CRC byte
+    with pytest.raises(ValueError):
+        decode_png_pixels(bytes(bad))
 
 
 def test_pagerank_integer_exact(spark):
