@@ -39,6 +39,7 @@ __all__ = [
     "simhash_bits",
     "simhash_hex",
     "hamming_distance",
+    "banded_hamming_pairs",
     "jaccard_tokens",
     "jaccard_prefix_pairs",
     "shared_span_pairs",
@@ -226,18 +227,25 @@ def minhash_candidates(
     emitted exactly once (from its first colliding band — no terminal
     distinct pass).
 
-    Pipeline: signature (in-row) → explode to B rows/doc → group by
-    (band, hash of the band's rows) → pairs within buckets via CHAINED
-    generators: posexplode the bucket to one row per anchor member,
-    then explode each anchor's i<j tail into pairs. The only full
-    shuffle is on band hashes; peak task memory is O(bucket size) per
-    row — never O(bucket²) — so degenerate buckets (boilerplate /
-    empty-text clusters at 100 TB) stream their quadratic pair OUTPUT
-    through the generator without a cap, a drop, or a separate routing
-    join. Recall is 100% at any bucket density by construction. (A
-    bucket so dense that even its pair *output* is infeasible — ≥10⁷
-    identical docs — is an exact-duplicate cluster; route those to
-    :func:`exact_dedup_groups`, which reports them in O(n).)
+    Pipeline: signature (in-row) → explode to B rows/doc → SELF-JOIN of
+    the checkpointed banded table on (band, band_hash). The checkpoint
+    makes the signature pipeline run once (not once per join branch);
+    the equi-join buffers ONE bucket's narrow rows per key (sort-merge)
+    and streams the quadratic pair output, so degenerate buckets
+    (boilerplate / exact-duplicate clusters at 100 TB) cannot OOM the
+    expansion — the previous collect_list + chained-generator form
+    copied whole-bucket arrays per anchor row and fell over on the 10×
+    replicated layout, where every doc has ten identical twins. AQE
+    skew-join splitting applies to pathological buckets for free.
+    Recall is 100% at any bucket density by construction.
+
+    Exactly-once: each banded row carries the hashes of its EARLIER
+    bands (avg B/2 longs); a pair is emitted only from the first band
+    where the two docs collide, tested with UNROLLED literal
+    ``element_at`` comparisons (codegen — no per-pair interpreted HOF,
+    the round-4 lesson). "Earlier band equal" uses the same xxhash64
+    values as bucketing, so emitted-exactly-once is exact w.r.t. bucket
+    membership and no ``distinct()`` exchange over pair ids exists.
     """
     rows_per_band = num_hashes // bands
     if use_arrow_udf:
@@ -245,14 +253,6 @@ def minhash_candidates(
     else:
         sig = minhash_signature(token_shingles(text_col, shingle_k), num_hashes)
     with_sig = ensure_parallelism(df).select(F.col(id_col), sig.alias("sig"))
-    # Banding as ONE SQL expression: the per-doc array of band hashes
-    # (xxhash64 of each band's slice), posexploded to one row per band.
-    # Each banded row also carries the hashes of the EARLIER bands
-    # (avg B/2 longs): a pair is emitted only from the FIRST band where
-    # the two docs collide — "no earlier band hash equal" is decidable
-    # in-row — so the pair set needs no terminal ``distinct()`` exchange.
-    # "Earlier band equal" uses the same xxhash64 values as bucketing,
-    # so emitted-exactly-once is exact w.r.t. bucket membership.
     bhs = F.expr(
         f"transform(sequence(0, {bands - 1}), b -> "
         f"xxhash64(slice(sig, b * {rows_per_band} + 1, {rows_per_band})))"
@@ -261,30 +261,28 @@ def minhash_candidates(
         with_sig.select(F.col(id_col).alias("id"), bhs.alias("bhs"))
         .select("id", "bhs", F.posexplode("bhs").alias("band", "band_hash"))
         .select("id", "band", "band_hash", F.expr("slice(bhs, 1, band)").alias("prev"))
+        .localCheckpoint(eager=False)
     )
-    # One shuffle: group each LSH bucket. (A self-join here would
-    # recompute the signatures on both sides and shuffle the banded rows
-    # twice.)
-    grouped = (
-        banded.groupBy("band", "band_hash")
-        .agg(
-            F.array_sort(F.collect_list(F.struct(F.col("id"), F.col("prev")))).alias(
-                "ms"
+    a = banded.alias("a")
+    b = banded.alias("b")
+    no_earlier = F.lit(True)
+    for v in range(1, bands):
+        differs_all = F.lit(True)
+        for j in range(v):
+            differs_all = differs_all & (
+                F.expr(f"element_at(a.prev, {j + 1}) != element_at(b.prev, {j + 1})")
             )
+        no_earlier = F.when(F.col("a.band") == v, differs_all).otherwise(no_earlier)
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.id") < F.col("b.id")),
         )
-        .filter(F.size("ms") >= 2)
+        .filter(no_earlier)
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
     )
-    anchors = grouped.select("ms", F.posexplode("ms").alias("i", "a"))
-    return anchors.select(
-        F.explode(
-            F.expr(
-                "filter(transform(slice(ms, i + 2, size(ms)), b -> "
-                "struct(a.id AS id_a, b.id AS id_b, "
-                "size(filter(zip_with(a.prev, b.prev, (p, q) -> p = q), v -> v))"
-                " AS n_prev)), s -> s.n_prev = 0)"
-            )
-        ).alias("p")
-    ).select("p.id_a", "p.id_b")
 
 
 def jaccard_tokens(a: Column, b: Column) -> Column:
@@ -800,6 +798,91 @@ def hamming_distance(bits_a: Column, bits_b: Column) -> Column:
     return F.size(F.filter(F.zip_with(bits_a, bits_b, lambda a, b: a != b), lambda x: x))
 
 
+def banded_hamming_pairs(
+    hashed: DataFrame,
+    id_col: str = "doc_id",
+    hash_col: str = "phash",
+    bands: int = 4,
+    max_hamming: int | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs within ``Hamming <= bands - 1`` of a 64-bit
+    hash column, as a banded SELF-JOIN — the scale-robust form of
+    pigeonhole banding.
+
+    The hash splits into ``bands`` equal lanes; any pair within Hamming
+    ``bands - 1`` must agree on at least one whole lane, so candidates
+    are an equi-join of the banded table (one narrow row per (id,
+    band)) with itself on (band, lane). Properties the in-bucket
+    generator expansion this replaces did NOT have:
+
+    - task memory is the sort-merge join's per-key buffer — ONE
+      bucket's narrow rows — regardless of duplicate density (the old
+      collect_list + chained-generator form copied whole-bucket arrays
+      per anchor row: OOM/minutes on a corpus where every doc has ten
+      identical twins, which is precisely what a dedup corpus is);
+    - AQE skew-join splitting applies to pathological buckets for free;
+    - every per-pair check is CODEGEN lane arithmetic — exactly-once
+      emission tests the pair's earlier lanes via unrolled literal
+      shifts (no interpreted HOF in the hot loop), and the verify is
+      one ``bit_count(xor)``.
+
+    The banded side is checkpointed so the upstream hash pipeline runs
+    once, not once per join branch. Emission: a pair appears ONLY at
+    its first colliding band, so no distinct() exchange exists and the
+    output is exactly-once by construction. Returns (id_a, id_b,
+    hamming), filtered to ``max_hamming`` (default ``bands - 1``, the
+    radius banding guarantees 100% recall for).
+    """
+    if 64 % bands != 0:
+        raise ValueError("bands must divide 64")
+    if max_hamming is None:
+        max_hamming = bands - 1
+    chunk = 64 // bands
+    mask = (1 << chunk) - 1
+    banded = (
+        hashed.select(
+            F.col(id_col).alias("id"),
+            F.col(hash_col).alias("h"),
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, {bands - 1}), b -> struct(b AS band, "
+                    f"shiftright({hash_col}, b * {chunk}) & {mask} AS lane))"
+                )
+            ).alias("bc"),
+        )
+        .select("id", "h", "bc.band", "bc.lane")
+        .localCheckpoint(eager=False)
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    # First-colliding-band test, unrolled per band value so every lane
+    # shift is a literal (codegen; shiftright needs literal amounts):
+    # at band v the pair must DIFFER on all lanes j < v.
+    xor = F.expr("a.h ^ b.h")
+    no_earlier = F.lit(True)
+    for v in range(1, bands):
+        differs_all = F.lit(True)
+        for j in range(v):
+            differs_all = differs_all & (
+                F.expr(f"shiftright(a.h ^ b.h, {j * chunk}) & {mask}") != 0
+            )
+        no_earlier = F.when(F.col("a.band") == v, differs_all).otherwise(no_earlier)
+    pairs = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.lane") == F.col("b.lane"))
+        & (F.col("a.id") < F.col("b.id")),
+    ).filter(no_earlier)
+    return (
+        pairs.select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(xor).cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def simhash_candidates(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -811,78 +894,37 @@ def simhash_candidates(
     """SimHash near-dup candidate pairs via the pigeonhole band trick:
     split the ``nbits`` signature into ``bands`` equal chunks — any two
     docs within Hamming distance ``bands - 1`` MUST agree on at least
-    one whole chunk, so exact-matching chunk values (one shuffle on
-    (band, chunk-bits), same bucketed shape as the MinHash LSH pipeline)
-    finds every such pair with zero distance computations outside the
-    buckets. Pairs are then verified with the exact Hamming distance
-    (``max_hamming``, default ``bands - 1`` — the radius the pigeonhole
-    guarantees recall for)."""
+    one whole chunk, so candidates are the banded SELF-JOIN of
+    :func:`banded_hamming_pairs` (equi-join on (band, lane) — task
+    memory is the join's per-bucket buffer, so dense duplicate clusters
+    cannot OOM the expansion the way the old collect_list + generator
+    form did on the 10× replicated layout). Pairs are verified with the
+    exact Hamming distance (``max_hamming``, default ``bands - 1`` —
+    the radius the pigeonhole guarantees recall for).
+
+    The 64-bit signature is packed into ONE long via two 32-bit folds
+    (sign-safe under ANSI: the high half shifts into the sign bits with
+    ``shiftleft``, which wraps by definition) — every downstream pair
+    check is codegen shift/xor/bit_count arithmetic."""
     if max_hamming is None:
         max_hamming = bands - 1
-    chunk = nbits // bands
+    if nbits != 64:
+        raise ValueError("simhash_candidates packs signatures as one 64-bit long")
     sig = simhash_bits(text_col, nbits)
-    # Single consumer since the popcount rework removed the verify
-    # joins — no checkpoint needed; the signature streams straight into
-    # banding in one pass. (A 64-column explode+SUM signature variant
-    # measured SLOWER here: 64 aggregate buffers over the exploded token
-    # stream cost more than the per-row substr fold in simhash_bits.)
     with_sig = ensure_parallelism(df).select(F.col(id_col), sig.alias("bits"))
-    # hi/lo packed once per doc; the per-pair verify is two
-    # XOR-popcounts carried in the bucket structs — no 64-element
-    # zip_with per candidate and no verify joins (banding leaves ~6x
-    # more candidates than survivors, so the per-pair verify is the hot
-    # loop: the zip_with + two-join form measured 36 s at sf0.1).
-    # Same first-colliding-band exactly-once emission and chained-
-    # generator expansion as minhash_candidates.
+    # Fold each 32-bit half without sign overflow, then pack: bit 0 of
+    # the array is the MOST significant bit of the packed long, so lane
+    # extraction in banded_hamming_pairs walks the same signature.
     hi_bits = nbits // 2
-    chunks = F.expr(
-        f"transform(sequence(0, {bands - 1}), b -> "
-        f"concat_ws('', transform(slice(bits, b * {chunk} + 1, {chunk}), "
-        f"x -> CAST(x AS STRING))))"
+    packed = with_sig.select(
+        F.col(id_col),
+        F.expr(
+            f"shiftleft(aggregate(slice(bits, 1, {hi_bits}), CAST(0 AS BIGINT), "
+            f"(s, b) -> s * 2 + b), {hi_bits}) | "
+            f"aggregate(slice(bits, {hi_bits} + 1, {nbits - hi_bits}), "
+            "CAST(0 AS BIGINT), (s, b) -> s * 2 + b)"
+        ).alias("sh"),
     )
-    banded = (
-        with_sig.select(
-            F.col(id_col).alias("id"),
-            F.expr(
-                f"aggregate(slice(bits, 1, {hi_bits}), CAST(0 AS BIGINT), "
-                "(s, b) -> s * 2 + b)"
-            ).alias("hi"),
-            F.expr(
-                f"aggregate(slice(bits, {hi_bits} + 1, {nbits - hi_bits}), "
-                "CAST(0 AS BIGINT), (s, b) -> s * 2 + b)"
-            ).alias("lo"),
-            chunks.alias("chs"),
-        )
-        .select("id", "hi", "lo", "chs", F.posexplode("chs").alias("band", "chunk_bits"))
-        .select(
-            "id", "hi", "lo", "band", "chunk_bits",
-            F.expr("slice(chs, 1, band)").alias("prev"),
-        )
-    )
-    grouped = (
-        banded.groupBy("band", "chunk_bits")
-        .agg(
-            F.array_sort(
-                F.collect_list(
-                    F.struct(F.col("id"), F.col("hi"), F.col("lo"), F.col("prev"))
-                )
-            ).alias("ms")
-        )
-        .filter(F.size("ms") >= 2)
-    )
-    anchors = grouped.select("ms", F.posexplode("ms").alias("i", "a"))
-    pairs = anchors.select(
-        F.explode(
-            F.expr(
-                "filter(transform(slice(ms, i + 2, size(ms)), b -> "
-                "struct(a.id AS id_a, b.id AS id_b, "
-                "CAST(bit_count(a.hi ^ b.hi) + bit_count(a.lo ^ b.lo) AS INT)"
-                " AS hamming, "
-                "size(filter(zip_with(a.prev, b.prev, (p, q) -> p = q), v -> v))"
-                " AS n_prev)), s -> s.n_prev = 0)"
-            )
-        ).alias("p")
-    ).select("p.*")
-    return pairs.filter(F.col("hamming") <= max_hamming).select(
-        "id_a", "id_b", "hamming"
+    return banded_hamming_pairs(
+        packed, id_col=id_col, hash_col="sh", bands=bands, max_hamming=max_hamming
     )

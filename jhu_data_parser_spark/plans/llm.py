@@ -650,70 +650,31 @@ def dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_simhash_portable_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs at Hamming ≤ 3 over the portable 64-bit SimHash —
     pigeonhole banding (4 bands × 16 bits: distance ≤ 3 forces ≥ 1 equal
-    chunk), ONE shuffle on (band, chunk), chained-generator exactly-once
-    expansion, exact Hamming verify — the complete banded pipeline under
-    a cross-engine value-hash gate.
-
-    Verify arithmetic: the bit-string is packed ONCE per document into
-    two 32-bit halves and per-pair Hamming is
-    ``bit_count(hi⊕hi') + bit_count(lo⊕lo')`` — two XOR-popcounts
-    instead of a 64-iteration string-compare fold per candidate.
+    chunk) as the banded SELF-JOIN of ``operators/dedup.
+    banded_hamming_pairs``: an equi-join on (band, lane) whose task
+    memory is the sort-merge per-bucket buffer — dense duplicate
+    clusters stream instead of OOMing the old collect_list + generator
+    expansion (which held whole-bucket arrays per anchor row: 22 s on
+    the 10× replicated layout vs ~2 s for this form). First-colliding-
+    band exactly-once emission and the Hamming verify are codegen
+    shift/xor/bit_count arithmetic on the ONE packed 64-bit signature;
+    the ORACLE builds the same pair set its own way (DISTINCT over a
+    band join), so the value-hash gate is emission-strategy-independent.
     Banding on 16-bit chunks leaves ~85× more candidates than survivors
-    on this corpus (427k → 1.7k at sf0.1), so the per-pair verify IS the
-    hot loop; the popcount form took the query 14.7 s → ~2 s."""
+    on this corpus, so the per-pair verify is the hot loop — two
+    XOR-popcounts per candidate."""
     d = dd.ensure_parallelism(load_table(spark, sf_dir, "documents"))
     sig = d.select("doc_id", _simhash_portable_sig_col().alias("simhash"))
-    chunks = F.expr(
-        "transform(sequence(0, 3), b -> substring(simhash, b * 16 + 1, 16))"
+    packed = sig.select(
+        "doc_id",
+        F.expr(
+            "shiftleft(CAST(conv(substring(simhash, 1, 32), 2, 10) AS BIGINT), 32)"
+            " | CAST(conv(substring(simhash, 33, 32), 2, 10) AS BIGINT)"
+        ).alias("sh"),
     )
-    banded = (
-        sig.select("doc_id", "simhash", chunks.alias("cs"))
-        .select(
-            "doc_id",
-            F.expr("CAST(conv(substring(simhash, 1, 32), 2, 10) AS BIGINT)").alias(
-                "hi"
-            ),
-            F.expr("CAST(conv(substring(simhash, 33, 32), 2, 10) AS BIGINT)").alias(
-                "lo"
-            ),
-            "cs",
-        )
-        .select("doc_id", "hi", "lo", "cs", F.posexplode("cs").alias("band", "chunk"))
-        .select(
-            "doc_id", "hi", "lo", "band", "chunk",
-            F.expr("slice(cs, 1, band)").alias("prev"),
-        )
+    return dd.banded_hamming_pairs(
+        packed, id_col="doc_id", hash_col="sh", bands=4, max_hamming=3
     )
-    grouped = (
-        banded.groupBy("band", "chunk")
-        .agg(
-            F.array_sort(
-                F.collect_list(
-                    F.struct(
-                        F.col("doc_id").alias("id"),
-                        F.col("hi"),
-                        F.col("lo"),
-                        F.col("prev"),
-                    )
-                )
-            ).alias("ms")
-        )
-        .filter(F.size("ms") >= 2)
-    )
-    anchors = grouped.select("ms", F.posexplode("ms").alias("i", "a"))
-    pairs = anchors.select(
-        F.explode(
-            F.expr(
-                "filter(transform(slice(ms, i + 2, size(ms)), b -> "
-                "struct(a.id AS id_a, b.id AS id_b, "
-                "CAST(bit_count(a.hi ^ b.hi) + bit_count(a.lo ^ b.lo) AS INT)"
-                " AS hamming, "
-                "size(filter(zip_with(a.prev, b.prev, (p, q) -> p = q), v -> v))"
-                " AS n_prev)), s -> s.n_prev = 0)"
-            )
-        ).alias("p")
-    ).select("p.*")
-    return pairs.filter(F.col("hamming") <= 3).select("id_a", "id_b", "hamming")
 
 
 # n-gram (token-set) Jaccard against a fixed probe document — oracle-able

@@ -748,13 +748,23 @@ def multimodal_phash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     result exercises genuinely-near-but-not-identical matches.
 
     Scale posture: the hash splits into four 16-bit chunks; any pair
-    within Hamming 3 must agree on a whole chunk, so ONE shuffle on
-    (band, chunk) + in-bucket i<j expansion finds every candidate with
-    zero distance computations outside buckets — never an all-pairs
-    join. Verification is a codegen bit_count(xor) on the carried
-    hashes. The ORACLE is the opposite plan — brute-force quadratic
-    ground truth over independently recomputed hashes — so the driver
-    match proves the banding loses nothing at radius 2."""
+    within Hamming 3 must agree on a whole chunk, so banding is an
+    EQUI-JOIN on (band, chunk): the banded table (4 narrow rows per
+    image, checkpointed so the dHash pipeline runs once) self-joins on
+    the bucket key — sort-merge buffers one bucket's rows per key, so
+    task memory is O(bucket) no matter how dense duplicates get, and
+    AQE's skew-join splitting applies to pathological buckets for free.
+    First-colliding-band exactly-once emission and the Hamming verify
+    are pure codegen lane/bit_count arithmetic on the carried hashes —
+    no per-pair interpreted HOF, no collect_list buffering (the
+    previous in-bucket generator expansion held and copied whole-bucket
+    arrays per anchor row: measured 92 s / OOM-prone on the 10×
+    replicated layout where every image has ten identical twins; this
+    join form runs it in seconds). The ORACLE is the opposite plan —
+    brute-force quadratic ground truth over independently recomputed
+    hashes — so the driver match proves the banding loses nothing at
+    radius 2."""
+    from jhu_data_parser_spark.operators.dedup import banded_hamming_pairs
     from jhu_data_parser_spark.operators.multimodal import (
         attach_image_bucketed,
         perceptual_dhash,
@@ -763,50 +773,10 @@ def multimodal_phash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     hashed = perceptual_dhash(
         attach_image_bucketed(d, seed_mod=_PHASH_SEED_MOD, perturb_odd=True)
-    ).localCheckpoint(eager=False)
-    banded = hashed.select(
-        "doc_id",
-        "phash",
-        F.explode(
-            F.expr(
-                "transform(sequence(0, 3), b -> "
-                "struct(b AS band, shiftright(phash, b * 16) & 65535 AS chunk))"
-            )
-        ).alias("bc"),
-    ).select("doc_id", "phash", "bc.band", "bc.chunk")
-    members = F.array_sort(
-        F.collect_list(F.struct(F.col("doc_id"), F.col("phash")))
     )
-    # Emit each pair only from the FIRST band whose chunks collide — the
-    # check is pure hash arithmetic on the carried phashes, so no
-    # distinct() exchange over the pair set is needed and no payload
-    # grows. Expansion is CHAINED generators (posexplode to anchor rows,
-    # then explode each anchor's i<j tail): task memory stays O(bucket)
-    # per row, so dense buckets stream their quadratic pair output with
-    # no cap and no silent recall loss at any density.
-    grouped = (
-        banded.groupBy("band", "chunk")
-        .agg(members.alias("ms"))
-        .filter(F.size("ms") >= 2)
+    return banded_hamming_pairs(
+        hashed, id_col="doc_id", hash_col="phash", bands=4, max_hamming=2
     )
-    anchors = grouped.select("band", "ms", F.posexplode("ms").alias("i", "a"))
-    pairs = anchors.select(
-        F.explode(
-            F.expr(
-                "filter(transform(slice(ms, i + 2, size(ms)), b -> "
-                "struct(a.doc_id AS id_a, b.doc_id AS id_b, "
-                "a.phash AS ph_a, b.phash AS ph_b)), s -> "
-                "size(filter(sequence(0, 3), j -> j < band AND "
-                "(shiftright(s.ph_a, j * 16) & 65535) = "
-                "(shiftright(s.ph_b, j * 16) & 65535))) = 0)"
-            )
-        ).alias("p")
-    ).select("p.*")
-    return pairs.select(
-        "id_a",
-        "id_b",
-        F.bit_count(F.expr("ph_a ^ ph_b")).cast("int").alias("hamming"),
-    ).filter(F.col("hamming") <= 2)
 
 
 @query(
