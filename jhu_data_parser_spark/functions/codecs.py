@@ -50,8 +50,10 @@ __all__ = [
     "decode_wav",
     "decode_gif",
     "encode_png",
+    "encode_png_pixels",
     "decode_png_meta",
     "decode_png_pixels",
+    "resize_png_nearest",
     "sniff_format",
 ]
 
@@ -413,9 +415,9 @@ def decode_gif(payload: bytes) -> tuple[int, int, int]:
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
-def encode_png(width: int, height: int, seed: int = 0) -> bytes:
-    """Build a valid 8-bit RGB PNG (color type 2, no interlace) with
-    deterministic pixel bytes from the LCG fill.
+def encode_png_pixels(arr) -> bytes:
+    """Encode a (height, width, 3) uint8 pixel array as a valid 8-bit
+    RGB PNG (color type 2, no interlace).
 
     Every scanline uses filter type 1 (Sub) so decoding genuinely has
     to UNFILTER, not just inflate; the IDAT stream is zlib level 0
@@ -427,11 +429,10 @@ def encode_png(width: int, height: int, seed: int = 0) -> bytes:
 
     import numpy as np
 
+    height, width = arr.shape[:2]
     if width <= 0 or height <= 0:
         raise ValueError("PNG dims must be positive")
-    raw = np.frombuffer(
-        _fill_bytes(width * height * 3, seed), dtype=np.uint8
-    ).reshape(height, width * 3)
+    raw = np.ascontiguousarray(arr, dtype=np.uint8).reshape(height, width * 3)
     # Sub filter: enc[i] = raw[i] - raw[i-3] (mod 256), zeros before x=0.
     prev = np.zeros_like(raw)
     prev[:, 3:] = raw[:, :-3]
@@ -451,6 +452,33 @@ def encode_png(width: int, height: int, seed: int = 0) -> bytes:
     ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
     idat = zlib.compress(scan, 0)
     return _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+
+
+def encode_png(width: int, height: int, seed: int = 0) -> bytes:
+    """Build a valid 8-bit RGB PNG with deterministic pixel bytes from
+    the LCG fill (see :func:`encode_png_pixels` for the format
+    guarantees the SQL oracles rely on)."""
+    import numpy as np
+
+    if width <= 0 or height <= 0:
+        raise ValueError("PNG dims must be positive")
+    raw = np.frombuffer(
+        _fill_bytes(width * height * 3, seed), dtype=np.uint8
+    ).reshape(height, width, 3)
+    return encode_png_pixels(raw)
+
+
+def resize_png_nearest(payload: bytes, new_w: int, new_h: int) -> bytes:
+    """REAL PNG resize: decode (inflate + unfilter), nearest-neighbor
+    resample with floor index maps (the same convention as
+    :func:`resize_bmp_nearest`), re-encode a valid Sub-filtered PNG."""
+    import numpy as np
+
+    px = decode_png_pixels(payload)  # (h, w, 3)
+    h, w = px.shape[:2]
+    yi = (np.arange(new_h, dtype=np.int64) * h) // new_h
+    xi = (np.arange(new_w, dtype=np.int64) * w) // new_w
+    return encode_png_pixels(px[yi][:, xi])
 
 
 def _png_chunks(payload: bytes):

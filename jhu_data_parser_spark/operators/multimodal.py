@@ -33,6 +33,7 @@ __all__ = [
     "attach_video",
     "attach_png",
     "extract_png_pixels_meta",
+    "resize_png_roundtrip",
     "extract_video_meta",
     "frame_sample_gif",
     "MEDIA_META_SCHEMA",
@@ -178,6 +179,56 @@ def extract_png_pixels_meta(
                 heights.append(px.shape[0])
                 widths.append(px.shape[1])
                 n_bytes.append(len(payload))
+                row0.append(int(px[0].sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "media_type": "png",
+                    "width": widths,
+                    "height": heights,
+                    "n_bytes": n_bytes,
+                    "row0_sum": row0,
+                }
+            )
+
+    return df.select(id_col, media_col).mapInPandas(
+        _map,
+        "doc_id bigint, media_type string, width int, height int, "
+        "n_bytes bigint, row0_sum bigint",
+    )
+
+
+def resize_png_roundtrip(
+    df: DataFrame,
+    scale_den: int = 2,
+    id_col: str = "doc_id",
+    media_col: str = "media",
+) -> DataFrame:
+    """REAL PNG resize with a roundtrip proof: decode (inflate +
+    unfilter) → nearest-neighbor resample → re-ENCODE a valid
+    Sub-filtered PNG → decode the re-encoded bytes AGAIN, emitting the
+    second decode's dims, exact byte size, and first-scanline sum. The
+    emitted values pass through two full codec cycles, so a hash match
+    certifies decode, resample, re-encode and re-decode together."""
+    from jhu_data_parser_spark.functions.codecs import (
+        decode_png_meta,
+        decode_png_pixels,
+        resize_png_nearest,
+    )
+
+    def _map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, widths, heights, n_bytes, row0 = [], [], [], [], []
+            for did, payload in zip(pdf[id_col], pdf[media_col]):
+                w, h, _, _ = decode_png_meta(bytes(payload))
+                out = resize_png_nearest(
+                    bytes(payload), max(w // scale_den, 1), max(h // scale_den, 1)
+                )
+                px = decode_png_pixels(out)
+                ids.append(int(did))
+                heights.append(px.shape[0])
+                widths.append(px.shape[1])
+                n_bytes.append(len(out))
                 row0.append(int(px[0].sum()))
             yield pd.DataFrame(
                 {

@@ -53,6 +53,59 @@ _PNG_ORACLE = """
     """
 
 
+# Resize roundtrip: decode → nearest-neighbor half-size → re-encode →
+# decode AGAIN. The oracle replays the resized dims, the exact
+# stored-deflate output size, and the resized first scanline: resized
+# pixel (0, j, c) samples source index ((j·w)//nw)·3 + c of the LCG
+# fill (floor index maps, same convention as resize_bmp_nearest), so
+# the HUGEINT replay proves the resample genuinely read decoded pixels
+# and the re-encoded stream decodes back to them.
+_PNG_RESIZE_ORACLE = """
+    WITH dims AS (
+      SELECT doc_id,
+             doc_id % 64 + 16 AS w,
+             doc_id % 48 + 16 AS h,
+             (doc_id % 64 + 16) // 2 AS nw,
+             (doc_id % 48 + 16) // 2 AS nh
+      FROM documents),
+    r0 AS (
+      SELECT d.doc_id,
+             CAST(SUM(
+               (((((g.i // 3 * d.w) // d.nw) * 3 + g.i % 3
+                  + d.doc_id)::HUGEINT * 6364136223846793005
+                  + 1442695040888963407) % 18446744073709551616::HUGEINT
+                // 8589934592) % 256) AS BIGINT) AS row0_sum
+      FROM dims d CROSS JOIN generate_series(0, 119) g(i)
+      WHERE g.i < d.nw * 3
+      GROUP BY d.doc_id)
+    SELECT d.doc_id,
+           'png' AS media_type,
+           CAST(d.nw AS INT) AS width,
+           CAST(d.nh AS INT) AS height,
+           CAST(63 + 5 * (((3 * d.nw + 1) * d.nh + 65534) // 65535)
+                + (3 * d.nw + 1) * d.nh AS BIGINT) AS n_bytes,
+           r0.row0_sum
+    FROM dims d JOIN r0 USING (doc_id)
+    """
+
+
+@query("multimodal_resize_png", oracle=_PNG_RESIZE_ORACLE)
+def multimodal_resize_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG resize roundtrip: decode (inflate + unfilter) →
+    nearest-neighbor half-size → re-encode a valid Sub-filtered PNG →
+    decode the re-encoded bytes again. Every gated value passes through
+    TWO full codec cycles; the oracle replays dims, exact output file
+    size, and the resampled first-scanline sum from doc_id arithmetic
+    alone."""
+    from jhu_data_parser_spark.operators.multimodal import (
+        attach_png,
+        resize_png_roundtrip,
+    )
+
+    d = attach_png(load_table(spark, sf_dir, "documents"))
+    return resize_png_roundtrip(d, scale_den=2)
+
+
 @query("multimodal_decode_png", oracle=_PNG_ORACLE)
 def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL PNG decode: synthesize valid Sub-filtered 8-bit RGB PNGs

@@ -559,6 +559,31 @@ def test_codecs_png_roundtrip_and_filters():
         decode_png_pixels(bytes(bad))
 
 
+def test_codecs_png_resize_matches_numpy_reference():
+    """resize_png_nearest must equal direct numpy floor-index sampling
+    of the decoded source, re-decoded from the re-encoded stream."""
+    import numpy as np
+
+    from jhu_data_parser_spark.functions.codecs import (
+        decode_png_pixels,
+        encode_png,
+        resize_png_nearest,
+    )
+
+    w, h, nw, nh = 21, 13, 10, 6
+    src = encode_png(w, h, seed=11)
+    px = decode_png_pixels(src)
+    yi = (np.arange(nh, dtype=np.int64) * h) // nh
+    xi = (np.arange(nw, dtype=np.int64) * w) // nw
+    want = px[yi][:, xi]
+    out = resize_png_nearest(src, nw, nh)
+    got = decode_png_pixels(out)
+    assert got.shape == (nh, nw, 3)
+    assert (got == want).all()
+    n = (3 * nw + 1) * nh
+    assert len(out) == 63 + 5 * ((n + 65534) // 65535) + n
+
+
 def test_pagerank_integer_exact(spark):
     """Spark integer PageRank must equal a plain-Python mirror of the
     documented update rule on a hand-built graph (incl. a dangling node
