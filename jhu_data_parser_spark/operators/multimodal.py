@@ -32,6 +32,8 @@ __all__ = [
     "attach_audio",
     "attach_video",
     "attach_png",
+    "attach_png_bucketed",
+    "perceptual_dhash_png",
     "extract_png_pixels_meta",
     "resize_png_roundtrip",
     "extract_video_meta",
@@ -196,6 +198,66 @@ def extract_png_pixels_meta(
         "doc_id bigint, media_type string, width int, height int, "
         "n_bytes bigint, row0_sum bigint",
     )
+
+
+def attach_png_bucketed(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    media_col: str = "media",
+    seed_mod: int = 23,
+    perturb_odd: bool = False,
+) -> DataFrame:
+    """Synthesize PNG payloads whose CONTENT (dims + pixels) is keyed by
+    ``id % seed_mod`` — the planted-duplicate corpus for
+    content-addressed image dedup on the PNG path (the BMP twin is
+    :func:`attach_image_bucketed`). With ``perturb_odd``, odd ids get a
+    +128 perturbation of the pixel the 9×8 dHash grid samples at its
+    center (gx=4, gy=4, channel 0) BEFORE encoding, so the perturbation
+    rides through the Sub filter + zlib stream and only resurfaces via
+    genuine decode."""
+    import numpy as np
+
+    from jhu_data_parser_spark.functions.codecs import _fill_bytes, encode_png_pixels
+
+    def _map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for did in pdf[id_col]:
+                did = int(did)
+                s = did % seed_mod
+                w, h = s % 64 + 16, s % 48 + 16
+                arr = np.frombuffer(
+                    _fill_bytes(w * h * 3, s), dtype=np.uint8
+                ).reshape(h, w, 3).copy()
+                if perturb_odd and did % 2 == 1:
+                    sx, sy = (4 * w) // 9, (4 * h) // 8
+                    arr[sy, sx, 0] = (int(arr[sy, sx, 0]) + 128) % 256
+                payloads.append(encode_png_pixels(arr))
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col].astype("int64"), media_col: payloads}
+            )
+
+    return df.select(id_col).mapInPandas(_map, f"doc_id bigint, {media_col} binary")
+
+
+def perceptual_dhash_png(
+    df: DataFrame, id_col: str = "doc_id", media_col: str = "media"
+) -> DataFrame:
+    """Per-image 64-bit dHash from genuinely decoded PNG pixels (chunk
+    walk + inflate + unfilter; codecs.dhash64_png). Arrow-batched
+    mapInPandas, no shuffle; only the 8-byte hash travels downstream."""
+    from jhu_data_parser_spark.functions.codecs import dhash64_png
+
+    def _map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "phash": [dhash64_png(bytes(b)) for b in pdf[media_col]],
+                }
+            )
+
+    return df.mapInPandas(_map, "doc_id bigint, phash bigint")
 
 
 def resize_png_roundtrip(

@@ -53,6 +53,100 @@ _PNG_ORACLE = """
     """
 
 
+# PNG perceptual-hash near pairs — the image near-dup detector on the
+# PNG path. The oracle replays the WHOLE pipeline from doc_id
+# arithmetic: LCG pixel bytes (HUGEINT wraparound emulation) → 9×8
+# dHash grid → 64-bit hash → brute-force all-pairs Hamming ≤ 2 ground
+# truth. The Spark side goes through real bytes: encode (Sub filter +
+# zlib) → decode (inflate + unfilter) → dHash → banded self-join
+# (operators/dedup.banded_hamming_pairs) — a value-hash match proves
+# both genuine codec work AND 100% banding recall at radius 2.
+_PNG_PHASH_SEED_MOD = 23
+_PNG_PHASH_POWERS = ", ".join(str(1 << i) for i in range(64))
+
+
+def _png_phash_pairs_oracle_sql(seed_mod: int = _PNG_PHASH_SEED_MOD) -> str:
+    def byte(i: str) -> str:
+        raw = (
+            f"CAST((((({i}) + s) * 6364136223846793005 + 1442695040888963407)"
+            f" % 170141183460469231731687303715884105728"
+            f" % 18446744073709551616) // 8589934592 % 256 AS BIGINT)"
+        )
+        # center grid sample (gx=4, gy=4), channel 0 — PNG is top-down
+        # RGB with no row padding, so the flat index is (sy·w + sx)·3.
+        pidx = "(((4 * h) // 8 * w + (4 * w) // 9) * 3)"
+        return (
+            f"CASE WHEN doc_id % 2 = 1 AND ({i}) = {pidx}"
+            f" THEN ({raw} + 128) % 256 ELSE {raw} END"
+        )
+
+    base = "((sy * w + sx) * 3)"
+    return f"""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(doc_id % {seed_mod} AS HUGEINT) AS s,
+             CAST(doc_id % {seed_mod} % 64 + 16 AS BIGINT) AS w,
+             CAST(doc_id % {seed_mod} % 48 + 16 AS BIGINT) AS h
+      FROM documents),
+    grid AS (
+      SELECT d.*, gy.y, gx.x,
+             (gx.x * d.w) // 9 AS sx,
+             (gy.y * d.h) // 8 AS sy
+      FROM d, generate_series(0, 7) gy(y), generate_series(0, 8) gx(x)),
+    gray AS (
+      SELECT doc_id, y, x,
+             ({byte(base)} + {byte(base + " + 1")} + {byte(base + " + 2")}) // 3
+               AS g
+      FROM grid),
+    bits AS (
+      SELECT doc_id, y, x,
+             CASE WHEN g > lead(g) OVER (PARTITION BY doc_id, y ORDER BY x)
+                  THEN 1 ELSE 0 END AS bit
+      FROM gray),
+    ph AS (
+      SELECT doc_id,
+             SUM(CAST(bit AS HUGEINT)
+                 * ([{_PNG_PHASH_POWERS}]::HUGEINT[])[y * 8 + x + 1]) AS pu
+      FROM bits WHERE x < 8 GROUP BY doc_id),
+    signed AS (
+      SELECT doc_id,
+             CAST(CASE WHEN pu >= 9223372036854775808
+                       THEN pu - 18446744073709551616 ELSE pu END AS BIGINT)
+               AS phash
+      FROM ph)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+    FROM signed a JOIN signed b
+      ON a.doc_id < b.doc_id
+     AND bit_count(xor(a.phash, b.phash)) <= 2
+    """
+
+
+@query("multimodal_phash_png_near_pairs", oracle=_png_phash_pairs_oracle_sql())
+def multimodal_phash_png_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate image pairs (Hamming ≤ 2 on the 64-bit dHash) on
+    the PNG path: planted byte-identical twins plus odd-id variants
+    perturbed at a grid-sampled pixel BEFORE encoding — the
+    perturbation rides through the Sub filter and zlib stream, so only
+    a genuine decode recovers it. Candidates come from the banded
+    self-join (density-proof; see banded_hamming_pairs); the oracle is
+    the brute-force quadratic ground truth over independently replayed
+    hashes, proving 100% banding recall at radius 2."""
+    from jhu_data_parser_spark.operators.dedup import banded_hamming_pairs
+    from jhu_data_parser_spark.operators.multimodal import (
+        attach_png_bucketed,
+        perceptual_dhash_png,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    hashed = perceptual_dhash_png(
+        attach_png_bucketed(d, seed_mod=_PNG_PHASH_SEED_MOD, perturb_odd=True)
+    )
+    return banded_hamming_pairs(
+        hashed, id_col="doc_id", hash_col="phash", bands=4, max_hamming=2
+    )
+
+
 # Resize roundtrip: decode → nearest-neighbor half-size → re-encode →
 # decode AGAIN. The oracle replays the resized dims, the exact
 # stored-deflate output size, and the resized first scanline: resized
