@@ -32,7 +32,9 @@ __all__ = [
     "attach_audio",
     "attach_video",
     "attach_png",
+    "attach_image_mixed",
     "attach_png_bucketed",
+    "extract_png_meta_quarantine",
     "perceptual_dhash_png",
     "extract_png_pixels_meta",
     "resize_png_roundtrip",
@@ -200,6 +202,38 @@ def extract_png_pixels_meta(
     )
 
 
+def attach_image_mixed(
+    df: DataFrame, id_col: str = "doc_id", media_col: str = "media"
+) -> DataFrame:
+    """Synthesize a MIXED-format image corpus — BMP / binary-P6 PPM /
+    PNG by ``id % 3``, dims ``(id % 64 + 16, id % 48 + 16)``, LCG fill
+    seeded by the id — the realistic ingest shape where the format is
+    only discoverable by sniffing each payload's magic bytes.
+    Downstream ``extract_media_meta`` must DISPATCH on the sniffed
+    format and genuinely parse all three."""
+    from jhu_data_parser_spark.functions.codecs import (
+        encode_bmp,
+        encode_png,
+        encode_ppm,
+    )
+
+    encoders = (encode_bmp, encode_ppm, encode_png)
+
+    def _map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for did in pdf[id_col]:
+                did = int(did)
+                payloads.append(
+                    encoders[did % 3](did % 64 + 16, did % 48 + 16, seed=did)
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col].astype("int64"), media_col: payloads}
+            )
+
+    return df.select(id_col).mapInPandas(_map, f"doc_id bigint, {media_col} binary")
+
+
 def attach_png_bucketed(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -258,6 +292,53 @@ def perceptual_dhash_png(
             )
 
     return df.mapInPandas(_map, "doc_id bigint, phash bigint")
+
+
+def extract_png_meta_quarantine(
+    df: DataFrame, id_col: str = "doc_id", media_col: str = "media"
+) -> DataFrame:
+    """Decode-with-quarantine: the bad-record routing every at-scale
+    ingest needs. Each payload is decoded through the full PNG path;
+    payloads that fail (truncation, CRC corruption, garbage) are NOT
+    allowed to kill the job — they come back as ``status='error'`` rows
+    with NULL dims, while good rows carry real decoded metadata. One
+    pass, no driver round-trip, quarantine is just a downstream
+    filter."""
+    import struct as _struct
+    import zlib
+
+    from jhu_data_parser_spark.functions.codecs import decode_png_pixels
+
+    # Only codec-shaped failures are quarantinable; anything else
+    # (memory, interrupts, bugs) still fails the task loudly.
+    _CODEC_ERRORS = (ValueError, zlib.error, _struct.error)
+
+    def _map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, status, widths, heights = [], [], [], []
+            for did, payload in zip(pdf[id_col], pdf[media_col]):
+                ids.append(int(did))
+                try:
+                    px = decode_png_pixels(bytes(payload))
+                    status.append("ok")
+                    heights.append(px.shape[0])
+                    widths.append(px.shape[1])
+                except _CODEC_ERRORS:
+                    status.append("error")
+                    heights.append(None)
+                    widths.append(None)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "status": status,
+                    "width": pd.array(widths, dtype="Int32"),
+                    "height": pd.array(heights, dtype="Int32"),
+                }
+            )
+
+    return df.select(id_col, media_col).mapInPandas(
+        _map, "doc_id bigint, status string, width int, height int"
+    )
 
 
 def resize_png_roundtrip(
@@ -539,14 +620,14 @@ def extract_media_meta(
 ) -> DataFrame:
     """Decode media metadata with ``mapInPandas`` (Arrow batches).
 
-    BMP and PPM payloads are decoded FOR REAL — width/height parsed from
-    the byte stream by the vendored pure-python codecs
-    (``functions/codecs.py``); their ``media_type`` reflects the sniffed
-    format. Other formats (JPEG/PNG/MP4 — no codec libs in this
-    container) fall back to the documented deterministic fake, or raise
-    in ``strict`` mode. Everything around the decode — batch iteration,
-    output schema, early projection of the heavy binary column — is the
-    production shape either way.
+    BMP, PPM and (since r05) PNG payloads are decoded FOR REAL —
+    width/height parsed from the byte stream by the vendored
+    pure-python codecs (``functions/codecs.py``); their ``media_type``
+    reflects the sniffed format. Other formats (JPEG/MP4 — no codec
+    libs in this container) fall back to the documented deterministic
+    fake, or raise in ``strict`` mode. Everything around the decode —
+    batch iteration, output schema, early projection of the heavy
+    binary column — is the production shape either way.
     """
     from jhu_data_parser_spark.functions.codecs import decode_image_meta
 

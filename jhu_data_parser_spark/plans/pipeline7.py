@@ -53,6 +53,109 @@ _PNG_ORACLE = """
     """
 
 
+# Mixed-format ingest: the corpus alternates BMP / PPM / PNG by id%3
+# and the decoder must DISPATCH on each payload's sniffed magic bytes.
+# The oracle replays the per-format dims AND exact file sizes — BMP's
+# padded pixel buffer, PPM's variable-length ASCII header (digit counts
+# of seed/width/height), PNG's stored-deflate framing — from doc_id
+# arithmetic alone.
+_MIXED_ORACLE = """
+    WITH d AS (
+      SELECT doc_id,
+             doc_id % 64 + 16 AS w,
+             doc_id % 48 + 16 AS h
+      FROM documents)
+    SELECT doc_id,
+           CASE doc_id % 3 WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm'
+                ELSE 'png' END AS media_type,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST(CASE doc_id % 3
+                WHEN 0 THEN 54 + ((w * 3 + 3) // 4 * 4) * h
+                WHEN 1 THEN 17 + length(CAST(doc_id AS VARCHAR))
+                            + length(CAST(w AS VARCHAR))
+                            + length(CAST(h AS VARCHAR))
+                            + w * h * 3
+                ELSE 63 + 5 * (((3 * w + 1) * h + 65534) // 65535)
+                     + (3 * w + 1) * h END AS BIGINT) AS n_bytes
+    FROM d
+    """
+
+
+@query("multimodal_decode_mixed", oracle=_MIXED_ORACLE)
+def multimodal_decode_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-format REAL decode with per-payload format dispatch: the
+    corpus alternates BMP / binary-P6 PPM / PNG by id, the decoder
+    sniffs each payload's magic bytes and routes to the matching
+    vendored parser (strict mode: every row must decode for real). The
+    oracle recomputes format, dims, and each format's exact file size —
+    including PPM's variable-length ASCII header — so the gate proves
+    sniffing AND all three parsers at once."""
+    from jhu_data_parser_spark.operators.multimodal import (
+        attach_image_mixed,
+        extract_media_meta,
+    )
+
+    d = attach_image_mixed(load_table(spark, sf_dir, "documents"))
+    meta = extract_media_meta(d, strict=True)
+    return meta.select("doc_id", "media_type", "width", "height", "n_bytes")
+
+
+# Decode-with-quarantine: corrupt payloads (planted by id: %7==3 →
+# truncated stream, %7==5 → flipped CRC byte) must route to error rows
+# instead of killing the job. The oracle replays WHICH ids are corrupt
+# and the good rows' dims from id arithmetic.
+_QUARANTINE_ORACLE = """
+    SELECT doc_id,
+           CASE WHEN doc_id % 7 IN (3, 5) THEN 'error' ELSE 'ok' END AS status,
+           CASE WHEN doc_id % 7 IN (3, 5) THEN NULL
+                ELSE CAST(doc_id % 64 + 16 AS INT) END AS width,
+           CASE WHEN doc_id % 7 IN (3, 5) THEN NULL
+                ELSE CAST(doc_id % 48 + 16 AS INT) END AS height
+    FROM documents
+    """
+
+
+@query("multimodal_decode_quarantine", oracle=_QUARANTINE_ORACLE)
+def multimodal_decode_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bad-record routing through the real PNG decoder: payloads with
+    planted truncation (id%7==3) or CRC corruption (id%7==5) come back
+    as status='error' rows with NULL dims — the job survives, the
+    quarantine is a downstream filter — while every healthy payload
+    decodes for real. The oracle replays exactly which ids are corrupt,
+    so the gate proves both the decode AND the failure containment."""
+    from pyspark.sql import functions as SF
+
+    from jhu_data_parser_spark.operators.multimodal import (
+        attach_png,
+        extract_png_meta_quarantine,
+    )
+
+    d = attach_png(load_table(spark, sf_dir, "documents"))
+    corrupted = d.select(
+        "doc_id",
+        SF.when(
+            SF.col("doc_id") % 7 == 3,
+            # drop the tail: truncates IDAT/IEND mid-chunk
+            SF.expr("substring(media, 1, octet_length(media) - 20)"),
+        )
+        .when(
+            SF.col("doc_id") % 7 == 5,
+            # corrupt a byte inside the IDAT payload (guaranteed to
+            # differ from the original): chunk CRC mismatch
+            SF.expr(
+                "concat(substring(media, 1, 60), "
+                "CASE WHEN substring(media, 61, 1) = X'FF' THEN X'00' "
+                "ELSE X'FF' END, "
+                "substring(media, 62, octet_length(media) - 61))"
+            ),
+        )
+        .otherwise(SF.col("media"))
+        .alias("media"),
+    )
+    return extract_png_meta_quarantine(corrupted)
+
+
 # PNG perceptual-hash near pairs — the image near-dup detector on the
 # PNG path. The oracle replays the WHOLE pipeline from doc_id
 # arithmetic: LCG pixel bytes (HUGEINT wraparound emulation) → 9×8

@@ -316,11 +316,31 @@ def test_minhash_pairs_have_no_distinct_exchange(spark):
 
 def test_portable_banded_pipelines_single_bucket_exchange(spark):
     """The oracle-paired portable MinHash/SimHash pipelines keep the
-    production plan shape: exactly one hash exchange on the bucket key
-    for candidate generation, never an exchange keyed by the pair ids.
+    production plan shape: exchanges keyed only by the bucket key for
+    candidate generation, never an exchange keyed by the pair ids.
     (Verification joins add broadcast exchanges, not pair-key hashes.)"""
     for name in ("dedup_minhash_portable_pairs", "dedup_simhash_portable_candidates"):
         plan = _plan(spark, name)
+        assert "hashpartitioning(id_a" not in plan, name
+
+
+def test_banded_self_join_is_density_proof_shape(spark):
+    """The r05 banded self-join rework pinned: candidate generation for
+    every Hamming/LSH family is an equi-join on the bucket key — no
+    cartesian/NLJ, no collect_list bucket aggregation (the structure
+    that held whole-bucket arrays per anchor row and OOM'd at 10×
+    duplicate density), and no exchange keyed by pair ids."""
+    for name in (
+        "dedup_near_pairs",
+        "dedup_simhash_candidates",
+        "dedup_simhash_portable_candidates",
+        "multimodal_phash_near_pairs",
+        "multimodal_phash_png_near_pairs",
+    ):
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "collect_list" not in plan, name
         assert "hashpartitioning(id_a" not in plan, name
 
 
