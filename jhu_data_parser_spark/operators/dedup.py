@@ -35,6 +35,8 @@ __all__ = [
     "minhash_signature",
     "minhash_signature_fast",
     "minhash_candidates",
+    "exact_collapse",
+    "expand_collapsed_pairs",
     "near_dup_pairs_minhash",
     "simhash_bits",
     "simhash_hex",
@@ -329,9 +331,19 @@ def jaccard_prefix_pairs(
     downstream shuffle/sort ~4× and turns the verify intersect into
     long-array ops (measured 8.3 s → ~4 s at sf0.1 with the window-df
     rework).
+
+    Like the MinHash path, the pipeline runs AFTER an exact-duplicate
+    collapse (:func:`exact_collapse`): freq/order/prefix/verify see one
+    representative per distinct text, intra-group pairs emit directly
+    at jaccard 1.0 (identical sets), and cross-group representative
+    pairs expand through membership joins. The AllPairs lemma holds
+    under any global shingle order, so the verified pair set — which
+    the quadratic oracle re-proves — is invariant to the collapse.
     """
-    d = ensure_parallelism(df)
-    t = d.select(F.col(id_col), F.split(F.lower(F.col(text_col)), " ").alias("toks"))
+    reps, members = exact_collapse(df, id_col, text_col)
+    t = reps.select(
+        F.col(id_col), F.split(F.lower(F.col(text_col)), " ").alias("toks")
+    )
     sh_expr = F.expr(
         f"array_distinct(CASE WHEN size(toks) >= {shingle_k} THEN "
         f"transform(sequence(1, size(toks) - {shingle_k - 1}), "
@@ -419,13 +431,14 @@ def jaccard_prefix_pairs(
     jac = F.expr(
         "CAST(size(array_intersect(sh_a, sh_b)) AS DOUBLE) / size(array_union(sh_a, sh_b))"
     )
-    return (
+    rep_pairs = (
         cand.join(full_a, "id_a")
         .join(full_b, "id_b")
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    return expand_collapsed_pairs(rep_pairs, members, {"jaccard": 1.0})
 
 
 def minhash_signature_portable(
@@ -511,9 +524,20 @@ def shared_span_pairs(
     position array recovers the longest consecutive run. Skew = gram
     document frequency, same bound as the prefix-filter pass; at 100 TB
     add a broadcast stoplist of ultra-high-df grams routed through the
-    pair-verify read."""
-    d = ensure_parallelism(df)
-    t = d.select(F.col(id_col), F.split(F.lower(F.col(text_col)), " ").alias("toks"))
+    pair-verify read.
+
+    Runs AFTER an exact-duplicate collapse (:func:`exact_collapse`) —
+    without it, k copies of a text put k× members in every gram bucket
+    (measured OOM at 100× replication). Intra-group pairs are exact by
+    identity: identical docs share every position, so n_dup_grams =
+    ntok − k + 1 and the longest span is the whole doc; cross-group
+    pairs inherit the representative pair's metrics bit-for-bit (same
+    texts). Groups whose text has fewer than k tokens carry no grams
+    and emit no intra pairs, matching the uncollapsed semantics."""
+    reps, members = exact_collapse(df, id_col, text_col)
+    t = reps.select(
+        F.col(id_col), F.split(F.lower(F.col(text_col)), " ").alias("toks")
+    )
     grams = t.select(
         F.col(id_col).alias("doc_id"),
         F.expr(
@@ -544,12 +568,135 @@ def shared_span_pairs(
         F.sort_array(F.collect_list("pos")).alias("ps")
     )
     run = _CONSEC_RUN_SQL.format(arr="ps")
-    return agg.select(
+    rep_pairs = agg.select(
         "id_a",
         "id_b",
         F.size("ps").cast("long").alias("n_dup_grams"),
         (F.expr(run) + F.lit(k - 1)).cast("long").alias("max_span_tokens"),
     )
+    # Intra-group pairs: identical texts share EVERY position, so the
+    # metrics come straight from the representative's token count; a
+    # group with < k tokens has no grams and emits nothing.
+    rep_metrics = t.select(
+        F.col(id_col).alias("mrep"), F.size("toks").alias("ntok")
+    ).filter(F.col("ntok") >= k)
+    spread = members.repartition(
+        members.sparkSession.sparkContext.defaultParallelism, "rep"
+    )
+    intra = (
+        spread.alias("x")
+        .join(
+            spread.alias("y"),
+            (F.col("x.rep") == F.col("y.rep"))
+            & (F.col("x.member") < F.col("y.member")),
+        )
+        .join(rep_metrics, F.col("x.rep") == F.col("mrep"))
+        .select(
+            F.col("x.member").alias("id_a"),
+            F.col("y.member").alias("id_b"),
+            (F.col("ntok") - F.lit(k - 1)).cast("long").alias("n_dup_grams"),
+            F.col("ntok").cast("long").alias("max_span_tokens"),
+        )
+    )
+    ma = members.select(F.col("rep").alias("id_a"), F.col("member").alias("ma"))
+    mb = members.select(F.col("rep").alias("id_b"), F.col("member").alias("mb"))
+    cross = (
+        rep_pairs.join(ma, "id_a")
+        .join(mb, "id_b")
+        .select(
+            F.least("ma", "mb").alias("id_a"),
+            F.greatest("ma", "mb").alias("id_b"),
+            "n_dup_grams",
+            "max_span_tokens",
+        )
+    )
+    return intra.unionByName(cross)
+
+
+def exact_collapse(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> tuple[DataFrame, DataFrame]:
+    """Exact-duplicate collapse for pair-producing dedup: returns
+    ``(reps, members)`` where ``reps`` is one representative (min id)
+    row per distinct text and ``members`` is the checkpointed
+    ``(rep, member)`` group table.
+
+    This is the move production pipelines make BEFORE any fuzzy dedup:
+    signatures, banding, and per-pair verification then run once per
+    DISTINCT text instead of once per copy — a corpus where each text
+    has k copies otherwise pays verification C(k,2) times per text.
+    Group identity is (xxhash64, md5) of the text, so the collapse
+    shuffle carries 24 bytes per row instead of the text, and merging
+    two distinct texts requires a simultaneous 64+128-bit collision
+    (~2⁻¹⁹²)."""
+    from pyspark.sql import Window
+
+    d = ensure_parallelism(df).select(F.col(id_col), F.col(text_col))
+    rep_map = d.select(
+        F.col(id_col),
+        F.xxhash64(F.col(text_col)).alias("h1"),
+        F.md5(F.encode(F.col(text_col), "UTF-8")).alias("h2"),
+    ).withColumn("rep", F.min(F.col(id_col)).over(Window.partitionBy("h1", "h2")))
+    members = rep_map.select(
+        "rep", F.col(id_col).alias("member")
+    ).localCheckpoint(eager=False)
+    rep_ids = members.filter(F.col("member") == F.col("rep")).select(
+        F.col("member").alias(id_col)
+    )
+    reps = d.join(rep_ids, id_col, "left_semi")
+    return reps, members
+
+
+def expand_collapsed_pairs(
+    rep_pairs: DataFrame,
+    members: DataFrame,
+    value_cols: dict[str, "float"] | None = None,
+) -> DataFrame:
+    """Expand representative-level verified pairs back to all-member
+    pairs, plus the intra-group pairs the collapse hid.
+
+    ``value_cols`` maps each carried metric column (e.g. ``jaccard``)
+    to its exact value for identical texts (1.0 for any similarity
+    normalized to [0,1]); cross-group pairs inherit the representative
+    pair's value bit-for-bit, which is exact because every member
+    carries the same text as its representative. Both expansions are
+    streaming hash joins — quadratic only in the pair OUTPUT.
+
+    The intra side explicitly repartitions on the group key: the
+    membership table is BYTES-small (two longs/row), so AQE would
+    coalesce its shuffle to a couple of tasks — but the join's OUTPUT
+    is quadratic in group size, and the CPU to stream it must spread
+    across cores. An explicit repartition is exactly the case where
+    the planner's bytes-based sizing can't see the work."""
+    value_cols = value_cols or {}
+    spread = members.repartition(
+        members.sparkSession.sparkContext.defaultParallelism, "rep"
+    )
+    intra = (
+        spread.alias("x")
+        .join(
+            spread.alias("y"),
+            (F.col("x.rep") == F.col("y.rep"))
+            & (F.col("x.member") < F.col("y.member")),
+        )
+        .select(
+            F.col("x.member").alias("id_a"),
+            F.col("y.member").alias("id_b"),
+            *[F.lit(v).alias(c) for c, v in value_cols.items()],
+        )
+    )
+    ma = members.select(F.col("rep").alias("id_a"), F.col("member").alias("ma"))
+    mb = members.select(F.col("rep").alias("id_b"), F.col("member").alias("mb"))
+    cross = (
+        rep_pairs.join(ma, "id_a")
+        .join(mb, "id_b")
+        .select(
+            F.least("ma", "mb").alias("id_a"),
+            F.greatest("ma", "mb").alias("id_b"),
+            *value_cols,
+        )
+    )
+    return intra.unionByName(cross)
 
 
 def near_dup_pairs_minhash(
@@ -562,19 +709,38 @@ def near_dup_pairs_minhash(
     shingle_k: int = 3,
     use_arrow_udf: bool = True,
 ) -> DataFrame:
-    """Near-duplicate pairs: LSH candidates verified with exact token-set
-    Jaccard. Verification joins the (small) candidate pair list back to
-    the docs — two broadcast-or-shuffle hash joins on doc ids, then an
-    in-row set comparison. Nothing quadratic outside the candidate pair
-    set itself."""
+    """Near-duplicate pairs: exact-duplicate COLLAPSE, then LSH
+    candidates among representatives verified with exact token-set
+    Jaccard, then membership expansion back to all doc pairs.
+
+    The collapse is the load-bearing scale move (and what production
+    dedup pipelines do — exact dedup before fuzzy dedup): byte-identical
+    docs share one representative, so signature computation, banding
+    and the Jaccard verify all run once per DISTINCT text. Without it,
+    a corpus where each text has k copies pays the verify's token-set
+    intersection C(k,2) times per text — measured 187 s at 100×
+    replication (k=100) vs ~4 s with the collapse, for the IDENTICAL
+    output: intra-group pairs are emitted directly with jaccard 1.0
+    (identical texts always collide in band 0 and verify at exactly
+    1.0), and cross-group representative pairs expand through two
+    membership joins whose output streams. Group identity uses
+    (xxhash64, md5) of the text — 24 bytes shuffle instead of the text
+    itself, and a simultaneous 64+128-bit collision (~2⁻¹⁹²) is the
+    only way two distinct texts could merge.
+
+    Verification joins the representative candidate list back to the
+    docs — two hash joins on doc ids, then an in-row set comparison.
+    Nothing quadratic outside the pair OUTPUT itself."""
+    reps, members = exact_collapse(df, id_col, text_col)
+
     cands = minhash_candidates(
-        df, id_col, text_col, num_hashes, bands, shingle_k, use_arrow_udf
+        reps, id_col, text_col, num_hashes, bands, shingle_k, use_arrow_udf
     )
-    toks = ensure_parallelism(df).select(
+    toks = reps.select(
         F.col(id_col),
         F.expr(f"array_distinct(split(lower({text_col}), '\\\\s+'))").alias("toks"),
     )
-    return (
+    rep_pairs = (
         cands.join(toks.withColumnsRenamed({id_col: "id_a", "toks": "toks_a"}), "id_a")
         .join(toks.withColumnsRenamed({id_col: "id_b", "toks": "toks_b"}), "id_b")
         .withColumn(
@@ -588,6 +754,8 @@ def near_dup_pairs_minhash(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+    return expand_collapsed_pairs(rep_pairs, members, {"jaccard": 1.0})
 
 
 def connected_components(
@@ -832,21 +1000,47 @@ def banded_hamming_pairs(
     output is exactly-once by construction. Returns (id_a, id_b,
     hamming), filtered to ``max_hamming`` (default ``bands - 1``, the
     radius banding guarantees 100% recall for).
+
+    Before banding, rows COLLAPSE on the hash value itself: one
+    representative (min id) per distinct 64-bit hash joins the bands;
+    equal-hash pairs are by definition Hamming 0 and emit directly
+    through the membership expansion, and cross-group pairs inherit
+    the representative pair's Hamming exactly (the distance depends
+    only on the hash values). Unlike the text collapse in
+    :func:`exact_collapse` this is EXACT with no collision caveat —
+    and it is what keeps a corpus full of identical items (the very
+    thing dedup exists for) from quadratically inflating the banding
+    join's probe work.
     """
+    from pyspark.sql import Window
+
     if 64 % bands != 0:
         raise ValueError("bands must divide 64")
     if max_hamming is None:
         max_hamming = bands - 1
     chunk = 64 // bands
     mask = (1 << chunk) - 1
+    # ONE checkpoint of (member, h, rep): both the membership table and
+    # the representative set derive from it, so the upstream hash
+    # pipeline (which may synthesize/decode heavy payloads) runs
+    # exactly once.
+    rep_map = (
+        hashed.select(F.col(id_col).alias("member"), F.col(hash_col).alias("h"))
+        .withColumn("rep", F.min("member").over(Window.partitionBy("h")))
+        .localCheckpoint(eager=False)
+    )
+    members = rep_map.select("rep", "member")
+    reps = rep_map.filter(F.col("member") == F.col("rep")).select(
+        F.col("member").alias("id"), "h"
+    )
     banded = (
-        hashed.select(
-            F.col(id_col).alias("id"),
-            F.col(hash_col).alias("h"),
+        reps.select(
+            "id",
+            "h",
             F.explode(
                 F.expr(
                     f"transform(sequence(0, {bands - 1}), b -> struct(b AS band, "
-                    f"shiftright({hash_col}, b * {chunk}) & {mask} AS lane))"
+                    f"shiftright(h, b * {chunk}) & {mask} AS lane))"
                 )
             ).alias("bc"),
         )
@@ -873,7 +1067,7 @@ def banded_hamming_pairs(
         & (F.col("a.lane") == F.col("b.lane"))
         & (F.col("a.id") < F.col("b.id")),
     ).filter(no_earlier)
-    return (
+    rep_pairs = (
         pairs.select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
@@ -881,6 +1075,7 @@ def banded_hamming_pairs(
         )
         .filter(F.col("hamming") <= max_hamming)
     )
+    return expand_collapsed_pairs(rep_pairs, members, {"hamming": 0})
 
 
 def simhash_candidates(

@@ -490,53 +490,57 @@ def dedup_minhash_portable_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     which is the price of a full cross-engine value-hash gate over
     every stage.
 
-    Same plan shape as the production path for banding onward: ONE
-    shuffle on (band, band_sig), chained-generator i<j expansion with
-    first-colliding-band exactly-once emission, Jaccard verification
-    via two hash joins. The signature pass itself is the codegen
-    explode+min-aggregate form (``dd.minhash_signature_portable`` —
-    measured 4× over the interpreted-HOF formulation at sf0.1). The
-    oracle replays the identical algorithm in DuckDB (self-join +
-    DISTINCT instead of first-band)."""
-    d = dd.ensure_parallelism(load_table(spark, sf_dir, "documents"))
-    t = d.select("doc_id", F.split(F.lower(F.col("text")), " ").alias("toks"))
+    Same plan shape as the production path for banding onward: exact
+    collapse first (dd.exact_collapse — r05: identical texts verify
+    once, measured 236 s → seconds at 100× replication), then the
+    density-proof banded SELF-JOIN on (band, band_sig) with
+    first-colliding-band exactly-once emission via unrolled literal
+    element_at comparisons (codegen), Jaccard verification via two
+    hash joins, and membership expansion (intra pairs at exactly 1.0).
+    The signature pass itself is the codegen explode+min-aggregate form
+    (``dd.minhash_signature_portable`` — measured 4× over the
+    interpreted-HOF formulation at sf0.1). The oracle replays the
+    identical algorithm in DuckDB (self-join + DISTINCT instead of
+    first-band) — the pair set is emission- and collapse-invariant."""
+    d = load_table(spark, sf_dir, "documents")
+    reps, members = dd.exact_collapse(d, "doc_id", "text")
+    t = reps.select("doc_id", F.split(F.lower(F.col("text")), " ").alias("toks"))
     bs = F.expr(
         "transform(sequence(0, 3), b -> "
         "md5(cast(concat_ws('|', slice(mh, b * 4 + 1, 4)) AS binary)))"
     )
     banded = (
         dd.minhash_signature_portable(t)
-        .select("doc_id", bs.alias("bs"))
-        .select("doc_id", "bs", F.posexplode("bs").alias("band", "band_sig"))
-        .select(
-            "doc_id", "band", "band_sig", F.expr("slice(bs, 1, band)").alias("prev")
-        )
+        .select(F.col("doc_id").alias("id"), bs.alias("bs"))
+        .select("id", "bs", F.posexplode("bs").alias("band", "band_sig"))
+        .select("id", "band", "band_sig", F.expr("slice(bs, 1, band)").alias("prev"))
+        .localCheckpoint(eager=False)
     )
-    grouped = (
-        banded.groupBy("band", "band_sig")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct(F.col("doc_id").alias("id"), F.col("prev")))
-            ).alias("ms")
-        )
-        .filter(F.size("ms") >= 2)
-    )
-    anchors = grouped.select("ms", F.posexplode("ms").alias("i", "a"))
-    cands = anchors.select(
-        F.explode(
-            F.expr(
-                "filter(transform(slice(ms, i + 2, size(ms)), b -> "
-                "struct(a.id AS id_a, b.id AS id_b, "
-                "size(filter(zip_with(a.prev, b.prev, (p, q) -> p = q), v -> v))"
-                " AS n_prev)), s -> s.n_prev = 0)"
+    a = banded.alias("a")
+    b = banded.alias("b")
+    no_earlier = F.lit(True)
+    for v in range(1, 4):
+        differs_all = F.lit(True)
+        for j in range(v):
+            differs_all = differs_all & (
+                F.expr(f"element_at(a.prev, {j + 1}) != element_at(b.prev, {j + 1})")
             )
-        ).alias("p")
-    ).select("p.id_a", "p.id_b")
+        no_earlier = F.when(F.col("a.band") == v, differs_all).otherwise(no_earlier)
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .filter(no_earlier)
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    )
     jac = F.expr(
         "CAST(size(array_intersect(array_distinct(toks_a), array_distinct(toks_b)))"
         " AS DOUBLE) / size(array_distinct(concat(toks_a, toks_b)))"
     )
-    return (
+    rep_pairs = (
         cands.join(
             t.select(F.col("doc_id").alias("id_a"), F.col("toks").alias("toks_a")),
             "id_a",
@@ -549,6 +553,7 @@ def dedup_minhash_portable_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= 0.5)
         .select("id_a", "id_b", "jaccard")
     )
+    return dd.expand_collapsed_pairs(rep_pairs, members, {"jaccard": 1.0})
 
 
 @query("dedup_simhash", oracle=None)

@@ -59,6 +59,13 @@ def get_spark(
         "spark.sql.adaptive.skewJoin.enabled": "true",
         # Arrow for every Python↔JVM data transfer (pandas UDFs, toPandas).
         "spark.sql.execution.arrow.pyspark.enabled": "true",
+        # Bound Arrow batch ROWS so batch BYTES stay sane when a column
+        # carries multi-KB payloads (media binaries): the 10k default ×
+        # ~20 KB/row × 32 tasks is ~6 GB of transient batch buffers —
+        # measured OOM on the 100× layout's phash pipeline. 2048 keeps
+        # payload batches ≤ ~40 MB/task; scalar-column UDFs lose nothing
+        # measurable from the smaller batches.
+        "spark.sql.execution.arrow.maxRecordsPerBatch": "2048",
         # Sane parquet scan granularity; at 100 TB this bounds task input size.
         "spark.sql.files.maxPartitionBytes": "128m",
         # Broadcast dims up to 64 MB — region/nation/lookup tables are tiny;

@@ -404,18 +404,20 @@ def test_jaccard_prefix_pairs_plan_shape(spark):
     assert plan.count("ArrowEvalPython") == 0
 
 
-def test_shared_span_pairs_two_hash_exchanges(spark):
-    """The span-dedup plan is: one shuffle on the gram key (bucket
-    grouping), one on the pair key (position aggregation) — plus the
-    parallelism-guard round robin. Never an exchange keyed by positions,
-    never a join (the pair expansion is a chained generator)."""
+def test_shared_span_pairs_exchange_keys(spark):
+    """The span-dedup plan (post exact-collapse, r05): shuffles keyed
+    only by the gram key (bucket grouping), the pair key (position
+    aggregation), and the collapse/expansion group key — never by
+    positions, and never a cartesian/NLJ. The representative pipeline
+    itself stays generator-free of pair-id exchanges."""
     import re
 
     plan = _plan(spark, "dedup_shared_span_pairs")
-    keys = re.findall(r"Exchange hashpartitioning\((\w+)", plan)
-    assert sorted(set(keys)) == ["gh", "id_a"], keys
-    assert "Join" not in plan, "pair expansion must be generator-based"
-    assert plan.count("Scan parquet") == 1
+    keys = set(re.findall(r"Exchange hashpartitioning\((\w+)", plan))
+    assert keys <= {"gh", "id_a", "id_b", "rep", "member", "h1", "h2", "doc_id"}, keys
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "hashpartitioning(pos" not in plan
 
 
 def test_scd2_incremental_reads_each_side_once(spark):
