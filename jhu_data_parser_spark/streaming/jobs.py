@@ -44,11 +44,31 @@ def read_events_stream(spark: SparkSession, sf_dir: str, copies: int = 1) -> Dat
     spark.conf.set("spark.sql.session.timeZone", "UTC")  # see sources/tables.load_table
     src = os.path.join(sf_dir, "events.parquet")
     schema = spark.read.parquet(src).schema
-    # The file source wants a directory (a growing landing prefix in
-    # production); testdata is read-only single files, so stage a symlink.
+    # The file source wants a FLAT directory of files (a growing landing
+    # prefix in production); testdata is read-only, so stage symlinks.
+    # `events.parquet` may itself be a directory of part files (any
+    # multi-file layout — the production norm): flatten its parts into
+    # the staging dir, since the streaming source does not recurse into
+    # non-partition subdirectories and would silently read ZERO rows
+    # through a directory symlink (caught on the 100× layout in r05).
     stage = tempfile.mkdtemp(prefix="jdps_stream_src_")
-    for i in range(copies):
-        os.symlink(src, os.path.join(stage, f"events_{i}.parquet"))
+    if os.path.isdir(src):
+        parts = [
+            p
+            for p in sorted(os.listdir(src))
+            if not p.startswith(("_", ".")) and p.endswith(".parquet")
+        ]
+        if not parts:
+            raise ValueError(f"no parquet part files under {src}")
+        for i in range(copies):
+            for j, p in enumerate(parts):
+                os.symlink(
+                    os.path.join(src, p),
+                    os.path.join(stage, f"events_{i}_{j}.parquet"),
+                )
+    else:
+        for i in range(copies):
+            os.symlink(src, os.path.join(stage, f"events_{i}.parquet"))
     stream = spark.readStream.schema(schema).parquet(stage)
     return _normalize_nanos_ts(stream)
 

@@ -126,7 +126,15 @@ def _session_fold(gap_seconds: int):
 
         state.update((start_us, last_us, n))
         # Close the open session when the watermark passes its horizon.
-        state.setTimeoutTimestamp((last_us + gap_us) // 1000)
+        # Clamp to just past the CURRENT watermark: a group whose last
+        # event arrived barely inside the late cutoff can have
+        # last + gap already behind the watermark, and an un-clamped
+        # timestamp raises INVALID_TIMEOUT_TIMESTAMP and kills the
+        # query (hit on the multi-file 100× layout; equally reachable
+        # in production from a slow group). The clamped session times
+        # out on the next batch — the earliest the engine allows.
+        wm_ms = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max((last_us + gap_us) // 1000, wm_ms + 1))
         if closed:
             yield emit(closed)
 
@@ -180,8 +188,25 @@ def read_events_stream_with_sentinel(spark: SparkSession, sf_dir: str) -> DataFr
     raw = spark.read.parquet(src)  # ts arrives un-normalized (nanos long or NTZ)
     schema = raw.schema
 
+    # Flatten multi-file layouts (events.parquet may be a DIRECTORY of
+    # part files): the streaming source does not recurse into
+    # non-partition subdirectories and would silently read zero rows
+    # through a directory symlink (same fix as jobs.read_events_stream).
+    # The sentinel still lands LAST: the file source orders micro-
+    # batches by target mtime, and the sentinel is written now.
     stage = tempfile.mkdtemp(prefix="jdps_sessionize_src_")
-    os.symlink(src, os.path.join(stage, "batch-0.parquet"))
+    if os.path.isdir(src):
+        parts = [
+            p
+            for p in sorted(os.listdir(src))
+            if not p.startswith(("_", ".")) and p.endswith(".parquet")
+        ]
+        if not parts:
+            raise ValueError(f"no parquet part files under {src}")
+        for j, p in enumerate(parts):
+            os.symlink(os.path.join(src, p), os.path.join(stage, f"batch-0-{j}.parquet"))
+    else:
+        os.symlink(src, os.path.join(stage, "batch-0.parquet"))
 
     # The sentinel file must match the RAW schema byte-for-byte (the
     # stream reads both files with one schema), so build 2100-01-01 in
@@ -206,9 +231,19 @@ def read_events_stream_with_sentinel(spark: SparkSession, sf_dir: str) -> DataFr
     part = glob.glob(os.path.join(tmp_out, "part-*.parquet"))[0]
     shutil.move(part, os.path.join(stage, "batch-1.parquet"))
 
+    # All DATA files land in the first micro-batch, the sentinel in the
+    # second (file-source batches follow target mtime; the sentinel was
+    # written just now). A 1-file-per-trigger split would be WRONG on
+    # multi-file layouts: the staged parts overlap in event time, so
+    # after the first batch the watermark would discard every later
+    # file's rows as late data — correct streaming semantics, wrong
+    # harness (a real landing prefix arrives in time order).
+    n_data_files = len(
+        [p for p in os.listdir(stage) if not p.startswith("batch-1")]
+    )
     stream = (
         spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1")
+        .option("maxFilesPerTrigger", str(max(n_data_files, 1)))
         .parquet(stage)
     )
     return _normalize_nanos_ts(stream)
@@ -509,8 +544,11 @@ def _kmv_fold(k: int):
         for pdf in pdfs:
             cur = sorted(set(cur) | set(pdf["h"].tolist()))[:k]
         state.update((cur,))
+        # Clamp past the current watermark (same INVALID_TIMEOUT_TIMESTAMP
+        # guard as the session fold): a day whose horizon already passed
+        # times out on the next batch instead of killing the query.
         day_end_ms = pd.Timestamp(day).value // 1_000_000 + 86_400_000
-        state.setTimeoutTimestamp(day_end_ms)
+        state.setTimeoutTimestamp(max(day_end_ms, state.getCurrentWatermarkMs() + 1))
 
     return fold
 
