@@ -326,6 +326,49 @@ def test_ivf_cache_refits_on_inplace_overwrite(spark, tmp_path):
     assert not np.allclose(c1, c2)
 
 
+def test_exact_collapse_and_expand_semantics(spark):
+    """exact_collapse groups byte-identical texts under the min id;
+    expand_collapsed_pairs re-materializes every member pair exactly
+    once — intra pairs with the identity value, cross pairs inheriting
+    the representative pair's value — matching a hand-computed set."""
+    from jhu_data_parser_spark.operators.dedup import (
+        exact_collapse,
+        expand_collapsed_pairs,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "aa bb cc"),
+        (4, "aa bb cc"),  # dup of 1
+        (2, "dd ee"),
+        (7, "aa bb cc"),  # dup of 1
+        (5, "dd ee"),  # dup of 2
+        (3, "zz"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    reps, members = exact_collapse(df)
+    assert {(r.doc_id, r.text) for r in reps.collect()} == {
+        (1, "aa bb cc"),
+        (2, "dd ee"),
+        (3, "zz"),
+    }
+    got_members = {(r.rep, r.member) for r in members.collect()}
+    assert got_members == {(1, 1), (1, 4), (1, 7), (2, 2), (2, 5), (3, 3)}
+
+    rep_pairs = spark.createDataFrame(
+        [(1, 2, 0.25)], "id_a long, id_b long, jaccard double"
+    )
+    out = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in expand_collapsed_pairs(rep_pairs, members, {"jaccard": 1.0}).collect()
+    }
+    intra = {(1, 4, 1.0), (1, 7, 1.0), (4, 7, 1.0), (2, 5, 1.0)}
+    cross = {
+        (min(a, b), max(a, b), 0.25) for a in (1, 4, 7) for b in (2, 5)
+    }
+    assert out == intra | cross
+
+
 def test_exact_dedup_survivors(spark):
     from jhu_data_parser_spark.operators.dedup import exact_dedup
 
