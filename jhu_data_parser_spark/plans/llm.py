@@ -421,8 +421,16 @@ def text_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- near-dup family (rows-only: LSH banding isn't SQL-expressible) -------
 @query("dedup_minhash_candidates", oracle=None)
 def dedup_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs, exact-collapsed first (identical texts have
+    identical signatures, so every intra-group pair is a candidate by
+    construction and cross-group candidacy depends only on the
+    representatives — the expanded set is precisely the uncollapsed
+    one, at a fraction of the banding work on duplicate-dense corpora:
+    137 s → seconds at 100× replication)."""
     d = load_table(spark, sf_dir, "documents")
-    return dd.minhash_candidates(d)
+    reps, members = dd.exact_collapse(d)
+    cands = dd.minhash_candidates(reps)
+    return dd.expand_collapsed_pairs(cands, members)
 
 
 @query("dedup_near_pairs", oracle=None)
