@@ -40,7 +40,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["KM_SCALE", "quantize_vectors", "kmeans_assign", "kmeans_fit"]
+__all__ = [
+    "KM_SCALE",
+    "quantize_vectors",
+    "kmeans_assign",
+    "kmeans_fit",
+    "kmeans_fit_multi",
+]
 
 KM_SCALE = 1_000_000  # fixed point: 1.0 == 10^6
 
@@ -165,3 +171,69 @@ def kmeans_assign(
 ) -> DataFrame:
     """Assignment half of :func:`kmeans_fit` (see there for semantics)."""
     return kmeans_fit(points, k, iterations)[0]
+
+
+def kmeans_fit_multi(
+    points: DataFrame, k: int = 10, iterations: int = 3, group_col: str = "g"
+) -> DataFrame:
+    """Fit INDEPENDENT k-means instances for several point groups in ONE
+    chain of Spark jobs: ``points`` is ``(g, id, q)`` and the result is
+    the ``(g, cid, c)`` centroid table, bit-identical per group to
+    :func:`kmeans_fit` run on that group's points alone (same lowest-id
+    seeding, same argmin tie-break, same floor-mean update).
+
+    This exists for the PQ codebook build: M subspace fits are M
+    independent chains of tiny jobs (k-row centroid tables), and even
+    submitted from M driver threads the wall-clock is dominated by
+    ~M·iterations·stages of scheduler latency, not data work. Grouping
+    turns each iteration into exactly ONE assignment projection (the
+    per-group centroid arrays fold into an M-row broadcast dim) plus
+    ONE update shuffle on (g, cid, pos) — the stage count drops M-fold
+    and is independent of M at scale."""
+    w = Window.partitionBy(group_col).orderBy("id")
+    centroids = (
+        points.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(
+            F.col(group_col),
+            (F.col("rn") - 1).cast("long").alias("cid"),
+            F.col("q").alias("c"),
+        )
+        .localCheckpoint(eager=False)
+    )
+
+    def carr(cent: DataFrame) -> DataFrame:
+        return cent.groupBy(group_col).agg(
+            F.array_sort(F.collect_list(F.struct("cid", "c"))).alias("carr")
+        )
+
+    for step in range(iterations - 1):
+        assigned = (
+            points.join(F.broadcast(carr(centroids)), group_col)
+            .withColumn("m", F.expr(_ARGMIN_EXPR))
+            .select(F.col(group_col), "q", F.col("m.cid").alias("cid"))
+        )
+        sums = (
+            assigned.select(group_col, "cid", F.posexplode("q").alias("pos", "val"))
+            .groupBy(group_col, "cid", "pos")
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+            .withColumn(
+                "e", F.expr("IF(s >= 0, s DIV n, -((-s + n - 1) DIV n))")
+            )
+        )
+        new = sums.groupBy(group_col, "cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "e"))), lambda x: x["e"]
+            ).alias("c")
+        )
+        centroids = (
+            centroids.alias("p")
+            .join(new.alias("u"), [group_col, "cid"], "left")
+            .select(
+                F.col(group_col),
+                F.col("cid"),
+                F.coalesce("u.c", "p.c").alias("c"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return centroids

@@ -530,10 +530,14 @@ def shared_span_pairs(
     without it, k copies of a text put k× members in every gram bucket
     (measured OOM at 100× replication). Intra-group pairs are exact by
     identity: identical docs share every position, so n_dup_grams =
-    ntok − k + 1 and the longest span is the whole doc; cross-group
-    pairs inherit the representative pair's metrics bit-for-bit (same
-    texts). Groups whose text has fewer than k tokens carry no grams
-    and emit no intra pairs, matching the uncollapsed semantics."""
+    ntok − k + 1 and the longest span is the whole doc. Cross-group
+    pairs inherit the representative pair's metrics for the matching
+    ORIENTATION: the metrics count positions in the lower-id doc, and
+    expansion can hand the lower id to either group, so both sides'
+    position sets are aggregated at the rep level and the expansion
+    picks the side whose group supplies the expanded lower id. Groups
+    whose text has fewer than k tokens carry no grams and emit no
+    intra pairs, matching the uncollapsed semantics."""
     reps, members = exact_collapse(df, id_col, text_col)
     t = reps.select(
         F.col(id_col), F.split(F.lower(F.col(text_col)), " ").alias("toks")
@@ -558,21 +562,45 @@ def shared_span_pairs(
         .filter(F.size("docs") >= 2)
     )
     anchors = grouped.select("ms", "docs", F.posexplode("docs").alias("i", "da"))
+    # Both orientations of each bucket pair: metrics are defined as
+    # positions in the LOWER-id doc, and the group expansion below can
+    # flip which group supplies the lower id, so the b-side positions
+    # must travel too (each doc position carries exactly one gram, so
+    # the per-bucket position arrays are disjoint across buckets).
+    # With no duplicate groups (members is None) orientation can never
+    # flip, so the b-side tracking is skipped entirely.
     cand = anchors.select(
         F.col("da").alias("id_a"),
         F.explode(F.expr("slice(docs, i + 2, size(docs))")).alias("id_b"),
-        F.expr("transform(filter(ms, e -> e.doc_id = da), e -> e.pos)").alias("ps"),
+        F.expr("transform(filter(ms, e -> e.doc_id = da), e -> e.pos)").alias("psa"),
+        F.col("ms"),
     )
-    rows = cand.select("id_a", "id_b", F.explode("ps").alias("pos"))
-    agg = rows.groupBy("id_a", "id_b").agg(
-        F.sort_array(F.collect_list("pos")).alias("ps")
+    run_a = _CONSEC_RUN_SQL.format(arr="psa")
+    if members is None:
+        agg = cand.groupBy("id_a", "id_b").agg(
+            F.sort_array(F.flatten(F.collect_list("psa"))).alias("psa")
+        )
+        return agg.select(
+            "id_a",
+            "id_b",
+            F.size("psa").cast("long").alias("n_dup_grams"),
+            (F.expr(run_a) + F.lit(k - 1)).cast("long").alias("max_span_tokens"),
+        )
+    cand = cand.withColumn(
+        "psb", F.expr("transform(filter(ms, e -> e.doc_id = id_b), e -> e.pos)")
+    ).drop("ms")
+    agg = cand.groupBy("id_a", "id_b").agg(
+        F.sort_array(F.flatten(F.collect_list("psa"))).alias("psa"),
+        F.sort_array(F.flatten(F.collect_list("psb"))).alias("psb"),
     )
-    run = _CONSEC_RUN_SQL.format(arr="ps")
+    run_b = _CONSEC_RUN_SQL.format(arr="psb")
     rep_pairs = agg.select(
         "id_a",
         "id_b",
-        F.size("ps").cast("long").alias("n_dup_grams"),
-        (F.expr(run) + F.lit(k - 1)).cast("long").alias("max_span_tokens"),
+        F.size("psa").cast("long").alias("n_dup_grams"),
+        (F.expr(run_a) + F.lit(k - 1)).cast("long").alias("max_span_tokens"),
+        F.size("psb").cast("long").alias("n_dup_grams_b"),
+        (F.expr(run_b) + F.lit(k - 1)).cast("long").alias("max_span_tokens_b"),
     )
     # Intra-group pairs: identical texts share EVERY position, so the
     # metrics come straight from the representative's token count; a
@@ -600,26 +628,87 @@ def shared_span_pairs(
     )
     ma = members.select(F.col("rep").alias("id_a"), F.col("member").alias("ma"))
     mb = members.select(F.col("rep").alias("id_b"), F.col("member").alias("mb"))
+    # Orientation-aware expansion: the metrics are positional counts in
+    # the LOWER-id doc, and when a member of the higher-rep group has a
+    # smaller id than its partner the roles flip — pick the side whose
+    # group supplies the expanded pair's lower id.
     cross = (
         rep_pairs.join(ma, "id_a")
         .join(mb, "id_b")
         .select(
             F.least("ma", "mb").alias("id_a"),
             F.greatest("ma", "mb").alias("id_b"),
-            "n_dup_grams",
-            "max_span_tokens",
+            F.when(F.col("ma") < F.col("mb"), F.col("n_dup_grams"))
+            .otherwise(F.col("n_dup_grams_b"))
+            .alias("n_dup_grams"),
+            F.when(F.col("ma") < F.col("mb"), F.col("max_span_tokens"))
+            .otherwise(F.col("max_span_tokens_b"))
+            .alias("max_span_tokens"),
         )
     )
     return intra.unionByName(cross)
 
 
+# Adaptive-collapse probe cache: corpus file fingerprint → "is the
+# text column (approximately) duplicate-free". Keyed on (path, mtime,
+# size) per input file so an in-place overwrite re-probes; frames with
+# no file backing (in-memory test data) or unresolvable entries are
+# never cached. Bounded FIFO — entries are two booleans, the bound just
+# caps pathological many-corpora processes.
+_DISTINCT_PROBE_CACHE: dict[tuple, bool] = {}
+_DISTINCT_PROBE_CACHE_MAX = 64
+
+
+def _corpus_is_distinct(df: DataFrame, text_col: str) -> bool:
+    """True when ≥95% of rows carry a distinct ``text_col`` value —
+    the signal that exact-collapse machinery would be pure overhead.
+    One map-side-combinable aggregate over the RAW frame (projection
+    pushdown reads only the text column; no repartition)."""
+    import os
+
+    def fingerprint():
+        out = []
+        for f in sorted(df.inputFiles()):
+            path = f[len("file:"):] if f.startswith("file:") else f
+            try:
+                st = os.stat(path)
+            except OSError:
+                return None
+            out.append((f, st.st_mtime_ns, st.st_size))
+        return tuple(out) or None
+
+    fp = fingerprint()
+    key = (fp, text_col) if fp else None
+    if key and key in _DISTINCT_PROBE_CACHE:
+        return _DISTINCT_PROBE_CACHE[key]
+    probe = (
+        df.select(F.xxhash64(F.col(text_col)).alias("h"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.approx_count_distinct("h", rsd=0.02).alias("nd"),
+        )
+        .first()
+    )
+    distinct = probe["n"] == 0 or probe["nd"] >= 0.95 * probe["n"]
+    if key:
+        while len(_DISTINCT_PROBE_CACHE) >= _DISTINCT_PROBE_CACHE_MAX:
+            _DISTINCT_PROBE_CACHE.pop(next(iter(_DISTINCT_PROBE_CACHE)))
+        _DISTINCT_PROBE_CACHE[key] = distinct
+    return distinct
+
+
 def exact_collapse(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
-) -> tuple[DataFrame, DataFrame]:
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    adaptive: bool = True,
+) -> tuple[DataFrame, "DataFrame | None"]:
     """Exact-duplicate collapse for pair-producing dedup: returns
     ``(reps, members)`` where ``reps`` is one representative (min id)
     row per distinct text and ``members`` is the checkpointed
-    ``(rep, member)`` group table.
+    ``(rep, member)`` group table — or ``None`` when the corpus has
+    (approximately) no exact duplicates, signalling callers to skip
+    the expansion machinery entirely.
 
     This is the move production pipelines make BEFORE any fuzzy dedup:
     signatures, banding, and per-pair verification then run once per
@@ -628,14 +717,39 @@ def exact_collapse(
     Group identity is (xxhash64, md5) of the text, so the collapse
     shuffle carries 24 bytes per row instead of the text, and merging
     two distinct texts requires a simultaneous 64+128-bit collision
-    (~2⁻¹⁹²)."""
+    (~2⁻¹⁹²).
+
+    ``adaptive``: the collapse only pays off when duplicates exist; on
+    a low-duplication corpus the group window, checkpoint, and two
+    expansion joins are pure overhead (~+0.5-0.9 s at sf0.1, measured
+    r5). A cheap probe — one map-side-combinable aggregate of
+    ``approx_count_distinct`` over the 64-bit text hash, on the RAW
+    frame (no repartition: partial aggregation means only tiny HLL
+    buffers cross the exchange) — decides: when ≥95% of rows are
+    distinct the function returns the original frame as ``reps`` and
+    ``members = None``. The decision is cached per corpus file
+    fingerprint (mtime+size keyed, like the IVF index registry;
+    in-memory frames are never cached) so repeated queries over one
+    corpus pay the probe once. The probe only ever affects
+    PERFORMANCE, never results: both branches produce the identical
+    pair set (expansion of singleton groups is the identity), so HLL
+    error at the boundary merely picks the slower plan."""
     from pyspark.sql import Window
 
     d = ensure_parallelism(df).select(F.col(id_col), F.col(text_col))
+    if adaptive and _corpus_is_distinct(df, text_col):
+        return d, None
+    # NULL texts must NOT merge: md5(NULL) is NULL and window
+    # partitioning groups NULL keys together, which would fabricate
+    # intra pairs among all NULL-text docs. Key NULLs on a per-row
+    # sentinel so each stays a singleton group.
     rep_map = d.select(
         F.col(id_col),
         F.xxhash64(F.col(text_col)).alias("h1"),
-        F.md5(F.encode(F.col(text_col), "UTF-8")).alias("h2"),
+        F.coalesce(
+            F.md5(F.encode(F.col(text_col), "UTF-8")),
+            F.concat(F.lit("\x00null:"), F.col(id_col).cast("string")),
+        ).alias("h2"),
     ).withColumn("rep", F.min(F.col(id_col)).over(Window.partitionBy("h1", "h2")))
     members = rep_map.select(
         "rep", F.col(id_col).alias("member")
@@ -649,11 +763,14 @@ def exact_collapse(
 
 def expand_collapsed_pairs(
     rep_pairs: DataFrame,
-    members: DataFrame,
+    members: "DataFrame | None",
     value_cols: dict[str, "float"] | None = None,
 ) -> DataFrame:
     """Expand representative-level verified pairs back to all-member
-    pairs, plus the intra-group pairs the collapse hid.
+    pairs, plus the intra-group pairs the collapse hid. A ``None``
+    membership table (adaptive :func:`exact_collapse` found no
+    duplicates) makes this the identity: every group is a singleton,
+    so there are no intra pairs and every rep pair IS a member pair.
 
     ``value_cols`` maps each carried metric column (e.g. ``jaccard``)
     to its exact value for identical texts (1.0 for any similarity
@@ -669,6 +786,8 @@ def expand_collapsed_pairs(
     across cores. An explicit repartition is exactly the case where
     the planner's bytes-based sizing can't see the work."""
     value_cols = value_cols or {}
+    if members is None:
+        return rep_pairs.select("id_a", "id_b", *value_cols)
     spread = members.repartition(
         members.sparkSession.sparkContext.defaultParallelism, "rep"
     )

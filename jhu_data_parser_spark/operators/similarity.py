@@ -417,6 +417,21 @@ def topk_cosine_ivf(
 # not the build — the 100 TB shape, where the index outlives millions
 # of queries.
 _IVF_INDEX_CACHE: dict[tuple, tuple[str, np.ndarray]] = {}
+_IVF_INDEX_CACHE_MAX = 8
+
+
+def _fingerprint_cacheable(fp: tuple) -> bool:
+    """A fingerprint is a safe cache key only when every entry resolved
+    to a real (mtime, size): a (path, None, None) entry means a remote
+    or vanished file whose content changes we cannot observe, so caching
+    would risk serving a stale index."""
+    return bool(fp) and all(m is not None and s is not None for (_, m, s) in fp)
+
+
+def _rmtree_quiet(path: str) -> None:
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
 
 
 def ivf_build_index(
@@ -431,17 +446,15 @@ def ivf_build_index(
     Cached per (corpus file fingerprint, params) so the build runs once
     per process per corpus — exactly the index lifecycle of a real
     deployment. The fingerprint includes mtimes, so an in-place
-    overwrite refits and rewrites."""
+    overwrite refits and rewrites; the superseded index directory is
+    deleted, the registry is bounded (LRU-by-insertion), and
+    fingerprints with unresolvable entries are never cached."""
     import tempfile
 
-    key = (
-        _file_fingerprint(df.inputFiles()),
-        n_centroids,
-        sample_size,
-        seed,
-        vec_col,
-    )
-    if key[0] and key in _IVF_INDEX_CACHE:
+    fp = _file_fingerprint(df.inputFiles())
+    key = (fp, n_centroids, sample_size, seed, vec_col)
+    cacheable = _fingerprint_cacheable(fp)
+    if cacheable and key in _IVF_INDEX_CACHE:
         return _IVF_INDEX_CACHE[key]
     cent = ivf_fit_centroids(
         df, n_centroids, sample_size, seed=seed, vec_col=vec_col
@@ -450,7 +463,28 @@ def ivf_build_index(
     ivf_assign(df, cent, vec_col).write.partitionBy("cell").parquet(
         path, mode="overwrite"
     )
-    if key[0]:
+    if cacheable:
+        # An in-place overwrite of the same corpus produces a new
+        # fingerprint (part-file names may change too): identify "same
+        # corpus" by the parent dataset directories and drop (and
+        # delete) the superseded index dirs so a long-lived process
+        # doesn't leak one directory per rebuild.
+        import os
+
+        def corpus_dirs(f_tuple):
+            return tuple(sorted({os.path.dirname(f) for (f, _, _) in f_tuple}))
+
+        dirs = corpus_dirs(fp)
+        stale = [
+            k
+            for k in _IVF_INDEX_CACHE
+            if k[1:] == key[1:] and corpus_dirs(k[0]) == dirs
+        ]
+        for k in stale:
+            _rmtree_quiet(_IVF_INDEX_CACHE.pop(k)[0])
+        while len(_IVF_INDEX_CACHE) >= _IVF_INDEX_CACHE_MAX:
+            oldest = next(iter(_IVF_INDEX_CACHE))
+            _rmtree_quiet(_IVF_INDEX_CACHE.pop(oldest)[0])
         _IVF_INDEX_CACHE[key] = (path, cent)
     return path, cent
 

@@ -1,8 +1,9 @@
 """Full-catalog oracle sweep at driver scale (sf0.01) — the same
 comparison the driver runs for CORRECTNESS_r{N}.json, strict version.
 
-Usage: python scripts/sweep_sf001.py [sf_dir]
-Prints one line per query; exits nonzero on any failure.
+Usage: python scripts/sweep_sf001.py [sf_dir] [name_substring ...]
+Prints one line per query; exits nonzero on any failure. Optional
+substring args restrict the sweep to matching query names.
 """
 
 from __future__ import annotations
@@ -20,6 +21,7 @@ from tests.oracle_compare import compare, duckdb_con  # noqa: E402
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    subs = sys.argv[2:]
     spark = (
         SparkSession.builder.master("local[16]")
         .config("spark.sql.shuffle.partitions", "32")
@@ -28,7 +30,10 @@ def main() -> int:
     )
     con = duckdb_con(sf_dir)
     failures = []
-    for name in sorted(plans.QUERIES):
+    names = [
+        n for n in sorted(plans.QUERIES) if not subs or any(s in n for s in subs)
+    ]
+    for name in names:
         t0 = time.time()
         try:
             df = plans.QUERIES[name](spark, sf_dir)
@@ -46,7 +51,7 @@ def main() -> int:
         print(f"{name:45s} {dt:6.2f}s  {status[:200]}", flush=True)
         if not ok:
             failures.append(name)
-    print(f"\n{len(plans.QUERIES)} queries, {len(failures)} failures: {failures}")
+    print(f"\n{len(names)} queries, {len(failures)} failures: {failures}")
     return 1 if failures else 0
 
 

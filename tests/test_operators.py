@@ -1079,6 +1079,41 @@ def test_kmeans_deterministic_across_runs(spark):
     assert a == b
 
 
+def test_kmeans_fit_multi_matches_per_group_fit(spark):
+    """The joint multi-group fit (one chain of jobs for M independent
+    k-means instances — the PQ codebook build) must return centroids
+    bit-identical per group to kmeans_fit run on that group alone,
+    including the empty-cluster-retention branch."""
+    from pyspark.sql import functions as F
+
+    from jhu_data_parser_spark.operators.clustering import (
+        kmeans_fit,
+        kmeans_fit_multi,
+    )
+
+    rows = []
+    for g in range(3):
+        for i in range(25):
+            # different geometry per group, including duplicate seeds in
+            # group 2 to exercise the tie/empty-cluster path
+            base = [0, 0] if (g == 2 and i < 4) else [
+                (i % 4) * 1_000_000 + g * 37, (i * 131 + g) % 997
+            ]
+            rows.append((g, i, base))
+    pts = spark.createDataFrame(rows, "g int, id long, q array<bigint>")
+    joint = kmeans_fit_multi(pts, k=4, iterations=3).collect()
+    got = {
+        g: sorted((r["cid"], tuple(r["c"])) for r in joint if r["g"] == g)
+        for g in range(3)
+    }
+    for g in range(3):
+        solo = kmeans_fit(
+            pts.filter(F.col("g") == g).drop("g"), k=4, iterations=3
+        )[1].collect()
+        want = sorted((r["cid"], tuple(r["c"])) for r in solo)
+        assert got[g] == want, f"group {g} centroids diverge"
+
+
 def test_star_contraction_matches_propagation(spark):
     """Star contraction (the O(log² n)-round scale path) must produce
     exactly the same (id → component-min) labeling as min-label
@@ -1481,6 +1516,88 @@ def test_shared_span_repeated_gram_in_partner(spark):
     r = rows[0]
     assert (r["id_a"], r["id_b"]) == (1, 2)
     assert r["n_dup_grams"] == 1 and r["max_span_tokens"] == 4
+
+
+def test_shared_span_cross_group_orientation(spark):
+    """Interleaved duplicate-group ids flip pair orientation during
+    exact-collapse expansion: metrics count positions in the LOWER-id
+    doc, so pair (2,3) — where 3 duplicates rep 1 but 2 sits between
+    them — must report doc 2's side, not rep 1's."""
+    from jhu_data_parser_spark.operators import dedup as dd
+
+    docs = [
+        (1, "a b a b a b"),
+        (2, "a b a b x y"),
+        (3, "a b a b a b"),  # exact dup of 1 with an id ABOVE 2
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        (r["id_a"], r["id_b"]): (r["n_dup_grams"], r["max_span_tokens"])
+        for r in dd.shared_span_pairs(df, k=3).collect()
+    }
+    # doc1 side vs doc2: all 4 of doc1's grams occur in doc2 -> (4, 6);
+    # doc2 side vs doc3: only positions 1-2 of doc2 are shared -> (2, 4);
+    # intra (1,3): identical 6-token texts -> (4, 6).
+    assert got == {(1, 2): (4, 6), (1, 3): (4, 6), (2, 3): (2, 4)}
+
+
+def test_exact_collapse_null_text_singletons(spark):
+    """NULL texts must NOT merge into one duplicate group (md5(NULL) is
+    NULL and window partitioning groups NULL keys): each NULL-text doc
+    stays a singleton and no dedup pair is fabricated among them."""
+    from jhu_data_parser_spark.operators import dedup as dd
+
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, "x y z w"), (4, None)],
+        "doc_id long, text string",
+    )
+    reps, members = dd.exact_collapse(df)
+    assert {(r.rep, r.member) for r in members.collect()} == {
+        (1, 1),
+        (2, 2),
+        (3, 3),
+        (4, 4),
+    }
+    pairs = dd.near_dup_pairs_minhash(df, threshold=0.1).collect()
+    assert pairs == []
+
+
+def test_ivf_index_cache_cleans_replaced_dirs(spark, tmp_path):
+    """Rebuilding the index for an overwritten corpus must delete the
+    superseded index directory (no per-rebuild disk leak), and
+    fingerprints with unresolvable entries must never be cached."""
+    import os
+
+    import numpy as np
+
+    from jhu_data_parser_spark.operators import similarity as sim
+
+    def write(seed):
+        rng = np.random.RandomState(seed)
+        rows = [
+            (i, [float(x) for x in rng.randn(4)]) for i in range(40)
+        ]
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        ).coalesce(1).write.parquet(str(tmp_path / "emb.parquet"), mode="overwrite")
+
+    write(1)
+    df1 = spark.read.parquet(str(tmp_path / "emb.parquet"))
+    path1, _ = sim.ivf_build_index(df1, n_centroids=4)
+    assert os.path.isdir(path1)
+    # same call again: served from cache, same dir
+    assert sim.ivf_build_index(df1, n_centroids=4)[0] == path1
+
+    write(2)  # in-place overwrite -> new fingerprint, same paths
+    df2 = spark.read.parquet(str(tmp_path / "emb.parquet"))
+    path2, _ = sim.ivf_build_index(df2, n_centroids=4)
+    assert path2 != path1
+    assert not os.path.exists(path1)  # superseded dir reclaimed
+    assert os.path.isdir(path2)
+
+    assert sim._fingerprint_cacheable((("f", 1, 2),))
+    assert not sim._fingerprint_cacheable((("f", None, None),))
+    assert not sim._fingerprint_cacheable(())
 
 
 def test_scd2_incremental_matches_rebuild_and_prunes(spark, tmp_path):
