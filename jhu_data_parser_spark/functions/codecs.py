@@ -56,6 +56,9 @@ __all__ = [
     "resize_png_nearest",
     "dhash64_pixels",
     "dhash64_png",
+    "encode_jpeg_gray",
+    "decode_jpeg_gray",
+    "decode_jpeg_meta",
     "sniff_format",
 ]
 
@@ -143,6 +146,8 @@ def sniff_format(payload: bytes) -> str | None:
         return "gif"
     if len(payload) >= 8 and payload[:8] == b"\x89PNG\r\n\x1a\n":
         return "png"
+    if len(payload) >= 2 and payload[:2] == b"\xff\xd8":
+        return "jpeg"
     return None
 
 
@@ -600,6 +605,9 @@ def decode_image_meta(payload: bytes) -> tuple[str, int, int] | None:
     if fmt == "png":
         w, h, _, _ = decode_png_meta(payload)
         return ("png", w, h)
+    if fmt == "jpeg":
+        w, h, _ = decode_jpeg_meta(payload)
+        return ("jpeg", w, h)
     return None
 
 
@@ -646,3 +654,374 @@ def dhash64_png(payload: bytes, grid_w: int = 9, grid_h: int = 8) -> int:
     :func:`dhash64_bmp`; channel order is irrelevant to the grayscale
     sum, so BMP(BGR)/PNG(RGB) hashes of identical pixel content agree."""
     return dhash64_pixels(decode_png_pixels(payload), grid_w, grid_h)
+
+
+# ---------------------------------------------------------------------------
+# JPEG — baseline sequential DCT (ITU-T T.81), grayscale (1 component).
+#
+# REAL codec, stdlib+numpy only: the encoder runs the full pipeline
+# (level shift → orthonormal 8×8 DCT → quantization → zigzag → DC
+# difference + AC run-length categories → canonical Huffman with the
+# public Annex K luminance tables → 0xFF byte stuffing), and the
+# decoder is a general baseline decoder (marker walk, DQT/DHT/SOF0/SOS
+# parse, stuffed-bit Huffman entropy decode, dequantize, de-zigzag,
+# IDCT, level shift + clamp). Nothing is special-cased to the synthetic
+# corpus — the oracle-gated queries simply CHOOSE content (flat 8×8
+# blocks + an all-ones quant table) whose lossy roundtrip is
+# mathematically exact, so SQL can replay the decoded pixels.
+# ---------------------------------------------------------------------------
+
+# Annex K (K.3.1) luminance DC table: code-length counts + symbols.
+_JPEG_DC_BITS = (0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+_JPEG_DC_VALS = tuple(range(12))
+# Annex K (K.3.2) luminance AC table.
+_JPEG_AC_BITS = (0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D)
+_JPEG_AC_VALS = (
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+)
+# Zigzag scan: raster index of each zigzag position.
+_JPEG_ZIGZAG = (
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+)
+
+
+def _jpeg_canonical_codes(bits, vals):
+    """symbol → (code, length) by the canonical construction of T.81
+    Annex C: codes assigned in increasing length, symbol order."""
+    out = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _jpeg_decode_map(bits, vals):
+    """(length, code) → symbol for the simple dict-walk decoder."""
+    enc = _jpeg_canonical_codes(bits, vals)
+    return {(length, code): sym for sym, (code, length) in enc.items()}
+
+
+def _dct_matrix():
+    """Orthonormal 8×8 DCT-II matrix D: X = D @ x @ D.T, x = D.T @ X @ D."""
+    import numpy as np
+
+    n = 8
+    d = np.zeros((n, n))
+    for u in range(n):
+        cu = (1.0 / n) ** 0.5 if u == 0 else (2.0 / n) ** 0.5
+        for x in range(n):
+            d[u, x] = cu * __import__("math").cos((2 * x + 1) * u * __import__("math").pi / (2 * n))
+    return d
+
+
+class _BitWriter:
+    """MSB-first bit accumulator with JPEG 0xFF byte stuffing."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, length: int) -> None:
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            b = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits per T.81
+        return bytes(self.out)
+
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded data, undoing 0xFF00
+    stuffing; stops (raises StopIteration) at any real marker."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        if self.pos >= len(self.data):
+            raise ValueError("JPEG entropy stream truncated")
+        b = self.data[self.pos]
+        self.pos += 1
+        if b == 0xFF:
+            if self.pos >= len(self.data):
+                raise ValueError("JPEG entropy stream truncated at 0xFF")
+            nxt = self.data[self.pos]
+            if nxt == 0x00:
+                self.pos += 1  # stuffed byte
+            else:
+                raise StopIteration  # real marker: scan data over
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def read_symbol(self, table: dict) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read_bit()
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid JPEG Huffman code")
+
+
+def _jpeg_category(v: int) -> int:
+    return v.bit_length() if v >= 0 else (-v).bit_length()
+
+
+def _jpeg_extend(bits: int, cat: int) -> int:
+    if cat == 0:
+        return 0
+    return bits if bits >= (1 << (cat - 1)) else bits - (1 << cat) + 1
+
+
+def encode_jpeg_gray(pixels, quant: int = 1) -> bytes:
+    """Encode a (height, width) uint8 grayscale array as a valid
+    baseline JFIF JPEG: 8-bit precision, one component, 1×1 sampling,
+    flat ``quant`` quantization table, Annex K luminance Huffman
+    tables. Dimensions must be multiples of 8 (no partial-block edge
+    semantics to keep the arithmetic oracle-replayable)."""
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.float64)
+    h, w = px.shape
+    if h % 8 or w % 8 or h <= 0 or w <= 0:
+        raise ValueError("JPEG encoder requires positive dims divisible by 8")
+    d = _dct_matrix()
+    dc_codes = _jpeg_canonical_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _jpeg_canonical_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    bw = _BitWriter()
+    prev_dc = 0
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            blk = px[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+            coef = d @ blk @ d.T
+            q = np.round(coef / quant).astype(np.int64)
+            zz = [int(q.flat[i]) for i in _JPEG_ZIGZAG]
+            diff = zz[0] - prev_dc
+            prev_dc = zz[0]
+            cat = _jpeg_category(diff)
+            code, length = dc_codes[cat]
+            bw.write(code, length)
+            if cat:
+                bw.write(diff if diff > 0 else diff + (1 << cat) - 1, cat)
+            run = 0
+            last_nz = max((k for k in range(1, 64) if zz[k]), default=0)
+            for k in range(1, last_nz + 1):
+                if zz[k] == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, length = ac_codes[0xF0]  # ZRL
+                    bw.write(code, length)
+                    run -= 16
+                cat = _jpeg_category(zz[k])
+                code, length = ac_codes[run * 16 + cat]
+                bw.write(code, length)
+                bw.write(
+                    zz[k] if zz[k] > 0 else zz[k] + (1 << cat) - 1, cat
+                )
+                run = 0
+            if last_nz < 63:
+                code, length = ac_codes[0x00]  # EOB
+                bw.write(code, length)
+    entropy = bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")  # APP0
+    out += seg(0xDB, bytes([0x00]) + bytes([quant] * 64))  # DQT id 0
+    out += seg(0xC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))  # SOF0
+    out += seg(0xC4, bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS))
+    out += seg(0xC4, bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS))
+    out += seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))  # SOS
+    out += entropy
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def _jpeg_segments(payload: bytes):
+    """Walk JPEG marker segments up to (and including) SOS, yielding
+    (marker, body, next_pos); validates SOI."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG stream")
+    pos = 2
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("JPEG marker sync lost")
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI
+            return
+        (length,) = struct.unpack_from(">H", payload, pos + 2)
+        body = payload[pos + 4 : pos + 2 + length]
+        if len(body) != length - 2:
+            raise ValueError("truncated JPEG segment")
+        yield marker, body, pos + 2 + length
+        if marker == 0xDA:
+            return
+        pos += 2 + length
+    raise ValueError("JPEG missing SOS/EOI")
+
+
+def decode_jpeg_meta(payload: bytes) -> tuple[int, int, int]:
+    """Parse SOF0 → (width, height, n_components)."""
+    for marker, body, _ in _jpeg_segments(payload):
+        if marker == 0xC0:
+            precision, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
+            if precision != 8:
+                raise ValueError(f"unsupported JPEG precision {precision}")
+            return int(w), int(h), int(ncomp)
+        if marker in (0xC1, 0xC2, 0xC3):
+            raise ValueError("only baseline sequential (SOF0) JPEG supported")
+    raise ValueError("JPEG missing SOF0")
+
+
+def decode_jpeg_gray(payload: bytes):
+    """REAL baseline JPEG decode (grayscale, 1×1 sampling): marker
+    walk, DQT/DHT/SOF0/SOS parse, stuffed-bit canonical-Huffman entropy
+    decode (DC differences + AC run-lengths, ZRL and EOB), dequantize,
+    de-zigzag, orthonormal IDCT, level shift + clamp → numpy
+    (height, width) uint8."""
+    import numpy as np
+
+    qtables: dict[int, list] = {}
+    htables: dict[tuple, dict] = {}
+    dims = None
+    comp = None
+    scan_pos = None
+    scan_tables = None
+    for marker, body, nxt in _jpeg_segments(payload):
+        if marker == 0xDB:
+            p = 0
+            while p < len(body):
+                pq, tq = body[p] >> 4, body[p] & 0x0F
+                if pq != 0:
+                    raise ValueError("16-bit quant tables not supported")
+                qtables[tq] = list(body[p + 1 : p + 65])
+                p += 65
+        elif marker == 0xC4:
+            p = 0
+            while p < len(body):
+                tc, th = body[p] >> 4, body[p] & 0x0F
+                bits = tuple(body[p + 1 : p + 17])
+                n = sum(bits)
+                vals = tuple(body[p + 17 : p + 17 + n])
+                htables[(tc, th)] = _jpeg_decode_map(bits, vals)
+                p += 17 + n
+        elif marker == 0xC0:
+            precision, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
+            if precision != 8 or ncomp != 1:
+                raise ValueError("decoder supports 8-bit single-component JPEG")
+            cid, sampling, tq = body[6], body[7], body[8]
+            if sampling != 0x11:
+                raise ValueError("decoder supports 1x1 sampling only")
+            dims = (int(w), int(h))
+            comp = (cid, tq)
+        elif marker == 0xDA:
+            ns = body[0]
+            if ns != 1:
+                raise ValueError("decoder supports single-scan single-component")
+            td, ta = body[2] >> 4, body[2] & 0x0F
+            scan_tables = (td, ta)
+            scan_pos = nxt
+    if dims is None or scan_pos is None:
+        raise ValueError("JPEG missing SOF0 or SOS")
+    w, h = dims
+    if w % 8 or h % 8:
+        raise ValueError("decoder requires dims divisible by 8")
+    qt = np.array(qtables[comp[1]], dtype=np.float64)
+    dc_map = htables[(0, scan_tables[0])]
+    ac_map = htables[(1, scan_tables[1])]
+    d = _dct_matrix()
+    br = _BitReader(payload, scan_pos)
+    out = np.zeros((h, w), dtype=np.uint8)
+    prev_dc = 0
+    inv_zz = _JPEG_ZIGZAG
+    try:
+        for by in range(h // 8):
+            for bx in range(w // 8):
+                zz = np.zeros(64, dtype=np.float64)
+                cat = br.read_symbol(dc_map)
+                diff = _jpeg_extend(br.read_bits(cat), cat) if cat else 0
+                prev_dc += diff
+                zz[0] = prev_dc
+                k = 1
+                while k < 64:
+                    sym = br.read_symbol(ac_map)
+                    if sym == 0x00:  # EOB
+                        break
+                    if sym == 0xF0:  # ZRL
+                        k += 16
+                        continue
+                    run, cat = sym >> 4, sym & 0x0F
+                    k += run
+                    if k > 63:
+                        raise ValueError("JPEG AC run past block end")
+                    zz[k] = _jpeg_extend(br.read_bits(cat), cat)
+                    k += 1
+                coef = np.zeros(64, dtype=np.float64)
+                coef[list(inv_zz)] = zz * qt
+                blk = d.T @ coef.reshape(8, 8) @ d + 128.0
+                out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
+                    np.round(blk), 0, 255
+                ).astype(np.uint8)
+    except StopIteration as exc:
+        raise ValueError("JPEG entropy stream ended early") from exc
+    return out

@@ -37,6 +37,7 @@ __all__ = [
     "minhash_candidates",
     "exact_collapse",
     "expand_collapsed_pairs",
+    "check_pair_budget",
     "near_dup_pairs_minhash",
     "simhash_bits",
     "simhash_hex",
@@ -300,6 +301,7 @@ def jaccard_prefix_pairs(
     text_col: str = "text",
     threshold: float = 0.5,
     shingle_k: int = 3,
+    max_intra_pairs: "int | None" = None,
 ) -> DataFrame:
     """Exact shingle-Jaccard >= threshold pairs via AllPairs prefix
     filtering (Bayardo et al., WWW'07) — the DETERMINISTIC member of the
@@ -438,7 +440,9 @@ def jaccard_prefix_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
-    return expand_collapsed_pairs(rep_pairs, members, {"jaccard": 1.0})
+    return expand_collapsed_pairs(
+        rep_pairs, members, {"jaccard": 1.0}, max_intra_pairs
+    )
 
 
 def minhash_signature_portable(
@@ -507,6 +511,7 @@ def shared_span_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 4,
+    max_intra_pairs: "int | None" = None,
 ) -> DataFrame:
     """Exact shared-span pairs (Lee et al. 2021 substring dedup,
     re-expressed distributed): for every doc pair sharing at least one
@@ -602,6 +607,7 @@ def shared_span_pairs(
         F.size("psb").cast("long").alias("n_dup_grams_b"),
         (F.expr(run_b) + F.lit(k - 1)).cast("long").alias("max_span_tokens_b"),
     )
+    check_pair_budget(members, max_intra_pairs)
     # Intra-group pairs: identical texts share EVERY position, so the
     # metrics come straight from the representative's token count; a
     # group with < k tokens has no grams and emits nothing.
@@ -761,10 +767,50 @@ def exact_collapse(
     return reps, members
 
 
+def check_pair_budget(
+    members: "DataFrame | None",
+    max_intra_pairs: "int | None",
+    what: str = "pair expansion",
+) -> None:
+    """Fail-fast guard for pair-LISTING deliverables: the intra-group
+    expansion of a duplicate group with k members is C(k,2) rows, so a
+    duplicate-dense corpus can turn a pair listing into a 10¹⁰-row job
+    (measured boundary at r5: Σ C(21k,2) ≈ 10¹⁰ for the phash family).
+    When a budget is set, one cheap aggregate over the (rep, member)
+    table counts the exact intra-pair output before any expansion work
+    runs, and a ValueError carrying the group-size diagnostics fires
+    instead of the runaway job — pointing at the O(n) groups/survivors
+    deliverables, which answer the same dedup question without listing
+    pairs."""
+    if members is None or max_intra_pairs is None:
+        return
+    stats = (
+        members.groupBy("rep")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .agg(
+            F.sum(F.expr("k * (k - 1) DIV 2")).alias("total_intra_pairs"),
+            F.max("k").alias("largest_group"),
+            F.sum(F.when(F.col("k") > 1, 1).otherwise(0)).alias("dup_groups"),
+        )
+        .first()
+    )
+    total = stats["total_intra_pairs"] or 0
+    if total > max_intra_pairs:
+        raise ValueError(
+            f"{what}: intra-group pair listing would produce {total:,} rows "
+            f"(budget {max_intra_pairs:,}; {stats['dup_groups']:,} duplicate "
+            f"groups, largest has {stats['largest_group']:,} members). "
+            "Pair output grows quadratically with duplicate density — use "
+            "the *_groups / *_survivors deliverables (O(n)) instead, or "
+            "raise max_intra_pairs."
+        )
+
+
 def expand_collapsed_pairs(
     rep_pairs: DataFrame,
     members: "DataFrame | None",
     value_cols: dict[str, "float"] | None = None,
+    max_intra_pairs: "int | None" = None,
 ) -> DataFrame:
     """Expand representative-level verified pairs back to all-member
     pairs, plus the intra-group pairs the collapse hid. A ``None``
@@ -788,6 +834,7 @@ def expand_collapsed_pairs(
     value_cols = value_cols or {}
     if members is None:
         return rep_pairs.select("id_a", "id_b", *value_cols)
+    check_pair_budget(members, max_intra_pairs)
     spread = members.repartition(
         members.sparkSession.sparkContext.defaultParallelism, "rep"
     )
@@ -827,6 +874,7 @@ def near_dup_pairs_minhash(
     bands: int = 16,
     shingle_k: int = 3,
     use_arrow_udf: bool = True,
+    max_intra_pairs: "int | None" = None,
 ) -> DataFrame:
     """Near-duplicate pairs: exact-duplicate COLLAPSE, then LSH
     candidates among representatives verified with exact token-set
@@ -874,7 +922,9 @@ def near_dup_pairs_minhash(
         .select("id_a", "id_b", "jaccard")
     )
 
-    return expand_collapsed_pairs(rep_pairs, members, {"jaccard": 1.0})
+    return expand_collapsed_pairs(
+        rep_pairs, members, {"jaccard": 1.0}, max_intra_pairs
+    )
 
 
 def connected_components(
@@ -1091,6 +1141,7 @@ def banded_hamming_pairs(
     hash_col: str = "phash",
     bands: int = 4,
     max_hamming: int | None = None,
+    max_intra_pairs: "int | None" = None,
 ) -> DataFrame:
     """Near-duplicate pairs within ``Hamming <= bands - 1`` of a 64-bit
     hash column, as a banded SELF-JOIN — the scale-robust form of
@@ -1194,7 +1245,9 @@ def banded_hamming_pairs(
         )
         .filter(F.col("hamming") <= max_hamming)
     )
-    return expand_collapsed_pairs(rep_pairs, members, {"hamming": 0})
+    return expand_collapsed_pairs(
+        rep_pairs, members, {"hamming": 0}, max_intra_pairs
+    )
 
 
 def simhash_candidates(

