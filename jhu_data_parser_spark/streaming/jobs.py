@@ -117,18 +117,44 @@ def run_dedup_stream(
     the streaming twin of exact dedup. State = one key per event inside
     the watermark window, evicted as the watermark advances. ``copies``
     plants duplicate deliveries (see :func:`read_events_stream`), which
-    the operator must collapse back to exactly-once."""
+    the operator must collapse back to exactly-once.
+
+    Memory posture (r06, caught by the 100× probe as a driver-heap
+    OOM): the output is row-per-unique-event — unbounded in the data —
+    so it goes to a FILE sink (the production landing shape), never the
+    memory sink; and the dedup state (every in-horizon key lives
+    simultaneously under availableNow) runs on the RocksDB state store
+    when the bundled JNI provider is available, keeping key state
+    off-heap/on-disk instead of in the 8g executor heap. Both changes
+    are invisible to results; the provider conf is restored after the
+    run so the (vanilla) session is left untouched."""
     ev = read_events_stream(spark, sf_dir, copies=copies)
     deduped = ev.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
-    q = (
-        deduped.writeStream.format("memory")
-        .queryName(table)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(table)
+    out_dir = tempfile.mkdtemp(prefix="jdps_stream_dedup_out_")
+    ckpt = tempfile.mkdtemp(prefix="jdps_stream_dedup_ckpt_")
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(provider_key, None)
+    try:
+        spark.conf.set(
+            provider_key,
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        q = (
+            deduped.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev)
+    return spark.read.schema(deduped.schema).parquet(out_dir)
 
 
 def run_stream_sample(
@@ -245,15 +271,21 @@ def run_stream_stream_join(
             <= F.col("click_ts") + F.expr(f"INTERVAL {horizon_min} MINUTES")
         ),
     )
+    # Row-per-match output is unbounded in the data (same memory-sink
+    # hazard the 100× probe caught on the dedup stream) — land it as
+    # files, the production sink shape.
+    out_dir = tempfile.mkdtemp(prefix="jdps_stream_join_out_")
+    ckpt = tempfile.mkdtemp(prefix="jdps_stream_join_ckpt_")
     q = (
-        joined.writeStream.format("memory")
-        .queryName(table)
+        joined.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
         .outputMode("append")
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
-    return spark.table(table)
+    return spark.read.schema(joined.schema).parquet(out_dir)
 
 
 def write_json_partitioned_stream(
