@@ -508,8 +508,12 @@ def test_codecs_bmp_ppm_roundtrip():
     topdown = bytearray(encode_bmp(8, 4))
     struct.pack_into("<i", topdown, 22, -4)
     assert decode_image_meta(bytes(topdown)) == ("bmp", 8, 4)
-    # Unknown magic → None (stub fallback territory).
-    assert decode_image_meta(b"\xff\xd8\xff\xe0jpeg-ish") is None
+    # Unknown magic → None (stub fallback territory); a recognized
+    # JPEG magic with a corrupt body raises instead (r06: jpeg is now a
+    # vendored codec, not stub territory).
+    assert decode_image_meta(b"MP4\x00not-a-codec-we-parse") is None
+    with pytest.raises(ValueError):
+        decode_image_meta(b"\xff\xd8\xff\xe0jpeg-ish")
     # Recognized-but-corrupt → ValueError (incl. PNG since r05).
     with pytest.raises(ValueError):
         decode_image_meta(b"BM" + b"\x00" * 10)
@@ -772,8 +776,9 @@ def test_extract_media_meta_real_decode(spark):
     out = {r["doc_id"]: r for r in extract_media_meta(df, strict=True).collect()}
     assert (out[1]["media_type"], out[1]["width"], out[1]["height"]) == ("bmp", 40, 30)
     assert (out[2]["media_type"], out[2]["width"], out[2]["height"]) == ("ppm", 20, 10)
-    # strict mode refuses formats without a vendored codec
-    bad = spark.createDataFrame([(3, b"\xff\xd8\xffJPEG-ish")], "doc_id long, media binary")
+    # strict mode refuses formats without a vendored codec (jpeg is
+    # vendored since r06, so use a genuinely unparsed magic)
+    bad = spark.createDataFrame([(3, b"MP4\x00not-a-codec")], "doc_id long, media binary")
     with pytest.raises(Exception, match="NotImplementedError|PythonException"):
         extract_media_meta(bad, strict=True).collect()
 
