@@ -57,7 +57,9 @@ __all__ = [
     "dhash64_pixels",
     "dhash64_png",
     "encode_jpeg_gray",
+    "encode_jpeg_rgb",
     "decode_jpeg_gray",
+    "decode_jpeg_pixels",
     "decode_jpeg_meta",
     "sniff_format",
 ]
@@ -699,6 +701,33 @@ _JPEG_AC_VALS = (
     0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
     0xF9, 0xFA,
 )
+# Annex K (K.3.1/K.3.2) CHROMINANCE tables.
+_JPEG_DC_CHROMA_BITS = (0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0)
+_JPEG_DC_CHROMA_VALS = tuple(range(12))
+_JPEG_AC_CHROMA_BITS = (0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77)
+_JPEG_AC_CHROMA_VALS = (
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+    0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+    0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+    0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+    0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+    0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+)
 # Zigzag scan: raster index of each zigzag position.
 _JPEG_ZIGZAG = (
     0, 1, 8, 16, 9, 2, 3, 10,
@@ -850,36 +879,9 @@ def encode_jpeg_gray(pixels, quant: int = 1) -> bytes:
     for by in range(h // 8):
         for bx in range(w // 8):
             blk = px[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
-            coef = d @ blk @ d.T
-            q = np.round(coef / quant).astype(np.int64)
-            zz = [int(q.flat[i]) for i in _JPEG_ZIGZAG]
-            diff = zz[0] - prev_dc
-            prev_dc = zz[0]
-            cat = _jpeg_category(diff)
-            code, length = dc_codes[cat]
-            bw.write(code, length)
-            if cat:
-                bw.write(diff if diff > 0 else diff + (1 << cat) - 1, cat)
-            run = 0
-            last_nz = max((k for k in range(1, 64) if zz[k]), default=0)
-            for k in range(1, last_nz + 1):
-                if zz[k] == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    code, length = ac_codes[0xF0]  # ZRL
-                    bw.write(code, length)
-                    run -= 16
-                cat = _jpeg_category(zz[k])
-                code, length = ac_codes[run * 16 + cat]
-                bw.write(code, length)
-                bw.write(
-                    zz[k] if zz[k] > 0 else zz[k] + (1 << cat) - 1, cat
-                )
-                run = 0
-            if last_nz < 63:
-                code, length = ac_codes[0x00]  # EOB
-                bw.write(code, length)
+            prev_dc = _jpeg_encode_block(
+                bw, blk, quant, dc_codes, ac_codes, prev_dc, d
+            )
     entropy = bw.flush()
 
     def seg(marker: int, body: bytes) -> bytes:
@@ -894,6 +896,109 @@ def encode_jpeg_gray(pixels, quant: int = 1) -> bytes:
     out += seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))  # SOS
     out += entropy
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def _jpeg_encode_block(bw, blk, quant, dc_codes, ac_codes, prev_dc, dct):
+    """DCT → quantize → zigzag → Huffman-code one 8×8 spatial block
+    (already level-shifted); returns the new DC predictor."""
+    import numpy as np
+
+    coef = dct @ blk @ dct.T
+    q = np.round(coef / quant).astype(np.int64)
+    zz = [int(q.flat[i]) for i in _JPEG_ZIGZAG]
+    diff = zz[0] - prev_dc
+    cat = _jpeg_category(diff)
+    code, length = dc_codes[cat]
+    bw.write(code, length)
+    if cat:
+        bw.write(diff if diff > 0 else diff + (1 << cat) - 1, cat)
+    run = 0
+    last_nz = max((k for k in range(1, 64) if zz[k]), default=0)
+    for k in range(1, last_nz + 1):
+        if zz[k] == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = ac_codes[0xF0]  # ZRL
+            bw.write(code, length)
+            run -= 16
+        cat = _jpeg_category(zz[k])
+        code, length = ac_codes[run * 16 + cat]
+        bw.write(code, length)
+        bw.write(zz[k] if zz[k] > 0 else zz[k] + (1 << cat) - 1, cat)
+        run = 0
+    if last_nz < 63:
+        code, length = ac_codes[0x00]  # EOB
+        bw.write(code, length)
+    return zz[0]
+
+
+def encode_jpeg_rgb(pixels, quant: int = 1) -> bytes:
+    """Encode a (height, width, 3) uint8 RGB array as a valid baseline
+    COLOR JFIF JPEG: 3 components (YCbCr, JFIF matrix, rounded to
+    integer samples), 1×1 sampling (4:4:4), interleaved MCUs with
+    per-component DC predictors, luminance tables for Y and the Annex K
+    chrominance tables for Cb/Cr, flat ``quant`` quantization. Dims
+    must be multiples of 8. For achromatic content (R=G=B) the YCbCr
+    conversion is exact (Cb=Cr=128, Y=value), so flat gray blocks at
+    quant 1 roundtrip bit-for-bit — the oracle-replayable subset —
+    while the pipeline itself is the general color path."""
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.float64)
+    if px.ndim != 3 or px.shape[2] != 3:
+        raise ValueError("encode_jpeg_rgb expects (h, w, 3)")
+    h, w = px.shape[:2]
+    if h % 8 or w % 8 or h <= 0 or w <= 0:
+        raise ValueError("JPEG encoder requires positive dims divisible by 8")
+    r, g, b = px[:, :, 0], px[:, :, 1], px[:, :, 2]
+    y = np.round(0.299 * r + 0.587 * g + 0.114 * b)
+    cb = np.round(128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b)
+    cr = np.round(128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b)
+    planes = [np.clip(c, 0, 255) - 128.0 for c in (y, cb, cr)]
+    dct = _dct_matrix()
+    luma_dc = _jpeg_canonical_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    luma_ac = _jpeg_canonical_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    chroma_dc = _jpeg_canonical_codes(_JPEG_DC_CHROMA_BITS, _JPEG_DC_CHROMA_VALS)
+    chroma_ac = _jpeg_canonical_codes(_JPEG_AC_CHROMA_BITS, _JPEG_AC_CHROMA_VALS)
+    tables = [(luma_dc, luma_ac), (chroma_dc, chroma_ac), (chroma_dc, chroma_ac)]
+    bw = _BitWriter()
+    prev_dc = [0, 0, 0]
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            for ci in range(3):
+                blk = planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                prev_dc[ci] = _jpeg_encode_block(
+                    bw, blk, quant, tables[ci][0], tables[ci][1], prev_dc[ci], dct
+                )
+    entropy = bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, bytes([0x00]) + bytes([quant] * 64))  # luma qtable
+    out += seg(0xDB, bytes([0x01]) + bytes([quant] * 64))  # chroma qtable
+    out += seg(
+        0xC0,
+        struct.pack(">BHHB", 8, h, w, 3)
+        + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]),
+    )
+    out += seg(0xC4, bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS))
+    out += seg(0xC4, bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS))
+    out += seg(
+        0xC4,
+        bytes([0x01]) + bytes(_JPEG_DC_CHROMA_BITS) + bytes(_JPEG_DC_CHROMA_VALS),
+    )
+    out += seg(
+        0xC4,
+        bytes([0x11]) + bytes(_JPEG_AC_CHROMA_BITS) + bytes(_JPEG_AC_CHROMA_VALS),
+    )
+    out += seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    out += entropy
+    out += b"\xff\xd9"
     return bytes(out)
 
 
@@ -933,20 +1038,21 @@ def decode_jpeg_meta(payload: bytes) -> tuple[int, int, int]:
     raise ValueError("JPEG missing SOF0")
 
 
-def decode_jpeg_gray(payload: bytes):
-    """REAL baseline JPEG decode (grayscale, 1×1 sampling): marker
-    walk, DQT/DHT/SOF0/SOS parse, stuffed-bit canonical-Huffman entropy
-    decode (DC differences + AC run-lengths, ZRL and EOB), dequantize,
-    de-zigzag, orthonormal IDCT, level shift + clamp → numpy
-    (height, width) uint8."""
+def decode_jpeg_pixels(payload: bytes):
+    """REAL baseline JPEG decode, 1- or 3-component (1×1 sampling,
+    interleaved scan): marker walk, DQT/DHT/SOF0/SOS parse, stuffed-bit
+    canonical-Huffman entropy decode (per-component DC predictors, AC
+    run-lengths, ZRL and EOB), dequantize, de-zigzag, orthonormal IDCT,
+    level shift + clamp; 3-component streams convert JFIF YCbCr → RGB.
+    Returns numpy (h, w) uint8 for grayscale or (h, w, 3) uint8 RGB."""
     import numpy as np
 
     qtables: dict[int, list] = {}
     htables: dict[tuple, dict] = {}
     dims = None
-    comp = None
+    comps: list[tuple] = []  # (cid, tq) in SOF order
     scan_pos = None
-    scan_tables = None
+    scan_sel: dict[int, tuple] = {}  # cid -> (td, ta)
     for marker, body, nxt in _jpeg_segments(payload):
         if marker == 0xDB:
             p = 0
@@ -967,61 +1073,79 @@ def decode_jpeg_gray(payload: bytes):
                 p += 17 + n
         elif marker == 0xC0:
             precision, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
-            if precision != 8 or ncomp != 1:
-                raise ValueError("decoder supports 8-bit single-component JPEG")
-            cid, sampling, tq = body[6], body[7], body[8]
-            if sampling != 0x11:
-                raise ValueError("decoder supports 1x1 sampling only")
+            if precision != 8 or ncomp not in (1, 3):
+                raise ValueError("decoder supports 8-bit 1- or 3-component JPEG")
+            for c in range(ncomp):
+                cid, sampling, tq = body[6 + 3 * c : 9 + 3 * c]
+                if sampling != 0x11:
+                    raise ValueError("decoder supports 1x1 sampling only")
+                comps.append((cid, tq))
             dims = (int(w), int(h))
-            comp = (cid, tq)
         elif marker == 0xDA:
             ns = body[0]
-            if ns != 1:
-                raise ValueError("decoder supports single-scan single-component")
-            td, ta = body[2] >> 4, body[2] & 0x0F
-            scan_tables = (td, ta)
+            if ns != len(comps) or ns not in (1, 3):
+                raise ValueError("scan must cover all 1 or 3 components")
+            for c in range(ns):
+                cid = body[1 + 2 * c]
+                sel = body[2 + 2 * c]
+                scan_sel[cid] = (sel >> 4, sel & 0x0F)
             scan_pos = nxt
     if dims is None or scan_pos is None:
         raise ValueError("JPEG missing SOF0 or SOS")
     w, h = dims
     if w % 8 or h % 8:
         raise ValueError("decoder requires dims divisible by 8")
-    qt = np.array(qtables[comp[1]], dtype=np.float64)
-    dc_map = htables[(0, scan_tables[0])]
-    ac_map = htables[(1, scan_tables[1])]
     d = _dct_matrix()
     br = _BitReader(payload, scan_pos)
-    out = np.zeros((h, w), dtype=np.uint8)
-    prev_dc = 0
-    inv_zz = _JPEG_ZIGZAG
+    planes = [np.zeros((h, w), dtype=np.float64) for _ in comps]
+    prev_dc = [0] * len(comps)
+    qts = [np.array(qtables[tq], dtype=np.float64) for (_cid, tq) in comps]
+    dmaps = [htables[(0, scan_sel[cid][0])] for (cid, _tq) in comps]
+    amaps = [htables[(1, scan_sel[cid][1])] for (cid, _tq) in comps]
+    inv_zz = list(_JPEG_ZIGZAG)
     try:
         for by in range(h // 8):
             for bx in range(w // 8):
-                zz = np.zeros(64, dtype=np.float64)
-                cat = br.read_symbol(dc_map)
-                diff = _jpeg_extend(br.read_bits(cat), cat) if cat else 0
-                prev_dc += diff
-                zz[0] = prev_dc
-                k = 1
-                while k < 64:
-                    sym = br.read_symbol(ac_map)
-                    if sym == 0x00:  # EOB
-                        break
-                    if sym == 0xF0:  # ZRL
-                        k += 16
-                        continue
-                    run, cat = sym >> 4, sym & 0x0F
-                    k += run
-                    if k > 63:
-                        raise ValueError("JPEG AC run past block end")
-                    zz[k] = _jpeg_extend(br.read_bits(cat), cat)
-                    k += 1
-                coef = np.zeros(64, dtype=np.float64)
-                coef[list(inv_zz)] = zz * qt
-                blk = d.T @ coef.reshape(8, 8) @ d + 128.0
-                out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
-                    np.round(blk), 0, 255
-                ).astype(np.uint8)
+                for ci in range(len(comps)):
+                    zz = np.zeros(64, dtype=np.float64)
+                    cat = br.read_symbol(dmaps[ci])
+                    diff = _jpeg_extend(br.read_bits(cat), cat) if cat else 0
+                    prev_dc[ci] += diff
+                    zz[0] = prev_dc[ci]
+                    k = 1
+                    while k < 64:
+                        sym = br.read_symbol(amaps[ci])
+                        if sym == 0x00:  # EOB
+                            break
+                        if sym == 0xF0:  # ZRL
+                            k += 16
+                            continue
+                        run, cat = sym >> 4, sym & 0x0F
+                        k += run
+                        if k > 63:
+                            raise ValueError("JPEG AC run past block end")
+                        zz[k] = _jpeg_extend(br.read_bits(cat), cat)
+                        k += 1
+                    coef = np.zeros(64, dtype=np.float64)
+                    coef[inv_zz] = zz * qts[ci]
+                    blk = d.T @ coef.reshape(8, 8) @ d + 128.0
+                    planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = blk
     except StopIteration as exc:
         raise ValueError("JPEG entropy stream ended early") from exc
+    if len(comps) == 1:
+        return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+    y, cb, cr = planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=2)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def decode_jpeg_gray(payload: bytes):
+    """Grayscale head of :func:`decode_jpeg_pixels` (errors on color
+    streams so callers expecting (h, w) never get a 3-dim array)."""
+    out = decode_jpeg_pixels(payload)
+    if out.ndim != 2:
+        raise ValueError("expected a single-component JPEG")
     return out

@@ -46,6 +46,7 @@ __all__ = [
     "jaccard_tokens",
     "jaccard_prefix_pairs",
     "shared_span_pairs",
+    "shared_span_groups",
     "minhash_signature_portable",
 ]
 
@@ -506,43 +507,19 @@ _CONSEC_RUN_SQL = (
 )
 
 
-def shared_span_pairs(
+def _span_rep_analysis(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 4,
-    max_intra_pairs: "int | None" = None,
-) -> DataFrame:
-    """Exact shared-span pairs (Lee et al. 2021 substring dedup,
-    re-expressed distributed): for every doc pair sharing at least one
-    exact k-token span, report the number of duplicated k-gram positions
-    in the lower-id doc and the longest exactly-duplicated span length
-    in tokens.
-
-    A shared span of length L >= k is exactly a run of L - k + 1
-    consecutive source positions whose k-grams all occur in the partner,
-    so: positional k-grams keyed by a 16-hex md5 prefix (portable;
-    production swaps in xxhash64 — same plan), ONE shuffle on the gram
-    key with chained-generator in-bucket i<j expansion (docs ascending,
-    each pair emitted from one bucket per position — no distinct), then
-    one pair-key aggregation where a higher-order fold over the sorted
-    position array recovers the longest consecutive run. Skew = gram
-    document frequency, same bound as the prefix-filter pass; at 100 TB
-    add a broadcast stoplist of ultra-high-df grams routed through the
-    pair-verify read.
-
-    Runs AFTER an exact-duplicate collapse (:func:`exact_collapse`) —
-    without it, k copies of a text put k× members in every gram bucket
-    (measured OOM at 100× replication). Intra-group pairs are exact by
-    identity: identical docs share every position, so n_dup_grams =
-    ntok − k + 1 and the longest span is the whole doc. Cross-group
-    pairs inherit the representative pair's metrics for the matching
-    ORIENTATION: the metrics count positions in the lower-id doc, and
-    expansion can hand the lower id to either group, so both sides'
-    position sets are aggregated at the rep level and the expansion
-    picks the side whose group supplies the expanded lower id. Groups
-    whose text has fewer than k tokens carry no grams and emit no
-    intra pairs, matching the uncollapsed semantics."""
+):
+    """Shared core of the span family: exact collapse, positional
+    k-gram bucketing, and the REPRESENTATIVE-level pair aggregation
+    carrying BOTH orientations' metrics. Returns ``(rep_pairs,
+    members, rep_metrics)``; ``members`` is None when the adaptive
+    collapse found no duplicates (then ``rep_pairs`` is the final
+    single-orientation pair set and ``rep_metrics`` covers all docs).
+    See :func:`shared_span_pairs` for the algorithm story."""
     reps, members = exact_collapse(df, id_col, text_col)
     t = reps.select(
         F.col(id_col), F.split(F.lower(F.col(text_col)), " ").alias("toks")
@@ -566,37 +543,57 @@ def shared_span_pairs(
         .withColumn("docs", F.expr("array_distinct(transform(ms, x -> x.doc_id))"))
         .filter(F.size("docs") >= 2)
     )
-    anchors = grouped.select("ms", "docs", F.posexplode("docs").alias("i", "da"))
-    # Both orientations of each bucket pair: metrics are defined as
-    # positions in the LOWER-id doc, and the group expansion below can
-    # flip which group supplies the lower id, so the b-side positions
-    # must travel too (each doc position carries exactly one gram, so
-    # the per-bucket position arrays are disjoint across buckets).
-    # With no duplicate groups (members is None) orientation can never
-    # flip, so the b-side tracking is skipped entirely.
-    cand = anchors.select(
+    # Positions of the anchor doc's gram occurrences, computed ONCE per
+    # (bucket, anchor) — O(k) each, O(k²) per bucket total. Both pair
+    # orientations then reuse this per-anchor array: metrics are defined
+    # as positions in the LOWER-id doc and the group expansion below can
+    # flip which group supplies the lower id, so each anchor emits its
+    # array to the pairs where it is the lower id (side 0 → psa) AND to
+    # the pairs where it is the higher id (side 1 → psb). Filtering the
+    # whole member array per PAIR instead would be O(k³) per bucket and
+    # was measured as an executor OOM at the 100× layout.
+    anchors = (
+        grouped.select("ms", "docs", F.posexplode("docs").alias("i", "da"))
+        .withColumn(
+            "ps", F.expr("transform(filter(ms, e -> e.doc_id = da), e -> e.pos)")
+        )
+        .drop("ms")
+    )
+    cand_a = anchors.select(
         F.col("da").alias("id_a"),
         F.explode(F.expr("slice(docs, i + 2, size(docs))")).alias("id_b"),
-        F.expr("transform(filter(ms, e -> e.doc_id = da), e -> e.pos)").alias("psa"),
-        F.col("ms"),
+        F.col("ps"),
+        F.lit(0).alias("side"),
     )
     run_a = _CONSEC_RUN_SQL.format(arr="psa")
+    rep_metrics = t.select(
+        F.col(id_col).alias("mrep"), F.size("toks").alias("ntok")
+    ).filter(F.col("ntok") >= k)
     if members is None:
-        agg = cand.groupBy("id_a", "id_b").agg(
-            F.sort_array(F.flatten(F.collect_list("psa"))).alias("psa")
+        agg = cand_a.groupBy("id_a", "id_b").agg(
+            F.sort_array(F.flatten(F.collect_list("ps"))).alias("psa")
         )
-        return agg.select(
+        pairs = agg.select(
             "id_a",
             "id_b",
             F.size("psa").cast("long").alias("n_dup_grams"),
             (F.expr(run_a) + F.lit(k - 1)).cast("long").alias("max_span_tokens"),
         )
-    cand = cand.withColumn(
-        "psb", F.expr("transform(filter(ms, e -> e.doc_id = id_b), e -> e.pos)")
-    ).drop("ms")
+        return pairs, None, rep_metrics
+    cand_b = anchors.select(
+        F.explode(F.expr("slice(docs, 1, i)")).alias("id_a"),
+        F.col("da").alias("id_b"),
+        F.col("ps"),
+        F.lit(1).alias("side"),
+    )
+    cand = cand_a.unionByName(cand_b)
     agg = cand.groupBy("id_a", "id_b").agg(
-        F.sort_array(F.flatten(F.collect_list("psa"))).alias("psa"),
-        F.sort_array(F.flatten(F.collect_list("psb"))).alias("psb"),
+        F.sort_array(
+            F.flatten(F.collect_list(F.when(F.col("side") == 0, F.col("ps"))))
+        ).alias("psa"),
+        F.sort_array(
+            F.flatten(F.collect_list(F.when(F.col("side") == 1, F.col("ps"))))
+        ).alias("psb"),
     )
     run_b = _CONSEC_RUN_SQL.format(arr="psb")
     rep_pairs = agg.select(
@@ -607,13 +604,58 @@ def shared_span_pairs(
         F.size("psb").cast("long").alias("n_dup_grams_b"),
         (F.expr(run_b) + F.lit(k - 1)).cast("long").alias("max_span_tokens_b"),
     )
+    return rep_pairs, members, rep_metrics
+
+
+def shared_span_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+    max_intra_pairs: "int | None" = None,
+) -> DataFrame:
+    """Exact shared-span pairs (Lee et al. 2021 substring dedup,
+    re-expressed distributed): for every doc pair sharing at least one
+    exact k-token span, report the number of duplicated k-gram
+    positions in the lower-id doc and the longest exactly-duplicated
+    span length in tokens.
+
+    A shared span of length L >= k is exactly a run of L - k + 1
+    consecutive source positions whose k-grams all occur in the
+    partner, so: positional k-grams keyed by a 16-hex md5 prefix
+    (portable; production swaps in xxhash64 — same plan), ONE shuffle
+    on the gram key with chained-generator in-bucket i<j expansion
+    (docs ascending, each pair emitted from one bucket per position —
+    no distinct), then one pair-key aggregation where a higher-order
+    fold over the sorted position array recovers the longest
+    consecutive run. Skew = gram document frequency, same bound as the
+    prefix-filter pass; at 100 TB add a broadcast stoplist of
+    ultra-high-df grams routed through the pair-verify read.
+
+    Runs AFTER an exact-duplicate collapse (:func:`exact_collapse`) —
+    without it, k copies of a text put k× members in every gram bucket
+    (measured OOM at 100× replication). Intra-group pairs are exact by
+    identity: identical docs share every position, so n_dup_grams =
+    ntok − k + 1 and the longest span is the whole doc. Cross-group
+    pairs inherit the representative pair's metrics for the matching
+    ORIENTATION: the metrics count positions in the lower-id doc, and
+    expansion can hand the lower id to either group, so both sides'
+    position sets are aggregated at the rep level and the expansion
+    picks the side whose group supplies the expanded lower id. Groups
+    whose text has fewer than k tokens carry no grams and emit no
+    intra pairs, matching the uncollapsed semantics.
+
+    NOTE the pair LISTING is quadratic in duplicate density by
+    definition (414M rows measured at the 100× layout); cluster
+    formation should use :func:`shared_span_groups`, which never
+    materializes the member pair list."""
+    rep_pairs, members, rep_metrics = _span_rep_analysis(df, id_col, text_col, k)
+    if members is None:
+        return rep_pairs
     check_pair_budget(members, max_intra_pairs)
     # Intra-group pairs: identical texts share EVERY position, so the
     # metrics come straight from the representative's token count; a
     # group with < k tokens has no grams and emits nothing.
-    rep_metrics = t.select(
-        F.col(id_col).alias("mrep"), F.size("toks").alias("ntok")
-    ).filter(F.col("ntok") >= k)
     spread = members.repartition(
         members.sparkSession.sparkContext.defaultParallelism, "rep"
     )
@@ -653,6 +695,109 @@ def shared_span_pairs(
         )
     )
     return intra.unionByName(cross)
+
+
+def shared_span_groups(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+    span_min: int = 8,
+) -> DataFrame:
+    """Duplicate clusters over the shared-span relation (pairs with a
+    duplicated span of >= ``span_min`` tokens) WITHOUT materializing
+    the member pair list: identical to running connected components on
+    ``shared_span_pairs(...).filter(max_span_tokens >= span_min)``,
+    but linear in members where the pair listing is quadratic in
+    duplicate density (the 100× layout's 414M-row pair list OOM'd CC;
+    this path runs the same clustering over ~|members| star edges).
+
+    Construction (exact, not approximate): qualification is evaluated
+    at the REPRESENTATIVE level with both orientations' metrics —
+    orientation decides which group's text the span metric counts, so
+    a rep pair (A, B) contributes member edges iff the a-side metric
+    qualifies (some member of A is the lower id — always true, since
+    rep(A) < every member of B), or the b-side metric qualifies and
+    some member of B sits below some member of A (rep(B) < max(A)).
+    Each qualifying (rep pair, orientation) yields a connectivity-
+    preserving STAR over exactly its incident members, anchored at a
+    rep that is itself incident (a-side: rep(A), which every member of
+    B exceeds; b-side: rep(B), which the qualification bound places
+    below max(A)); qualifying duplicate groups (size ≥ 2, token count
+    ≥ span_min — identical texts share their full length) star on
+    their own rep. Every qualifying member pair lies inside one
+    orientation's blob and every blob is connected through its anchor
+    in the true pair graph, so components — including which members
+    appear AT ALL (a member above max(B) is NOT incident to an a-side-
+    only edge, exactly as in the quadratic semantics) — match the
+    pair-level clustering bit-for-bit; the driver oracle re-proves
+    this against the quadratic SQL formulation."""
+    rep_pairs, members, rep_metrics = _span_rep_analysis(df, id_col, text_col, k)
+    if members is None:
+        return connected_components(
+            rep_pairs.filter(F.col("max_span_tokens") >= span_min)
+        )
+    g = members.groupBy("rep").agg(
+        F.max("member").alias("mx"), F.count(F.lit(1)).alias("grp_n")
+    )
+    ep = (
+        rep_pairs.join(
+            g.select(F.col("rep").alias("id_a"), F.col("mx").alias("mx_a")), "id_a"
+        )
+        .join(
+            g.select(F.col("rep").alias("id_b"), F.col("mx").alias("mx_b")), "id_b"
+        )
+        .withColumn("qa", F.col("max_span_tokens") >= span_min)
+        .withColumn(
+            "qb",
+            (F.col("id_b") < F.col("mx_a"))
+            & (F.col("max_span_tokens_b") >= span_min),
+        )
+        .filter(F.col("qa") | F.col("qb"))
+        .localCheckpoint(eager=False)
+    )
+    mem_a = ep.join(
+        members.select(F.col("rep").alias("id_a"), "member"), "id_a"
+    )
+    mem_b = ep.join(
+        members.select(F.col("rep").alias("id_b"), "member"), "id_b"
+    )
+    # a-side star (anchor rep(A) = id_a): incident A members are those
+    # below max(B); every B member exceeds rep(A) so all are incident.
+    star_a = mem_a.filter(
+        F.col("qa") & (F.col("member") < F.col("mx_b"))
+    ).select(F.col("id_a").alias("x"), F.col("member").alias("y")).unionByName(
+        mem_b.filter(F.col("qa")).select(
+            F.col("id_a").alias("x"), F.col("member").alias("y")
+        )
+    )
+    # b-side star (anchor rep(B) = id_b): incident A members exceed
+    # rep(B); incident B members sit below max(A).
+    star_b = mem_a.filter(
+        F.col("qb") & (F.col("member") > F.col("id_b"))
+    ).select(F.col("id_b").alias("x"), F.col("member").alias("y")).unionByName(
+        mem_b.filter(F.col("qb") & (F.col("member") < F.col("mx_a"))).select(
+            F.col("id_b").alias("x"), F.col("member").alias("y")
+        )
+    )
+    clique = (
+        g.filter(F.col("grp_n") >= 2)
+        .join(
+            rep_metrics.select(F.col("mrep").alias("rep"), "ntok"), "rep"
+        )
+        .filter(F.col("ntok") >= span_min)
+        .select("rep")
+    )
+    star_c = members.join(clique, "rep", "left_semi").select(
+        F.col("rep").alias("x"), F.col("member").alias("y")
+    )
+    edges = (
+        star_a.unionByName(star_b)
+        .unionByName(star_c)
+        .filter(F.col("x") != F.col("y"))
+        .distinct()
+    )
+    return connected_components(edges, "x", "y")
 
 
 # Adaptive-collapse probe cache: corpus file fingerprint → "is the

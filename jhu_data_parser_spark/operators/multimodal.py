@@ -33,7 +33,9 @@ __all__ = [
     "attach_video",
     "attach_png",
     "attach_jpeg",
+    "attach_jpeg_color",
     "extract_jpeg_pixels_meta",
+    "extract_jpeg_color_meta",
     "attach_image_mixed",
     "attach_png_bucketed",
     "extract_png_meta_quarantine",
@@ -278,6 +280,88 @@ def extract_jpeg_pixels_meta(
         _map,
         "doc_id bigint, media_type string, width int, height int, "
         "row0_sum bigint, pix_sum bigint",
+    )
+
+
+def attach_jpeg_color(
+    df: DataFrame, id_col: str = "doc_id", media_col: str = "media"
+) -> DataFrame:
+    """Synthesize REAL baseline COLOR JPEG payloads (3-component YCbCr
+    4:4:4, interleaved MCUs, luminance + Annex K chrominance Huffman
+    tables): same dims/flat-block scheme as :func:`attach_jpeg`, with
+    each block an ACHROMATIC RGB color (R=G=B=LCG byte) — the YCbCr
+    conversion is exact for gray content, so the lossy color pipeline
+    roundtrips bit-for-bit and stays oracle-replayable while the codec
+    exercises the full interleaved 3-predictor entropy path."""
+    import numpy as np
+
+    from jhu_data_parser_spark.functions.codecs import (
+        _fill_bytes,
+        encode_jpeg_rgb,
+    )
+
+    def _payload(did: int) -> bytes:
+        w = (did % 8 + 2) * 8
+        h = (did % 6 + 2) * 8
+        vals = np.frombuffer(
+            _fill_bytes((w // 8) * (h // 8), seed=did), dtype=np.uint8
+        ).reshape(h // 8, w // 8)
+        gray = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
+        return encode_jpeg_rgb(np.stack([gray, gray, gray], axis=2))
+
+    def _map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [_payload(int(did)) for did in pdf[id_col]]
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col].astype("int64"), media_col: payloads}
+            )
+
+    return df.select(id_col).mapInPandas(_map, f"doc_id bigint, {media_col} binary")
+
+
+def extract_jpeg_color_meta(
+    df: DataFrame, id_col: str = "doc_id", media_col: str = "media"
+) -> DataFrame:
+    """Decode COLOR JPEG payloads through the interleaved entropy
+    stream (``codecs.decode_jpeg_pixels``): emits dims, component
+    count, the decoded first-row sum over ALL channels, and the full
+    RGB pixel sum — values that require the 3-predictor Huffman walk,
+    both chroma tables, IDCT, and the YCbCr→RGB conversion to all be
+    right."""
+    from jhu_data_parser_spark.functions.codecs import (
+        decode_jpeg_meta,
+        decode_jpeg_pixels,
+    )
+
+    def _map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, widths, heights, ncomps, row0, total = [], [], [], [], [], []
+            for did, payload in zip(pdf[id_col], pdf[media_col]):
+                payload = bytes(payload)
+                px = decode_jpeg_pixels(payload)
+                _w, _h, nc = decode_jpeg_meta(payload)
+                ids.append(int(did))
+                heights.append(px.shape[0])
+                widths.append(px.shape[1])
+                ncomps.append(int(nc))
+                row0.append(int(px[0].astype("int64").sum()))
+                total.append(int(px.astype("int64").sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "media_type": "jpeg",
+                    "width": widths,
+                    "height": heights,
+                    "n_components": ncomps,
+                    "row0_sum": row0,
+                    "pix_sum": total,
+                }
+            )
+
+    return df.select(id_col, media_col).mapInPandas(
+        _map,
+        "doc_id bigint, media_type string, width int, height int, "
+        "n_components int, row0_sum bigint, pix_sum bigint",
     )
 
 

@@ -143,13 +143,17 @@ _SPAN_EDGES_CTE = f"""
     """,
 )
 def dedup_span_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Duplicate clusters over the exact shared-span pair set (spans of
+    """Duplicate clusters over the exact shared-span relation (spans of
     >= {min} tokens): CC min-label propagation on 100%-recall edges —
-    the boilerplate/mirror clusters substring dedup exists to find."""
-    pairs = dedup_shared_span_pairs(spark, sf_dir).filter(
-        F.col("max_span_tokens") >= _SPAN_MIN
-    )
-    return dd.connected_components(pairs)
+    the boilerplate/mirror clusters substring dedup exists to find.
+    Routed through :func:`dd.shared_span_groups`, which clusters over
+    linear star edges instead of the quadratic member pair list (the
+    100× dup-dense layout produces 414M member pairs — enumerable for
+    the pairs deliverable, but an OOM as a CC edge list); the oracle
+    is still the fully quadratic pair-level formulation, so the driver
+    gate proves the sparsification is exact."""
+    d = load_table(spark, sf_dir, "documents")
+    return dd.shared_span_groups(d, k=_SPAN_K, span_min=_SPAN_MIN)
 
 
 @query(

@@ -340,6 +340,57 @@ _JPEG_ORACLE = """
     """
 
 
+# Color twin: achromatic flat blocks (R=G=B=v) make the JFIF YCbCr
+# conversion exact (Y=v, Cb=Cr=128), so the 3-component interleaved
+# pipeline replays too — row0/pix sums are simply 3× the gray values.
+_JPEG_COLOR_ORACLE = """
+    WITH dims AS (
+      SELECT doc_id,
+             (doc_id % 8 + 2) * 8 AS w,
+             (doc_id % 6 + 2) * 8 AS h
+      FROM documents),
+    b AS (
+      SELECT d.doc_id, d.w, d.h, g.i AS bi,
+             ((((g.i + d.doc_id)::HUGEINT * 6364136223846793005
+                + 1442695040888963407) % 18446744073709551616::HUGEINT)
+              // 8589934592) % 256 AS v
+      FROM dims d CROSS JOIN generate_series(0, 62) g(i)
+      WHERE g.i < (d.w // 8) * (d.h // 8)),
+    agg AS (
+      SELECT doc_id,
+             CAST(3 * SUM(CASE WHEN bi < w // 8 THEN 8 * v ELSE 0 END)
+                  AS BIGINT) AS row0_sum,
+             CAST(3 * SUM(64 * v) AS BIGINT) AS pix_sum
+      FROM b GROUP BY doc_id)
+    SELECT d.doc_id,
+           'jpeg' AS media_type,
+           CAST(d.w AS INT) AS width,
+           CAST(d.h AS INT) AS height,
+           CAST(3 AS INT) AS n_components,
+           a.row0_sum,
+           a.pix_sum
+    FROM dims d JOIN agg a USING (doc_id)
+    """
+
+
+@query("multimodal_decode_jpeg_color", oracle=_JPEG_COLOR_ORACLE)
+def multimodal_decode_jpeg_color(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline COLOR JPEG decode: 3-component YCbCr 4:4:4 streams
+    with interleaved MCUs, per-component DC predictors, and the Annex K
+    chrominance Huffman tables — the decoder walks all three entropy
+    chains per MCU and converts YCbCr→RGB. Content is achromatic flat
+    blocks (the YCbCr matrix is exact for R=G=B), so the lossy pipeline
+    replays: the oracle recomputes dims, component count, and the
+    decoded RGB row/pixel sums from id arithmetic alone."""
+    from jhu_data_parser_spark.operators.multimodal import (
+        attach_jpeg_color,
+        extract_jpeg_color_meta,
+    )
+
+    d = attach_jpeg_color(load_table(spark, sf_dir, "documents"))
+    return extract_jpeg_color_meta(d)
+
+
 @query("multimodal_decode_jpeg", oracle=_JPEG_ORACLE)
 def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL baseline JPEG decode: synthesize valid grayscale JFIF

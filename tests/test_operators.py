@@ -658,6 +658,26 @@ def test_codecs_jpeg_roundtrip_and_entropy():
     with pytest.raises(ValueError):
         encode_jpeg_gray(np.zeros((10, 16), dtype=np.uint8))
 
+    # COLOR: achromatic content roundtrips exactly through the
+    # 3-component interleaved pipeline (YCbCr exact for R=G=B)...
+    from jhu_data_parser_spark.functions.codecs import (
+        decode_jpeg_pixels,
+        encode_jpeg_rgb,
+    )
+
+    rgb = np.stack([px, px, px], axis=2)
+    cpay = encode_jpeg_rgb(rgb)
+    assert decode_jpeg_meta(cpay) == (32, 24, 3)
+    assert (decode_jpeg_pixels(cpay) == rgb).all()
+    # ...arbitrary color content decodes within the quant-1 + YCbCr
+    # rounding envelope, exercising both chroma Huffman tables
+    rgb2 = rng.randint(0, 256, size=(16, 16, 3)).astype(np.uint8)
+    cout = decode_jpeg_pixels(encode_jpeg_rgb(rgb2))
+    assert np.abs(cout.astype(int) - rgb2.astype(int)).max() <= 4
+    # a gray-expecting caller must not silently get a 3-dim array
+    with pytest.raises(ValueError):
+        decode_jpeg_gray(cpay)
+
 
 def test_codecs_png_resize_matches_numpy_reference():
     """resize_png_nearest must equal direct numpy floor-index sampling
@@ -1597,6 +1617,57 @@ def test_shared_span_cross_group_orientation(spark):
     # doc2 side vs doc3: only positions 1-2 of doc2 are shared -> (2, 4);
     # intra (1,3): identical 6-token texts -> (4, 6).
     assert got == {(1, 2): (4, 6), (1, 3): (4, 6), (2, 3): (2, 4)}
+
+
+def test_shared_span_groups_matches_pair_level_cc(spark):
+    """shared_span_groups (linear star edges) must equal connected
+    components over the quadratic member pair list — including the
+    nastiest corner: a b-side-only qualifying edge whose lower rep is
+    NOT itself incident (doc 1 shares a gram with doc 2 but only doc
+    2's side carries a long-enough run, and doc 1's duplicate group is
+    too short for an intra clique), so doc 1 must be ABSENT and the
+    label must be the min INCIDENT member."""
+    from jhu_data_parser_spark.operators import dedup as dd
+
+    docs = [
+        (1, "w w w"),        # group {1, 100}: 3 tokens -> no intra clique at min 4
+        (2, "w w w w w"),    # singleton; b-side span 5 vs group {1,100}
+        (100, "w w w"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        (r["id"], r["component"])
+        for r in dd.shared_span_groups(df, k=3, span_min=4).collect()
+    }
+    # member-level truth: (1,2) spans 3 (a-side) -> filtered; (1,100)
+    # identical 3-token texts span 3 -> filtered; (2,100) lower id 2's
+    # side runs 3 consecutive grams -> span 5 -> edge. Doc 1 absent.
+    assert got == {(2, 2), (100, 2)}
+
+    # broader equivalence on a duplicate-dense corpus with interleaved
+    # group ids, boilerplate overlap, and short texts
+    boiler = "the quick brown fox jumps over the lazy dog"
+    docs2 = [
+        (1, boiler + " alpha beta gamma"),
+        (2, "intro text " + boiler),
+        (3, boiler + " alpha beta gamma"),   # dup of 1, id between groups
+        (4, "unrelated words entirely here today"),
+        (5, "intro text " + boiler),          # dup of 2
+        (6, "x y"),                            # too short for grams
+        (7, "x y"),                            # dup of 6 (short: no clique)
+        (8, "the quick brown fox stops here now"),
+    ]
+    df2 = spark.createDataFrame(docs2, ["doc_id", "text"])
+    pairs = dd.shared_span_pairs(df2, k=3).filter(F.col("max_span_tokens") >= 5)
+    want = {
+        (r["id"], r["component"])
+        for r in dd.connected_components(pairs).collect()
+    }
+    got2 = {
+        (r["id"], r["component"])
+        for r in dd.shared_span_groups(df2, k=3, span_min=5).collect()
+    }
+    assert got2 == want
 
 
 def test_exact_collapse_null_text_singletons(spark):
