@@ -45,6 +45,7 @@ __all__ = [
     "banded_hamming_pairs",
     "jaccard_tokens",
     "jaccard_prefix_pairs",
+    "jaccard_groups",
     "shared_span_pairs",
     "shared_span_groups",
     "minhash_signature_portable",
@@ -296,53 +297,19 @@ def jaccard_tokens(a: Column, b: Column) -> Column:
     return F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
 
 
-def jaccard_prefix_pairs(
+def _jaccard_rep_analysis(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.5,
     shingle_k: int = 3,
-    max_intra_pairs: "int | None" = None,
-) -> DataFrame:
-    """Exact shingle-Jaccard >= threshold pairs via AllPairs prefix
-    filtering (Bayardo et al., WWW'07) — the DETERMINISTIC member of the
-    near-dup family: 100% recall by construction, no banding
-    probability, no sketch.
-
-    Order each doc's distinct k-token shingle set by ascending global
-    document frequency (rarest first; shingle string tie-break — a
-    canonical total order), index only the first
-    ``|s| - ceil(tau*|s|) + 1`` shingles, and self-join on those prefix
-    shingles: the AllPairs lemma guarantees any pair with J >= tau
-    shares at least one prefix shingle. A length filter
-    (``tau * max(|a|,|b|) <= min(|a|,|b|)``) prunes before the exact
-    array_intersect/array_union verify.
-
-    Scale shape: shuffles on the shingle key are skew-bounded — a
-    shingle's fan-out is its df, and high-df (boilerplate) shingles are
-    exactly the ones the df-ascending prefix EXCLUDES from the index.
-    The verify joins ship candidate ids + shingle sets only. vs
-    MinHash-LSH (:func:`near_dup_pairs_minhash`): ~2 extra shuffles,
-    zero recall loss.
-
-    Shingles are carried as xxhash64 LONGS from the build onward: set
-    Jaccard is invariant under an injective relabeling, and a 64-bit
-    collision anywhere in the corpus (~n²/2⁶⁵, ≈1e-8 at 10⁵ distinct
-    shingles) is the only way a hashed count can differ from the string
-    count — the quadratic string-set oracle in plans/llm.py re-proves
-    this on every driver run. The long representation shrinks every
-    downstream shuffle/sort ~4× and turns the verify intersect into
-    long-array ops (measured 8.3 s → ~4 s at sf0.1 with the window-df
-    rework).
-
-    Like the MinHash path, the pipeline runs AFTER an exact-duplicate
-    collapse (:func:`exact_collapse`): freq/order/prefix/verify see one
-    representative per distinct text, intra-group pairs emit directly
-    at jaccard 1.0 (identical sets), and cross-group representative
-    pairs expand through membership joins. The AllPairs lemma holds
-    under any global shingle order, so the verified pair set — which
-    the quadratic oracle re-proves — is invariant to the collapse.
-    """
+):
+    """Shared core of the exact-Jaccard family: exact collapse +
+    AllPairs prefix filtering + exact verify at the REPRESENTATIVE
+    level. Returns ``(rep_pairs, members)``; ``members`` is None when
+    the adaptive collapse found no duplicates (then ``rep_pairs`` IS
+    the final pair set). See :func:`jaccard_prefix_pairs` for the
+    algorithm story."""
     reps, members = exact_collapse(df, id_col, text_col)
     t = reps.select(
         F.col(id_col), F.split(F.lower(F.col(text_col)), " ").alias("toks")
@@ -441,9 +408,112 @@ def jaccard_prefix_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    return rep_pairs, members
+
+
+def jaccard_prefix_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    shingle_k: int = 3,
+    max_intra_pairs: "int | None" = None,
+) -> DataFrame:
+    """Exact shingle-Jaccard >= threshold pairs via AllPairs prefix
+    filtering (Bayardo et al., WWW'07) — the DETERMINISTIC member of the
+    near-dup family: 100% recall by construction, no banding
+    probability, no sketch.
+
+    Order each doc's distinct k-token shingle set by ascending global
+    document frequency (rarest first; shingle string tie-break — a
+    canonical total order), index only the first
+    ``|s| - ceil(tau*|s|) + 1`` shingles, and self-join on those prefix
+    shingles: the AllPairs lemma guarantees any pair with J >= tau
+    shares at least one prefix shingle. A length filter
+    (``tau * max(|a|,|b|) <= min(|a|,|b|)``) prunes before the exact
+    array_intersect/array_union verify.
+
+    Scale shape: shuffles on the shingle key are skew-bounded — a
+    shingle's fan-out is its df, and high-df (boilerplate) shingles are
+    exactly the ones the df-ascending prefix EXCLUDES from the index.
+    The verify joins ship candidate ids + shingle sets only. vs
+    MinHash-LSH (:func:`near_dup_pairs_minhash`): ~2 extra shuffles,
+    zero recall loss.
+
+    Shingles are carried as xxhash64 LONGS from the build onward: set
+    Jaccard is invariant under an injective relabeling, and a 64-bit
+    collision anywhere in the corpus (~n²/2⁶⁵, ≈1e-8 at 10⁵ distinct
+    shingles) is the only way a hashed count can differ from the string
+    count — the quadratic string-set oracle in plans/llm.py re-proves
+    this on every driver run. The long representation shrinks every
+    downstream shuffle/sort ~4× and turns the verify intersect into
+    long-array ops (measured 8.3 s → ~4 s at sf0.1 with the window-df
+    rework).
+
+    Like the MinHash path, the pipeline runs AFTER an exact-duplicate
+    collapse (:func:`exact_collapse`): freq/order/prefix/verify see one
+    representative per distinct text, intra-group pairs emit directly
+    at jaccard 1.0 (identical sets), and cross-group representative
+    pairs expand through membership joins. The AllPairs lemma holds
+    under any global shingle order, so the verified pair set — which
+    the quadratic oracle re-proves — is invariant to the collapse.
+    Cluster formation should use :func:`jaccard_groups` (linear star
+    edges), not CC over this pair LISTING (quadratic in duplicate
+    density by definition).
+    """
+    rep_pairs, members = _jaccard_rep_analysis(
+        df, id_col, text_col, threshold, shingle_k
+    )
     return expand_collapsed_pairs(
         rep_pairs, members, {"jaccard": 1.0}, max_intra_pairs
     )
+
+
+def jaccard_groups(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Duplicate clusters over the exact-Jaccard relation WITHOUT
+    materializing the member pair list: identical to connected
+    components over ``jaccard_prefix_pairs(...)`` but linear in
+    members where the listing is quadratic in duplicate density (the
+    span-family 100× lesson, applied to the symmetric-metric case).
+
+    Jaccard is pair-SYMMETRIC, so the sparsification is simpler than
+    the span one: a qualifying rep pair (A, B) qualifies EVERY member
+    pair of A×B (same token sets), intra pairs of any size-≥2 group
+    sit at exactly 1.0 ≥ τ, and rep = min member — so CC over the
+    rep-level pair list plus one (rep → member) star per participating
+    group (incident to a rep pair, or size ≥ 2) reproduces the
+    pair-level components, node set and labels bit-for-bit. The
+    quadratic oracle re-proves it on every driver run."""
+    rep_pairs, members = _jaccard_rep_analysis(
+        df, id_col, text_col, threshold, shingle_k
+    )
+    base = rep_pairs.select("id_a", "id_b")
+    if members is None:
+        return connected_components(base)
+    incident = (
+        base.select(F.col("id_a").alias("rep"))
+        .unionByName(base.select(F.col("id_b").alias("rep")))
+        .distinct()
+    )
+    big = (
+        members.groupBy("rep")
+        .agg(F.count(F.lit(1)).alias("grp_n"))
+        .filter(F.col("grp_n") >= 2)
+        .select("rep")
+    )
+    part = incident.unionByName(big).distinct()
+    stars = (
+        members.join(part, "rep", "left_semi")
+        .select(F.col("rep").alias("id_a"), F.col("member").alias("id_b"))
+        .filter(F.col("id_a") != F.col("id_b"))
+    )
+    return connected_components(base.unionByName(stars))
 
 
 def minhash_signature_portable(

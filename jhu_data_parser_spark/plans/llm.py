@@ -1499,11 +1499,15 @@ _JACCARD_GROUPS_ORACLE = f"""
 
 @query("dedup_jaccard_groups", oracle=_JACCARD_GROUPS_ORACLE)
 def dedup_jaccard_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Duplicate clusters over the exact n-gram-Jaccard pair set: CC
+    """Duplicate clusters over the exact n-gram-Jaccard relation: CC
     min-label propagation on 100%-recall edges — deterministic
-    duplicate groups (no banding probability anywhere in the chain)."""
-    pairs = dedup_jaccard_prefix_pairs(spark, sf_dir)
-    return dd.connected_components(pairs)
+    duplicate groups (no banding probability anywhere in the chain).
+    Routed through :func:`dd.jaccard_groups`, which clusters over the
+    rep-level pair list plus linear membership stars instead of the
+    quadratic member pair listing (duplicate-dense corpora); the
+    quadratic oracle proves the sparsification exact."""
+    d = load_table(spark, sf_dir, "documents")
+    return dd.jaccard_groups(d, threshold=0.5)
 
 
 _JACCARD_SURVIVORS_ORACLE = f"""

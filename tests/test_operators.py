@@ -1670,6 +1670,36 @@ def test_shared_span_groups_matches_pair_level_cc(spark):
     assert got2 == want
 
 
+def test_jaccard_groups_matches_pair_level_cc(spark):
+    """jaccard_groups (rep pairs + membership stars) must equal CC over
+    the expanded member pair list — jaccard is symmetric so every
+    member pair of a qualifying rep pair qualifies, and size-≥2 groups
+    cluster by their 1.0 intra pairs even with no cross edges."""
+    from jhu_data_parser_spark.operators import dedup as dd
+
+    docs = [
+        (1, "aa bb cc dd ee ff"),
+        (2, "aa bb cc dd ee gg"),   # near-dup of 1
+        (3, "aa bb cc dd ee ff"),   # exact dup of 1, interleaved id
+        (4, "zz yy xx ww vv uu"),
+        (5, "zz yy xx ww vv uu"),   # isolated exact-dup group {4,5}
+        (6, "totally different text here now"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    pairs = dd.jaccard_prefix_pairs(df, threshold=0.5)
+    want = {
+        (r["id"], r["component"])
+        for r in dd.connected_components(pairs).collect()
+    }
+    got = {
+        (r["id"], r["component"])
+        for r in dd.jaccard_groups(df, threshold=0.5).collect()
+    }
+    assert got == want
+    assert {(4, 4), (5, 4)} <= got      # intra-only group clustered
+    assert all(i != 6 for (i, _c) in got)  # isolated doc absent
+
+
 def test_exact_collapse_null_text_singletons(spark):
     """NULL texts must NOT merge into one duplicate group (md5(NULL) is
     NULL and window partitioning groups NULL keys): each NULL-text doc
