@@ -774,8 +774,17 @@ def multimodal_phash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashed = perceptual_dhash(
         attach_image_bucketed(d, seed_mod=_PHASH_SEED_MOD, perturb_odd=True)
     )
+    # Pair-listing budget: at extreme duplicate density (the 100×
+    # layout's ~21k-member groups) the intra listing is Σ C(k,2) ≈ 1e10
+    # rows — fail fast with group diagnostics (use the O(n) groups
+    # deliverable there) instead of letting the output OOM the job.
     return banded_hamming_pairs(
-        hashed, id_col="doc_id", hash_col="phash", bands=4, max_hamming=2
+        hashed,
+        id_col="doc_id",
+        hash_col="phash",
+        bands=4,
+        max_hamming=2,
+        max_intra_pairs=100_000_000,
     )
 
 

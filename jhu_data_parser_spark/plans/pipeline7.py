@@ -245,8 +245,16 @@ def multimodal_phash_png_near_pairs(spark: SparkSession, sf_dir: str) -> DataFra
     hashed = perceptual_dhash_png(
         attach_png_bucketed(d, seed_mod=_PNG_PHASH_SEED_MOD, perturb_odd=True)
     )
+    # Same pair-listing budget as multimodal_phash_near_pairs: the
+    # quadratic OUTPUT is the boundary, not the plan — fail fast with
+    # diagnostics at degenerate duplicate mass.
     return banded_hamming_pairs(
-        hashed, id_col="doc_id", hash_col="phash", bands=4, max_hamming=2
+        hashed,
+        id_col="doc_id",
+        hash_col="phash",
+        bands=4,
+        max_hamming=2,
+        max_intra_pairs=100_000_000,
     )
 
 
