@@ -35,6 +35,14 @@ def main() -> int:
             timings[name] = best
         except Exception as exc:  # noqa: BLE001
             print(f"ERROR {name}: {exc}", flush=True)
+        # Long single-session catalog marathons accumulate lazily-
+        # checkpointed blocks whose JVM RDDs are only released when the
+        # PYTHON wrappers are collected — after ~100 heavy queries at
+        # the 100× layout the block manager bloat OOM'd the JVM. Drop
+        # the py4j references eagerly so ContextCleaner can unpersist.
+        import gc
+
+        gc.collect()
     for name, t in sorted(timings.items(), key=lambda kv: -kv[1]):
         print(f"{t:8.2f}s  {name}", flush=True)
     worst = max(timings.values(), default=0.0)
