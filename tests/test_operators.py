@@ -142,6 +142,13 @@ def test_connected_components_chains_and_islands(spark):
     )
     got = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 8: 8, 9: 8, 10: 8, 11: 8}
+    # the distributed propagation path (local_bound=0 forces it) must
+    # agree with the adaptive driver-side union-find default
+    dist = {
+        r["id"]: r["component"]
+        for r in connected_components(pairs, local_bound=0).collect()
+    }
+    assert dist == got
 
 
 def test_simhash_locality(spark):
@@ -1214,12 +1221,16 @@ def test_star_contraction_matches_propagation(spark):
     pairs = spark.createDataFrame(
         [(a, b) for a, b in edges if a != b], "id_a long, id_b long"
     )
-    prop = {r["id"]: r["component"] for r in connected_components(pairs, max_iter=60).collect()}
+    prop = {
+        r["id"]: r["component"]
+        for r in connected_components(pairs, max_iter=60, local_bound=0).collect()
+    }
     star = {
         r["id"]: r["component"]
         for r in connected_components_contraction(pairs).collect()
     }
-    assert star == prop
+    local = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+    assert star == prop == local
     # chain collapses to its minimum
     assert star[139] == 100 and star[302] == 300
 
@@ -1372,12 +1383,16 @@ def test_contraction_keeps_self_pair_only_nodes(spark):
         [(1, 2), (2, 3), (7, 7), (9, 9), (3, 3)],
         "id_a long, id_b long",
     )
-    prop = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+    prop = {
+        r["id"]: r["component"]
+        for r in connected_components(pairs, local_bound=0).collect()
+    }
     star = {
         r["id"]: r["component"]
         for r in connected_components_contraction(pairs).collect()
     }
-    assert star == prop == {1: 1, 2: 1, 3: 1, 7: 7, 9: 9}
+    local = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+    assert star == prop == local == {1: 1, 2: 1, 3: 1, 7: 7, 9: 9}
 
 
 def test_quality_weighted_keeps_max_weight_docs(spark, tmp_path):
@@ -2037,3 +2052,42 @@ def test_interpolation_invariants(spark, sf_dir):
             hi = max(g.loc[a, "filled_e2"], g.loc[b, "filled_e2"])
             mid = g.loc[a + 1 : b - 1, "filled_e2"]
             assert ((mid >= lo) & (mid <= hi)).all(), (uid, a, b)
+
+
+def test_local_cc_string_ids_and_forced_distributed_agree(spark):
+    """The adaptive driver-side union-find must handle non-numeric id
+    types (phash-style string keys) and agree with the distributed
+    propagation path label-for-label."""
+    from jhu_data_parser_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [("b", "c"), ("a", "b"), ("x", "y"), ("z", "z")],
+        "id_a string, id_b string",
+    )
+    local = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+    dist = {
+        r["id"]: r["component"]
+        for r in connected_components(pairs, local_bound=0).collect()
+    }
+    assert local == dist == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x", "z": "z"}
+
+
+def test_probe_cache_plain_scan_guard(spark, tmp_path):
+    """The adaptive-collapse probe cache keys on input FILES, so it
+    must refuse to cache any frame whose lineage is more than a bare
+    scan (a filtered subset over the same files must not inherit the
+    full-corpus verdict — ADVICE r6)."""
+    from jhu_data_parser_spark.operators.dedup import _is_plain_scan
+
+    p = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(1, "a a a"), (2, "a a a"), (3, "b b b")], ["doc_id", "text"]
+    ).write.parquet(p)
+    scan = spark.read.parquet(p)
+    assert _is_plain_scan(scan)
+    assert not _is_plain_scan(scan.filter("doc_id > 1"))
+    assert not _is_plain_scan(scan.select("text"))
+    assert not _is_plain_scan(scan.limit(2))
+    assert not _is_plain_scan(
+        spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+    )
