@@ -272,11 +272,78 @@ def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out
 
 
+# Vocabulary-size bound below which BPE merge learning runs on the
+# driver over the collected word-frequency table instead of iterating
+# Spark jobs. Classic BPE training is a |vocab|-sized problem after
+# the one corpus-sized counting pass (the HuggingFace/SentencePiece
+# trainers are single-node over exactly this table), but the
+# distributed loop pays one argmax job chain PER MERGE — ~0.4-0.5 s of
+# scheduler latency each for a 1-row answer (measured r7: 10 merges =
+# ~3-5 s at sf0.01 for 10 output rows). Under the bound the table is
+# collected once (Arrow) and the merges are learned locally —
+# bit-identical results, same tie-break, one job instead of 10 chains.
+# 200k words ≈ a few MB; above it the probe early-exits and the
+# distributed loop runs (100 TB corpora: vocab is millions of rows —
+# the loop's per-merge shuffle is the honest scale path).
+LOCAL_BPE_VOCAB_BOUND = 200_000
+
+
+def _utf16_units(w: str) -> list:
+    """Split a string into UTF-16 code units — the unit Spark's
+    ``split(w, '')`` and Java regexes operate on, so the local trainer
+    sees exactly the symbol arrays the distributed fold sees (identical
+    to ``list(w)`` for BMP-only text)."""
+    b = w.encode("utf-16-be", "surrogatepass")
+    return [
+        b[i : i + 2].decode("utf-16-be", "surrogatepass")
+        for i in range(0, len(b), 2)
+    ]
+
+
+def _bpe_train_local(word_counts, num_merges: int) -> list:
+    """Driver-side exact BPE merge learning over the full word-frequency
+    table: per round, weighted adjacent-pair counts (every occurrence,
+    overlapping included), argmax by (count desc, a asc, b asc) — both
+    string comparisons are code-point order, matching Spark/DuckDB
+    UTF-8 binary ordering — then the greedy non-overlapping
+    left-to-right merge fold, exactly the semantics of the distributed
+    ``F.aggregate`` rewrite. Stops when the best pair count drops
+    below 2."""
+    from collections import Counter
+
+    syms = [(_utf16_units(w), int(wc)) for w, wc in word_counts]
+    merges = []
+    for rank in range(num_merges):
+        cnt: Counter = Counter()
+        for s, wc in syms:
+            for i in range(len(s) - 1):
+                cnt[(s[i], s[i + 1])] += wc
+        if not cnt:
+            break
+        (a, b), n = min(cnt.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        if n < 2:
+            break
+        merges.append((rank, a, b, a + b, n))
+        merged = a + b
+        nxt = []
+        for s, wc in syms:
+            acc = []
+            for x in s:
+                if acc and acc[-1] == a and x == b:
+                    acc[-1] = merged
+                else:
+                    acc.append(x)
+            nxt.append((acc, wc))
+        syms = nxt
+    return merges
+
+
 def bpe_train_merges(
     df: DataFrame,
     text_col: str = "text",
     num_merges: int = 10,
     min_word_count: int = 1,
+    local_vocab_bound: int = LOCAL_BPE_VOCAB_BOUND,
 ) -> DataFrame:
     """Train byte-pair-encoding merges over the corpus — the tokenizer-
     construction step (`text_token_count_bpe` *applies* a BPE-ish rule;
@@ -309,10 +376,21 @@ def bpe_train_merges(
         .agg(F.count(F.lit(1)).alias("wc"))
         .filter(F.col("wc") >= min_word_count)
     )
+    spark = df.sparkSession
+    if local_vocab_bound:
+        probe = words.limit(local_vocab_bound + 1).toPandas()
+        if len(probe) <= local_vocab_bound:
+            return spark.createDataFrame(
+                _bpe_train_local(
+                    list(zip(probe["w"].tolist(), probe["wc"].tolist())),
+                    num_merges,
+                ),
+                "merge_rank int, left string, right string, merged string, "
+                "pair_count bigint",
+            )
     syms = words.select(
         "wc", F.split("w", "").alias("s")
     )
-    spark = df.sparkSession
     merges = []
     for rank in range(num_merges):
         pairs = (

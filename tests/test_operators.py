@@ -923,6 +923,16 @@ def test_bpe_train_matches_reference(spark):
     expected = _bpe_reference(wc, 8)
     assert got == expected
     assert got[0][1:3] == ("e", "w")  # 'ew': newest×6 + new×2 = 8, top pair
+    # the distributed per-merge argmax loop (local_vocab_bound=0 forces
+    # it) must produce the identical merge table to the adaptive
+    # driver-side trainer the default path uses
+    dist = [
+        (r["merge_rank"], r["left"], r["right"], r["merged"], r["pair_count"])
+        for r in bpe_train_merges(df, num_merges=8, local_vocab_bound=0)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    assert dist == expected
 
 
 def test_quantized_topk_recall(spark):
