@@ -63,9 +63,22 @@ def main() -> None:
     # One untimed round at the TARGET sf: the sf0.001 warm-up misses
     # sf-keyed caches (adaptive-collapse probe, IVF index registry) and
     # the target files' footer cache, which otherwise land entirely on
-    # the first timed round and dominate the per-query spread.
+    # the first timed round and dominate the per-query spread. Its
+    # per-query wall-clock doubles as the PROBE that sizes the sample
+    # count below.
+    probe: dict[str, float] = {}
     for name in HEADLINE:
+        t0 = time.perf_counter()
         materialize(queries[name](spark, sf_dir))
+        probe[name] = time.perf_counter() - t0
+
+    # Raise the bench process priority: scheduler preemption by
+    # co-tenant processes is a measured source of per-query spread
+    # (r6: 27-78% min-to-max). Best-effort — ignored without privilege.
+    try:
+        os.nice(-10)
+    except OSError:
+        pass
 
     # Per-query minimum over N runs: single-shot local timings carry
     # 2-3× noise from Python-worker reuse and GC; the min is the
@@ -75,22 +88,53 @@ def main() -> None:
     # poisons at most one round of each query instead of every repeat
     # of whichever query it landed on.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
-    # Pair-producing dedup lines carry the widest run-to-run band
-    # (Python-worker round-trips + multi-join plans); give them extra
-    # interleaved rounds so min AND median are trustworthy (r5 verdict:
-    # the 1.1-1.9 s band was wider than the regressions under test).
-    extra_rounds = {"dedup_near_pairs": 2}
+    # Sample counts are sized per query (and reported per query — the
+    # min/median of different queries are NOT computed over the same n):
+    # sub-second queries get min-of-9 (their absolute jitter band is a
+    # large fraction of the reading, r6 verdict), and the widest-band
+    # pair-producing dedup line gets +2 rounds.
+    rounds = {
+        name: (max(runs, 9) if probe[name] < 1.0 else runs) for name in HEADLINE
+    }
+    rounds["dedup_near_pairs"] += 2
     samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
-    for r in range(runs + max(extra_rounds.values(), default=0)):
+
+    def run_round(r: int) -> None:
         for name in HEADLINE:
-            if r >= runs + extra_rounds.get(name, 0):
+            if r >= rounds[name]:
                 continue
             t0 = time.perf_counter()
             materialize(queries[name](spark, sf_dir))
             samples[name].append(time.perf_counter() - t0)
+
+    for r in range(max(rounds.values())):
+        run_round(r)
+    # Convergence escalation: a query whose median sits >20% above its
+    # min was visibly disturbed mid-run — give every such query up to 6
+    # more interleaved rounds so the reported pair (min, median) is a
+    # claim about the steady state, not about one co-tenant burst. The
+    # sub-0.15 s lines bottom out at ~20-30 ms of absolute jitter
+    # (Python-worker reuse + GC), so the cap keeps an irreducibly
+    # jittery line from looping forever.
+    def med(s: list) -> float:
+        return sorted(s)[len(s) // 2]
+
+    for _ in range(6):
+        noisy = [n for n in HEADLINE if med(samples[n]) > 1.20 * min(samples[n])]
+        if not noisy:
+            break
+        for name in noisy:
+            rounds[name] += 1
+            t0 = time.perf_counter()
+            materialize(queries[name](spark, sf_dir))
+            samples[name].append(time.perf_counter() - t0)
     timings = {name: round(min(s), 3) for name, s in samples.items()}
-    medians = {
-        name: round(sorted(s)[len(s) // 2], 3) for name, s in samples.items()
+    medians = {name: round(med(s), 3) for name, s in samples.items()}
+    n_samples = {name: len(s) for name, s in samples.items()}
+    # median-over-min ratio per query: the honest detectability figure —
+    # a regression smaller than this band is invisible in one report.
+    spread = {
+        name: round(med(s) / min(s) - 1.0, 3) for name, s in samples.items()
     }
 
     sample_path = os.environ.get("SPARK_GRAFT_BENCH_SAMPLES")
@@ -108,8 +152,10 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "n": runs,
+                "n_samples": n_samples,
                 "queries": timings,
                 "medians": medians,
+                "spread": spread,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

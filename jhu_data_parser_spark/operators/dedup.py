@@ -722,7 +722,9 @@ def shared_span_pairs(
     rep_pairs, members, rep_metrics = _span_rep_analysis(df, id_col, text_col, k)
     if members is None:
         return rep_pairs
-    check_pair_budget(members, max_intra_pairs)
+    if max_intra_pairs is not None:
+        rep_pairs = rep_pairs.localCheckpoint(eager=False)
+    check_pair_budget(members, max_intra_pairs, rep_pairs=rep_pairs)
     # Intra-group pairs: identical texts share EVERY position, so the
     # metrics come straight from the representative's token count; a
     # group with < k tokens has no grams and emits nothing.
@@ -1008,6 +1010,7 @@ def check_pair_budget(
     members: "DataFrame | None",
     max_intra_pairs: "int | None",
     what: str = "pair expansion",
+    rep_pairs: "DataFrame | None" = None,
 ) -> None:
     """Fail-fast guard for pair-LISTING deliverables: the intra-group
     expansion of a duplicate group with k members is C(k,2) rows, so a
@@ -1018,27 +1021,58 @@ def check_pair_budget(
     runs, and a ValueError carrying the group-size diagnostics fires
     instead of the runaway job — pointing at the O(n) groups/survivors
     deliverables, which answer the same dedup question without listing
-    pairs."""
+    pairs.
+
+    When ``rep_pairs`` is passed (the verified rep-level pair list the
+    caller is about to cross-expand), the guard also bounds the CROSS
+    term — each rep pair (A, B) expands to up to |A|·|B| member pairs,
+    so many mid-size mutually-similar groups can blow the listing even
+    when no single group does (ADVICE r6). Callers should pass a
+    checkpointed frame so the guard's evaluation is reused by the
+    expansion itself."""
     if members is None or max_intra_pairs is None:
         return
-    stats = (
-        members.groupBy("rep")
-        .agg(F.count(F.lit(1)).alias("k"))
-        .agg(
-            F.sum(F.expr("k * (k - 1) DIV 2")).alias("total_intra_pairs"),
-            F.max("k").alias("largest_group"),
-            F.sum(F.when(F.col("k") > 1, 1).otherwise(0)).alias("dup_groups"),
-        )
-        .first()
-    )
+    sizes = members.groupBy("rep").agg(F.count(F.lit(1)).alias("k"))
+    stats = sizes.agg(
+        F.sum(F.expr("k * (k - 1) DIV 2")).alias("total_intra_pairs"),
+        F.max("k").alias("largest_group"),
+        F.sum(F.when(F.col("k") > 1, 1).otherwise(0)).alias("dup_groups"),
+    ).first()
     total = stats["total_intra_pairs"] or 0
-    if total > max_intra_pairs:
+    cross = 0
+    largest_cross = 0
+    if rep_pairs is not None:
+        cs = (
+            rep_pairs.select("id_a", "id_b")
+            .join(
+                sizes.select(F.col("rep").alias("id_a"), F.col("k").alias("ka")),
+                "id_a",
+            )
+            .join(
+                sizes.select(F.col("rep").alias("id_b"), F.col("k").alias("kb")),
+                "id_b",
+            )
+            .agg(
+                F.sum(F.col("ka") * F.col("kb")).alias("cross_pairs"),
+                F.max(F.col("ka") * F.col("kb")).alias("largest_cross"),
+            )
+            .first()
+        )
+        cross = cs["cross_pairs"] or 0
+        largest_cross = cs["largest_cross"] or 0
+    if total + cross > max_intra_pairs:
         raise ValueError(
-            f"{what}: intra-group pair listing would produce {total:,} rows "
-            f"(budget {max_intra_pairs:,}; {stats['dup_groups']:,} duplicate "
-            f"groups, largest has {stats['largest_group']:,} members). "
-            "Pair output grows quadratically with duplicate density — use "
-            "the *_groups / *_survivors deliverables (O(n)) instead, or "
+            f"{what}: pair listing would produce {total + cross:,} rows "
+            f"({total:,} intra-group + {cross:,} cross-group; budget "
+            f"{max_intra_pairs:,}; {stats['dup_groups']:,} duplicate "
+            f"groups, largest has {stats['largest_group']:,} members"
+            + (
+                f", largest cross expansion {largest_cross:,} pairs"
+                if largest_cross
+                else ""
+            )
+            + "). Pair output grows quadratically with duplicate density — "
+            "use the *_groups / *_survivors deliverables (O(n)) instead, or "
             "raise max_intra_pairs."
         )
 
@@ -1071,7 +1105,11 @@ def expand_collapsed_pairs(
     value_cols = value_cols or {}
     if members is None:
         return rep_pairs.select("id_a", "id_b", *value_cols)
-    check_pair_budget(members, max_intra_pairs)
+    if max_intra_pairs is not None:
+        # the guard's cross-term aggregate evaluates rep_pairs; lazily
+        # checkpoint so the expansion below reuses that work
+        rep_pairs = rep_pairs.localCheckpoint(eager=False)
+    check_pair_budget(members, max_intra_pairs, rep_pairs=rep_pairs)
     spread = members.repartition(
         members.sparkSession.sparkContext.defaultParallelism, "rep"
     )

@@ -434,6 +434,21 @@ def _rmtree_quiet(path: str) -> None:
     shutil.rmtree(path, ignore_errors=True)
 
 
+_ATEXIT_RMTREE: set = set()
+
+
+def _rmtree_at_exit(path: str) -> None:
+    """Defer directory removal to interpreter exit — for index dirs
+    evicted from the registry for CAPACITY (not supersession): a lazy
+    DataFrame returned to an earlier caller may still read them, so
+    immediate deletion could fail a pending query."""
+    import atexit
+
+    if not _ATEXIT_RMTREE:
+        atexit.register(lambda: [_rmtree_quiet(p) for p in _ATEXIT_RMTREE])
+    _ATEXIT_RMTREE.add(path)
+
+
 def ivf_build_index(
     df: DataFrame,
     n_centroids: int = 16,
@@ -482,9 +497,14 @@ def ivf_build_index(
         ]
         for k in stale:
             _rmtree_quiet(_IVF_INDEX_CACHE.pop(k)[0])
+        # Capacity eviction must NOT rmtree: an earlier caller may still
+        # hold a lazy DataFrame over the evicted index (parquet reads
+        # are deferred), so deleting here could break a pending query
+        # (ADVICE r6). Drop the registry entry to bound memory and
+        # defer the directory removal to process exit.
         while len(_IVF_INDEX_CACHE) >= _IVF_INDEX_CACHE_MAX:
             oldest = next(iter(_IVF_INDEX_CACHE))
-            _rmtree_quiet(_IVF_INDEX_CACHE.pop(oldest)[0])
+            _rmtree_at_exit(_IVF_INDEX_CACHE.pop(oldest)[0])
         _IVF_INDEX_CACHE[key] = (path, cent)
     return path, cent
 

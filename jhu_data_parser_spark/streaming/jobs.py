@@ -30,6 +30,48 @@ __all__ = [
 ]
 
 
+_ATEXIT_DIRS: set = set()
+
+
+def _cleanup_at_exit(path: str) -> str:
+    """Register a scratch directory for removal at interpreter exit.
+    Output dirs back LAZY DataFrames returned to callers (deleting them
+    mid-process would fail pending reads), so they are reclaimed at
+    exit rather than leaked one-per-call (ADVICE r6)."""
+    import atexit
+    import shutil
+
+    if not _ATEXIT_DIRS:
+        atexit.register(
+            lambda: [shutil.rmtree(p, ignore_errors=True) for p in _ATEXIT_DIRS]
+        )
+    _ATEXIT_DIRS.add(path)
+    return path
+
+
+def _rmtree_now(path: str) -> None:
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+    _ATEXIT_DIRS.discard(path)
+
+
+def _rocksdb_provider_available(spark: SparkSession) -> bool:
+    """True when the RocksDB state-store provider's JNI bundle is
+    loadable in this Spark build — the provider switch must degrade to
+    the default (in-heap HDFS-backed) provider instead of failing the
+    stream on builds without rocksdbjni (ADVICE r6)."""
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider"
+        )
+        spark._jvm.org.rocksdb.RocksDB.loadLibrary()
+        return True
+    except Exception:
+        return False
+
+
 def read_events_stream(spark: SparkSession, sf_dir: str, copies: int = 1) -> DataFrame:
     """File-source stream over the events parquet. In production the path
     is a landing prefix that grows; availableNow processes the backlog in
@@ -51,7 +93,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str, copies: int = 1) -> Dat
     # the staging dir, since the streaming source does not recurse into
     # non-partition subdirectories and would silently read ZERO rows
     # through a directory symlink (caught on the 100× layout in r05).
-    stage = tempfile.mkdtemp(prefix="jdps_stream_src_")
+    stage = _cleanup_at_exit(tempfile.mkdtemp(prefix="jdps_stream_src_"))
     if os.path.isdir(src):
         parts = [
             p
@@ -130,16 +172,18 @@ def run_dedup_stream(
     run so the (vanilla) session is left untouched."""
     ev = read_events_stream(spark, sf_dir, copies=copies)
     deduped = ev.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
-    out_dir = tempfile.mkdtemp(prefix="jdps_stream_dedup_out_")
+    out_dir = _cleanup_at_exit(tempfile.mkdtemp(prefix="jdps_stream_dedup_out_"))
     ckpt = tempfile.mkdtemp(prefix="jdps_stream_dedup_ckpt_")
     provider_key = "spark.sql.streaming.stateStore.providerClass"
     prev = spark.conf.get(provider_key, None)
+    use_rocksdb = _rocksdb_provider_available(spark)
     try:
-        spark.conf.set(
-            provider_key,
-            "org.apache.spark.sql.execution.streaming.state."
-            "RocksDBStateStoreProvider",
-        )
+        if use_rocksdb:
+            spark.conf.set(
+                provider_key,
+                "org.apache.spark.sql.execution.streaming.state."
+                "RocksDBStateStoreProvider",
+            )
         q = (
             deduped.writeStream.format("parquet")
             .option("path", out_dir)
@@ -150,10 +194,13 @@ def run_dedup_stream(
         )
         q.awaitTermination()
     finally:
-        if prev is None:
-            spark.conf.unset(provider_key)
-        else:
-            spark.conf.set(provider_key, prev)
+        if use_rocksdb:
+            if prev is None:
+                spark.conf.unset(provider_key)
+            else:
+                spark.conf.set(provider_key, prev)
+        # the availableNow run is over: its checkpoint is dead weight
+        _rmtree_now(ckpt)
     return spark.read.schema(deduped.schema).parquet(out_dir)
 
 
@@ -274,7 +321,7 @@ def run_stream_stream_join(
     # Row-per-match output is unbounded in the data (same memory-sink
     # hazard the 100× probe caught on the dedup stream) — land it as
     # files, the production sink shape.
-    out_dir = tempfile.mkdtemp(prefix="jdps_stream_join_out_")
+    out_dir = _cleanup_at_exit(tempfile.mkdtemp(prefix="jdps_stream_join_out_"))
     ckpt = tempfile.mkdtemp(prefix="jdps_stream_join_ckpt_")
     q = (
         joined.writeStream.format("parquet")
@@ -285,6 +332,7 @@ def run_stream_stream_join(
         .start()
     )
     q.awaitTermination()
+    _rmtree_now(ckpt)
     return spark.read.schema(joined.schema).parquet(out_dir)
 
 

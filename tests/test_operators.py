@@ -2101,3 +2101,57 @@ def test_probe_cache_plain_scan_guard(spark, tmp_path):
     assert not _is_plain_scan(
         spark.createDataFrame([(1, "x")], ["doc_id", "text"])
     )
+
+
+def test_pair_budget_guard_counts_cross_term(spark):
+    """Many mid-size mutually-similar groups can blow the pair listing
+    through the CROSS expansion (|A|x|B| per verified rep pair) even
+    when no single group's intra term does — the guard must count both
+    (ADVICE r6). Two 100-member near-dup groups: intra 2*C(100,2) =
+    9,900 fits a 15k budget alone, intra+cross 19,900 must trip it."""
+    import pytest
+
+    from jhu_data_parser_spark.operators import dedup as dd
+
+    rows = [(i, "aa bb cc dd ee ff") for i in range(100)] + [
+        (1000 + i, "aa bb cc dd ee gg") for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    with pytest.raises(ValueError, match="cross-group"):
+        dd.jaccard_prefix_pairs(df, threshold=0.5, max_intra_pairs=15_000).collect()
+    # a budget that fits intra+cross runs clean and emits the full listing
+    n = dd.jaccard_prefix_pairs(df, threshold=0.5, max_intra_pairs=30_000).count()
+    assert n == 9_900 + 10_000
+
+
+def test_ivf_capacity_eviction_defers_rmtree(spark, tmp_path, monkeypatch):
+    """Capacity eviction must only drop the registry entry — the index
+    DIRECTORY must survive until process exit, because an earlier
+    caller may still hold a lazy DataFrame over it (ADVICE r6)."""
+    import os
+
+    import numpy as np
+
+    from jhu_data_parser_spark.operators import similarity as sim
+
+    monkeypatch.setattr(sim, "_IVF_INDEX_CACHE_MAX", 1)
+    monkeypatch.setattr(sim, "_IVF_INDEX_CACHE", {})
+
+    def write(name, seed):
+        rng = np.random.RandomState(seed)
+        rows = [(i, [float(x) for x in rng.randn(4)]) for i in range(40)]
+        p = str(tmp_path / name)
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        ).coalesce(1).write.parquet(p)
+        return p
+
+    df1 = spark.read.parquet(write("a.parquet", 1))
+    path1, _ = sim.ivf_build_index(df1, n_centroids=4)
+    pending = spark.read.parquet(path1)  # lazy reader over index 1
+    df2 = spark.read.parquet(write("b.parquet", 2))
+    path2, _ = sim.ivf_build_index(df2, n_centroids=4)  # evicts index 1
+    assert path2 != path1
+    assert os.path.isdir(path1)            # NOT deleted mid-process
+    assert path1 in sim._ATEXIT_RMTREE     # reclaimed at exit instead
+    assert pending.count() == 40           # pending query still works

@@ -451,3 +451,18 @@ def test_kmv_stream_state_merges_across_microbatches(spark, sf_dir, tmp_path):
     assert streamed == batch
     # Days split across chunk boundaries actually merged state.
     assert len(streamed) > 0
+
+
+def test_stream_dedup_falls_back_without_rocksdb(spark, sf_dir, monkeypatch):
+    """On a Spark build without the rocksdbjni bundle the dedup stream
+    must run on the default state-store provider instead of failing
+    (ADVICE r6) — and must not leave the session conf pointing at the
+    unavailable provider."""
+    from jhu_data_parser_spark.streaming import jobs
+
+    monkeypatch.setattr(jobs, "_rocksdb_provider_available", lambda s: False)
+    table = f"t_dedup_fallback_{next(_ids)}"
+    deduped = jobs.run_dedup_stream(spark, sf_dir, table)
+    assert deduped.select("event_id").distinct().count() == deduped.count()
+    key = "spark.sql.streaming.stateStore.providerClass"
+    assert "RocksDB" not in (spark.conf.get(key, "") or "")
