@@ -35,6 +35,7 @@ def _kmeans_ctes(
     prefix: str = "",
     dim: int = _DIM,
     lo: int | None = None,
+    src: str = "embeddings",
 ) -> str:
     """The unrolled assign/update CTE chain (shared by the kmeans
     queries here, the IVF recall report in pipeline5, and the PQ
@@ -42,7 +43,9 @@ def _kmeans_ctes(
     point set (e.g. corpus-only for an IVF index); ``prefix`` namespaces
     the CTEs so several chains coexist in one statement; ``lo``/``dim``
     fit on the 1-based slice [lo, lo+dim) of the embedding (a PQ
-    subspace) instead of the full vector."""
+    subspace) instead of the full vector; ``src`` is the FROM source —
+    a table name or an aliased ``(subquery) t`` exposing
+    (vec_id, embedding)."""
     sl = f"[{lo}:{lo + dim - 1}]" if lo is not None else ""
     P = prefix
     parts = [
@@ -50,7 +53,7 @@ def _kmeans_ctes(
     {P}pts AS (SELECT vec_id AS id,
                    list_transform(CAST(embedding AS DOUBLE[]){sl},
                                   x -> CAST(ROUND(x * {_SCALE}) AS BIGINT)) AS q
-            FROM embeddings {where}),
+            FROM {src} {where}),
     {P}c0 AS (SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS BIGINT) AS cid, q AS c
            FROM (SELECT id, q FROM {P}pts ORDER BY id LIMIT {k}))"""
     ]

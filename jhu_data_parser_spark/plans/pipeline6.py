@@ -829,7 +829,7 @@ _PQ_SCALE = 1_000_000
 _PQ_FIT_CACHE: dict[tuple, list] = {}
 
 
-def _pq_oracle_sql(limit: int = _PQ_TOPK) -> str:
+def _pq_oracle_sql(limit: int = _PQ_TOPK, src: str = "embeddings") -> str:
     from jhu_data_parser_spark.plans.clustering import _kmeans_ctes
 
     chains = ",".join(
@@ -840,6 +840,7 @@ def _pq_oracle_sql(limit: int = _PQ_TOPK) -> str:
             prefix=f"p{s}_",
             dim=_PQ_SUB,
             lo=s * _PQ_SUB + 1,
+            src=src,
         )
         for s in range(_PQ_M)
     )
@@ -848,7 +849,7 @@ def _pq_oracle_sql(limit: int = _PQ_TOPK) -> str:
     qq{s} AS (SELECT list_transform(CAST(embedding AS DOUBLE[])
                                     [{s * _PQ_SUB + 1}:{(s + 1) * _PQ_SUB}],
                                     x -> CAST(ROUND(x * {_PQ_SCALE}) AS BIGINT)) AS q
-              FROM embeddings WHERE vec_id = 0),
+              FROM {src} WHERE vec_id = 0),
     lut{s} AS (SELECT c.cid,
                       CAST(list_sum(list_transform(list_zip(q.q, c.c),
                            z -> (z[1] - z[2]) * (z[1] - z[2]))) AS BIGINT) AS d
@@ -904,6 +905,16 @@ def _pq_adc_frame(spark: SparkSession, sf_dir: str):
     join touches the vector table at query time; the float vectors
     never leave the scan.
     """
+    emb = load_table(spark, sf_dir, "embeddings")
+    return _pq_adc_over(spark, emb, cache_tag="embeddings")
+
+
+def _pq_adc_over(spark: SparkSession, emb, cache_tag: str):
+    """The corpus-agnostic body of :func:`_pq_adc_frame`: fit/serve PQ
+    over any (vec_id, embedding) frame — the clustered-recall report
+    runs the identical pipeline over a synthetic clustered corpus.
+    ``cache_tag`` namespaces the fit cache per corpus derivation (two
+    frames can share input files but differ in content)."""
     from jhu_data_parser_spark.operators.clustering import (
         KM_SCALE,
         kmeans_fit_multi,
@@ -911,7 +922,6 @@ def _pq_adc_frame(spark: SparkSession, sf_dir: str):
     )
     from jhu_data_parser_spark.operators.similarity import _file_fingerprint
 
-    emb = load_table(spark, sf_dir, "embeddings")
     db = emb.filter(F.col("vec_id") != 0)
     qv = emb.filter(F.col("vec_id") == 0)
 
@@ -930,6 +940,7 @@ def _pq_adc_frame(spark: SparkSession, sf_dir: str):
     # queries reuse the materialized centroid checkpoint.
     cache_key = (
         spark.sparkContext.applicationId,
+        cache_tag,
         _file_fingerprint(emb.inputFiles()),
         _PQ_M,
         _PQ_SUB,
@@ -1118,7 +1129,7 @@ def sim_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-def _pq_recall_oracle_sql() -> str:
+def _pq_recall_oracle_sql(src: str = "embeddings") -> str:
     q_int = (
         f"list_transform(CAST(embedding AS DOUBLE[]), "
         f"x -> CAST(ROUND(x * {_PQ_SCALE}) AS BIGINT))"
@@ -1128,9 +1139,9 @@ def _pq_recall_oracle_sql() -> str:
         "z -> (z[1] - z[2]) * (z[1] - z[2]))) AS BIGINT)"
     )
     return f"""
-    WITH pq AS ({_pq_oracle_sql()}),
-    qf AS (SELECT {q_int} AS q FROM embeddings WHERE vec_id = 0),
-    ef AS (SELECT vec_id, {q_int} AS q FROM embeddings WHERE vec_id <> 0),
+    WITH pq AS ({_pq_oracle_sql(src=src)}),
+    qf AS (SELECT {q_int} AS q FROM {src} WHERE vec_id = 0),
+    ef AS (SELECT vec_id, {q_int} AS q FROM {src} WHERE vec_id <> 0),
     exact AS (
       SELECT e.vec_id FROM ef e CROSS JOIN qf
       ORDER BY {dist}, e.vec_id LIMIT {_PQ_TOPK})
@@ -1161,8 +1172,16 @@ def sim_pq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     manifolds cluster, which is what makes PQ work). The report exists
     to MEASURE that honestly; the gate certifies the measurement.
     """
-    pq = sim_pq_topk(spark, sf_dir).select("vec_id")
     emb = load_table(spark, sf_dir, "embeddings")
+    return _pq_recall_over(spark, emb, cache_tag="embeddings")
+
+
+def _pq_recall_over(spark: SparkSession, emb, cache_tag: str) -> DataFrame:
+    """recall@k of PQ-ADC vs the exact integer-L2 ranking over any
+    (vec_id, embedding) frame — shared by the i.i.d.-uniform report
+    (honest ~0.1) and the clustered report (the ~0.9 regime)."""
+    adc, _ = _pq_adc_over(spark, emb, cache_tag=cache_tag)
+    pq = adc.orderBy("adc_dist", "vec_id").limit(_PQ_TOPK).select("vec_id")
     q_int = (
         f"transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * {_PQ_SCALE}, 0) AS BIGINT))"
     )
@@ -1186,4 +1205,61 @@ def sim_pq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(_PQ_TOPK).cast("int").alias("k"),
         F.count(F.lit(1)).cast("long").alias("n_overlap"),
         (F.count(F.lit(1)).cast("double") / F.lit(float(_PQ_TOPK))).alias("recall"),
+    )
+
+
+# --------------------------------------------------------------------------
+# PQ recall on CLUSTERED data — the regime PQ is actually built for.
+# The uniform report above honestly measures ~0.1: i.i.d. vectors
+# concentrate pairwise distances and the 4×16 quantization error
+# swamps the tiny true spread. Real embedding manifolds cluster, which
+# is what makes PQ work — this report plants a deterministic clustered
+# corpus (16 well-separated centers, ±0.05 noise) and runs the
+# IDENTICAL fit/encode/ADC/overlap pipeline, demonstrating the ~0.9
+# regime; the oracle replays corpus synthesis, all four subspace fits,
+# both rankings, and the overlap.
+# --------------------------------------------------------------------------
+
+# 160 ids in 16 planted clusters (cluster = vec_id % 16). Center value
+# of dim i for cluster c is ((c*37 + i*11) % 16) — integer-grid centers
+# ≥1.0 apart — plus per-(id, dim) noise in ±0.05. All arithmetic is
+# integer-derived, so ROUND(x * 1e6) re-quantizes both engines to the
+# identical integers. The k-means seeding (first 16 ids, 1..16) lands
+# one seed in every cluster, so the planted structure is recovered
+# deterministically.
+_SYNTH_N = 160
+_SYNTH_VEC = (
+    "CAST(((vec_id % 16) * 37 + (i + 1) * 11) % 16 AS DOUBLE) + "
+    "CAST(((vec_id * 7919 + (i + 1) * 104729) % 100001) - 50000 AS DOUBLE) / "
+    "CAST(1000000 AS DOUBLE)"
+)
+_SYNTH_SRC = (
+    f"(SELECT vec_id, list_transform(range(64), i -> {_SYNTH_VEC}) "
+    f"AS embedding FROM embeddings WHERE vec_id < {_SYNTH_N}) synth"
+)
+
+
+def _synth_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.filter(F.col("vec_id") < _SYNTH_N).select(
+        "vec_id",
+        F.expr(f"transform(sequence(0, 63), i -> {_SYNTH_VEC})").alias(
+            "embedding"
+        ),
+    )
+
+
+@query("sim_pq_recall_clustered", oracle=_pq_recall_oracle_sql(src=_SYNTH_SRC))
+def sim_pq_recall_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@10 of PQ-ADC on the planted-cluster corpus — the second
+    row of the PQ evaluation story: ~0.1 on i.i.d.-uniform vectors
+    (distance concentration, the textbook failure mode), ~0.9 here,
+    where inter-cluster distances dwarf quantization error. Same
+    pipeline end to end as :func:`sim_pq_recall_report` (joint subspace
+    fits, literal codebook + ADC LUT, shuffle-free encode scan, exact
+    arm, overlap) over the synthesized frame; the oracle replays the
+    synthesis and everything after it, so the driver gate certifies
+    the measured recall itself."""
+    return _pq_recall_over(
+        spark, _synth_clustered(spark, sf_dir), cache_tag="synth_clustered_v1"
     )
