@@ -1002,6 +1002,94 @@ def encode_jpeg_rgb(pixels, quant: int = 1) -> bytes:
     return bytes(out)
 
 
+def encode_jpeg_rgb_420(pixels, quant: int = 1) -> bytes:
+    """Encode a (height, width, 3) uint8 RGB array as a baseline COLOR
+    JFIF JPEG with 4:2:0 chroma subsampling — the sampling layout
+    real-world JPEGs overwhelmingly use: Y at full resolution (2×2
+    sampling factors), Cb/Cr box-downsampled 2×2 to quarter-size
+    planes (1×1), MCU = 16×16 pixels carrying four Y blocks (raster
+    order) + one Cb + one Cr. Same tables and per-component DC
+    predictors as :func:`encode_jpeg_rgb`. Dims must be multiples of
+    16 (whole MCUs — no partial-MCU edge semantics to keep the
+    arithmetic oracle-replayable). For achromatic content the chroma
+    planes are exactly 128 at any downsample, so flat gray 16×16 MCUs
+    at quant 1 roundtrip bit-for-bit through the subsampled pipeline."""
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.float64)
+    if px.ndim != 3 or px.shape[2] != 3:
+        raise ValueError("encode_jpeg_rgb_420 expects (h, w, 3)")
+    h, w = px.shape[:2]
+    if h % 16 or w % 16 or h <= 0 or w <= 0:
+        raise ValueError("4:2:0 encoder requires positive dims divisible by 16")
+    r, g, b = px[:, :, 0], px[:, :, 1], px[:, :, 2]
+    y = np.round(0.299 * r + 0.587 * g + 0.114 * b)
+    cb = np.round(128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b)
+    cr = np.round(128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b)
+    y = np.clip(y, 0, 255) - 128.0
+
+    def down(c):
+        c = np.clip(c, 0, 255)
+        boxed = c.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+        return np.round(boxed) - 128.0
+
+    cbs, crs = down(cb), down(cr)
+    dct = _dct_matrix()
+    luma_dc = _jpeg_canonical_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    luma_ac = _jpeg_canonical_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    chroma_dc = _jpeg_canonical_codes(_JPEG_DC_CHROMA_BITS, _JPEG_DC_CHROMA_VALS)
+    chroma_ac = _jpeg_canonical_codes(_JPEG_AC_CHROMA_BITS, _JPEG_AC_CHROMA_VALS)
+    bw = _BitWriter()
+    prev_dc = [0, 0, 0]
+    for my in range(h // 16):
+        for mx in range(w // 16):
+            for v in range(2):
+                for hh in range(2):
+                    ys, xs = (my * 2 + v) * 8, (mx * 2 + hh) * 8
+                    prev_dc[0] = _jpeg_encode_block(
+                        bw,
+                        y[ys : ys + 8, xs : xs + 8],
+                        quant,
+                        luma_dc,
+                        luma_ac,
+                        prev_dc[0],
+                        dct,
+                    )
+            for ci, plane in ((1, cbs), (2, crs)):
+                blk = plane[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8]
+                prev_dc[ci] = _jpeg_encode_block(
+                    bw, blk, quant, chroma_dc, chroma_ac, prev_dc[ci], dct
+                )
+    entropy = bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, bytes([0x00]) + bytes([quant] * 64))
+    out += seg(0xDB, bytes([0x01]) + bytes([quant] * 64))
+    out += seg(
+        0xC0,
+        struct.pack(">BHHB", 8, h, w, 3)
+        + bytes([1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]),  # Y 2x2, Cb/Cr 1x1
+    )
+    out += seg(0xC4, bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS))
+    out += seg(0xC4, bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS))
+    out += seg(
+        0xC4,
+        bytes([0x01]) + bytes(_JPEG_DC_CHROMA_BITS) + bytes(_JPEG_DC_CHROMA_VALS),
+    )
+    out += seg(
+        0xC4,
+        bytes([0x11]) + bytes(_JPEG_AC_CHROMA_BITS) + bytes(_JPEG_AC_CHROMA_VALS),
+    )
+    out += seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    out += entropy
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 def _jpeg_segments(payload: bytes):
     """Walk JPEG marker segments up to (and including) SOS, yielding
     (marker, body, next_pos); validates SOI."""
@@ -1077,9 +1165,10 @@ def decode_jpeg_pixels(payload: bytes):
                 raise ValueError("decoder supports 8-bit 1- or 3-component JPEG")
             for c in range(ncomp):
                 cid, sampling, tq = body[6 + 3 * c : 9 + 3 * c]
-                if sampling != 0x11:
-                    raise ValueError("decoder supports 1x1 sampling only")
-                comps.append((cid, tq))
+                hs, vs = sampling >> 4, sampling & 0x0F
+                if hs not in (1, 2) or vs not in (1, 2):
+                    raise ValueError("decoder supports 1 or 2 sampling factors")
+                comps.append((cid, tq, hs, vs))
             dims = (int(w), int(h))
         elif marker == 0xDA:
             ns = body[0]
@@ -1093,48 +1182,70 @@ def decode_jpeg_pixels(payload: bytes):
     if dims is None or scan_pos is None:
         raise ValueError("JPEG missing SOF0 or SOS")
     w, h = dims
-    if w % 8 or h % 8:
-        raise ValueError("decoder requires dims divisible by 8")
+    hmax = max(hs for (_c, _t, hs, _v) in comps)
+    vmax = max(vs for (_c, _t, _h, vs) in comps)
+    if w % (8 * hmax) or h % (8 * vmax):
+        raise ValueError("decoder requires dims divisible by the MCU size")
     d = _dct_matrix()
     br = _BitReader(payload, scan_pos)
-    planes = [np.zeros((h, w), dtype=np.float64) for _ in comps]
+    # Each component decodes into its own (possibly subsampled) plane:
+    # a component with sampling (hs, vs) carries hs·vs blocks per MCU
+    # and a plane of (h·vs/vmax, w·hs/hmax) samples — 4:2:0 chroma is
+    # a quarter-size plane upsampled 2×2 after the IDCT.
+    planes = [
+        np.zeros((h * vs // vmax, w * hs // hmax), dtype=np.float64)
+        for (_c, _t, hs, vs) in comps
+    ]
     prev_dc = [0] * len(comps)
-    qts = [np.array(qtables[tq], dtype=np.float64) for (_cid, tq) in comps]
-    dmaps = [htables[(0, scan_sel[cid][0])] for (cid, _tq) in comps]
-    amaps = [htables[(1, scan_sel[cid][1])] for (cid, _tq) in comps]
+    qts = [np.array(qtables[tq], dtype=np.float64) for (_cid, tq, _h, _v) in comps]
+    dmaps = [htables[(0, scan_sel[cid][0])] for (cid, _tq, _h, _v) in comps]
+    amaps = [htables[(1, scan_sel[cid][1])] for (cid, _tq, _h, _v) in comps]
     inv_zz = list(_JPEG_ZIGZAG)
     try:
-        for by in range(h // 8):
-            for bx in range(w // 8):
-                for ci in range(len(comps)):
-                    zz = np.zeros(64, dtype=np.float64)
-                    cat = br.read_symbol(dmaps[ci])
-                    diff = _jpeg_extend(br.read_bits(cat), cat) if cat else 0
-                    prev_dc[ci] += diff
-                    zz[0] = prev_dc[ci]
-                    k = 1
-                    while k < 64:
-                        sym = br.read_symbol(amaps[ci])
-                        if sym == 0x00:  # EOB
-                            break
-                        if sym == 0xF0:  # ZRL
-                            k += 16
-                            continue
-                        run, cat = sym >> 4, sym & 0x0F
-                        k += run
-                        if k > 63:
-                            raise ValueError("JPEG AC run past block end")
-                        zz[k] = _jpeg_extend(br.read_bits(cat), cat)
-                        k += 1
-                    coef = np.zeros(64, dtype=np.float64)
-                    coef[inv_zz] = zz * qts[ci]
-                    blk = d.T @ coef.reshape(8, 8) @ d + 128.0
-                    planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = blk
+        for my in range(h // (8 * vmax)):
+            for mx in range(w // (8 * hmax)):
+                for ci, (_cid, _tq, hs, vs) in enumerate(comps):
+                    for v in range(vs):
+                        for hh in range(hs):
+                            zz = np.zeros(64, dtype=np.float64)
+                            cat = br.read_symbol(dmaps[ci])
+                            diff = (
+                                _jpeg_extend(br.read_bits(cat), cat) if cat else 0
+                            )
+                            prev_dc[ci] += diff
+                            zz[0] = prev_dc[ci]
+                            k = 1
+                            while k < 64:
+                                sym = br.read_symbol(amaps[ci])
+                                if sym == 0x00:  # EOB
+                                    break
+                                if sym == 0xF0:  # ZRL
+                                    k += 16
+                                    continue
+                                run, cat = sym >> 4, sym & 0x0F
+                                k += run
+                                if k > 63:
+                                    raise ValueError("JPEG AC run past block end")
+                                zz[k] = _jpeg_extend(br.read_bits(cat), cat)
+                                k += 1
+                            coef = np.zeros(64, dtype=np.float64)
+                            coef[inv_zz] = zz * qts[ci]
+                            blk = d.T @ coef.reshape(8, 8) @ d + 128.0
+                            py = (my * vs + v) * 8
+                            px = (mx * hs + hh) * 8
+                            planes[ci][py : py + 8, px : px + 8] = blk
     except StopIteration as exc:
         raise ValueError("JPEG entropy stream ended early") from exc
     if len(comps) == 1:
         return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
-    y, cb, cr = planes
+    # Upsample subsampled chroma to full resolution (sample replication
+    # — exact inverse of the encoder's box downsample on the flat-block
+    # oracle subset, and the spec-legal nearest upsample in general).
+    full = []
+    for pl, (_cid, _tq, hs, vs) in zip(planes, comps):
+        ry, rx = vmax // vs, hmax // hs
+        full.append(np.repeat(np.repeat(pl, ry, axis=0), rx, axis=1))
+    y, cb, cr = full
     r = y + 1.402 * (cr - 128.0)
     g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
     b = y + 1.772 * (cb - 128.0)

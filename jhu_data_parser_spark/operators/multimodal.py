@@ -319,6 +319,43 @@ def attach_jpeg_color(
     return df.select(id_col).mapInPandas(_map, f"doc_id bigint, {media_col} binary")
 
 
+def attach_jpeg_420(
+    df: DataFrame, id_col: str = "doc_id", media_col: str = "media"
+) -> DataFrame:
+    """Synthesize REAL baseline COLOR JPEG payloads with 4:2:0 chroma
+    subsampling (Y 2×2, Cb/Cr 1×1 — the sampling layout real-world
+    JPEGs overwhelmingly use): dims are whole MCUs
+    (w = (doc_id % 4 + 1)·16, h = (doc_id % 3 + 1)·16) and each 16×16
+    MCU is a flat ACHROMATIC color (R=G=B=LCG byte), so the chroma
+    planes are exactly 128 at any downsample and the lossy subsampled
+    pipeline roundtrips bit-for-bit — oracle-replayable while the
+    stream exercises the full 4-Y-blocks-per-MCU interleaved walk."""
+    import numpy as np
+
+    from jhu_data_parser_spark.functions.codecs import (
+        _fill_bytes,
+        encode_jpeg_rgb_420,
+    )
+
+    def _payload(did: int) -> bytes:
+        w = (did % 4 + 1) * 16
+        h = (did % 3 + 1) * 16
+        vals = np.frombuffer(
+            _fill_bytes((w // 16) * (h // 16), seed=did), dtype=np.uint8
+        ).reshape(h // 16, w // 16)
+        gray = np.repeat(np.repeat(vals, 16, axis=0), 16, axis=1)
+        return encode_jpeg_rgb_420(np.stack([gray, gray, gray], axis=2))
+
+    def _map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [_payload(int(did)) for did in pdf[id_col]]
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col].astype("int64"), media_col: payloads}
+            )
+
+    return df.select(id_col).mapInPandas(_map, f"doc_id bigint, {media_col} binary")
+
+
 def extract_jpeg_color_meta(
     df: DataFrame, id_col: str = "doc_id", media_col: str = "media"
 ) -> DataFrame:

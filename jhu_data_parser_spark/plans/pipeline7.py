@@ -381,6 +381,60 @@ _JPEG_COLOR_ORACLE = """
     """
 
 
+# 4:2:0 twin: whole-MCU dims (16-px grid), one flat achromatic value
+# per 16×16 MCU — chroma planes are exactly 128 at any downsample, so
+# the subsampled lossy pipeline replays. The decoder must walk FOUR Y
+# blocks + Cb + Cr per MCU and upsample quarter-size chroma; the sums
+# only match if that walk and the per-component predictors are right.
+_JPEG_420_ORACLE = """
+    WITH dims AS (
+      SELECT doc_id,
+             (doc_id % 4 + 1) * 16 AS w,
+             (doc_id % 3 + 1) * 16 AS h
+      FROM documents),
+    b AS (
+      SELECT d.doc_id, d.w, d.h, g.i AS bi,
+             ((((g.i + d.doc_id)::HUGEINT * 6364136223846793005
+                + 1442695040888963407) % 18446744073709551616::HUGEINT)
+              // 8589934592) % 256 AS v
+      FROM dims d CROSS JOIN generate_series(0, 11) g(i)
+      WHERE g.i < (d.w // 16) * (d.h // 16)),
+    agg AS (
+      SELECT doc_id,
+             CAST(3 * SUM(CASE WHEN bi < w // 16 THEN 16 * v ELSE 0 END)
+                  AS BIGINT) AS row0_sum,
+             CAST(3 * SUM(256 * v) AS BIGINT) AS pix_sum
+      FROM b GROUP BY doc_id)
+    SELECT d.doc_id,
+           'jpeg' AS media_type,
+           CAST(d.w AS INT) AS width,
+           CAST(d.h AS INT) AS height,
+           CAST(3 AS INT) AS n_components,
+           a.row0_sum,
+           a.pix_sum
+    FROM dims d JOIN agg a USING (doc_id)
+    """
+
+
+@query("multimodal_decode_jpeg_420", oracle=_JPEG_420_ORACLE)
+def multimodal_decode_jpeg_420(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL 4:2:0 chroma-subsampled JPEG decode — the sampling layout
+    real-world JPEGs overwhelmingly use. Streams carry Y at 2×2
+    sampling and quarter-size Cb/Cr planes; the decoder's MCU walk
+    reads four Y blocks + Cb + Cr per 16×16 MCU, IDCTs each, upsamples
+    chroma, and converts YCbCr→RGB. Content is flat achromatic 16×16
+    MCUs (chroma exactly 128 survives any downsample), so the lossy
+    subsampled pipeline replays: the oracle recomputes dims and the
+    decoded RGB row/pixel sums from id arithmetic alone."""
+    from jhu_data_parser_spark.operators.multimodal import (
+        attach_jpeg_420,
+        extract_jpeg_color_meta,
+    )
+
+    d = attach_jpeg_420(load_table(spark, sf_dir, "documents"))
+    return extract_jpeg_color_meta(d)
+
+
 @query("multimodal_decode_jpeg_color", oracle=_JPEG_COLOR_ORACLE)
 def multimodal_decode_jpeg_color(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL baseline COLOR JPEG decode: 3-component YCbCr 4:4:4 streams

@@ -2155,3 +2155,48 @@ def test_ivf_capacity_eviction_defers_rmtree(spark, tmp_path, monkeypatch):
     assert os.path.isdir(path1)            # NOT deleted mid-process
     assert path1 in sim._ATEXIT_RMTREE     # reclaimed at exit instead
     assert pending.count() == 40           # pending query still works
+
+
+def test_codecs_jpeg_420_subsampled_roundtrip():
+    """4:2:0 chroma-subsampled JPEG: flat achromatic 16x16 MCUs at
+    quant 1 roundtrip EXACTLY through the subsampled pipeline (chroma
+    = 128 survives any downsample — the oracle subset); smooth color
+    content decodes within the subsample+rounding envelope; the SOF
+    declares Y 2x2 / chroma 1x1; partial-MCU dims are rejected."""
+    import numpy as np
+
+    from jhu_data_parser_spark.functions.codecs import (
+        _fill_bytes,
+        decode_jpeg_meta,
+        decode_jpeg_pixels,
+        encode_jpeg_rgb_420,
+    )
+
+    vals = np.frombuffer(_fill_bytes(6, seed=9), dtype=np.uint8).reshape(2, 3)
+    gray = np.repeat(np.repeat(vals, 16, axis=0), 16, axis=1)
+    rgb = np.stack([gray, gray, gray], axis=2)
+    payload = encode_jpeg_rgb_420(rgb)
+    assert decode_jpeg_meta(payload) == (48, 32, 3)
+    # SOF sampling bytes: Y (cid 1) 0x22, chroma 0x11
+    sof = payload.index(b"\xff\xc0")
+    assert payload[sof + 10 : sof + 12] == b"\x01\x22"
+    out = decode_jpeg_pixels(payload)
+    assert out.shape == (32, 48, 3)
+    assert (out == rgb).all()
+
+    # smooth gradient: the 2x2 box downsample + replication upsample
+    # stays within a few levels
+    xx = np.linspace(0, 255, 48)[None, :].repeat(32, 0)
+    rgb2 = np.stack([xx, np.full_like(xx, 100.0), xx[:, ::-1]], axis=2).astype(
+        np.uint8
+    )
+    out2 = decode_jpeg_pixels(encode_jpeg_rgb_420(rgb2))
+    assert np.abs(out2.astype(int) - rgb2.astype(int)).max() <= 8
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        encode_jpeg_rgb_420(np.zeros((24, 32, 3), dtype=np.uint8))  # h % 16
+    # truncated subsampled entropy stream must still raise
+    with pytest.raises(ValueError):
+        decode_jpeg_pixels(payload[: len(payload) - 8])
