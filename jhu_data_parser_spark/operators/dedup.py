@@ -297,6 +297,53 @@ def jaccard_tokens(a: Column, b: Column) -> Column:
     return F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
 
 
+def _scan_fingerprint(df: DataFrame) -> "tuple | None":
+    """(file, mtime_ns, size) fingerprint of a BARE-scan frame, or
+    None when the lineage is more than a scan (see
+    :func:`_is_plain_scan`) or any input file is unresolvable — the
+    shared cache-key builder for the probe and rep-analysis caches."""
+    import os
+
+    if not _is_plain_scan(df):
+        return None
+    out = []
+    for f in sorted(df.inputFiles()):
+        path = f[len("file:"):] if f.startswith("file:") else f
+        try:
+            st = os.stat(path)
+        except OSError:
+            return None
+        out.append((f, st.st_mtime_ns, st.st_size))
+    return tuple(out) or None
+
+
+# Rep-analysis caches: the Jaccard and span family cores are shared by
+# their pairs/groups/survivors/coverage heads, and every head used to
+# re-run the whole multi-shuffle chain. The verified rep-level pair
+# set is an INDEX-like artifact (tiny — pairs of distinct-text reps),
+# so it is lazily checkpointed and cached per (session, corpus
+# fingerprint, params) exactly like the PQ codebook. Keyed via
+# _scan_fingerprint, so filtered/projected frames never hit the cache.
+_REP_ANALYSIS_CACHE: dict[tuple, tuple] = {}
+_REP_ANALYSIS_CACHE_MAX = 32
+
+
+def _rep_cache_get(df: DataFrame, params: tuple):
+    fp = _scan_fingerprint(df)
+    if not fp:
+        return None, None
+    key = (df.sparkSession.sparkContext.applicationId, fp) + params
+    return key, _REP_ANALYSIS_CACHE.get(key)
+
+
+def _rep_cache_put(key, value) -> None:
+    if key is None:
+        return
+    while len(_REP_ANALYSIS_CACHE) >= _REP_ANALYSIS_CACHE_MAX:
+        _REP_ANALYSIS_CACHE.pop(next(iter(_REP_ANALYSIS_CACHE)))
+    _REP_ANALYSIS_CACHE[key] = value
+
+
 def _jaccard_rep_analysis(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -309,7 +356,12 @@ def _jaccard_rep_analysis(
     level. Returns ``(rep_pairs, members)``; ``members`` is None when
     the adaptive collapse found no duplicates (then ``rep_pairs`` IS
     the final pair set). See :func:`jaccard_prefix_pairs` for the
-    algorithm story."""
+    algorithm story. The result is cached per (session, corpus
+    fingerprint, params) — groups/survivors/pairs heads share one run
+    of the chain per corpus."""
+    key, hit = _rep_cache_get(df, ("jac", id_col, text_col, threshold, shingle_k))
+    if hit is not None:
+        return hit
     reps, members = exact_collapse(df, id_col, text_col)
     t = reps.select(
         F.col(id_col), F.split(F.lower(F.col(text_col)), " ").alias("toks")
@@ -408,6 +460,9 @@ def _jaccard_rep_analysis(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    if key is not None:
+        rep_pairs = rep_pairs.localCheckpoint(eager=False)
+        _rep_cache_put(key, (rep_pairs, members))
     return rep_pairs, members
 
 
@@ -589,7 +644,12 @@ def _span_rep_analysis(
     members, rep_metrics)``; ``members`` is None when the adaptive
     collapse found no duplicates (then ``rep_pairs`` is the final
     single-orientation pair set and ``rep_metrics`` covers all docs).
-    See :func:`shared_span_pairs` for the algorithm story."""
+    See :func:`shared_span_pairs` for the algorithm story. Cached per
+    (session, corpus fingerprint, params) like the Jaccard core —
+    pairs/groups/survivors/coverage heads share one run per corpus."""
+    key, hit = _rep_cache_get(df, ("span", id_col, text_col, k))
+    if hit is not None:
+        return hit
     reps, members = exact_collapse(df, id_col, text_col)
     t = reps.select(
         F.col(id_col), F.split(F.lower(F.col(text_col)), " ").alias("toks")
@@ -649,6 +709,9 @@ def _span_rep_analysis(
             F.size("psa").cast("long").alias("n_dup_grams"),
             (F.expr(run_a) + F.lit(k - 1)).cast("long").alias("max_span_tokens"),
         )
+        if key is not None:
+            pairs = pairs.localCheckpoint(eager=False)
+            _rep_cache_put(key, (pairs, None, rep_metrics))
         return pairs, None, rep_metrics
     cand_b = anchors.select(
         F.explode(F.expr("slice(docs, 1, i)")).alias("id_a"),
@@ -674,6 +737,9 @@ def _span_rep_analysis(
         F.size("psb").cast("long").alias("n_dup_grams_b"),
         (F.expr(run_b) + F.lit(k - 1)).cast("long").alias("max_span_tokens_b"),
     )
+    if key is not None:
+        rep_pairs = rep_pairs.localCheckpoint(eager=False)
+        _rep_cache_put(key, (rep_pairs, members, rep_metrics))
     return rep_pairs, members, rep_metrics
 
 
@@ -909,20 +975,7 @@ def _corpus_is_distinct(df: DataFrame, text_col: str) -> bool:
     the signal that exact-collapse machinery would be pure overhead.
     One map-side-combinable aggregate over the RAW frame (projection
     pushdown reads only the text column; no repartition)."""
-    import os
-
-    def fingerprint():
-        out = []
-        for f in sorted(df.inputFiles()):
-            path = f[len("file:"):] if f.startswith("file:") else f
-            try:
-                st = os.stat(path)
-            except OSError:
-                return None
-            out.append((f, st.st_mtime_ns, st.st_size))
-        return tuple(out) or None
-
-    fp = fingerprint() if _is_plain_scan(df) else None
+    fp = _scan_fingerprint(df)
     key = (fp, text_col) if fp else None
     if key and key in _DISTINCT_PROBE_CACHE:
         return _DISTINCT_PROBE_CACHE[key]

@@ -2200,3 +2200,53 @@ def test_codecs_jpeg_420_subsampled_roundtrip():
     # truncated subsampled entropy stream must still raise
     with pytest.raises(ValueError):
         decode_jpeg_pixels(payload[: len(payload) - 8])
+
+
+def test_rep_analysis_cache_guard_and_reuse(spark, tmp_path):
+    """The Jaccard/span rep-analysis cache must (a) serve repeat
+    same-corpus calls identically, (b) key on params so thresholds
+    don't cross-poison, and (c) never serve a filtered subset the
+    full-corpus result (same plain-scan guard as the probe cache)."""
+    from jhu_data_parser_spark.operators import dedup as dd
+
+    p = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [
+            (1, "aa bb cc dd ee ff"),
+            (2, "aa bb cc dd ee ff"),
+            (3, "aa bb cc dd ee ff"),
+            (4, "zz yy xx ww vv uu"),
+        ],
+        "doc_id long, text string",
+    ).write.parquet(p)
+    scan = spark.read.parquet(p)
+    full = {
+        (r.id_a, r.id_b) for r in dd.jaccard_prefix_pairs(scan, threshold=0.5).collect()
+    }
+    assert full == {(1, 2), (1, 3), (2, 3)}
+    again = {
+        (r.id_a, r.id_b) for r in dd.jaccard_prefix_pairs(scan, threshold=0.5).collect()
+    }
+    assert again == full
+    # tighter threshold is a different cache key, not a stale hit
+    strict = {
+        (r.id_a, r.id_b)
+        for r in dd.jaccard_prefix_pairs(scan, threshold=0.999).collect()
+    }
+    assert strict == full  # exact dups are jaccard 1.0 either way
+    # a filtered subset must compute ITS OWN pairs
+    sub = scan.filter("doc_id <= 2")
+    sub_pairs = {
+        (r.id_a, r.id_b) for r in dd.jaccard_prefix_pairs(sub, threshold=0.5).collect()
+    }
+    assert sub_pairs == {(1, 2)}
+    # span family: same contract
+    spans = {
+        (r.id_a, r.id_b)
+        for r in dd.shared_span_pairs(scan, k=3).collect()
+    }
+    assert {(1, 2), (1, 3), (2, 3)} <= spans
+    sub_spans = {
+        (r.id_a, r.id_b) for r in dd.shared_span_pairs(sub, k=3).collect()
+    }
+    assert (1, 3) not in sub_spans and (2, 3) not in sub_spans
