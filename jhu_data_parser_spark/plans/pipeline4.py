@@ -835,3 +835,148 @@ def join_asof_nearest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_id="click_id", tolerance_us=1_800_000_000,
     )
     return out.select("purchase_id", "click_id", "side", "delta_us")
+
+
+# --------------------------------------------------------------------------
+# URL-canonicalization dedup — the step CommonCrawl-scale pipelines run
+# BEFORE any content dedup: the same page arrives under scheme/case/
+# www/port/tracking-param/fragment variants, and collapsing them is
+# string normalization, not similarity. URLs are synthesized from
+# doc_id (same attach pattern as the multimodal family: the messy raw
+# string is a pure function of the id, replayed identically in DuckDB)
+# and then canonicalized FROM THE RAW STRING by the real operator —
+# scheme strip, fragment strip, host lowercasing, www./default-port
+# strip, trailing-slash strip, tracking-param filter with kept params
+# preserved — all codegen string/regex ops, zero UDFs, one shuffle on
+# the canonical key. 40 planted identities; the oracle only matches if
+# every normalization step ran against the raw bytes.
+# --------------------------------------------------------------------------
+
+# raw URL variants planted per doc_id: scheme case (did%4), www. (did%3),
+# host case (did%5), :443 (did%7), trailing slash (did%2), tracking
+# params around a KEPT p=<k> param (did%6), #fragment (did%4). The
+# canonical identity is k = did % 40.
+_URL_RAW_SPARK = """
+    concat(
+      element_at(array('http', 'https', 'HTTP', 'HTTPS'),
+                 CAST(doc_id % 4 AS INT) + 1), '://',
+      CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END,
+      CASE WHEN doc_id % 5 = 0 THEN upper(concat('site', CAST(doc_id % 40 AS STRING), '.com'))
+           ELSE concat('site', CAST(doc_id % 40 AS STRING), '.com') END,
+      CASE WHEN doc_id % 7 = 0 THEN ':443' ELSE '' END,
+      '/docs/', CAST(doc_id % 40 AS STRING),
+      CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END,
+      CASE WHEN doc_id % 6 = 0 THEN concat('?utm_source=feed&p=', CAST(doc_id % 40 AS STRING))
+           WHEN doc_id % 6 = 3 THEN concat('?p=', CAST(doc_id % 40 AS STRING), '&utm_medium=email')
+           ELSE concat('?p=', CAST(doc_id % 40 AS STRING)) END,
+      CASE WHEN doc_id % 4 = 0 THEN concat('#section-', CAST(doc_id % 9 AS STRING)) ELSE '' END)
+    """
+
+_URL_ORACLE = """
+    WITH raw AS (
+      SELECT doc_id,
+             (['http', 'https', 'HTTP', 'HTTPS'])[CAST(doc_id % 4 AS INT) + 1]
+             || '://'
+             || CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END
+             || CASE WHEN doc_id % 5 = 0
+                     THEN upper('site' || CAST(doc_id % 40 AS VARCHAR) || '.com')
+                     ELSE 'site' || CAST(doc_id % 40 AS VARCHAR) || '.com' END
+             || CASE WHEN doc_id % 7 = 0 THEN ':443' ELSE '' END
+             || '/docs/' || CAST(doc_id % 40 AS VARCHAR)
+             || CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END
+             || CASE WHEN doc_id % 6 = 0
+                     THEN '?utm_source=feed&p=' || CAST(doc_id % 40 AS VARCHAR)
+                     WHEN doc_id % 6 = 3
+                     THEN '?p=' || CAST(doc_id % 40 AS VARCHAR) || '&utm_medium=email'
+                     ELSE '?p=' || CAST(doc_id % 40 AS VARCHAR) END
+             || CASE WHEN doc_id % 4 = 0
+                     THEN '#section-' || CAST(doc_id % 9 AS VARCHAR) ELSE '' END
+               AS url
+      FROM documents),
+    steps AS (
+      SELECT doc_id, url,
+             regexp_replace(regexp_replace(url, '^[A-Za-z]+://', ''),
+                            '#.*$', '') AS defrag
+      FROM raw),
+    split AS (
+      SELECT doc_id, url,
+             regexp_replace(defrag, '\\?.*$', '') AS hp,
+             CASE WHEN strpos(defrag, '?') > 0
+                  THEN substr(defrag, strpos(defrag, '?') + 1) ELSE '' END AS qs
+      FROM steps),
+    norm AS (
+      SELECT doc_id, url,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(lower(hp), '^www\\.', ''),
+                 ':(80|443)(/|$)', '\\2'),
+               '/$', '') AS hostpath,
+             list_filter(string_split(qs, '&'),
+                         p -> NOT (p LIKE 'utm_%' OR p LIKE 'fbclid=%' OR p = ''))
+               AS kept
+      FROM split),
+    canon AS (
+      SELECT doc_id, url,
+             hostpath || CASE WHEN len(kept) > 0
+                              THEN '?' || array_to_string(kept, '&')
+                              ELSE '' END AS canonical_url
+      FROM norm)
+    SELECT canonical_url,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT url) AS BIGINT) AS n_raw_variants,
+           CAST(MIN(doc_id) AS BIGINT) AS keeper_doc_id
+    FROM canon
+    GROUP BY canonical_url
+    """
+
+
+@query("text_url_canonical_dedup", oracle=_URL_ORACLE)
+def text_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonicalization dedup groups: strip scheme and fragment,
+    lowercase the authority, drop www. and default ports, drop the
+    trailing slash, filter tracking params (utm_*, fbclid) while
+    PRESERVING real params — then group by the canonical URL with
+    count, raw-variant count, and the min-id keeper. Every step is a
+    codegen string/regex op over the raw URL bytes; the only shuffle
+    is the final canonical-key aggregate. At 100 TB this is the
+    cheapest dedup pass a crawl pipeline runs (no content touched),
+    which is why it goes first."""
+    d = load_table(spark, sf_dir, "documents")
+    raw = d.select("doc_id", F.expr(_URL_RAW_SPARK).alias("url"))
+    defrag = F.regexp_replace(
+        F.regexp_replace("url", "^[A-Za-z]+://", ""), "#.*$", ""
+    )
+    s = raw.select("doc_id", "url", defrag.alias("defrag"))
+    hp = F.regexp_replace("defrag", "\\?.*$", "")
+    qs = F.expr(
+        "CASE WHEN instr(defrag, '?') > 0 "
+        "THEN substr(defrag, instr(defrag, '?') + 1) ELSE '' END"
+    )
+    sp = s.select("doc_id", "url", hp.alias("hp"), qs.alias("qs"))
+    hostpath = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("hp")), "^www\\.", ""),
+            ":(80|443)(/|$)",
+            "$2",
+        ),
+        "/$",
+        "",
+    )
+    kept = F.expr(
+        "filter(split(qs, '&'), p -> NOT (p LIKE 'utm_%' OR p LIKE 'fbclid=%' "
+        "OR p = ''))"
+    )
+    n = sp.select("doc_id", "url", hostpath.alias("hostpath"), kept.alias("kept"))
+    canonical = F.expr(
+        "concat(hostpath, CASE WHEN size(kept) > 0 "
+        "THEN concat('?', array_join(kept, '&')) ELSE '' END)"
+    )
+    return (
+        n.select("doc_id", "url", canonical.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("url").cast("long").alias("n_raw_variants"),
+            F.min("doc_id").cast("long").alias("keeper_doc_id"),
+        )
+    )
