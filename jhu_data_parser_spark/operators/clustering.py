@@ -127,8 +127,55 @@ def _update(assigned: DataFrame, prev: DataFrame) -> DataFrame:
     )
 
 
+# Point-count bound below which Lloyd's iterations run on the driver
+# over the collected (id, q) table instead of as Spark job chains.
+# Each distributed iteration pays a broadcast build + checkpoint of a
+# k-row centroid table plus an update shuffle — pure scheduler latency
+# when the point set is an index-build sample (the PQ/IVF lifecycle
+# caps fits at ~10k rows by construction; whole-corpus fits cross the
+# bound and take the distributed loop). The local path is bit-identical:
+# same lowest-id seeding, same (d, cid) argmin tie-break (np.argmin
+# returns the first minimum = lowest cid), same exact-int64 floor-mean
+# (numpy // IS floor division for both signs, matching the DIV-based
+# two-branch form), empty clusters keep their previous centroid.
+LOCAL_KMEANS_POINT_BOUND = 100_000
+
+
+def _lloyd_local(ids, X, k: int, iterations: int):
+    """Exact integer Lloyd over collected points (sorted by id) →
+    (centroids (k, dim) int64, assignment cids, dist_sq) for the LAST
+    round's centroids — the same contract as the distributed loop."""
+    import numpy as np
+
+    order = np.argsort(ids, kind="stable")
+    ids, X = ids[order], X[order]
+    C = X[: min(k, len(X))].copy()
+    a = np.zeros(len(X), dtype=np.int64)
+    best = np.zeros(len(X), dtype=np.int64)
+    for step in range(iterations):
+        d = (
+            (X * X).sum(axis=1)[:, None]
+            + (C * C).sum(axis=1)[None, :]
+            - 2 * (X @ C.T)
+        )
+        a = d.argmin(axis=1)
+        best = d[np.arange(len(a)), a]
+        if step < iterations - 1:
+            newC = C.copy()
+            for cid in range(len(C)):
+                m = a == cid
+                if m.any():
+                    s = X[m].sum(axis=0, dtype=np.int64)
+                    newC[cid] = s // int(m.sum())
+            C = newC
+    return ids, C, a, best
+
+
 def kmeans_fit(
-    points: DataFrame, k: int = 10, iterations: int = 3
+    points: DataFrame,
+    k: int = 10,
+    iterations: int = 3,
+    local_bound: int = LOCAL_KMEANS_POINT_BOUND,
 ) -> tuple[DataFrame, DataFrame]:
     """Fixed-iteration Lloyd's k-means → ``(assignment, centroids)``
     where assignment is ``(id, cluster, dist_sq)`` and centroids is the
@@ -141,7 +188,43 @@ def kmeans_fit(
     floor element-wise mean. The returned frame is the LAST round's
     assignment — i.e. distances against the round-``iterations-1``
     centroids, exactly what the unrolled oracle reproduces.
+
+    Adaptive: point sets under ``local_bound`` rows (a limit-probe)
+    collect once and run the identical Lloyd loop on the driver —
+    index-build samples are bounded by construction, and each
+    distributed iteration costs fixed scheduler latency. Bit-identical
+    either way; ``local_bound=0`` forces the distributed loop.
     """
+    import numpy as np
+
+    if local_bound:
+        probe = points.select("id", "q").limit(local_bound + 1).toPandas()
+        if len(probe) <= local_bound:
+            spark = points.sparkSession
+            if len(probe) == 0:
+                empty_a = spark.createDataFrame(
+                    [], "id long, cluster long, dist_sq long"
+                )
+                empty_c = spark.createDataFrame([], "cid long, c array<bigint>")
+                return empty_a, empty_c
+            ids = probe["id"].to_numpy()
+            X = np.array(
+                [np.asarray(q, dtype=np.int64) for q in probe["q"]],
+                dtype=np.int64,
+            ).reshape(len(probe), -1)
+            ids, C, a, best = _lloyd_local(ids, X, k, iterations)
+            cents = spark.createDataFrame(
+                [(int(cid), [int(v) for v in c]) for cid, c in enumerate(C)],
+                "cid long, c array<bigint>",
+            )
+            out = spark.createDataFrame(
+                [
+                    (int(i), int(cid), int(d))
+                    for i, cid, d in zip(ids.tolist(), a.tolist(), best.tolist())
+                ],
+                "id long, cluster long, dist_sq long",
+            )
+            return out, cents
     w = Window.orderBy("id")
     centroids = (
         points.orderBy("id")
@@ -174,7 +257,11 @@ def kmeans_assign(
 
 
 def kmeans_fit_multi(
-    points: DataFrame, k: int = 10, iterations: int = 3, group_col: str = "g"
+    points: DataFrame,
+    k: int = 10,
+    iterations: int = 3,
+    group_col: str = "g",
+    local_bound: int = LOCAL_KMEANS_POINT_BOUND,
 ) -> DataFrame:
     """Fit INDEPENDENT k-means instances for several point groups in ONE
     chain of Spark jobs: ``points`` is ``(g, id, q)`` and the result is
@@ -189,7 +276,35 @@ def kmeans_fit_multi(
     turns each iteration into exactly ONE assignment projection (the
     per-group centroid arrays fold into an M-row broadcast dim) plus
     ONE update shuffle on (g, cid, pos) — the stage count drops M-fold
-    and is independent of M at scale."""
+    and is independent of M at scale.
+
+    Adaptive like :func:`kmeans_fit`: under ``local_bound`` total rows
+    the groups collect once and fit locally — bit-identical per group
+    (``local_bound=0`` forces the distributed chain)."""
+    import numpy as np
+
+    if local_bound:
+        probe = (
+            points.select(group_col, "id", "q").limit(local_bound + 1).toPandas()
+        )
+        if len(probe) <= local_bound and len(probe) > 0:
+            spark = points.sparkSession
+            rows = []
+            for g in sorted(probe[group_col].unique().tolist()):
+                sub = probe[probe[group_col] == g]
+                ids = sub["id"].to_numpy()
+                X = np.array(
+                    [np.asarray(q, dtype=np.int64) for q in sub["q"]],
+                    dtype=np.int64,
+                ).reshape(len(sub), -1)
+                _ids, C, _a, _best = _lloyd_local(ids, X, k, iterations)
+                rows.extend(
+                    (int(g), int(cid), [int(v) for v in c])
+                    for cid, c in enumerate(C)
+                )
+            return spark.createDataFrame(
+                rows, f"{group_col} int, cid long, c array<bigint>"
+            )
     w = Window.partitionBy(group_col).orderBy("id")
     centroids = (
         points.withColumn("rn", F.row_number().over(w))

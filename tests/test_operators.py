@@ -2250,3 +2250,37 @@ def test_rep_analysis_cache_guard_and_reuse(spark, tmp_path):
         (r.id_a, r.id_b) for r in dd.shared_span_pairs(sub, k=3).collect()
     }
     assert (1, 3) not in sub_spans and (2, 3) not in sub_spans
+
+
+def test_kmeans_local_matches_distributed(spark):
+    """The adaptive driver-side Lloyd must be bit-identical to the
+    distributed job-chain loop — centroids, assignments, and distances
+    — including the empty-cluster keep-previous rule and the (d, cid)
+    argmin tie-break, for both the single and multi-group fits."""
+    import random
+
+    from jhu_data_parser_spark.operators.clustering import (
+        kmeans_fit,
+        kmeans_fit_multi,
+    )
+
+    rng = random.Random(13)
+    pts = [
+        (i, [rng.randrange(-1_000_000, 1_000_000) for _ in range(6)])
+        for i in range(60)
+    ]
+    # plant exact ties: two identical points and a duplicated centroid seed
+    pts[10] = (10, list(pts[3][1]))
+    df = spark.createDataFrame(pts, "id long, q array<bigint>")
+    a_loc, c_loc = kmeans_fit(df, k=5, iterations=3)
+    a_dist, c_dist = kmeans_fit(df, k=5, iterations=3, local_bound=0)
+    assert sorted(map(tuple, a_loc.collect())) == sorted(map(tuple, a_dist.collect()))
+    assert sorted(map(tuple, c_loc.collect())) == sorted(map(tuple, c_dist.collect()))
+
+    mpts = [(g, i, q) for g in (0, 1) for (i, q) in pts]
+    mdf = spark.createDataFrame(mpts, "g int, id long, q array<bigint>")
+    m_loc = sorted(map(tuple, kmeans_fit_multi(mdf, k=4, iterations=2).collect()))
+    m_dist = sorted(
+        map(tuple, kmeans_fit_multi(mdf, k=4, iterations=2, local_bound=0).collect())
+    )
+    assert m_loc == m_dist
