@@ -212,17 +212,22 @@ def kmeans_fit(
                 [np.asarray(q, dtype=np.int64) for q in probe["q"]],
                 dtype=np.int64,
             ).reshape(len(probe), -1)
-            ids, C, a, best = _lloyd_local(ids, X, k, iterations)
+            _ids, C, _a, _best = _lloyd_local(ids, X, k, iterations)
             cents = spark.createDataFrame(
                 [(int(cid), [int(v) for v in c]) for cid, c in enumerate(C)],
                 "cid long, c array<bigint>",
             )
-            out = spark.createDataFrame(
-                [
-                    (int(i), int(cid), int(d))
-                    for i, cid, d in zip(ids.tolist(), a.tolist(), best.tolist())
-                ],
-                "id long, cluster long, dist_sq long",
+            # Only the FIT runs on the driver (that is where the
+            # iteration-chain latency was); the returned assignment is
+            # the DISTRIBUTED codegen argmin against the broadcast
+            # locally-fit centroids — the production plan shape at any
+            # point count, lazy (fit-only callers never evaluate it),
+            # and bit-identical to the local argmin (pinned by the
+            # local==distributed equivalence test).
+            out = _assign(points, cents).select(
+                "id",
+                F.col("cid").alias("cluster"),
+                F.col("d").alias("dist_sq"),
             )
             return out, cents
     w = Window.orderBy("id")
