@@ -396,3 +396,205 @@ def text_quality_linear_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("score").cast("long").alias("min_score"),
         F.max("score").cast("long").alias("max_score"),
     )
+
+
+# --------------------------------------------------------------------------
+# Asymmetric containment dedup — c(A,B) = |S_A ∩ S_B| / |S_A| ≥ 0.8 over
+# 3-token shingle SETS: the "document quoted/embedded inside another"
+# detector (news-wire copies, quoted posts) that symmetric Jaccard
+# misses (a short doc inside a long one has tiny Jaccard but
+# containment 1.0). Quote docs are planted deterministically (12-word
+# prefixes of every %10 doc; the %20 half gets 5 unknown words appended
+# so it genuinely FAILS the threshold), the corpus is collapsed to
+# distinct texts first (exact duplicates belong to the exact pass — and
+# it bounds the pair listing under replicated layouts), and candidates
+# come from the ASYMMETRIC prefix filter: a container must share one of
+# the contained doc's ⌊(1−τ)·n⌋+1 rarest shingles, so the inverted-
+# index join touches rare postings only. Verification is an exact
+# integer comparison 5·|∩| ≥ 4·|S_A| — no floats anywhere.
+# --------------------------------------------------------------------------
+
+_CONTAIN_CORPUS_SPARK = """
+    SELECT doc_id AS id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS id,
+           concat(array_join(slice(split(text, ' '), 1, 12), ' '),
+                  CASE WHEN doc_id % 20 = 0
+                       THEN ' zq1 zq2 zq3 zq4 zq5' ELSE '' END) AS text
+    FROM documents WHERE doc_id % 10 = 0
+    """
+
+_CONTAIN_ORACLE = """
+    WITH corpus AS (
+      SELECT doc_id AS id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000,
+             array_to_string(string_split(text, ' ')[1:12], ' ')
+             || CASE WHEN doc_id % 20 = 0
+                     THEN ' zq1 zq2 zq3 zq4 zq5' ELSE '' END
+      FROM documents WHERE doc_id % 10 = 0),
+    reps AS (SELECT text, MIN(id) AS id FROM corpus GROUP BY text),
+    t AS (SELECT id, string_split(text, ' ') AS w FROM reps),
+    sh AS (
+      SELECT id,
+             CASE WHEN len(w) >= 3
+                  THEN list_distinct(list_transform(
+                         generate_series(1, len(w) - 2),
+                         i -> array_to_string(w[i:i+2], ' ')))
+                  ELSE [] END AS s
+      FROM t),
+    pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b,
+             len(list_intersect(a.s, b.s)) AS n_shared,
+             len(a.s) AS n_a
+      FROM sh a JOIN sh b ON a.id <> b.id)
+    SELECT id_a, id_b,
+           CAST(n_shared AS BIGINT) AS n_shared,
+           CAST(n_a AS BIGINT) AS n_a,
+           CAST((1000 * n_shared) // n_a AS BIGINT) AS contain_millis
+    FROM pairs WHERE 5 * n_shared >= 4 * n_a
+    """
+
+
+@query("dedup_containment_pairs", oracle=_CONTAIN_ORACLE)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All ordered pairs (contained, container) with shingle-set
+    containment ≥ 0.8, via the asymmetric prefix filter (candidates
+    only from each doc's ⌊0.2·n⌋+1 globally-rarest shingles joined
+    against the full inverted index) + exact set verification. The
+    oracle is the QUADRATIC brute force, so the driver gate proves the
+    prefix filter's 100% recall."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    d.createOrReplaceTempView("documents")
+    corpus = spark.sql(_CONTAIN_CORPUS_SPARK)
+    # Distinct-text collapse: exact duplicates are the exact pass's
+    # job; at 100 TB this is exact_collapse on a fingerprint — here the
+    # corpus-sized groupBy carries the text column once.
+    reps = corpus.groupBy("text").agg(F.min("id").alias("id"))
+    # Shingles are relabeled to xxhash64 longs ONCE (the Jaccard-family
+    # lesson: long-key joins and long-array intersects beat ~17-char
+    # string keys severalfold; the STRING-set oracle re-proves the
+    # hashed counts, so the driver gate doubles as a collision check).
+    sh = reps.select(
+        "id",
+        F.expr(
+            "CASE WHEN size(split(text, ' ')) >= 3 "
+            "THEN array_distinct(transform("
+            "sequence(1, size(split(text, ' ')) - 2), "
+            "i -> xxhash64(concat_ws(' ', slice(split(text, ' '), i, 3))))) "
+            "ELSE CAST(array() AS ARRAY<BIGINT>) END"
+        ).alias("s"),
+    ).localCheckpoint(eager=False)
+    ex = sh.select("id", F.size("s").alias("n"), F.explode("s").alias("shingle"))
+    # Global shingle rarity: ONE exchange of the exploded table (window
+    # count over the shingle key), then the per-doc df-ascending prefix.
+    wdf = Window.partitionBy("shingle")
+    exdf = ex.withColumn("df", F.count(F.lit(1)).over(wdf))
+    prefix = (
+        exdf.groupBy("id", "n")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "shingle"))).alias("os"))
+        .select(
+            "id",
+            F.expr(
+                "transform(slice(os, 1, CAST(n - (4*n + 4) DIV 5 + 1 AS INT)), "
+                "x -> x.shingle)"
+            ).alias("pre"),
+        )
+        .select("id", F.explode("pre").alias("shingle"))
+    )
+    cand = (
+        prefix.alias("a")
+        .join(ex.select("id", "shingle").alias("b"), "shingle")
+        .filter(F.col("a.id") != F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    verified = (
+        cand.join(sh.select(F.col("id").alias("id_a"), F.col("s").alias("sa")), "id_a")
+        .join(sh.select(F.col("id").alias("id_b"), F.col("s").alias("sb")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("sa", "sb")).cast("long").alias("n_shared"),
+            F.size("sa").cast("long").alias("n_a"),
+        )
+        .filter(5 * F.col("n_shared") >= 4 * F.col("n_a"))
+    )
+    return verified.select(
+        "id_a",
+        "id_b",
+        "n_shared",
+        "n_a",
+        F.expr("CAST((1000 * n_shared) DIV n_a AS BIGINT)").alias("contain_millis"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Token-budget mixture planning — given per-source token counts, fixed
+# mixture weights (portable md5 hash of the source name → 1..5), a
+# global token budget (2× the corpus), and an epoch cap of 4, compute
+# each source's allocation, its capped epoch count (exact milli-epochs)
+# and the tokens the plan will actually draw. This is the arithmetic a
+# DoReMi/Pile-style mixing step runs before sampling; everything is
+# exact integer DIV so the plan is reproducible bit-for-bit. Two tiny
+# aggregates (per-source rollup + a broadcast 1-row total); token
+# counting is the only corpus-sized work.
+# --------------------------------------------------------------------------
+
+_EPOCH_ORACLE = f"""
+    WITH s AS (
+      SELECT source,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+             ({_hexpoly_sql("md5(source)", 4)}) % 5 + 1 AS weight
+      FROM documents GROUP BY source),
+    tot AS (
+      SELECT CAST(SUM(n_tokens) * 2 AS BIGINT) AS budget,
+             CAST(SUM(weight) AS BIGINT) AS wsum
+      FROM s),
+    plan AS (
+      SELECT source, n_tokens, weight,
+             CAST((budget * weight) // wsum AS BIGINT) AS alloc_tokens
+      FROM s, tot)
+    SELECT source, n_tokens, weight, alloc_tokens,
+           CAST(LEAST((1000 * alloc_tokens) // n_tokens, 4000) AS BIGINT)
+             AS epoch_millis,
+           CAST(LEAST(alloc_tokens, 4 * n_tokens) AS BIGINT) AS planned_tokens
+    FROM plan
+    """
+
+
+@query("sample_epoch_plan", oracle=_EPOCH_ORACLE)
+def sample_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source training-mixture plan: token counts, hash-derived
+    mixture weight, budget allocation, epoch-capped draw — exact
+    integer arithmetic end to end."""
+    d = load_table(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("n_tokens"),
+        (
+            F.conv(F.substring(F.md5(F.first("source")), 1, 4), 16, 10).cast("long")
+            % 5
+            + 1
+        ).alias("weight"),
+    )
+    tot = s.agg(
+        (F.sum("n_tokens") * 2).cast("long").alias("budget"),
+        F.sum("weight").cast("long").alias("wsum"),
+    )
+    plan = s.crossJoin(F.broadcast(tot)).withColumn(
+        "alloc_tokens", F.expr("CAST((budget * weight) DIV wsum AS BIGINT)")
+    )
+    return plan.select(
+        "source",
+        "n_tokens",
+        "weight",
+        "alloc_tokens",
+        F.expr(
+            "CAST(LEAST((1000 * alloc_tokens) DIV n_tokens, 4000) AS BIGINT)"
+        ).alias("epoch_millis"),
+        F.expr("CAST(LEAST(alloc_tokens, 4 * n_tokens) AS BIGINT)").alias(
+            "planned_tokens"
+        ),
+    )
