@@ -541,3 +541,41 @@ def test_pq_serving_never_joins_the_vector_table(spark):
     plan = _plan(spark, "sim_pq_topk")
     assert "SortMergeJoin" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_global_rank_is_distributed_prefix_sum(spark):
+    """The customer-rank query must compile to the two-level prefix-sum
+    shape: a range-partitioned exchange for the global ordering, NO
+    single-partition window over the point set (the only empty-
+    partitionBy window is the ≤n_parts-row offsets frame), and no
+    cartesian/NLJ anywhere."""
+    plan = _plan(spark, "window_global_rank_distributed")
+    # The range-partitioned ordering lives inside the pinned
+    # localCheckpoint subtree (the executed plan starts at its
+    # ExistingRDD scan, __pid already attached) — what must be visible
+    # here: the running-sum window partitioned by __pid (never an
+    # empty partitionBy over the point set), offsets riding a
+    # broadcast, and exactly ONE SinglePartition exchange (the
+    # ≤n_parts-row totals frame).
+    assert "windowspecdefinition(__pid" in plan, plan[:2000]
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Exchange SinglePartition") == 1
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_boilerplate_removal_is_broadcast_anti_join(spark):
+    """The boilerplate-line strip must be a BROADCAST left-anti join —
+    the boilerplate set is small by construction, so document payloads
+    must never shuffle for the removal itself."""
+    plan = _plan(spark, "text_boilerplate_lines")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan
+
+
+def test_containment_has_no_pair_scan(spark):
+    """Containment candidates must come from the shingle equi-join
+    (prefix postings × inverted index) — never a quadratic pair scan."""
+    plan = _plan(spark, "dedup_containment_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
