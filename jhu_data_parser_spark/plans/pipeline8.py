@@ -284,8 +284,14 @@ def text_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_lines = d.select(
         "doc_id", F.expr(_BOILER_LINES_SPARK).alias("lines")
     )
+    # n_lines rides the exploded rows: every doc keeps ≥1 organic line
+    # (planted boilerplate never equals a 6-word soup chunk), so the
+    # final rollup needs no join back to a second evaluation of the
+    # interpreted line-build HOF — one scan, one evaluation.
     ex = doc_lines.select(
-        "doc_id", F.posexplode("lines").alias("pos", "line")
+        "doc_id",
+        F.size("lines").cast("long").alias("n_lines"),
+        F.posexplode("lines").alias("pos", "line"),
     )
     total = doc_lines.agg(F.count(F.lit(1)).alias("tot"))
     stats = ex.groupBy("line").agg(F.countDistinct("doc_id").alias("ndl"))
@@ -295,8 +301,9 @@ def text_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("line")
     )
     kept = ex.join(F.broadcast(boiler), "line", "left_anti")
-    clean = kept.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_kept"),
+    return kept.groupBy("doc_id").agg(
+        F.max("n_lines").alias("n_lines"),
+        (F.max("n_lines") - F.count(F.lit(1))).cast("long").alias("n_removed"),
         F.md5(
             F.array_join(
                 F.expr(
@@ -306,16 +313,6 @@ def text_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "\n",
             )
         ).alias("clean_md5"),
-    )
-    return (
-        doc_lines.select("doc_id", F.size("lines").cast("long").alias("n_lines"))
-        .join(clean, "doc_id")
-        .select(
-            "doc_id",
-            "n_lines",
-            (F.col("n_lines") - F.col("n_kept")).cast("long").alias("n_removed"),
-            "clean_md5",
-        )
     )
 
 
