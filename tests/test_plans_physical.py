@@ -579,3 +579,40 @@ def test_containment_has_no_pair_scan(spark):
     plan = _plan(spark, "dedup_containment_pairs")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dsir_weight_table_is_broadcast(spark):
+    """DSIR scoring must broadcast the ≤B-row log-ratio table back onto
+    the feature stream (never shuffle the corpus for the lookup), keep
+    the corpus totals a 1-row broadcast, and take the resample top-K as
+    TakeOrderedAndProject — no global sort, no cartesian."""
+    plan = _plan(spark, "curation_dsir_weights")
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_semdedup_pairs_form_within_cluster_only(spark):
+    """SemDeDup candidates must come from the cluster-key equi-join —
+    never a corpus-wide pair scan (no cartesian/NLJ over the vectors;
+    the only nested-loop is the 1-row kmeans-probe broadcast)."""
+    plan = _plan(spark, "curation_semdedup_prune")
+    assert "CartesianProduct" not in plan
+    # Pair candidates ride the cluster-key equi-join …
+    assert "SortMergeJoin [cid" in plan or "ShuffledHashJoin [cid" in plan
+    # … and the only nested-loops are the broadcast-centroid argmin
+    # attaches from kmeans_assign (1-row array side, one per appearance
+    # of the clustered-corpus subtree: two pair sides + the keep-count
+    # outer join; AQE ReusedExchange collapses them at runtime) — never
+    # a vector-vector pair scan.
+    assert plan.count("BroadcastNestedLoopJoin") <= 3, plan[:3000]
+
+
+def test_rrf_sides_are_partial_topk(spark):
+    """Both RRF shortlists must compile to TakeOrderedAndProject
+    (per-partition partial top-k); the rank windows may only run on the
+    bounded shortlists, so no corpus-wide SinglePartition sort feeds a
+    window."""
+    plan = _plan(spark, "retrieval_rrf_hybrid")
+    assert plan.count("TakeOrderedAndProject") >= 2, plan[:3000]
+    assert "CartesianProduct" not in plan
