@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from jhu_data_parser_spark.operators.similarity import int_dot
 from jhu_data_parser_spark.plans.catalog import query
 from jhu_data_parser_spark.plans.pipeline4 import _bm25_contrib_sql
 from jhu_data_parser_spark.plans.pipeline6 import _hexpoly_sql
@@ -171,14 +172,18 @@ def curation_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 # same cell).
 #
 # Scale posture: clustering bounds the candidate set — pairs form only
-# WITHIN a cluster (self-join on the cluster key; SMJ buffers one
-# cluster, AQE skew-split applies), so cost is Σ|c|²/2, and in a real
-# deployment k grows with the corpus to hold |c| constant (the operator
-# takes k as a parameter; the catalog query pins k=10 for the oracle).
-# Norms are computed ONCE per row before the join; the per-pair test is
-# an UNROLLED 64-term codegen dot product (no interpreted HOF per
-# candidate) against the integer threshold 100·dot² ≥ 81·|a|²·|b|²
-# (τ=0.9), all int64-exact at the 1e3 quantization.
+# WITHIN a cluster (salted self-join on the cluster key: k alone gives
+# at most k tasks, so the left side buckets by id%S and the right side
+# replicates across the S buckets — every a<b pair lands exactly once
+# at salt = ida % S), so cost is Σ|c|²/2, and in a real deployment k
+# grows with the corpus to hold |c| constant (the operator takes k as
+# a parameter; the catalog query pins k=10 for the oracle). Norms are
+# computed ONCE per row before the join; the per-pair test is the
+# shared int_dot zip_with/aggregate dot against the integer threshold
+# 100·dot² ≥ 81·|a|²·|b|² (τ=0.9), all int64-exact at the 1e3
+# quantization. (NOT an unrolled per-component sum: a 64-term codegen
+# expression exceeds HotSpot's JIT method budget and runs bytecode-
+# interpreted — measured 6× slower than the HOF on this stage.)
 # --------------------------------------------------------------------------
 
 _SEM_K = 10
@@ -245,29 +250,50 @@ def curation_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").alias("src"),
     )
     corpus = q3.select("id", "q", F.col("id").alias("src")).unionByName(twins)
-    dim = len(e.select("embedding").first()[0])
-    n2 = " + ".join(f"q[{i}] * q[{i}]" for i in range(dim))
-    cc = corpus.join(
-        asg.select(F.col("id").alias("src"), F.col("cluster").alias("cid")),
-        "src",
-    ).select("id", "q", F.expr(f"CAST({n2} AS BIGINT)").alias("n2"), "cid")
+    # The clustered corpus feeds three plan branches (two pair sides +
+    # the keep-count outer join); the lazy checkpoint materializes the
+    # kmeans-assignment chain ONCE instead of once per branch.
+    cc = (
+        corpus.join(
+            asg.select(F.col("id").alias("src"), F.col("cluster").alias("cid")),
+            "src",
+        )
+        .select("id", "q", int_dot(F.col("q"), F.col("q")).alias("n2"), "cid")
+        .localCheckpoint(eager=False)
+    )
+    # Salted self-join: the cluster key alone has only k distinct
+    # values, so AQE coalesces the pair stage to ~1 task locally (and
+    # to ≤k tasks at best). Bucketing the left side by id and
+    # replicating the right side across the S buckets spreads each
+    # cluster's pair block over k·S tasks; every (a < b) pair still
+    # appears exactly once, at salt = ida % S. (At real scale k grows
+    # with the corpus to hold |cluster| constant — the salt is the
+    # local-k complement, same trick as operators/skew.py.)
+    salt_n = 8
     a = cc.select(
         "cid",
+        (F.col("id") % salt_n).cast("int").alias("salt"),
         F.col("id").alias("ida"),
         F.col("q").alias("qa"),
         F.col("n2").alias("na2"),
     )
     bt = cc.select(
         "cid",
+        F.explode(F.sequence(F.lit(0), F.lit(salt_n - 1))).alias("salt64"),
         F.col("id").alias("idb"),
         F.col("q").alias("qb"),
         F.col("n2").alias("nb2"),
+    ).select(
+        "cid",
+        F.col("salt64").cast("int").alias("salt"),
+        "idb",
+        "qb",
+        "nb2",
     )
-    dot = " + ".join(f"qa[{i}] * qb[{i}]" for i in range(dim))
     pairs = (
-        a.join(bt, "cid")
+        a.join(bt, ["cid", "salt"])
         .filter(F.col("ida") < F.col("idb"))
-        .withColumn("dot", F.expr(f"CAST({dot} AS BIGINT)"))
+        .withColumn("dot", int_dot(F.col("qa"), F.col("qb")))
         .filter(
             (F.col("dot") >= 0)
             & (
