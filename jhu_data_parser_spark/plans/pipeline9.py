@@ -250,37 +250,53 @@ def curation_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").alias("src"),
     )
     corpus = q3.select("id", "q", F.col("id").alias("src")).unionByName(twins)
-    # The clustered corpus feeds three plan branches (two pair sides +
-    # the keep-count outer join); the lazy checkpoint materializes the
-    # kmeans-assignment chain ONCE instead of once per branch.
-    cc = (
-        corpus.join(
-            asg.select(F.col("id").alias("src"), F.col("cluster").alias("cid")),
-            "src",
+    cc = corpus.join(
+        asg.select(F.col("id").alias("src"), F.col("cluster").alias("cid")),
+        "src",
+    ).select("id", "q", int_dot(F.col("q"), F.col("q")).alias("n2"), "cid")
+    # Distinct-vector collapse (the round-6 exact-collapse lesson,
+    # applied to vectors): identical vectors always share a cluster
+    # (the assignment is a deterministic function of q), and the
+    # keep-first rule factorizes exactly over copies — every copy but
+    # the min-id one is pruned by its identical twin (dot = |v|², so
+    # 100·dot² ≥ 81·|v|⁴ always passes, including |v|=0), and the
+    # min-id copy is pruned iff some OTHER vector in the cell passes
+    # the threshold with a smaller min-id. So the quadratic pair stage
+    # runs on DISTINCT vectors only; copy counts/id-sums fold back in
+    # the final aggregate. On a dup-dense corpus (the 100× replicated
+    # layout: 200k points, ~2k distinct) this is the difference
+    # between ~5e7 and ~5e11 pair evaluations. The lazy checkpoint
+    # materializes the kmeans+collapse chain ONCE for its three
+    # consumers (two pair sides + the final rollup).
+    reps = (
+        cc.groupBy("cid", "q", "n2")
+        .agg(
+            F.min("id").alias("rid"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.sum("id").alias("id_sum"),
         )
-        .select("id", "q", int_dot(F.col("q"), F.col("q")).alias("n2"), "cid")
         .localCheckpoint(eager=False)
     )
     # Salted self-join: the cluster key alone has only k distinct
     # values, so AQE coalesces the pair stage to ~1 task locally (and
-    # to ≤k tasks at best). Bucketing the left side by id and
+    # to ≤k tasks at best). Bucketing the left side by rid and
     # replicating the right side across the S buckets spreads each
     # cluster's pair block over k·S tasks; every (a < b) pair still
-    # appears exactly once, at salt = ida % S. (At real scale k grows
+    # appears exactly once, at salt = rida % S. (At real scale k grows
     # with the corpus to hold |cluster| constant — the salt is the
     # local-k complement, same trick as operators/skew.py.)
     salt_n = 8
-    a = cc.select(
+    a = reps.select(
         "cid",
-        (F.col("id") % salt_n).cast("int").alias("salt"),
-        F.col("id").alias("ida"),
+        (F.col("rid") % salt_n).cast("int").alias("salt"),
+        F.col("rid").alias("ida"),
         F.col("q").alias("qa"),
         F.col("n2").alias("na2"),
     )
-    bt = cc.select(
+    bt = reps.select(
         "cid",
         F.explode(F.sequence(F.lit(0), F.lit(salt_n - 1))).alias("salt64"),
-        F.col("id").alias("idb"),
+        F.col("rid").alias("idb"),
         F.col("q").alias("qb"),
         F.col("n2").alias("nb2"),
     ).select(
@@ -302,19 +318,18 @@ def curation_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    pruned = pairs.select("cid", F.col("idb").alias("id")).distinct()
+    rep_pruned = pairs.select("cid", F.col("idb").alias("rid")).distinct()
+    hit = F.when(F.col("hit").isNotNull(), 1).otherwise(0)
     return (
-        cc.join(pruned.withColumn("hit", F.lit(1)), ["cid", "id"], "left")
+        reps.join(
+            rep_pruned.withColumn("hit", F.lit(1)), ["cid", "rid"], "left"
+        )
         .groupBy(F.col("cid").alias("cluster"))
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_points"),
-            F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("n_pruned"),
-            (F.count(F.lit(1)) - F.sum(F.coalesce("hit", F.lit(0))))
-            .cast("long")
-            .alias("n_kept"),
-            F.sum(
-                F.when(F.col("hit").isNotNull(), F.col("id")).otherwise(0)
-            )
+            F.sum("n_copies").cast("long").alias("n_points"),
+            F.sum(F.col("n_copies") - 1 + hit).cast("long").alias("n_pruned"),
+            F.sum(1 - hit).cast("long").alias("n_kept"),
+            F.sum(F.col("id_sum") - (1 - hit) * F.col("rid"))
             .cast("long")
             .alias("pruned_id_sum"),
         )
