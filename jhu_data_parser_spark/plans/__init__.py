@@ -35,6 +35,7 @@ from jhu_data_parser_spark.plans import pipeline6  # noqa: E402,F401
 from jhu_data_parser_spark.plans import pipeline7  # noqa: E402,F401
 from jhu_data_parser_spark.plans import pipeline8  # noqa: E402,F401
 from jhu_data_parser_spark.plans import pipeline9  # noqa: E402,F401
+from jhu_data_parser_spark.plans import pipeline10  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Catalog presentation order.

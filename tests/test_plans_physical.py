@@ -616,3 +616,32 @@ def test_rrf_sides_are_partial_topk(spark):
     plan = _plan(spark, "retrieval_rrf_hybrid")
     assert plan.count("TakeOrderedAndProject") >= 2, plan[:3000]
     assert "CartesianProduct" not in plan
+
+
+def test_blocklist_is_broadcast_dim(spark):
+    """The domain blocklist must broadcast into the corpus scan (real
+    lists are MB-scale) — never shuffle the corpus on the domain key,
+    never a cartesian."""
+    plan = _plan(spark, "text_domain_blocklist_filter")
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan
+
+
+def test_bigram_perplexity_scale_shape(spark):
+    """The perplexity plan may broadcast the tiny local bigram table,
+    but must never compile a cartesian or a corpus-wide nested loop
+    beyond the 1-row vocab-size attach."""
+    plan = _plan(spark, "text_bigram_perplexity")
+    assert "CartesianProduct" not in plan
+    # the only nested loops are the 1-row scalar attaches (V, totals)
+    assert plan.count("BroadcastNestedLoopJoin") <= 2, plan[:3000]
+
+
+def test_hard_negatives_shortlist_shape(spark):
+    """Both ranker sides must be partial top-k (TakeOrderedAndProject);
+    the exact-cosine refine must join the ≤50-row shortlist back into
+    the embedding scan as a broadcast, never rank the corpus."""
+    plan = _plan(spark, "retrieval_hard_negatives")
+    assert plan.count("TakeOrderedAndProject") >= 2, plan[:3000]
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
