@@ -2284,3 +2284,54 @@ def test_kmeans_local_matches_distributed(spark):
         map(tuple, kmeans_fit_multi(mdf, k=4, iterations=2, local_bound=0).collect())
     )
     assert m_loc == m_dist
+
+
+def test_semdedup_collapse_exact_on_duplicate_vectors(spark, tmp_path):
+    """The distinct-vector collapse branch of curation_semdedup_prune
+    (n_copies > 1) never fires on the provided testdata — every vector
+    there is distinct. Plant exact duplicate vectors (3 extra copies of
+    every vec_id % 3 == 0 embedding, interleaved id ranges) and gate
+    the collapsed plan against the UNCOLLAPSED quadratic oracle: a
+    value-hash match proves the keep-first factorization over copies
+    (all but the min-id copy pruned by their twin; the rep pruned iff a
+    passing pair has smaller min-id) is exact."""
+    import os
+    import shutil
+
+    import duckdb
+
+    from jhu_data_parser_spark.plans import ORACLES, QUERIES
+    from tests.conftest import SF_SMOKE
+    from tests.oracle_compare import TABLE_NAMES, compare, duckdb_con
+
+    sf = str(tmp_path)
+    for name in TABLE_NAMES:
+        src = os.path.join(SF_SMOKE, f"{name}.parquet")
+        if name != "embeddings":
+            os.symlink(src, os.path.join(sf, f"{name}.parquet"))
+    dup = duckdb.connect()
+    dup.execute(
+        f"""
+        COPY (
+          SELECT vec_id, embedding, label
+          FROM read_parquet('{os.path.join(SF_SMOKE, "embeddings.parquet")}')
+          UNION ALL
+          SELECT vec_id + 100000 * k, embedding, label
+          FROM read_parquet('{os.path.join(SF_SMOKE, "embeddings.parquet")}'),
+               (SELECT unnest([1, 2, 3]) AS k)
+          WHERE vec_id % 3 = 0
+        ) TO '{os.path.join(sf, "embeddings.parquet")}' (FORMAT PARQUET)
+        """
+    )
+    df = QUERIES["curation_semdedup_prune"](spark, sf)
+    r = compare(df, duckdb_con(sf), ORACLES["curation_semdedup_prune"])
+    assert r["rows_match"] and r["cols_match"] and r["values_match"], r
+    # the collapse genuinely fired: pruned count exceeds what the
+    # distinct-only corpus yields (every planted copy must be pruned)
+    total_pruned = sum(row["n_pruned"] for row in df.collect())
+    n_dups = dup.execute(
+        f"""SELECT 3 * COUNT(*) FROM
+        read_parquet('{os.path.join(SF_SMOKE, "embeddings.parquet")}')
+        WHERE vec_id % 3 = 0"""
+    ).fetchone()[0]
+    assert total_pruned >= n_dups
