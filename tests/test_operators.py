@@ -2335,3 +2335,71 @@ def test_semdedup_collapse_exact_on_duplicate_vectors(spark, tmp_path):
         WHERE vec_id % 3 = 0"""
     ).fetchone()[0]
     assert total_pruned >= n_dups
+
+
+def test_hard_negatives_are_bm25_minus_dense(spark):
+    """Every mined hard negative must sit in the BM25 shortlist and
+    OUTSIDE the dense cosine top-50 — the defining set property."""
+    from pyspark.sql import functions as F
+
+    from jhu_data_parser_spark.operators import similarity as sim
+    from jhu_data_parser_spark.plans import QUERIES
+    from jhu_data_parser_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    out = QUERIES["retrieval_hard_negatives"](spark, SF_SMOKE).collect()
+    assert out, "expected at least one hard negative on the smoke corpus"
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    qv = [
+        float(x)
+        for x in e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    dense = {
+        r[0]
+        for r in sim.topk_cosine(e.filter(F.col("vec_id") != 0), qv, k=50)
+        .select("vec_id")
+        .collect()
+    }
+    negs = {r["doc_id"] for r in out}
+    assert not negs & dense
+    # ranks are 1..n dense in BM25-rank order
+    assert [r["neg_rank"] for r in sorted(out, key=lambda r: r["bm25_rank"])] == list(
+        range(1, len(out) + 1)
+    )
+
+
+def test_temperature_mix_flattens_shares(spark):
+    """alpha=0.5 temperature sampling must compress the share range:
+    below-average sources gain share, above-average sources lose it,
+    and the total allocation never exceeds the budget."""
+    from jhu_data_parser_spark.plans import QUERIES
+    from jhu_data_parser_spark.plans.pipeline10 import _MIX_BUDGET
+    from tests.conftest import SF_SMOKE
+
+    rows = QUERIES["sample_temperature_mix"](spark, SF_SMOKE).collect()
+    assert len(rows) >= 2
+    assert sum(r["alloc_docs"] for r in rows) <= _MIX_BUDGET
+    lo = min(rows, key=lambda r: r["n_tokens"])
+    hi = max(rows, key=lambda r: r["n_tokens"])
+    assert lo["temp_ppm"] >= lo["prop_ppm"]  # low-resource up-sampled
+    assert hi["temp_ppm"] <= hi["prop_ppm"]  # high-resource down-sampled
+
+
+def test_bigram_perplexity_rollup_is_total(spark):
+    """Add-one smoothing makes every nll term non-negative, and the
+    rollup must account for exactly the documents with >= 2 tokens."""
+    from pyspark.sql import functions as F
+
+    from jhu_data_parser_spark.plans import QUERIES
+    from jhu_data_parser_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    rows = QUERIES["text_bigram_perplexity"](spark, SF_SMOKE).collect()
+    assert all(r["ppx_bucket"] >= 0 for r in rows)
+    assert all(r["sum_ppx_micro"] >= 0 for r in rows)
+    n_eligible = (
+        load_table(spark, SF_SMOKE, "documents")
+        .filter(F.size(F.split("text", " ")) >= 2)
+        .count()
+    )
+    assert sum(r["n_docs"] for r in rows) == n_eligible
