@@ -403,10 +403,11 @@ def scd2_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _INC_THRESHOLD = 0.5
 
-
-@query(
-    "dedup_incremental_vs_index",
-    oracle=f"""
+# Shared by the batch query below AND its streaming twin
+# (stream_incremental_dedup): the oracle replays signatures, banding,
+# cross-side candidates, and the exact Jaccard verify, so a value-hash
+# match on both queries proves stream ≡ batch ≡ SQL.
+_INC_ORACLE = f"""
     WITH t AS (
       SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
     s AS (
@@ -445,8 +446,10 @@ _INC_THRESHOLD = 0.5
     WHERE CAST(len(list_intersect(list_distinct(tn.toks), list_distinct(tb.toks)))
                AS DOUBLE)
             / len(list_distinct(list_concat(tn.toks, tb.toks))) >= {_INC_THRESHOLD}
-    """,
-)
+    """
+
+
+@query("dedup_incremental_vs_index", oracle=_INC_ORACLE)
 def dedup_incremental_vs_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental near-dup: flag each NEW document (doc_id % 5 == 0
     stands in for the incoming crawl batch) that near-duplicates the
@@ -504,6 +507,23 @@ def dedup_incremental_vs_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= _INC_THRESHOLD)
         .select("id_new", "id_old", "jaccard")
     )
+
+
+@query("stream_incremental_dedup", oracle=_INC_ORACLE)
+def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming twin of ``dedup_incremental_vs_index``: the new
+    crawl batch (doc_id % 5 == 0) arrives as a REAL documents stream,
+    each micro-batch computes its own banded MinHash signatures
+    (expression-only HOF min — a pre-join aggregation is illegal in a
+    streaming plan) and probes the stored signature index with
+    stream-static equi-joins; exact-Jaccard verify, band multiplicity
+    collapsed by a complete-mode pair aggregate. Shares the batch
+    oracle — a value-hash match proves stream ≡ batch ≡ SQL."""
+    from jhu_data_parser_spark.plans.streaming_batch import _mem_counter
+    from jhu_data_parser_spark.streaming.jobs import run_incremental_dedup_stream
+
+    table = f"stream_inc_dedup_{next(_mem_counter)}"
+    return run_incremental_dedup_stream(spark, sf_dir, table)
 
 
 # --------------------------------------------------------------------------
