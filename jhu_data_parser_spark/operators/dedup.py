@@ -618,6 +618,26 @@ def minhash_signature_portable(
     )
 
 
+def banded_minhash_portable(
+    t: DataFrame, id_col: str = "doc_id", n_bands: int = 4
+) -> DataFrame:
+    """``(id_col, band, band_sig)`` — the stored-index layout of the
+    portable MinHash: 16-hash signature split into ``n_bands`` bands of
+    4, each band digested to one md5 signature. This is the table shape
+    an incremental-dedup deployment PERSISTS (probing a new batch is
+    then one equi-join on (band, band_sig)); shared by the batch and
+    streaming incremental-dedup twins."""
+    bs = F.expr(
+        f"transform(sequence(0, {n_bands - 1}), b -> "
+        "md5(cast(concat_ws('|', slice(mh, b * 4 + 1, 4)) AS binary)))"
+    )
+    return (
+        minhash_signature_portable(t, id_col=id_col)
+        .select(F.col(id_col), bs.alias("bs"))
+        .select(F.col(id_col), F.posexplode("bs").alias("band", "band_sig"))
+    )
+
+
 # Longest run of CONSECUTIVE integers in a sorted int array, as one
 # higher-order fold (no second explode/shuffle). Accumulator:
 # (previous element, current run, best run).

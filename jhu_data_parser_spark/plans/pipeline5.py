@@ -467,24 +467,39 @@ def dedup_incremental_vs_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     ship ids only. New-new pairs are deliberately out of scope — they
     belong to the batch's own intra-dedup pass. The oracle replays the
     whole pipeline (signatures, banding, cross-side candidates, exact
-    Jaccard verify) in DuckDB."""
-    d = dd.ensure_parallelism(load_table(spark, sf_dir, "documents"))
-    t = d.select("doc_id", F.split(F.lower(F.col("text")), " ").alias("toks"))
-    bs = F.expr(
-        "transform(sequence(0, 3), b -> "
-        "md5(cast(concat_ws('|', slice(mh, b * 4 + 1, 4)) AS binary)))"
+    Jaccard verify) in DuckDB.
+
+    Dup-dense corpora (one cached corpus-level probe decides): both
+    sides collapse to DISTINCT texts first. Signatures, banding, and
+    the Jaccard verify are functions of the text alone, so candidacy
+    and the score lift to text level exactly — identical texts across
+    the two sides still meet in the band join (identical signatures) —
+    and member tables expand the verified rep pairs back to the full
+    (id_new, id_old) listing. 100×-replicated layout: 40.6 → 32.7 s —
+    signature/verify work drops to ~5.5k distinct texts (from 550k
+    copies); the residual cost is materializing the ~10M-pair output
+    itself, which is the deliverable."""
+    raw = load_table(spark, sf_dir, "documents")
+    d = dd.ensure_parallelism(raw)
+    new = d.filter(F.col("doc_id") % 5 == 0)
+    old = d.filter(F.col("doc_id") % 5 != 0)
+    # probe the RAW scan: the fingerprint cache only accepts bare-scan
+    # lineage, so probing the repartitioned frame would re-pay the
+    # aggregate on every call.
+    if dd._corpus_is_distinct(raw, "text"):
+        reps_n, mem_n = new, None
+        reps_o, mem_o = old, None
+    else:
+        reps_n, mem_n = dd.exact_collapse(new, adaptive=False)
+        reps_o, mem_o = dd.exact_collapse(old, adaptive=False)
+    tn = reps_n.select(
+        "doc_id", F.split(F.lower(F.col("text")), " ").alias("toks")
     )
-    banded = (
-        dd.minhash_signature_portable(t)
-        .select("doc_id", bs.alias("bs"))
-        .select("doc_id", F.posexplode("bs").alias("band", "band_sig"))
+    to = reps_o.select(
+        "doc_id", F.split(F.lower(F.col("text")), " ").alias("toks")
     )
-    probes = banded.filter(F.col("doc_id") % 5 == 0).withColumnRenamed(
-        "doc_id", "id_new"
-    )
-    index = banded.filter(F.col("doc_id") % 5 != 0).withColumnRenamed(
-        "doc_id", "id_old"
-    )
+    probes = dd.banded_minhash_portable(tn).withColumnRenamed("doc_id", "id_new")
+    index = dd.banded_minhash_portable(to).withColumnRenamed("doc_id", "id_old")
     cand = (
         probes.join(index, ["band", "band_sig"])
         .select("id_new", "id_old")
@@ -494,19 +509,34 @@ def dedup_incremental_vs_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(size(array_intersect(array_distinct(toks_n), array_distinct(toks_o)))"
         " AS DOUBLE) / size(array_distinct(concat(toks_n, toks_o)))"
     )
-    return (
+    ver = (
         cand.join(
-            t.select(F.col("doc_id").alias("id_new"), F.col("toks").alias("toks_n")),
+            tn.select(F.col("doc_id").alias("id_new"), F.col("toks").alias("toks_n")),
             "id_new",
         )
         .join(
-            t.select(F.col("doc_id").alias("id_old"), F.col("toks").alias("toks_o")),
+            to.select(F.col("doc_id").alias("id_old"), F.col("toks").alias("toks_o")),
             "id_old",
         )
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= _INC_THRESHOLD)
         .select("id_new", "id_old", "jaccard")
     )
+    if mem_n is not None:
+        ver = (
+            ver.withColumnRenamed("id_new", "rep")
+            .join(mem_n, "rep")
+            .drop("rep")
+            .withColumnRenamed("member", "id_new")
+        )
+    if mem_o is not None:
+        ver = (
+            ver.withColumnRenamed("id_old", "rep")
+            .join(mem_o, "rep")
+            .drop("rep")
+            .withColumnRenamed("member", "id_old")
+        )
+    return ver.select("id_new", "id_old", "jaccard")
 
 
 @query("stream_incremental_dedup", oracle=_INC_ORACLE)

@@ -435,6 +435,12 @@ def run_incremental_dedup_stream(
       append to a file sink — a complete-mode pair aggregate was
       measured 5× slower at the 100× layout (the state store held the
       entire ~10M-pair output and re-emitted it every trigger).
+    - Dup-dense corpora (one cached corpus-level probe, shared with the
+      batch twin): the static index collapses to DISTINCT old texts and
+      each micro-batch collapses its new docs the same way; verified
+      rep pairs expand through the member tables — signatures and
+      verifies run per distinct text, the expansion join materializes
+      only the output listing.
     - Both static sides (signature index, token table) are lazily
       checkpointed once and re-used by every micro-batch;
       ensure_parallelism spreads the md5-heavy index build (a
@@ -443,25 +449,28 @@ def run_incremental_dedup_stream(
     from jhu_data_parser_spark.operators import dedup as dd
     from jhu_data_parser_spark.sources.tables import load_table
 
-    bs = F.expr(
-        "transform(sequence(0, 3), b -> "
-        "md5(cast(concat_ws('|', slice(mh, b * 4 + 1, 4)) AS binary)))"
-    )
-    d = dd.ensure_parallelism(load_table(spark, sf_dir, "documents"))
-    t = d.select("doc_id", F.split(F.lower(F.col("text")), " ").alias("toks"))
+    raw = load_table(spark, sf_dir, "documents")
+    d = dd.ensure_parallelism(raw)
+    # probe the RAW scan (bare-scan lineage -> fingerprint-cacheable)
+    collapse = not dd._corpus_is_distinct(raw, "text")
+    old = d.filter(F.col("doc_id") % 5 != 0)
+    if collapse:
+        # exact_collapse already checkpoints the member table; reps_o
+        # is derived lazily, so checkpoint the tokenized form ONCE and
+        # let both static consumers (index, token table) share it.
+        reps_o, mem_o = dd.exact_collapse(old, adaptive=False)
+    else:
+        reps_o, mem_o = old, None
+    to = reps_o.select(
+        "doc_id", F.split(F.lower(F.col("text")), " ").alias("toks")
+    ).localCheckpoint(eager=False)
     index = (
-        dd.minhash_signature_portable(t.filter(F.col("doc_id") % 5 != 0))
-        .select("doc_id", bs.alias("bs"))
-        .select(
-            F.col("doc_id").alias("id_old"),
-            F.posexplode("bs").alias("band", "band_sig"),
-        )
+        dd.banded_minhash_portable(to)
+        .withColumnRenamed("doc_id", "id_old")
         .localCheckpoint(eager=False)
     )
-    toks_old = (
-        t.filter(F.col("doc_id") % 5 != 0)
-        .select(F.col("doc_id").alias("id_old"), F.col("toks").alias("toks_o"))
-        .localCheckpoint(eager=False)
+    toks_old = to.select(
+        F.col("doc_id").alias("id_old"), F.col("toks").alias("toks_o")
     )
 
     out_dir = _cleanup_at_exit(tempfile.mkdtemp(prefix="jdps_inc_dedup_out_"))
@@ -472,23 +481,22 @@ def run_incremental_dedup_stream(
     )
 
     def _probe_batch(batch_df: DataFrame, batch_id: int) -> None:
-        t_new = batch_df.select(
+        if collapse:
+            reps_n, mem_n = dd.exact_collapse(batch_df, adaptive=False)
+        else:
+            reps_n, mem_n = batch_df, None
+        t_new = reps_n.select(
             "doc_id", F.split(F.lower(F.col("text")), " ").alias("toks")
         )
-        probes = (
-            dd.minhash_signature_portable(t_new)
-            .select("doc_id", bs.alias("bs"))
-            .select(
-                F.col("doc_id").alias("id_new"),
-                F.posexplode("bs").alias("band", "band_sig"),
-            )
+        probes = dd.banded_minhash_portable(t_new).withColumnRenamed(
+            "doc_id", "id_new"
         )
         cand = (
             probes.join(index, ["band", "band_sig"])
             .select("id_new", "id_old")
             .distinct()
         )
-        (
+        ver = (
             cand.join(
                 t_new.select(
                     F.col("doc_id").alias("id_new"), F.col("toks").alias("toks_n")
@@ -499,8 +507,23 @@ def run_incremental_dedup_stream(
             .withColumn("jaccard", jac)
             .filter(F.col("jaccard") >= 0.5)
             .select("id_new", "id_old", "jaccard")
-            .write.mode("append")
-            .parquet(out_dir)
+        )
+        if mem_n is not None:
+            ver = (
+                ver.withColumnRenamed("id_new", "rep")
+                .join(mem_n, "rep")
+                .drop("rep")
+                .withColumnRenamed("member", "id_new")
+            )
+        if mem_o is not None:
+            ver = (
+                ver.withColumnRenamed("id_old", "rep")
+                .join(mem_o, "rep")
+                .drop("rep")
+                .withColumnRenamed("member", "id_old")
+            )
+        ver.select("id_new", "id_old", "jaccard").write.mode("append").parquet(
+            out_dir
         )
 
     # Seed the sink with the empty schema so a zero-match run still

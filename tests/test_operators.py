@@ -2403,3 +2403,44 @@ def test_bigram_perplexity_rollup_is_total(spark):
         .count()
     )
     assert sum(r["n_docs"] for r in rows) == n_eligible
+
+
+def test_incremental_dedup_collapse_exact_on_duplicate_texts(spark, tmp_path):
+    """The distinct-text collapse branch of the incremental-dedup twins
+    never fires on the provided testdata (texts there are distinct).
+    Plant 3 extra copies of every third document (interleaved id
+    ranges, so copies land on both the new and old side of the
+    doc_id % 5 split) and value-hash both the BATCH twin and the
+    STREAMING twin against the uncollapsed quadratic-replay oracle."""
+    import os
+
+    import duckdb
+
+    from jhu_data_parser_spark.plans import ORACLES, QUERIES
+    from tests.conftest import SF_SMOKE
+    from tests.oracle_compare import TABLE_NAMES, compare, duckdb_con
+
+    sf = str(tmp_path)
+    for name in TABLE_NAMES:
+        if name != "documents":
+            os.symlink(
+                os.path.join(SF_SMOKE, f"{name}.parquet"),
+                os.path.join(sf, f"{name}.parquet"),
+            )
+    src = os.path.join(SF_SMOKE, "documents.parquet")
+    duckdb.connect().execute(
+        f"""
+        COPY (
+          SELECT * FROM read_parquet('{src}')
+          UNION ALL
+          SELECT doc_id + 100000 * k, text, lang, source, n_chars
+          FROM read_parquet('{src}'), (SELECT unnest([1, 2, 3]) AS k)
+          WHERE doc_id % 3 = 0
+        ) TO '{os.path.join(sf, "documents.parquet")}' (FORMAT PARQUET)
+        """
+    )
+    con = duckdb_con(sf)
+    for name in ("dedup_incremental_vs_index", "stream_incremental_dedup"):
+        df = QUERIES[name](spark, sf)
+        r = compare(df, con, ORACLES[name])
+        assert r["rows_match"] and r["cols_match"] and r["values_match"], (name, r)
