@@ -176,6 +176,7 @@ def kmeans_fit(
     k: int = 10,
     iterations: int = 3,
     local_bound: int = LOCAL_KMEANS_POINT_BOUND,
+    collapse_duplicates: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Fixed-iteration Lloyd's k-means → ``(assignment, centroids)``
     where assignment is ``(id, cluster, dist_sq)`` and centroids is the
@@ -197,8 +198,81 @@ def kmeans_fit(
     """
     import numpy as np
 
+    def _collapse_fit():
+        # Dup-dense corpora (opt-in): every Lloyd quantity factorizes
+        # over identical vectors — the assignment argmin is a function
+        # of q alone, and the floor-mean update's integer sums satisfy
+        # Σ_copies q = multiplicity·q — so the fit runs over DISTINCT
+        # vectors with multiplicities, bit-identical to the plain loop
+        # (pinned by the duplicate-equivalence test). Seeds must still
+        # be the k lowest-id ORIGINAL points (copies may repeat a
+        # vector among the k lowest ids), collected separately.
+        dprobe = (
+            points.groupBy("q")
+            .agg(F.count(F.lit(1)).alias("w"))
+            .limit(local_bound + 1)
+            .toPandas()
+        )
+        if len(dprobe) <= local_bound:
+            spark = points.sparkSession
+            if len(dprobe) == 0:
+                empty_a = spark.createDataFrame(
+                    [], "id long, cluster long, dist_sq long"
+                )
+                empty_c = spark.createDataFrame([], "cid long, c array<bigint>")
+                return empty_a, empty_c
+            seeds = points.orderBy("id").limit(k).select("q").toPandas()
+            S = np.array(
+                [np.asarray(q, dtype=np.int64) for q in seeds["q"]],
+                dtype=np.int64,
+            ).reshape(len(seeds), -1)
+            X = np.array(
+                [np.asarray(q, dtype=np.int64) for q in dprobe["q"]],
+                dtype=np.int64,
+            ).reshape(len(dprobe), -1)
+            Wt = dprobe["w"].to_numpy().astype(np.int64)
+            C = S.copy()
+            for step in range(iterations):
+                d = (
+                    (X * X).sum(axis=1)[:, None]
+                    + (C * C).sum(axis=1)[None, :]
+                    - 2 * (X @ C.T)
+                )
+                a = d.argmin(axis=1)
+                if step < iterations - 1:
+                    newC = C.copy()
+                    for cid in range(len(C)):
+                        m = a == cid
+                        if m.any():
+                            wsum = int(Wt[m].sum())
+                            svec = (X[m] * Wt[m][:, None]).sum(
+                                axis=0, dtype=np.int64
+                            )
+                            newC[cid] = svec // wsum
+                    C = newC
+            cents = spark.createDataFrame(
+                [(int(cid), [int(v) for v in c]) for cid, c in enumerate(C)],
+                "cid long, c array<bigint>",
+            )
+            out = _assign(points, cents).select(
+                "id",
+                F.col("cid").alias("cluster"),
+                F.col("d").alias("dist_sq"),
+            )
+            return out, cents
+        return None
+
     if local_bound:
         probe = points.select("id", "q").limit(local_bound + 1).toPandas()
+        if len(probe) > local_bound and collapse_duplicates:
+            # The point count overflows the local bound — before paying
+            # the distributed loop, try the DISTINCT-vector count (the
+            # dup-dense case this flag exists for). Probing only on
+            # overflow keeps low-duplication corpora on the plain local
+            # path with zero extra jobs.
+            collapsed = _collapse_fit()
+            if collapsed is not None:
+                return collapsed
         if len(probe) <= local_bound:
             spark = points.sparkSession
             if len(probe) == 0:
@@ -255,10 +329,15 @@ def kmeans_fit(
 
 
 def kmeans_assign(
-    points: DataFrame, k: int = 10, iterations: int = 3
+    points: DataFrame,
+    k: int = 10,
+    iterations: int = 3,
+    collapse_duplicates: bool = False,
 ) -> DataFrame:
     """Assignment half of :func:`kmeans_fit` (see there for semantics)."""
-    return kmeans_fit(points, k, iterations)[0]
+    return kmeans_fit(
+        points, k, iterations, collapse_duplicates=collapse_duplicates
+    )[0]
 
 
 def kmeans_fit_multi(

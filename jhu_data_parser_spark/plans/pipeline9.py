@@ -240,7 +240,15 @@ def curation_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     e = load_table(spark, sf_dir, "embeddings")
-    asg = kmeans_assign(quantize_vectors(e), k=_SEM_K, iterations=_SEM_ITERS)
+    # collapse_duplicates: replicated corpora fit over distinct vectors
+    # with multiplicities (bit-identical — Lloyd's integer sums
+    # factorize over copies), keeping the fit on the driver-local path.
+    asg = kmeans_assign(
+        quantize_vectors(e),
+        k=_SEM_K,
+        iterations=_SEM_ITERS,
+        collapse_duplicates=True,
+    )
     q3 = quantize_vectors(e, scale=_SEM_SCALE)
     twins = q3.filter(F.col("id") % 7 == 0).select(
         (F.col("id") + _SEM_TWIN_OFF).alias("id"),

@@ -2444,3 +2444,57 @@ def test_incremental_dedup_collapse_exact_on_duplicate_texts(spark, tmp_path):
         df = QUERIES[name](spark, sf)
         r = compare(df, con, ORACLES[name])
         assert r["rows_match"] and r["cols_match"] and r["values_match"], (name, r)
+
+
+def test_kmeans_collapse_duplicates_is_exact(spark):
+    """collapse_duplicates fits over DISTINCT vectors with
+    multiplicities; Lloyd's integer sums factorize over copies, so the
+    assignment and centroids must be bit-identical to the plain fit —
+    including when the k lowest-id seeds repeat a vector (planted) and
+    when exact ties exist (planted identical points)."""
+    import random
+
+    from jhu_data_parser_spark.operators.clustering import kmeans_fit
+
+    rng = random.Random(29)
+    base = [
+        (i, [rng.randrange(-1_000_000, 1_000_000) for _ in range(6)])
+        for i in range(40)
+    ]
+    base[7] = (7, list(base[2][1]))  # tie among the points
+    pts = list(base)
+    # copies interleaved so several of the k lowest ids repeat a vector
+    nid = 40
+    for i, q in base:
+        for _ in range(i % 4):
+            pts.append((nid, list(q)))
+            nid += 1
+    pts[3] = (3, list(pts[50][1]))  # a seed row duplicating a later copy
+    df = spark.createDataFrame(pts, "id long, q array<bigint>")
+    a_plain, c_plain = kmeans_fit(df, k=5, iterations=3)
+    # local_bound below the point count but above the distinct count, so
+    # the plain local probe overflows and the collapse branch runs
+    n_pts = df.count()
+    n_distinct = df.select("q").distinct().count()
+    assert n_distinct < n_pts
+    a_coll, c_coll = kmeans_fit(
+        df,
+        k=5,
+        iterations=3,
+        local_bound=n_distinct + 2,
+        collapse_duplicates=True,
+    )
+    assert sorted(map(tuple, a_plain.collect())) == sorted(
+        map(tuple, a_coll.collect())
+    )
+    assert sorted(map(tuple, c_plain.collect())) == sorted(
+        map(tuple, c_coll.collect())
+    )
+    # and against the distributed loop too
+    a_dist, c_dist = kmeans_fit(df, k=5, iterations=3, local_bound=0)
+    assert sorted(map(tuple, a_dist.collect())) == sorted(
+        map(tuple, a_coll.collect())
+    )
+    assert sorted(map(tuple, c_dist.collect())) == sorted(
+        map(tuple, c_coll.collect())
+    )
