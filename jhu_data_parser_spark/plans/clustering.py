@@ -102,7 +102,9 @@ def cluster_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     pts = quantize_vectors(load_table(spark, sf_dir, "embeddings"))
-    out = kmeans_assign(pts, k=_K, iterations=_ITERS)
+    # collapse_duplicates: replicated corpora fit over distinct vectors
+    # (bit-identical; only probed when the plain local bound overflows)
+    out = kmeans_assign(pts, k=_K, iterations=_ITERS, collapse_duplicates=True)
     return out.select(F.col("id").alias("vec_id"), "cluster", "dist_sq")
 
 
@@ -126,7 +128,9 @@ def cluster_kmeans_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     pts = quantize_vectors(load_table(spark, sf_dir, "embeddings"))
-    out = kmeans_assign(pts, k=_K, iterations=_ITERS)
+    # collapse_duplicates: replicated corpora fit over distinct vectors
+    # (bit-identical; only probed when the plain local bound overflows)
+    out = kmeans_assign(pts, k=_K, iterations=_ITERS, collapse_duplicates=True)
     return out.groupBy("cluster").agg(
         F.count(F.lit(1)).alias("n_points"),
         F.sum("dist_sq").alias("inertia_scaled"),

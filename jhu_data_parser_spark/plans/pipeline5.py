@@ -642,7 +642,10 @@ def sim_ivf_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     qv = _query_vec(spark, sf_dir, 0)
 
     assigned, cents = kmeans_fit(
-        quantize_vectors(corpus), k=_IVF_CELLS, iterations=_IVF_ITERS
+        quantize_vectors(corpus),
+        k=_IVF_CELLS,
+        iterations=_IVF_ITERS,
+        collapse_duplicates=True,
     )
     qq = quantize_vectors(e.filter(F.col("vec_id") == 0)).select("q")
     dist = cents.crossJoin(F.broadcast(qq)).select(
