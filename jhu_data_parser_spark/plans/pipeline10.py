@@ -372,10 +372,15 @@ def retrieval_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "score_fp",
             "r",
+            # Rounding order matches the oracle exactly: 1e9 * (dot/denom),
+            # not (1e9*dot)/denom — the two can differ by 1 ulp and flip
+            # the floor at bucket boundaries.
             F.floor(
                 1_000_000_000.0
-                * sim.dot(F.col("embedding"), qlit)
-                / (sim.l2_norm(F.col("embedding")) * F.lit(qn))
+                * (
+                    sim.dot(F.col("embedding"), qlit)
+                    / (sim.l2_norm(F.col("embedding")) * F.lit(qn))
+                )
             )
             .cast("long")
             .alias("sim_nano"),

@@ -544,16 +544,14 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The streaming twin of ``dedup_incremental_vs_index``: the new
     crawl batch (doc_id % 5 == 0) arrives as a REAL documents stream,
     each micro-batch computes its own banded MinHash signatures
-    (expression-only HOF min — a pre-join aggregation is illegal in a
-    streaming plan) and probes the stored signature index with
-    stream-static equi-joins; exact-Jaccard verify, band multiplicity
-    collapsed by a complete-mode pair aggregate. Shares the batch
-    oracle — a value-hash match proves stream ≡ batch ≡ SQL."""
-    from jhu_data_parser_spark.plans.streaming_batch import _mem_counter
+    inside ``foreachBatch``) and probes the stored signature index with
+    batch equi-joins; exact-Jaccard verify, band multiplicity collapsed
+    per micro-batch, results appended to an idempotent batch_id-keyed
+    file sink. Shares the batch oracle — a value-hash match proves
+    stream ≡ batch ≡ SQL."""
     from jhu_data_parser_spark.streaming.jobs import run_incremental_dedup_stream
 
-    table = f"stream_inc_dedup_{next(_mem_counter)}"
-    return run_incremental_dedup_stream(spark, sf_dir, table)
+    return run_incremental_dedup_stream(spark, sf_dir)
 
 
 # --------------------------------------------------------------------------

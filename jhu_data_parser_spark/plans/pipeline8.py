@@ -444,7 +444,8 @@ _CONTAIN_ORACLE = """
       SELECT a.id AS id_a, b.id AS id_b,
              len(list_intersect(a.s, b.s)) AS n_shared,
              len(a.s) AS n_a
-      FROM sh a JOIN sh b ON a.id <> b.id)
+      FROM sh a JOIN sh b ON a.id <> b.id
+      WHERE len(a.s) > 0)
     SELECT id_a, id_b,
            CAST(n_shared AS BIGINT) AS n_shared,
            CAST(n_a AS BIGINT) AS n_a,
@@ -517,7 +518,11 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(F.array_intersect("sa", "sb")).cast("long").alias("n_shared"),
             F.size("sa").cast("long").alias("n_a"),
         )
-        .filter(5 * F.col("n_shared") >= 4 * F.col("n_a"))
+        # n_a > 0 guard: a <3-token doc has an empty shingle set; without
+        # the guard 5·0 ≥ 4·0 holds and the oracle would pair it with every
+        # doc (and divide by zero in contain_millis). The prefix filter can
+        # never emit such pairs, so the guard keeps both sides aligned.
+        .filter((F.col("n_a") > 0) & (5 * F.col("n_shared") >= 4 * F.col("n_a")))
     )
     return verified.select(
         "id_a",

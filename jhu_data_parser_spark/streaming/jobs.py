@@ -409,9 +409,7 @@ def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.readStream.schema(schema).parquet(stage)
 
 
-def run_incremental_dedup_stream(
-    spark: SparkSession, sf_dir: str, table: str
-) -> DataFrame:
+def run_incremental_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental near-dup dedup as a REAL stream: the incoming crawl
     batch (doc_id % 5 == 0) arrives as a documents stream; each
     micro-batch computes ITS OWN banded MinHash signatures, probes the
@@ -522,15 +520,20 @@ def run_incremental_dedup_stream(
                 .drop("rep")
                 .withColumnRenamed("member", "id_old")
             )
-        ver.select("id_new", "id_old", "jaccard").write.mode("append").parquet(
-            out_dir
+        # Idempotent-by-batch_id sink: a retried micro-batch (checkpoint
+        # restart after a partial write) finds its directory already
+        # present and skips, so rows are never duplicated. mode
+        # 'ignore' is the atomic skip — Spark leaves an existing
+        # directory untouched.
+        ver.select("id_new", "id_old", "jaccard").write.mode("ignore").parquet(
+            os.path.join(out_dir, f"batch_id={batch_id}")
         )
 
     # Seed the sink with the empty schema so a zero-match run still
     # reads back as a typed empty frame.
     spark.createDataFrame(
         [], "id_new long, id_old long, jaccard double"
-    ).write.mode("append").parquet(out_dir)
+    ).write.mode("ignore").parquet(os.path.join(out_dir, "batch_id=-1"))
 
     q = (
         read_documents_stream(spark, sf_dir)
@@ -541,4 +544,5 @@ def run_incremental_dedup_stream(
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(out_dir)
+    # Drop the batch_id partition column the idempotent layout adds.
+    return spark.read.parquet(out_dir).select("id_new", "id_old", "jaccard")
