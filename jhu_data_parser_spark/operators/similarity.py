@@ -596,3 +596,272 @@ def topk_quantized(
         "qscore", int_dot(F.col("qvec"), q_lit) * F.col("qscale") * F.lit(m / 127.0)
     )
     return scored.orderBy(F.col("qscore").desc(), F.col(id_col)).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# Composed IVF-PQ index — the standard billion-vector serving layout
+# (Jégou et al., TPAMI 2011 §V; the FAISS `IVFx,PQy` factory shape):
+# a coarse quantizer buckets vectors into cells (written
+# partitionBy(cell), so probing is partition PRUNING), and inside each
+# cell vectors are stored as M sub-codes (2 bytes here instead of
+# 256 bytes of floats). Serving = prune to n_probe cells → ADC-score
+# the codes (one LUT lookup + add per subspace) → exact re-rank of the
+# shortlist against the full vectors. Both trained parts reuse the
+# INTEGER-EXACT k-means (operators/clustering.py: lowest-id seeding,
+# int64 L2 argmin with lowest-cid tie-break, floor-mean updates), so a
+# DuckDB oracle replays the entire index build and every serving step
+# bit-for-bit — cells, codes, probe choice, shortlist boundary, rerank.
+#
+# No residual encoding (FAISS by_residual=false): codes quantize the
+# raw vector, not vector-minus-centroid. That keeps one PQ codebook
+# shared across cells (residual PQ needs per-cell rotation to pay off)
+# and keeps the oracle a pure composition of the two verified fits.
+# ---------------------------------------------------------------------------
+
+_IVFPQ_INDEX_CACHE: dict[tuple, tuple] = {}
+_IVFPQ_INDEX_CACHE_MAX = 8
+
+
+def ivfpq_build_index(
+    df: DataFrame,
+    n_cells: int = 8,
+    coarse_iters: int = 2,
+    m: int = 4,
+    sub: int = 16,
+    pq_k: int = 16,
+    pq_iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cache_tag: str = "",
+) -> tuple[str, list, list]:
+    """Build (or serve from cache) the IVF-PQ index: returns
+    ``(path, coarse_centroids, codebooks)`` where the parquet at
+    ``path`` holds ``(id, code0..code{m-1})`` partitioned by ``cell``,
+    ``coarse_centroids`` is the K×D int-centroid list (cid-ascending)
+    and ``codebooks[s]`` the k×sub int codebook of subspace s.
+
+    Index-build lifecycle mirrors :func:`ivf_build_index`: the fits are
+    bounded-collect model builds (centroid tables are KBs by params,
+    not data), the encode pass is ONE scan computing cell + all M codes
+    as codegen/HOF projections, and the write is the partitioned layout
+    a 100 TB deployment serves from. Cached per (cache_tag, corpus
+    fingerprint, params) with the same supersession / deferred-capacity
+    eviction discipline; ``cache_tag`` namespaces derived frames that
+    share input files (e.g. synthesized corpora)."""
+    from jhu_data_parser_spark.operators.clustering import (
+        KM_SCALE,
+        kmeans_fit,
+        kmeans_fit_multi,
+        quantize_vectors,
+    )
+    import os
+    import tempfile
+
+    fp = _file_fingerprint(df.inputFiles())
+    key = (
+        "ivfpq",
+        cache_tag,
+        fp,
+        n_cells,
+        coarse_iters,
+        m,
+        sub,
+        pq_k,
+        pq_iters,
+        vec_col,
+        id_col,
+    )
+    cacheable = _fingerprint_cacheable(fp)
+    if cacheable and key in _IVFPQ_INDEX_CACHE:
+        return _IVFPQ_INDEX_CACHE[key]
+
+    pts = quantize_vectors(df, id_col=id_col, vec_col=vec_col)
+    _, cents_df = kmeans_fit(pts, k=n_cells, iterations=coarse_iters)
+    coarse = [
+        [int(v) for v in r["c"]]
+        for r in sorted(cents_df.collect(), key=lambda r: r["cid"])
+    ]
+    sub_pts = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {m - 1}), s -> named_struct("
+                "'g', s, "
+                f"'q', transform(slice({vec_col}, s * {sub} + 1, {sub}), "
+                f"x -> CAST(ROUND(CAST(x AS DOUBLE) * {KM_SCALE}, 0) AS BIGINT))))"
+            )
+        ).alias("e"),
+    ).select(F.col("e.g").alias("g"), "id", F.col("e.q").alias("q"))
+    rows = kmeans_fit_multi(sub_pts, k=pq_k, iterations=pq_iters).collect()
+    books = [
+        [
+            [int(v) for v in c]
+            for _cid, c in sorted(
+                (r["cid"], r["c"]) for r in rows if r["g"] == s
+            )
+        ]
+        for s in range(m)
+    ]
+
+    def carr_lit(cents: list) -> str:
+        return (
+            "array("
+            + ",".join(
+                f"named_struct('cid', {cid}L, 'c', "
+                f"array({','.join(str(v) + 'L' for v in c)}))"
+                for cid, c in enumerate(cents)
+            )
+            + ")"
+        )
+
+    def argmin_expr(q_expr: str, cents: list) -> str:
+        # Lowest distance, lowest-cid tie-break — identical to the
+        # clustering _ARGMIN_EXPR rule (struct min orders by d, cid).
+        return (
+            f"array_min(transform({carr_lit(cents)}, ctr -> named_struct("
+            f"'d', aggregate(zip_with({q_expr}, ctr.c, (a, b) -> (a - b) * (a - b)), "
+            "CAST(0 AS BIGINT), (acc, x) -> acc + x), "
+            "'cid', ctr.cid))).cid"
+        )
+
+    enc = df.select(
+        F.col(id_col).alias("id"),
+        F.expr(
+            f"transform({vec_col}, x -> "
+            f"CAST(ROUND(CAST(x AS DOUBLE) * {KM_SCALE}, 0) AS BIGINT))"
+        ).alias("q"),
+    ).select(
+        "id",
+        F.expr(argmin_expr("q", coarse)).cast("long").alias("cell"),
+        *[
+            F.expr(argmin_expr(f"slice(q, {s * sub + 1}, {sub})", books[s]))
+            .cast("long")
+            .alias(f"code{s}")
+            for s in range(m)
+        ],
+    )
+    path = tempfile.mkdtemp(prefix="jdps_ivfpq_index_")
+    enc.write.partitionBy("cell").parquet(path, mode="overwrite")
+
+    result = (path, coarse, books)
+    if cacheable:
+        def corpus_dirs(f_tuple):
+            return tuple(sorted({os.path.dirname(f) for (f, _, _) in f_tuple}))
+
+        dirs = corpus_dirs(fp)
+        stale = [
+            k
+            for k in _IVFPQ_INDEX_CACHE
+            if k[1] == cache_tag
+            and k[3:] == key[3:]
+            and corpus_dirs(k[2]) == dirs
+        ]
+        for k in stale:
+            _rmtree_quiet(_IVFPQ_INDEX_CACHE.pop(k)[0])
+        while len(_IVFPQ_INDEX_CACHE) >= _IVFPQ_INDEX_CACHE_MAX:
+            oldest = next(iter(_IVFPQ_INDEX_CACHE))
+            _rmtree_at_exit(_IVFPQ_INDEX_CACHE.pop(oldest)[0])
+        _IVFPQ_INDEX_CACHE[key] = result
+    return result
+
+
+def topk_ivfpq_indexed(
+    df: DataFrame,
+    q_ints: list[int],
+    k: int = 10,
+    n_probe: int = 3,
+    shortlist: int = 50,
+    n_cells: int = 8,
+    coarse_iters: int = 2,
+    m: int = 4,
+    sub: int = 16,
+    pq_k: int = 16,
+    pq_iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    row_filter: Column | None = None,
+    cache_tag: str = "",
+) -> DataFrame:
+    """IVF-PQ top-k serving against the pre-built index: prune to the
+    ``n_probe`` cells whose coarse centroids are integer-L2-nearest the
+    quantized query, ADC-score ONLY the probed cells' 2-byte codes
+    (literal LUT, one element_at + add per subspace — the scan reads
+    just (id, code*) thanks to column pruning), take the ADC shortlist,
+    and exact-re-rank those ``shortlist`` rows against the full vectors
+    via a broadcast join back into the base scan.
+
+    ``q_ints`` is the ROUND(x·1e6) quantized query (produce it Spark-
+    side via ``clustering.quantize_vectors`` — Python's round() is
+    banker's and would diverge on .5 ties). Per-query driver work is
+    O(n_cells·D + m·pq_k·sub) integer ops — probe choice and LUTs —
+    independent of corpus size. ``row_filter`` applies post-scan so one
+    index serves filtered views (e.g. excluding the query row)."""
+    path, coarse, books = ivfpq_build_index(
+        df,
+        n_cells,
+        coarse_iters,
+        m,
+        sub,
+        pq_k,
+        pq_iters,
+        vec_col,
+        id_col,
+        cache_tag,
+    )
+    spark = df.sparkSession
+
+    cell_d = sorted(
+        (sum((qi - ci) ** 2 for qi, ci in zip(q_ints, c)), cid)
+        for cid, c in enumerate(coarse)
+    )
+    probes = [cid for _d, cid in cell_d[: min(n_probe, len(cell_d))]]
+    lut = [
+        [
+            sum(
+                (q_ints[s * sub + i] - c[i]) ** 2
+                for i in range(sub)
+            )
+            for c in books[s]
+        ]
+        for s in range(m)
+    ]
+
+    def lut_lit(s: int) -> str:
+        return "array(" + ",".join(str(v) + "L" for v in lut[s]) + ")"
+
+    index = spark.read.parquet(path)
+    if row_filter is not None:
+        index = index.filter(row_filter)
+    cand = index.filter(F.col("cell").isin(probes))
+    adc = cand.select(
+        "id",
+        F.col("cell").cast("long").alias("cell"),
+        sum(
+            F.expr(f"element_at({lut_lit(s)}, CAST(code{s} + 1 AS INT))")
+            for s in range(m)
+        )
+        .cast("long")
+        .alias("adc_dist"),
+    )
+    short = adc.orderBy("adc_dist", "id").limit(shortlist)
+
+    q_lit = "array(" + ",".join(str(int(v)) + "L" for v in q_ints) + ")"
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.expr(
+            f"aggregate(zip_with(transform({vec_col}, x -> "
+            f"CAST(ROUND(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)), {q_lit}, "
+            "(a, b) -> (a - b) * (a - b)), CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        ).alias("exact_dist"),
+    )
+    rr = base.join(F.broadcast(short), "id")
+    return (
+        rr.orderBy("exact_dist", "id")
+        .limit(k)
+        .select(
+            F.col("id").alias(id_col),
+            "cell",
+            F.col("adc_dist").cast("long").alias("adc_dist"),
+            F.col("exact_dist").cast("long").alias("exact_dist"),
+        )
+    )

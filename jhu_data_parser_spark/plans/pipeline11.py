@@ -1,0 +1,250 @@
+"""Catalog wave 11 — round 8: the composed IVF-PQ serving index.
+
+Reference parity note: the reference (/root/reference, 247 LoC of
+row-loop ETL — `src/parser.py:28-102`, `src/parser2.py:28-139`) has no
+similarity surface; this is the [extension] ANN family's capstone
+(SURVEY.md §2.12), composing the two separately-verified index parts —
+IVF cell pruning (`operators/similarity.py:topk_cosine_ivf_indexed`)
+and PQ/ADC compression (`plans/pipeline6.py`) — into the standard
+billion-vector layout (Jégou et al., TPAMI 2011 §V; FAISS `IVFx,PQy`):
+
+    coarse cells (partition pruning) → ADC over 2-byte codes inside the
+    probed cells → exact re-rank of the shortlist.
+
+Oracle discipline: both trained parts use the INTEGER-EXACT k-means
+(lowest-id seeding, int64-L2 argmin with lowest-cid tie-break,
+floor-mean updates), so the DuckDB twin unrolls the coarse fit, all M
+subspace fits, the cell assignment, the query's probe choice, the ADC
+LUTs, the shortlist cut and the exact re-rank as chained CTEs — the
+driver gate certifies the ENTIRE composed pipeline bit-for-bit,
+including the partial (n_probe < n_cells) probe, which is the real
+serving configuration rather than the degenerate exhaustive one.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from jhu_data_parser_spark.plans.catalog import query
+from jhu_data_parser_spark.plans.clustering import _kmeans_ctes
+from jhu_data_parser_spark.sources.tables import load_table
+
+_IP_CELLS = 8
+_IP_CITERS = 2
+_IP_PROBE = 3
+_IP_M = 4
+_IP_SUB = 16
+_IP_K = 16
+_IP_ITERS = 2
+_IP_SHORTLIST = 50
+_IP_TOPK = 10
+_IP_SCALE = 1_000_000
+
+_Q_INT = (
+    f"list_transform(CAST(embedding AS DOUBLE[]), "
+    f"x -> CAST(ROUND(x * {_IP_SCALE}) AS BIGINT))"
+)
+_ZDIST = (
+    "CAST(list_sum(list_transform(list_zip({a}, {b}), "
+    "z -> (z[1] - z[2]) * (z[1] - z[2]))) AS BIGINT)"
+)
+
+
+def _ivfpq_oracle_sql(src: str = "embeddings") -> str:
+    """Full DuckDB replay of the composed index + one serving query:
+    coarse chain (cc_), M subspace chains (p{s}_), probe selection,
+    ADC inside probed cells, shortlist, exact re-rank."""
+    chains = ",".join(
+        [
+            _kmeans_ctes(
+                _IP_CELLS,
+                _IP_CITERS,
+                where="WHERE vec_id <> 0",
+                prefix="cc_",
+                src=src,
+            )
+        ]
+        + [
+            _kmeans_ctes(
+                _IP_K,
+                _IP_ITERS,
+                where="WHERE vec_id <> 0",
+                prefix=f"p{s}_",
+                dim=_IP_SUB,
+                lo=s * _IP_SUB + 1,
+                src=src,
+            )
+            for s in range(_IP_M)
+        ]
+    )
+    luts = ",".join(
+        f"""
+    lut{s} AS (SELECT c.cid,
+                      {_ZDIST.format(a="q.sq", b="c.c")} AS d
+               FROM p{s}_c{_IP_ITERS - 1} c CROSS JOIN
+                    (SELECT q[{s * _IP_SUB + 1}:{(s + 1) * _IP_SUB}] AS sq
+                     FROM qq) q)"""
+        for s in range(_IP_M)
+    )
+    code_joins = " ".join(
+        f"JOIN lut{s} l{s} ON l{s}.cid = c.code{s}" for s in range(_IP_M)
+    )
+    adc_sum = " + ".join(f"l{s}.d" for s in range(_IP_M))
+    return f"""
+    WITH {chains},
+    qq AS (SELECT {_Q_INT} AS q FROM {src} WHERE vec_id = 0),
+    cd AS (SELECT c.cid, {_ZDIST.format(a="q.q", b="c.c")} AS d
+           FROM cc_c{_IP_CITERS - 1} c CROSS JOIN qq q),
+    probes AS (SELECT cid FROM cd ORDER BY d, cid LIMIT {_IP_PROBE}),{luts},
+    codes AS (
+      SELECT a0.id AS vid, a0.cid AS code0, a1.cid AS code1,
+             a2.cid AS code2, a3.cid AS code3
+      FROM p0_a{_IP_ITERS} a0
+      JOIN p1_a{_IP_ITERS} a1 USING (id)
+      JOIN p2_a{_IP_ITERS} a2 USING (id)
+      JOIN p3_a{_IP_ITERS} a3 USING (id)),
+    cells AS (SELECT id AS vid, cid AS cell FROM cc_a{_IP_CITERS}),
+    adc AS (
+      SELECT c.vid, x.cell, CAST({adc_sum} AS BIGINT) AS adc_dist
+      FROM codes c
+      JOIN cells x ON x.vid = c.vid
+      JOIN probes pr ON pr.cid = x.cell
+      {code_joins}),
+    short AS (SELECT * FROM adc ORDER BY adc_dist, vid LIMIT {_IP_SHORTLIST}),
+    ef AS (SELECT vec_id, {_Q_INT} AS q FROM {src} WHERE vec_id <> 0)
+    SELECT s.vid AS vec_id, CAST(s.cell AS BIGINT) AS cell, s.adc_dist,
+           {_ZDIST.format(a="e.q", b="qf.q")} AS exact_dist
+    FROM short s JOIN ef e ON e.vec_id = s.vid CROSS JOIN qq qf
+    ORDER BY exact_dist, vec_id LIMIT {_IP_TOPK}
+    """
+
+
+def _ivfpq_serve(spark: SparkSession, emb: DataFrame, cache_tag: str) -> DataFrame:
+    """Shared serving body: build/cache the index over the corpus
+    (query row excluded from fits AND storage, matching the oracle's
+    ``WHERE vec_id <> 0``), quantize the query Spark-side (HALF_UP —
+    Python round() is banker's), and run the pruned-scan ADC + rerank."""
+    from jhu_data_parser_spark.operators import similarity as sim
+    from jhu_data_parser_spark.operators.clustering import quantize_vectors
+
+    db = emb.filter(F.col("vec_id") != 0)
+    q_ints = [
+        int(v)
+        for v in quantize_vectors(emb.filter(F.col("vec_id") == 0))
+        .select("q")
+        .first()["q"]
+    ]
+    return sim.topk_ivfpq_indexed(
+        db,
+        q_ints,
+        k=_IP_TOPK,
+        n_probe=_IP_PROBE,
+        shortlist=_IP_SHORTLIST,
+        n_cells=_IP_CELLS,
+        coarse_iters=_IP_CITERS,
+        m=_IP_M,
+        sub=_IP_SUB,
+        pq_k=_IP_K,
+        pq_iters=_IP_ITERS,
+        cache_tag=cache_tag,
+    )
+
+
+@query("sim_cosine_topk_ivfpq", oracle=_ivfpq_oracle_sql())
+def sim_cosine_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ top-10 for query vec_id=0 with a PARTIAL probe (3 of 8
+    cells) — the real serving shape, fully oracle-replayed (coarse fit,
+    4 subspace fits, cell assignment, probe choice, ADC, shortlist,
+    exact re-rank all bit-for-bit in DuckDB).
+
+    Scale posture: the serving plan touches (a) n_probe/K of the index
+    by partition PRUNING (plan-tested), reading only the 2-byte codes
+    (column pruning — the floats aren't in the index), (b) exactly
+    ``shortlist`` full vectors via a broadcast join back into the base
+    scan. Per-query driver work is probe choice + LUTs — O(K·D + M·k·sub)
+    integer ops, independent of corpus size. The index build is a
+    once-per-corpus artifact (same registry lifecycle as the IVF
+    index); repeated queries measure the probe, not the build."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return _ivfpq_serve(spark, emb, cache_tag="embeddings_ivfpq")
+
+
+# --------------------------------------------------------------------------
+# IVF-PQ recall on the planted-cluster corpus — the measurement row the
+# index-evaluation contract requires (every ANN path ships a gated
+# recall report: LSH, IVF, PQ, PQ-clustered — and now the composition).
+# Reuses pipeline6's deterministic 16-cluster synthesis so the number
+# is comparable with sim_pq_recall_clustered: composition adds cell
+# pruning ON TOP of PQ, so recall ≤ the flat-PQ row by construction —
+# the report quantifies what the 8/3-cell probe costs.
+# --------------------------------------------------------------------------
+
+
+def _ivfpq_recall_oracle_sql(src: str) -> str:
+    return f"""
+    WITH ivfpq AS ({_ivfpq_oracle_sql(src=src)}),
+    qf AS (SELECT {_Q_INT} AS q FROM {src} WHERE vec_id = 0),
+    ef2 AS (SELECT vec_id, {_Q_INT} AS q FROM {src} WHERE vec_id <> 0),
+    exact AS (
+      SELECT e.vec_id FROM ef2 e CROSS JOIN qf
+      ORDER BY {_ZDIST.format(a="e.q", b="qf.q")}, e.vec_id LIMIT {_IP_TOPK})
+    SELECT CAST({_IP_TOPK} AS INT) AS k,
+           CAST(COUNT(*) AS BIGINT) AS n_overlap,
+           CAST(COUNT(*) AS DOUBLE) / CAST({_IP_TOPK} AS DOUBLE) AS recall
+    FROM exact JOIN ivfpq USING (vec_id)
+    """
+
+
+def _synth_src() -> str:
+    from jhu_data_parser_spark.plans.pipeline6 import _SYNTH_SRC
+
+    return _SYNTH_SRC
+
+
+@query("sim_ivfpq_recall_clustered", oracle=_ivfpq_recall_oracle_sql(_synth_src()))
+def sim_ivfpq_recall_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@10 of the composed IVF-PQ serving path (3/8-cell probe +
+    ADC shortlist + exact re-rank) against the exact integer-L2 top-10
+    on the planted 16-cluster corpus — the regime the index is built
+    for. The oracle replays corpus synthesis, both fits, the probe,
+    both rankings and the overlap, so the driver gate certifies the
+    measured recall itself."""
+    from jhu_data_parser_spark.plans.pipeline6 import _synth_clustered
+
+    emb = _synth_clustered(spark, sf_dir)
+    ivfpq = _ivfpq_serve(spark, emb, cache_tag="synth_clustered_ivfpq_v1").select(
+        "vec_id"
+    )
+    qf = emb.filter(F.col("vec_id") == 0).select(
+        F.expr(
+            f"transform(embedding, x -> "
+            f"CAST(ROUND(CAST(x AS DOUBLE) * {_IP_SCALE}, 0) AS BIGINT))"
+        ).alias("qq")
+    )
+    ef = emb.filter(F.col("vec_id") != 0).select(
+        "vec_id",
+        F.expr(
+            f"transform(embedding, x -> "
+            f"CAST(ROUND(CAST(x AS DOUBLE) * {_IP_SCALE}, 0) AS BIGINT))"
+        ).alias("q"),
+    )
+    exact = (
+        ef.crossJoin(F.broadcast(qf))
+        .select(
+            "vec_id",
+            F.expr(
+                "aggregate(zip_with(q, qq, (a, b) -> (a - b) * (a - b)), "
+                "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+            ).alias("d"),
+        )
+        .orderBy("d", "vec_id")
+        .limit(_IP_TOPK)
+        .select("vec_id")
+    )
+    overlap = exact.join(F.broadcast(ivfpq), "vec_id")
+    return overlap.agg(
+        F.lit(_IP_TOPK).cast("int").alias("k"),
+        F.count(F.lit(1)).cast("long").alias("n_overlap"),
+        (F.count(F.lit(1)).cast("double") / F.lit(float(_IP_TOPK))).alias("recall"),
+    )

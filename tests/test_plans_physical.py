@@ -645,3 +645,97 @@ def test_hard_negatives_shortlist_shape(spark):
     assert plan.count("TakeOrderedAndProject") >= 2, plan[:3000]
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_ivfpq_index_prunes_partitions_and_columns(spark):
+    """The composed IVF-PQ layout's two scale claims made physical:
+    (a) the probed-cell IN-list becomes partition PRUNING over the
+    partitionBy(cell) index (the scan lists only n_probe/K of the
+    directories), and (b) the index scan reads ONLY the 2-byte code
+    columns — the float vectors aren't in the index at all, so the ADC
+    stage never touches them."""
+    from pyspark.sql import functions as F
+
+    from jhu_data_parser_spark.operators import similarity as sim
+    from jhu_data_parser_spark.operators.clustering import quantize_vectors
+    from jhu_data_parser_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    db = emb.filter(F.col("vec_id") != 0)
+    q_ints = [
+        int(v)
+        for v in quantize_vectors(emb.filter(F.col("vec_id") == 0))
+        .select("q")
+        .first()["q"]
+    ]
+    out = sim.topk_ivfpq_indexed(db, q_ints, k=10, n_probe=3, cache_tag="plan_test")
+    rows = out.collect()
+    assert len(rows) == 10
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [cell" in plan
+    # Column pruning: the index scan's ReadSchema carries codes only.
+    import re
+
+    read_schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    idx_schemas = [s for s in read_schemas if "code0" in s]
+    assert idx_schemas and all("embedding" not in s for s in idx_schemas)
+    # And the pruned scan's numFiles counts only the probed cells.
+    path, coarse, _books = sim.ivfpq_build_index(db, cache_tag="plan_test")
+    index = spark.read.parquet(path)
+    cell_d = sorted(
+        (sum((qi - ci) ** 2 for qi, ci in zip(q_ints, c)), cid)
+        for cid, c in enumerate(coarse)
+    )
+    probes = {cid for _d, cid in cell_d[:3]}
+    probed_files = [
+        f
+        for f in index.inputFiles()
+        if any(f"/cell={c}/" in f for c in probes)
+    ]
+    assert 0 < len(probed_files) < len(index.inputFiles())
+
+
+def test_ivfpq_exhaustive_probe_degrades_to_exact(spark):
+    """With n_probe == n_cells AND shortlist >= corpus, the composed
+    index's re-rank arm returns exactly the exact integer-L2 top-k —
+    the graceful-degradation property the IVF query gates, proven for
+    the composition."""
+    from pyspark.sql import functions as F
+
+    from jhu_data_parser_spark.operators import similarity as sim
+    from jhu_data_parser_spark.operators.clustering import quantize_vectors
+    from jhu_data_parser_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    db = emb.filter(F.col("vec_id") != 0)
+    q_ints = [
+        int(v)
+        for v in quantize_vectors(emb.filter(F.col("vec_id") == 0))
+        .select("q")
+        .first()["q"]
+    ]
+    approx = sim.topk_ivfpq_indexed(
+        db,
+        q_ints,
+        k=10,
+        n_probe=8,
+        shortlist=10_000,
+        cache_tag="plan_test",
+    ).select("vec_id", "exact_dist")
+    got = [(r["vec_id"], r["exact_dist"]) for r in approx.collect()]
+
+    q_lit = "array(" + ",".join(str(v) + "L" for v in q_ints) + ")"
+    exact = (
+        quantize_vectors(db)
+        .select(
+            "id",
+            F.expr(
+                f"aggregate(zip_with(q, {q_lit}, (a, b) -> (a - b) * (a - b)), "
+                "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+            ).alias("d"),
+        )
+        .orderBy("d", "id")
+        .limit(10)
+    )
+    want = [(r["id"], r["d"]) for r in exact.collect()]
+    assert got == want
