@@ -431,3 +431,288 @@ def bpe_train_merges(
 def _sql_str(s: str) -> str:
     """SQL string literal (single-quote escaped)."""
     return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM (SentencePiece-style) tokenizer training — the second of
+# the two tokenizers real pretraining pipelines train (Kudo 2018,
+# "Subword Regularization"; BPE above is the first). Hard-EM variant:
+# the E-step segments every word by VITERBI under the current piece
+# costs (exactly the segmentation SentencePiece uses at encode time),
+# the M-step re-estimates piece probabilities from the segment counts
+# with add-one smoothing. All arithmetic is fixed-point-replayable:
+# counts are exact integers, a piece's cost is
+# floor(1e6·ln((total+V)/(cnt+1))) — the identical ln discipline the
+# oracle-gated bigram-perplexity query already proved engine-portable —
+# and the Viterbi DP is an integer argmin with a deterministic
+# (cost asc, piece-length desc) tie-break, so DuckDB unrolls the whole
+# fit (seed counts, every EM round's DP + backtrack + recount, final
+# costs) as chained CTEs and reproduces it bit-for-bit.
+# ---------------------------------------------------------------------------
+
+UNIGRAM_SCALE = 1_000_000
+UNIGRAM_INF = 1 << 50  # sentinel for out-of-vocab pieces; never wins
+LOCAL_UNIGRAM_VOCAB_BOUND = 200_000
+
+
+def _unigram_costs(counts: dict) -> dict:
+    """piece → floor(1e6·ln((total+V)/(cnt+1))) — add-one-smoothed
+    negative log-likelihood in 1e-6-nat fixed point. total/V/cnt are
+    exact ints; the double division and ln are single IEEE ops
+    identical across Python/Spark/DuckDB (same libm discipline as
+    text_bigram_perplexity, driver-gated)."""
+    import math
+
+    tot = sum(counts.values())
+    v = len(counts)
+    return {
+        p: int(math.floor(UNIGRAM_SCALE * math.log((tot + v) / (c + 1))))
+        for p, c in counts.items()
+    }
+
+
+def _unigram_viterbi_local(word: str, cost: dict, max_piece_len: int) -> list:
+    """Min-cost segmentation; ties prefer the LONGER last piece (the
+    rule the Spark HOF expression and the oracle's QUALIFY replicate).
+    Single characters are always in the vocab, so a path always exists."""
+    n = len(word)
+    dp = [0] + [UNIGRAM_INF * 32] * n
+    bl = [0] * (n + 1)
+    for i in range(1, n + 1):
+        best_d, best_l = UNIGRAM_INF * 32, 0
+        for piece_len in range(1, min(max_piece_len, i) + 1):
+            c = cost.get(word[i - piece_len : i])
+            if c is None:
+                continue
+            d = dp[i - piece_len] + c
+            if d < best_d or (d == best_d and piece_len > best_l):
+                best_d, best_l = d, piece_len
+        dp[i], bl[i] = best_d, best_l
+    out = []
+    pos = n
+    while pos > 0:
+        piece_len = bl[pos]
+        out.append(word[pos - piece_len : pos])
+        pos -= piece_len
+    out.reverse()
+    return out
+
+
+def _unigram_cost_map_sql(cost: dict) -> str:
+    """The cost dict as a Spark map literal (bounded: |vocab| entries —
+    an index artifact like the k-means centroid arrays)."""
+    entries = ", ".join(
+        f"{_sql_str(p)}, CAST({c} AS BIGINT)" for p, c in sorted(cost.items())
+    )
+    return f"map({entries})"
+
+
+def unigram_viterbi_expr(word_col: str, cost: dict, max_piece_len: int = 4) -> str:
+    """SQL-expression Viterbi over ``word_col`` under literal costs —
+    pure JVM (no Python worker), runs over the DISTINCT-WORD table only.
+    Two folds: positions 1..n build (dp, backpointer-length) arrays
+    (argmin via struct array_min on (cost, -len) — lowest cost, longest
+    piece on ties), then a backtrack fold emits the piece array."""
+    m = _unigram_cost_map_sql(cost)
+    best = (
+        f"array_min(transform(sequence(1, least({max_piece_len}, i)), "
+        f"l -> named_struct("
+        f"'dd', element_at(acc.d, i - l + 1) + "
+        f"coalesce(element_at({m}, substring({word_col}, i - l + 1, l)), "
+        f"CAST({UNIGRAM_INF} AS BIGINT)), "
+        f"'ml', -l)))"
+    )
+    dp = (
+        f"aggregate(sequence(1, length({word_col})), "
+        f"named_struct('d', array(CAST(0 AS BIGINT)), 'bl', array(0)), "
+        f"(acc, i) -> named_struct("
+        f"'d', concat(acc.d, array({best}.dd)), "
+        f"'bl', concat(acc.bl, array(-{best}.ml))))"
+    )
+    return (
+        f"reverse(aggregate(sequence(1, length({word_col})), "
+        f"named_struct('pos', length({word_col}), "
+        f"'ps', CAST(array() AS array<string>), 'bl', ({dp}).bl), "
+        f"(acc, k) -> IF(acc.pos <= 0, acc, named_struct("
+        f"'pos', acc.pos - element_at(acc.bl, acc.pos + 1), "
+        f"'ps', concat(acc.ps, array(substring({word_col}, "
+        f"acc.pos - element_at(acc.bl, acc.pos + 1) + 1, "
+        f"element_at(acc.bl, acc.pos + 1)))), "
+        f"'bl', acc.bl)), x -> x.ps))"
+    )
+
+
+_UNIGRAM_FIT_CACHE: dict = {}
+_UNIGRAM_FIT_CACHE_MAX = 16
+
+
+def unigram_fit(
+    df: DataFrame,
+    text_col: str = "text",
+    vocab_multi: int = 40,
+    max_piece_len: int = 4,
+    min_count: int = 3,
+    em_iters: int = 2,
+    word_len_cap: int = 16,
+    local_vocab_bound: int = LOCAL_UNIGRAM_VOCAB_BOUND,
+) -> tuple[list, dict]:
+    """Fit the unigram LM: returns ``(rows, final_costs)`` where rows is
+    ``[(piece, final_count, nll_fp), ...]`` (piece-ascending) and
+    final_costs the piece→nll_fp dict the encoder segments with.
+
+    Seed vocab = every character of the (≤``word_len_cap``-char,
+    whitespace-lowercased) word table ∪ the top-``vocab_multi``
+    substrings of length 2..``max_piece_len`` by weighted occurrence
+    count (count desc, piece asc; ``min_count`` floor) — the standard
+    frequent-substring seeding. Each EM round: costs from counts
+    (add-one), Viterbi E-step over the distinct-word table, recount.
+
+    Adaptive like ``bpe_train_merges``: word tables under
+    ``local_vocab_bound`` collect once and fit on the driver
+    (bit-identical — pinned by the local==distributed test); above the
+    bound every E-step is one JVM-side HOF segmentation pass over the
+    distributed word table + one piece-key shuffle, and only
+    vocab-bounded count tables ever reach the driver (the model is the
+    bounded artifact, the corpus never collects). Words longer than
+    ``word_len_cap`` are excluded from fit AND encode on both engines
+    (the oracle's DP unroll is bounded by it).
+
+    The fit is an index-build artifact (like the PQ codebook): cached
+    per (bare-scan corpus fingerprint, params) so train + encode over
+    the same corpus fit once. Derived frames (filters/projections)
+    never hit the cache — ``_scan_fingerprint`` returns None for
+    non-bare-scan lineage."""
+    from jhu_data_parser_spark.operators.dedup import _scan_fingerprint
+
+    fp = _scan_fingerprint(df)
+    cache_key = (
+        fp,
+        text_col,
+        vocab_multi,
+        max_piece_len,
+        min_count,
+        em_iters,
+        word_len_cap,
+        local_vocab_bound,
+    )
+    if fp is not None and cache_key in _UNIGRAM_FIT_CACHE:
+        return _UNIGRAM_FIT_CACHE[cache_key]
+    words = (
+        df.select(F.explode(F.split(F.lower(text_col), r"\s+")).alias("w"))
+        .filter((F.col("w") != "") & (F.length("w") <= word_len_cap))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+
+    def _remember(result):
+        if fp is not None:
+            while len(_UNIGRAM_FIT_CACHE) >= _UNIGRAM_FIT_CACHE_MAX:
+                _UNIGRAM_FIT_CACHE.pop(next(iter(_UNIGRAM_FIT_CACHE)))
+            _UNIGRAM_FIT_CACHE[cache_key] = result
+        return result
+
+    if local_vocab_bound:
+        probe = words.limit(local_vocab_bound + 1).toPandas()
+        if len(probe) <= local_vocab_bound:
+            wc_pairs = list(zip(probe["w"].tolist(), probe["wc"].tolist()))
+            return _remember(
+                _unigram_fit_local(
+                    wc_pairs, vocab_multi, max_piece_len, min_count, em_iters
+                )
+            )
+
+    # Distributed path: seed counts via two explode passes, then EM
+    # rounds of (broadcast-literal Viterbi → explode → piece-key agg).
+    chars = (
+        words.select(
+            "wc",
+            F.explode(
+                F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+            ).alias("piece"),
+        )
+        .groupBy("piece")
+        .agg(F.sum("wc").alias("cnt"))
+    )
+    cand = (
+        words.select(
+            "wc",
+            F.explode(
+                # NB: Spark sequence(1, 0) is DESCENDING [1, 0], not
+                # empty — words shorter than l must short-circuit to an
+                # empty array or they contribute phantom occurrences.
+                F.expr(
+                    f"flatten(transform(sequence(2, {max_piece_len}), "
+                    "l -> IF(length(w) >= l, "
+                    "transform(sequence(1, length(w) - l + 1), "
+                    "i -> substring(w, i, l)), CAST(array() AS array<string>))))"
+                )
+            ).alias("piece"),
+        )
+        .groupBy("piece")
+        .agg(F.sum("wc").alias("cnt"))
+    )
+    multi = (
+        cand.filter(F.col("cnt") >= min_count)
+        .orderBy(F.col("cnt").desc(), "piece")
+        .limit(vocab_multi)
+    )
+    counts = {
+        r["piece"]: int(r["cnt"]) for r in chars.collect() + multi.collect()
+    }
+    for _ in range(em_iters):
+        cost = _unigram_costs(counts)
+        seg = (
+            words.select(
+                "wc",
+                F.explode(
+                    F.expr(unigram_viterbi_expr("w", cost, max_piece_len))
+                ).alias("piece"),
+            )
+            .groupBy("piece")
+            .agg(F.sum("wc").alias("cnt"))
+        )
+        observed = {r["piece"]: int(r["cnt"]) for r in seg.collect()}
+        counts = {p: observed.get(p, 0) for p in counts}
+    final_costs = _unigram_costs(counts)
+    rows = [
+        (p, counts[p], final_costs[p]) for p in sorted(counts)
+    ]
+    return _remember((rows, final_costs))
+
+
+def _unigram_fit_local(
+    wc_pairs: list,
+    vocab_multi: int,
+    max_piece_len: int,
+    min_count: int,
+    em_iters: int,
+) -> tuple[list, dict]:
+    """Driver-side exact twin of the distributed fit (same seeding,
+    costs, Viterbi tie-break, recount)."""
+    from collections import Counter
+
+    chars: Counter = Counter()
+    cand: Counter = Counter()
+    for w, wc in wc_pairs:
+        wc = int(wc)
+        for i in range(len(w)):
+            chars[w[i]] += wc
+        for piece_len in range(2, max_piece_len + 1):
+            for i in range(len(w) - piece_len + 1):
+                cand[w[i : i + piece_len]] += wc
+    multi = sorted(
+        ((p, c) for p, c in cand.items() if c >= min_count),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:vocab_multi]
+    counts = dict(chars)
+    counts.update(dict(multi))
+    for _ in range(em_iters):
+        cost = _unigram_costs(counts)
+        observed: Counter = Counter()
+        for w, wc in wc_pairs:
+            for piece in _unigram_viterbi_local(w, cost, max_piece_len):
+                observed[piece] += int(wc)
+        counts = {p: int(observed.get(p, 0)) for p in counts}
+    final_costs = _unigram_costs(counts)
+    rows = [(p, counts[p], final_costs[p]) for p in sorted(counts)]
+    return rows, final_costs

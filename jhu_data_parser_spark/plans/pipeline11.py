@@ -248,3 +248,223 @@ def sim_ivfpq_recall_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_overlap"),
         (F.count(F.lit(1)).cast("double") / F.lit(float(_IP_TOPK))).alias("recall"),
     )
+
+
+# --------------------------------------------------------------------------
+# Unigram-LM (SentencePiece-style) tokenizer — train + encode
+# (operators/text.py:unigram_fit). BPE+unigram are the two tokenizers
+# real pretraining pipelines train; this completes the pair (verdict
+# r7 item 2). Hard-EM with integer Viterbi and the
+# floor(1e6·ln(ratio)) fixed-point cost the bigram-perplexity query
+# already proved engine-portable; the DuckDB twin unrolls the seed
+# counts, every EM round's DP (one CTE per word position, argmin via
+# QUALIFY row_number ORDER BY cost, piece-length DESC — the operator's
+# exact tie-break), the backtrack walk, the recount, and the final
+# costs — so the driver gate certifies the whole fit, not a summary.
+# --------------------------------------------------------------------------
+
+_UNI_VMULTI = 40
+_UNI_MAXP = 4
+_UNI_MINCNT = 3
+_UNI_ITERS = 2
+_UNI_CAP = 16
+
+
+def _unigram_cost_ctes(r: int) -> str:
+    return f"""
+    utot{r} AS (SELECT CAST(SUM(cnt) AS BIGINT) AS t,
+                       CAST(COUNT(*) AS BIGINT) AS v FROM ucnt{r}),
+    uc{r} AS MATERIALIZED (SELECT piece,
+                     CAST(floor(1000000 * ln(CAST(t + v AS DOUBLE)
+                          / CAST(cnt + 1 AS DOUBLE))) AS BIGINT) AS nll
+              FROM ucnt{r}, utot{r})"""
+
+
+def _unigram_seg_ctes(r: int, cap: int = _UNI_CAP, maxp: int = _UNI_MAXP) -> str:
+    """One Viterbi pass under uc{r}: dp chain (one CTE per position,
+    4-way UNION over piece lengths, QUALIFY argmin), backtrack chain,
+    per-word segment listing useg{r}."""
+    parts = [
+        f"""udp{r}_0 AS (SELECT w, wc, CAST(0 AS BIGINT) AS d, 0 AS bl FROM uw)"""
+    ]
+    for i in range(1, cap + 1):
+        branches = " UNION ALL ".join(
+            f"""SELECT x.w, x.wc, p.d + c.nll AS dd, {piece_len} AS l
+            FROM uw x
+            JOIN udp{r}_{i - piece_len} p ON p.w = x.w
+            JOIN uc{r} c ON c.piece = substr(x.w, {i - piece_len + 1}, {piece_len})
+            WHERE length(x.w) >= {i}"""
+            for piece_len in range(1, min(maxp, i) + 1)
+        )
+        parts.append(f"""udp{r}_{i} AS MATERIALIZED (
+      SELECT u.w, u.wc, u.dd AS d, u.l AS bl
+      FROM ({branches}) u
+      QUALIFY row_number() OVER (PARTITION BY u.w ORDER BY u.dd, u.l DESC) = 1)""")
+    dpa = " UNION ALL ".join(
+        f"SELECT w, {i} AS i, bl FROM udp{r}_{i}" for i in range(1, cap + 1)
+    )
+    parts.append(f"udpa{r} AS MATERIALIZED ({dpa})")
+    parts.append(f"ubt{r}_0 AS (SELECT w, wc, length(w) AS pos FROM uw)")
+    for k in range(1, cap + 1):
+        parts.append(f"""ubt{r}_{k} AS MATERIALIZED (
+      SELECT b.w, b.wc, b.pos - d.bl AS pos,
+             substr(b.w, b.pos - d.bl + 1, d.bl) AS piece
+      FROM ubt{r}_{k - 1} b JOIN udpa{r} d ON d.w = b.w AND d.i = b.pos
+      WHERE b.pos > 0)""")
+    seg = " UNION ALL ".join(
+        f"SELECT w, wc, pos, piece FROM ubt{r}_{k}" for k in range(1, cap + 1)
+    )
+    parts.append(f"useg{r} AS MATERIALIZED ({seg})")
+    return ",\n    ".join(parts)
+
+
+def _unigram_base_ctes() -> str:
+    return f"""
+    uw AS MATERIALIZED (SELECT tok AS w, CAST(COUNT(*) AS BIGINT) AS wc
+           FROM (SELECT unnest(string_split_regex(lower(text), '\\s+')) AS tok
+                 FROM documents)
+           WHERE tok <> '' AND length(tok) <= {_UNI_CAP} GROUP BY tok),
+    uchars AS (SELECT substr(w, g.i, 1) AS piece, CAST(SUM(wc) AS BIGINT) AS cnt
+               FROM uw, LATERAL (SELECT unnest(range(1, length(w) + 1)) AS i) g
+               GROUP BY 1),
+    ucand AS (SELECT substr(w, g.i, ll.l) AS piece, CAST(SUM(wc) AS BIGINT) AS cnt
+              FROM uw,
+                   LATERAL (SELECT unnest(range(2, {_UNI_MAXP + 1})) AS l) ll,
+                   LATERAL (SELECT unnest(range(1, length(w) - ll.l + 2)) AS i) g
+              GROUP BY 1),
+    umulti AS (SELECT piece, cnt FROM ucand WHERE cnt >= {_UNI_MINCNT}
+               ORDER BY cnt DESC, piece LIMIT {_UNI_VMULTI}),
+    ucnt0 AS MATERIALIZED (SELECT piece, cnt FROM uchars
+              UNION ALL SELECT piece, cnt FROM umulti)"""
+
+
+def _unigram_recount_cte(r: int) -> str:
+    return f"""
+    ucnt{r + 1} AS MATERIALIZED (
+      SELECT v.piece, CAST(COALESCE(SUM(s.wc), 0) AS BIGINT) AS cnt
+      FROM (SELECT piece FROM ucnt0) v
+      LEFT JOIN useg{r} s USING (piece) GROUP BY v.piece)"""
+
+
+def _unigram_chain(through_seg_round: int) -> str:
+    """Base + cost/seg/recount CTEs: cost rounds 0..N, seg rounds
+    0..through_seg_round, recounts after seg rounds < the final one."""
+    parts = [_unigram_base_ctes()]
+    for r in range(_UNI_ITERS):
+        parts.append(_unigram_cost_ctes(r))
+        parts.append(_unigram_seg_ctes(r))
+        parts.append(_unigram_recount_cte(r))
+    parts.append(_unigram_cost_ctes(_UNI_ITERS))
+    if through_seg_round >= _UNI_ITERS:
+        parts.append(_unigram_seg_ctes(_UNI_ITERS))
+    return ",\n    ".join(parts)
+
+
+def _unigram_train_oracle() -> str:
+    return (
+        "WITH "
+        + _unigram_chain(through_seg_round=_UNI_ITERS - 1)
+        + f"""
+    SELECT n.piece, n.cnt, c.nll AS nll_fp
+    FROM ucnt{_UNI_ITERS} n JOIN uc{_UNI_ITERS} c USING (piece)
+    """
+    )
+
+
+def _unigram_encode_oracle() -> str:
+    return (
+        "WITH "
+        + _unigram_chain(through_seg_round=_UNI_ITERS)
+        + f""",
+    uenc AS MATERIALIZED (SELECT w, string_agg(piece, chr(1) ORDER BY pos) AS s,
+                    CAST(COUNT(*) AS BIGINT) AS n_tok
+             FROM useg{_UNI_ITERS} GROUP BY w),
+    udt AS (SELECT t.doc_id, g.i AS pos, t.toks[g.i] AS w
+            FROM (SELECT doc_id,
+                         list_filter(string_split_regex(lower(text), '\\s+'),
+                                     x -> x <> '' AND length(x) <= {_UNI_CAP})
+                           AS toks
+                  FROM documents) t,
+            LATERAL (SELECT unnest(range(1, len(t.toks) + 1)) AS i) g)
+    SELECT udt.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(uenc.n_tok) AS BIGINT) AS n_pieces,
+           md5(string_agg(uenc.s, chr(2) ORDER BY udt.pos)) AS stream_md5
+    FROM udt JOIN uenc USING (w)
+    GROUP BY udt.doc_id
+    """
+    )
+
+
+@query("text_unigram_train", oracle=_unigram_train_oracle())
+def text_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer training over the documents corpus: the
+    final vocab with hard-EM segment counts and fixed-point costs. The
+    model is a bounded artifact (|vocab| rows — same class as the BPE
+    merge table and the k-means centroid collects); the corpus-sized
+    work is one word-frequency pass plus, per EM round, one JVM-side
+    Viterbi projection over the DISTINCT-WORD table and one piece-key
+    aggregate. The oracle replays seeding, every DP cell, every
+    backtrack step, the recounts and the final costs."""
+    from jhu_data_parser_spark.operators.text import unigram_fit
+
+    d = load_table(spark, sf_dir, "documents")
+    rows, _costs = unigram_fit(
+        d,
+        vocab_multi=_UNI_VMULTI,
+        max_piece_len=_UNI_MAXP,
+        min_count=_UNI_MINCNT,
+        em_iters=_UNI_ITERS,
+        word_len_cap=_UNI_CAP,
+    )
+    return spark.createDataFrame(rows, "piece string, cnt bigint, nll_fp bigint")
+
+
+@query("text_unigram_encode", oracle=_unigram_encode_oracle())
+def text_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode every document with the unigram LM TRAINED on this corpus
+    (train → Viterbi-segment, end to end — the unigram twin of
+    text_bpe_encode): per doc the word count, total piece count, and an
+    md5 over the in-order piece stream, so the gate proves the exact
+    segmentation of every document. Segmentation runs once per DISTINCT
+    word (JVM HOF Viterbi under the literal cost map) and broadcast-
+    joins back to word instances; words longer than the fit cap are
+    excluded on both engines."""
+    from jhu_data_parser_spark.operators.text import (
+        unigram_fit,
+        unigram_viterbi_expr,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    _rows, costs = unigram_fit(
+        d,
+        vocab_multi=_UNI_VMULTI,
+        max_piece_len=_UNI_MAXP,
+        min_count=_UNI_MINCNT,
+        em_iters=_UNI_ITERS,
+        word_len_cap=_UNI_CAP,
+    )
+    toks = F.expr(
+        f"filter(split(lower(text), '\\\\s+'), "
+        f"x -> x <> '' AND length(x) <= {_UNI_CAP})"
+    )
+    dt = d.select("doc_id", F.posexplode(toks).alias("pos", "w"))
+    vocab = dt.select("w").distinct()
+    enc = vocab.select(
+        "w",
+        F.expr(unigram_viterbi_expr("w", costs, _UNI_MAXP)).alias("ps"),
+    ).select(
+        "w",
+        F.array_join("ps", "\x01").alias("s"),
+        F.size("ps").cast("long").alias("n_tok"),
+    )
+    joined = dt.join(F.broadcast(enc), "w")
+    stream = F.expr(
+        "concat_ws('\x02', transform(array_sort(collect_list(struct(pos, s))), "
+        "x -> x.s))"
+    )
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum("n_tok").alias("n_pieces"),
+        F.md5(stream).alias("stream_md5"),
+    )

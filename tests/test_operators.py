@@ -2498,3 +2498,112 @@ def test_kmeans_collapse_duplicates_is_exact(spark):
     assert sorted(map(tuple, c_dist.collect())) == sorted(
         map(tuple, c_coll.collect())
     )
+
+
+def _unigram_reference(texts, vocab_multi=8, max_piece_len=3, min_count=2, em_iters=2):
+    """Independent pure-python unigram hard-EM (no shared code with the
+    operator's local trainer beyond the cost formula, which IS the
+    contract): seed counts, per-round costs, per-word Viterbi with the
+    (cost asc, length desc) tie-break, recount."""
+    import math
+    from collections import Counter
+
+    wc = Counter()
+    for t in texts:
+        for w in t.lower().split():
+            if w and len(w) <= 16:
+                wc[w] += 1
+    chars, cand = Counter(), Counter()
+    for w, c in wc.items():
+        for ch in w:
+            chars[ch] += c
+        for piece_len in range(2, max_piece_len + 1):
+            for i in range(len(w) - piece_len + 1):
+                cand[w[i : i + piece_len]] += c
+    multi = sorted(
+        ((p, n) for p, n in cand.items() if n >= min_count),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:vocab_multi]
+    counts = dict(chars)
+    counts.update(dict(multi))
+
+    def costs(cnts):
+        tot, v = sum(cnts.values()), len(cnts)
+        return {
+            p: math.floor(1_000_000 * math.log((tot + v) / (c + 1)))
+            for p, c in cnts.items()
+        }
+
+    def viterbi(w, cost):
+        n = len(w)
+        dp = [0] + [1 << 62] * n
+        bl = [0] * (n + 1)
+        for i in range(1, n + 1):
+            for piece_len in range(1, min(max_piece_len, i) + 1):
+                c = cost.get(w[i - piece_len : i])
+                if c is None:
+                    continue
+                d = dp[i - piece_len] + c
+                if d < dp[i] or (d == dp[i] and piece_len > bl[i]):
+                    dp[i], bl[i] = d, piece_len
+        out, pos = [], n
+        while pos > 0:
+            out.append(w[pos - bl[pos] : pos])
+            pos -= bl[pos]
+        return out[::-1]
+
+    for _ in range(em_iters):
+        cost = costs(counts)
+        obs = Counter()
+        for w, c in wc.items():
+            for p in viterbi(w, cost):
+                obs[p] += c
+        counts = {p: obs.get(p, 0) for p in counts}
+    fc = costs(counts)
+    return sorted((p, counts[p], fc[p]) for p in counts), fc
+
+
+def test_unigram_fit_matches_reference_and_distributed(spark):
+    """unigram_fit: local (default) == distributed (local_vocab_bound=0)
+    == an independently-written pure-python reference, on a corpus with
+    genuine segmentation ambiguity (overlapping frequent substrings) and
+    a cost tie the length-desc tie-break must resolve identically."""
+    from jhu_data_parser_spark.operators.text import unigram_fit
+
+    texts = [
+        "abab ababab abab baba",
+        "unrelated words here here",
+        "abc bca cab abcabc",
+        "xx yy xx yy xyxy",
+        "ab ab ba ba",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    kw = dict(vocab_multi=8, max_piece_len=3, min_count=2, em_iters=2)
+    rows_l, costs_l = unigram_fit(df, **kw)
+    rows_d, costs_d = unigram_fit(df, local_vocab_bound=0, **kw)
+    ref_rows, ref_costs = _unigram_reference(texts, **kw)
+    assert rows_l == ref_rows and costs_l == ref_costs
+    assert rows_d == ref_rows and costs_d == ref_costs
+
+
+def test_unigram_viterbi_expr_matches_local(spark):
+    """The JVM HOF Viterbi expression (the encode path) segments every
+    word identically to the python DP, including tie cases."""
+    from jhu_data_parser_spark.operators.text import (
+        _unigram_viterbi_local,
+        unigram_viterbi_expr,
+    )
+    from pyspark.sql import functions as F
+
+    cost = {"a": 100, "b": 100, "ab": 150, "ba": 150, "aba": 200, "c": 900,
+            "bc": 950, "abc": 1000, "x": 5, "xx": 10}
+    words = ["ababab", "abc", "abcabc", "xxxx", "a", "cccc", "bab"]
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    got = {
+        r["w"]: list(r["ps"])
+        for r in df.select(
+            "w", F.expr(unigram_viterbi_expr("w", cost, 3)).alias("ps")
+        ).collect()
+    }
+    for w in words:
+        assert got[w] == _unigram_viterbi_local(w, cost, 3), w
