@@ -46,35 +46,58 @@ def global_rank(
     sum (see module docstring). Rows with equal keys may order
     arbitrarily among themselves — their ranks are unaffected (weights
     at equal keys either all count or all don't, by the caller's
-    tie-encoding)."""
-    part = df.repartitionByRange(n_parts, *order_cols).sortWithinPartitions(
-        *order_cols
+    tie-encoding).
+
+    Partitioning: the range split rides a LOGICAL bucket id — a CASE
+    chain over quantile boundaries of the first sort key, collected
+    ONCE (one column-pruned Greenwald-Khanna pass) and inlined as
+    literals — so the bucket is a pure function of the row and every
+    re-evaluation of the frame agrees on it. The previous design pinned
+    the PHYSICAL partition id instead, which forced an eager
+    localCheckpoint of the whole point set (RangePartitioning samples
+    its boundaries per evaluation, so unpinned pids silently corrupted
+    ranks — observed r6: same probe ranked 917 then 941); the logical
+    bucket keeps that equivalence guarantee (pinned by
+    test_global_rank_is_stable_across_evaluations) with zero
+    materialization — the offsets branch re-reads only (bucket, weight)
+    through column pruning. Ties on the first key share a bucket, so a
+    massively-tied key skews one bucket; correctness is unaffected."""
+    c1 = order_cols[0]
+    probs = [i / n_parts for i in range(1, n_parts)]
+    bounds = sorted(
+        set(
+            df.select(F.col(c1).cast("double").alias("__k")).approxQuantile(
+                "__k", probs, 0.001
+            )
+        )
     )
-    # RangePartitioning SAMPLES its boundaries per evaluation — without
-    # pinning, `totals` (a second evaluation of `part`) can see a
-    # different row→pid assignment than the branch it is joined back to,
-    # silently corrupting ranks (observed: same probe ranked 917 then
-    # 941). The checkpoint makes the pid assignment a fact.
-    part = part.withColumn("__pid", F.spark_partition_id()).localCheckpoint(
-        eager=True
+    bucket = F.lit(0)
+    if bounds:
+        v = F.col(c1).cast("double")
+        chain = F.when(v > F.lit(bounds[-1]), len(bounds))
+        for i in range(len(bounds) - 2, -1, -1):
+            chain = chain.when(v > F.lit(bounds[i]), i + 1)
+        bucket = chain.otherwise(0)
+    part = df.withColumn("__bucket", bucket.cast("int")).repartition(
+        n_parts, F.col("__bucket")
     )
     w_local = (
-        Window.partitionBy("__pid")
+        Window.partitionBy("__bucket")
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     part = part.withColumn("__local", F.sum(weight_col).over(w_local))
-    totals = part.groupBy("__pid").agg(F.sum(weight_col).alias("__tot"))
+    totals = part.groupBy("__bucket").agg(F.sum(weight_col).alias("__tot"))
     # ≤ n_parts rows: the single-partition window here is a deliberate
     # tiny-frame exception, same class as a broadcast dim.
-    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    w_off = Window.orderBy("__bucket").rowsBetween(Window.unboundedPreceding, -1)
     offsets = totals.withColumn(
         "__off", F.coalesce(F.sum("__tot").over(w_off), F.lit(0))
-    ).select("__pid", "__off")
+    ).select("__bucket", "__off")
     return (
-        part.join(F.broadcast(offsets), "__pid")
+        part.join(F.broadcast(offsets), "__bucket")
         .withColumn("rank", (F.col("__local") + F.col("__off")).cast("long"))
-        .drop("__pid", "__local", "__off")
+        .drop("__bucket", "__local", "__off")
     )
 
 

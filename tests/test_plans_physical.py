@@ -550,14 +550,14 @@ def test_global_rank_is_distributed_prefix_sum(spark):
     partitionBy window is the ≤n_parts-row offsets frame), and no
     cartesian/NLJ anywhere."""
     plan = _plan(spark, "window_global_rank_distributed")
-    # The range-partitioned ordering lives inside the pinned
-    # localCheckpoint subtree (the executed plan starts at its
-    # ExistingRDD scan, __pid already attached) — what must be visible
-    # here: the running-sum window partitioned by __pid (never an
-    # empty partitionBy over the point set), offsets riding a
-    # broadcast, and exactly ONE SinglePartition exchange (the
-    # ≤n_parts-row totals frame).
-    assert "windowspecdefinition(__pid" in plan, plan[:2000]
+    # The split rides a LOGICAL bucket id (quantile-literal CASE chain
+    # — a pure function of the row, so the offsets branch re-evaluates
+    # safely with NO checkpoint materialization): the running-sum
+    # window must partition by __bucket (never an empty partitionBy
+    # over the point set), offsets ride a broadcast, and exactly ONE
+    # SinglePartition exchange exists (the ≤n_parts-row totals frame).
+    assert "windowspecdefinition(__bucket" in plan, plan[:2000]
+    assert "localCheckpoint" not in plan and "ExistingRDD" not in plan
     assert "BroadcastHashJoin" in plan
     assert plan.count("Exchange SinglePartition") == 1
     assert "CartesianProduct" not in plan
