@@ -1,0 +1,247 @@
+"""Catalog wave 12 — round 8: the end-to-end curation funnel v2.
+
+Reference parity note: the reference (/root/reference) has no curation
+surface; this is the [extension] integration query (r7 verdict item 5)
+— the first thing a real user of the corpus-curation layer runs: the
+stage-by-stage yield table of the full pipeline. The round-2
+``pipeline_curation_funnel`` predates most of the stages the engine
+now carries; v2 composes the round-4..7 operators, each stage reusing
+the SAME rule text / synthesis as its standalone oracle-gated query so
+the per-stage yields cross-check against the individual queries:
+
+    raw → URL-canonical dedup (pipeline4 chain, min-id keeper)
+        → language filter (lang = 'en')
+        → Gopher quality rules (pipeline8 integer-rational battery,
+          here over the RAW text — the standalone query decorates to
+          make every rule fire; the funnel reports true corpus yield)
+        → benchmark decontamination (8-token-shingle overlap with a
+          synthesized benchmark set — Lee et al. / GPT-3 appendix-C
+          style exact n-gram filter)
+        → MinHash near-dedup (the engine-portable 16-hash/4-band
+          pipeline of dedup_minhash_portable_pairs; drop the larger id
+          of every verified pair)
+
+Stage flags are computed INDEPENDENTLY on the full corpus and applied
+cumulatively (the v1 discipline): one wide shuffle for URL
+survivorship, one for the near-dup banding, one broadcast anti-ish
+join for decontamination; everything else is a single projection into
+ONE 1-row conditional aggregate and a 6-row stack. The DuckDB oracle
+replays every stage — including the ENTIRE portable-MinHash chain —
+so the driver gate certifies the integrated pipeline end to end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from jhu_data_parser_spark.plans.catalog import query
+from jhu_data_parser_spark.plans.llm import _PORTABLE_MH_ORACLE
+from jhu_data_parser_spark.plans.pipeline4 import _URL_CANON_CTES
+from jhu_data_parser_spark.sources.tables import load_table
+
+_STAGES = (
+    "raw",
+    "url_dedup",
+    "lang_en",
+    "gopher_quality",
+    "decontaminate",
+    "near_dedup",
+)
+
+
+def _funnel_v2_oracle() -> str:
+    stack = "\n    UNION ALL ".join(
+        f"SELECT CAST({i} AS INT) AS stage, '{name}' AS stage_name, "
+        f"c{i} AS n_docs, t{i} AS n_tokens FROM s"
+        for i, name in enumerate(_STAGES)
+    )
+    conds = [
+        "TRUE",
+        "url_keep",
+        "url_keep AND lang = 'en'",
+        "url_keep AND lang = 'en' AND gq",
+        "url_keep AND lang = 'en' AND gq AND NOT contam",
+        "url_keep AND lang = 'en' AND gq AND NOT contam AND NOT nd",
+    ]
+    aggs = ",\n             ".join(
+        f"CAST(COUNT(*) FILTER (WHERE {c}) AS BIGINT) AS c{i},\n             "
+        f"CAST(COALESCE(SUM(n_tok) FILTER (WHERE {c}), 0) AS BIGINT) AS t{i}"
+        for i, c in enumerate(conds)
+    )
+    return f"""
+    WITH {_URL_CANON_CTES},
+    uk AS (
+      SELECT doc_id,
+             row_number() OVER (PARTITION BY canonical_url ORDER BY doc_id) = 1
+               AS url_keep
+      FROM canon),
+    gm AS (
+      SELECT doc_id, lang,
+             len(string_split(text, ' ')) AS n_tok,
+             length(text) - (len(string_split(text, ' ')) - 1) AS letters,
+             length(text) - length(replace(text, '#', '')) AS n_hash,
+             len(list_filter(string_split(text, ' '),
+                             w -> NOT regexp_matches(w, '[a-z]'))) AS n_nonalpha,
+             len(list_intersect(string_split(text, ' '),
+                                ['the', 'and', 'of', 'to', 'in', 'a', 'is']))
+               AS n_stop
+      FROM documents),
+    gf AS (
+      SELECT doc_id, lang, n_tok,
+             (n_tok >= 30
+              AND 3 * n_tok <= letters AND letters <= 10 * n_tok
+              AND 10 * n_hash <= n_tok
+              AND 10 * n_nonalpha <= n_tok
+              AND n_stop >= 2) AS gq
+      FROM gm),
+    lt AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+    bench AS (
+      SELECT DISTINCT array_to_string(toks[1:8], ' ') AS g
+      FROM lt WHERE doc_id % 17 = 0),
+    shg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(toks) - 6),
+                                   i -> array_to_string(toks[i:i+7], ' '))) AS g
+      FROM lt),
+    contam_ids AS (SELECT DISTINCT shg.doc_id FROM shg JOIN bench USING (g)),
+    np AS ({_PORTABLE_MH_ORACLE}),
+    nd_ids AS (SELECT DISTINCT id_b AS doc_id FROM np),
+    f AS (
+      SELECT gf.doc_id, gf.lang, gf.n_tok, gf.gq, uk.url_keep,
+             (c.doc_id IS NOT NULL) AS contam,
+             (nd.doc_id IS NOT NULL) AS nd
+      FROM gf
+      JOIN uk USING (doc_id)
+      LEFT JOIN contam_ids c ON c.doc_id = gf.doc_id
+      LEFT JOIN nd_ids nd ON nd.doc_id = gf.doc_id),
+    s AS (SELECT {aggs} FROM f)
+    {stack}
+    """
+
+
+@query("pipeline_curation_funnel_v2", oracle=_funnel_v2_oracle())
+def pipeline_curation_funnel_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The integrated corpus-curation yield table over the round-4..7
+    stages (module docstring): per stage, surviving document and token
+    counts under cumulative application of independently-computed
+    flags. Each stage reuses its standalone operator — the URL
+    canonicalization chain (`pipeline4.url_canonical_frame`), the
+    Gopher integer-rational rules, exact 8-gram decontamination
+    (`operators/text.shingles`-style explode + broadcast benchmark
+    join), and the portable-MinHash near-dup pairs (the
+    `dedup_minhash_portable_pairs` plan, larger-id drop rule).
+
+    Scale posture: one corpus projection computes every per-doc metric;
+    URL survivorship shuffles 16-byte canonical keys once; the
+    benchmark set broadcasts (it is small by definition); the near-dup
+    arm is the banded one-shuffle pipeline with exact-collapse +
+    budget guard inherited from the standalone query; the final rollup
+    is ONE 1-row conditional aggregate + a 6-row stack. No per-stage
+    rescans of the corpus beyond those three exchanges."""
+    from jhu_data_parser_spark.plans.llm import dedup_minhash_portable_pairs
+    from jhu_data_parser_spark.plans.pipeline4 import url_canonical_frame
+
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("canonical_url").orderBy("doc_id")
+    uk = url_canonical_frame(d).select(
+        "doc_id", (F.row_number().over(w) == 1).alias("url_keep")
+    )
+    toks = F.split(F.col("text"), " ")
+    n_tok = F.size(toks).cast("long")
+    letters = (F.length("text") - (F.size(toks) - 1)).cast("long")
+    n_hash = (
+        F.length("text") - F.length(F.replace(F.col("text"), F.lit("#"), F.lit("")))
+    ).cast("long")
+    n_nonalpha = F.expr(
+        "size(filter(split(text, ' '), w -> NOT (w rlike '[a-z]')))"
+    ).cast("long")
+    n_stop = F.expr(
+        "size(array_intersect(split(text, ' '), "
+        "array('the', 'and', 'of', 'to', 'in', 'a', 'is')))"
+    ).cast("long")
+    gf = d.select(
+        "doc_id",
+        "lang",
+        n_tok.alias("n_tok"),
+        (
+            (n_tok >= 30)
+            & (3 * n_tok <= letters)
+            & (letters <= 10 * n_tok)
+            & (10 * n_hash <= n_tok)
+            & (10 * n_nonalpha <= n_tok)
+            & (n_stop >= 2)
+        ).alias("gq"),
+    )
+    lt = d.select("doc_id", F.split(F.lower("text"), " ").alias("toks"))
+    bench = lt.filter(F.col("doc_id") % 17 == 0).select(
+        F.expr("array_join(slice(toks, 1, 8), ' ')").alias("g")
+    ).distinct()
+    shg = lt.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(toks) >= 8 THEN transform("
+                "sequence(1, size(toks) - 7), "
+                "i -> array_join(slice(toks, i, 8), ' ')) "
+                "ELSE CAST(array() AS array<string>) END"
+            )
+        ).alias("g"),
+    )
+    contam_ids = (
+        shg.join(F.broadcast(bench), "g").select("doc_id").distinct()
+        .withColumn("contam", F.lit(True))
+    )
+    nd_ids = (
+        dedup_minhash_portable_pairs(spark, sf_dir)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+        .withColumn("nd", F.lit(True))
+    )
+    f = (
+        gf.join(uk, "doc_id")
+        .join(contam_ids, "doc_id", "left")
+        .join(nd_ids, "doc_id", "left")
+        .select(
+            "n_tok",
+            "url_keep",
+            (F.col("lang") == "en").alias("is_en"),
+            "gq",
+            F.coalesce("contam", F.lit(False)).alias("contam"),
+            F.coalesce("nd", F.lit(False)).alias("nd"),
+        )
+    )
+    conds = [
+        F.lit(True),
+        F.col("url_keep"),
+        F.col("url_keep") & F.col("is_en"),
+        F.col("url_keep") & F.col("is_en") & F.col("gq"),
+        F.col("url_keep") & F.col("is_en") & F.col("gq") & ~F.col("contam"),
+        F.col("url_keep")
+        & F.col("is_en")
+        & F.col("gq")
+        & ~F.col("contam")
+        & ~F.col("nd"),
+    ]
+    s = f.agg(
+        *[
+            a
+            for i, c in enumerate(conds)
+            for a in (
+                F.count_if(c).cast("long").alias(f"c{i}"),
+                F.coalesce(F.sum(F.when(c, F.col("n_tok"))), F.lit(0))
+                .cast("long")
+                .alias(f"t{i}"),
+            )
+        ]
+    )
+    stages = None
+    for i, name in enumerate(_STAGES):
+        row = s.select(
+            F.lit(i).cast("int").alias("stage"),
+            F.lit(name).alias("stage_name"),
+            F.col(f"c{i}").alias("n_docs"),
+            F.col(f"t{i}").alias("n_tokens"),
+        )
+        stages = row if stages is None else stages.unionByName(row)
+    return stages

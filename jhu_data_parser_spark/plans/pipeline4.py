@@ -872,8 +872,10 @@ _URL_RAW_SPARK = """
       CASE WHEN doc_id % 4 = 0 THEN concat('#section-', CAST(doc_id % 9 AS STRING)) ELSE '' END)
     """
 
-_URL_ORACLE = """
-    WITH raw AS (
+# The WITH-body of the URL canonicalization chain (raw → canon), shared
+# by the standalone oracle below and the curation-funnel v2 oracle
+# (pipeline12) so both replay the identical normalization text.
+_URL_CANON_CTES = """raw AS (
       SELECT doc_id,
              (['http', 'https', 'HTTP', 'HTTPS'])[CAST(doc_id % 4 AS INT) + 1]
              || '://'
@@ -920,7 +922,12 @@ _URL_ORACLE = """
              hostpath || CASE WHEN len(kept) > 0
                               THEN '?' || array_to_string(kept, '&')
                               ELSE '' END AS canonical_url
-      FROM norm)
+      FROM norm)"""
+
+_URL_ORACLE = (
+    "WITH "
+    + _URL_CANON_CTES
+    + """
     SELECT canonical_url,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(COUNT(DISTINCT url) AS BIGINT) AS n_raw_variants,
@@ -928,20 +935,14 @@ _URL_ORACLE = """
     FROM canon
     GROUP BY canonical_url
     """
+)
 
 
-@query("text_url_canonical_dedup", oracle=_URL_ORACLE)
-def text_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """URL-canonicalization dedup groups: strip scheme and fragment,
-    lowercase the authority, drop www. and default ports, drop the
-    trailing slash, filter tracking params (utm_*, fbclid) while
-    PRESERVING real params — then group by the canonical URL with
-    count, raw-variant count, and the min-id keeper. Every step is a
-    codegen string/regex op over the raw URL bytes; the only shuffle
-    is the final canonical-key aggregate. At 100 TB this is the
-    cheapest dedup pass a crawl pipeline runs (no content touched),
-    which is why it goes first."""
-    d = load_table(spark, sf_dir, "documents")
+def url_canonical_frame(d):
+    """(doc_id, url, canonical_url) — the reusable canonicalization
+    chain (scheme/fragment strip, host lowercase, www./default-port
+    strip, trailing-slash strip, tracking-param filter); shared by
+    text_url_canonical_dedup and the curation-funnel v2."""
     raw = d.select("doc_id", F.expr(_URL_RAW_SPARK).alias("url"))
     defrag = F.regexp_replace(
         F.regexp_replace("url", "^[A-Za-z]+://", ""), "#.*$", ""
@@ -971,8 +972,23 @@ def text_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "concat(hostpath, CASE WHEN size(kept) > 0 "
         "THEN concat('?', array_join(kept, '&')) ELSE '' END)"
     )
+    return n.select("doc_id", "url", canonical.alias("canonical_url"))
+
+
+@query("text_url_canonical_dedup", oracle=_URL_ORACLE)
+def text_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonicalization dedup groups: strip scheme and fragment,
+    lowercase the authority, drop www. and default ports, drop the
+    trailing slash, filter tracking params (utm_*, fbclid) while
+    PRESERVING real params — then group by the canonical URL with
+    count, raw-variant count, and the min-id keeper. Every step is a
+    codegen string/regex op over the raw URL bytes; the only shuffle
+    is the final canonical-key aggregate. At 100 TB this is the
+    cheapest dedup pass a crawl pipeline runs (no content touched),
+    which is why it goes first."""
+    d = load_table(spark, sf_dir, "documents")
     return (
-        n.select("doc_id", "url", canonical.alias("canonical_url"))
+        url_canonical_frame(d)
         .groupBy("canonical_url")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
