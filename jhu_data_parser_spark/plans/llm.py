@@ -510,6 +510,17 @@ def dedup_minhash_portable_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     interpreted-HOF formulation at sf0.1). The oracle replays the
     identical algorithm in DuckDB (self-join + DISTINCT instead of
     first-band) — the pair set is emission- and collapse-invariant."""
+    rep_pairs, members = _portable_mh_rep_pairs(spark, sf_dir)
+    return dd.expand_collapsed_pairs(rep_pairs, members, {"jaccard": 1.0})
+
+
+def _portable_mh_rep_pairs(spark: SparkSession, sf_dir: str):
+    """(rep-level verified pairs, member table) — the pre-expansion core
+    of :func:`dedup_minhash_portable_pairs`, shared with consumers that
+    need GRAPH structure rather than the pair listing (the leakage-safe
+    split runs connected components over the rep graph and expands
+    through membership — on a dup-dense corpus the expanded cliques are
+    quadratic in copy count while the rep graph is not)."""
     d = load_table(spark, sf_dir, "documents")
     reps, members = dd.exact_collapse(d, "doc_id", "text")
     t = reps.select("doc_id", F.split(F.lower(F.col("text")), " ").alias("toks"))
@@ -561,7 +572,7 @@ def dedup_minhash_portable_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= 0.5)
         .select("id_a", "id_b", "jaccard")
     )
-    return dd.expand_collapsed_pairs(rep_pairs, members, {"jaccard": 1.0})
+    return rep_pairs, members
 
 
 @query("dedup_simhash", oracle=None)

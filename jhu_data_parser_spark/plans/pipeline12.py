@@ -245,3 +245,114 @@ def pipeline_curation_funnel_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         stages = row if stages is None else stages.unionByName(row)
     return stages
+
+
+# --------------------------------------------------------------------------
+# Leakage-safe train/test split — the group-aware variant of
+# sample_train_test_split that real evaluation pipelines require: a
+# near-duplicate of a test document must never land in train (Lee et
+# al. 2022 §6 measure the benchmark inflation when it does). Documents
+# are first clustered by connected components over the near-dup pair
+# graph; the split draw is then a pure function of the GROUP id (md5
+# threshold, 20% test), so every member of a duplicate cluster lands
+# on the same side by construction. Composes three verified pieces:
+# the portable-MinHash pairs, the CC operator, and the deterministic
+# md5 draw — and the oracle replays all three (recursive-CTE closure
+# over the replayed pair set).
+# --------------------------------------------------------------------------
+
+_SPLIT_ORACLE = f"""
+    WITH RECURSIVE np AS ({_PORTABLE_MH_ORACLE}),
+    edges(x, y) AS (
+      SELECT id_a, id_b FROM np UNION SELECT id_b, id_a FROM np),
+    reach(x, y) AS (
+      SELECT x, y FROM edges
+      UNION
+      SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x),
+    nodes(x) AS (SELECT DISTINCT x FROM edges),
+    comp AS (
+      SELECT n.x AS id, LEAST(n.x, MIN(r.y)) AS component
+      FROM nodes n LEFT JOIN reach r ON r.x = n.x GROUP BY n.x),
+    g AS (
+      SELECT d.doc_id,
+             len(string_split(d.text, ' ')) AS n_tok,
+             COALESCE(c.component, d.doc_id) AS grp
+      FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+    sp AS (
+      SELECT *,
+             CASE WHEN substr(md5(CAST(grp AS VARCHAR)), 1, 8) < '33333333'
+                  THEN 'test' ELSE 'train' END AS split
+      FROM g)
+    SELECT split,
+           CAST(COUNT(DISTINCT grp) AS BIGINT) AS n_groups,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+    FROM sp GROUP BY split
+    """
+
+
+@query("sample_split_leakage_safe", oracle=_SPLIT_ORACLE)
+def sample_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-aware 80/20 train/test split: near-dup connected components
+    (portable MinHash pairs → min-label CC) are the split unit, the
+    draw is the md5-threshold function of the group id — deterministic,
+    restart/partitioning-immune, and leakage-free by construction
+    (pair-connected docs share a group, hence a side). Reports per
+    split the group/document/token counts and a doc-id checksum; the
+    oracle replays pairs, closure, grouping, and the draw.
+
+    Scale posture: CC runs over the REP graph (pre-expansion pairs from
+    ``_portable_mh_rep_pairs``) and docs map to components through the
+    exact-collapse member table — on a dup-dense corpus the EXPANDED
+    pair listing is quadratic in copy count (cliques) while the rep
+    graph is not; labels are identical either way because the rep is
+    its group's min id, so min-reachable-doc == min-reachable-rep (the
+    oracle computes CC over the full expanded graph and the driver
+    hash proves the equivalence)."""
+    from jhu_data_parser_spark.operators.dedup import connected_components
+    from jhu_data_parser_spark.plans.llm import _portable_mh_rep_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    rep_pairs, members = _portable_mh_rep_pairs(spark, sf_dir)
+    comp = connected_components(rep_pairs.select("id_a", "id_b")).select(
+        F.col("id").alias("rep"), "component"
+    )
+    docs = d.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tok")
+    )
+    if members is None:
+        g = (
+            docs.join(comp.withColumnRenamed("rep", "doc_id"), "doc_id", "left")
+            .select(
+                "doc_id",
+                "n_tok",
+                F.coalesce("component", F.col("doc_id")).alias("grp"),
+            )
+        )
+    else:
+        g = (
+            docs.join(
+                members.withColumnRenamed("member", "doc_id"), "doc_id"
+            )
+            .join(comp, "rep", "left")
+            .select(
+                "doc_id",
+                "n_tok",
+                F.coalesce("component", F.col("rep")).alias("grp"),
+            )
+        )
+    sp = g.withColumn(
+        "split",
+        F.when(
+            F.substring(F.md5(F.col("grp").cast("string").cast("binary")), 1, 8)
+            < "33333333",
+            F.lit("test"),
+        ).otherwise("train"),
+    )
+    return sp.groupBy("split").agg(
+        F.countDistinct("grp").cast("long").alias("n_groups"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+        F.sum("doc_id").cast("long").alias("id_checksum"),
+    )
