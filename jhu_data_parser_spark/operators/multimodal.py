@@ -35,6 +35,8 @@ __all__ = [
     "attach_jpeg",
     "attach_jpeg_color",
     "attach_jpeg_progressive",
+    "attach_mp4_raw",
+    "extract_mp4_meta",
     "extract_jpeg_pixels_meta",
     "extract_jpeg_color_meta",
     "attach_image_mixed",
@@ -1158,4 +1160,85 @@ def attach_jpeg_progressive(
 
     return _spread_ids(df, id_col).mapInPandas(
         _map, f"doc_id bigint, {media_col} binary"
+    )
+
+
+def attach_mp4_raw(
+    df: DataFrame, id_col: str = "doc_id", media_col: str = "media"
+) -> DataFrame:
+    """Synthesize REAL MP4 payloads (valid ISO BMFF: ftyp + mdat + moov
+    with full stsd/stts/stsc/stsz/stco sample tables, uncompressed
+    'raw ' RGB24 video samples at real mdat offsets) with properties
+    derived from the id: ``width = (id % 4 + 1) * 8``,
+    ``height = (id % 3 + 1) * 8``, ``n_frames = id % 5 + 2``; frame f
+    is the constant LCG byte ``_fill_bytes(n_frames, id)[f]`` across
+    all pixels/channels, so SQL oracles replay every decoded sum from
+    id arithmetic while the decoder genuinely walks the box tree and
+    sample tables to find the bytes."""
+    from jhu_data_parser_spark.functions.codecs import encode_mp4_raw
+
+    def _payload(did: int) -> bytes:
+        w = (did % 4 + 1) * 8
+        h = (did % 3 + 1) * 8
+        nf = did % 5 + 2
+        return encode_mp4_raw(w, h, nf, seed=did)
+
+    def _map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [_payload(int(did)) for did in pdf[id_col]]
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col].astype("int64"), media_col: payloads}
+            )
+
+    return _spread_ids(df, id_col).mapInPandas(
+        _map, f"doc_id bigint, {media_col} binary"
+    )
+
+
+def extract_mp4_meta(
+    df: DataFrame, id_col: str = "doc_id", media_col: str = "media"
+) -> DataFrame:
+    """Decode MP4 payloads THROUGH the container (codecs.decode_mp4_raw:
+    box walk → video-track handler → sample description / size / offset
+    / timing tables → raw frame bytes), emitting dims, frame count,
+    duration, and decoded first-frame/all-frame pixel sums — values
+    that only come out right if the sample tables were genuinely
+    followed into mdat."""
+    from jhu_data_parser_spark.functions.codecs import decode_mp4_raw
+
+    def _map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, payload in zip(pdf[id_col], pdf[media_col]):
+                w, h, fps, frames = decode_mp4_raw(bytes(payload))
+                rows.append(
+                    (
+                        int(did),
+                        "mp4",
+                        w,
+                        h,
+                        int(frames.shape[0]),
+                        int(frames.shape[0]) * 1000 // fps,
+                        int(frames[0].astype("int64").sum()),
+                        int(frames.astype("int64").sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "media_type",
+                    "width",
+                    "height",
+                    "n_frames",
+                    "duration_ms",
+                    "frame0_sum",
+                    "pix_sum",
+                ],
+            )
+
+    return df.select(id_col, media_col).mapInPandas(
+        _map,
+        "doc_id bigint, media_type string, width int, height int, "
+        "n_frames int, duration_ms bigint, frame0_sum bigint, pix_sum bigint",
     )

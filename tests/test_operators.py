@@ -2651,3 +2651,35 @@ def test_jpeg_progressive_decode_equals_baseline():
     assert np.array_equal(
         decode_jpeg_pixels(encode_jpeg_gray_progressive(flat)), flat
     )
+
+
+def test_mp4_raw_container_roundtrip():
+    """encode_mp4_raw → decode_mp4_raw: dims/fps/frame bytes recovered
+    through the real box walk + sample tables; compressed sample
+    formats raise (the vendored-codec boundary)."""
+    import numpy as np
+
+    from jhu_data_parser_spark.functions.codecs import (
+        _fill_bytes,
+        decode_mp4_raw,
+        encode_mp4_raw,
+        sniff_format,
+    )
+
+    for (w, h, n, seed) in [(16, 8, 3, 7), (8, 8, 1, 0), (32, 24, 6, 123)]:
+        p = encode_mp4_raw(w, h, n, seed)
+        assert sniff_format(p) == "mp4"
+        W, H, fps, fr = decode_mp4_raw(p)
+        assert (W, H, fps) == (w, h, 25) and fr.shape == (n, h, w, 3)
+        vals = _fill_bytes(n, seed)
+        for f in range(n):
+            assert int(fr[f].astype(np.int64).sum()) == w * h * 3 * vals[f]
+    # non-'raw ' sample format must raise, not fake
+    p = bytearray(encode_mp4_raw(8, 8, 1, 0))
+    i = p.find(b"raw ", 200)  # the stsd sample-entry tag (skip mdat)
+    p[i : i + 4] = b"avc1"
+    try:
+        decode_mp4_raw(bytes(p))
+        raise AssertionError("expected ValueError for avc1")
+    except ValueError as e:
+        assert "avc1" in str(e)
