@@ -356,3 +356,79 @@ def sample_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tok").cast("long").alias("n_tokens"),
         F.sum("doc_id").cast("long").alias("id_checksum"),
     )
+
+
+# --------------------------------------------------------------------------
+# Columnar/text sink→source roundtrips — the lake-format surface beyond
+# parquet/JSON (S3/S6): write a projection to ORC (built-in, the other
+# big columnar lake format) and CSV (the reference's own wire format,
+# S2), read each back, and aggregate. The oracle computes the same
+# aggregate straight from the parquet table, so a value-hash match
+# proves the written files carried every row and type faithfully
+# (cents-exact sums, per-flag row counts). Avro's SQL data source jar
+# is not in this pyspark distribution — noted, not silently skipped.
+# --------------------------------------------------------------------------
+
+_ROUNDTRIP_ORACLE = """
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS price_cents,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM lineitem GROUP BY l_returnflag
+    """
+
+
+def _roundtrip_agg(df: DataFrame) -> DataFrame:
+    return df.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("price_cents"),
+        F.sum(F.col("l_quantity").cast("long")).cast("long").alias("sum_qty"),
+    )
+
+
+def _roundtrip_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_quantity"
+    )
+
+
+@query("source_orc_roundtrip", oracle=_ROUNDTRIP_ORACLE)
+def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem projection → ORC files → read back → cents-exact
+    aggregate. Exercises Spark's built-in ORC writer/reader (the
+    vectorized columnar path, same class as the parquet scan) and
+    proves row/type fidelity against the parquet-sourced oracle."""
+    import tempfile
+
+    from jhu_data_parser_spark.operators.similarity import _rmtree_at_exit
+
+    out = tempfile.mkdtemp(prefix="jdps_orc_rt_")
+    _rmtree_at_exit(out)
+    _roundtrip_cols(spark, sf_dir).write.mode("overwrite").orc(out)
+    return _roundtrip_agg(spark.read.orc(out))
+
+
+@query("source_csv_roundtrip", oracle=_ROUNDTRIP_ORACLE)
+def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem projection → headered CSV → read back with an EXPLICIT
+    schema (never inferSchema — one pass, deterministic types; the
+    all-string DictReader semantics of S2 are the etl_* queries' job,
+    this one proves the typed round trip) → cents-exact aggregate."""
+    import tempfile
+
+    from jhu_data_parser_spark.operators.similarity import _rmtree_at_exit
+
+    out = tempfile.mkdtemp(prefix="jdps_csv_rt_")
+    _rmtree_at_exit(out)
+    _roundtrip_cols(spark, sf_dir).write.mode("overwrite").option(
+        "header", True
+    ).csv(out)
+    back = (
+        spark.read.option("header", True)
+        .schema("l_returnflag string, l_extendedprice double, l_quantity double")
+        .csv(out)
+    )
+    return _roundtrip_agg(back)
