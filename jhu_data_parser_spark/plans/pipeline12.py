@@ -235,16 +235,16 @@ def pipeline_curation_funnel_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ]
     )
-    stages = None
-    for i, name in enumerate(_STAGES):
-        row = s.select(
-            F.lit(i).cast("int").alias("stage"),
-            F.lit(name).alias("stage_name"),
-            F.col(f"c{i}").alias("n_docs"),
-            F.col(f"t{i}").alias("n_tokens"),
-        )
-        stages = row if stages is None else stages.unionByName(row)
-    return stages
+    # inline(array(...)) stacks the 6 stage rows from ONE evaluation of
+    # the aggregate — a per-stage select+union would re-run the entire
+    # funnel subtree (minhash arm included) once per row (caught by the
+    # plan audit: 6 SinglePartition exchanges → 1).
+    structs = ", ".join(
+        f"named_struct('stage', CAST({i} AS INT), 'stage_name', '{name}', "
+        f"'n_docs', c{i}, 'n_tokens', t{i})"
+        for i, name in enumerate(_STAGES)
+    )
+    return s.selectExpr(f"inline(array({structs}))")
 
 
 # --------------------------------------------------------------------------
