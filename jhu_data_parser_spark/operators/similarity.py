@@ -633,12 +633,19 @@ def ivfpq_build_index(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     cache_tag: str = "",
+    residual: bool = False,
 ) -> tuple[str, list, list]:
     """Build (or serve from cache) the IVF-PQ index: returns
     ``(path, coarse_centroids, codebooks)`` where the parquet at
     ``path`` holds ``(id, code0..code{m-1})`` partitioned by ``cell``,
     ``coarse_centroids`` is the K×D int-centroid list (cid-ascending)
     and ``codebooks[s]`` the k×sub int codebook of subspace s.
+
+    ``residual=True`` is the FAISS-default ``by_residual`` encoding:
+    PQ codebooks are fit over (and codes quantize) the vector MINUS its
+    coarse centroid — exact integer subtraction, so the oracle replay
+    discipline is unchanged — which concentrates the code range on the
+    within-cell spread real clustered corpora have.
 
     Index-build lifecycle mirrors :func:`ivf_build_index`: the fits are
     bounded-collect model builds (centroid tables are KBs by params,
@@ -670,6 +677,7 @@ def ivfpq_build_index(
         pq_iters,
         vec_col,
         id_col,
+        residual,
     )
     cacheable = _fingerprint_cacheable(fp)
     if cacheable and key in _IVFPQ_INDEX_CACHE:
@@ -680,27 +688,6 @@ def ivfpq_build_index(
     coarse = [
         [int(v) for v in r["c"]]
         for r in sorted(cents_df.collect(), key=lambda r: r["cid"])
-    ]
-    sub_pts = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, {m - 1}), s -> named_struct("
-                "'g', s, "
-                f"'q', transform(slice({vec_col}, s * {sub} + 1, {sub}), "
-                f"x -> CAST(ROUND(CAST(x AS DOUBLE) * {KM_SCALE}, 0) AS BIGINT))))"
-            )
-        ).alias("e"),
-    ).select(F.col("e.g").alias("g"), "id", F.col("e.q").alias("q"))
-    rows = kmeans_fit_multi(sub_pts, k=pq_k, iterations=pq_iters).collect()
-    books = [
-        [
-            [int(v) for v in c]
-            for _cid, c in sorted(
-                (r["cid"], r["c"]) for r in rows if r["g"] == s
-            )
-        ]
-        for s in range(m)
     ]
 
     def carr_lit(cents: list) -> str:
@@ -724,17 +711,76 @@ def ivfpq_build_index(
             "'cid', ctr.cid))).cid"
         )
 
+    # The PQ fit's point set: raw subvectors, or (residual=True) the
+    # vector minus its coarse centroid — an exact integer subtraction,
+    # with the cell recomputed by the same argmin rule the final
+    # assignment uses (bit-identical to kmeans_fit's assignment).
+    qcol = (
+        f"transform({vec_col}, x -> "
+        f"CAST(ROUND(CAST(x AS DOUBLE) * {KM_SCALE}, 0) AS BIGINT))"
+    )
+    if residual:
+        base = df.select(F.col(id_col).alias("id"), F.expr(qcol).alias("q"))
+        base = base.withColumn(
+            "r",
+            F.expr(
+                f"zip_with(q, element_at({carr_lit(coarse)}, "
+                f"CAST({argmin_expr('q', coarse)} + 1 AS INT)).c, "
+                "(a, b) -> a - b)"
+            ),
+        )
+        sub_pts = base.select(
+            "id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, {m - 1}), s -> named_struct("
+                    f"'g', s, 'q', slice(r, s * {sub} + 1, {sub})))"
+                )
+            ).alias("e"),
+        ).select(F.col("e.g").alias("g"), "id", F.col("e.q").alias("q"))
+    else:
+        sub_pts = df.select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, {m - 1}), s -> named_struct("
+                    "'g', s, "
+                    f"'q', transform(slice({vec_col}, s * {sub} + 1, {sub}), "
+                    f"x -> CAST(ROUND(CAST(x AS DOUBLE) * {KM_SCALE}, 0) AS BIGINT))))"
+                )
+            ).alias("e"),
+        ).select(F.col("e.g").alias("g"), "id", F.col("e.q").alias("q"))
+    rows = kmeans_fit_multi(sub_pts, k=pq_k, iterations=pq_iters).collect()
+    books = [
+        [
+            [int(v) for v in c]
+            for _cid, c in sorted(
+                (r["cid"], r["c"]) for r in rows if r["g"] == s
+            )
+        ]
+        for s in range(m)
+    ]
+
     enc = df.select(
-        F.col(id_col).alias("id"),
-        F.expr(
-            f"transform({vec_col}, x -> "
-            f"CAST(ROUND(CAST(x AS DOUBLE) * {KM_SCALE}, 0) AS BIGINT))"
-        ).alias("q"),
-    ).select(
+        F.col(id_col).alias("id"), F.expr(qcol).alias("q")
+    ).withColumn("cell", F.expr(argmin_expr("q", coarse)).cast("long"))
+    code_src = "q"
+    if residual:
+        enc = enc.withColumn(
+            "r",
+            F.expr(
+                f"zip_with(q, element_at({carr_lit(coarse)}, "
+                "CAST(cell + 1 AS INT)).c, (a, b) -> a - b)"
+            ),
+        )
+        code_src = "r"
+    enc = enc.select(
         "id",
-        F.expr(argmin_expr("q", coarse)).cast("long").alias("cell"),
+        "cell",
         *[
-            F.expr(argmin_expr(f"slice(q, {s * sub + 1}, {sub})", books[s]))
+            F.expr(
+                argmin_expr(f"slice({code_src}, {s * sub + 1}, {sub})", books[s])
+            )
             .cast("long")
             .alias(f"code{s}")
             for s in range(m)
@@ -781,6 +827,7 @@ def topk_ivfpq_indexed(
     id_col: str = "vec_id",
     row_filter: Column | None = None,
     cache_tag: str = "",
+    residual: bool = False,
 ) -> DataFrame:
     """IVF-PQ top-k serving against the pre-built index: prune to the
     ``n_probe`` cells whose coarse centroids are integer-L2-nearest the
@@ -795,7 +842,12 @@ def topk_ivfpq_indexed(
     banker's and would diverge on .5 ties). Per-query driver work is
     O(n_cells·D + m·pq_k·sub) integer ops — probe choice and LUTs —
     independent of corpus size. ``row_filter`` applies post-scan so one
-    index serves filtered views (e.g. excluding the query row)."""
+    index serves filtered views (e.g. excluding the query row).
+
+    ``residual=True`` serves the residual-encoded index: the ADC lookup
+    table is then PER PROBED CELL (distances of the cell-relative query
+    residual to the codebook — still O(n_probe·m·pq_k·sub) driver ints)
+    and the expression picks the cell's table with one map lookup."""
     path, coarse, books = ivfpq_build_index(
         df,
         n_cells,
@@ -807,6 +859,7 @@ def topk_ivfpq_indexed(
         vec_col,
         id_col,
         cache_tag,
+        residual,
     )
     spark = df.sparkSession
 
@@ -815,19 +868,45 @@ def topk_ivfpq_indexed(
         for cid, c in enumerate(coarse)
     )
     probes = [cid for _d, cid in cell_d[: min(n_probe, len(cell_d))]]
-    lut = [
-        [
-            sum(
-                (q_ints[s * sub + i] - c[i]) ** 2
-                for i in range(sub)
-            )
-            for c in books[s]
-        ]
-        for s in range(m)
-    ]
 
-    def lut_lit(s: int) -> str:
-        return "array(" + ",".join(str(v) + "L" for v in lut[s]) + ")"
+    def arr_lit(vals: list) -> str:
+        return "array(" + ",".join(str(v) + "L" for v in vals) + ")"
+
+    if residual:
+        # per-cell LUT: distances of the CELL-RELATIVE query residual
+        # to each codebook entry, for the probed cells only.
+        adc_terms = []
+        for sp in range(m):
+            entries = []
+            for cid in probes:
+                qr = [
+                    q_ints[i] - coarse[cid][i]
+                    for i in range(sp * sub, (sp + 1) * sub)
+                ]
+                lut_c = [
+                    sum((qr[i] - c[i]) ** 2 for i in range(sub))
+                    for c in books[sp]
+                ]
+                entries.append(f"{cid}, {arr_lit(lut_c)}")
+            adc_terms.append(
+                f"element_at(element_at(map({', '.join(entries)}), "
+                f"CAST(cell AS INT)), CAST(code{sp} + 1 AS INT))"
+            )
+    else:
+        adc_terms = [
+            "element_at("
+            + arr_lit(
+                [
+                    sum(
+                        (q_ints[sp * sub + i] - c[i]) ** 2
+                        for i in range(sub)
+                    )
+                    for c in books[sp]
+                ]
+            )
+            + f", CAST(code{sp} + 1 AS INT))"
+            for sp in range(m)
+        ]
 
     index = spark.read.parquet(path)
     if row_filter is not None:
@@ -836,12 +915,7 @@ def topk_ivfpq_indexed(
     adc = cand.select(
         "id",
         F.col("cell").cast("long").alias("cell"),
-        sum(
-            F.expr(f"element_at({lut_lit(s)}, CAST(code{s} + 1 AS INT))")
-            for s in range(m)
-        )
-        .cast("long")
-        .alias("adc_dist"),
+        sum(F.expr(t) for t in adc_terms).cast("long").alias("adc_dist"),
     )
     short = adc.orderBy("adc_dist", "id").limit(shortlist)
 

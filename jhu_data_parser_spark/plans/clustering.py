@@ -36,6 +36,7 @@ def _kmeans_ctes(
     dim: int = _DIM,
     lo: int | None = None,
     src: str = "embeddings",
+    pts_body: str | None = None,
 ) -> str:
     """The unrolled assign/update CTE chain (shared by the kmeans
     queries here, the IVF recall report in pipeline5, and the PQ
@@ -45,15 +46,19 @@ def _kmeans_ctes(
     fit on the 1-based slice [lo, lo+dim) of the embedding (a PQ
     subspace) instead of the full vector; ``src`` is the FROM source —
     a table name or an aliased ``(subquery) t`` exposing
-    (vec_id, embedding)."""
+    (vec_id, embedding); ``pts_body`` overrides the whole point-set
+    CTE body (must yield ``(id, q)`` with q already an int list —
+    e.g. residual vectors for residual-PQ chains), in which case
+    where/lo/src are ignored for the point set."""
     sl = f"[{lo}:{lo + dim - 1}]" if lo is not None else ""
     P = prefix
-    parts = [
-        f"""
-    {P}pts AS (SELECT vec_id AS id,
+    default_pts = f"""SELECT vec_id AS id,
                    list_transform(CAST(embedding AS DOUBLE[]){sl},
                                   x -> CAST(ROUND(x * {_SCALE}) AS BIGINT)) AS q
-            FROM {src} {where}),
+            FROM {src} {where}"""
+    parts = [
+        f"""
+    {P}pts AS ({pts_body if pts_body is not None else default_pts}),
     {P}c0 AS (SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS BIGINT) AS cid, q AS c
            FROM (SELECT id, q FROM {P}pts ORDER BY id LIMIT {k}))"""
     ]

@@ -51,10 +51,20 @@ _ZDIST = (
 )
 
 
-def _ivfpq_oracle_sql(src: str = "embeddings") -> str:
+def _ivfpq_oracle_sql(src: str = "embeddings", residual: bool = False) -> str:
     """Full DuckDB replay of the composed index + one serving query:
-    coarse chain (cc_), M subspace chains (p{s}_), probe selection,
-    ADC inside probed cells, shortlist, exact re-rank."""
+    coarse chain (cc_), M subspace chains (p{s}_ — over raw subvectors,
+    or cell residuals when ``residual``), probe selection, ADC inside
+    probed cells (per-cell LUTs in residual mode), shortlist, exact
+    re-rank."""
+    def res_pts(lo: int, hi: int) -> str:
+        return (
+            f"SELECT a.id, list_transform(list_zip(a.q[{lo}:{hi}], "
+            f"c.c[{lo}:{hi}]), z -> z[1] - z[2]) AS q "
+            f"FROM cc_a{_IP_CITERS} a "
+            f"JOIN cc_c{_IP_CITERS - 1} c ON c.cid = a.cid"
+        )
+
     chains = ",".join(
         [
             _kmeans_ctes(
@@ -74,29 +84,58 @@ def _ivfpq_oracle_sql(src: str = "embeddings") -> str:
                 dim=_IP_SUB,
                 lo=s * _IP_SUB + 1,
                 src=src,
+                pts_body=(
+                    res_pts(s * _IP_SUB + 1, (s + 1) * _IP_SUB)
+                    if residual
+                    else None
+                ),
             )
             for s in range(_IP_M)
         ]
     )
-    luts = ",".join(
-        f"""
+    if residual:
+        luts = (
+            """,
+    qres AS (SELECT c.cid AS cell,
+                    list_transform(list_zip(q.q, c.c), z -> z[1] - z[2]) AS r
+             FROM qq q CROSS JOIN cc_c"""
+            + str(_IP_CITERS - 1)
+            + " c),"
+            + ",".join(
+                f"""
+    lut{s} AS (SELECT qr.cell, b.cid AS code,
+                      {_ZDIST.format(
+                          a=f"qr.r[{s * _IP_SUB + 1}:{(s + 1) * _IP_SUB}]",
+                          b="b.c")} AS d
+               FROM qres qr CROSS JOIN p{s}_c{_IP_ITERS - 1} b)"""
+                for s in range(_IP_M)
+            )
+        )
+        code_joins = " ".join(
+            f"JOIN lut{s} l{s} ON l{s}.cell = x.cell AND l{s}.code = c.code{s}"
+            for s in range(_IP_M)
+        )
+    else:
+        luts = ",".join(
+            f"""
     lut{s} AS (SELECT c.cid,
                       {_ZDIST.format(a="q.sq", b="c.c")} AS d
                FROM p{s}_c{_IP_ITERS - 1} c CROSS JOIN
                     (SELECT q[{s * _IP_SUB + 1}:{(s + 1) * _IP_SUB}] AS sq
                      FROM qq) q)"""
-        for s in range(_IP_M)
-    )
-    code_joins = " ".join(
-        f"JOIN lut{s} l{s} ON l{s}.cid = c.code{s}" for s in range(_IP_M)
-    )
+            for s in range(_IP_M)
+        )
+        code_joins = " ".join(
+            f"JOIN lut{s} l{s} ON l{s}.cid = c.code{s}" for s in range(_IP_M)
+        )
     adc_sum = " + ".join(f"l{s}.d" for s in range(_IP_M))
+    sep = "" if residual else ","
     return f"""
     WITH {chains},
     qq AS (SELECT {_Q_INT} AS q FROM {src} WHERE vec_id = 0),
     cd AS (SELECT c.cid, {_ZDIST.format(a="q.q", b="c.c")} AS d
            FROM cc_c{_IP_CITERS - 1} c CROSS JOIN qq q),
-    probes AS (SELECT cid FROM cd ORDER BY d, cid LIMIT {_IP_PROBE}),{luts},
+    probes AS (SELECT cid FROM cd ORDER BY d, cid LIMIT {_IP_PROBE}){sep}{luts},
     codes AS (
       SELECT a0.id AS vid, a0.cid AS code0, a1.cid AS code1,
              a2.cid AS code2, a3.cid AS code3
@@ -120,7 +159,9 @@ def _ivfpq_oracle_sql(src: str = "embeddings") -> str:
     """
 
 
-def _ivfpq_serve(spark: SparkSession, emb: DataFrame, cache_tag: str) -> DataFrame:
+def _ivfpq_serve(
+    spark: SparkSession, emb: DataFrame, cache_tag: str, residual: bool = False
+) -> DataFrame:
     """Shared serving body: build/cache the index over the corpus
     (query row excluded from fits AND storage, matching the oracle's
     ``WHERE vec_id <> 0``), quantize the query Spark-side (HALF_UP —
@@ -148,6 +189,7 @@ def _ivfpq_serve(spark: SparkSession, emb: DataFrame, cache_tag: str) -> DataFra
         pq_k=_IP_K,
         pq_iters=_IP_ITERS,
         cache_tag=cache_tag,
+        residual=residual,
     )
 
 
@@ -467,4 +509,29 @@ def text_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_words"),
         F.sum("n_tok").alias("n_pieces"),
         F.md5(stream).alias("stream_md5"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Residual IVF-PQ — the FAISS-default (by_residual=true) encoding:
+# codes quantize the vector MINUS its coarse centroid, concentrating
+# the codebook on within-cell spread. Residual subtraction is exact
+# integer math, so the full-replay oracle discipline carries over
+# unchanged — the chains just fit over residual point sets and the ADC
+# LUT becomes per-(probed cell, subspace). Same partial 3-of-8 probe.
+# --------------------------------------------------------------------------
+
+
+@query("sim_cosine_topk_ivfpq_residual", oracle=_ivfpq_oracle_sql(residual=True))
+def sim_cosine_topk_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ top-10 with RESIDUAL codes (see module comment): the
+    serving plan is identical to sim_cosine_topk_ivfpq — pruned
+    code-only scan, ADC shortlist, exact re-rank — except the ADC
+    expression picks a per-cell lookup table (one literal-map lookup by
+    cell, still O(n_probe·m·k·sub) driver ints per query). The oracle
+    replays the residual fits, the per-cell LUTs, and everything
+    downstream bit-for-bit."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return _ivfpq_serve(
+        spark, emb, cache_tag="embeddings_ivfpq_res", residual=True
     )
