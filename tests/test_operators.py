@@ -2683,3 +2683,106 @@ def test_mp4_raw_container_roundtrip():
         raise AssertionError("expected ValueError for avc1")
     except ValueError as e:
         assert "avc1" in str(e)
+
+
+def test_ivfpq_arrow_encoder_matches_expression(spark):
+    """The Arrow/numpy index-build encoder must produce the IDENTICAL
+    (cell, code0..3) assignment as the pure-expression argmin (HALF_UP
+    quantization, int64 squared L2, lowest-cid ties) — raw AND residual
+    encodings, on the real embeddings table."""
+    from pyspark.sql import functions as F
+
+    from jhu_data_parser_spark.operators import similarity as sim
+    from jhu_data_parser_spark.operators.clustering import (
+        kmeans_fit,
+        kmeans_fit_multi,
+        quantize_vectors,
+    )
+    from jhu_data_parser_spark.sources.tables import load_table
+
+    df = load_table(spark, "/root/testdata/sf0.001", "embeddings").filter(
+        F.col("vec_id") != 0
+    )
+    m, sub = 4, 16
+    pts = quantize_vectors(df)
+    _, cents_df = kmeans_fit(pts, k=8, iterations=2)
+    coarse = [
+        [int(v) for v in r["c"]]
+        for r in sorted(cents_df.collect(), key=lambda r: r["cid"])
+    ]
+    sub_pts = df.select(
+        F.col("vec_id").alias("id"),
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {m - 1}), s -> named_struct('g', s, "
+                f"'q', transform(slice(embedding, s * {sub} + 1, {sub}), "
+                "x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT))))"
+            )
+        ).alias("e"),
+    ).select(F.col("e.g").alias("g"), "id", F.col("e.q").alias("q"))
+    rows = kmeans_fit_multi(sub_pts, k=16, iterations=2).collect()
+    books = [
+        [
+            [int(v) for v in c]
+            for _cid, c in sorted((r["cid"], r["c"]) for r in rows if r["g"] == s)
+        ]
+        for s in range(m)
+    ]
+
+    def carr_lit(cents):
+        return (
+            "array("
+            + ",".join(
+                f"named_struct('cid', {cid}L, 'c', "
+                f"array({','.join(str(v) + 'L' for v in c)}))"
+                for cid, c in enumerate(cents)
+            )
+            + ")"
+        )
+
+    def argmin_expr(q_expr, cents):
+        return (
+            f"array_min(transform({carr_lit(cents)}, ctr -> named_struct("
+            f"'d', aggregate(zip_with({q_expr}, ctr.c, (a, b) -> (a - b) * (a - b)), "
+            "CAST(0 AS BIGINT), (acc, x) -> acc + x), 'cid', ctr.cid))).cid"
+        )
+
+    for residual in (False, True):
+        arrow = {
+            r["id"]: (r["cell"], r["code0"], r["code1"], r["code2"], r["code3"])
+            for r in sim._ivfpq_encode_arrow(
+                df, coarse, books, sub, residual, "embedding", "vec_id"
+            ).collect()
+        }
+        q = (
+            "transform(embedding, x -> "
+            "CAST(ROUND(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT))"
+        )
+        expr_df = df.select(
+            F.col("vec_id").alias("id"), F.expr(q).alias("q")
+        ).withColumn("cell", F.expr(argmin_expr("q", coarse)).cast("long"))
+        src = "q"
+        if residual:
+            expr_df = expr_df.withColumn(
+                "r",
+                F.expr(
+                    f"zip_with(q, element_at({carr_lit(coarse)}, "
+                    "CAST(cell + 1 AS INT)).c, (a, b) -> a - b)"
+                ),
+            )
+            src = "r"
+        expr_df = expr_df.select(
+            "id",
+            "cell",
+            *[
+                F.expr(argmin_expr(f"slice({src}, {s * sub + 1}, {sub})", books[s]))
+                .cast("long")
+                .alias(f"code{s}")
+                for s in range(m)
+            ],
+        )
+        want = {
+            r["id"]: (r["cell"], r["code0"], r["code1"], r["code2"], r["code3"])
+            for r in expr_df.collect()
+        }
+        assert arrow == want, f"residual={residual}"
