@@ -346,6 +346,7 @@ def kmeans_fit_multi(
     iterations: int = 3,
     group_col: str = "g",
     local_bound: int = LOCAL_KMEANS_POINT_BOUND,
+    collapse_duplicates: bool = False,
 ) -> DataFrame:
     """Fit INDEPENDENT k-means instances for several point groups in ONE
     chain of Spark jobs: ``points`` is ``(g, id, q)`` and the result is
@@ -364,13 +365,77 @@ def kmeans_fit_multi(
 
     Adaptive like :func:`kmeans_fit`: under ``local_bound`` total rows
     the groups collect once and fit locally — bit-identical per group
-    (``local_bound=0`` forces the distributed chain)."""
+    (``local_bound=0`` forces the distributed chain).
+
+    ``collapse_duplicates`` (opt-in, mirrors :func:`kmeans_fit`): when
+    the plain bound overflows, re-probe the per-group DISTINCT-vector
+    count — every Lloyd quantity factorizes over identical vectors
+    (argmin is a function of q; the floor-mean's integer sums satisfy
+    Σ_copies q = multiplicity·q), so dup-dense groups fit over distinct
+    vectors with multiplicities, bit-identical (pinned by the
+    multi-collapse equivalence test). Seeds stay the k lowest-id
+    ORIGINAL points per group (copies may repeat a vector among them),
+    collected separately."""
     import numpy as np
 
     if local_bound:
         probe = (
             points.select(group_col, "id", "q").limit(local_bound + 1).toPandas()
         )
+        if len(probe) > local_bound and collapse_duplicates:
+            dprobe = (
+                points.groupBy(group_col, "q")
+                .agg(F.count(F.lit(1)).alias("w"))
+                .limit(local_bound + 1)
+                .toPandas()
+            )
+            if len(dprobe) <= local_bound and len(dprobe) > 0:
+                spark = points.sparkSession
+                wnd = Window.partitionBy(group_col).orderBy("id")
+                seeds = (
+                    points.withColumn("rn", F.row_number().over(wnd))
+                    .filter(F.col("rn") <= k)
+                    .select(group_col, "rn", "q")
+                    .toPandas()
+                )
+                rows = []
+                for g in sorted(dprobe[group_col].unique().tolist()):
+                    sg = seeds[seeds[group_col] == g].sort_values("rn")
+                    C = np.array(
+                        [np.asarray(q, dtype=np.int64) for q in sg["q"]],
+                        dtype=np.int64,
+                    ).reshape(len(sg), -1)
+                    sub = dprobe[dprobe[group_col] == g]
+                    X = np.array(
+                        [np.asarray(q, dtype=np.int64) for q in sub["q"]],
+                        dtype=np.int64,
+                    ).reshape(len(sub), -1)
+                    Wt = sub["w"].to_numpy().astype(np.int64)
+                    for step in range(iterations):
+                        d = (
+                            (X * X).sum(axis=1)[:, None]
+                            + (C * C).sum(axis=1)[None, :]
+                            - 2 * (X @ C.T)
+                        )
+                        a = d.argmin(axis=1)
+                        if step < iterations - 1:
+                            newC = C.copy()
+                            for cid in range(len(C)):
+                                mm = a == cid
+                                if mm.any():
+                                    wsum = int(Wt[mm].sum())
+                                    svec = (X[mm] * Wt[mm][:, None]).sum(
+                                        axis=0, dtype=np.int64
+                                    )
+                                    newC[cid] = svec // wsum
+                            C = newC
+                    rows.extend(
+                        (int(g), int(cid), [int(v) for v in c])
+                        for cid, c in enumerate(C)
+                    )
+                return spark.createDataFrame(
+                    rows, f"{group_col} int, cid long, c array<bigint>"
+                )
         if len(probe) <= local_bound and len(probe) > 0:
             spark = points.sparkSession
             rows = []

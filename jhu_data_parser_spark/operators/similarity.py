@@ -755,7 +755,9 @@ def ivfpq_build_index(
                 )
             ).alias("e"),
         ).select(F.col("e.g").alias("g"), "id", F.col("e.q").alias("q"))
-    rows = kmeans_fit_multi(sub_pts, k=pq_k, iterations=pq_iters).collect()
+    rows = kmeans_fit_multi(
+        sub_pts, k=pq_k, iterations=pq_iters, collapse_duplicates=True
+    ).collect()
     books = [
         [
             [int(v) for v in c]

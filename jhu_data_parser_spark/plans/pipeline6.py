@@ -960,7 +960,9 @@ def _pq_adc_over(spark: SparkSession, emb, cache_tag: str):
                 )
             ).alias("e"),
         ).select(F.col("e.g").alias("g"), "id", F.col("e.q").alias("q"))
-        rows = kmeans_fit_multi(pts, k=_PQ_K, iterations=_PQ_ITERS).collect()
+        rows = kmeans_fit_multi(
+            pts, k=_PQ_K, iterations=_PQ_ITERS, collapse_duplicates=True
+        ).collect()
         # The codebook is the index artifact: M·K rows of SUB-dim int
         # vectors (4 KB here, bounded by params not data) — collect it
         # to the driver like the IVF centroid fit does, so serving can

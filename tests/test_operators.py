@@ -2786,3 +2786,42 @@ def test_ivfpq_arrow_encoder_matches_expression(spark):
             for r in expr_df.collect()
         }
         assert arrow == want, f"residual={residual}"
+
+
+def test_kmeans_fit_multi_collapse_equivalence(spark):
+    """kmeans_fit_multi with collapse (forced via a tiny plain bound
+    that the replicated points overflow while the distinct count fits)
+    must equal BOTH the plain local fit and the fully-distributed
+    chain, per group, on a dup-dense multi-group corpus with a
+    seed-duplicate (copies repeating a vector among the k lowest ids)
+    and an exact tie."""
+    import numpy as np  # noqa: F401
+
+    from jhu_data_parser_spark.operators.clustering import kmeans_fit_multi
+
+    rows = []
+    rid = 0
+    for g in (0, 1):
+        base = [
+            [1, 2, 3],
+            [1, 2, 3],      # duplicate of the first (seed dup)
+            [10, 0, 0],
+            [0, 10, 0],
+            [5, 5, 5],
+        ]
+        for copy in range(8):  # 8x replication → dup-dense
+            for q in base:
+                rows.append((g, rid, [v + g for v in q]))
+                rid += 1
+    df = spark.createDataFrame(rows, "g int, id long, q array<bigint>")
+
+    def fit(**kw):
+        return sorted(
+            (r["g"], r["cid"], tuple(r["c"]))
+            for r in kmeans_fit_multi(df, k=3, iterations=3, **kw).collect()
+        )
+
+    plain = fit(local_bound=10_000)                      # plain local path
+    collapsed = fit(local_bound=30, collapse_duplicates=True)  # 80 rows > 30 > 10 distinct
+    distributed = fit(local_bound=0)
+    assert collapsed == plain == distributed
