@@ -432,3 +432,32 @@ def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .csv(out)
     )
     return _roundtrip_agg(back)
+
+
+# --------------------------------------------------------------------------
+# Streaming CMS heavy hitters — sketch mergeability as a REAL stream
+# (streaming/jobs.run_cms_heavy_hitters_stream): per-micro-batch
+# partial d×w cells merge by ADDITION to the exact global sketch (CMS
+# is linear), so the stream shares the batch twin's oracle and the
+# driver hash proves stream ≡ batch ≡ SQL.
+# --------------------------------------------------------------------------
+
+
+def _cms_oracle() -> str:
+    from jhu_data_parser_spark.plans.pipeline6 import _CMS_ORACLE
+
+    return _CMS_ORACLE
+
+
+@query("stream_cms_heavy_hitters", oracle=_cms_oracle())
+def stream_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The count-min heavy-hitter table built from a REAL documents
+    stream: each micro-batch contributes its own partial sketch cells
+    and token counts (idempotent batch_id-keyed file sinks); the
+    read-back sums ARE the global sketch and counts by CMS linearity —
+    the mergeability property that makes sketches the right shape for
+    distributed/streaming aggregation. Shares agg_cms_heavy_hitters'
+    oracle: the value hash proves stream ≡ batch ≡ SQL."""
+    from jhu_data_parser_spark.streaming.jobs import run_cms_heavy_hitters_stream
+
+    return run_cms_heavy_hitters_stream(spark, sf_dir)

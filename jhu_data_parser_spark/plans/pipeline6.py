@@ -139,9 +139,10 @@ _CMS_D = 4
 _CMS_W = 256
 
 
-@query(
-    "agg_cms_heavy_hitters",
-    oracle=f"""
+# Shared by the batch query below and its REAL-stream twin
+# (pipeline12.stream_cms_heavy_hitters — CMS linearity makes per-batch
+# partial cells merge to the identical global sketch).
+_CMS_ORACLE = f"""
     WITH tok AS (
       SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents),
     tc AS (
@@ -165,8 +166,10 @@ _CMS_W = 256
            CAST(MAX(cnt) AS BIGINT) AS exact_count,
            CAST(MIN(cell) AS BIGINT) AS cms_estimate
     FROM probe GROUP BY 1
-    """,
-)
+    """
+
+
+@query("agg_cms_heavy_hitters", oracle=_CMS_ORACLE)
 def agg_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy-hitter token counts via a count-min sketch (d=4 rows ×
     w=256 buckets, md5-derived bucket hashes) probed for the exact

@@ -546,3 +546,97 @@ def run_incremental_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination()
     # Drop the batch_id partition column the idempotent layout adds.
     return spark.read.parquet(out_dir).select("id_new", "id_old", "jaccard")
+
+
+def run_cms_heavy_hitters_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters over a REAL documents stream —
+    the streaming demonstration of sketch MERGEABILITY (the property
+    that makes sketches the right 100 TB summary): each micro-batch
+    builds its OWN d×w partial cell table and its own partial token
+    counts inside ``foreachBatch``; because CMS is linear, the
+    read-back SUM of per-batch cells IS the global sketch, so the
+    stream's final (exact top-20, estimate) table is bit-identical to
+    the batch twin's (``agg_cms_heavy_hitters``) — stream ≡ batch ≡
+    SQL, gated by the shared oracle.
+
+    Both sinks are idempotent-by-batch_id (mode('ignore') into
+    batch_id=N subdirectories — the incremental-dedup discipline), so
+    a checkpoint-restart retry cannot double-count a batch."""
+    from jhu_data_parser_spark.plans.pipeline6 import _CMS_D, _CMS_W, _hex_long
+
+    tc_dir = _cleanup_at_exit(tempfile.mkdtemp(prefix="jdps_cms_tc_"))
+    sk_dir = _cleanup_at_exit(tempfile.mkdtemp(prefix="jdps_cms_sk_"))
+    ckpt = _cleanup_at_exit(tempfile.mkdtemp(prefix="jdps_cms_ckpt_"))
+
+    bucket_structs = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"),
+                (
+                    _hex_long(
+                        F.substring(
+                            F.md5(F.concat(F.lit(f"{j}:"), F.col("token"))), 1, 4
+                        ),
+                        4,
+                    )
+                    % _CMS_W
+                ).alias("bucket"),
+            )
+            for j in range(_CMS_D)
+        ]
+    )
+
+    def _batch(bdf: DataFrame, batch_id: int) -> None:
+        tok = bdf.select(
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias("token")
+        ).filter(F.col("token") != "")
+        tc = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+        tc.write.mode("ignore").parquet(
+            os.path.join(tc_dir, f"batch_id={batch_id}")
+        )
+        ex = tc.select("cnt", F.explode(bucket_structs).alias("jb")).select(
+            "cnt", F.col("jb.j").alias("j"), F.col("jb.bucket").alias("bucket")
+        )
+        ex.groupBy("j", "bucket").agg(
+            F.sum("cnt").cast("long").alias("cell")
+        ).write.mode("ignore").parquet(
+            os.path.join(sk_dir, f"batch_id={batch_id}")
+        )
+
+    spark.createDataFrame([], "token string, cnt long").write.mode(
+        "ignore"
+    ).parquet(os.path.join(tc_dir, "batch_id=-1"))
+    spark.createDataFrame([], "j int, bucket long, cell long").write.mode(
+        "ignore"
+    ).parquet(os.path.join(sk_dir, "batch_id=-1"))
+
+    q = (
+        read_documents_stream(spark, sf_dir)
+        .writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    tc_total = (
+        spark.read.parquet(tc_dir)
+        .groupBy("token")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+    sk_total = (
+        spark.read.parquet(sk_dir)
+        .groupBy("j", "bucket")
+        .agg(F.sum("cell").cast("long").alias("cell"))
+    )
+    ex = tc_total.select("token", "cnt", F.explode(bucket_structs).alias("jb")).select(
+        "token", "cnt", F.col("jb.j").alias("j"), F.col("jb.bucket").alias("bucket")
+    )
+    cand = tc_total.orderBy(F.desc("cnt"), "token").limit(20)
+    probe = ex.join(F.broadcast(cand.select("token")), "token", "left_semi").join(
+        F.broadcast(sk_total), ["j", "bucket"]
+    )
+    return probe.groupBy("token").agg(
+        F.max("cnt").cast("long").alias("exact_count"),
+        F.min("cell").cast("long").alias("cms_estimate"),
+    )
