@@ -137,11 +137,24 @@ def main() -> None:
         name: round(med(s) / min(s) - 1.0, 3) for name, s in samples.items()
     }
 
+    # run_id stamps BOTH artifacts from this invocation: the r8 record
+    # showed a BENCH json and a samples file with per-query counts that
+    # could not have come from one run (the driver invokes bench.py
+    # more than once) — correlating by run_id makes any such mismatch
+    # self-explaining instead of looking like an aggregation bug.
+    run_id = f"{os.getpid()}-{time.monotonic_ns()}"
     sample_path = os.environ.get("SPARK_GRAFT_BENCH_SAMPLES")
     if sample_path:
         with open(sample_path, "w") as fh:
             json.dump(
-                {n: [round(x, 3) for x in s] for n, s in samples.items()}, fh
+                {
+                    "run_id": run_id,
+                    "n_samples": n_samples,
+                    "samples": {
+                        n: [round(x, 3) for x in s] for n, s in samples.items()
+                    },
+                },
+                fh,
             )
 
     total = round(sum(timings.values()), 3)
@@ -152,6 +165,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "n": runs,
+                "run_id": run_id,
                 "n_samples": n_samples,
                 "queries": timings,
                 "medians": medians,

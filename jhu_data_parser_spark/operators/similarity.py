@@ -463,7 +463,12 @@ def ivf_build_index(
     deployment. The fingerprint includes mtimes, so an in-place
     overwrite refits and rewrites; the superseded index directory is
     deleted, the registry is bounded (LRU-by-insertion), and
-    fingerprints with unresolvable entries are never cached."""
+    fingerprints with unresolvable entries are never cached.
+
+    Same cache-key INVARIANT as :func:`ivfpq_build_index`: the
+    fingerprint covers input files only — differently-filtered frames
+    over the same parquet need distinct frame definitions per key (all
+    current callers pass the bare corpus scan)."""
     import tempfile
 
     fp = _file_fingerprint(df.inputFiles())
@@ -654,7 +659,17 @@ def ivfpq_build_index(
     a 100 TB deployment serves from. Cached per (cache_tag, corpus
     fingerprint, params) with the same supersession / deferred-capacity
     eviction discipline; ``cache_tag`` namespaces derived frames that
-    share input files (e.g. synthesized corpora)."""
+    share input files (e.g. synthesized corpora).
+
+    Cache-key INVARIANT (ADVICE r8): the fingerprint covers input
+    FILES, not the logical plan — filters/projections applied on top of
+    the same files are invisible to it. One ``cache_tag`` therefore
+    means one exact frame definition: callers that derive differently-
+    filtered frames from the same parquet MUST use distinct tags, or
+    the second build silently serves the first's index. (A logical-plan
+    digest is not mixed in because Spark's expression IDs are globally
+    incrementing — the same frame built twice digests differently,
+    which would defeat the cache entirely.)"""
     from jhu_data_parser_spark.operators.clustering import (
         KM_SCALE,
         kmeans_fit,

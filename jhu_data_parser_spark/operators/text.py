@@ -492,6 +492,15 @@ def _unigram_viterbi_local(word: str, cost: dict, max_piece_len: int) -> list:
     pos = n
     while pos > 0:
         piece_len = bl[pos]
+        if piece_len == 0:
+            # No candidate piece covered this position — possible only
+            # when the cost map was trained on a different corpus and
+            # lacks one of the word's characters. Without this guard
+            # the backtrack would never advance (ADVICE r8).
+            raise ValueError(
+                f"unigram cost map has no piece covering {word!r} at "
+                f"position {pos} (character {word[pos - 1]!r} not in vocab)"
+            )
         out.append(word[pos - piece_len : pos])
         pos -= piece_len
     out.reverse()

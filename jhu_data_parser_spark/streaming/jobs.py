@@ -56,6 +56,26 @@ def _rmtree_now(path: str) -> None:
     _ATEXIT_DIRS.discard(path)
 
 
+def _write_batch_once(df: DataFrame, target: str) -> None:
+    """Exactly-once parquet write of one micro-batch partition dir
+    (``.../batch_id=N``) across checkpoint-restart retries. Directory
+    existence alone does NOT prove a committed write: a batch that died
+    mid-write leaves the directory present with only ``_temporary``
+    content, and a bare ``mode('ignore')`` retry would then skip it,
+    silently losing the batch's rows (ADVICE r8). The skip condition is
+    therefore the ``_SUCCESS`` marker Spark's file commit protocol
+    writes last; an uncommitted leftover is removed and rewritten. On
+    an object store this maps to the same marker under the cloud
+    committers — the local-FS form here is the same discipline."""
+    import shutil
+
+    if os.path.exists(os.path.join(target, "_SUCCESS")):
+        return
+    if os.path.isdir(target):
+        shutil.rmtree(target, ignore_errors=True)
+    df.write.mode("overwrite").parquet(target)
+
+
 def _rocksdb_provider_available(spark: SparkSession) -> bool:
     """True when the RocksDB state-store provider's JNI bundle is
     loadable in this Spark build — the provider switch must degrade to
@@ -521,19 +541,20 @@ def run_incremental_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .withColumnRenamed("member", "id_old")
             )
         # Idempotent-by-batch_id sink: a retried micro-batch (checkpoint
-        # restart after a partial write) finds its directory already
-        # present and skips, so rows are never duplicated. mode
-        # 'ignore' is the atomic skip — Spark leaves an existing
-        # directory untouched.
-        ver.select("id_new", "id_old", "jaccard").write.mode("ignore").parquet(
-            os.path.join(out_dir, f"batch_id={batch_id}")
+        # restart after a partial write) skips only a COMMITTED
+        # directory (_SUCCESS present); a torn partial write is removed
+        # and rewritten, so rows are neither duplicated nor lost.
+        _write_batch_once(
+            ver.select("id_new", "id_old", "jaccard"),
+            os.path.join(out_dir, f"batch_id={batch_id}"),
         )
 
     # Seed the sink with the empty schema so a zero-match run still
     # reads back as a typed empty frame.
-    spark.createDataFrame(
-        [], "id_new long, id_old long, jaccard double"
-    ).write.mode("ignore").parquet(os.path.join(out_dir, "batch_id=-1"))
+    _write_batch_once(
+        spark.createDataFrame([], "id_new long, id_old long, jaccard double"),
+        os.path.join(out_dir, "batch_id=-1"),
+    )
 
     q = (
         read_documents_stream(spark, sf_dir)
@@ -559,9 +580,10 @@ def run_cms_heavy_hitters_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     the batch twin's (``agg_cms_heavy_hitters``) — stream ≡ batch ≡
     SQL, gated by the shared oracle.
 
-    Both sinks are idempotent-by-batch_id (mode('ignore') into
-    batch_id=N subdirectories — the incremental-dedup discipline), so
-    a checkpoint-restart retry cannot double-count a batch."""
+    Both sinks are idempotent-by-batch_id (``_write_batch_once`` into
+    batch_id=N subdirectories, _SUCCESS-gated — the incremental-dedup
+    discipline), so a checkpoint-restart retry can neither double-count
+    a batch nor skip a torn partial write."""
     from jhu_data_parser_spark.plans.pipeline6 import _CMS_D, _CMS_W, _hex_long
 
     tc_dir = _cleanup_at_exit(tempfile.mkdtemp(prefix="jdps_cms_tc_"))
@@ -591,24 +613,25 @@ def run_cms_heavy_hitters_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(F.split(F.lower(F.col("text")), " ")).alias("token")
         ).filter(F.col("token") != "")
         tc = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
-        tc.write.mode("ignore").parquet(
-            os.path.join(tc_dir, f"batch_id={batch_id}")
-        )
+        _write_batch_once(tc, os.path.join(tc_dir, f"batch_id={batch_id}"))
         ex = tc.select("cnt", F.explode(bucket_structs).alias("jb")).select(
             "cnt", F.col("jb.j").alias("j"), F.col("jb.bucket").alias("bucket")
         )
-        ex.groupBy("j", "bucket").agg(
-            F.sum("cnt").cast("long").alias("cell")
-        ).write.mode("ignore").parquet(
-            os.path.join(sk_dir, f"batch_id={batch_id}")
+        _write_batch_once(
+            ex.groupBy("j", "bucket").agg(
+                F.sum("cnt").cast("long").alias("cell")
+            ),
+            os.path.join(sk_dir, f"batch_id={batch_id}"),
         )
 
-    spark.createDataFrame([], "token string, cnt long").write.mode(
-        "ignore"
-    ).parquet(os.path.join(tc_dir, "batch_id=-1"))
-    spark.createDataFrame([], "j int, bucket long, cell long").write.mode(
-        "ignore"
-    ).parquet(os.path.join(sk_dir, "batch_id=-1"))
+    _write_batch_once(
+        spark.createDataFrame([], "token string, cnt long"),
+        os.path.join(tc_dir, "batch_id=-1"),
+    )
+    _write_batch_once(
+        spark.createDataFrame([], "j int, bucket long, cell long"),
+        os.path.join(sk_dir, "batch_id=-1"),
+    )
 
     q = (
         read_documents_stream(spark, sf_dir)

@@ -2609,6 +2609,24 @@ def test_unigram_viterbi_expr_matches_local(spark):
         assert got[w] == _unigram_viterbi_local(w, cost, 3), w
 
 
+def test_unigram_viterbi_local_raises_on_unknown_char():
+    """A cost map trained on a different corpus may lack a character of
+    the input word; the backtrack must raise instead of looping forever
+    on the uncoverable position (ADVICE r8)."""
+    import pytest
+
+    from jhu_data_parser_spark.operators.text import _unigram_viterbi_local
+
+    cost = {"a": 100, "b": 100, "ab": 150}
+    with pytest.raises(ValueError, match="no piece covering"):
+        _unigram_viterbi_local("abz", cost, 3)
+    # uncoverable char mid-word: positions after it still fill, the
+    # backtrack hits the hole
+    with pytest.raises(ValueError, match="no piece covering"):
+        _unigram_viterbi_local("azb", cost, 3)
+    assert _unigram_viterbi_local("abab", cost, 3) == ["ab", "ab"]
+
+
 def test_jpeg_progressive_decode_equals_baseline():
     """A progressive stream carries the identical quantized coefficients
     as its baseline twin, so decode(progressive(px)) must equal
