@@ -1,0 +1,557 @@
+"""Catalog wave 13 — round 9: funnel v3 — raw crawl to PACKED
+pretraining batches in one oracle-gated pipeline.
+
+Reference parity note: the reference (/root/reference) has no curation
+surface; this is the [extension] end-to-end integration the r8 verdict
+ranked first: the curation funnel extended through every remaining
+verified stage so ONE query emits the artifact a pretraining run
+actually consumes — the packed-sequence training table — from raw
+``documents``. Stage order (each reuses its standalone query's rule
+text):
+
+    raw → URL-canonical dedup (pipeline4 canonicalization; v3 synthesis
+          — every 10th doc is a MIRROR of its decade head: same
+          site/path/param key, different scheme/www/port/tracking
+          decoration, so the canonicalizer has real work and the stage
+          removes exactly the mirrors)
+        → language filter (lang = 'en')
+        → Gopher quality rules (pipeline8 integer-rational battery)
+        → 8-gram benchmark decontamination
+        → MinHash near-dedup (dedup_minhash_portable_pairs, larger-id
+          drop)
+        → boilerplate-line removal (pipeline8 repeated-line rule over
+          the SURVIVOR set: lines repeating in ≥ max(3, n/20) docs are
+          stripped; token counts become CLEANED counts)
+        → hashed-LR quality filter (pipeline8 linear scorer over the
+          CLEANED text; keep = score strictly above the corpus MEAN —
+          integer-exact ``score·n > Σscore``, self-calibrating where a
+          fixed 0 cut is vocabulary-biased)
+        → temperature mixing (pipeline10 alpha=0.5 rule over CLEANED
+          per-source token masses; budget = half the surviving docs;
+          per-source selection by deterministic md5 rank)
+        → sequence packing (pipeline3 offset rule, 512-token budget,
+          per-source partitions)
+
+The v2 difference that matters: v2's URL synthesis keyed on
+``doc_id % 40`` collapses any corpus to ≤40 survivors — fine for a
+yield table, starvation for a pipeline. v3's mirror synthesis keeps
+9/10 of the corpus flowing so every downstream stage operates at
+realistic volume.
+
+Scale posture: the three per-doc artifacts the chain re-reads (stage
+flags, cleaned text, scored survivors) are lazily checkpointed ONCE
+each — they are linear, per-document tables (the 100 TB deployment
+would persist them to reliable storage between stages; localCheckpoint
+is the single-process stand-in). The near-dup arm is the banded
+one-shuffle pipeline; the boilerplate/LR stats are broadcast-joined
+1-row or small aggregates; mixing arithmetic runs on a ≤|sources|-row
+table; packing is the per-partition offset rule with no global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from jhu_data_parser_spark.plans.catalog import query
+from jhu_data_parser_spark.plans.llm import _PORTABLE_MH_ORACLE
+from jhu_data_parser_spark.plans.pipeline4 import (
+    _URL_CANON_STEPS,
+    _url_raw_spark,
+    _url_raw_sql,
+    canonicalize_urls,
+)
+from jhu_data_parser_spark.plans.pipeline6 import _hexpoly_sql
+from jhu_data_parser_spark.plans.pipeline8 import _BOILER_LINES_SPARK
+from jhu_data_parser_spark.sources.tables import load_table
+
+# Every 10th document is a URL mirror of its decade head: the raw URLs
+# differ (decoration variants key on doc_id) but canonicalize equal.
+_V3_UID = "CASE WHEN doc_id % 10 = 9 THEN doc_id - 9 ELSE doc_id END"
+
+_V3_PACK_BUDGET = 512  # tokens per packed training sequence
+
+_V3_STAGES = (
+    "raw",
+    "url_dedup",
+    "lang_en",
+    "gopher_quality",
+    "decontaminate",
+    "near_dedup",
+    "boilerplate_clean",
+    "quality_lr",
+    "mix_sampled",
+)
+
+
+def _v3_ctes() -> str:
+    """The WITH-body shared by both v3 oracles: the full chain from raw
+    documents to the packed selection (CTE ``packed``)."""
+    return f"""raw AS (
+      SELECT doc_id, {_url_raw_sql(_V3_UID)} AS url FROM documents),
+    {_URL_CANON_STEPS},
+    uk AS (
+      SELECT doc_id,
+             row_number() OVER (PARTITION BY canonical_url ORDER BY doc_id) = 1
+               AS url_keep
+      FROM canon),
+    gm AS (
+      SELECT doc_id, lang,
+             len(string_split(text, ' ')) AS n_tok,
+             length(text) - (len(string_split(text, ' ')) - 1) AS letters,
+             length(text) - length(replace(text, '#', '')) AS n_hash,
+             len(list_filter(string_split(text, ' '),
+                             w -> NOT regexp_matches(w, '[a-z]'))) AS n_nonalpha,
+             len(list_intersect(string_split(text, ' '),
+                                ['the', 'and', 'of', 'to', 'in', 'a', 'is']))
+               AS n_stop
+      FROM documents),
+    gf AS (
+      SELECT doc_id, lang, n_tok,
+             (n_tok >= 30
+              AND 3 * n_tok <= letters AND letters <= 10 * n_tok
+              AND 10 * n_hash <= n_tok
+              AND 10 * n_nonalpha <= n_tok
+              AND n_stop >= 2) AS gq
+      FROM gm),
+    lt AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+    bench AS (
+      SELECT DISTINCT array_to_string(toks[1:8], ' ') AS g
+      FROM lt WHERE doc_id % 17 = 0),
+    shg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(toks) - 6),
+                                   i -> array_to_string(toks[i:i+7], ' '))) AS g
+      FROM lt),
+    contam_ids AS (SELECT DISTINCT shg.doc_id FROM shg JOIN bench USING (g)),
+    np AS ({_PORTABLE_MH_ORACLE}),
+    nd_ids AS (SELECT DISTINCT id_b AS doc_id FROM np),
+    flags AS (
+      SELECT gf.doc_id, gf.lang, gf.n_tok, uk.url_keep, gf.gq,
+             (c.doc_id IS NOT NULL) AS contam,
+             (nd.doc_id IS NOT NULL) AS nd
+      FROM gf JOIN uk USING (doc_id)
+      LEFT JOIN contam_ids c ON c.doc_id = gf.doc_id
+      LEFT JOIN nd_ids nd ON nd.doc_id = gf.doc_id),
+    surv AS (
+      SELECT doc_id FROM flags
+      WHERE url_keep AND lang = 'en' AND gq AND NOT contam AND NOT nd),
+    built AS (
+      SELECT d.doc_id, d.source,
+             list_filter([CASE WHEN d.doc_id % 4 = 0
+                               THEN 'subscribe to our newsletter today' END],
+                         x -> x IS NOT NULL)
+             || list_transform(
+                  generate_series(0,
+                    CAST(ceil(len(string_split(d.text, ' ')) / 6.0) AS INT) - 1),
+                  i -> array_to_string(string_split(d.text, ' ')[i*6+1 : i*6+6], ' '))
+             || list_filter([CASE WHEN d.doc_id % 6 = 0
+                                  THEN 'copyright 2024 all rights reserved' END,
+                             CASE WHEN d.doc_id % 9 = 0
+                                  THEN 'click here to read more' END],
+                            x -> x IS NOT NULL)
+               AS lines
+      FROM documents d JOIN surv USING (doc_id)),
+    ex AS (
+      SELECT doc_id, source,
+             unnest(lines) AS line,
+             unnest(generate_series(0, len(lines) - 1)) AS pos
+      FROM built),
+    btot AS (SELECT COUNT(*) AS n FROM built),
+    bstats AS (SELECT line, COUNT(DISTINCT doc_id) AS ndl FROM ex GROUP BY 1),
+    boiler AS (SELECT line FROM bstats, btot WHERE ndl >= GREATEST(3, n // 20)),
+    bkept AS (SELECT * FROM ex WHERE line NOT IN (SELECT line FROM boiler)),
+    clean AS (
+      SELECT doc_id, source,
+             string_agg(line, ' ' ORDER BY pos) AS ctext
+      FROM bkept GROUP BY 1, 2),
+    cw AS (SELECT doc_id, source, string_split(ctext, ' ') AS w FROM clean),
+    cfeats AS (
+      SELECT doc_id,
+             unnest(w || list_transform(
+               list_zip(w[1:len(w)-1], w[2:len(w)]),
+               z -> z[1] || '_' || z[2])) AS feat
+      FROM cw),
+    csc AS (
+      SELECT doc_id,
+             CAST(SUM((({_hexpoly_sql("md5(feat)", 8)}) % 1024 * 37 + 11)
+                      % 201 - 100) AS BIGINT) AS score
+      FROM cfeats GROUP BY 1),
+    cst AS (SELECT CAST(COUNT(*) AS BIGINT) AS sc_n,
+                   CAST(SUM(score) AS BIGINT) AS sc_sum FROM csc),
+    final AS (
+      SELECT cw.doc_id, cw.source, CAST(len(cw.w) AS BIGINT) AS n_tok
+      FROM cw JOIN csc USING (doc_id), cst
+      WHERE csc.score * cst.sc_n > cst.sc_sum),
+    srcn AS (
+      SELECT source, CAST(SUM(n_tok) AS BIGINT) AS src_tokens,
+             CAST(COUNT(*) AS BIGINT) AS src_docs
+      FROM final GROUP BY 1),
+    sfp AS (
+      SELECT source, src_docs,
+             CAST(floor(1000000.0 * sqrt(CAST(src_tokens AS DOUBLE)))
+                  AS BIGINT) AS s_fp
+      FROM srcn),
+    mtot AS (SELECT CAST(SUM(s_fp) AS BIGINT) AS sum_s,
+                    CAST(SUM(src_docs) AS BIGINT) AS tot_docs FROM sfp),
+    alloc AS (
+      SELECT source,
+             LEAST(src_docs,
+                   CAST(((tot_docs // 2) * s_fp) // sum_s AS BIGINT))
+               AS alloc_docs
+      FROM sfp, mtot),
+    ranked AS (
+      SELECT f.*,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+               AS rk
+      FROM final f),
+    sel AS (
+      SELECT r.doc_id, r.source, r.n_tok
+      FROM ranked r JOIN alloc a USING (source)
+      WHERE r.rk <= a.alloc_docs),
+    packed AS (
+      SELECT source, doc_id, n_tok,
+             (SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                               ROWS UNBOUNDED PRECEDING) - n_tok)
+               // {_V3_PACK_BUDGET} AS pack_id
+      FROM sel)"""
+
+
+_PACK_ORACLE = f"""
+    WITH {_v3_ctes()}
+    SELECT source, CAST(pack_id AS BIGINT) AS pack_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+    FROM packed GROUP BY 1, 2
+    """
+
+
+def _v3_yield_oracle() -> str:
+    conds = [
+        "TRUE",
+        "url_keep",
+        "url_keep AND lang = 'en'",
+        "url_keep AND lang = 'en' AND gq",
+        "url_keep AND lang = 'en' AND gq AND NOT contam",
+        "url_keep AND lang = 'en' AND gq AND NOT contam AND NOT nd",
+    ]
+    aggs = ",\n             ".join(
+        f"CAST(COUNT(*) FILTER (WHERE {c}) AS BIGINT) AS c{i},\n             "
+        f"CAST(COALESCE(SUM(n_tok) FILTER (WHERE {c}), 0) AS BIGINT) AS t{i}"
+        for i, c in enumerate(conds)
+    )
+    flag_stack = "\n    UNION ALL ".join(
+        f"SELECT CAST({i} AS INT) AS stage, '{name}' AS stage_name, "
+        f"c{i} AS n_docs, t{i} AS n_tokens FROM s"
+        for i, name in enumerate(_V3_STAGES[:6])
+    )
+    chain = {
+        6: ("boilerplate_clean", "SELECT CAST(COUNT(*) AS BIGINT), "
+            "CAST(COALESCE(SUM(len(w)), 0) AS BIGINT) FROM cw"),
+        7: ("quality_lr", "SELECT CAST(COUNT(*) AS BIGINT), "
+            "CAST(COALESCE(SUM(n_tok), 0) AS BIGINT) FROM final"),
+        8: ("mix_sampled", "SELECT CAST(COUNT(*) AS BIGINT), "
+            "CAST(COALESCE(SUM(n_tok), 0) AS BIGINT) FROM sel"),
+    }
+    chain_stack = "\n    UNION ALL ".join(
+        f"SELECT CAST({i} AS INT) AS stage, '{name}' AS stage_name, "
+        f"cc.c AS n_docs, cc.t AS n_tokens FROM ({q}) AS cc(c, t)"
+        for i, (name, q) in chain.items()
+    )
+    return f"""
+    WITH {_v3_ctes()},
+    s AS (SELECT {aggs} FROM flags)
+    {flag_stack}
+    UNION ALL {chain_stack}
+    """
+
+
+def _v3_frames(spark: SparkSession, sf_dir: str) -> dict:
+    """Build the funnel v3 chain once; returns the per-doc frames each
+    query aggregates. ``flags``, ``clean`` and ``final`` are lazily
+    checkpointed: each is a LINEAR per-document artifact read by 2-3
+    downstream consumers (the 100 TB shape persists them to reliable
+    storage between pipeline stages; lineage-truncation here keeps the
+    heavy MinHash/boilerplate subtrees single-evaluation)."""
+    from jhu_data_parser_spark.plans.llm import dedup_minhash_portable_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    rawu = d.select("doc_id", F.expr(_url_raw_spark(_V3_UID)).alias("url"))
+    w = Window.partitionBy("canonical_url").orderBy("doc_id")
+    uk = canonicalize_urls(rawu).select(
+        "doc_id", (F.row_number().over(w) == 1).alias("url_keep")
+    )
+    toks = F.split(F.col("text"), " ")
+    n_tok = F.size(toks).cast("long")
+    letters = (F.length("text") - (F.size(toks) - 1)).cast("long")
+    n_hash = (
+        F.length("text")
+        - F.length(F.replace(F.col("text"), F.lit("#"), F.lit("")))
+    ).cast("long")
+    n_nonalpha = F.expr(
+        "size(filter(split(text, ' '), w -> NOT (w rlike '[a-z]')))"
+    ).cast("long")
+    n_stop = F.expr(
+        "size(array_intersect(split(text, ' '), "
+        "array('the', 'and', 'of', 'to', 'in', 'a', 'is')))"
+    ).cast("long")
+    gf = d.select(
+        "doc_id",
+        "lang",
+        n_tok.alias("n_tok"),
+        (
+            (n_tok >= 30)
+            & (3 * n_tok <= letters)
+            & (letters <= 10 * n_tok)
+            & (10 * n_hash <= n_tok)
+            & (10 * n_nonalpha <= n_tok)
+            & (n_stop >= 2)
+        ).alias("gq"),
+    )
+    lt = d.select("doc_id", F.split(F.lower("text"), " ").alias("toks"))
+    bench = (
+        lt.filter(F.col("doc_id") % 17 == 0)
+        .select(F.expr("array_join(slice(toks, 1, 8), ' ')").alias("g"))
+        .distinct()
+    )
+    shg = lt.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(toks) >= 8 THEN transform("
+                "sequence(1, size(toks) - 7), "
+                "i -> array_join(slice(toks, i, 8), ' ')) "
+                "ELSE CAST(array() AS array<string>) END"
+            )
+        ).alias("g"),
+    )
+    contam_ids = (
+        shg.join(F.broadcast(bench), "g")
+        .select("doc_id")
+        .distinct()
+        .withColumn("contam", F.lit(True))
+    )
+    nd_ids = (
+        dedup_minhash_portable_pairs(spark, sf_dir)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+        .withColumn("nd", F.lit(True))
+    )
+    flags = (
+        gf.join(uk, "doc_id")
+        .join(contam_ids, "doc_id", "left")
+        .join(nd_ids, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tok",
+            "url_keep",
+            (F.col("lang") == "en").alias("is_en"),
+            "gq",
+            F.coalesce("contam", F.lit(False)).alias("contam"),
+            F.coalesce("nd", F.lit(False)).alias("nd"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    surv = flags.filter(
+        F.col("url_keep")
+        & F.col("is_en")
+        & F.col("gq")
+        & ~F.col("contam")
+        & ~F.col("nd")
+    ).select("doc_id")
+    doc_lines = d.join(surv, "doc_id").select(
+        "doc_id", "source", F.expr(_BOILER_LINES_SPARK).alias("lines")
+    )
+    ex = doc_lines.select(
+        "doc_id", "source", F.posexplode("lines").alias("pos", "line")
+    )
+    btot = doc_lines.agg(F.count(F.lit(1)).alias("n"))
+    bstats = ex.groupBy("line").agg(F.countDistinct("doc_id").alias("ndl"))
+    boiler = (
+        bstats.crossJoin(F.broadcast(btot))
+        .filter(F.col("ndl") >= F.greatest(F.lit(3), F.expr("n DIV 20")))
+        .select("line")
+    )
+    bkept = ex.join(F.broadcast(boiler), "line", "left_anti")
+    clean = (
+        bkept.groupBy("doc_id", "source")
+        .agg(
+            F.array_join(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(pos, line))), "
+                    "s -> s.line)"
+                ),
+                " ",
+            ).alias("ctext")
+        )
+        .localCheckpoint(eager=False)
+    )
+    cw = clean.select(
+        "doc_id", "source", F.split("ctext", " ").alias("w")
+    )
+    cfeats = cw.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "concat(w, zip_with(slice(w, 1, size(w) - 1), "
+                "slice(w, 2, size(w) - 1), (a, b) -> concat(a, '_', b)))"
+            )
+        ).alias("feat"),
+    )
+    csc = cfeats.select(
+        "doc_id",
+        (
+            (
+                F.conv(F.substring(F.md5("feat"), 1, 8), 16, 10).cast("long")
+                % 1024
+            )
+            * 37
+            + 11
+        ).alias("wt"),
+    ).groupBy("doc_id").agg(
+        F.sum((F.col("wt") % 201 - 100)).cast("long").alias("score")
+    )
+    cst = csc.agg(
+        F.count(F.lit(1)).cast("long").alias("sc_n"),
+        F.sum("score").cast("long").alias("sc_sum"),
+    )
+    final = (
+        cw.join(csc, "doc_id")
+        .crossJoin(F.broadcast(cst))
+        .filter(F.col("score") * F.col("sc_n") > F.col("sc_sum"))
+        .select("doc_id", "source", F.size("w").cast("long").alias("n_tok"))
+        .localCheckpoint(eager=False)
+    )
+    srcn = final.groupBy("source").agg(
+        F.sum("n_tok").cast("long").alias("src_tokens"),
+        F.count(F.lit(1)).cast("long").alias("src_docs"),
+    )
+    sfp = srcn.select(
+        "source",
+        "src_docs",
+        F.floor(1_000_000.0 * F.sqrt(F.col("src_tokens").cast("double")))
+        .cast("long")
+        .alias("s_fp"),
+    )
+    mtot = sfp.agg(
+        F.sum("s_fp").cast("long").alias("sum_s"),
+        F.sum("src_docs").cast("long").alias("tot_docs"),
+    )
+    alloc = sfp.crossJoin(F.broadcast(mtot)).select(
+        "source",
+        F.least(
+            F.col("src_docs"),
+            F.expr("CAST(((tot_docs DIV 2) * s_fp) DIV sum_s AS BIGINT)"),
+        ).alias("alloc_docs"),
+    )
+    wr = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), "doc_id"
+    )
+    ranked = final.withColumn("rk", F.row_number().over(wr))
+    sel = (
+        ranked.join(F.broadcast(alloc), "source")
+        .filter(F.col("rk") <= F.col("alloc_docs"))
+        .select("doc_id", "source", "n_tok")
+    )
+    wp = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = sel.withColumn(
+        "pack_id",
+        (
+            (F.sum("n_tok").over(wp) - F.col("n_tok"))
+            / F.lit(_V3_PACK_BUDGET)
+        ).cast("long"),
+    )
+    return {
+        "flags": flags,
+        "cw": cw,
+        "final": final,
+        "sel": sel,
+        "packed": packed,
+    }
+
+
+@query("pipeline_pack_batches", oracle=_PACK_ORACLE)
+def pipeline_pack_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE pretraining deliverable: the packed-sequence training table
+    produced by the complete curation funnel (module docstring) — per
+    (source, pack_id): document count, token count, and a doc-id
+    checksum pinning the exact pack composition. The oracle replays
+    every stage, portable-MinHash arm included, so the driver hash
+    certifies the whole raw-crawl → training-batches pipeline.
+
+    Scale posture: packing is the pipeline3 offset rule — per-source
+    running sums, no global sort; the mix arithmetic runs on a
+    ≤|sources| table; selection is a broadcast join on the tiny alloc
+    table over the md5-ranked survivors."""
+    fr = _v3_frames(spark, sf_dir)
+    return fr["packed"].groupBy("source", "pack_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+        F.sum("doc_id").cast("long").alias("id_checksum"),
+    )
+
+
+@query("pipeline_curation_funnel_v3", oracle=_v3_yield_oracle())
+def pipeline_curation_funnel_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 9-stage yield table of funnel v3: per stage, surviving
+    document and token counts — raw tokens through near_dedup, CLEANED
+    tokens from the boilerplate stage on (the honest accounting of what
+    each stage costs the token budget). Stages 0-5 come from ONE
+    conditional aggregate over the per-doc flag table (the v2
+    discipline); stages 6-8 are 1-row aggregates over the chain's
+    checkpointed artifacts, cross-joined and stacked with inline()."""
+    fr = _v3_frames(spark, sf_dir)
+    conds = [
+        F.lit(True),
+        F.col("url_keep"),
+        F.col("url_keep") & F.col("is_en"),
+        F.col("url_keep") & F.col("is_en") & F.col("gq"),
+        F.col("url_keep") & F.col("is_en") & F.col("gq") & ~F.col("contam"),
+        F.col("url_keep")
+        & F.col("is_en")
+        & F.col("gq")
+        & ~F.col("contam")
+        & ~F.col("nd"),
+    ]
+    s = fr["flags"].agg(
+        *[
+            a
+            for i, c in enumerate(conds)
+            for a in (
+                F.count_if(c).cast("long").alias(f"c{i}"),
+                F.coalesce(F.sum(F.when(c, F.col("n_tok"))), F.lit(0))
+                .cast("long")
+                .alias(f"t{i}"),
+            )
+        ]
+    )
+    chain_aggs = {
+        6: fr["cw"].agg(
+            F.count(F.lit(1)).cast("long").alias("c6"),
+            F.coalesce(F.sum(F.size("w").cast("long")), F.lit(0))
+            .cast("long")
+            .alias("t6"),
+        ),
+        7: fr["final"].agg(
+            F.count(F.lit(1)).cast("long").alias("c7"),
+            F.coalesce(F.sum("n_tok"), F.lit(0)).cast("long").alias("t7"),
+        ),
+        8: fr["sel"].agg(
+            F.count(F.lit(1)).cast("long").alias("c8"),
+            F.coalesce(F.sum("n_tok"), F.lit(0)).cast("long").alias("t8"),
+        ),
+    }
+    for df in chain_aggs.values():
+        s = s.crossJoin(F.broadcast(df))
+    structs = ", ".join(
+        f"named_struct('stage', CAST({i} AS INT), 'stage_name', '{name}', "
+        f"'n_docs', c{i}, 'n_tokens', t{i})"
+        for i, name in enumerate(_V3_STAGES)
+    )
+    return s.selectExpr(f"inline(array({structs}))")

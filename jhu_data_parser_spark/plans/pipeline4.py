@@ -856,46 +856,59 @@ def join_asof_nearest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
 # host case (did%5), :443 (did%7), trailing slash (did%2), tracking
 # params around a KEPT p=<k> param (did%6), #fragment (did%4). The
 # canonical identity is k = did % 40.
-_URL_RAW_SPARK = """
+def _url_raw_spark(uid: str = "doc_id % 40") -> str:
+    """Spark twin of :func:`_url_raw_sql` — same parameterization."""
+    return f"""
     concat(
       element_at(array('http', 'https', 'HTTP', 'HTTPS'),
                  CAST(doc_id % 4 AS INT) + 1), '://',
       CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END,
-      CASE WHEN doc_id % 5 = 0 THEN upper(concat('site', CAST(doc_id % 40 AS STRING), '.com'))
-           ELSE concat('site', CAST(doc_id % 40 AS STRING), '.com') END,
+      CASE WHEN doc_id % 5 = 0 THEN upper(concat('site', CAST({uid} AS STRING), '.com'))
+           ELSE concat('site', CAST({uid} AS STRING), '.com') END,
       CASE WHEN doc_id % 7 = 0 THEN ':443' ELSE '' END,
-      '/docs/', CAST(doc_id % 40 AS STRING),
+      '/docs/', CAST({uid} AS STRING),
       CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END,
-      CASE WHEN doc_id % 6 = 0 THEN concat('?utm_source=feed&p=', CAST(doc_id % 40 AS STRING))
-           WHEN doc_id % 6 = 3 THEN concat('?p=', CAST(doc_id % 40 AS STRING), '&utm_medium=email')
-           ELSE concat('?p=', CAST(doc_id % 40 AS STRING)) END,
+      CASE WHEN doc_id % 6 = 0 THEN concat('?utm_source=feed&p=', CAST({uid} AS STRING))
+           WHEN doc_id % 6 = 3 THEN concat('?p=', CAST({uid} AS STRING), '&utm_medium=email')
+           ELSE concat('?p=', CAST({uid} AS STRING)) END,
       CASE WHEN doc_id % 4 = 0 THEN concat('#section-', CAST(doc_id % 9 AS STRING)) ELSE '' END)
     """
+
+
+_URL_RAW_SPARK = _url_raw_spark()
 
 # The WITH-body of the URL canonicalization chain (raw → canon), shared
 # by the standalone oracle below and the curation-funnel v2 oracle
 # (pipeline12) so both replay the identical normalization text.
-_URL_CANON_CTES = """raw AS (
-      SELECT doc_id,
+# SQL fragment synthesizing the decorated raw URL for a given id
+# expression — parameterized so the funnel-v3 oracle (pipeline13) can
+# key site/path/param on a MIRRORED id while keeping the decoration
+# variants keyed on doc_id (mirrors differ in raw bytes, canonicalize
+# equal).
+def _url_raw_sql(uid: str = "doc_id % 40") -> str:
+    return f"""
              (['http', 'https', 'HTTP', 'HTTPS'])[CAST(doc_id % 4 AS INT) + 1]
              || '://'
              || CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END
              || CASE WHEN doc_id % 5 = 0
-                     THEN upper('site' || CAST(doc_id % 40 AS VARCHAR) || '.com')
-                     ELSE 'site' || CAST(doc_id % 40 AS VARCHAR) || '.com' END
+                     THEN upper('site' || CAST({uid} AS VARCHAR) || '.com')
+                     ELSE 'site' || CAST({uid} AS VARCHAR) || '.com' END
              || CASE WHEN doc_id % 7 = 0 THEN ':443' ELSE '' END
-             || '/docs/' || CAST(doc_id % 40 AS VARCHAR)
+             || '/docs/' || CAST({uid} AS VARCHAR)
              || CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END
              || CASE WHEN doc_id % 6 = 0
-                     THEN '?utm_source=feed&p=' || CAST(doc_id % 40 AS VARCHAR)
+                     THEN '?utm_source=feed&p=' || CAST({uid} AS VARCHAR)
                      WHEN doc_id % 6 = 3
-                     THEN '?p=' || CAST(doc_id % 40 AS VARCHAR) || '&utm_medium=email'
-                     ELSE '?p=' || CAST(doc_id % 40 AS VARCHAR) END
+                     THEN '?p=' || CAST({uid} AS VARCHAR) || '&utm_medium=email'
+                     ELSE '?p=' || CAST({uid} AS VARCHAR) END
              || CASE WHEN doc_id % 4 = 0
                      THEN '#section-' || CAST(doc_id % 9 AS VARCHAR) ELSE '' END
-               AS url
-      FROM documents),
-    steps AS (
+    """
+
+
+# The canonicalization steps (url → canonical_url) WITHOUT the raw
+# synthesis CTE — composable behind any `raw(doc_id, url)` CTE.
+_URL_CANON_STEPS = """steps AS (
       SELECT doc_id, url,
              regexp_replace(regexp_replace(url, '^[A-Za-z]+://', ''),
                             '#.*$', '') AS defrag
@@ -924,6 +937,14 @@ _URL_CANON_CTES = """raw AS (
                               ELSE '' END AS canonical_url
       FROM norm)"""
 
+_URL_CANON_CTES = (
+    f"""raw AS (
+      SELECT doc_id, {_url_raw_sql()} AS url
+      FROM documents),
+    """
+    + _URL_CANON_STEPS
+)
+
 _URL_ORACLE = (
     "WITH "
     + _URL_CANON_CTES
@@ -944,6 +965,13 @@ def url_canonical_frame(d):
     strip, trailing-slash strip, tracking-param filter); shared by
     text_url_canonical_dedup and the curation-funnel v2."""
     raw = d.select("doc_id", F.expr(_URL_RAW_SPARK).alias("url"))
+    return canonicalize_urls(raw)
+
+
+def canonicalize_urls(raw):
+    """Canonicalize a (doc_id, url) frame — the steps of
+    :func:`url_canonical_frame` behind any URL synthesis (funnel v3
+    plugs a mirrored-id synthesis, pipeline13)."""
     defrag = F.regexp_replace(
         F.regexp_replace("url", "^[A-Za-z]+://", ""), "#.*$", ""
     )
