@@ -725,3 +725,295 @@ def _unigram_fit_local(
     final_costs = _unigram_costs(counts)
     rows = [(p, counts[p], final_costs[p]) for p in sorted(counts)]
     return rows, final_costs
+
+
+# --------------------------------------------------------------------------
+# Trained quality classifier — full-batch logistic regression in the
+# engine's exact-replay discipline (r8 verdict item 4): labels come
+# from the Gopher rules, features are the hashed unigram+bigram
+# per-mille ratios plus the five Gopher rule inputs, per-feature
+# mean-centered in integer fixed point (uncentered, the near-constant
+# ratio features act as giant biases and full-batch GD oscillates —
+# measured: accuracy flips between all-positive and all-negative).
+# Probabilities are floor(1e6·sigmoid(clamp(m)/1e6)) — the same
+# quantize-early floor(1e6·f(x)) discipline as the unigram/bigram
+# fits: every downstream value (error, gradient, weight) is an exact
+# int64, so Spark, DuckDB and the local twin replay bit-identically.
+# (Raw exp differs between JVM and C libm by ulps; the 1e-6
+# quantization absorbs that everywhere except a ~1e-10-measure
+# boundary band — the identical risk class floor(1e6·ln) carries.)
+# --------------------------------------------------------------------------
+
+LR_SCALE = 1_000_000
+LR_CLAMP = 20 * LR_SCALE
+LR_ETA_DIV = 1_000_000.0
+LR_N_BUCKETS = 64
+LR_N_FEATURES = LR_N_BUCKETS + 6  # buckets + [n, letters‰, hash‰, nonalpha‰, stop] + bias
+
+_LR_STOPWORDS = ("the", "and", "of", "to", "in", "a", "is")
+
+
+def _lr_sigmoid_fp(m: int) -> int:
+    """floor(1e6·sigmoid(clamp(m, ±20e6)/1e6)) — the quantized forward
+    pass shared (textually) by the Spark expression and the oracle."""
+    import math
+
+    zc = min(LR_CLAMP, max(-LR_CLAMP, int(m)))
+    return int(math.floor(LR_SCALE / (1.0 + math.exp(-(zc / LR_SCALE)))))
+
+
+def lr_quality_raw_frame(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, y, x) where ``x`` is the 69-long RAW integer feature
+    array — hashed unigram+bigram per-mille bucket ratios (64, portable
+    md5 bucket hash) then [min(n_tok,2000), letters‰, hash‰,
+    nonalpha‰, 100·n_stopwords] — and ``y`` the 0/1 Gopher label.
+
+    One explode + one (doc_id, bucket) count + one map collect: the
+    per-doc shuffle happens ONCE at feature-build time; training steps
+    never touch text again."""
+    stop_sql = ", ".join(f"'{s}'" for s in _LR_STOPWORDS)
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks).cast("long")
+    letters = (F.length(text_col) - (F.size(toks) - 1)).cast("long")
+    n_hash = (
+        F.length(text_col)
+        - F.length(F.replace(F.col(text_col), F.lit("#"), F.lit("")))
+    ).cast("long")
+    n_nonalpha = F.expr(
+        f"size(filter(split({text_col}, ' '), w -> NOT (w rlike '[a-z]')))"
+    ).cast("long")
+    n_stop = F.expr(
+        f"size(array_intersect(split({text_col}, ' '), array({stop_sql})))"
+    ).cast("long")
+    stats = df.select(
+        "doc_id",
+        n.alias("n"),
+        letters.alias("letters"),
+        n_hash.alias("nh"),
+        n_nonalpha.alias("nna"),
+        n_stop.alias("ns"),
+    )
+    feats = df.select(
+        "doc_id",
+        (2 * F.size(F.split(text_col, " ")) - 1).cast("long").alias("nf"),
+        F.explode(
+            F.expr(
+                f"concat(split({text_col}, ' '), "
+                f"zip_with(slice(split({text_col}, ' '), 1, size(split({text_col}, ' ')) - 1), "
+                f"slice(split({text_col}, ' '), 2, size(split({text_col}, ' ')) - 1), "
+                "(a, b) -> concat(a, '_', b)))"
+            )
+        ).alias("feat"),
+    )
+    bc = (
+        feats.select(
+            "doc_id",
+            "nf",
+            (
+                F.conv(F.substring(F.md5("feat"), 1, 8), 16, 10).cast("long")
+                % LR_N_BUCKETS
+            ).alias("bucket"),
+        )
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.first("nf").alias("nf"))
+        .select(
+            "doc_id",
+            "bucket",
+            F.expr("CAST((1000 * cnt) DIV nf AS BIGINT)").alias("x"),
+        )
+    )
+    mp = bc.groupBy("doc_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("bucket", "x"))).alias("mp")
+    )
+    gq = (
+        (F.col("n") >= 30)
+        & (3 * F.col("n") <= F.col("letters"))
+        & (F.col("letters") <= 10 * F.col("n"))
+        & (10 * F.col("nh") <= F.col("n"))
+        & (10 * F.col("nna") <= F.col("n"))
+        & (F.col("ns") >= 2)
+    )
+    return stats.join(mp, "doc_id").select(
+        "doc_id",
+        F.when(gq, 1).otherwise(0).cast("long").alias("y"),
+        F.expr(
+            f"concat(transform(sequence(0, {LR_N_BUCKETS - 1}), "
+            "b -> coalesce(element_at(mp, CAST(b AS BIGINT)), CAST(0 AS BIGINT))), "
+            "array(LEAST(n, CAST(2000 AS BIGINT)), "
+            "CAST((1000 * letters) DIV n AS BIGINT), "
+            "CAST((1000 * nh) DIV n AS BIGINT), "
+            "CAST((1000 * nna) DIV n AS BIGINT), "
+            "CAST(ns * 100 AS BIGINT)))"
+        ).alias("x"),
+    )
+
+
+def lr_train_quality(
+    df: DataFrame, text_col: str = "text", steps: int = 6
+) -> tuple[list, list]:
+    """Distributed full-batch logistic-regression training: returns
+    (weights, per-step stats rows). Per step, ONE aggregation job runs
+    over the centered feature frame — the margin/sigmoid/error are
+    in-row codegen+HOF expressions against the current weight LITERAL,
+    posexplode routes the gradient to a 70-row (feature-dim) result,
+    and the per-step stats ride the same rows — so the driver-side
+    artifact is exactly the weight vector, never data.
+
+    Update rule: w_j ← w_j − floor(g_j / (1e6 · n_docs)) with g_j the
+    exact int64 error-weighted feature sum; the int64→double conversion
+    and the single division round identically in every engine."""
+    import math
+
+    # Checkpoint the RAW frame (not the centered one): the means collect
+    # below materializes it, and the per-step centering is then a cheap
+    # zip_with projection over the checkpoint — checkpointing the
+    # centered frame instead would run the whole feature build twice
+    # (measured: 9.0 -> ~5.5 s at sf0.1).
+    raw = lr_quality_raw_frame(df, text_col).localCheckpoint(eager=False)
+    sums = (
+        raw.select(F.posexplode("x").alias("j", "v"))
+        .groupBy("j")
+        .agg(F.sum("v").cast("long").alias("s"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    n_docs = int(sums[0]["n"])
+    mean1000 = [0] * (LR_N_FEATURES - 1)
+    for r in sums:
+        mean1000[int(r["j"])] = (1000 * int(r["s"])) // n_docs
+    mean_lits = ", ".join(f"CAST({m} AS BIGINT)" for m in mean1000)
+    xl = raw.select(
+        "doc_id",
+        "y",
+        F.expr(
+            f"concat(zip_with(x, array({mean_lits}), "
+            "(a, m) -> 1000 * a - m), array(CAST(1000 AS BIGINT)))"
+        ).alias("cx"),
+    )
+
+    w = [0] * LR_N_FEATURES
+    out = []
+    for k in range(1, steps + 1):
+        w_lit = ", ".join(f"CAST({v} AS BIGINT)" for v in w)
+        m_expr = (
+            f"aggregate(zip_with(cx, array({w_lit}), (a, b) -> a * b), "
+            "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+        )
+        p_expr = (
+            "CAST(floor(1000000.0 / (1.0 + exp(-(CAST(LEAST("
+            f"CAST({LR_CLAMP} AS BIGINT), GREATEST(CAST(-{LR_CLAMP} AS BIGINT), m)) "
+            "AS DOUBLE) / 1000000.0)))) AS BIGINT)"
+        )
+        row = xl.select("y", F.expr(m_expr).alias("m"), "cx").select(
+            "y", F.expr(p_expr).alias("p"), "cx"
+        )
+        ex = row.select(
+            "y",
+            "p",
+            (F.col("p") - F.col("y") * LR_SCALE).alias("err"),
+            F.posexplode("cx").alias("j", "cxv"),
+        )
+        g_rows = (
+            ex.groupBy("j")
+            .agg(
+                F.sum(F.col("err") * F.col("cxv")).cast("long").alias("g"),
+                F.sum(F.abs("err")).cast("long").alias("err_abs_sum"),
+                F.count_if(
+                    (F.col("p") >= LR_SCALE // 2) == (F.col("y") == 1)
+                ).cast("long").alias("n_correct"),
+                F.count_if(F.col("p") >= LR_SCALE // 2)
+                .cast("long")
+                .alias("n_pos_pred"),
+            )
+            .collect()
+        )
+        by_j = {int(r["j"]): r for r in g_rows}
+        for j in range(LR_N_FEATURES):
+            w[j] -= math.floor(float(by_j[j]["g"]) / (LR_ETA_DIV * n_docs))
+        r0 = by_j[0]
+        out.append(
+            {
+                "step": k,
+                "n_pos_pred": int(r0["n_pos_pred"]),
+                "n_correct": int(r0["n_correct"]),
+                "err_abs_sum": int(r0["err_abs_sum"]),
+                "w_sum": sum(w),
+                "w_abs_sum": sum(abs(v) for v in w),
+            }
+        )
+    return w, out
+
+
+def _lr_train_quality_local(texts_with_ids: list, steps: int = 6) -> tuple[list, list]:
+    """Independent pure-python twin of :func:`lr_train_quality` (no
+    shared Spark code) for the local == distributed equivalence test;
+    same hashing, centering, quantization, and update rule."""
+    import hashlib
+    import math
+    from collections import Counter
+
+    stop = set(_LR_STOPWORDS)
+    data = []
+    for _doc_id, text in texts_with_ids:
+        wds = text.split(" ")
+        n = len(wds)
+        letters = len(text) - (n - 1)
+        nh = text.count("#")
+        nna = sum(1 for x in wds if not any("a" <= c <= "z" for c in x))
+        ns = len(set(wds) & stop)
+        y = (
+            1
+            if (
+                n >= 30
+                and 3 * n <= letters <= 10 * n
+                and 10 * nh <= n
+                and 10 * nna <= n
+                and ns >= 2
+            )
+            else 0
+        )
+        fs = wds + [a + "_" + b for a, b in zip(wds[:-1], wds[1:])]
+        cnt: Counter = Counter()
+        for f in fs:
+            cnt[int(hashlib.md5(f.encode()).hexdigest()[:8], 16) % LR_N_BUCKETS] += 1
+        nf = 2 * n - 1
+        x = [(1000 * cnt.get(b, 0)) // nf for b in range(LR_N_BUCKETS)]
+        x += [min(n, 2000), (1000 * letters) // n, (1000 * nh) // n,
+              (1000 * nna) // n, ns * 100]
+        data.append((x, y))
+    n_docs = len(data)
+    mean1000 = [
+        (1000 * sum(x[j] for x, _ in data)) // n_docs
+        for j in range(LR_N_FEATURES - 1)
+    ]
+    cdata = [
+        ([1000 * x[j] - mean1000[j] for j in range(LR_N_FEATURES - 1)] + [1000], y)
+        for x, y in data
+    ]
+    w = [0] * LR_N_FEATURES
+    out = []
+    for k in range(1, steps + 1):
+        g = [0] * LR_N_FEATURES
+        err_abs = n_correct = n_pos = 0
+        for cx, y in cdata:
+            m = sum(c * wv for c, wv in zip(cx, w))
+            p = _lr_sigmoid_fp(m)
+            err = p - y * LR_SCALE
+            err_abs += abs(err)
+            pred = p >= LR_SCALE // 2
+            n_pos += 1 if pred else 0
+            n_correct += 1 if pred == (y == 1) else 0
+            for j, c in enumerate(cx):
+                g[j] += err * c
+        for j in range(LR_N_FEATURES):
+            w[j] -= math.floor(float(g[j]) / (LR_ETA_DIV * n_docs))
+        out.append(
+            {
+                "step": k,
+                "n_pos_pred": n_pos,
+                "n_correct": n_correct,
+                "err_abs_sum": err_abs,
+                "w_sum": sum(w),
+                "w_abs_sum": sum(abs(v) for v in w),
+            }
+        )
+    return w, out

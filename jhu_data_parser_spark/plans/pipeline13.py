@@ -555,3 +555,140 @@ def pipeline_curation_funnel_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i, name in enumerate(_V3_STAGES)
     )
     return s.selectExpr(f"inline(array({structs}))")
+
+
+# --------------------------------------------------------------------------
+# Trained quality classifier — text_quality_train_lr (r8 verdict item
+# 4): full-batch logistic regression distilling the Gopher rule labels
+# into hashed-feature weights, every gradient step exact-replayable
+# (operators/text.lr_train_quality). The oracle unrolls ALL steps:
+# feature build → integer centering → per-step margin/quantized
+# sigmoid/error/gradient/update, each as a MATERIALIZED CTE (the
+# unigram lesson: DuckDB inlines CTEs by default and an inlined
+# DP chain blows up).
+# --------------------------------------------------------------------------
+
+_LR_STEPS = 6
+
+
+def _lr_oracle(steps: int = _LR_STEPS) -> str:
+    from jhu_data_parser_spark.operators.text import _LR_STOPWORDS, LR_CLAMP
+
+    stops = ", ".join(f"'{s}'" for s in _LR_STOPWORDS)
+    parts = [
+        f"""st AS MATERIALIZED (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n,
+             length(text) - (len(string_split(text, ' ')) - 1) AS letters,
+             length(text) - length(replace(text, '#', '')) AS nh,
+             len(list_filter(string_split(text, ' '),
+                             w -> NOT regexp_matches(w, '[a-z]'))) AS nna,
+             len(list_intersect(string_split(text, ' '), [{stops}])) AS ns
+      FROM documents),
+    y AS MATERIALIZED (
+      SELECT doc_id,
+             CASE WHEN n >= 30 AND 3 * n <= letters AND letters <= 10 * n
+                       AND 10 * nh <= n AND 10 * nna <= n AND ns >= 2
+                  THEN 1 ELSE 0 END AS y
+      FROM st),
+    fw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    feats AS (
+      SELECT doc_id, 2 * len(w) - 1 AS nf,
+             unnest(w || list_transform(
+               list_zip(w[1:len(w)-1], w[2:len(w)]),
+               z -> z[1] || '_' || z[2])) AS feat
+      FROM fw),
+    fb AS (SELECT doc_id, nf,
+                  ({_hexpoly_sql("md5(feat)", 8)}) % 64 AS j
+           FROM feats),
+    bc AS (SELECT doc_id, j,
+                  (1000 * COUNT(*)) // ANY_VALUE(nf) AS x
+           FROM fb GROUP BY doc_id, j),
+    sx AS (
+      SELECT doc_id, 64 AS j, LEAST(n, 2000) AS x FROM st
+      UNION ALL SELECT doc_id, 65, (1000 * letters) // n FROM st
+      UNION ALL SELECT doc_id, 66, (1000 * nh) // n FROM st
+      UNION ALL SELECT doc_id, 67, (1000 * nna) // n FROM st
+      UNION ALL SELECT doc_id, 68, ns * 100 FROM st),
+    xraw AS (SELECT * FROM bc UNION ALL SELECT * FROM sx),
+    dense AS MATERIALIZED (
+      SELECT d.doc_id, r.j, CAST(COALESCE(x.x, 0) AS BIGINT) AS x
+      FROM (SELECT doc_id FROM documents) d
+      CROSS JOIN (SELECT unnest(range(0, 69)) AS j) r
+      LEFT JOIN xraw x ON x.doc_id = d.doc_id AND x.j = r.j),
+    nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    mu AS MATERIALIZED (
+      SELECT j, (1000 * SUM(x)) // (SELECT n_docs FROM nd) AS m1000
+      FROM dense GROUP BY j),
+    xl AS MATERIALIZED (
+      SELECT doc_id, dense.j, 1000 * x - m1000 AS cx
+      FROM dense JOIN mu USING (j)
+      UNION ALL SELECT doc_id, 69, CAST(1000 AS BIGINT) FROM documents),
+    w0 AS (SELECT CAST(unnest(range(0, 70)) AS BIGINT) AS j,
+                  CAST(0 AS BIGINT) AS w)"""
+    ]
+    for k in range(1, steps + 1):
+        parts.append(f"""m{k} AS MATERIALIZED (
+      SELECT doc_id, CAST(SUM(cx * w) AS BIGINT) AS m
+      FROM xl JOIN w{k - 1} USING (j) GROUP BY doc_id),
+    e{k} AS MATERIALIZED (
+      SELECT m.doc_id,
+             CAST(floor(1000000.0 / (1.0 + exp(-(CAST(LEAST({LR_CLAMP},
+               GREATEST(-{LR_CLAMP}, m.m)) AS DOUBLE) / 1000000.0))))
+               AS BIGINT) AS p,
+             y.y
+      FROM m{k} m JOIN y USING (doc_id)),
+    e2{k} AS MATERIALIZED (
+      SELECT doc_id, p, y, p - y * 1000000 AS err FROM e{k}),
+    g{k} AS MATERIALIZED (
+      SELECT xl.j, CAST(SUM(e.err * xl.cx) AS BIGINT) AS g
+      FROM xl JOIN e2{k} e USING (doc_id) GROUP BY xl.j),
+    w{k} AS MATERIALIZED (
+      SELECT w.j,
+             CAST(w.w - CAST(floor(CAST(g.g AS DOUBLE)
+               / (1000000.0 * (SELECT n_docs FROM nd))) AS BIGINT)
+               AS BIGINT) AS w
+      FROM w{k - 1} w JOIN g{k} g USING (j)),
+    s{k} AS (
+      SELECT CAST({k} AS INT) AS step,
+             CAST((SELECT COUNT(*) FILTER (WHERE p >= 500000) FROM e2{k})
+                  AS BIGINT) AS n_pos_pred,
+             CAST((SELECT COUNT(*) FILTER (WHERE (p >= 500000) = (y = 1))
+                   FROM e2{k}) AS BIGINT) AS n_correct,
+             CAST((SELECT SUM(ABS(err)) FROM e2{k}) AS BIGINT) AS err_abs_sum,
+             CAST((SELECT SUM(w) FROM w{k}) AS BIGINT) AS w_sum,
+             CAST((SELECT SUM(ABS(w)) FROM w{k}) AS BIGINT) AS w_abs_sum)""")
+    stack = "\n    UNION ALL ".join(f"SELECT * FROM s{k}" for k in range(1, steps + 1))
+    return "WITH " + ",\n    ".join(parts) + "\n    " + stack
+
+
+@query("text_quality_train_lr", oracle=_lr_oracle())
+def text_quality_train_lr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAIN the quality classifier (text_quality_linear_score scores
+    with fixed weights; this fits them): full-batch logistic regression
+    on hashed unigram+bigram per-mille features plus the five Gopher
+    rule inputs, integer mean-centered, labels from the Gopher rules —
+    six exact-replay gradient steps, each ONE distributed aggregation
+    with a ≤feature-dim (70-long) driver artifact. Emits the per-step
+    training curve (predictions, accuracy, absolute error mass, weight
+    sums); the oracle unrolls every step. Local == distributed is
+    pinned by pytest against an independent pure-python twin."""
+    from jhu_data_parser_spark.operators.text import lr_train_quality
+
+    d = load_table(spark, sf_dir, "documents")
+    _, stats = lr_train_quality(d, steps=_LR_STEPS)
+    return spark.createDataFrame(
+        [
+            (
+                s["step"],
+                s["n_pos_pred"],
+                s["n_correct"],
+                s["err_abs_sum"],
+                s["w_sum"],
+                s["w_abs_sum"],
+            )
+            for s in stats
+        ],
+        "step int, n_pos_pred long, n_correct long, err_abs_sum long, "
+        "w_sum long, w_abs_sum long",
+    )
