@@ -692,3 +692,153 @@ def text_quality_train_lr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "step int, n_pos_pred long, n_correct long, err_abs_sum long, "
         "w_sum long, w_abs_sum long",
     )
+
+
+# --------------------------------------------------------------------------
+# Batch IVF-PQ serving — sim_cosine_topk_ivfpq_multi (r8 verdict item
+# 2): the single-query composed index (pipeline11) served at the REAL
+# request shape, a query batch. One pruned scan of the union of all
+# probed cells; per-query LUTs as literal maps keyed by query_id;
+# WindowGroupLimit shortlists; one broadcast re-rank join. The oracle
+# replays both fits and the complete per-query pipeline (probe choice,
+# ADC, shortlist, exact rank) for every query in the batch.
+# --------------------------------------------------------------------------
+
+_IPM_NQUERIES = 5
+
+
+def _ivfpq_multi_oracle() -> str:
+    from jhu_data_parser_spark.plans.clustering import _kmeans_ctes
+    from jhu_data_parser_spark.plans.pipeline11 import (
+        _IP_CELLS,
+        _IP_CITERS,
+        _IP_ITERS,
+        _IP_K,
+        _IP_M,
+        _IP_PROBE,
+        _IP_SHORTLIST,
+        _IP_SUB,
+        _IP_TOPK,
+        _Q_INT,
+        _ZDIST,
+    )
+
+    nq = _IPM_NQUERIES
+    where = f"WHERE vec_id >= {nq}"
+    chains = ",".join(
+        [_kmeans_ctes(_IP_CELLS, _IP_CITERS, where=where, prefix="cc_")]
+        + [
+            _kmeans_ctes(
+                _IP_K,
+                _IP_ITERS,
+                where=where,
+                prefix=f"p{s}_",
+                dim=_IP_SUB,
+                lo=s * _IP_SUB + 1,
+            )
+            for s in range(_IP_M)
+        ]
+    )
+    luts = ",".join(
+        f"""
+    lut{s} AS (SELECT q.query_id, c.cid AS code,
+                      {_ZDIST.format(
+                          a=f"q.q[{s * _IP_SUB + 1}:{(s + 1) * _IP_SUB}]",
+                          b="c.c")} AS d
+               FROM p{s}_c{_IP_ITERS - 1} c CROSS JOIN qs q)"""
+        for s in range(_IP_M)
+    )
+    code_joins = " ".join(
+        f"JOIN lut{s} l{s} ON l{s}.query_id = pr.query_id "
+        f"AND l{s}.code = c.code{s}"
+        for s in range(_IP_M)
+    )
+    adc_sum = " + ".join(f"l{s}.d" for s in range(_IP_M))
+    return f"""
+    WITH {chains},
+    qs AS (SELECT vec_id AS query_id, {_Q_INT} AS q
+           FROM embeddings WHERE vec_id < {nq}),
+    cd AS (SELECT q.query_id, c.cid, {_ZDIST.format(a="q.q", b="c.c")} AS d
+           FROM cc_c{_IP_CITERS - 1} c CROSS JOIN qs q),
+    probes AS (
+      SELECT query_id, cid FROM cd
+      QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY d, cid)
+              <= {_IP_PROBE}),{luts},
+    codes AS (
+      SELECT a0.id AS vid, a0.cid AS code0, a1.cid AS code1,
+             a2.cid AS code2, a3.cid AS code3
+      FROM p0_a{_IP_ITERS} a0
+      JOIN p1_a{_IP_ITERS} a1 USING (id)
+      JOIN p2_a{_IP_ITERS} a2 USING (id)
+      JOIN p3_a{_IP_ITERS} a3 USING (id)),
+    cells AS (SELECT id AS vid, cid AS cell FROM cc_a{_IP_CITERS}),
+    adc AS (
+      SELECT pr.query_id, c.vid, x.cell, CAST({adc_sum} AS BIGINT) AS adc_dist
+      FROM codes c
+      JOIN cells x ON x.vid = c.vid
+      JOIN probes pr ON pr.cid = x.cell
+      {code_joins}),
+    short AS (
+      SELECT * FROM adc
+      QUALIFY row_number() OVER (PARTITION BY query_id
+                                 ORDER BY adc_dist, vid) <= {_IP_SHORTLIST}),
+    ef AS (SELECT vec_id, {_Q_INT} AS q FROM embeddings WHERE vec_id >= {nq})
+    SELECT query_id, vec_id, CAST(rank AS INT) AS rank,
+           CAST(cell AS BIGINT) AS cell, adc_dist, exact_dist
+    FROM (
+      SELECT s.query_id, s.vid AS vec_id, s.cell, s.adc_dist,
+             {_ZDIST.format(a="e.q", b="qf.q")} AS exact_dist,
+             row_number() OVER (
+               PARTITION BY s.query_id
+               ORDER BY {_ZDIST.format(a="e.q", b="qf.q")}, s.vid) AS rank
+      FROM short s
+      JOIN ef e ON e.vec_id = s.vid
+      JOIN qs qf ON qf.query_id = s.query_id)
+    WHERE rank <= {_IP_TOPK}
+    """
+
+
+@query("sim_cosine_topk_ivfpq_multi", oracle=_ivfpq_multi_oracle())
+def sim_cosine_topk_ivfpq_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch IVF-PQ top-10: queries vec_id < 5, corpus vec_id >= 5,
+    3/8-cell probe per query, one pruned index scan for the whole batch
+    (operators/similarity.topk_ivfpq_indexed_multi). The oracle replays
+    everything per query; the plan test pins single-scan + pruning."""
+    from jhu_data_parser_spark.operators import similarity as sim
+    from jhu_data_parser_spark.operators.clustering import quantize_vectors
+    from jhu_data_parser_spark.plans.pipeline11 import (
+        _IP_CELLS,
+        _IP_CITERS,
+        _IP_ITERS,
+        _IP_K,
+        _IP_M,
+        _IP_PROBE,
+        _IP_SHORTLIST,
+        _IP_SUB,
+        _IP_TOPK,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") >= _IPM_NQUERIES)
+    qrows = (
+        quantize_vectors(emb.filter(F.col("vec_id") < _IPM_NQUERIES))
+        .select("id", "q")
+        .collect()
+    )
+    queries = sorted(
+        (int(r["id"]), [int(v) for v in r["q"]]) for r in qrows
+    )
+    return sim.topk_ivfpq_indexed_multi(
+        corpus,
+        queries,
+        k=_IP_TOPK,
+        n_probe=_IP_PROBE,
+        shortlist=_IP_SHORTLIST,
+        n_cells=_IP_CELLS,
+        coarse_iters=_IP_CITERS,
+        m=_IP_M,
+        sub=_IP_SUB,
+        pq_k=_IP_K,
+        pq_iters=_IP_ITERS,
+        cache_tag="embeddings_ivfpq_multi",
+    )

@@ -739,3 +739,33 @@ def test_ivfpq_exhaustive_probe_degrades_to_exact(spark):
     )
     want = [(r["id"], r["d"]) for r in exact.collect()]
     assert got == want
+
+
+def test_ivfpq_multi_single_scan_and_pruning(spark):
+    """Batch IVF-PQ serving scans the corpus exactly twice in total —
+    ONE pruned index scan shared by the whole query batch (not one per
+    query) and ONE base scan for the re-rank — with the index scan
+    pruned to the union of all probed cells and reading only the code
+    columns."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from jhu_data_parser_spark import plans
+
+    out = plans.QUERIES["sim_cosine_topk_ivfpq_multi"](spark, SF_SMOKE)
+    rows = out.collect()
+    assert len(rows) == 50  # 5 queries x top-10
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [cell" in plan
+    # AQE prints the same physical scan node in both the stage tree and
+    # the final-plan section — dedupe scans by their attribute-id lists
+    # (exprIds are unique per scan INSTANCE, shared across reprints).
+    scans = set(re.findall(r"FileScan parquet \[([^\]]*)\]", plan))
+    idx_scans = {s for s in scans if "code0" in s}
+    emb_scans = {s for s in scans if "embedding" in s}
+    # exactly ONE index scan for the whole batch (codes only, no
+    # vectors) and ONE base-corpus scan (the re-rank side)
+    assert len(idx_scans) == 1
+    assert all("embedding" not in s for s in idx_scans)
+    assert len(emb_scans) == 1
