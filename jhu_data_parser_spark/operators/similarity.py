@@ -861,7 +861,46 @@ def topk_ivfpq_indexed(
         cache_tag,
         residual,
     )
-    spark = df.sparkSession
+    index = df.sparkSession.read.parquet(path)
+    return ivfpq_adc_rerank(
+        index,
+        df,
+        coarse,
+        books,
+        q_ints,
+        k=k,
+        n_probe=n_probe,
+        shortlist=shortlist,
+        sub=sub,
+        vec_col=vec_col,
+        id_col=id_col,
+        row_filter=row_filter,
+        residual=residual,
+    )
+
+
+def ivfpq_adc_rerank(
+    index: DataFrame,
+    df: DataFrame,
+    coarse: list,
+    books: list,
+    q_ints: list[int],
+    k: int = 10,
+    n_probe: int = 3,
+    shortlist: int = 50,
+    sub: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    row_filter: Column | None = None,
+    residual: bool = False,
+) -> DataFrame:
+    """The serving body of :func:`topk_ivfpq_indexed` against an
+    ALREADY-LOADED index frame ``(id, cell, code*)`` — shared by the
+    pre-built-index path and the streaming append path
+    (``streaming/jobs.run_ivfpq_index_append_stream``), where the index
+    is the union of the stored base segments and the per-batch appended
+    segments (the LSM-style serve)."""
+    m = len(books)
 
     cell_d = sorted(
         (sum((qi - ci) ** 2 for qi, ci in zip(q_ints, c)), cid)
@@ -908,7 +947,6 @@ def topk_ivfpq_indexed(
             for sp in range(m)
         ]
 
-    index = spark.read.parquet(path)
     if row_filter is not None:
         index = index.filter(row_filter)
     cand = index.filter(F.col("cell").isin(probes))

@@ -842,3 +842,112 @@ def sim_cosine_topk_ivfpq_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         pq_iters=_IP_ITERS,
         cache_tag="embeddings_ivfpq_multi",
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming IVF-PQ index maintenance — stream_ivfpq_index_append (r8
+# verdict item 3): new vectors arrive as micro-batches, are encoded
+# under the FROZEN base-corpus codebooks, and append as idempotent
+# batch_id=N cell-partitioned segments; serving reads base ∪ appended
+# (streaming/jobs.run_ivfpq_index_append_stream). Because the encode is
+# deterministic under frozen codebooks, the served result is IDENTICAL
+# to a batch encode of the union — the oracle replays the base-only
+# fits, the union assignment, and the full probe/ADC/re-rank.
+# --------------------------------------------------------------------------
+
+
+def _ivfpq_append_oracle() -> str:
+    from jhu_data_parser_spark.plans.clustering import _kmeans_ctes
+    from jhu_data_parser_spark.plans.pipeline11 import (
+        _IP_CELLS,
+        _IP_CITERS,
+        _IP_ITERS,
+        _IP_K,
+        _IP_M,
+        _IP_PROBE,
+        _IP_SHORTLIST,
+        _IP_SUB,
+        _IP_TOPK,
+        _Q_INT,
+        _ZDIST,
+    )
+
+    where = "WHERE vec_id % 5 <> 0"
+    chains = ",".join(
+        [_kmeans_ctes(_IP_CELLS, _IP_CITERS, where=where, prefix="cc_")]
+        + [
+            _kmeans_ctes(
+                _IP_K,
+                _IP_ITERS,
+                where=where,
+                prefix=f"p{s}_",
+                dim=_IP_SUB,
+                lo=s * _IP_SUB + 1,
+            )
+            for s in range(_IP_M)
+        ]
+    )
+    ucodes = ",".join(
+        f"""
+    ucode{s} AS (
+      SELECT p.id, b.cid AS code{s},
+             {_ZDIST.format(
+                 a=f"p.q[{s * _IP_SUB + 1}:{(s + 1) * _IP_SUB}]",
+                 b="b.c")} AS d
+      FROM up p CROSS JOIN p{s}_c{_IP_ITERS - 1} b
+      QUALIFY row_number() OVER (PARTITION BY p.id ORDER BY d, b.cid) = 1)"""
+        for s in range(_IP_M)
+    )
+    luts = ",".join(
+        f"""
+    lut{s} AS (SELECT c.cid,
+                      {_ZDIST.format(a="q.sq", b="c.c")} AS d
+               FROM p{s}_c{_IP_ITERS - 1} c CROSS JOIN
+                    (SELECT q[{s * _IP_SUB + 1}:{(s + 1) * _IP_SUB}] AS sq
+                     FROM qq) q)"""
+        for s in range(_IP_M)
+    )
+    code_joins = " ".join(
+        f"JOIN ucode{s} c{s} ON c{s}.id = uc.id "
+        f"JOIN lut{s} l{s} ON l{s}.cid = c{s}.code{s}"
+        for s in range(_IP_M)
+    )
+    adc_sum = " + ".join(f"l{s}.d" for s in range(_IP_M))
+    return f"""
+    WITH {chains},
+    up AS (SELECT vec_id AS id, {_Q_INT} AS q
+           FROM embeddings WHERE vec_id <> 0),
+    ucell AS (
+      SELECT p.id, c.cid AS cell,
+             {_ZDIST.format(a="p.q", b="c.c")} AS d
+      FROM up p CROSS JOIN cc_c{_IP_CITERS - 1} c
+      QUALIFY row_number() OVER (PARTITION BY p.id ORDER BY d, c.cid) = 1),{ucodes},
+    qq AS (SELECT {_Q_INT} AS q FROM embeddings WHERE vec_id = 0),
+    cd AS (SELECT c.cid, {_ZDIST.format(a="q.q", b="c.c")} AS d
+           FROM cc_c{_IP_CITERS - 1} c CROSS JOIN qq q),
+    probes AS (SELECT cid FROM cd ORDER BY d, cid LIMIT {_IP_PROBE}),{luts},
+    adc AS (
+      SELECT uc.id AS vid, uc.cell, CAST({adc_sum} AS BIGINT) AS adc_dist
+      FROM ucell uc
+      JOIN probes pr ON pr.cid = uc.cell
+      {code_joins}),
+    short AS (SELECT * FROM adc ORDER BY adc_dist, vid LIMIT {_IP_SHORTLIST}),
+    ef AS (SELECT vec_id, {_Q_INT} AS q FROM embeddings WHERE vec_id <> 0)
+    SELECT s.vid AS vec_id, CAST(s.cell AS BIGINT) AS cell, s.adc_dist,
+           {_ZDIST.format(a="e.q", b="qf.q")} AS exact_dist
+    FROM short s JOIN ef e ON e.vec_id = s.vid CROSS JOIN qq qf
+    ORDER BY exact_dist, vec_id LIMIT {_IP_TOPK}
+    """
+
+
+@query("stream_ivfpq_index_append", oracle=_ivfpq_append_oracle())
+def stream_ivfpq_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serve query vec_id=0 from an index maintained BY A STREAM: base
+    corpus (vec_id % 5 != 0) builds and freezes the codebooks; the rest
+    arrives as micro-batches, is encoded under the frozen books, and
+    appends idempotently; the serve reads base ∪ appended. The oracle
+    replays base-only fits + union assignment + probe/ADC/re-rank, so
+    the driver hash proves stream-appended ≡ batch-encoded union."""
+    from jhu_data_parser_spark.streaming.jobs import run_ivfpq_index_append_stream
+
+    return run_ivfpq_index_append_stream(spark, sf_dir)

@@ -466,3 +466,25 @@ def test_stream_dedup_falls_back_without_rocksdb(spark, sf_dir, monkeypatch):
     assert deduped.select("event_id").distinct().count() == deduped.count()
     key = "spark.sql.streaming.stateStore.providerClass"
     assert "RocksDB" not in (spark.conf.get(key, "") or "")
+
+
+def test_ivfpq_index_append_stream_segments(spark):
+    """The streamed index-append job writes committed (_SUCCESS-gated)
+    batch_id segments partitioned by cell and serves the standard
+    top-10 from base ∪ appended (oracle parity proves the equivalence
+    to a batch-encoded union; this pins the segment layout)."""
+    import glob
+    import os
+
+    from jhu_data_parser_spark.streaming import jobs
+
+    out = jobs.run_ivfpq_index_append_stream(spark, "/root/testdata/sf0.001")
+    rows = out.collect()
+    assert len(rows) == 10
+    seg_dirs = sorted(glob.glob("/tmp/jdps_ivfpq_app_out_*/batch_id=*"))
+    assert seg_dirs, "no appended segments written"
+    for d in seg_dirs:
+        assert os.path.exists(os.path.join(d, "_SUCCESS")), d
+    # real (non-seed) segments carry cell partitions
+    real = [d for d in seg_dirs if not d.endswith("batch_id=-1")]
+    assert real and any(glob.glob(os.path.join(real[0], "cell=*")))
