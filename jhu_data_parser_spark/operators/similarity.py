@@ -1179,3 +1179,40 @@ def topk_ivfpq_indexed_multi(
             "exact_dist",
         )
     )
+
+
+def pq_balanced_perm(
+    df: DataFrame,
+    m: int = 4,
+    sub: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[int]:
+    """OPQ-style balanced dimension allocation (the deterministic,
+    integer-exact special case of Ge et al.'s rotation learning):
+    rank dimensions by total integer energy Σq² over the fit set
+    (desc, dim asc) and deal them round-robin into the M subspaces —
+    ``newpos(rank r) = (r % m)·sub + r DIV m`` — so each subspace gets
+    an equal share of high-variance dims. Returns the permutation P
+    with ``P[newpos] = old_dim`` (a ≤D-int driver artifact from ONE
+    distributed aggregation); apply it as a corpus projection
+    ``transform(array(P...), d -> element_at(vec, d + 1))`` and run the
+    unmodified PQ/IVF-PQ pipeline — L2 is permutation-invariant, so
+    only the subspace SPLIT changes."""
+    from jhu_data_parser_spark.operators.clustering import quantize_vectors
+
+    pts = quantize_vectors(df, id_col=id_col, vec_col=vec_col)
+    en = (
+        pts.select(F.posexplode("q").alias("dim", "v"))
+        .groupBy("dim")
+        .agg(F.sum(F.col("v") * F.col("v")).cast("long").alias("e"))
+        .collect()
+    )
+    ranked = sorted(((int(r["e"]), int(r["dim"])) for r in en), key=lambda t: (-t[0], t[1]))
+    n_dims = len(ranked)
+    if n_dims != m * sub:
+        raise ValueError(f"dim count {n_dims} != m*sub = {m * sub}")
+    perm = [0] * n_dims
+    for r, (_e, dim) in enumerate(ranked):
+        perm[(r % m) * sub + r // m] = dim
+    return perm

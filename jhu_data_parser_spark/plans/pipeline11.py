@@ -51,7 +51,12 @@ _ZDIST = (
 )
 
 
-def _ivfpq_oracle_sql(src: str = "embeddings", residual: bool = False) -> str:
+def _ivfpq_oracle_sql(
+    src: str = "embeddings",
+    residual: bool = False,
+    shortlist: int = _IP_SHORTLIST,
+    n_probe: int = _IP_PROBE,
+) -> str:
     """Full DuckDB replay of the composed index + one serving query:
     coarse chain (cc_), M subspace chains (p{s}_ — over raw subvectors,
     or cell residuals when ``residual``), probe selection, ADC inside
@@ -135,7 +140,7 @@ def _ivfpq_oracle_sql(src: str = "embeddings", residual: bool = False) -> str:
     qq AS (SELECT {_Q_INT} AS q FROM {src} WHERE vec_id = 0),
     cd AS (SELECT c.cid, {_ZDIST.format(a="q.q", b="c.c")} AS d
            FROM cc_c{_IP_CITERS - 1} c CROSS JOIN qq q),
-    probes AS (SELECT cid FROM cd ORDER BY d, cid LIMIT {_IP_PROBE}){sep}{luts},
+    probes AS (SELECT cid FROM cd ORDER BY d, cid LIMIT {n_probe}){sep}{luts},
     codes AS (
       SELECT a0.id AS vid, a0.cid AS code0, a1.cid AS code1,
              a2.cid AS code2, a3.cid AS code3
@@ -150,7 +155,7 @@ def _ivfpq_oracle_sql(src: str = "embeddings", residual: bool = False) -> str:
       JOIN cells x ON x.vid = c.vid
       JOIN probes pr ON pr.cid = x.cell
       {code_joins}),
-    short AS (SELECT * FROM adc ORDER BY adc_dist, vid LIMIT {_IP_SHORTLIST}),
+    short AS (SELECT * FROM adc ORDER BY adc_dist, vid LIMIT {shortlist}),
     ef AS (SELECT vec_id, {_Q_INT} AS q FROM {src} WHERE vec_id <> 0)
     SELECT s.vid AS vec_id, CAST(s.cell AS BIGINT) AS cell, s.adc_dist,
            {_ZDIST.format(a="e.q", b="qf.q")} AS exact_dist
@@ -160,7 +165,12 @@ def _ivfpq_oracle_sql(src: str = "embeddings", residual: bool = False) -> str:
 
 
 def _ivfpq_serve(
-    spark: SparkSession, emb: DataFrame, cache_tag: str, residual: bool = False
+    spark: SparkSession,
+    emb: DataFrame,
+    cache_tag: str,
+    residual: bool = False,
+    shortlist: int = _IP_SHORTLIST,
+    n_probe: int = _IP_PROBE,
 ) -> DataFrame:
     """Shared serving body: build/cache the index over the corpus
     (query row excluded from fits AND storage, matching the oracle's
@@ -180,8 +190,8 @@ def _ivfpq_serve(
         db,
         q_ints,
         k=_IP_TOPK,
-        n_probe=_IP_PROBE,
-        shortlist=_IP_SHORTLIST,
+        n_probe=n_probe,
+        shortlist=shortlist,
         n_cells=_IP_CELLS,
         coarse_iters=_IP_CITERS,
         m=_IP_M,

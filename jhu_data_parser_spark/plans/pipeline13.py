@@ -951,3 +951,184 @@ def stream_ivfpq_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jhu_data_parser_spark.streaming.jobs import run_ivfpq_index_append_stream
 
     return run_ivfpq_index_append_stream(spark, sf_dir)
+
+
+# --------------------------------------------------------------------------
+# OPQ-style balanced dimension allocation — sim_ivfpq_recall_opq (r8
+# verdict item 8, stretch): a DATA-DERIVED, integer-exact coordinate
+# permutation before subspace splitting (the practical core of OPQ, Ge
+# et al. CVPR 2013 — full OPQ learns a rotation; the deterministic
+# variance-BALANCING allocation is the replayable special case real
+# systems ship as "dimension shuffling"). Rank dimensions by integer
+# energy Σq² (desc, dim asc) and deal them round-robin into subspaces:
+# newpos(rank r) = (r % M)·sub + r DIV M. The eval corpus concentrates
+# 32 cluster patterns in dims 0..15 (energy-skewed): contiguous
+# slicing gives ONE 16-code subspace all the signal (16 codes cannot
+# separate 32 centers) while balanced allocation spreads signal dims 4
+# per subspace and the 4 independent code collisions multiply apart.
+# The query emits BOTH arms' recall@10 so the driver hash gates the
+# measured improvement itself.
+# --------------------------------------------------------------------------
+
+# 32 planted clusters whose signal lives ONLY in dims 0..15 as BINARY
+# bit patterns: cluster c = vec_id % 32 is a 5-bit code and signal dim
+# i carries bit (i % 5) of c scaled to 8.0 — so ANY allocation of ≤4
+# signal dims per subspace yields ≤16 distinct subspace patterns (a
+# 16-entry codebook can represent them) while contiguous slicing gives
+# subspace 0 all 32 patterns for its 16 codes (must merge cluster
+# pairs). Dims 16+ are 1e-8-scale noise that quantizes to 0. The same
+# string is valid Spark SQL and DuckDB (both support & and <<).
+_SKEW_N = 160
+_SKEW_NOISE = (
+    "(CAST(((vec_id * 7919 + (i + 1) * 104729) % 100001) - 50000 AS DOUBLE) "
+    "/ CAST(1000000 AS DOUBLE))"
+)
+_SKEW_VEC = (
+    f"CASE WHEN i < 16 THEN "
+    f"CAST(CASE WHEN ((vec_id % 32) & (1 << CAST(i % 5 AS INT))) > 0 "
+    f"THEN 8 ELSE 0 END AS DOUBLE) + {_SKEW_NOISE} "
+    f"ELSE {_SKEW_NOISE} * CAST(0.01 AS DOUBLE) END"
+)
+
+# Tight shortlist (just above k): with the default 50-of-~60-candidate
+# shortlist the exact re-rank rescues any ADC ordering and both arms
+# read 1.0 — the measurement must make ADC quality load-bearing.
+_OPQ_SHORTLIST = 12
+# The real partial-probe serving config; the coarse stage is
+# permutation-invariant, so probe misses hit both arms identically and
+# the recall DELTA isolates ADC ordering either way.
+_OPQ_PROBE = 3
+
+
+def _ivfpq_opq_oracle() -> str:
+    from jhu_data_parser_spark.plans.pipeline11 import (
+        _IP_TOPK,
+        _Q_INT,
+        _ZDIST,
+        _ivfpq_oracle_sql,
+    )
+
+    skew_src = "(SELECT vec_id, embedding FROM skew) sk"
+    opq_src = (
+        "(SELECT s.vec_id, list(s.embedding[p.dim + 1] ORDER BY p.newpos) "
+        "AS embedding FROM skew s CROSS JOIN pmap p GROUP BY s.vec_id) opq"
+    )
+    return f"""
+    WITH skew AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(range(64), i -> {_SKEW_VEC}) AS embedding
+      FROM embeddings WHERE vec_id < {_SKEW_N}),
+    en AS (
+      SELECT t.i AS dim,
+             CAST(SUM(CAST(ROUND(CAST(s.embedding[t.i + 1] AS DOUBLE)
+                                 * 1000000) AS BIGINT)
+                      * CAST(ROUND(CAST(s.embedding[t.i + 1] AS DOUBLE)
+                                   * 1000000) AS BIGINT)) AS BIGINT) AS e
+      FROM skew s, range(64) t(i)
+      WHERE s.vec_id <> 0
+      GROUP BY t.i),
+    pmap AS MATERIALIZED (
+      SELECT dim, CAST((r % 4) * 16 + r // 4 AS BIGINT) AS newpos
+      FROM (SELECT dim, row_number() OVER (ORDER BY e DESC, dim) - 1 AS r
+            FROM en)),
+    naive AS MATERIALIZED ({_ivfpq_oracle_sql(src=skew_src, shortlist=_OPQ_SHORTLIST, n_probe=_OPQ_PROBE)}),
+    balanced AS MATERIALIZED ({_ivfpq_oracle_sql(src=opq_src, shortlist=_OPQ_SHORTLIST, n_probe=_OPQ_PROBE)}),
+    qf AS (SELECT {_Q_INT} AS q FROM skew WHERE vec_id = 0),
+    ef2 AS (SELECT vec_id, {_Q_INT} AS q FROM skew WHERE vec_id <> 0),
+    exact AS MATERIALIZED (
+      SELECT e.vec_id FROM ef2 e CROSS JOIN qf
+      ORDER BY {_ZDIST.format(a="e.q", b="qf.q")}, e.vec_id LIMIT {_IP_TOPK})
+    SELECT 'contiguous' AS variant, CAST({_IP_TOPK} AS INT) AS k,
+           CAST(COUNT(*) AS BIGINT) AS n_overlap,
+           CAST(COUNT(*) AS DOUBLE) / CAST({_IP_TOPK} AS DOUBLE) AS recall
+    FROM exact JOIN naive USING (vec_id)
+    UNION ALL
+    SELECT 'balanced', CAST({_IP_TOPK} AS INT),
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) AS DOUBLE) / CAST({_IP_TOPK} AS DOUBLE)
+    FROM exact JOIN balanced USING (vec_id)
+    """
+
+
+def _synth_skewed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.filter(F.col("vec_id") < _SKEW_N).select(
+        "vec_id",
+        F.expr(f"transform(sequence(0, 63), i -> {_SKEW_VEC})").alias(
+            "embedding"
+        ),
+    )
+
+
+@query("sim_ivfpq_recall_opq", oracle=_ivfpq_opq_oracle())
+def sim_ivfpq_recall_opq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@10 of the composed IVF-PQ serve on the energy-skewed
+    32-cluster corpus, contiguous vs balanced dimension allocation —
+    both arms run the UNMODIFIED index pipeline (the permutation is a
+    pure corpus projection, exactly how a deployment ships it: permute
+    once at ingest, build/serve untouched; L2 distances are permutation
+    -invariant so the exact arm is computed once and shared). The
+    balanced permutation itself is a ≤D-int driver artifact derived
+    from one integer energy aggregation (operators/similarity.
+    pq_balanced_perm); the oracle re-derives it and replays BOTH
+    composed pipelines end to end."""
+    from jhu_data_parser_spark.operators import similarity as sim
+    from jhu_data_parser_spark.plans.pipeline11 import _IP_TOPK, _ivfpq_serve
+
+    skew = _synth_skewed(spark, sf_dir)
+    P = sim.pq_balanced_perm(skew.filter(F.col("vec_id") != 0), m=4, sub=16)
+    perm_lit = ", ".join(str(int(d)) for d in P)
+    opq = skew.select(
+        "vec_id",
+        F.expr(
+            f"transform(array({perm_lit}), d -> element_at(embedding, d + 1))"
+        ).alias("embedding"),
+    )
+    naive = _ivfpq_serve(
+        spark, skew, cache_tag="synth_skew_naive_v1",
+        shortlist=_OPQ_SHORTLIST, n_probe=_OPQ_PROBE
+    ).select("vec_id")
+    balanced = _ivfpq_serve(
+        spark, opq, cache_tag="synth_skew_opq_v1",
+        shortlist=_OPQ_SHORTLIST, n_probe=_OPQ_PROBE
+    ).select("vec_id")
+    qf = skew.filter(F.col("vec_id") == 0).select(
+        F.expr(
+            "transform(embedding, x -> "
+            "CAST(ROUND(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT))"
+        ).alias("qq")
+    )
+    ef = skew.filter(F.col("vec_id") != 0).select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> "
+            "CAST(ROUND(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT))"
+        ).alias("q"),
+    )
+    exact = (
+        ef.crossJoin(F.broadcast(qf))
+        .select(
+            "vec_id",
+            F.expr(
+                "aggregate(zip_with(q, qq, (a, b) -> (a - b) * (a - b)), "
+                "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+            ).alias("d"),
+        )
+        .orderBy("d", "vec_id")
+        .limit(_IP_TOPK)
+        .select("vec_id")
+        .localCheckpoint(eager=False)
+    )
+    arms = [("contiguous", naive), ("balanced", balanced)]
+    outs = [
+        exact.join(F.broadcast(arm), "vec_id").agg(
+            F.lit(name).alias("variant"),
+            F.lit(_IP_TOPK).cast("int").alias("k"),
+            F.count(F.lit(1)).cast("long").alias("n_overlap"),
+            (F.count(F.lit(1)).cast("double") / F.lit(float(_IP_TOPK))).alias(
+                "recall"
+            ),
+        )
+        for name, arm in arms
+    ]
+    return outs[0].unionByName(outs[1])

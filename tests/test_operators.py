@@ -2865,3 +2865,20 @@ def test_lr_train_quality_local_equals_distributed(spark, tmp_path):
     # step-1 baseline (full-batch GD is non-monotone step to step —
     # the 6-step curve on this corpus is 302 → 415 → 267 → ... → 404)
     assert max(s["n_correct"] for s in stats_d) > stats_d[0]["n_correct"]
+
+
+def test_pq_balanced_perm_spreads_energy(spark):
+    """pq_balanced_perm returns a true permutation that deals the
+    high-energy dims round-robin: on the bit-pattern skew corpus the 16
+    signal dims (0..15) must land exactly 4 per subspace, so every
+    subspace's pattern count stays within one 16-entry codebook."""
+    from jhu_data_parser_spark.operators.similarity import pq_balanced_perm
+    from jhu_data_parser_spark.plans.pipeline13 import _synth_skewed
+    from pyspark.sql import functions as F
+
+    skew = _synth_skewed(spark, "/root/testdata/sf0.001")
+    P = pq_balanced_perm(skew.filter(F.col("vec_id") != 0), m=4, sub=16)
+    assert sorted(P) == list(range(64))
+    for s in range(4):
+        sig = [d for d in P[s * 16 : (s + 1) * 16] if d < 16]
+        assert len(sig) == 4, (s, sig)
