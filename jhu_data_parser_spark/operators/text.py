@@ -848,11 +848,26 @@ def lr_quality_raw_frame(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+_LR_FIT_CACHE: dict = {}
+
+
 def lr_train_quality(
     df: DataFrame, text_col: str = "text", steps: int = 6
 ) -> tuple[list, list]:
+    """(weights, per-step stats) — see :func:`lr_fit_artifacts`."""
+    w, stats, _mu, _n = lr_fit_artifacts(df, text_col, steps)
+    return w, stats
+
+
+def lr_fit_artifacts(
+    df: DataFrame, text_col: str = "text", steps: int = 6
+) -> tuple[list, list, list, int]:
     """Distributed full-batch logistic-regression training: returns
-    (weights, per-step stats rows). Per step, ONE aggregation job runs
+    (weights, per-step stats rows, feature means ×1000, n_docs) — the
+    means are part of the model (serving must center inputs the same
+    way). Cached per (corpus file fingerprint, text_col, steps) — the
+    same fit-once lifecycle as unigram_fit — so the serve query reuses
+    the training query's fit. Per step, ONE aggregation job runs
     over the centered feature frame — the margin/sigmoid/error are
     in-row codegen+HOF expressions against the current weight LITERAL,
     posexplode routes the gradient to a 70-row (feature-dim) result,
@@ -863,6 +878,17 @@ def lr_train_quality(
     exact int64 error-weighted feature sum; the int64→double conversion
     and the single division round identically in every engine."""
     import math
+
+    from jhu_data_parser_spark.operators.similarity import (
+        _file_fingerprint,
+        _fingerprint_cacheable,
+    )
+
+    fp = _file_fingerprint(df.inputFiles())
+    key = (fp, text_col, steps)
+    cacheable = _fingerprint_cacheable(fp)
+    if cacheable and key in _LR_FIT_CACHE:
+        return _LR_FIT_CACHE[key]
 
     # Checkpoint the RAW frame (not the centered one): the means collect
     # below materializes it, and the per-step centering is then a cheap
@@ -940,7 +966,10 @@ def lr_train_quality(
                 "w_abs_sum": sum(abs(v) for v in w),
             }
         )
-    return w, out
+    result = (w, out, mean1000, n_docs)
+    if cacheable:
+        _LR_FIT_CACHE[key] = result
+    return result
 
 
 def _lr_train_quality_local(texts_with_ids: list, steps: int = 6) -> tuple[list, list]:

@@ -627,6 +627,7 @@ def _lr_oracle(steps: int = _LR_STEPS) -> str:
     w0 AS (SELECT CAST(unnest(range(0, 70)) AS BIGINT) AS j,
                   CAST(0 AS BIGINT) AS w)"""
     ]
+    stats_parts = []
     for k in range(1, steps + 1):
         parts.append(f"""m{k} AS MATERIALIZED (
       SELECT doc_id, CAST(SUM(cx * w) AS BIGINT) AS m
@@ -648,8 +649,8 @@ def _lr_oracle(steps: int = _LR_STEPS) -> str:
              CAST(w.w - CAST(floor(CAST(g.g AS DOUBLE)
                / (1000000.0 * (SELECT n_docs FROM nd))) AS BIGINT)
                AS BIGINT) AS w
-      FROM w{k - 1} w JOIN g{k} g USING (j)),
-    s{k} AS (
+      FROM w{k - 1} w JOIN g{k} g USING (j))""")
+        stats_parts.append(f"""s{k} AS (
       SELECT CAST({k} AS INT) AS step,
              CAST((SELECT COUNT(*) FILTER (WHERE p >= 500000) FROM e2{k})
                   AS BIGINT) AS n_pos_pred,
@@ -659,7 +660,47 @@ def _lr_oracle(steps: int = _LR_STEPS) -> str:
              CAST((SELECT SUM(w) FROM w{k}) AS BIGINT) AS w_sum,
              CAST((SELECT SUM(ABS(w)) FROM w{k}) AS BIGINT) AS w_abs_sum)""")
     stack = "\n    UNION ALL ".join(f"SELECT * FROM s{k}" for k in range(1, steps + 1))
-    return "WITH " + ",\n    ".join(parts) + "\n    " + stack
+    return (
+        "WITH " + ",\n    ".join(parts + stats_parts) + "\n    " + stack
+    )
+
+
+def _lr_chain_ctes(steps: int = _LR_STEPS) -> str:
+    """The training chain's WITH-body WITHOUT the per-step stats CTEs
+    or the final stack — shared by the serve oracle."""
+    body = _lr_oracle(steps)
+    # chain parts end right before the first stats CTE "s1 AS ("
+    cut = body.index("s1 AS (")
+    return body[len("WITH "):cut].rstrip().rstrip(",")
+
+
+def _lr_serve_oracle(steps: int = _LR_STEPS) -> str:
+    """The trained-weight SERVE: reuse the full training chain's CTEs
+    (everything up to ``w{steps}``), score every doc's centered feature
+    vector with the final weights, and roll keep-rates and margin stats
+    up per language."""
+    from jhu_data_parser_spark.operators.text import LR_CLAMP
+
+    chain = _lr_chain_ctes(steps)
+    return f"""WITH {chain},
+    ms AS (
+      SELECT doc_id, CAST(SUM(cx * w) AS BIGINT) AS m
+      FROM xl JOIN w{steps} USING (j) GROUP BY doc_id),
+    ps AS (
+      SELECT doc_id, m,
+             CAST(floor(1000000.0 / (1.0 + exp(-(CAST(LEAST({LR_CLAMP},
+               GREATEST(-{LR_CLAMP}, m)) AS DOUBLE) / 1000000.0))))
+               AS BIGINT) AS p
+      FROM ms)
+    SELECT d.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) FILTER (WHERE p >= 500000) AS BIGINT) AS n_keep,
+           CAST(SUM(m) AS BIGINT) AS m_sum,
+           CAST(MIN(m) AS BIGINT) AS m_min,
+           CAST(MAX(m) AS BIGINT) AS m_max
+    FROM ps JOIN documents d USING (doc_id)
+    GROUP BY d.lang
+    """
 
 
 @query("text_quality_train_lr", oracle=_lr_oracle())
@@ -1132,3 +1173,55 @@ def sim_ivfpq_recall_opq(spark: SparkSession, sf_dir: str) -> DataFrame:
         for name, arm in arms
     ]
     return outs[0].unionByName(outs[1])
+
+
+@query("text_quality_lr_serve", oracle=_lr_serve_oracle())
+def text_quality_lr_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SERVE the trained classifier: score every document's centered
+    feature vector with the step-6 weights (train → broadcast weights →
+    filter, the full model lifecycle in two catalog rows) and report
+    per-language keep rates and margin stats. The fit is cached per
+    corpus fingerprint (lr_fit_artifacts), so this query reuses
+    text_quality_train_lr's fit when both run in one session — exactly
+    the train-once/serve-many lifecycle; scoring itself is one scan +
+    one language aggregate, weights and means folded in as literals."""
+    from jhu_data_parser_spark.operators.text import (
+        LR_CLAMP,
+        LR_SCALE,
+        lr_fit_artifacts,
+        lr_quality_raw_frame,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    w, _stats, mean1000, _n = lr_fit_artifacts(d, steps=_LR_STEPS)
+    mean_lits = ", ".join(f"CAST({m} AS BIGINT)" for m in mean1000)
+    w_lit = ", ".join(f"CAST({v} AS BIGINT)" for v in w)
+    raw = lr_quality_raw_frame(d)
+    scored = raw.select(
+        "doc_id",
+        F.expr(
+            f"aggregate(zip_with(concat(zip_with(x, array({mean_lits}), "
+            f"(a, m) -> 1000 * a - m), array(CAST(1000 AS BIGINT))), "
+            f"array({w_lit}), (a, b) -> a * b), "
+            "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+        ).alias("m"),
+    ).select(
+        "doc_id",
+        "m",
+        F.expr(
+            "CAST(floor(1000000.0 / (1.0 + exp(-(CAST(LEAST("
+            f"CAST({LR_CLAMP} AS BIGINT), GREATEST(CAST(-{LR_CLAMP} AS BIGINT), m)) "
+            "AS DOUBLE) / 1000000.0)))) AS BIGINT)"
+        ).alias("p"),
+    )
+    return (
+        scored.join(d.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.count_if(F.col("p") >= LR_SCALE // 2).cast("long").alias("n_keep"),
+            F.sum("m").cast("long").alias("m_sum"),
+            F.min("m").cast("long").alias("m_min"),
+            F.max("m").cast("long").alias("m_max"),
+        )
+    )
