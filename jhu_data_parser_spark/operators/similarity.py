@@ -1056,6 +1056,7 @@ def topk_ivfpq_indexed_multi(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     cache_tag: str = "",
+    residual: bool = False,
 ) -> DataFrame:
     """Batch IVF-PQ serving (r8 verdict item 2): score a query BATCH
     against the pre-built index with ONE pruned scan. ``queries`` is a
@@ -1084,7 +1085,7 @@ def topk_ivfpq_indexed_multi(
         vec_col,
         id_col,
         cache_tag,
-        residual=False,
+        residual=residual,
     )
     from pyspark.sql import Window
 
@@ -1107,8 +1108,37 @@ def topk_ivfpq_indexed_multi(
     # Per-query ADC lookup tables as literal maps keyed by query_id —
     # flat-PQ LUTs are cell-independent, so each subspace needs one
     # Q-entry map of pq_k-long arrays (KBs for any realistic batch).
+    # Residual mode keys them by the probed (query_id, cell) pair
+    # instead (flat key qid·n_cells + cell): the LUT is the distance of
+    # the CELL-RELATIVE query residual to the codebook — still
+    # O(Q·n_probe·m·pq_k·sub) driver ints, corpus-independent.
+    probes_by_qid = {}
+    for qid, cid in probe_pairs:
+        probes_by_qid.setdefault(qid, []).append(cid)
     adc_terms = []
     for sp in range(m):
+        if residual:
+            entries = ", ".join(
+                f"{int(qid) * n_cells + cid}L, "
+                + arr_lit(
+                    [
+                        sum(
+                            (q_ints[sp * sub + i]
+                             - coarse[cid][sp * sub + i]
+                             - c[i]) ** 2
+                            for i in range(sub)
+                        )
+                        for c in books[sp]
+                    ]
+                )
+                for qid, q_ints in queries
+                for cid in probes_by_qid[int(qid)]
+            )
+            adc_terms.append(
+                f"element_at(element_at(map({entries}), "
+                f"query_id * {n_cells} + cell), CAST(code{sp} + 1 AS INT))"
+            )
+            continue
         entries = ", ".join(
             f"{int(qid)}L, "
             + arr_lit(

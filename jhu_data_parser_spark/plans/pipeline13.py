@@ -748,7 +748,7 @@ def text_quality_train_lr(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IPM_NQUERIES = 5
 
 
-def _ivfpq_multi_oracle() -> str:
+def _ivfpq_multi_oracle(residual: bool = False) -> str:
     from jhu_data_parser_spark.plans.clustering import _kmeans_ctes
     from jhu_data_parser_spark.plans.pipeline11 import (
         _IP_CELLS,
@@ -766,6 +766,15 @@ def _ivfpq_multi_oracle() -> str:
 
     nq = _IPM_NQUERIES
     where = f"WHERE vec_id >= {nq}"
+
+    def res_pts(lo: int, hi: int) -> str:
+        return (
+            f"SELECT a.id, list_transform(list_zip(a.q[{lo}:{hi}], "
+            f"c.c[{lo}:{hi}]), z -> z[1] - z[2]) AS q "
+            f"FROM cc_a{_IP_CITERS} a "
+            f"JOIN cc_c{_IP_CITERS - 1} c ON c.cid = a.cid"
+        )
+
     chains = ",".join(
         [_kmeans_ctes(_IP_CELLS, _IP_CITERS, where=where, prefix="cc_")]
         + [
@@ -776,24 +785,52 @@ def _ivfpq_multi_oracle() -> str:
                 prefix=f"p{s}_",
                 dim=_IP_SUB,
                 lo=s * _IP_SUB + 1,
+                pts_body=(
+                    res_pts(s * _IP_SUB + 1, (s + 1) * _IP_SUB)
+                    if residual
+                    else None
+                ),
             )
             for s in range(_IP_M)
         ]
     )
-    luts = ",".join(
-        f"""
+    if residual:
+        luts = (
+            f""",
+    qres AS (SELECT q.query_id, c.cid AS cell,
+                    list_transform(list_zip(q.q, c.c), z -> z[1] - z[2]) AS r
+             FROM qs q CROSS JOIN cc_c{_IP_CITERS - 1} c)"""
+            + ","
+            + ",".join(
+                f"""
+    lut{s} AS (SELECT qr.query_id, qr.cell, b.cid AS code,
+                      {_ZDIST.format(
+                          a=f"qr.r[{s * _IP_SUB + 1}:{(s + 1) * _IP_SUB}]",
+                          b="b.c")} AS d
+               FROM qres qr CROSS JOIN p{s}_c{_IP_ITERS - 1} b)"""
+                for s in range(_IP_M)
+            )
+        )
+        code_joins = " ".join(
+            f"JOIN lut{s} l{s} ON l{s}.query_id = pr.query_id "
+            f"AND l{s}.cell = x.cell AND l{s}.code = c.code{s}"
+            for s in range(_IP_M)
+        )
+    else:
+        luts = "," + ",".join(
+            f"""
     lut{s} AS (SELECT q.query_id, c.cid AS code,
                       {_ZDIST.format(
                           a=f"q.q[{s * _IP_SUB + 1}:{(s + 1) * _IP_SUB}]",
                           b="c.c")} AS d
                FROM p{s}_c{_IP_ITERS - 1} c CROSS JOIN qs q)"""
-        for s in range(_IP_M)
-    )
-    code_joins = " ".join(
-        f"JOIN lut{s} l{s} ON l{s}.query_id = pr.query_id "
-        f"AND l{s}.code = c.code{s}"
-        for s in range(_IP_M)
-    )
+            for s in range(_IP_M)
+        )
+        code_joins = " ".join(
+            f"JOIN lut{s} l{s} ON l{s}.query_id = pr.query_id "
+            f"AND l{s}.code = c.code{s}"
+            for s in range(_IP_M)
+        )
     adc_sum = " + ".join(f"l{s}.d" for s in range(_IP_M))
     return f"""
     WITH {chains},
@@ -804,7 +841,7 @@ def _ivfpq_multi_oracle() -> str:
     probes AS (
       SELECT query_id, cid FROM cd
       QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY d, cid)
-              <= {_IP_PROBE}),{luts},
+              <= {_IP_PROBE}){luts},
     codes AS (
       SELECT a0.id AS vid, a0.cid AS code0, a1.cid AS code1,
              a2.cid AS code2, a3.cid AS code3
@@ -1224,4 +1261,59 @@ def text_quality_lr_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("m").cast("long").alias("m_min"),
             F.max("m").cast("long").alias("m_max"),
         )
+    )
+
+
+@query(
+    "sim_cosine_topk_ivfpq_multi_residual",
+    oracle=_ivfpq_multi_oracle(residual=True),
+)
+def sim_cosine_topk_ivfpq_multi_residual(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Batch serving of the RESIDUAL-encoded index (FAISS-default
+    by_residual): same one-pruned-scan batch plan as
+    sim_cosine_topk_ivfpq_multi, with the ADC LUTs keyed by the probed
+    (query_id, cell) pair — the cell-relative query residual's
+    distances to the codebook, O(Q·n_probe·m·pq_k·sub) driver ints.
+    Completes the serving matrix: {single, batch} × {raw, residual},
+    every cell oracle-replayed."""
+    from jhu_data_parser_spark.operators import similarity as sim
+    from jhu_data_parser_spark.operators.clustering import quantize_vectors
+    from jhu_data_parser_spark.plans.pipeline11 import (
+        _IP_CELLS,
+        _IP_CITERS,
+        _IP_ITERS,
+        _IP_K,
+        _IP_M,
+        _IP_PROBE,
+        _IP_SHORTLIST,
+        _IP_SUB,
+        _IP_TOPK,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") >= _IPM_NQUERIES)
+    qrows = (
+        quantize_vectors(emb.filter(F.col("vec_id") < _IPM_NQUERIES))
+        .select("id", "q")
+        .collect()
+    )
+    queries = sorted(
+        (int(r["id"]), [int(v) for v in r["q"]]) for r in qrows
+    )
+    return sim.topk_ivfpq_indexed_multi(
+        corpus,
+        queries,
+        k=_IP_TOPK,
+        n_probe=_IP_PROBE,
+        shortlist=_IP_SHORTLIST,
+        n_cells=_IP_CELLS,
+        coarse_iters=_IP_CITERS,
+        m=_IP_M,
+        sub=_IP_SUB,
+        pq_k=_IP_K,
+        pq_iters=_IP_ITERS,
+        cache_tag="embeddings_ivfpq_multi_res",
+        residual=True,
     )
