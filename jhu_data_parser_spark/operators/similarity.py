@@ -1246,3 +1246,63 @@ def pq_balanced_perm(
     for r, (_e, dim) in enumerate(ranked):
         perm[(r % m) * sub + r // m] = dim
     return perm
+
+
+# ---------------------------------------------------------------------------
+# Binary (1-bit sign) quantization — the cheapest index layout in the
+# quantization matrix (float32 → int8 → PQ codes → sign bits): 8 bytes
+# per 64-dim vector, a 32× reduction over float32, and the shortlist
+# metric (Hamming distance = XOR + popcount per word) is the fastest
+# scoring loop hardware can run. Recall comes from the exact re-rank
+# of the Hamming shortlist — the same refine discipline as PQ/ADC
+# (topk_ivfpq_indexed above). Everything is integer-exact and
+# engine-portable: packing is a sum of DISJOINT powers of two kept
+# under 2^32 (two half-words instead of one 64-bit word, because bit
+# 63 would need the sign bit and engines disagree on unsigned shifts),
+# and the sign test is `x > 0.0` on the same IEEE doubles everywhere.
+# ---------------------------------------------------------------------------
+def binary_signature(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    lo_col: str = "sig_lo",
+    hi_col: str = "sig_hi",
+) -> DataFrame:
+    """Append the packed sign-bit signature of a 64-dim vector column:
+    bit i of ``lo`` is set iff dim i (0-based, dims 0..31) is strictly
+    positive; ``hi`` packs dims 32..63. Shuffle-free projection; at
+    100 TB the signature is computed once at ingest and STORED — the
+    serving scan then reads 16 bytes/row instead of 260."""
+
+    emb = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+
+    def word(offset: int):
+        bits = F.zip_with(
+            F.slice(emb, offset + 1, 32),
+            F.sequence(F.lit(0), F.lit(31)),
+            # 2^i via pow: exact in IEEE doubles for i ≤ 31, cast exact.
+            lambda x, i: F.when(x > 0.0, F.pow(F.lit(2.0), i).cast("long"))
+            .otherwise(F.lit(0).cast("long")),
+        )
+        return F.aggregate(bits, F.lit(0).cast("long"), lambda a, b: a + b)
+
+    return df.withColumn(lo_col, word(0)).withColumn(hi_col, word(32))
+
+
+def binary_query_words(query_vec: list[float]) -> tuple[int, int]:
+    """Driver-side twin of :func:`binary_signature` for the ≤64-float
+    query vector (the query input, not a data-path collect)."""
+    if len(query_vec) != 64:
+        raise ValueError(f"binary signature expects 64 dims, got {len(query_vec)}")
+    lo = sum(1 << i for i in range(32) if float(query_vec[i]) > 0.0)
+    hi = sum(1 << i for i in range(32) if float(query_vec[32 + i]) > 0.0)
+    return lo, hi
+
+
+def hamming64(lo: Column, hi: Column, qlo: int, qhi: int) -> Column:
+    """Hamming distance between a stored two-word signature and the
+    query's literal words: two XORs + two popcounts, whole-stage
+    codegen, no shuffle."""
+    return (
+        F.bit_count(lo.bitwiseXOR(F.lit(qlo).cast("long")))
+        + F.bit_count(hi.bitwiseXOR(F.lit(qhi).cast("long")))
+    ).cast("int")

@@ -1,0 +1,354 @@
+"""Catalog wave 14 — round 9 continuation: binary-signature ANN,
+multi-dimensional z-order layout pruning, and format-matrix close-out.
+
+Reference parity note: the reference (/root/reference) has no
+similarity or layout surface; these are [extension] operators of the
+LLM-data-pipeline family the brief ranks first-class. Everything here
+follows the house exactness discipline: integer-exact arithmetic
+everywhere an ordering or hash crosses engines, the 1e9·(dot/denom)
+fixed-point floor for the one float score, and DuckDB oracles that
+replay every step.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from jhu_data_parser_spark.operators import similarity as sim
+from jhu_data_parser_spark.plans.catalog import query
+from jhu_data_parser_spark.plans.llm import _query_vec
+from jhu_data_parser_spark.sources.tables import load_table
+
+_BIN_SHORTLIST = 16
+
+# Binary ANN: 1-bit sign quantization (the degenerate-but-ubiquitous
+# member of the quantization matrix: float32 → int8 → PQ → sign bits).
+# Index = two 32-bit words per vector (16 bytes with the id); shortlist
+# = Hamming distance (XOR + popcount); recall = exact re-rank of the
+# shortlist, the same refine shape as PQ/ADC. The oracle replays the
+# packing (sum of disjoint powers of two), the Hamming ranking, the
+# shortlist boundary, and the fixed-point exact re-rank bit-for-bit.
+_BINARY_ORACLE = f"""
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
+               FROM embeddings WHERE vec_id = 0),
+    qw AS (SELECT
+             CAST(list_sum(list_transform(range(32),
+                  i -> CASE WHEN qe[i+1] > 0.0 THEN (1::BIGINT << i)
+                            ELSE 0::BIGINT END)) AS BIGINT) AS qlo,
+             CAST(list_sum(list_transform(range(32),
+                  i -> CASE WHEN qe[i+33] > 0.0 THEN (1::BIGINT << i)
+                            ELSE 0::BIGINT END)) AS BIGINT) AS qhi
+           FROM q),
+    w AS (SELECT vec_id, label,
+             CAST(list_sum(list_transform(range(32),
+                  i -> CASE WHEN emb[i+1] > 0.0 THEN (1::BIGINT << i)
+                            ELSE 0::BIGINT END)) AS BIGINT) AS lo,
+             CAST(list_sum(list_transform(range(32),
+                  i -> CASE WHEN emb[i+33] > 0.0 THEN (1::BIGINT << i)
+                            ELSE 0::BIGINT END)) AS BIGINT) AS hi
+          FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+                FROM embeddings WHERE vec_id <> 0)),
+    h AS (SELECT vec_id, label,
+                 CAST(bit_count(xor(lo, qlo)) + bit_count(xor(hi, qhi)) AS INT)
+                   AS hamming
+          FROM w, qw),
+    short AS (SELECT * FROM h ORDER BY hamming, vec_id LIMIT {_BIN_SHORTLIST}),
+    rr AS (SELECT s.vec_id, s.label, s.hamming,
+                  CAST(floor(1000000000.0 *
+                    (list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qe)
+                     / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                              CAST(e.embedding AS DOUBLE[])))
+                        * sqrt(list_dot_product(q.qe, q.qe))))) AS BIGINT)
+                    AS sim_nano
+           FROM short s JOIN embeddings e USING (vec_id), q)
+    SELECT vec_id, label, hamming, sim_nano,
+           CAST(row_number() OVER (ORDER BY sim_nano DESC, vec_id) AS INT)
+             AS rank
+    FROM rr ORDER BY sim_nano DESC, vec_id LIMIT 10
+    """
+
+
+@query("sim_cosine_topk_binary", oracle=_BINARY_ORACLE)
+def sim_cosine_topk_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 by exact cosine over a Hamming-distance shortlist of the
+    1-bit sign signatures. Scale posture: the signature scan reads
+    (vec_id, label, sig words) only — at 100 TB the words are STORED at
+    ingest (binary_signature is a shuffle-free projection), the
+    shortlist is a TakeOrderedAndProject (no full sort), and the exact
+    re-rank broadcasts the ≤16-row shortlist back into the base scan —
+    the full vectors are never shuffled."""
+    e = load_table(spark, sf_dir, "embeddings")
+    corpus = e.filter(F.col("vec_id") != 0)
+    qv = _query_vec(spark, sf_dir, 0)
+    qlo, qhi = sim.binary_query_words(qv)
+    short = (
+        sim.binary_signature(corpus)
+        .select(
+            "vec_id",
+            sim.hamming64(F.col("sig_lo"), F.col("sig_hi"), qlo, qhi).alias(
+                "hamming"
+            ),
+        )
+        .orderBy("hamming", "vec_id")
+        .limit(_BIN_SHORTLIST)
+    )
+    qlit = F.array(*[F.lit(float(x)) for x in qv])
+    qn = sum(float(x) * float(x) for x in qv) ** 0.5
+    rr = e.join(F.broadcast(short), "vec_id").select(
+        "vec_id",
+        "label",
+        "hamming",
+        # Rounding order matches the oracle: 1e9 * (dot/denom) — see the
+        # retrieval_hard_negatives ulp note (plans/pipeline10.py).
+        F.floor(
+            1_000_000_000.0
+            * (
+                sim.dot(F.col("embedding"), qlit)
+                / (sim.l2_norm(F.col("embedding")) * F.lit(qn))
+            )
+        )
+        .cast("long")
+        .alias("sim_nano"),
+    )
+    w = Window.orderBy(F.col("sim_nano").desc(), "vec_id")
+    return (
+        rr.orderBy(F.col("sim_nano").desc(), "vec_id")
+        .limit(10)
+        .select(
+            "vec_id",
+            "label",
+            "hamming",
+            "sim_nano",
+            F.row_number().over(w).cast("int").alias("rank"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout pruning — the data-clustering decision every 100 TB
+# lake makes (Delta/Iceberg OPTIMIZE ZORDER BY): interleaving the bits
+# of two filter dimensions clusters rows so that a file's min/max
+# column stats (what parquet row-group pruning actually consults) cover
+# a RECTANGLE of the key space instead of a thin stripe. The query
+# materializes both candidate layouts — lexicographic (x, y) and
+# z-order — assigns rows to equal-size files, computes each file's
+# min/max stats, and counts the files a stats-pruned scan must read
+# for three probe boxes. Everything is integer arithmetic (bit shifts,
+# row_number, floor division), so the oracle replays layout assignment,
+# stats, and pruning bit-for-bit.
+#
+# Scale posture: layout assignment is the one-time OPTIMIZE job, not
+# the serving path — at 100 TB the global order comes from
+# repartitionByRange on the clustering key (sampled range boundaries)
+# with partition-local row numbering, the same quantile-literal bucket
+# machinery as window_global_rank_distributed (operators/intervals.py).
+# The per-file stats table (n_files rows) and the probe-box grid are
+# metadata-sized; pruning decisions never touch the data again.
+# ---------------------------------------------------------------------------
+_Z_FILES = 16
+_Z_BITS = 6
+
+# probe boxes: small/medium square + a half-space stripe (stripes are
+# where lexicographic wins on the leading dim — the honest comparison)
+_Z_BOXES = [(1, 8, 15, 8, 15), (2, 16, 31, 16, 31), (3, 0, 31, 0, 63)]
+
+
+def _z_boxes_sql() -> str:
+    rows = ", ".join(f"({b}, {x0}, {x1}, {y0}, {y1})" for b, x0, x1, y0, y1 in _Z_BOXES)
+    return f"(VALUES {rows}) AS b(box_id, x0, x1, y0, y1)"
+
+
+def _z_interleave_sql(x: str, y: str) -> str:
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i + 1})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i})")
+    return " + ".join(terms)
+
+
+_ZORDER_ORACLE = f"""
+    WITH pts AS (
+      SELECT o_orderkey,
+             CAST(o_custkey % 64 AS BIGINT) AS x,
+             CAST(CAST(floor(o_totalprice / 1000.0) AS BIGINT) % 64 AS BIGINT) AS y
+      FROM orders),
+    keyed AS (
+      SELECT l.layout, p.o_orderkey, p.x, p.y,
+             CASE WHEN l.layout = 'zorder'
+                  THEN {_z_interleave_sql('p.x', 'p.y')}
+                  ELSE p.x * 64 + p.y END AS sort_key
+      FROM pts p CROSS JOIN (VALUES ('zorder'), ('lexico')) AS l(layout)),
+    filed AS (
+      SELECT layout, x, y,
+             CAST(floor((row_number() OVER (PARTITION BY layout
+                                            ORDER BY sort_key, o_orderkey) - 1)
+                        * {_Z_FILES}.0
+                        / (COUNT(*) OVER (PARTITION BY layout)))
+                  AS BIGINT) AS file_id
+      FROM keyed),
+    stats AS (
+      SELECT layout, file_id,
+             min(x) AS min_x, max(x) AS max_x,
+             min(y) AS min_y, max(y) AS max_y
+      FROM filed GROUP BY layout, file_id),
+    pruned AS (
+      SELECT s.layout, b.box_id,
+             CAST(SUM(CASE WHEN s.min_x <= b.x1 AND s.max_x >= b.x0
+                            AND s.min_y <= b.y1 AND s.max_y >= b.y0
+                           THEN 1 ELSE 0 END) AS INT) AS files_scanned
+      FROM stats s CROSS JOIN {_z_boxes_sql()}
+      GROUP BY s.layout, b.box_id),
+    matched AS (
+      SELECT b.box_id, CAST(COUNT(*) AS BIGINT) AS rows_matched
+      FROM pts p CROSS JOIN {_z_boxes_sql()}
+      WHERE p.x BETWEEN b.x0 AND b.x1 AND p.y BETWEEN b.y0 AND b.y1
+      GROUP BY b.box_id)
+    SELECT p.layout, p.box_id, p.files_scanned, m.rows_matched
+    FROM pruned p JOIN matched m USING (box_id)
+    """
+
+
+def _z_interleave_col(x, y):
+    z = F.lit(0).cast("long")
+    for i in range(_Z_BITS):
+        z = z + F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        z = z + F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i)
+    return z
+
+
+@query("layout_zorder_pruning", oracle=_ZORDER_ORACLE)
+def layout_zorder_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compare z-order vs lexicographic file clustering by the number
+    of files a min/max-stats-pruned scan reads per probe box."""
+    o = load_table(spark, sf_dir, "orders")
+    pts = o.select(
+        "o_orderkey",
+        (F.col("o_custkey") % 64).cast("long").alias("x"),
+        (F.floor(F.col("o_totalprice") / 1000.0).cast("long") % 64)
+        .cast("long")
+        .alias("y"),
+    )
+    layouts = spark.createDataFrame([("zorder",), ("lexico",)], "layout string")
+    keyed = pts.crossJoin(F.broadcast(layouts)).withColumn(
+        "sort_key",
+        F.when(
+            F.col("layout") == "zorder", _z_interleave_col(F.col("x"), F.col("y"))
+        ).otherwise(F.col("x") * 64 + F.col("y")),
+    )
+    w = Window.partitionBy("layout").orderBy("sort_key", "o_orderkey")
+    wc = Window.partitionBy("layout")
+    filed = keyed.select(
+        "layout",
+        "x",
+        "y",
+        # floor of the double quotient on BOTH engines — DuckDB's
+        # CAST(double AS BIGINT) rounds while Spark's truncates, so the
+        # bare-cast form diverges at the file boundary rows.
+        F.floor(
+            (F.row_number().over(w) - 1).cast("double")
+            * float(_Z_FILES)
+            / F.count(F.lit(1)).over(wc)
+        )
+        .cast("long")
+        .alias("file_id"),
+    )
+    stats = filed.groupBy("layout", "file_id").agg(
+        F.min("x").alias("min_x"),
+        F.max("x").alias("max_x"),
+        F.min("y").alias("min_y"),
+        F.max("y").alias("max_y"),
+    )
+    boxes = spark.createDataFrame(
+        _Z_BOXES, "box_id int, x0 long, x1 long, y0 long, y1 long"
+    )
+    pruned = (
+        stats.crossJoin(F.broadcast(boxes))
+        .groupBy("layout", "box_id")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("min_x") <= F.col("x1"))
+                    & (F.col("max_x") >= F.col("x0"))
+                    & (F.col("min_y") <= F.col("y1"))
+                    & (F.col("max_y") >= F.col("y0")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("int")
+            .alias("files_scanned")
+        )
+    )
+    matched = (
+        pts.crossJoin(F.broadcast(boxes))
+        .filter(
+            F.col("x").between(F.col("x0"), F.col("x1"))
+            & F.col("y").between(F.col("y0"), F.col("y1"))
+        )
+        .groupBy("box_id")
+        .agg(F.count(F.lit(1)).alias("rows_matched"))
+    )
+    return pruned.join(F.broadcast(matched), "box_id").select(
+        "layout", "box_id", "files_scanned", "rows_matched"
+    )
+
+
+# ---------------------------------------------------------------------------
+# JSON-lines roundtrip — closes the format matrix (parquet ✓ ORC ✓
+# CSV ✓ JSON ✓; Avro remains env-blocked: the spark-avro jar is absent
+# from this distribution, recorded in PLANS.md round 8). JSON is the
+# interchange format crawl pipelines actually land (WARC-extract →
+# JSONL), so the typed roundtrip through Spark's native JSON
+# writer/reader belongs in the source matrix. Explicit schema on
+# read — never inferSchema (one pass, deterministic types); doubles
+# survive bit-exactly because Spark emits shortest-roundtrip decimal
+# reprs. Shares the cents-exact aggregate oracle of the ORC/CSV twins.
+# ---------------------------------------------------------------------------
+def _json_rt_oracle() -> str:
+    from jhu_data_parser_spark.plans.pipeline12 import _ROUNDTRIP_ORACLE
+
+    return _ROUNDTRIP_ORACLE
+
+
+@query("source_json_roundtrip", oracle=_json_rt_oracle())
+def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem projection → JSON-lines files → read back with an
+    explicit schema → cents-exact aggregate, hash-gated against the
+    parquet-sourced oracle shared with the ORC/CSV twins."""
+    import tempfile
+
+    from jhu_data_parser_spark.operators.similarity import _rmtree_at_exit
+    from jhu_data_parser_spark.plans.pipeline12 import _roundtrip_agg, _roundtrip_cols
+
+    out = tempfile.mkdtemp(prefix="jdps_json_rt_")
+    _rmtree_at_exit(out)
+    _roundtrip_cols(spark, sf_dir).write.mode("overwrite").json(out)
+    back = spark.read.schema(
+        "l_returnflag string, l_extendedprice double, l_quantity double"
+    ).json(out)
+    return _roundtrip_agg(back)
+
+
+# ---------------------------------------------------------------------------
+# Streaming Gopher quality — the curation filter as a REAL stream
+# (streaming/jobs.run_gopher_quality_stream): stateless per-batch rule
+# flags + addition-mergeable per-lang partial counts, idempotent
+# batch_id sinks, read-back re-sum. Shares text_gopher_quality's
+# oracle: the driver hash proves stream ≡ batch ≡ SQL.
+# ---------------------------------------------------------------------------
+def _gopher_oracle() -> str:
+    from jhu_data_parser_spark.plans.pipeline8 import _GOPHER_ORACLE
+
+    return _GOPHER_ORACLE
+
+
+@query("stream_gopher_quality", oracle=_gopher_oracle())
+def stream_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language Gopher rule report built from a documents stream —
+    the continuously-ingesting form of the curation filter. Each
+    micro-batch contributes its own per-lang partial counts (counts
+    merge by addition, the same mergeability discipline as the CMS
+    stream); the read-back sum is bit-identical to the batch report."""
+    from jhu_data_parser_spark.streaming.jobs import run_gopher_quality_stream
+
+    return run_gopher_quality_stream(spark, sf_dir)

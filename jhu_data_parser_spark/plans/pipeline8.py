@@ -150,13 +150,12 @@ _GOPHER_ORACLE = """
     """
 
 
-@query("text_gopher_quality", oracle=_GOPHER_ORACLE)
-def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-language Gopher-rule report: word-count floor, mean-word-
-    length band, symbol-to-word ratio, alpha-word ratio, stopword
-    presence — integer-exact rational comparisons over codegen string
-    ops; the only shuffle is the per-lang rollup."""
-    d = load_table(spark, sf_dir, "documents")
+def _gopher_flags(d: DataFrame) -> DataFrame:
+    """Per-document Gopher rule flags over a documents frame — shared
+    by the batch report and its streaming twin (the flags are pure
+    per-row codegen; the per-lang counts they roll into are mergeable
+    by addition, which is what lets the stream re-sum per-batch
+    partials into the exact batch answer)."""
     deco = d.select("doc_id", "lang", F.expr(_GOPHER_DECO_SPARK).alias("t"))
     m = deco.select(
         "lang",
@@ -171,7 +170,7 @@ def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "array('the', 'and', 'of', 'to', 'in', 'a', 'is')))"
         ).alias("n_stop"),
     )
-    flags = m.select(
+    return m.select(
         "lang",
         (F.col("n_words") < 30).alias("f_short"),
         (
@@ -184,6 +183,10 @@ def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         (10 * F.col("n_nonalpha") > F.col("n_words")).alias("f_alpha"),
         (F.col("n_stop") < 2).alias("f_stop"),
     )
+
+
+def _gopher_rollup(flags: DataFrame) -> DataFrame:
+    """Per-lang count rollup of the rule flags (addition-mergeable)."""
 
     def cnt(cond: F.Column, name: str) -> F.Column:
         return F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(name)
@@ -206,6 +209,15 @@ def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_pass",
         ),
     )
+
+
+@query("text_gopher_quality", oracle=_GOPHER_ORACLE)
+def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language Gopher-rule report: word-count floor, mean-word-
+    length band, symbol-to-word ratio, alpha-word ratio, stopword
+    presence — integer-exact rational comparisons over codegen string
+    ops; the only shuffle is the per-lang rollup."""
+    return _gopher_rollup(_gopher_flags(load_table(spark, sf_dir, "documents")))
 
 
 # --------------------------------------------------------------------------

@@ -411,11 +411,16 @@ def write_daily_refresh_stream(
     )
 
 
-def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def read_documents_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
     """File-source stream over the documents parquet — the landing
     prefix of an incoming crawl batch. Same flat-staging discipline as
     :func:`read_events_stream` (the source does not recurse into
-    directory symlinks); no timestamp normalization needed."""
+    directory symlinks); no timestamp normalization needed.
+    ``max_files_per_trigger`` bounds the files per micro-batch so
+    multi-file layouts (the 10× scale layout: 32 part files) exercise
+    REAL multi-batch merging rather than one giant batch."""
     src = os.path.join(sf_dir, "documents.parquet")
     schema = spark.read.parquet(src).schema
     stage = _cleanup_at_exit(tempfile.mkdtemp(prefix="jdps_stream_docs_"))
@@ -431,7 +436,10 @@ def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.symlink(os.path.join(src, p), os.path.join(stage, f"docs_{j}.parquet"))
     else:
         os.symlink(src, os.path.join(stage, "docs_0.parquet"))
-    return spark.readStream.schema(schema).parquet(stage)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(stage)
 
 
 def run_incremental_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -804,3 +812,68 @@ def run_ivfpq_index_append_stream(spark: SparkSession, sf_dir: str) -> DataFrame
         shortlist=_IP_SHORTLIST,
         sub=_IP_SUB,
     )
+
+
+def run_gopher_quality_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 8
+) -> DataFrame:
+    """The Gopher quality-rule report over a REAL documents stream —
+    the streaming twin of ``text_gopher_quality`` and the shape a
+    continuously-ingesting curation pipeline actually runs: each
+    micro-batch evaluates the per-document rule flags (pure codegen,
+    no state) and sinks its OWN per-lang partial counts; counts are
+    mergeable by addition, so the read-back SUM is bit-identical to the
+    batch report — stream ≡ batch ≡ SQL, gated by the shared oracle.
+
+    Same idempotency discipline as the CMS/incremental-dedup sinks:
+    ``_write_batch_once`` into batch_id=N subdirectories, _SUCCESS-
+    gated, so a checkpoint-restart retry can neither double-count a
+    batch nor keep a torn partial write. maxFilesPerTrigger=8 makes the
+    32-file scale layout run 4 real merges while single-file testdata
+    stays one batch."""
+    from jhu_data_parser_spark.plans.pipeline8 import _gopher_flags, _gopher_rollup
+
+    out_dir = _cleanup_at_exit(tempfile.mkdtemp(prefix="jdps_gopher_parts_"))
+    ckpt = _cleanup_at_exit(tempfile.mkdtemp(prefix="jdps_gopher_ckpt_"))
+
+    def _batch(bdf: DataFrame, batch_id: int) -> None:
+        _write_batch_once(
+            _gopher_rollup(_gopher_flags(bdf)),
+            os.path.join(out_dir, f"batch_id={batch_id}"),
+        )
+
+    _write_batch_once(
+        spark.createDataFrame(
+            [],
+            "lang string, n_docs long, fail_short long, fail_meanlen long,"
+            " fail_symbols long, fail_alpha long, fail_stopwords long,"
+            " n_pass long",
+        ),
+        os.path.join(out_dir, "batch_id=-1"),
+    )
+
+    q = (
+        read_documents_stream(
+            spark, sf_dir, max_files_per_trigger=max_files_per_trigger
+        )
+        .writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    parts = spark.read.parquet(out_dir)
+    sums = [
+        F.sum(c).cast("long").alias(c)
+        for c in (
+            "n_docs",
+            "fail_short",
+            "fail_meanlen",
+            "fail_symbols",
+            "fail_alpha",
+            "fail_stopwords",
+            "n_pass",
+        )
+    ]
+    return parts.groupBy("lang").agg(*sums)

@@ -2882,3 +2882,71 @@ def test_pq_balanced_perm_spreads_energy(spark):
     for s in range(4):
         sig = [d for d in P[s * 16 : (s + 1) * 16] if d < 16]
         assert len(sig) == 4, (s, sig)
+
+
+def test_binary_signature_packing_and_recall(spark):
+    """The packed sign words must equal the driver-side python twin on
+    every row, and the Hamming shortlist must recover planted neighbors
+    (sign bits of q + 0.15·noise overwhelmingly match q's sign bits —
+    the structure 1-bit quantization exists to exploit)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from jhu_data_parser_spark.operators.similarity import (
+        binary_query_words,
+        binary_signature,
+        hamming64,
+        topk_cosine,
+    )
+
+    rng = np.random.RandomState(13)
+    q = rng.standard_normal(64)
+    planted = [q + 0.15 * rng.standard_normal(64) for _ in range(15)]
+    noise = [rng.standard_normal(64) for _ in range(500)]
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(planted + noise)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    sigs = binary_signature(df)
+    for r in sigs.collect():
+        lo, hi = binary_query_words([float(x) for x in r["embedding"]])
+        assert (r["sig_lo"], r["sig_hi"]) == (lo, hi), r["vec_id"]
+
+    qv = [float(x) for x in q]
+    qlo, qhi = binary_query_words(qv)
+    short = {
+        r["vec_id"]
+        for r in sigs.select(
+            "vec_id", hamming64(F.col("sig_lo"), F.col("sig_hi"), qlo, qhi).alias("h")
+        )
+        .orderBy("h", "vec_id")
+        .limit(16)
+        .collect()
+    }
+    exact = {r["vec_id"] for r in topk_cosine(df, qv, k=10).collect()}
+    assert len(exact & short) >= 8  # shortlist-16 recovers the exact top-10
+
+
+def test_zorder_interleave_matches_python(spark):
+    """The bit-interleave column must equal the reference python
+    interleave for every (x, y) in the 6-bit grid corners + randoms."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from jhu_data_parser_spark.plans.pipeline14 import _z_interleave_col
+
+    def z_py(x: int, y: int) -> int:
+        z = 0
+        for i in range(6):
+            z |= ((x >> i) & 1) << (2 * i + 1)
+            z |= ((y >> i) & 1) << (2 * i)
+        return z
+
+    rng = random.Random(5)
+    pts = [(0, 0), (63, 63), (0, 63), (63, 0)] + [
+        (rng.randrange(64), rng.randrange(64)) for _ in range(50)
+    ]
+    df = spark.createDataFrame(pts, "x long, y long")
+    got = df.select("x", "y", _z_interleave_col(F.col("x"), F.col("y")).alias("z")).collect()
+    for r in got:
+        assert r["z"] == z_py(r["x"], r["y"]), (r["x"], r["y"])

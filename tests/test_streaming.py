@@ -488,3 +488,26 @@ def test_ivfpq_index_append_stream_segments(spark):
     # real (non-seed) segments carry cell partitions
     real = [d for d in seg_dirs if not d.endswith("batch_id=-1")]
     assert real and any(glob.glob(os.path.join(real[0], "cell=*")))
+
+
+def test_gopher_stream_multibatch_equals_batch(spark, tmp_path):
+    """The streaming Gopher report with REAL multi-batch merging
+    (3 part files, maxFilesPerTrigger=1 → 3 micro-batches) must be
+    row-identical to the batch report over the same corpus — the
+    addition-mergeability claim, exercised where it can actually fail
+    (single-file testdata runs one batch and proves nothing)."""
+    from pyspark.sql import functions as F
+
+    from jhu_data_parser_spark.plans.pipeline8 import _gopher_flags, _gopher_rollup
+    from jhu_data_parser_spark.sources.tables import load_table
+    from jhu_data_parser_spark.streaming.jobs import run_gopher_quality_stream
+
+    src = load_table(spark, "/root/testdata/sf0.001", "documents")
+    sf_dir = str(tmp_path / "sf")
+    src.repartition(3).write.parquet(f"{sf_dir}/documents.parquet")
+
+    got = run_gopher_quality_stream(spark, sf_dir, max_files_per_trigger=1)
+    want = _gopher_rollup(_gopher_flags(spark.read.parquet(f"{sf_dir}/documents.parquet")))
+    g = {tuple(r) for r in got.orderBy("lang").collect()}
+    w = {tuple(r) for r in want.orderBy("lang").collect()}
+    assert g == w and len(g) > 0
