@@ -1046,3 +1046,259 @@ def _lr_train_quality_local(texts_with_ids: list, steps: int = 6) -> tuple[list,
             }
         )
     return w, out
+
+
+# ---------------------------------------------------------------------------
+# WordPiece tokenizer — the THIRD tokenizer family real pipelines train
+# (Schuster & Nakajima 2012; the BERT tokenizer): like BPE it greedily
+# merges adjacent symbol pairs, but the merge argmax maximizes the
+# LIKELIHOOD GAIN score count(ab) / (count(a)·count(b)) instead of the
+# raw pair count, and encoding is greedy longest-match-first against
+# the learned vocabulary (no merge replay, no DP) with the '##'
+# continuation-marker convention and whole-word [UNK] fallback.
+#
+# Exactness discipline: counts are exact integers; the score is ONE
+# double multiply + ONE double divide on exactly-representable ints
+# (products < 2^53 at any realistic vocab scale), identical IEEE ops
+# in Python/Spark/DuckDB; ties break (score desc, a asc, b asc) in
+# binary string order. The DuckDB oracle unrolls every training round
+# (symbol counts, pair scores, argmax, merge rewrite) and the greedy
+# encode walk, so the driver hash gates the whole tokenizer.
+# ---------------------------------------------------------------------------
+
+WP_MARK = "##"
+WP_UNK = "[UNK]"
+LOCAL_WP_VOCAB_BOUND = 200_000
+
+
+def _wp_syms(w: str) -> list:
+    u = _utf16_units(w)
+    return [u[0]] + [WP_MARK + c for c in u[1:]]
+
+
+def _wp_train_local(word_counts, num_merges: int) -> list:
+    """Driver-side exact WordPiece merge learning: per round, weighted
+    symbol counts + adjacent-pair counts over the current symbol
+    arrays, argmax by (n/(ca·cb) desc, a asc, b asc), then the greedy
+    non-overlapping left-to-right merge fold. Stops when the best pair
+    count drops below 2 (same floor as BPE — a pair seen once carries
+    no statistics)."""
+    from collections import Counter
+
+    syms = [(_wp_syms(w), int(wc)) for w, wc in word_counts]
+    merges = []
+    for rank in range(num_merges):
+        scnt: Counter = Counter()
+        pcnt: Counter = Counter()
+        for s, wc in syms:
+            for x in s:
+                scnt[x] += wc
+            for i in range(len(s) - 1):
+                pcnt[(s[i], s[i + 1])] += wc
+        if not pcnt:
+            break
+        scored = [
+            (float(n) / (float(scnt[a]) * float(scnt[b])), a, b, n)
+            for (a, b), n in pcnt.items()
+        ]
+        score, a, b, n = min(scored, key=lambda t: (-t[0], t[1], t[2]))
+        if n < 2:
+            break
+        merged = a + b[len(WP_MARK):]
+        merges.append((rank, a, b, merged, int(n), int(scnt[a]), int(scnt[b]), score))
+        nxt = []
+        for s, wc in syms:
+            acc = []
+            for x in s:
+                if acc and acc[-1] == a and x == b:
+                    acc[-1] = merged
+                else:
+                    acc.append(x)
+            nxt.append((acc, wc))
+        syms = nxt
+    return merges
+
+
+_WP_SCHEMA = (
+    "merge_rank int, left string, right string, merged string, "
+    "pair_count bigint, left_count bigint, right_count bigint, score double"
+)
+
+
+def wordpiece_train_merges(
+    df: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 8,
+    min_word_count: int = 2,
+    local_vocab_bound: int = LOCAL_WP_VOCAB_BOUND,
+) -> DataFrame:
+    """Learn the WordPiece merge table. Same adaptive shape as
+    ``bpe_train_merges``: ONE corpus pass builds the word-frequency
+    table; under ``local_vocab_bound`` the |vocab|-sized problem
+    collects once and trains on the driver (bit-identical, pinned by
+    the local==distributed test); above it each round is two small
+    shuffles over the word table (symbol counts + pair counts) and a
+    1-row argmax action — the honest 100 TB path, since the word table
+    is |distinct words|, never corpus-sized."""
+    words = (
+        df.select(F.explode(F.split(F.lower(text_col), r"\s+")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wc"))
+        .filter(F.col("wc") >= min_word_count)
+    )
+    spark = df.sparkSession
+    if local_vocab_bound:
+        probe = words.limit(local_vocab_bound + 1).toPandas()
+        if len(probe) <= local_vocab_bound:
+            return spark.createDataFrame(
+                _wp_train_local(
+                    list(zip(probe["w"].tolist(), probe["wc"].tolist())),
+                    num_merges,
+                ),
+                _WP_SCHEMA,
+            )
+    mark_sql = _sql_str(WP_MARK)
+    syms = words.select(
+        "wc",
+        F.expr(
+            f"transform(split(w, ''), (c, i) -> "
+            f"IF(i = 0, c, concat({mark_sql}, c)))"
+        ).alias("s"),
+    )
+    merges = []
+    for rank in range(num_merges):
+        scnt = (
+            syms.select(F.explode("s").alias("sym"), "wc")
+            .groupBy("sym")
+            .agg(F.sum("wc").alias("c"))
+        )
+        pairs = (
+            syms.select(
+                "wc",
+                F.expr(
+                    "explode(transform(slice(s, 1, size(s) - 1), "
+                    "(x, i) -> struct(x AS a, element_at(s, i + 2) AS b)))"
+                ).alias("p"),
+            )
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("wc").alias("n"))
+        )
+        ca = scnt.select(F.col("sym").alias("a"), F.col("c").alias("ca"))
+        cb = scnt.select(F.col("sym").alias("b"), F.col("c").alias("cb"))
+        best = (
+            pairs.join(F.broadcast(ca), "a")
+            .join(F.broadcast(cb), "b")
+            .select(
+                "a",
+                "b",
+                "n",
+                "ca",
+                "cb",
+                (
+                    F.col("n").cast("double")
+                    / (F.col("ca").cast("double") * F.col("cb").cast("double"))
+                ).alias("score"),
+            )
+            .orderBy(F.col("score").desc(), "a", "b")
+            .first()
+        )
+        if best is None or best["n"] < 2:
+            break
+        a, b, n = best["a"], best["b"], int(best["n"])
+        merged = a + b[len(WP_MARK):]
+        merges.append(
+            (rank, a, b, merged, n, int(best["ca"]), int(best["cb"]), float(best["score"]))
+        )
+        syms = syms.select(
+            "wc",
+            F.expr(
+                "aggregate(s, CAST(array() AS array<string>), (acc, x) -> "
+                f"CASE WHEN size(acc) > 0 AND element_at(acc, -1) = {_sql_str(a)} "
+                f"AND x = {_sql_str(b)} "
+                f"THEN concat(slice(acc, 1, size(acc) - 1), array({_sql_str(merged)})) "
+                "ELSE concat(acc, array(x)) END)"
+            ).alias("s"),
+        )
+        if (rank + 1) % 4 == 0:
+            syms = syms.localCheckpoint(eager=False)
+    return spark.createDataFrame(merges, _WP_SCHEMA)
+
+
+def wordpiece_vocab(
+    df: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 8,
+    min_word_count: int = 2,
+) -> list:
+    """The encode vocabulary: every initial symbol of the (frequency-
+    floored) word table — plain first characters and '##'-marked
+    continuations — plus the learned merge products, piece-ascending.
+    A bounded model artifact (≤ alphabet + num_merges entries)."""
+    merges = wordpiece_train_merges(
+        df, text_col=text_col, num_merges=num_merges, min_word_count=min_word_count
+    ).collect()
+    mark_sql = _sql_str(WP_MARK)
+    init = (
+        df.select(F.explode(F.split(F.lower(text_col), r"\s+")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wc"))
+        .filter(F.col("wc") >= min_word_count)
+        .select(
+            F.explode(
+                F.expr(
+                    f"transform(split(w, ''), (c, i) -> "
+                    f"IF(i = 0, c, concat({mark_sql}, c)))"
+                )
+            ).alias("sym")
+        )
+        .distinct()
+        .collect()
+    )
+    vocab = {r["sym"] for r in init} | {m["merged"] for m in merges}
+    return sorted(vocab)
+
+
+def wordpiece_encode_expr(word_col: str, vocab: list) -> str:
+    """Greedy longest-match-first WordPiece encode of ``word_col`` as a
+    pure-JVM SQL expression (no Python worker; runs over the DISTINCT-
+    WORD table only). One forward fold over positions: at each step the
+    longest vocabulary piece anchored at the cursor is consumed (the
+    '##' marker keys continuation lookups); if none matches, the whole
+    word collapses to [UNK] — the standard non-backtracking rule.
+    Vocab rides as a literal map (bounded model artifact, same class
+    as the unigram cost map)."""
+    mark = _sql_str(WP_MARK)
+    entries = ", ".join(f"{_sql_str(p)}, 1" for p in sorted(vocab))
+    vmap = f"map({entries})"
+    max_raw = max(
+        (len(p) - len(WP_MARK) if p.startswith(WP_MARK) else len(p)) for p in vocab
+    )
+    key = (
+        f"IF(acc.pos = 1, substring({word_col}, acc.pos, l), "
+        f"concat({mark}, substring({word_col}, acc.pos, l)))"
+    )
+    best_l = (
+        f"array_max(filter(sequence(1, least({max_raw}, "
+        f"length({word_col}) - acc.pos + 1)), "
+        f"l -> element_at({vmap}, {key}) IS NOT NULL))"
+    )
+    step = (
+        f"CASE WHEN acc.bad OR acc.pos > length({word_col}) THEN acc "
+        f"WHEN {best_l} IS NULL THEN "
+        f"named_struct('pos', length({word_col}) + 1, 'ps', acc.ps, 'bad', true) "
+        f"ELSE named_struct("
+        f"'pos', acc.pos + {best_l}, "
+        f"'ps', concat(acc.ps, array(IF(acc.pos = 1, "
+        f"substring({word_col}, acc.pos, {best_l}), "
+        f"concat({mark}, substring({word_col}, acc.pos, {best_l}))))), "
+        f"'bad', false) END"
+    )
+    return (
+        f"aggregate(sequence(1, length({word_col})), "
+        f"named_struct('pos', 1, 'ps', CAST(array() AS array<string>), "
+        f"'bad', false), "
+        f"(acc, k) -> {step}, "
+        f"acc -> IF(acc.bad, array({_sql_str(WP_UNK)}), acc.ps))"
+    )

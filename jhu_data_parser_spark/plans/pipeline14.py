@@ -352,3 +352,221 @@ def stream_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jhu_data_parser_spark.streaming.jobs import run_gopher_quality_stream
 
     return run_gopher_quality_stream(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# WordPiece tokenizer (Schuster & Nakajima 2012; the BERT tokenizer) —
+# the third tokenizer family real pipelines train (BPE: pipeline2/5,
+# unigram-LM: pipeline11). Training maximizes the likelihood-gain
+# score count(ab)/(count(a)·count(b)) per merge instead of BPE's raw
+# pair count; encoding is greedy longest-match-first against the
+# learned vocab with the '##' continuation marker and whole-word [UNK]
+# fallback (no merge replay, no DP). The oracle unrolls every round —
+# symbol counts, pair scores, argmax, merge rewrite — with the same
+# \x01-delimited symbol-string trick as the BPE oracle, and replays
+# the greedy encode as a precomputed best-match table + recursive walk.
+# ---------------------------------------------------------------------------
+_WP_MERGES = 8
+_WP_MIN_WC = 2
+
+
+def _wp_trainer_parts(num_merges: int = _WP_MERGES, min_word_count: int = _WP_MIN_WC) -> list[str]:
+    sep = "chr(1)"
+    parts = [
+        f"""w AS MATERIALIZED (
+      SELECT tok AS w, COUNT(*) AS wc
+      FROM (SELECT unnest(string_split_regex(lower(text), '\\s+')) AS tok
+            FROM documents)
+      WHERE tok <> '' GROUP BY tok HAVING COUNT(*) >= {min_word_count}),
+    s0 AS MATERIALIZED (
+      SELECT wc,
+             {sep} || array_to_string(
+               list_transform(range(1, length(w) + 1),
+                 i -> CASE WHEN i = 1 THEN substr(w, i, 1)
+                           ELSE '##' || substr(w, i, 1) END),
+               {sep} || {sep}) || {sep} AS s
+      FROM w)"""
+    ]
+    for r in range(1, num_merges + 1):
+        parts.append(f"""sy{r} AS MATERIALIZED (
+      SELECT wc, string_split(substr(s, 2, length(s) - 2), {sep} || {sep}) AS L
+      FROM s{r - 1}),
+    c{r} AS MATERIALIZED (
+      SELECT u.sym, SUM(wc) AS c
+      FROM sy{r}, LATERAL unnest(L) u(sym) GROUP BY 1),
+    p{r} AS MATERIALIZED (
+      SELECT L[g.i] AS a, L[g.i + 1] AS b, SUM(wc) AS n
+      FROM sy{r}, LATERAL (SELECT unnest(range(1, len(L))) AS i) g
+      GROUP BY 1, 2),
+    b{r} AS MATERIALIZED (
+      SELECT p.a, p.b, CAST(p.n AS BIGINT) AS n,
+             CAST(ca.c AS BIGINT) AS ca, CAST(cb.c AS BIGINT) AS cb,
+             CAST(p.n AS DOUBLE) / (CAST(ca.c AS DOUBLE) * CAST(cb.c AS DOUBLE))
+               AS score
+      FROM p{r} p JOIN c{r} ca ON p.a = ca.sym JOIN c{r} cb ON p.b = cb.sym
+      ORDER BY score DESC, p.a, p.b LIMIT 1),
+    s{r} AS MATERIALIZED (
+      SELECT wc, replace(s, {sep} || b{r}.a || {sep} || {sep} || b{r}.b || {sep},
+                            {sep} || b{r}.a || substr(b{r}.b, 3) || {sep}) AS s
+      FROM s{r - 1}, b{r})""")
+    return parts
+
+
+def _wp_merges_oracle(num_merges: int = _WP_MERGES, min_word_count: int = _WP_MIN_WC) -> str:
+    parts = _wp_trainer_parts(num_merges, min_word_count)
+    unions = "\n    UNION ALL ".join(
+        f"""SELECT CAST({r - 1} AS INT) AS merge_rank, a AS "left", b AS "right",
+               a || substr(b, 3) AS merged, n AS pair_count,
+               ca AS left_count, cb AS right_count, score FROM b{r}"""
+        for r in range(1, num_merges + 1)
+    )
+    return "WITH " + ",\n    ".join(parts) + "\n    " + unions
+
+
+@query("text_wordpiece_train", oracle=_wp_merges_oracle())
+def text_wordpiece_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn the 8-merge WordPiece table from the corpus: per round the
+    merge with the best likelihood-gain score count(ab)/(count(a)·
+    count(b)) wins (ties: a, b ascending — binary string order in both
+    engines). The score itself is hash-gated: exact integer counts,
+    one double multiply + one double divide in the same order in both
+    engines. Adaptive local/distributed fit (bit-identical, pinned in
+    tests); at 100 TB each round is two word-table shuffles, the
+    corpus is read once."""
+    from jhu_data_parser_spark.operators.text import wordpiece_train_merges
+
+    d = load_table(spark, sf_dir, "documents")
+    return wordpiece_train_merges(
+        d, num_merges=_WP_MERGES, min_word_count=_WP_MIN_WC
+    )
+
+
+def _wp_encode_oracle(num_merges: int = _WP_MERGES, min_word_count: int = _WP_MIN_WC) -> str:
+    parts = _wp_trainer_parts(num_merges, min_word_count)
+    merged_unions = "\n        UNION ".join(
+        f"SELECT a || substr(b, 3) AS sym FROM b{r}" for r in range(1, num_merges + 1)
+    )
+    parts.append(f"""vinit AS MATERIALIZED (
+      SELECT DISTINCT CASE WHEN g.i = 1 THEN substr(w.w, g.i, 1)
+                           ELSE '##' || substr(w.w, g.i, 1) END AS sym
+      FROM w, LATERAL (SELECT unnest(range(1, length(w.w) + 1)) AS i) g),
+    vall AS MATERIALIZED (
+      SELECT sym FROM vinit UNION {merged_unions}),
+    maxraw AS (
+      SELECT MAX(CASE WHEN sym LIKE '##%' THEN length(sym) - 2
+                      ELSE length(sym) END) AS m
+      FROM vall),
+    vocabw AS MATERIALIZED (
+      SELECT DISTINCT tok AS w
+      FROM (SELECT unnest(string_split_regex(lower(text), '\\s+')) AS tok
+            FROM documents)
+      WHERE tok <> ''),
+    cand AS MATERIALIZED (
+      SELECT vw.w, g.pos, CAST(MAX(l.l) AS BIGINT) AS bl
+      FROM vocabw vw,
+           LATERAL (SELECT unnest(range(1, length(vw.w) + 1)) AS pos) g,
+           LATERAL (SELECT unnest(range(1, (SELECT m FROM maxraw) + 1)) AS l) l
+      WHERE g.pos + l.l - 1 <= length(vw.w)
+        AND (CASE WHEN g.pos = 1 THEN substr(vw.w, g.pos, CAST(l.l AS INT))
+                  ELSE '##' || substr(vw.w, g.pos, CAST(l.l AS INT)) END)
+            IN (SELECT sym FROM vall)
+      GROUP BY 1, 2),
+    walk AS (
+      SELECT w, CAST(1 AS BIGINT) AS pos, CAST('' AS VARCHAR) AS stream,
+             CAST(0 AS BIGINT) AS ntok, false AS bad
+      FROM vocabw
+      UNION ALL
+      SELECT wk.w,
+             CASE WHEN c.bl IS NULL THEN length(wk.w) + 1
+                  ELSE wk.pos + c.bl END,
+             CASE WHEN c.bl IS NULL THEN wk.stream
+                  ELSE wk.stream
+                       || CASE WHEN wk.pos > 1 THEN chr(2) ELSE '' END
+                       || CASE WHEN wk.pos = 1
+                               THEN substr(wk.w, CAST(wk.pos AS INT),
+                                           CAST(c.bl AS INT))
+                               ELSE '##' || substr(wk.w, CAST(wk.pos AS INT),
+                                                   CAST(c.bl AS INT)) END
+                  END,
+             wk.ntok + CASE WHEN c.bl IS NULL THEN 0 ELSE 1 END,
+             c.bl IS NULL
+      FROM walk wk LEFT JOIN cand c ON c.w = wk.w AND c.pos = wk.pos
+      WHERE wk.pos <= length(wk.w) AND NOT wk.bad),
+    enc AS MATERIALIZED (
+      SELECT w,
+             CASE WHEN bad THEN '[UNK]' ELSE stream END AS s,
+             CAST(CASE WHEN bad THEN 1 ELSE ntok END AS BIGINT) AS n_tok,
+             CASE WHEN bad THEN 1 ELSE 0 END AS unk
+      FROM walk WHERE pos > length(w)),
+    dt AS (
+      SELECT t.doc_id, g.i AS pos, t.toks[g.i] AS w
+      FROM (SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\\s+'),
+                               x -> x <> '') AS toks
+            FROM documents) t,
+           LATERAL (SELECT unnest(range(1, len(t.toks) + 1)) AS i) g)""")
+    return (
+        "WITH RECURSIVE "
+        + ",\n    ".join(parts)
+        + """
+    SELECT dt.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(enc.n_tok) AS BIGINT) AS n_wp_tokens,
+           CAST(SUM(enc.unk) AS BIGINT) AS n_unk_words,
+           md5(string_agg(enc.s, chr(3) ORDER BY dt.pos)) AS stream_md5
+    FROM dt JOIN enc USING (w)
+    GROUP BY dt.doc_id
+    """
+    )
+
+
+@query("text_wordpiece_encode", oracle=_wp_encode_oracle())
+def text_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode every document with the WordPiece vocabulary LEARNED from
+    this corpus (train → encode, end to end): per doc the word count,
+    total piece count, [UNK]-word count, and an md5 over the in-order
+    piece stream — the driver gate proves the exact piece sequence of
+    every document.
+
+    The greedy longest-match fold runs as a pure-JVM HOF over the
+    DISTINCT-WORD table only (vocab-bounded literal map, same class as
+    the unigram cost map), then broadcast-joins back to word instances
+    — no Python worker, no corpus-sized shuffle beyond the one doc-key
+    aggregation. The oracle replays training, vocabulary assembly, AND
+    the greedy walk (precomputed best-match table + recursive CTE)."""
+    from jhu_data_parser_spark.operators.text import (
+        WP_UNK,
+        wordpiece_encode_expr,
+        wordpiece_vocab,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    vocab = wordpiece_vocab(
+        d, num_merges=_WP_MERGES, min_word_count=_WP_MIN_WC
+    )
+    toks = F.expr("filter(split(lower(text), '\\\\s+'), x -> x <> '')")
+    dt = d.select("doc_id", F.posexplode(toks).alias("pos", "w"))
+    vw = dt.select("w").distinct()
+    enc = vw.select(
+        "w", F.expr(wordpiece_encode_expr("w", vocab)).alias("ps")
+    ).select(
+        "w",
+        F.array_join("ps", "\x02").alias("s"),
+        F.size("ps").cast("long").alias("n_tok"),
+        F.when(
+            (F.size("ps") == 1) & (F.element_at("ps", 1) == WP_UNK), 1
+        )
+        .otherwise(0)
+        .alias("unk"),
+    )
+    joined = dt.join(F.broadcast(enc), "w")
+    stream = F.expr(
+        "concat_ws('\x03', transform(array_sort(collect_list(struct(pos, s))), "
+        "x -> x.s))"
+    )
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum("n_tok").cast("long").alias("n_wp_tokens"),
+        F.sum("unk").cast("long").alias("n_unk_words"),
+        F.md5(stream).alias("stream_md5"),
+    )

@@ -2950,3 +2950,68 @@ def test_zorder_interleave_matches_python(spark):
     got = df.select("x", "y", _z_interleave_col(F.col("x"), F.col("y")).alias("z")).collect()
     for r in got:
         assert r["z"] == z_py(r["x"], r["y"]), (r["x"], r["y"])
+
+
+def _wp_encode_py(word: str, vocab: set) -> list:
+    """Pure-python greedy longest-match WordPiece reference."""
+    max_raw = max(
+        (len(p) - 2 if p.startswith("##") else len(p)) for p in vocab
+    )
+    pos, out = 0, []
+    while pos < len(word):
+        best = 0
+        for l in range(1, min(max_raw, len(word) - pos) + 1):
+            piece = word[pos : pos + l] if pos == 0 else "##" + word[pos : pos + l]
+            if piece in vocab:
+                best = l
+        if best == 0:
+            return ["[UNK]"]
+        out.append(word[pos : pos + best] if pos == 0 else "##" + word[pos : pos + best])
+        pos += best
+    return out
+
+
+def test_wordpiece_trainer_and_encode_with_unk(spark):
+    """Local trainer == distributed trainer on a planted corpus; the
+    greedy HOF encoder must equal the pure-python reference on every
+    distinct word INCLUDING the whole-word [UNK] fallback (the char
+    'ä' appears only in a below-frequency-floor word, so it never
+    enters the vocabulary — the branch sf-testdata never exercises)."""
+    from pyspark.sql import functions as F
+
+    from jhu_data_parser_spark.operators.text import (
+        wordpiece_encode_expr,
+        wordpiece_train_merges,
+        wordpiece_vocab,
+    )
+
+    rows = [
+        (0, "hello hello world world worlds"),
+        (1, "help held hello world zebra zebra"),
+        (2, "tokenizer tokenizer tokens tokens zäbra"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    loc = wordpiece_train_merges(d, num_merges=6).collect()
+    dist = wordpiece_train_merges(d, num_merges=6, local_vocab_bound=0).collect()
+    assert [tuple(r) for r in loc] == [tuple(r) for r in dist]
+    assert len(loc) > 0
+
+    vocab = wordpiece_vocab(d, num_merges=6)
+    words = (
+        d.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("w"))
+        .filter(F.col("w") != "")
+        .distinct()
+    )
+    got = {
+        r["w"]: list(r["ps"])
+        for r in words.select(
+            "w", F.expr(wordpiece_encode_expr("w", vocab)).alias("ps")
+        ).collect()
+    }
+    vs = set(vocab)
+    unks = 0
+    for w, ps in got.items():
+        want = _wp_encode_py(w, vs)
+        assert ps == want, (w, ps, want)
+        unks += ps == ["[UNK]"]
+    assert unks >= 1  # zäbra has no 'ä' piece -> whole-word UNK
