@@ -1242,3 +1242,72 @@ def extract_mp4_meta(
         "doc_id bigint, media_type string, width int, height int, "
         "n_frames int, duration_ms bigint, frame0_sum bigint, pix_sum bigint",
     )
+
+
+def attach_mp4_mirrored(
+    df: DataFrame, id_col: str = "doc_id", media_col: str = "media"
+) -> DataFrame:
+    """MP4 synthesis with PLANTED near-duplicate videos: every 10th
+    document carries a TRIMMED COPY of its decade head's video — same
+    seed (so identical frame content), one frame shorter (the trailing-
+    trim re-upload every video-dedup pipeline must catch; an exact
+    payload hash misses it). All other ids encode their own seed, as
+    :func:`attach_mp4_raw` does."""
+    from jhu_data_parser_spark.functions.codecs import encode_mp4_raw
+
+    def _payload(did: int) -> bytes:
+        uid = did - 9 if did % 10 == 9 else did
+        w = (uid % 4 + 1) * 8
+        h = (uid % 3 + 1) * 8
+        nf = uid % 5 + 2
+        if did % 10 == 9:
+            nf -= 1
+        return encode_mp4_raw(w, h, nf, seed=uid)
+
+    def _map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [_payload(int(did)) for did in pdf[id_col]]
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col].astype("int64"), media_col: payloads}
+            )
+
+    return _spread_ids(df, id_col).mapInPandas(
+        _map, f"doc_id bigint, {media_col} binary"
+    )
+
+
+def mp4_frame_signature(
+    df: DataFrame, id_col: str = "doc_id", media_col: str = "media"
+) -> DataFrame:
+    """Per-frame content signature of raw-video MP4s: decode THROUGH
+    the container (box tree → sample tables → mdat offsets), then one
+    row per frame with the frame's content key. On this corpus frames
+    are constant-byte, so the key is the (verified-constant) byte value
+    — the decode genuinely checks every pixel equals it; production
+    frames would key on md5(frame_bytes), same plan shape. Output never
+    carries pixels: (doc_id, frame_no, width, height, fkey)."""
+    import numpy as np
+
+    from jhu_data_parser_spark.functions.codecs import decode_mp4_raw
+
+    def _map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, payload in zip(pdf[id_col], pdf[media_col]):
+                w, h, _fps, frames = decode_mp4_raw(bytes(payload))
+                for f in range(frames.shape[0]):
+                    fr = frames[f]
+                    b = int(fr[0, 0, 0])
+                    if not np.all(fr == b):
+                        raise ValueError(
+                            f"frame {f} of doc {did} is not constant — "
+                            "decode misread the sample tables"
+                        )
+                    rows.append((int(did), f, w, h, b))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_no", "width", "height", "fkey"]
+            )
+
+    return df.select(id_col, media_col).mapInPandas(
+        _map, "doc_id bigint, frame_no int, width int, height int, fkey int"
+    )

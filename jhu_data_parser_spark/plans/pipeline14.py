@@ -570,3 +570,96 @@ def text_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("unk").cast("long").alias("n_unk_words"),
         F.md5(stream).alias("stream_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Video near-duplicate detection — the missing VIDEO member of the
+# dedup family (images: multimodal_phash_*): per-frame content keys
+# from a REAL container decode, an inverted-index equi-join on the
+# frame key, and a containment threshold — the shot-hash design every
+# production video-dedup service uses (an exact payload hash misses a
+# re-upload trimmed by one frame; this catches it). The corpus plants
+# exactly that: every 10th doc is a trailing-trimmed copy of its
+# decade head's video. The oracle replays synthesis (frame byte = the
+# _fill_bytes LCG, emulated with HUGEINT wraparound), the frame join,
+# and the containment rule from doc_id arithmetic — it never sees a
+# payload, so a hash match proves the Spark side genuinely walked the
+# MP4 box tree and sample tables for every frame of every video.
+# ---------------------------------------------------------------------------
+_VID_ORACLE = """
+    WITH v AS (
+      SELECT doc_id,
+             CAST(CASE WHEN doc_id % 10 = 9 THEN doc_id - 9 ELSE doc_id END
+                  AS HUGEINT) AS uid,
+             CAST((CASE WHEN doc_id % 10 = 9 THEN doc_id - 9 ELSE doc_id END)
+                  % 4 + 1 AS INT) * 8 AS w,
+             CAST((CASE WHEN doc_id % 10 = 9 THEN doc_id - 9 ELSE doc_id END)
+                  % 3 + 1 AS INT) * 8 AS h,
+             CAST((CASE WHEN doc_id % 10 = 9 THEN doc_id - 9 ELSE doc_id END)
+                  % 5 + CASE WHEN doc_id % 10 = 9 THEN 1 ELSE 2 END
+                  AS INT) AS nf
+      FROM documents),
+    fr AS (
+      SELECT v.doc_id, v.w, v.h, CAST(g.f AS INT) AS frame_no,
+             CAST((((g.f + v.uid) * 6364136223846793005
+                    + 1442695040888963407)
+                   % 170141183460469231731687303715884105728
+                   % 18446744073709551616) // 8589934592 % 256 AS INT)
+               AS fkey
+      FROM v, generate_series(0, 5) g(f)
+      WHERE g.f < v.nf),
+    cand AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(COUNT(*) AS INT) AS n_shared
+      FROM fr a JOIN fr b
+        ON a.w = b.w AND a.h = b.h AND a.frame_no = b.frame_no
+       AND a.fkey = b.fkey AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT c.id_a, c.id_b, c.n_shared,
+           va.nf AS nf_a, vb.nf AS nf_b
+    FROM cand c
+    JOIN v va ON va.doc_id = c.id_a
+    JOIN v vb ON vb.doc_id = c.id_b
+    WHERE 10 * c.n_shared >= 9 * least(va.nf, vb.nf)
+    """
+
+
+@query("multimodal_video_neardup_pairs", oracle=_VID_ORACLE)
+def multimodal_video_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate video pairs by frame-content containment: ≥90% of
+    the shorter video's frames must match the longer's at the same
+    position, dims, and content key. Scale posture: payloads never
+    shuffle — the decode emits (doc_id, frame_no, dims, key) narrow
+    rows (Arrow-batched mapInPandas, ensure_parallelism on the attach
+    site); the candidate stage is ONE equi-join on the frame key (the
+    inverted-index shape — never an all-pairs video join); the frame
+    table is checkpointed once and reused by both the join and the
+    per-video frame counts."""
+    from jhu_data_parser_spark.operators.multimodal import (
+        attach_mp4_mirrored,
+        mp4_frame_signature,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    sig = mp4_frame_signature(attach_mp4_mirrored(d)).localCheckpoint(eager=False)
+    nf = sig.groupBy("doc_id").agg(
+        (F.max("frame_no") + 1).cast("int").alias("nf")
+    )
+    a = sig.select(
+        F.col("doc_id").alias("id_a"), "width", "height", "frame_no", "fkey"
+    )
+    b = sig.select(
+        F.col("doc_id").alias("id_b"), "width", "height", "frame_no", "fkey"
+    )
+    cand = (
+        a.join(b, ["width", "height", "frame_no", "fkey"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("int").alias("n_shared"))
+    )
+    return (
+        cand.join(nf.select(F.col("doc_id").alias("id_a"), F.col("nf").alias("nf_a")), "id_a")
+        .join(nf.select(F.col("doc_id").alias("id_b"), F.col("nf").alias("nf_b")), "id_b")
+        .filter(10 * F.col("n_shared") >= 9 * F.least("nf_a", "nf_b"))
+        .select("id_a", "id_b", "n_shared", "nf_a", "nf_b")
+    )

@@ -3015,3 +3015,24 @@ def test_wordpiece_trainer_and_encode_with_unk(spark):
         assert ps == want, (w, ps, want)
         unks += ps == ["[UNK]"]
     assert unks >= 1  # zäbra has no 'ä' piece -> whole-word UNK
+
+
+def test_video_neardup_catches_planted_trims(spark):
+    """Every planted trimmed-mirror pair (uid, uid+9) must surface with
+    n_shared == the trimmed copy's full frame count (containment of the
+    shorter video), and the decode-side frame keys must genuinely come
+    from the byte stream (mp4_frame_signature raises on a misread)."""
+    from pyspark.sql import functions as F
+
+    from jhu_data_parser_spark import plans
+
+    df = plans.QUERIES["multimodal_video_neardup_pairs"](
+        spark, "/root/testdata/sf0.001"
+    )
+    rows = {(r["id_a"], r["id_b"]): r for r in df.collect()}
+    n_docs = 500
+    for uid in range(0, n_docs - 9, 10):
+        pair = (uid, uid + 9)
+        assert pair in rows, f"planted trim pair {pair} missing"
+        r = rows[pair]
+        assert r["n_shared"] == r["nf_b"] == r["nf_a"] - 1, dict(r.asDict())
