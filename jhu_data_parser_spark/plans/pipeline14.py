@@ -663,3 +663,196 @@ def multimodal_video_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFram
         .filter(10 * F.col("n_shared") >= 9 * F.least("nf_a", "nf_b"))
         .select("id_a", "id_b", "n_shared", "nf_a", "nf_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV sketch SET OPERATIONS (Beyer et al. 2007) — the mergeable-sketch
+# answer to "how much do two corpora overlap?" (cross-snapshot
+# contamination / dedup-rate estimation at 100 TB, where the exact
+# distinct-join is the thing you can't afford). Bottom-k sketches of
+# the 'click' and 'purchase' user sets combine into the union sketch
+# by a k-way merge; Jaccard is estimated by the fraction of the union
+# sketch's k hashes present in BOTH input sketches, intersection by
+# scaling the union estimate. Every quantity is an exact integer
+# (md5-derived 48-bit hashes, integer division), so the ESTIMATES
+# themselves are value-hash gated next to the exact counts they
+# approximate — same discipline as agg_kmv_distinct_users.
+# ---------------------------------------------------------------------------
+_KMV_SO_K = 32
+_KMV_SO_DOMAIN = 1 << 48
+
+
+def _kmv_setops_oracle() -> str:
+    from jhu_data_parser_spark.plans.pipeline6 import _hexpoly_sql
+
+    h = _hexpoly_sql("md5(CAST(user_id AS VARCHAR))", 12)
+    k, dom = _KMV_SO_K, _KMV_SO_DOMAIN
+    return f"""
+    WITH a AS (SELECT DISTINCT {h} AS h FROM events
+               WHERE event_type = 'click' AND user_id % 3 <> 0),
+    b AS (SELECT DISTINCT {h} AS h FROM events
+              WHERE event_type = 'purchase' AND user_id % 4 <> 0),
+    ka AS (SELECT h FROM a ORDER BY h LIMIT {k}),
+    kb AS (SELECT h FROM b ORDER BY h LIMIT {k}),
+    ku AS (SELECT DISTINCT h FROM (SELECT h FROM ka UNION ALL SELECT h FROM kb)
+           ORDER BY h LIMIT {k}),
+    kth AS (SELECT MAX(h) AS kth_hash, COUNT(*) AS nu FROM ku),
+    ov AS (SELECT COUNT(*) AS k_overlap
+           FROM ku WHERE h IN (SELECT h FROM ka) AND h IN (SELECT h FROM kb)),
+    ex AS (SELECT
+             (SELECT COUNT(*) FROM a) AS n_a_exact,
+             (SELECT COUNT(*) FROM b) AS n_b_exact,
+             (SELECT COUNT(*) FROM a WHERE h IN (SELECT h FROM b)) AS inter_exact)
+    SELECT CAST(ex.n_a_exact AS BIGINT) AS n_a_exact,
+           CAST(ex.n_b_exact AS BIGINT) AS n_b_exact,
+           CAST(ex.inter_exact AS BIGINT) AS inter_exact,
+           CAST(ex.n_a_exact + ex.n_b_exact - ex.inter_exact AS BIGINT)
+             AS union_exact,
+           CAST(ov.k_overlap AS BIGINT) AS k_overlap,
+           CAST(CASE WHEN kth.nu < {k} THEN kth.nu
+                     ELSE ({k - 1} * {dom}) // kth.kth_hash END AS BIGINT)
+             AS union_est,
+           CAST(ov.k_overlap
+                * (CASE WHEN kth.nu < {k} THEN kth.nu
+                        ELSE ({k - 1} * {dom}) // kth.kth_hash END)
+                // {k} AS BIGINT) AS intersect_est
+    FROM ex, kth, ov
+    """
+
+
+@query("sketch_kmv_set_ops", oracle=_kmv_setops_oracle())
+def sketch_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union/intersection cardinality estimation from two bottom-k
+    sketches, gated next to the exact answers. Scale posture: each
+    side's sketch is a bottom-k over its distinct hashes (map-side
+    combinable; at 100 TB per-partition bottom-k then a k-way merge —
+    constant state), the combine and estimate run on ≤2k rows; the
+    exact arm here exists only to certify the estimator and would be
+    dropped in production."""
+    from jhu_data_parser_spark.plans.pipeline6 import _hex_long
+
+    k, dom = _KMV_SO_K, _KMV_SO_DOMAIN
+    ev = load_table(spark, sf_dir, "events")
+
+    def side(et: str, mod: int) -> DataFrame:
+        return (
+            ev.filter((F.col("event_type") == et) & (F.col("user_id") % mod != 0))
+            .select(_hex_long(F.md5(F.col("user_id").cast("string")), 12).alias("h"))
+            .distinct()
+        )
+
+    # Two PARTIALLY-overlapping snapshots (different user-id slices of
+    # different event types) — full-overlap sets would leave the
+    # intersection estimator untested.
+    a, b = side("click", 3), side("purchase", 4)
+    ka = a.orderBy("h").limit(k)
+    kb = b.orderBy("h").limit(k)
+    ku = (
+        ka.unionAll(kb)
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+    )
+    kth = ku.agg(F.max("h").alias("kth_hash"), F.count(F.lit(1)).alias("nu"))
+    ov = (
+        ku.join(ka, "h", "left_semi")
+        .join(kb, "h", "left_semi")
+        .agg(F.count(F.lit(1)).alias("k_overlap"))
+    )
+    ex = (
+        a.agg(F.count(F.lit(1)).alias("n_a_exact"))
+        .crossJoin(b.agg(F.count(F.lit(1)).alias("n_b_exact")))
+        .crossJoin(
+            a.join(b, "h", "left_semi")
+            .agg(F.count(F.lit(1)).alias("inter_exact"))
+        )
+    )
+    est = F.when(F.col("nu") < k, F.col("nu")).otherwise(
+        F.expr(f"{(k - 1) * dom}L div kth_hash")
+    )
+    return (
+        ex.crossJoin(F.broadcast(kth))
+        .crossJoin(F.broadcast(ov))
+        .select(
+            F.col("n_a_exact").cast("long").alias("n_a_exact"),
+            F.col("n_b_exact").cast("long").alias("n_b_exact"),
+            F.col("inter_exact").cast("long").alias("inter_exact"),
+            (F.col("n_a_exact") + F.col("n_b_exact") - F.col("inter_exact"))
+            .cast("long")
+            .alias("union_exact"),
+            F.col("k_overlap").cast("long").alias("k_overlap"),
+            est.cast("long").alias("union_est"),
+        )
+        .withColumn(
+            "intersect_est",
+            F.expr(f"(k_overlap * union_est) div {_KMV_SO_K}").cast("long"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic global shuffle → shard export — the data-ORDERING step
+# of a pretraining run: examples must be drawn in an order that is (a)
+# statistically uniform, (b) bit-reproducible across reruns and
+# engines, and (c) computable WITHOUT a global sort. The standard
+# design: shard = hash-bucket of a salted key (one hash-partition
+# pass, embarrassingly parallel), within-shard order = the hash value
+# itself. The query certifies the full assignment: per-shard counts,
+# token mass, and an md5 over the in-order doc_id stream — the driver
+# hash proves every document's shard AND position.
+# ---------------------------------------------------------------------------
+_SHUF_SHARDS = 8
+_SHUF_SALT = "epoch0"
+
+
+def _shuffle_shards_oracle() -> str:
+    from jhu_data_parser_spark.plans.pipeline6 import _hexpoly_sql
+
+    h = _hexpoly_sql(f"md5('{_SHUF_SALT}:' || CAST(doc_id AS VARCHAR))", 12)
+    return f"""
+    WITH keyed AS (
+      SELECT doc_id,
+             len(list_filter(string_split_regex(lower(text), '\\s+'),
+                             x -> x <> '')) AS n_tokens,
+             {h} AS hkey
+      FROM documents)
+    SELECT CAST(hkey % {_SHUF_SHARDS} AS INT) AS shard_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           md5(string_agg(CAST(doc_id AS VARCHAR), ','
+                          ORDER BY hkey, doc_id)) AS order_md5
+    FROM keyed GROUP BY 1
+    """
+
+
+@query("sample_shuffle_shards", oracle=_shuffle_shards_oracle())
+def sample_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign every document to one of 8 epoch-salted shuffle shards
+    and certify the within-shard order. Scale posture: ONE hash
+    partition pass (the md5 key is the shuffle key — at 100 TB this is
+    ``repartition(S, hkey)`` + ``sortWithinPartitions(hkey)`` writing
+    shard files directly); no global sort, no row_number, no driver
+    state. A new epoch = a new salt — the reshuffle costs exactly one
+    pass, which is why production loaders salt the hash rather than
+    permuting indices."""
+    from jhu_data_parser_spark.plans.pipeline6 import _hex_long
+
+    d = load_table(spark, sf_dir, "documents")
+    keyed = d.select(
+        "doc_id",
+        F.expr("size(filter(split(lower(text), '\\\\s+'), x -> x <> ''))")
+        .alias("n_tokens"),
+        _hex_long(
+            F.md5(F.concat(F.lit(f"{_SHUF_SALT}:"), F.col("doc_id").cast("string"))),
+            12,
+        ).alias("hkey"),
+    )
+    stream = F.expr(
+        "concat_ws(',', transform(array_sort(collect_list(struct(hkey, doc_id))), "
+        "x -> CAST(x.doc_id AS STRING)))"
+    )
+    return keyed.groupBy((F.col("hkey") % _SHUF_SHARDS).cast("int").alias("shard_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.md5(stream).alias("order_md5"),
+    )
