@@ -769,3 +769,36 @@ def test_ivfpq_multi_single_scan_and_pruning(spark):
     assert len(idx_scans) == 1
     assert all("embedding" not in s for s in idx_scans)
     assert len(emb_scans) == 1
+
+
+def test_binary_topk_shape(spark):
+    """Binary ANN: the Hamming shortlist must compile to
+    TakeOrderedAndProject (no full sort of the corpus) and the exact
+    re-rank must broadcast the shortlist side — the full vectors never
+    shuffle."""
+    plan = _plan(spark, "sim_cosine_topk_binary")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_zorder_layout_scan_count(spark):
+    """Z-order layout analysis reads the orders fact exactly twice
+    (layout assignment + box matching) — the probe-box and layout dims
+    ride as broadcast literals, never as shuffle sides."""
+    plan = _plan(spark, "layout_zorder_pruning")
+    assert plan.count("Scan parquet") <= 2, plan[:3000]
+    assert "CartesianProduct" not in plan
+
+
+def test_shuffle_shards_single_pass(spark):
+    """Shard assignment is ONE scan + ONE hash aggregation — no global
+    sort, no window, no row_number."""
+    plan = _plan(spark, "sample_shuffle_shards")
+    assert plan.count("Scan parquet") == 1
+    assert "Window" not in plan
+    # a global sort on the key would betray a row_number-style assignment
+    import re
+
+    assert not re.search(r"Sort \[hkey", plan), plan[:3000]
