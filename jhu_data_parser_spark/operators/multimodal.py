@@ -1311,3 +1311,80 @@ def mp4_frame_signature(
     return df.select(id_col, media_col).mapInPandas(
         _map, "doc_id bigint, frame_no int, width int, height int, fkey int"
     )
+
+
+def attach_wav_mirrored(
+    df: DataFrame, id_col: str = "doc_id", media_col: str = "media"
+) -> DataFrame:
+    """WAV synthesis with TWO planted duplicate kinds per decade: doc
+    ``uid+5`` is a byte-exact copy of its decade head ``uid``'s file,
+    and doc ``uid+9`` is a RE-ENCODED copy — identical PCM samples
+    wrapped in a byte-different container (an extra LIST/INFO metadata
+    chunk spliced before 'data', which a compliant RIFF parser must
+    skip). Raw-byte hashing catches only the first kind; decoding to
+    PCM catches both — the point of content-normalized dedup."""
+    import struct
+
+    from jhu_data_parser_spark.functions.codecs import encode_wav
+
+    rates = (8000, 16000, 44100)
+
+    def _payload(did: int) -> bytes:
+        r = did % 10
+        uid = did - 5 if r == 5 else (did - 9 if r == 9 else did)
+        base = encode_wav(uid % 192 + 64, rates[uid % 3], seed=uid)
+        if r != 9:
+            return base
+        info = b"INFO" + struct.pack("<I", did % 2**32) + b"jdps"
+        chunk = b"LIST" + struct.pack("<I", len(info)) + info
+        riff_size = struct.unpack_from("<I", base, 4)[0] + len(chunk)
+        return b"RIFF" + struct.pack("<I", riff_size) + base[8:36] + chunk + base[36:]
+
+    def _map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [_payload(int(did)) for did in pdf[id_col]]
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col].astype("int64"), media_col: payloads}
+            )
+
+    return _spread_ids(df, id_col).mapInPandas(
+        _map, f"doc_id bigint, {media_col} binary"
+    )
+
+
+def wav_content_fingerprint(
+    df: DataFrame, id_col: str = "doc_id", media_col: str = "media"
+) -> DataFrame:
+    """Decode each WAV through the RIFF chunk walk and emit an exact
+    integer fingerprint of the DECODED waveform:
+    ``fp = Σ (i+1)·s_i`` over the int16 samples (position-weighted so
+    permutations don't collide; bounded well inside int64). The
+    payload's raw md5 rides along for the byte-vs-content comparison.
+    Output is narrow — payload bytes never leave the decode stage."""
+    import numpy as np
+
+    from jhu_data_parser_spark.functions.codecs import decode_wav
+
+    def _map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            rows = []
+            for did, payload in zip(pdf[id_col], pdf[media_col]):
+                b = bytes(payload)
+                rate, _ch, _depth, samples = decode_wav(b)
+                s = samples.astype(np.int64)
+                fp = int(((np.arange(len(s)) + 1) * s).sum())
+                rows.append(
+                    (int(did), rate, len(s), fp, hashlib.md5(b).hexdigest())
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "sample_rate", "n_samples", "pcm_fp", "raw_md5"],
+            )
+
+    return df.select(id_col, media_col).mapInPandas(
+        _map,
+        "doc_id bigint, sample_rate int, n_samples int, pcm_fp bigint, "
+        "raw_md5 string",
+    )

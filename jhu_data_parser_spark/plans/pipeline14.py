@@ -856,3 +856,73 @@ def sample_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").cast("long").alias("n_tokens"),
         F.md5(stream).alias("order_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Decode-normalized AUDIO dedup — hash the DECODED waveform, not the
+# bytes: a re-encoded upload (same PCM, different container metadata)
+# defeats raw-byte dedup, and audio corpora are full of them. The
+# corpus plants both duplicate kinds per decade (uid+5 byte-exact,
+# uid+9 re-encoded with an extra LIST/INFO chunk); this query groups
+# by the exact integer fingerprint of the decoded samples, so both
+# kinds land in the head's group. The oracle replays the PCM
+# recurrence ((seed·7919 + i·104729) mod 2^16 − 2^15) and the
+# position-weighted fingerprint from doc_id arithmetic — it never
+# sees a byte, so the hash match proves the RIFF chunk walk genuinely
+# skipped the planted metadata chunk and read the same samples.
+# The byte-vs-content contrast (raw-md5 dedup finds only the exact
+# twin; content dedup finds both) is pinned in pytest.
+# ---------------------------------------------------------------------------
+_AUDIO_DEDUP_ORACLE = """
+    WITH v AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 10 = 5 THEN doc_id - 5
+                  WHEN doc_id % 10 = 9 THEN doc_id - 9
+                  ELSE doc_id END AS uid
+      FROM documents),
+    p AS (
+      SELECT doc_id, uid,
+             CAST(uid % 192 + 64 AS INT) AS n_samples,
+             CAST(CASE uid % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                  ELSE 44100 END AS INT) AS sample_rate
+      FROM v),
+    fp AS (
+      SELECT p.doc_id, p.sample_rate, p.n_samples,
+             CAST(SUM((g.i + 1) *
+                      ((p.uid * 7919 + g.i * 104729) % 65536 - 32768))
+                  AS BIGINT) AS pcm_fp
+      FROM p, LATERAL (SELECT unnest(range(0, p.n_samples)) AS i) g
+      GROUP BY 1, 2, 3)
+    SELECT doc_id, sample_rate, n_samples, pcm_fp,
+           CAST(COUNT(*) OVER (PARTITION BY sample_rate, n_samples, pcm_fp)
+                AS BIGINT) AS group_size,
+           COUNT(*) OVER (PARTITION BY sample_rate, n_samples, pcm_fp) > 1
+             AS is_duplicate
+    FROM fp
+    """
+
+
+@query("multimodal_audio_content_dedup", oracle=_AUDIO_DEDUP_ORACLE)
+def multimodal_audio_content_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact audio dedup on the decoded-PCM fingerprint. Scale posture:
+    decode + fingerprint is Arrow-batched mapInPandas (no shuffle,
+    payloads projected away immediately); the only shuffled columns are
+    the 20-byte key triple — the same narrow-key discipline as the
+    image phash family."""
+    from jhu_data_parser_spark.operators.multimodal import (
+        attach_wav_mirrored,
+        wav_content_fingerprint,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    fp = wav_content_fingerprint(attach_wav_mirrored(d)).drop("raw_md5")
+    w = Window.partitionBy("sample_rate", "n_samples", "pcm_fp")
+    n = F.count(F.lit(1)).over(w)
+    return fp.select(
+        "doc_id",
+        "sample_rate",
+        "n_samples",
+        "pcm_fp",
+        n.cast("long").alias("group_size"),
+        (n > 1).alias("is_duplicate"),
+    )

@@ -3036,3 +3036,28 @@ def test_video_neardup_catches_planted_trims(spark):
         assert pair in rows, f"planted trim pair {pair} missing"
         r = rows[pair]
         assert r["n_shared"] == r["nf_b"] == r["nf_a"] - 1, dict(r.asDict())
+
+
+def test_audio_content_dedup_beats_byte_dedup(spark):
+    """The byte-vs-content contrast that motivates decode-normalized
+    dedup: raw-md5 grouping catches only the byte-exact twin (uid+5),
+    while the decoded-PCM fingerprint also catches the re-encoded twin
+    (uid+9, extra LIST chunk) — every planted decade triple must land
+    in one content group but TWO byte groups."""
+    from pyspark.sql import functions as F
+
+    from jhu_data_parser_spark.operators.multimodal import (
+        attach_wav_mirrored,
+        wav_content_fingerprint,
+    )
+    from jhu_data_parser_spark.sources.tables import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    fp = wav_content_fingerprint(attach_wav_mirrored(d))
+    rows = {r["doc_id"]: r for r in fp.collect()}
+    for uid in range(0, 491, 10):
+        head, exact, reenc = rows[uid], rows[uid + 5], rows[uid + 9]
+        key = lambda r: (r["sample_rate"], r["n_samples"], r["pcm_fp"])
+        assert key(head) == key(exact) == key(reenc), uid
+        assert head["raw_md5"] == exact["raw_md5"], uid  # byte-exact twin
+        assert head["raw_md5"] != reenc["raw_md5"], uid  # re-encode defeats md5
