@@ -926,3 +926,124 @@ def multimodal_audio_content_dedup(spark: SparkSession, sf_dir: str) -> DataFram
         n.cast("long").alias("group_size"),
         (n > 1).alias("is_duplicate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch serving for the binary index — the request shape production
+# ANN runs (mirrors sim_cosine_topk_ivfpq_multi): one signature scan
+# scores every query in the batch (queries broadcast as packed words),
+# per-query Hamming shortlists via WindowGroupLimit, one broadcast
+# exact re-rank. Completes the serving matrix for the 1-bit index.
+# ---------------------------------------------------------------------------
+_BIN_MULTI_Q = 5
+_BIN_MULTI_K = 10
+
+
+def _bin_words_sql(src: str) -> str:
+    return f"""
+      SELECT vec_id,
+             CAST(list_sum(list_transform(range(32),
+                  i -> CASE WHEN emb[i+1] > 0.0 THEN (1::BIGINT << i)
+                            ELSE 0::BIGINT END)) AS BIGINT) AS lo,
+             CAST(list_sum(list_transform(range(32),
+                  i -> CASE WHEN emb[i+33] > 0.0 THEN (1::BIGINT << i)
+                            ELSE 0::BIGINT END)) AS BIGINT) AS hi
+      FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+            FROM embeddings WHERE {src})"""
+
+
+_BIN_MULTI_ORACLE = f"""
+    WITH qw AS ({_bin_words_sql(f"vec_id < {_BIN_MULTI_Q}")}),
+    w AS ({_bin_words_sql(f"vec_id >= {_BIN_MULTI_Q}")}),
+    h AS (
+      SELECT qw.vec_id AS query_id, w.vec_id,
+             CAST(bit_count(xor(w.lo, qw.lo)) + bit_count(xor(w.hi, qw.hi))
+                  AS INT) AS hamming,
+             row_number() OVER (PARTITION BY qw.vec_id
+                                ORDER BY bit_count(xor(w.lo, qw.lo))
+                                       + bit_count(xor(w.hi, qw.hi)),
+                                         w.vec_id) AS rn
+      FROM w, qw),
+    short AS (SELECT query_id, vec_id, hamming FROM h WHERE rn <= {_BIN_SHORTLIST}),
+    rr AS (
+      SELECT s.query_id, s.vec_id, s.hamming,
+             CAST(floor(1000000000.0 *
+               (list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                 CAST(q.embedding AS DOUBLE[]))
+                / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                         CAST(e.embedding AS DOUBLE[])))
+                   * sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                                           CAST(q.embedding AS DOUBLE[]))))))
+               AS BIGINT) AS sim_nano
+      FROM short s
+      JOIN embeddings e ON e.vec_id = s.vec_id
+      JOIN embeddings q ON q.vec_id = s.query_id)
+    SELECT query_id, vec_id, hamming, sim_nano,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY sim_nano DESC, vec_id) AS INT)
+             AS rank
+    FROM rr
+    QUALIFY rank <= {_BIN_MULTI_K}
+    """
+
+
+@query("sim_cosine_topk_binary_multi", oracle=_BIN_MULTI_ORACLE)
+def sim_cosine_topk_binary_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A 5-query batch served by the binary index with ONE signature
+    scan: queries ride as a broadcast 5-row packed-word table, the
+    per-query shortlist compiles to WindowGroupLimit (per-task partial
+    top-k before the shuffle), and the exact re-rank broadcasts the
+    ≤80-row shortlist into the base scan joined with the broadcast
+    query vectors — corpus vectors never shuffle."""
+    e = load_table(spark, sf_dir, "embeddings")
+    corpus = e.filter(F.col("vec_id") >= _BIN_MULTI_Q)
+    queries = e.filter(F.col("vec_id") < _BIN_MULTI_Q)
+    qw = sim.binary_signature(queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("sig_lo").alias("qlo"),
+        F.col("sig_hi").alias("qhi"),
+    )
+    w = sim.binary_signature(corpus).select("vec_id", "sig_lo", "sig_hi")
+    ham = (
+        F.bit_count(F.col("sig_lo").bitwiseXOR(F.col("qlo")))
+        + F.bit_count(F.col("sig_hi").bitwiseXOR(F.col("qhi")))
+    ).cast("int")
+    h = w.crossJoin(F.broadcast(qw)).select(
+        "query_id", "vec_id", ham.alias("hamming")
+    )
+    ws = Window.partitionBy("query_id").orderBy("hamming", "vec_id")
+    short = (
+        h.withColumn("rn", F.row_number().over(ws))
+        .filter(F.col("rn") <= _BIN_SHORTLIST)
+        .drop("rn")
+    )
+    qe = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    rr = (
+        corpus.select("vec_id", "embedding")
+        .join(F.broadcast(short), "vec_id")
+        .join(F.broadcast(qe), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            "hamming",
+            F.floor(
+                1_000_000_000.0
+                * (
+                    sim.dot(F.col("embedding"), F.col("q_emb"))
+                    / (
+                        sim.l2_norm(F.col("embedding"))
+                        * sim.l2_norm(F.col("q_emb"))
+                    )
+                )
+            )
+            .cast("long")
+            .alias("sim_nano"),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.col("sim_nano").desc(), "vec_id")
+    return (
+        rr.withColumn("rank", F.row_number().over(wr).cast("int"))
+        .filter(F.col("rank") <= _BIN_MULTI_K)
+    )

@@ -802,3 +802,15 @@ def test_shuffle_shards_single_pass(spark):
     import re
 
     assert not re.search(r"Sort \[hkey", plan), plan[:3000]
+
+
+def test_binary_multi_single_scan_and_group_limit(spark):
+    """Batch binary serving: the whole 5-query batch reads the corpus
+    signatures with a bounded number of scans (shortlist + re-rank,
+    AQE prints scans twice), the shortlist compiles to WindowGroupLimit
+    (per-task partial top-k), and both the query words and the
+    shortlist ride broadcast — no corpus-side shuffle join."""
+    plan = _plan(spark, "sim_cosine_topk_binary_multi")
+    assert "WindowGroupLimit" in plan, plan[:3000]
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
