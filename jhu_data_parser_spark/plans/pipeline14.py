@@ -1047,3 +1047,124 @@ def sim_cosine_topk_binary_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         rr.withColumn("rank", F.row_number().over(wr).cast("int"))
         .filter(F.col("rank") <= _BIN_MULTI_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# Binary-index recall on a CENTERED planted-cluster corpus — the
+# evaluation row of the binary story (siblings: sim_lsh/ivf/pq_recall).
+# Sign quantization needs zero-centered dimensions: on the raw
+# (all-positive) synthetic embeddings every signature is ~all-ones and
+# the index is blind — so the eval corpus centers the cluster pattern
+# at zero ((pattern % 16) − 8 ± 5e-5 noise). Each of the 16 clusters
+# then owns a distinct 64-bit sign pattern; members differ only on the
+# ~4 dims whose base is exactly 0 (noise-sign bits). recall@10 of the
+# Hamming-shortlist + exact re-rank against the exact arm is itself
+# value-hash gated — the oracle replays synthesis, packing, shortlist,
+# re-rank, the exact arm, and the overlap count.
+# ---------------------------------------------------------------------------
+_BINC_N = 160
+_BINC_VEC = (
+    "CAST(((vec_id % 16) * 37 + (i + 1) * 11) % 16 - 8 AS DOUBLE) + "
+    "CAST(((vec_id * 7919 + (i + 1) * 104729) % 100001) - 50000 AS DOUBLE) / "
+    "CAST(1000000000 AS DOUBLE)"
+)
+
+
+def _binary_recall_oracle() -> str:
+    src = (
+        f"(SELECT vec_id, list_transform(range(64), i -> {_BINC_VEC}) "
+        f"AS embedding FROM embeddings WHERE vec_id < {_BINC_N})"
+    )
+    return f"""
+    WITH synth AS MATERIALIZED ({src.strip("()")}),
+    q AS (SELECT embedding AS qe FROM synth WHERE vec_id = 0),
+    qw AS (SELECT
+             CAST(list_sum(list_transform(range(32),
+                  i -> CASE WHEN qe[i+1] > 0.0 THEN (1::BIGINT << i)
+                            ELSE 0::BIGINT END)) AS BIGINT) AS qlo,
+             CAST(list_sum(list_transform(range(32),
+                  i -> CASE WHEN qe[i+33] > 0.0 THEN (1::BIGINT << i)
+                            ELSE 0::BIGINT END)) AS BIGINT) AS qhi
+           FROM q),
+    w AS (SELECT vec_id,
+             CAST(list_sum(list_transform(range(32),
+                  i -> CASE WHEN embedding[i+1] > 0.0 THEN (1::BIGINT << i)
+                            ELSE 0::BIGINT END)) AS BIGINT) AS lo,
+             CAST(list_sum(list_transform(range(32),
+                  i -> CASE WHEN embedding[i+33] > 0.0 THEN (1::BIGINT << i)
+                            ELSE 0::BIGINT END)) AS BIGINT) AS hi
+          FROM synth WHERE vec_id <> 0),
+    short AS (
+      SELECT w.vec_id
+      FROM w, qw
+      ORDER BY bit_count(xor(w.lo, qw.qlo)) + bit_count(xor(w.hi, qw.qhi)),
+               w.vec_id
+      LIMIT {_BIN_SHORTLIST}),
+    approx AS (
+      SELECT s.vec_id
+      FROM short s JOIN synth e USING (vec_id), q
+      ORDER BY list_dot_product(e.embedding, q.qe)
+               / (sqrt(list_dot_product(e.embedding, e.embedding))
+                  * sqrt(list_dot_product(q.qe, q.qe))) DESC, s.vec_id
+      LIMIT 10),
+    exact AS (
+      SELECT e.vec_id
+      FROM synth e, q WHERE e.vec_id <> 0
+      ORDER BY list_dot_product(e.embedding, q.qe)
+               / (sqrt(list_dot_product(e.embedding, e.embedding))
+                  * sqrt(list_dot_product(q.qe, q.qe))) DESC, e.vec_id
+      LIMIT 10)
+    SELECT CAST(10 AS INT) AS k,
+           CAST({_BIN_SHORTLIST} AS INT) AS shortlist,
+           CAST((SELECT COUNT(*) FROM approx WHERE vec_id IN
+                 (SELECT vec_id FROM exact)) AS INT) AS n_overlap
+    """
+
+
+@query("sim_binary_recall_clustered", oracle=_binary_recall_oracle())
+def sim_binary_recall_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@10 of the binary Hamming-shortlist index on the centered
+    planted-cluster corpus, gated as a value (not just asserted in
+    pytest). Same serving pipeline as sim_cosine_topk_binary over the
+    synthesized frame."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    synth = emb.filter(F.col("vec_id") < _BINC_N).select(
+        "vec_id",
+        F.expr(f"transform(sequence(0, 63), i -> {_BINC_VEC})").alias("embedding"),
+    )
+    corpus = synth.filter(F.col("vec_id") != 0)
+    qv = [
+        float(x)
+        for x in synth.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    qlo, qhi = sim.binary_query_words(qv)
+    short = (
+        sim.binary_signature(corpus)
+        .select(
+            "vec_id",
+            sim.hamming64(F.col("sig_lo"), F.col("sig_hi"), qlo, qhi).alias("h"),
+        )
+        .orderBy("h", "vec_id")
+        .limit(_BIN_SHORTLIST)
+        .select("vec_id")
+    )
+    qlit = F.array(*[F.lit(float(x)) for x in qv])
+    qn = sum(float(x) * float(x) for x in qv) ** 0.5
+    score = sim.dot(F.col("embedding"), qlit) / (
+        sim.l2_norm(F.col("embedding")) * F.lit(qn)
+    )
+    approx = (
+        corpus.join(F.broadcast(short), "vec_id")
+        .orderBy(score.desc(), "vec_id")
+        .limit(10)
+        .select("vec_id")
+    )
+    exact = corpus.orderBy(score.desc(), "vec_id").limit(10).select("vec_id")
+    overlap = approx.join(exact, "vec_id", "left_semi").agg(
+        F.count(F.lit(1)).cast("int").alias("n_overlap")
+    )
+    return overlap.select(
+        F.lit(10).cast("int").alias("k"),
+        F.lit(_BIN_SHORTLIST).cast("int").alias("shortlist"),
+        "n_overlap",
+    )
