@@ -1168,3 +1168,191 @@ def sim_binary_recall_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(_BIN_SHORTLIST).cast("int").alias("shortlist"),
         "n_overlap",
     )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff — the reconciliation every versioned lake runs between
+# two table versions (CDC validation, backfill audit, replication
+# check): classify every key as added / removed / changed / unchanged
+# with one FULL OUTER join, and checksum the changed payloads. v2 is
+# derived deterministically from v1 (keys %13==4 deleted, %11==3
+# repriced +100, %17==5 re-keyed as inserts), so the oracle replays
+# the version synthesis and the classification.
+# ---------------------------------------------------------------------------
+_DIFF_ORACLE = """
+    WITH v1 AS (SELECT o_orderkey AS k, o_totalprice AS p FROM orders),
+    v2 AS (
+      SELECT o_orderkey AS k,
+             CASE WHEN o_orderkey % 11 = 3 THEN o_totalprice + 100.0
+                  ELSE o_totalprice END AS p
+      FROM orders WHERE o_orderkey % 13 <> 4
+      UNION ALL
+      SELECT o_orderkey + 1000000000 AS k, o_totalprice AS p
+      FROM orders WHERE o_orderkey % 17 = 5),
+    d AS (
+      SELECT COALESCE(v1.k, v2.k) AS k,
+             CASE WHEN v1.k IS NULL THEN 'added'
+                  WHEN v2.k IS NULL THEN 'removed'
+                  WHEN v1.p <> v2.p THEN 'changed'
+                  ELSE 'unchanged' END AS change_type,
+             COALESCE(v2.p, v1.p) AS p
+      FROM v1 FULL OUTER JOIN v2 ON v1.k = v2.k)
+    SELECT change_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(floor(p * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS price_cents
+    FROM d GROUP BY change_type
+    """
+
+
+@query("etl_snapshot_diff", oracle=_DIFF_ORACLE)
+def etl_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classify every key across two table versions with one full
+    outer join on the key. Scale posture: the join shuffles both
+    versions once on the key (or reads shuffle-free from bucketed
+    layouts — test_bucketed_join_is_exchange_free pins that shape);
+    the classification is pure codegen; output is |change_types|
+    rows."""
+    o = load_table(spark, sf_dir, "orders")
+    v1 = o.select(F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("p"))
+    v2 = (
+        o.filter(F.col("o_orderkey") % 13 != 4)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.when(
+                F.col("o_orderkey") % 11 == 3, F.col("o_totalprice") + 100.0
+            )
+            .otherwise(F.col("o_totalprice"))
+            .alias("p"),
+        )
+        .unionAll(
+            o.filter(F.col("o_orderkey") % 17 == 5).select(
+                (F.col("o_orderkey") + 1_000_000_000).alias("k"),
+                F.col("o_totalprice").alias("p"),
+            )
+        )
+    )
+    d = v1.alias("a").join(v2.alias("b"), F.col("a.k") == F.col("b.k"), "full_outer")
+    classified = d.select(
+        F.when(F.col("a.k").isNull(), "added")
+        .when(F.col("b.k").isNull(), "removed")
+        .when(F.col("a.p") != F.col("b.p"), "changed")
+        .otherwise("unchanged")
+        .alias("change_type"),
+        F.coalesce(F.col("b.p"), F.col("a.p")).alias("p"),
+    )
+    return classified.groupBy("change_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.floor(F.col("p") * 100 + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("price_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence-packing efficiency report — the padding-waste accounting a
+# training team runs before choosing a packing strategy. Three
+# strategies in closed form (NO sequential bin state — the point of
+# the design is that each is a pure groupBy arithmetic, which is what
+# makes it computable at 100 TB):
+#   stream:   concatenate and split at the budget (crosses document
+#             boundaries; bins = ceil(total/B), minimal waste);
+#   harmonic: doc-boundary-preserving HARMONIC-class packing (Lee &
+#             Lee 1985): a doc's full B-token pieces fill whole bins,
+#             its remainder of size r joins class k = B div r, where
+#             bins hold exactly k remainders → ceil(n_k / k) bins per
+#             class;
+#   per_doc:  one document per sequence run, bins = Σ ceil(n/B),
+#             maximal waste.
+# waste = bins·B − total tokens. Integer arithmetic end to end.
+# ---------------------------------------------------------------------------
+_PACK_B = 512
+
+_PACK_EFF_ORACLE = f"""
+    WITH t AS (
+      SELECT source,
+             len(list_filter(string_split_regex(lower(text), '\\s+'),
+                             x -> x <> '')) AS n
+      FROM documents),
+    per_doc AS (
+      SELECT source, n,
+             n // {_PACK_B} AS full_bins,
+             n % {_PACK_B} AS rem
+      FROM t),
+    classes AS (
+      SELECT source, {_PACK_B} // rem AS k, COUNT(*) AS n_k
+      FROM per_doc WHERE rem > 0 GROUP BY 1, 2),
+    harmonic AS (
+      SELECT source,
+             CAST(SUM((n_k + k - 1) // k) AS BIGINT) AS rem_bins
+      FROM classes GROUP BY source),
+    agg AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n) AS BIGINT) AS total_tokens,
+             CAST(SUM(full_bins) AS BIGINT) AS full_bins,
+             CAST(SUM((n + {_PACK_B} - 1) // {_PACK_B}) AS BIGINT)
+               AS bins_per_doc
+      FROM per_doc GROUP BY source)
+    SELECT a.source, a.n_docs, a.total_tokens,
+           CAST((a.total_tokens + {_PACK_B} - 1) // {_PACK_B} AS BIGINT)
+             AS bins_stream,
+           CAST(a.full_bins + COALESCE(h.rem_bins, 0) AS BIGINT)
+             AS bins_harmonic,
+           a.bins_per_doc,
+           CAST((a.full_bins + COALESCE(h.rem_bins, 0)) * {_PACK_B}
+                - a.total_tokens AS BIGINT) AS waste_harmonic,
+           CAST(a.bins_per_doc * {_PACK_B} - a.total_tokens AS BIGINT)
+             AS waste_per_doc
+    FROM agg a LEFT JOIN harmonic h USING (source)
+    """
+
+
+@query("text_pack_efficiency", oracle=_PACK_EFF_ORACLE)
+def text_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source padding-waste accounting for three packing
+    strategies (stream / harmonic doc-boundary / per-doc). Everything
+    is closed-form integer arithmetic over two small aggregations —
+    no sequential bin state, no sort, no window."""
+    d = load_table(spark, sf_dir, "documents")
+    B = _PACK_B
+    t = d.select(
+        "source",
+        F.expr("size(filter(split(lower(text), '\\\\s+'), x -> x <> ''))")
+        .alias("n"),
+    )
+    per_doc = t.select(
+        "source",
+        "n",
+        F.expr(f"n div {B}").alias("full_bins"),
+        (F.col("n") % B).alias("rem"),
+    )
+    classes = (
+        per_doc.filter(F.col("rem") > 0)
+        .groupBy("source", F.expr(f"{B} div rem").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n_k"))
+    )
+    harmonic = classes.groupBy("source").agg(
+        F.sum(F.expr("(n_k + k - 1) div k")).cast("long").alias("rem_bins")
+    )
+    agg = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n").cast("long").alias("total_tokens"),
+        F.sum("full_bins").cast("long").alias("full_bins"),
+        F.sum(F.expr(f"(n + {B} - 1) div {B}")).cast("long").alias("bins_per_doc"),
+    )
+    j = agg.join(harmonic, "source", "left").na.fill({"rem_bins": 0})
+    return j.select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        F.expr(f"(total_tokens + {B} - 1) div {B}").cast("long").alias("bins_stream"),
+        (F.col("full_bins") + F.col("rem_bins")).cast("long").alias("bins_harmonic"),
+        "bins_per_doc",
+        ((F.col("full_bins") + F.col("rem_bins")) * B - F.col("total_tokens"))
+        .cast("long")
+        .alias("waste_harmonic"),
+        (F.col("bins_per_doc") * B - F.col("total_tokens"))
+        .cast("long")
+        .alias("waste_per_doc"),
+    )

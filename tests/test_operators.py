@@ -3061,3 +3061,19 @@ def test_audio_content_dedup_beats_byte_dedup(spark):
         assert key(head) == key(exact) == key(reenc), uid
         assert head["raw_md5"] == exact["raw_md5"], uid  # byte-exact twin
         assert head["raw_md5"] != reenc["raw_md5"], uid  # re-encode defeats md5
+
+
+def test_pack_efficiency_strategy_ordering(spark):
+    """The three packing strategies must be waste-monotone per source:
+    stream <= harmonic <= per_doc bins, and harmonic bins must cover
+    the token mass (bins*B >= total)."""
+    from jhu_data_parser_spark import plans
+
+    rows = plans.QUERIES["text_pack_efficiency"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r["bins_stream"] <= r["bins_harmonic"] <= r["bins_per_doc"], dict(r.asDict())
+        assert r["bins_harmonic"] * 512 >= r["total_tokens"]
+        assert r["waste_harmonic"] == r["bins_harmonic"] * 512 - r["total_tokens"]
