@@ -1356,3 +1356,29 @@ def text_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("waste_per_doc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Index compaction — the LSM follow-up to stream_ivfpq_index_append:
+# periodically rewrite base ∪ appended micro-batch segments into one
+# fresh cell-partitioned index (pure layout rewrite under the frozen
+# codebooks — no re-fit), so serving reads one segment per cell
+# instead of one per batch. Serve(compacted) must equal serve(LSM
+# view) must equal the batch-encoded union — all three share one
+# oracle, and the segment-count drop is pinned in pytest.
+# ---------------------------------------------------------------------------
+def _ivfpq_compact_oracle() -> str:
+    from jhu_data_parser_spark.plans.pipeline13 import _ivfpq_append_oracle
+
+    return _ivfpq_append_oracle()
+
+
+@query("stream_ivfpq_index_compact", oracle=_ivfpq_compact_oracle())
+def stream_ivfpq_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serve the streamed index AFTER compaction (one partitioned
+    rewrite of base ∪ appends) — hash-gated against the same oracle as
+    the pre-compaction LSM serve, proving compaction is a pure layout
+    change."""
+    from jhu_data_parser_spark.streaming.jobs import run_ivfpq_index_compact
+
+    return run_ivfpq_index_compact(spark, sf_dir)

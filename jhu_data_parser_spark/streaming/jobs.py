@@ -705,7 +705,13 @@ def read_embeddings_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def run_ivfpq_index_append_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _ivfpq_append_segments(spark: SparkSession, sf_dir: str):
+    """The segment-building half of the append stream: freeze codebooks
+    on the base corpus, stream the arriving vectors into idempotent
+    cell-partitioned batch_id=N segments, and return
+    ``(index_union, coarse, books, emb)`` where index_union is the
+    LSM view base ∪ appended. Shared by the append-serve query and the
+    compaction query."""
     """Incremental ANN index maintenance as a REAL stream (r8 verdict
     item 3): the base corpus (vec_id % 5 != 0) builds the IVF-PQ index
     and FREEZES its coarse centroids and codebooks; newly-arriving
@@ -793,7 +799,18 @@ def run_ivfpq_index_append_stream(spark: SparkSession, sf_dir: str) -> DataFrame
     appended = spark.read.parquet(out_dir).select(
         *[F.col(c).cast("long").alias(c) for c in cols]
     )
-    index = base_index.unionByName(appended)
+    return base_index.unionByName(appended), coarse, books, emb
+
+
+def _ivfpq_serve_union(spark: SparkSession, index: DataFrame, coarse, books, emb):
+    from jhu_data_parser_spark.operators import similarity as sim
+    from jhu_data_parser_spark.operators.clustering import quantize_vectors
+    from jhu_data_parser_spark.plans.pipeline11 import (
+        _IP_PROBE,
+        _IP_SHORTLIST,
+        _IP_SUB,
+        _IP_TOPK,
+    )
 
     q_ints = [
         int(v)
@@ -812,6 +829,32 @@ def run_ivfpq_index_append_stream(spark: SparkSession, sf_dir: str) -> DataFrame
         shortlist=_IP_SHORTLIST,
         sub=_IP_SUB,
     )
+
+
+def run_ivfpq_index_append_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serve from the LSM view base ∪ appended segments (see
+    :func:`_ivfpq_append_segments` for the streaming half)."""
+    index, coarse, books, emb = _ivfpq_append_segments(spark, sf_dir)
+    return _ivfpq_serve_union(spark, index, coarse, books, emb)
+
+
+def run_ivfpq_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSM COMPACTION for the streamed index: rewrite base ∪ appended
+    batch segments into ONE fresh cell-partitioned index directory (no
+    re-fit — codes are already under the frozen codebooks; compaction
+    is a pure layout rewrite, exactly what an ANN service runs
+    periodically so serving reads one segment per cell instead of one
+    per micro-batch), then serve from the compacted index. Correctness
+    contract: serve(compacted) ≡ serve(base ∪ appends) ≡ batch-encoded
+    union — the shared oracle gates all three. The segment-count drop
+    is pinned in pytest."""
+    index, coarse, books, emb = _ivfpq_append_segments(spark, sf_dir)
+    compact_dir = _cleanup_at_exit(tempfile.mkdtemp(prefix="jdps_ivfpq_compact_"))
+    index.write.mode("overwrite").partitionBy("cell").parquet(compact_dir)
+    compacted = spark.read.parquet(compact_dir).select(
+        *[F.col(c).cast("long").alias(c) for c in index.columns]
+    )
+    return _ivfpq_serve_union(spark, compacted, coarse, books, emb)
 
 
 def run_gopher_quality_stream(

@@ -511,3 +511,39 @@ def test_gopher_stream_multibatch_equals_batch(spark, tmp_path):
     g = {tuple(r) for r in got.orderBy("lang").collect()}
     w = {tuple(r) for r in want.orderBy("lang").collect()}
     assert g == w and len(g) > 0
+
+
+def test_ivfpq_compaction_reduces_segments_and_preserves_serve(spark):
+    """Compaction must (a) collapse the per-micro-batch segment layout
+    into one directory level per cell and (b) leave the served top-10
+    row-identical to the LSM (base ∪ appends) serve."""
+    import glob
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from jhu_data_parser_spark.streaming.jobs import (
+        _ivfpq_append_segments,
+        _ivfpq_serve_union,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    index, coarse, books, emb = _ivfpq_append_segments(spark, sf)
+    lsm = _ivfpq_serve_union(spark, index, coarse, books, emb)
+
+    compact_dir = tempfile.mkdtemp(prefix="jdps_test_compact_")
+    index.write.mode("overwrite").partitionBy("cell").parquet(compact_dir)
+    compacted = spark.read.parquet(compact_dir).select(
+        *[F.col(c).cast("long").alias(c) for c in index.columns]
+    )
+    srv = _ivfpq_serve_union(spark, compacted, coarse, books, emb)
+
+    a = [tuple(r) for r in lsm.orderBy(lsm.columns[0]).collect()]
+    b = [tuple(r) for r in srv.orderBy(srv.columns[0]).collect()]
+    assert a == b and len(a) > 0
+
+    # segment accounting: the compacted layout has exactly one
+    # partition level (cell=*), no batch_id level
+    assert glob.glob(os.path.join(compact_dir, "cell=*"))
+    assert not glob.glob(os.path.join(compact_dir, "batch_id=*"))
