@@ -1382,3 +1382,158 @@ def stream_ivfpq_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jhu_data_parser_spark.streaming.jobs import run_ivfpq_index_compact
 
     return run_ivfpq_index_compact(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Retrieval evaluation metrics — the scorecard every retrieval system
+# ships with: recall@k, MRR, and NDCG@10 of the binary-index ranking
+# against the exact-cosine gold top-10, over the centered clustered
+# corpus. Fixed-point discipline makes the METRICS hash-gatable:
+# reciprocal-rank contributions are integer 1e6 div rank; the NDCG
+# discount floor(1e6 / (ln(r+1)/ln 2)) is a function of the integer
+# rank alone (identical IEEE ops in both engines); NDCG is reported
+# in integer millis via (1000·DCG) div IDCG.
+# ---------------------------------------------------------------------------
+_EVAL_SHORT = 12  # tight: at 32 the system is perfect and the metrics are vacuous
+_EVAL_K = 20
+
+
+def _retrieval_eval_oracle() -> str:
+    src = (
+        f"SELECT vec_id, list_transform(range(64), i -> {_BINC_VEC}) "
+        f"AS embedding FROM embeddings WHERE vec_id < {_BINC_N}"
+    )
+    disc = "floor(1000000.0 / (ln(CAST(rank_s + 1 AS DOUBLE)) / ln(2.0)))"
+    return f"""
+    WITH synth AS MATERIALIZED ({src}),
+    q AS (SELECT embedding AS qe FROM synth WHERE vec_id = 0),
+    qw AS (SELECT
+             CAST(list_sum(list_transform(range(32),
+                  i -> CASE WHEN qe[i+1] > 0.0 THEN (1::BIGINT << i)
+                            ELSE 0::BIGINT END)) AS BIGINT) AS qlo,
+             CAST(list_sum(list_transform(range(32),
+                  i -> CASE WHEN qe[i+33] > 0.0 THEN (1::BIGINT << i)
+                            ELSE 0::BIGINT END)) AS BIGINT) AS qhi
+           FROM q),
+    w AS (SELECT vec_id,
+             CAST(list_sum(list_transform(range(32),
+                  i -> CASE WHEN embedding[i+1] > 0.0 THEN (1::BIGINT << i)
+                            ELSE 0::BIGINT END)) AS BIGINT) AS lo,
+             CAST(list_sum(list_transform(range(32),
+                  i -> CASE WHEN embedding[i+33] > 0.0 THEN (1::BIGINT << i)
+                            ELSE 0::BIGINT END)) AS BIGINT) AS hi
+          FROM synth WHERE vec_id <> 0),
+    short AS (
+      SELECT w.vec_id FROM w, qw
+      ORDER BY bit_count(xor(w.lo, qw.qlo)) + bit_count(xor(w.hi, qw.qhi)),
+               w.vec_id
+      LIMIT {_EVAL_SHORT}),
+    system AS (
+      SELECT s.vec_id,
+             row_number() OVER (
+               ORDER BY list_dot_product(e.embedding, q.qe)
+                 / (sqrt(list_dot_product(e.embedding, e.embedding))
+                    * sqrt(list_dot_product(q.qe, q.qe))) DESC, s.vec_id
+             ) AS rank_s
+      FROM short s JOIN synth e USING (vec_id), q
+      QUALIFY rank_s <= {_EVAL_K}),
+    gold AS (
+      SELECT e.vec_id FROM synth e, q WHERE e.vec_id <> 0
+      ORDER BY list_dot_product(e.embedding, q.qe)
+               / (sqrt(list_dot_product(e.embedding, e.embedding))
+                  * sqrt(list_dot_product(q.qe, q.qe))) DESC, e.vec_id
+      LIMIT 10),
+    found AS (
+      SELECT s.rank_s FROM system s JOIN gold g USING (vec_id)),
+    idcg AS (
+      SELECT CAST(SUM(floor(1000000.0
+                            / (ln(CAST(r + 1 AS DOUBLE)) / ln(2.0))))
+                  AS BIGINT) AS idcg_fp
+      FROM generate_series(1, 10) t(r)),
+    m AS (
+      SELECT CAST(COUNT(*) FILTER (WHERE rank_s <= 5) AS INT) AS recall_5,
+             CAST(COUNT(*) FILTER (WHERE rank_s <= 10) AS INT) AS recall_10,
+             CAST(COUNT(*) AS INT) AS recall_20,
+             CAST(SUM(1000000 // rank_s) AS BIGINT) AS mrr_fp,
+             CAST(SUM(CASE WHEN rank_s <= 10 THEN {disc} ELSE 0 END)
+                  AS BIGINT) AS dcg_fp
+      FROM found)
+    SELECT m.recall_5, m.recall_10, m.recall_20, m.mrr_fp, m.dcg_fp,
+           idcg.idcg_fp,
+           CAST((1000 * m.dcg_fp) // idcg.idcg_fp AS BIGINT) AS ndcg_milli
+    FROM m, idcg
+    """
+
+
+@query("retrieval_eval_metrics", oracle=_retrieval_eval_oracle())
+def retrieval_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@5/10/20, MRR, and NDCG@10 of the binary index against
+    the exact gold top-10 — the metrics themselves are hash-gated.
+    Scale posture: system + gold rankings are the standard shortlist/
+    TakeOrdered shapes; the metric arithmetic runs on ≤20 rows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    synth = emb.filter(F.col("vec_id") < _BINC_N).select(
+        "vec_id",
+        F.expr(f"transform(sequence(0, 63), i -> {_BINC_VEC})").alias("embedding"),
+    )
+    corpus = synth.filter(F.col("vec_id") != 0)
+    qv = [
+        float(x)
+        for x in synth.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    qlo, qhi = sim.binary_query_words(qv)
+    short = (
+        sim.binary_signature(corpus)
+        .select(
+            "vec_id",
+            sim.hamming64(F.col("sig_lo"), F.col("sig_hi"), qlo, qhi).alias("h"),
+        )
+        .orderBy("h", "vec_id")
+        .limit(_EVAL_SHORT)
+        .select("vec_id")
+    )
+    qlit = F.array(*[F.lit(float(x)) for x in qv])
+    qn = sum(float(x) * float(x) for x in qv) ** 0.5
+    score = sim.dot(F.col("embedding"), qlit) / (
+        sim.l2_norm(F.col("embedding")) * F.lit(qn)
+    )
+    wsys = Window.orderBy(score.desc(), "vec_id")
+    system = (
+        corpus.join(F.broadcast(short), "vec_id")
+        .withColumn("rank_s", F.row_number().over(wsys))
+        .filter(F.col("rank_s") <= _EVAL_K)
+        .select("vec_id", "rank_s")
+    )
+    gold = corpus.orderBy(score.desc(), "vec_id").limit(10).select("vec_id")
+    found = system.join(gold, "vec_id", "left_semi")
+    disc = F.floor(
+        1_000_000.0 / (F.log(F.col("rank_s").cast("double") + 1.0) / F.log(F.lit(2.0)))
+    )
+    m = found.agg(
+        F.sum(F.when(F.col("rank_s") <= 5, 1).otherwise(0)).cast("int").alias("recall_5"),
+        F.sum(F.when(F.col("rank_s") <= 10, 1).otherwise(0)).cast("int").alias("recall_10"),
+        F.count(F.lit(1)).cast("int").alias("recall_20"),
+        F.sum(F.expr("1000000 div rank_s")).cast("long").alias("mrr_fp"),
+        F.sum(F.when(F.col("rank_s") <= 10, disc).otherwise(0))
+        .cast("long")
+        .alias("dcg_fp"),
+    )
+    idcg = spark.range(1, 11).agg(
+        F.sum(
+            F.floor(
+                1_000_000.0
+                / (F.log(F.col("id").cast("double") + 1.0) / F.log(F.lit(2.0)))
+            )
+        )
+        .cast("long")
+        .alias("idcg_fp")
+    )
+    return m.crossJoin(F.broadcast(idcg)).select(
+        "recall_5",
+        "recall_10",
+        "recall_20",
+        "mrr_fp",
+        "dcg_fp",
+        "idcg_fp",
+        F.expr("(1000 * dcg_fp) div idcg_fp").cast("long").alias("ndcg_milli"),
+    )
