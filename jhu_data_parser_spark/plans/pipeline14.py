@@ -1537,3 +1537,80 @@ def retrieval_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "idcg_fp",
         F.expr("(1000 * dcg_fp) div idcg_fp").cast("long").alias("ndcg_milli"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Normalization-aware TEXT dedup — the text member of the
+# normalize-then-dedup trio (URL-canonical: pipeline4; decoded-PCM
+# audio: above). Adversarial or sloppy re-posts swap Latin letters for
+# Cyrillic homoglyphs (а е о с р), defeating byte-level dedup while
+# reading identically; folding confusables before hashing catches
+# them. Every 10th doc carries its decade head's text with the five
+# homoglyph substitutions applied — raw md5 differs, normalized md5
+# matches. Synthesis, folding (translate is character-wise unicode in
+# both engines), and grouping all replay in SQL, so the normalized
+# hashes themselves are gated.
+# ---------------------------------------------------------------------------
+_HOMOGLYPH_LATIN = "aeocp"
+_HOMOGLYPH_CYRIL = "аеоср"
+
+_NORM_DEDUP_ORACLE = f"""
+    WITH aug AS (
+      SELECT d.doc_id,
+             CASE WHEN d.doc_id % 10 = 9
+                  THEN translate(h.text, '{_HOMOGLYPH_LATIN}', '{_HOMOGLYPH_CYRIL}')
+                  ELSE d.text END AS text
+      FROM documents d
+      LEFT JOIN documents h
+        ON h.doc_id = d.doc_id - 9 AND d.doc_id % 10 = 9),
+    n AS (
+      SELECT doc_id,
+             md5(translate(lower(text), '{_HOMOGLYPH_CYRIL}',
+                           '{_HOMOGLYPH_LATIN}')) AS norm_md5
+      FROM aug)
+    SELECT doc_id, norm_md5,
+           CAST(COUNT(*) OVER (PARTITION BY norm_md5) AS BIGINT) AS group_size,
+           COUNT(*) OVER (PARTITION BY norm_md5) > 1 AS is_duplicate
+    FROM n
+    """
+
+
+@query("text_normalized_dedup", oracle=_NORM_DEDUP_ORACLE)
+def text_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on confusable-folded text: homoglyph-disguised
+    re-posts group with their originals (the raw-vs-normalized
+    contrast is pinned in pytest). Scale posture: the mirror synthesis
+    is one self-equi-join on the decade key; folding + hashing are
+    codegen string ops; only the 16-byte hash shuffles."""
+    d = load_table(spark, sf_dir, "documents")
+    heads = d.select(
+        (F.col("doc_id") + 9).alias("doc_id"), F.col("text").alias("head_text")
+    )
+    aug = (
+        d.join(heads, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 10 == 9,
+                F.translate(
+                    F.col("head_text"), _HOMOGLYPH_LATIN, _HOMOGLYPH_CYRIL
+                ),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+    )
+    n = aug.select(
+        "doc_id",
+        F.md5(
+            F.translate(F.lower(F.col("text")), _HOMOGLYPH_CYRIL, _HOMOGLYPH_LATIN)
+        ).alias("norm_md5"),
+    )
+    w = Window.partitionBy("norm_md5")
+    c = F.count(F.lit(1)).over(w)
+    return n.select(
+        "doc_id",
+        "norm_md5",
+        c.cast("long").alias("group_size"),
+        (c > 1).alias("is_duplicate"),
+    )

@@ -3077,3 +3077,40 @@ def test_pack_efficiency_strategy_ordering(spark):
         assert r["bins_stream"] <= r["bins_harmonic"] <= r["bins_per_doc"], dict(r.asDict())
         assert r["bins_harmonic"] * 512 >= r["total_tokens"]
         assert r["waste_harmonic"] == r["bins_harmonic"] * 512 - r["total_tokens"]
+
+
+def test_normalized_dedup_beats_raw_md5(spark):
+    """Raw md5 must MISS every homoglyph-disguised pair that the
+    normalized hash catches — the contrast that motivates folding
+    confusables before dedup."""
+    from pyspark.sql import functions as F
+
+    from jhu_data_parser_spark import plans
+    from jhu_data_parser_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    dup = plans.QUERIES["text_normalized_dedup"](spark, sf)
+    planted = {
+        r["doc_id"]
+        for r in dup.filter(F.col("is_duplicate")).collect()
+    }
+    # every decade (head, +9) pair is caught
+    for uid in range(0, 491, 10):
+        assert uid in planted and uid + 9 in planted, uid
+
+    # raw md5 over the SAME augmented corpus groups nothing planted:
+    d = load_table(spark, sf, "documents")
+    heads = d.select((F.col("doc_id") + 9).alias("doc_id"), F.col("text").alias("ht"))
+    aug = d.join(heads, "doc_id", "left").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 10 == 9, F.translate(F.col("ht"), "aeocp", "аеоср")
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    raw_groups = (
+        aug.groupBy(F.md5(F.lower("text")).alias("h"))
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    assert raw_groups == 0
