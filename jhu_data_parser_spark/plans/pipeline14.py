@@ -441,7 +441,7 @@ def text_wordpiece_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _wp_encode_oracle(num_merges: int = _WP_MERGES, min_word_count: int = _WP_MIN_WC) -> str:
+def _wp_encode_parts(num_merges: int = _WP_MERGES, min_word_count: int = _WP_MIN_WC) -> list[str]:
     parts = _wp_trainer_parts(num_merges, min_word_count)
     merged_unions = "\n        UNION ".join(
         f"SELECT a || substr(b, 3) AS sym FROM b{r}" for r in range(1, num_merges + 1)
@@ -499,12 +499,17 @@ def _wp_encode_oracle(num_merges: int = _WP_MERGES, min_word_count: int = _WP_MI
              CASE WHEN bad THEN 1 ELSE 0 END AS unk
       FROM walk WHERE pos > length(w)),
     dt AS (
-      SELECT t.doc_id, g.i AS pos, t.toks[g.i] AS w
-      FROM (SELECT doc_id,
+      SELECT t.doc_id, t.lang, g.i AS pos, t.toks[g.i] AS w
+      FROM (SELECT doc_id, lang,
                    list_filter(string_split_regex(lower(text), '\\s+'),
                                x -> x <> '') AS toks
             FROM documents) t,
            LATERAL (SELECT unnest(range(1, len(t.toks) + 1)) AS i) g)""")
+    return parts
+
+
+def _wp_encode_oracle(num_merges: int = _WP_MERGES, min_word_count: int = _WP_MIN_WC) -> str:
+    parts = _wp_encode_parts(num_merges, min_word_count)
     return (
         "WITH RECURSIVE "
         + ",\n    ".join(parts)
@@ -1613,4 +1618,72 @@ def text_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "norm_md5",
         c.cast("long").alias("group_size"),
         (c > 1).alias("is_duplicate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary coverage report — the acceptance check run after training
+# any tokenizer: per language, how many word INSTANCES fall to [UNK],
+# how many pieces per word, and the distinct-word OOV rate. Reuses the
+# WordPiece train + greedy-encode oracle chain end to end.
+# ---------------------------------------------------------------------------
+def _wp_coverage_oracle() -> str:
+    parts = _wp_encode_parts()
+    return (
+        "WITH RECURSIVE "
+        + ",\n    ".join(parts)
+        + """
+    SELECT dt.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_word_instances,
+           CAST(COUNT(DISTINCT dt.w) AS BIGINT) AS n_distinct_words,
+           CAST(SUM(enc.unk) AS BIGINT) AS n_oov_instances,
+           CAST(COUNT(DISTINCT CASE WHEN enc.unk = 1 THEN dt.w END)
+                AS BIGINT) AS n_oov_distinct,
+           CAST(SUM(enc.n_tok) AS BIGINT) AS n_pieces,
+           CAST((1000 * SUM(enc.unk)) // COUNT(*) AS BIGINT)
+             AS oov_per_mille
+    FROM dt JOIN enc USING (w)
+    GROUP BY dt.lang
+    """
+    )
+
+
+@query("text_wordpiece_coverage", oracle=_wp_coverage_oracle())
+def text_wordpiece_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language [UNK]/coverage report under the corpus-trained
+    WordPiece vocabulary — instance and distinct-word OOV rates plus
+    piece mass. Same bounded-artifact encode as text_wordpiece_encode;
+    one extra doc-key-free aggregation on (lang)."""
+    from jhu_data_parser_spark.operators.text import (
+        WP_UNK,
+        wordpiece_encode_expr,
+        wordpiece_vocab,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    vocab = wordpiece_vocab(d, num_merges=_WP_MERGES, min_word_count=_WP_MIN_WC)
+    toks = F.expr("filter(split(lower(text), '\\\\s+'), x -> x <> '')")
+    dt = d.select("doc_id", "lang", F.posexplode(toks).alias("pos", "w"))
+    vw = dt.select("w").distinct()
+    enc = vw.select(
+        "w", F.expr(wordpiece_encode_expr("w", vocab)).alias("ps")
+    ).select(
+        "w",
+        F.size("ps").cast("long").alias("n_tok"),
+        F.when(
+            (F.size("ps") == 1) & (F.element_at("ps", 1) == WP_UNK), 1
+        )
+        .otherwise(0)
+        .alias("unk"),
+    )
+    j = dt.join(F.broadcast(enc), "w")
+    return j.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_word_instances"),
+        F.countDistinct("w").cast("long").alias("n_distinct_words"),
+        F.sum("unk").cast("long").alias("n_oov_instances"),
+        F.countDistinct(F.when(F.col("unk") == 1, F.col("w")))
+        .cast("long")
+        .alias("n_oov_distinct"),
+        F.sum("n_tok").cast("long").alias("n_pieces"),
+        F.expr("(1000 * sum(unk)) div count(*)").cast("long").alias("oov_per_mille"),
     )
