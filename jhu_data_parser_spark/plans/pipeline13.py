@@ -1231,6 +1231,21 @@ def text_quality_lr_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     w, _stats, mean1000, _n = lr_fit_artifacts(d, steps=_LR_STEPS)
+    return lr_lang_report(d, w, mean1000)
+
+
+def lr_lang_report(d: DataFrame, w: list, mean1000: list) -> DataFrame:
+    """Per-language keep/margin report of a documents frame scored
+    under FROZEN weights + feature means — shared by the batch serve
+    and its streaming twin (every aggregate merges by sum/min/max,
+    which is what lets the stream re-combine per-batch partials into
+    the exact batch report)."""
+    from jhu_data_parser_spark.operators.text import (
+        LR_CLAMP,
+        LR_SCALE,
+        lr_quality_raw_frame,
+    )
+
     mean_lits = ", ".join(f"CAST({m} AS BIGINT)" for m in mean1000)
     w_lit = ", ".join(f"CAST({v} AS BIGINT)" for v in w)
     raw = lr_quality_raw_frame(d)

@@ -1687,3 +1687,27 @@ def text_wordpiece_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tok").cast("long").alias("n_pieces"),
         F.expr("(1000 * sum(unk)) div count(*)").cast("long").alias("oov_per_mille"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming classifier serving — online inference under the frozen
+# offline-trained model (the production lifecycle: train offline,
+# score the stream). Per-batch per-language partial reports merge by
+# sum/min/max; shares text_quality_lr_serve's oracle, so the driver
+# hash proves stream ≡ batch ≡ SQL.
+# ---------------------------------------------------------------------------
+def _lr_serve_stream_oracle() -> str:
+    from jhu_data_parser_spark.plans.pipeline13 import _lr_serve_oracle
+
+    return _lr_serve_oracle()
+
+
+@query("stream_quality_lr_serve", oracle=_lr_serve_stream_oracle())
+def stream_quality_lr_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language keep/margin report built by scoring a REAL
+    documents stream under the frozen corpus-trained weights (the fit
+    is cached per corpus fingerprint, so train + batch serve + stream
+    serve in one session fit exactly once)."""
+    from jhu_data_parser_spark.streaming.jobs import run_quality_lr_serve_stream
+
+    return run_quality_lr_serve_stream(spark, sf_dir)

@@ -920,3 +920,60 @@ def run_gopher_quality_stream(
         )
     ]
     return parts.groupBy("lang").agg(*sums)
+
+
+def run_quality_lr_serve_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 8
+) -> DataFrame:
+    """Online inference over a documents stream: the quality classifier
+    is trained OFFLINE on the full corpus (lr_fit_artifacts — the
+    frozen-model discipline, same as the frozen IVF-PQ codebooks),
+    then every arriving micro-batch is scored under the frozen weights
+    and sinks its per-language partial report. All aggregates merge by
+    sum/min/max, so the read-back combine is bit-identical to the
+    batch serve — stream ≡ batch ≡ SQL under text_quality_lr_serve's
+    oracle. Idempotent _SUCCESS-gated batch_id sinks throughout."""
+    from jhu_data_parser_spark.operators.text import lr_fit_artifacts
+    from jhu_data_parser_spark.plans.pipeline13 import _LR_STEPS, lr_lang_report
+    from jhu_data_parser_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    w, _stats, mean1000, _n = lr_fit_artifacts(d, steps=_LR_STEPS)
+
+    out_dir = _cleanup_at_exit(tempfile.mkdtemp(prefix="jdps_lrserve_parts_"))
+    ckpt = _cleanup_at_exit(tempfile.mkdtemp(prefix="jdps_lrserve_ckpt_"))
+
+    def _batch(bdf: DataFrame, batch_id: int) -> None:
+        _write_batch_once(
+            lr_lang_report(bdf, w, mean1000),
+            os.path.join(out_dir, f"batch_id={batch_id}"),
+        )
+
+    _write_batch_once(
+        spark.createDataFrame(
+            [],
+            "lang string, n_docs long, n_keep long, m_sum long, "
+            "m_min long, m_max long",
+        ),
+        os.path.join(out_dir, "batch_id=-1"),
+    )
+
+    q = (
+        read_documents_stream(
+            spark, sf_dir, max_files_per_trigger=max_files_per_trigger
+        )
+        .writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    parts = spark.read.parquet(out_dir)
+    return parts.groupBy("lang").agg(
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum("n_keep").cast("long").alias("n_keep"),
+        F.sum("m_sum").cast("long").alias("m_sum"),
+        F.min("m_min").cast("long").alias("m_min"),
+        F.max("m_max").cast("long").alias("m_max"),
+    )

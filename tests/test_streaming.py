@@ -547,3 +547,26 @@ def test_ivfpq_compaction_reduces_segments_and_preserves_serve(spark):
     # partition level (cell=*), no batch_id level
     assert glob.glob(os.path.join(compact_dir, "cell=*"))
     assert not glob.glob(os.path.join(compact_dir, "batch_id=*"))
+
+
+def test_lr_serve_stream_multibatch_equals_batch(spark, tmp_path):
+    """Streaming classifier serving with REAL multi-batch merging
+    (3 part files, maxFilesPerTrigger=1) must equal the batch report
+    under the same frozen model — the sum/min/max mergeability claim
+    exercised where it can fail."""
+    from jhu_data_parser_spark.operators.text import lr_fit_artifacts
+    from jhu_data_parser_spark.plans.pipeline13 import _LR_STEPS, lr_lang_report
+    from jhu_data_parser_spark.sources.tables import load_table
+    from jhu_data_parser_spark.streaming.jobs import run_quality_lr_serve_stream
+
+    src = load_table(spark, "/root/testdata/sf0.001", "documents")
+    sf_dir = str(tmp_path / "sf")
+    src.repartition(3).write.parquet(f"{sf_dir}/documents.parquet")
+
+    got = run_quality_lr_serve_stream(spark, sf_dir, max_files_per_trigger=1)
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    w, _s, mean1000, _n = lr_fit_artifacts(d, steps=_LR_STEPS)
+    want = lr_lang_report(d, w, mean1000)
+    g = {tuple(r) for r in got.collect()}
+    wv = {tuple(r) for r in want.collect()}
+    assert g == wv and len(g) > 0
