@@ -1711,3 +1711,78 @@ def stream_quality_lr_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jhu_data_parser_spark.streaming.jobs import run_quality_lr_serve_stream
 
     return run_quality_lr_serve_stream(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Session path analysis — the product-analytics op over event streams:
+# split each user's events into sessions (the events_sessionize rule),
+# read each session's ordered event-type sequence, and count every
+# 3-step path; report the top 15. One user_id shuffle (windows + the
+# session rollup share it), then a path-key aggregation; the ordered
+# per-session sequence rides an in-row array, never a sort per group.
+# ---------------------------------------------------------------------------
+def _path_oracle() -> str:
+    from jhu_data_parser_spark.plans.pipeline2 import _SESSION_GAP_SEC
+
+    return f"""
+    WITH g AS (
+      SELECT user_id, event_id, ts, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch(ts) - lag(epoch(ts)) OVER w > {_SESSION_GAP_SEC}
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (
+      SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM g),
+    seq AS (
+      SELECT user_id, session_no,
+             list(event_type ORDER BY ts, event_id) AS tps
+      FROM s GROUP BY user_id, session_no),
+    paths AS (
+      SELECT array_to_string(tps[u.i:u.i+2], '>') AS path
+      FROM seq, UNNEST(range(1, len(tps) - 1)) AS u(i))
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n
+    FROM paths GROUP BY path
+    ORDER BY n DESC, path LIMIT 15
+    """
+
+
+@query("events_path_topk", oracle=_path_oracle())
+def events_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-15 3-step event-type paths across user sessions."""
+    from jhu_data_parser_spark.plans.pipeline2 import _SESSION_GAP_SEC
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = F.col("ts").cast("timestamp").cast("double")
+    prev = F.lag(sec).over(w)
+    new_sess = F.when(prev.isNull() | (sec - prev > _SESSION_GAP_SEC), 1).otherwise(0)
+    s = ev.withColumn(
+        "session_no",
+        F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    seq = s.groupBy("user_id", "session_no").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(ts, event_id, event_type))), "
+            "x -> x.event_type)"
+        ).alias("tps")
+    )
+    paths = seq.select(
+        F.explode(
+            # sequence(1, 0) DESCENDS in Spark (yields [1, 0]) — short
+            # sessions need the explicit empty-array guard.
+            F.expr(
+                "IF(size(tps) >= 3, transform(sequence(1, size(tps) - 2), "
+                "i -> array_join(slice(tps, i, 3), '>')), "
+                "CAST(array() AS array<string>))"
+            )
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), "path")
+        .limit(15)
+    )
