@@ -1786,3 +1786,136 @@ def events_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "path")
         .limit(15)
     )
+
+
+# ---------------------------------------------------------------------------
+# MinHash Jaccard-estimate certification — the estimator-accuracy row
+# the CMS and KMV sketches already have: for every banded candidate
+# pair, the signature-agreement estimate (matching minhashes / 16)
+# reported NEXT TO the exact Jaccard as integer per-milles, so the
+# driver hash certifies the estimator's arithmetic AND its input.
+# Uses the engine-portable md5 MinHash (dedup_minhash_portable_pairs'
+# signature pass), so every stage replays in DuckDB.
+# ---------------------------------------------------------------------------
+_MH_EST_ORACLE = """
+    WITH t AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+    s AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= 3
+                  THEN list_transform(range(1, len(toks) - 1),
+                         i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])
+                  ELSE [array_to_string(toks, ' ')] END AS sh
+      FROM t),
+    hs AS (
+      SELECT doc_id,
+             list_transform(sh, x ->
+               md5('0:' || x) || md5('1:' || x)
+               || md5('2:' || x) || md5('3:' || x)) AS hs
+      FROM s),
+    m AS (
+      SELECT doc_id,
+             list_transform(range(0, 16), j ->
+               list_min(list_transform(hs, h -> substr(h, j * 8 + 1, 8)))) AS mh
+      FROM hs),
+    b AS (
+      SELECT doc_id, g.b AS band,
+             md5(array_to_string(mh[g.b * 4 + 1 : g.b * 4 + 4], '|')) AS band_sig
+      FROM m, (SELECT unnest(range(0, 4)) AS b) g),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+      FROM b a JOIN b c
+        ON a.band = c.band AND a.band_sig = c.band_sig AND a.doc_id < c.doc_id),
+    sigm AS (
+      SELECT cand.id_a, cand.id_b,
+             CAST(len(list_filter(range(0, 16),
+                  j -> ma.mh[j + 1] = mb.mh[j + 1])) AS INT) AS n_sig_match
+      FROM cand JOIN m ma ON ma.doc_id = cand.id_a
+                JOIN m mb ON mb.doc_id = cand.id_b),
+    ex AS (
+      SELECT s2.id_a, s2.id_b, s2.n_sig_match,
+             CAST(len(list_intersect(list_distinct(ta.toks),
+                                     list_distinct(tb.toks))) AS BIGINT) AS inter,
+             CAST(len(list_distinct(list_concat(ta.toks, tb.toks))) AS BIGINT)
+               AS uni
+      FROM sigm s2 JOIN t ta ON ta.doc_id = s2.id_a
+                   JOIN t tb ON tb.doc_id = s2.id_b)
+    SELECT id_a, id_b, n_sig_match, inter, uni,
+           CAST((1000 * n_sig_match) // 16 AS BIGINT) AS est_per_mille,
+           CAST((1000 * inter) // uni AS BIGINT) AS jac_per_mille
+    FROM ex
+    """
+
+
+@query("dedup_minhash_jaccard_estimate", oracle=_MH_EST_ORACLE)
+def dedup_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-candidate-pair MinHash estimate vs exact Jaccard (integer
+    per-milles) — the sketch-accuracy certification for the near-dup
+    family. Scale posture: the signature pass is the codegen
+    explode+min-aggregate form; candidates come from the banded
+    equi-join; the exact arm exists to certify the estimator and would
+    be sampled, not exhaustive, in production."""
+    from jhu_data_parser_spark.operators import dedup as dd
+
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.split(F.lower(F.col("text")), " ").alias("toks"))
+    sigs = dd.minhash_signature_portable(t).localCheckpoint(eager=False)
+    bs = F.expr(
+        "transform(sequence(0, 3), b -> "
+        "md5(cast(concat_ws('|', slice(mh, b * 4 + 1, 4)) AS binary)))"
+    )
+    banded = sigs.select(
+        F.col("doc_id").alias("id"), F.posexplode(bs).alias("band", "band_sig")
+    )
+    cand = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    ma = sigs.select(F.col("doc_id").alias("id_a"), F.col("mh").alias("mh_a"))
+    mb = sigs.select(F.col("doc_id").alias("id_b"), F.col("mh").alias("mh_b"))
+    sigm = (
+        cand.join(ma, "id_a")
+        .join(mb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.expr("size(filter(zip_with(mh_a, mh_b, (x, y) -> x = y), z -> z))")
+            .cast("int")
+            .alias("n_sig_match"),
+        )
+    )
+    ta = t.select(F.col("doc_id").alias("id_a"), F.col("toks").alias("toks_a"))
+    tb = t.select(F.col("doc_id").alias("id_b"), F.col("toks").alias("toks_b"))
+    ex = (
+        sigm.join(ta, "id_a")
+        .join(tb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "n_sig_match",
+            F.expr(
+                "size(array_intersect(array_distinct(toks_a), array_distinct(toks_b)))"
+            )
+            .cast("long")
+            .alias("inter"),
+            F.expr("size(array_distinct(concat(toks_a, toks_b)))")
+            .cast("long")
+            .alias("uni"),
+        )
+    )
+    return ex.select(
+        "id_a",
+        "id_b",
+        "n_sig_match",
+        "inter",
+        "uni",
+        F.expr("(1000 * n_sig_match) div 16").cast("long").alias("est_per_mille"),
+        F.expr("(1000 * inter) div uni").cast("long").alias("jac_per_mille"),
+    )
