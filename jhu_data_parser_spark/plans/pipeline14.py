@@ -1919,3 +1919,107 @@ def dedup_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFram
         F.expr("(1000 * n_sig_match) div 16").cast("long").alias("est_per_mille"),
         F.expr("(1000 * inter) div uni").cast("long").alias("jac_per_mille"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact Hamming RADIUS search via multi-index hashing (Norouzi, Punjani
+# & Fleet 2012) — the stored-index scale story for the binary
+# signatures: split the 64-bit signature into 8 chunks of 8 bits; by
+# pigeonhole, any vector within Hamming radius 7 of the query matches
+# the query EXACTLY in at least one chunk, so the candidate set is the
+# union of 8 exact-match probes on a (chunk_no, chunk_value)-keyed
+# index — at 100 TB that index is STORED partitioned by (chunk_no,
+# chunk_value) and each probe is pure partition pruning; the radius
+# verify is one XOR+popcount per candidate. Runs on the centered
+# clustered corpus (intra-cluster Hamming is small, inter ~32, so
+# radius 7 retrieves exactly the query's cluster). The oracle is the
+# brute-force all-rows Hamming filter — the hash match proves 100%
+# recall of the chunk-probe scheme at radius ≤ 7, which is the
+# pigeonhole guarantee itself.
+# ---------------------------------------------------------------------------
+_MIH_RADIUS = 7
+_MIH_CHUNKS = 8  # 8 chunks × 8 bits; pigeonhole holds for radius < 8
+
+
+def _mih_oracle() -> str:
+    src = (
+        f"SELECT vec_id, list_transform(range(64), i -> {_BINC_VEC}) "
+        f"AS embedding FROM embeddings WHERE vec_id < {_BINC_N}"
+    )
+    return f"""
+    WITH synth AS MATERIALIZED ({src}),
+    words AS MATERIALIZED (
+      SELECT vec_id,
+             CAST(list_sum(list_transform(range(32),
+                  i -> CASE WHEN embedding[i+1] > 0.0 THEN (1::BIGINT << i)
+                            ELSE 0::BIGINT END)) AS BIGINT) AS lo,
+             CAST(list_sum(list_transform(range(32),
+                  i -> CASE WHEN embedding[i+33] > 0.0 THEN (1::BIGINT << i)
+                            ELSE 0::BIGINT END)) AS BIGINT) AS hi
+      FROM synth),
+    q AS (SELECT lo AS qlo, hi AS qhi FROM words WHERE vec_id = 0)
+    SELECT w.vec_id,
+           CAST(bit_count(xor(w.lo, q.qlo)) + bit_count(xor(w.hi, q.qhi))
+                AS INT) AS hamming
+    FROM words w, q
+    WHERE w.vec_id <> 0
+      AND bit_count(xor(w.lo, q.qlo)) + bit_count(xor(w.hi, q.qhi))
+          <= {_MIH_RADIUS}
+    """
+
+
+@query("sim_hamming_radius_mih", oracle=_mih_oracle())
+def sim_hamming_radius_mih(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All vectors within Hamming radius 7 of the query signature,
+    found by 8 exact chunk probes + verify — NEVER by scanning every
+    signature's full Hamming distance. The oracle brute-forces the
+    radius filter, so the driver hash certifies the pigeonhole
+    completeness of the chunk-probe scheme."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    synth = emb.filter(F.col("vec_id") < _BINC_N).select(
+        "vec_id",
+        F.expr(f"transform(sequence(0, 63), i -> {_BINC_VEC})").alias("embedding"),
+    )
+    words = sim.binary_signature(synth).select("vec_id", "sig_lo", "sig_hi")
+    # chunk c (0..7): bits [8c, 8c+8) of the 64-bit signature — chunks
+    # 0..3 from lo, 4..7 from hi.
+    def chunks(lo_col: str, hi_col: str):
+        return F.expr(
+            "transform(sequence(0, 7), c -> named_struct("
+            "'chunk_no', c, "
+            f"'chunk_val', CASE WHEN c < 4 THEN shiftright({lo_col}, c * 8) "
+            f"ELSE shiftright({hi_col}, (c - 4) * 8) END % 256))"
+        )
+
+    qrow = (
+        words.filter(F.col("vec_id") == 0)
+        .select("sig_lo", "sig_hi")
+        .first()
+    )
+    qlo, qhi = int(qrow["sig_lo"]), int(qrow["sig_hi"])
+    q_chunks = [
+        (c, (qlo >> (c * 8)) % 256 if c < 4 else (qhi >> ((c - 4) * 8)) % 256)
+        for c in range(_MIH_CHUNKS)
+    ]
+    # the stored MIH index: one row per (vec_id, chunk_no, chunk_val) —
+    # at scale written partitionBy(chunk_no, chunk_val); each probe
+    # below is then a partition-pruned read.
+    index = words.filter(F.col("vec_id") != 0).select(
+        "vec_id",
+        "sig_lo",
+        "sig_hi",
+        F.explode(chunks("sig_lo", "sig_hi")).alias("ch"),
+    ).select("vec_id", "sig_lo", "sig_hi", "ch.chunk_no", "ch.chunk_val")
+    probes = spark.createDataFrame(q_chunks, "chunk_no int, chunk_val long")
+    cand = (
+        index.join(F.broadcast(probes), ["chunk_no", "chunk_val"])
+        .select("vec_id", "sig_lo", "sig_hi")
+        .distinct()
+    )
+    ham = (
+        F.bit_count(F.col("sig_lo").bitwiseXOR(F.lit(qlo).cast("long")))
+        + F.bit_count(F.col("sig_hi").bitwiseXOR(F.lit(qhi).cast("long")))
+    ).cast("int")
+    return cand.select("vec_id", ham.alias("hamming")).filter(
+        F.col("hamming") <= _MIH_RADIUS
+    )
