@@ -1234,22 +1234,19 @@ def text_quality_lr_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lr_lang_report(d, w, mean1000)
 
 
-def lr_lang_report(d: DataFrame, w: list, mean1000: list) -> DataFrame:
-    """Per-language keep/margin report of a documents frame scored
-    under FROZEN weights + feature means — shared by the batch serve
-    and its streaming twin (every aggregate merges by sum/min/max,
-    which is what lets the stream re-combine per-batch partials into
-    the exact batch report)."""
+def lr_doc_margins(d: DataFrame, w: list, mean1000: list) -> DataFrame:
+    """Per-document (doc_id, m, p) under FROZEN weights + feature
+    means — the scoring core shared by the lang report (batch serve +
+    streaming twin) and the curriculum phases."""
     from jhu_data_parser_spark.operators.text import (
         LR_CLAMP,
-        LR_SCALE,
         lr_quality_raw_frame,
     )
 
     mean_lits = ", ".join(f"CAST({m} AS BIGINT)" for m in mean1000)
     w_lit = ", ".join(f"CAST({v} AS BIGINT)" for v in w)
     raw = lr_quality_raw_frame(d)
-    scored = raw.select(
+    return raw.select(
         "doc_id",
         F.expr(
             f"aggregate(zip_with(concat(zip_with(x, array({mean_lits}), "
@@ -1266,6 +1263,17 @@ def lr_lang_report(d: DataFrame, w: list, mean1000: list) -> DataFrame:
             "AS DOUBLE) / 1000000.0)))) AS BIGINT)"
         ).alias("p"),
     )
+
+
+def lr_lang_report(d: DataFrame, w: list, mean1000: list) -> DataFrame:
+    """Per-language keep/margin report of a documents frame scored
+    under FROZEN weights + feature means — shared by the batch serve
+    and its streaming twin (every aggregate merges by sum/min/max,
+    which is what lets the stream re-combine per-batch partials into
+    the exact batch report)."""
+    from jhu_data_parser_spark.operators.text import LR_SCALE
+
+    scored = lr_doc_margins(d, w, mean1000)
     return (
         scored.join(d.select("doc_id", "lang"), "doc_id")
         .groupBy("lang")

@@ -2023,3 +2023,86 @@ def sim_hamming_radius_mih(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.select("vec_id", ham.alias("hamming")).filter(
         F.col("hamming") <= _MIH_RADIUS
     )
+
+
+# ---------------------------------------------------------------------------
+# Curriculum phases — order the corpus into easy→hard training phases
+# by the TRAINED quality score (curriculum learning's data prep):
+# documents sort by classifier margin, split into 3 equal-rank
+# terciles, and each phase reports its size, token mass, margin range,
+# and an id checksum pinning exact membership. The tercile boundary is
+# rank arithmetic (floor(3·(rn−1)/n)) — integer-exact. Scale posture:
+# the global rank would come from the quantile-literal bucket
+# machinery (window_global_rank_distributed) at 100 TB; phase
+# accounting is a 3-row rollup.
+# ---------------------------------------------------------------------------
+def _curriculum_oracle() -> str:
+    from jhu_data_parser_spark.plans.pipeline13 import _LR_STEPS, _lr_chain_ctes
+
+    return (
+        "WITH "
+        + _lr_chain_ctes()
+        + f""",
+    ms AS (
+      SELECT doc_id, CAST(SUM(cx * w) AS BIGINT) AS m
+      FROM xl JOIN w{_LR_STEPS} USING (j) GROUP BY doc_id)"""
+        + """,
+    scored AS (
+      SELECT f.doc_id, f.m,
+             len(list_filter(string_split_regex(lower(d.text), '\\s+'),
+                             x -> x <> '')) AS n_tokens,
+             row_number() OVER (ORDER BY f.m, f.doc_id) AS rn,
+             COUNT(*) OVER () AS n
+      FROM ms f JOIN documents d USING (doc_id)),
+    phased AS (
+      SELECT *, CAST((3 * (rn - 1)) // n AS INT) AS phase
+      FROM scored)
+    SELECT phase,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(MIN(m) AS BIGINT) AS m_min,
+           CAST(MAX(m) AS BIGINT) AS m_max,
+           md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY rn))
+             AS member_md5
+    FROM phased GROUP BY phase
+    """
+    )
+
+
+@query("sample_curriculum_phases", oracle=_curriculum_oracle())
+def sample_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Easy→hard curriculum terciles under the trained quality score,
+    with hash-pinned phase membership and order."""
+    from jhu_data_parser_spark.operators.text import lr_fit_artifacts
+    from jhu_data_parser_spark.plans.pipeline13 import _LR_STEPS, lr_doc_margins
+
+    d = load_table(spark, sf_dir, "documents")
+    w, _stats, mean1000, _n = lr_fit_artifacts(d, steps=_LR_STEPS)
+    scored = lr_doc_margins(d, w, mean1000).drop("p").join(
+        d.select(
+            "doc_id",
+            F.expr("size(filter(split(lower(text), '\\\\s+'), x -> x <> ''))")
+            .alias("n_tokens"),
+        ),
+        "doc_id",
+    )
+    wr = Window.orderBy("m", "doc_id")
+    wn = Window.partitionBy()
+    phased = scored.select(
+        "doc_id",
+        "m",
+        "n_tokens",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    ).withColumn("phase", F.expr("CAST((3 * (rn - 1)) div n AS INT)"))
+    stream = F.expr(
+        "concat_ws(',', transform(array_sort(collect_list(struct(rn, doc_id))), "
+        "x -> CAST(x.doc_id AS STRING)))"
+    )
+    return phased.groupBy("phase").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.min("m").cast("long").alias("m_min"),
+        F.max("m").cast("long").alias("m_max"),
+        F.md5(stream).alias("member_md5"),
+    )
