@@ -1388,3 +1388,34 @@ def wav_content_fingerprint(
         "doc_id bigint, sample_rate int, n_samples int, pcm_fp bigint, "
         "raw_md5 string",
     )
+
+
+def wav_downsample_fingerprint(
+    df: DataFrame, factor: int = 2, id_col: str = "doc_id", media_col: str = "media"
+) -> DataFrame:
+    """Decode → decimate-by-``factor`` (keep samples 0, factor, 2·factor
+    … — the integer-exact skeleton of a resampler; a production
+    pipeline would low-pass first, same plan shape) → fingerprint the
+    DOWNSAMPLED waveform with the position-weighted integer sum. The
+    audio twin of the image resize battery: payloads stay inside the
+    Arrow-batched decode stage, the output is narrow."""
+    import numpy as np
+
+    from jhu_data_parser_spark.functions.codecs import decode_wav
+
+    def _map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, payload in zip(pdf[id_col], pdf[media_col]):
+                rate, _ch, _depth, samples = decode_wav(bytes(payload))
+                ds = samples[::factor].astype(np.int64)
+                fp = int(((np.arange(len(ds)) + 1) * ds).sum())
+                rows.append((int(did), rate // factor, len(ds), fp))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "out_rate", "out_samples", "ds_fp"],
+            )
+
+    return df.select(id_col, media_col).mapInPandas(
+        _map, "doc_id bigint, out_rate int, out_samples int, ds_fp bigint"
+    )

@@ -2106,3 +2106,44 @@ def sample_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("m").cast("long").alias("m_max"),
         F.md5(stream).alias("member_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio downsampling — the audio member of the media-TRANSFORM family
+# (images: resize_image_real / resize_png_roundtrip): decode the RIFF
+# container, decimate the PCM by 2, and fingerprint the downsampled
+# waveform. The oracle replays the sample recurrence AT EVEN INDICES
+# from doc_id arithmetic, so the hash match proves the decode→
+# transform→fingerprint chain ran on the genuine byte-stream samples.
+# ---------------------------------------------------------------------------
+_AUDIO_DS_ORACLE = """
+    WITH p AS (
+      SELECT doc_id,
+             CAST(doc_id % 192 + 64 AS INT) AS n_samples,
+             CAST(CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                  ELSE 44100 END AS INT) AS sample_rate
+      FROM documents),
+    fp AS (
+      SELECT p.doc_id,
+             CAST(p.sample_rate // 2 AS INT) AS out_rate,
+             CAST((p.n_samples + 1) // 2 AS INT) AS out_samples,
+             CAST(SUM((g.i + 1) *
+                      ((p.doc_id * 7919 + (2 * g.i) * 104729) % 65536 - 32768))
+                  AS BIGINT) AS ds_fp
+      FROM p, LATERAL (SELECT unnest(range(0, (p.n_samples + 1) // 2)) AS i) g
+      GROUP BY 1, 2, 3)
+    SELECT doc_id, out_rate, out_samples, ds_fp FROM fp
+    """
+
+
+@query("multimodal_audio_downsample", oracle=_AUDIO_DS_ORACLE)
+def multimodal_audio_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decimate-by-2 PCM downsampling with a fingerprint of the output
+    waveform — Arrow-batched decode, narrow output, no shuffle."""
+    from jhu_data_parser_spark.operators.multimodal import (
+        attach_audio,
+        wav_downsample_fingerprint,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return wav_downsample_fingerprint(attach_audio(d), factor=2)
