@@ -2147,3 +2147,63 @@ def multimodal_audio_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return wav_downsample_fingerprint(attach_audio(d), factor=2)
+
+
+# ---------------------------------------------------------------------------
+# Incremental video near-dup as a REAL stream — the multimodal member
+# of the incremental-probe family (text: stream_incremental_dedup;
+# vectors: stream_ivfpq_index_append): arriving videos decode their
+# frame signatures per micro-batch and probe the STORED frame-key
+# index of the archive; containment-verified pairs append to
+# idempotent batch_id sinks. The new side (doc_id % 5 == 0) contains
+# every decade head whose trailing-trimmed copy sits in the archive,
+# so the planted re-uploads all surface. The oracle replays the batch
+# equivalent of the split from doc_id arithmetic — stream ≡ batch ≡
+# SQL.
+# ---------------------------------------------------------------------------
+_VID_PROBE_ORACLE = """
+    WITH v AS (
+      SELECT doc_id,
+             CAST(CASE WHEN doc_id % 10 = 9 THEN doc_id - 9 ELSE doc_id END
+                  AS HUGEINT) AS uid,
+             CAST((CASE WHEN doc_id % 10 = 9 THEN doc_id - 9 ELSE doc_id END)
+                  % 4 + 1 AS INT) * 8 AS w,
+             CAST((CASE WHEN doc_id % 10 = 9 THEN doc_id - 9 ELSE doc_id END)
+                  % 3 + 1 AS INT) * 8 AS h,
+             CAST((CASE WHEN doc_id % 10 = 9 THEN doc_id - 9 ELSE doc_id END)
+                  % 5 + CASE WHEN doc_id % 10 = 9 THEN 1 ELSE 2 END
+                  AS INT) AS nf
+      FROM documents),
+    fr AS (
+      SELECT v.doc_id, v.w, v.h, CAST(g.f AS INT) AS frame_no,
+             CAST((((g.f + v.uid) * 6364136223846793005
+                    + 1442695040888963407)
+                   % 170141183460469231731687303715884105728
+                   % 18446744073709551616) // 8589934592 % 256 AS INT)
+               AS fkey
+      FROM v, generate_series(0, 5) g(f)
+      WHERE g.f < v.nf),
+    cand AS (
+      SELECT a.doc_id AS id_new, b.doc_id AS id_old,
+             CAST(COUNT(*) AS INT) AS n_shared
+      FROM fr a JOIN fr b
+        ON a.w = b.w AND a.h = b.h AND a.frame_no = b.frame_no
+       AND a.fkey = b.fkey AND a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+      GROUP BY 1, 2)
+    SELECT c.id_new, c.id_old, c.n_shared,
+           va.nf AS nf_new, vb.nf AS nf_old
+    FROM cand c
+    JOIN v va ON va.doc_id = c.id_new
+    JOIN v vb ON vb.doc_id = c.id_old
+    WHERE 10 * c.n_shared >= 9 * least(va.nf, vb.nf)
+    """
+
+
+@query("stream_video_neardup_probe", oracle=_VID_PROBE_ORACLE)
+def stream_video_neardup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arriving videos probed against the stored archive frame-key
+    index, one micro-batch at a time (idempotent sinks, checkpointed
+    static index) — hash-gated against the batch replay."""
+    from jhu_data_parser_spark.streaming.jobs import run_video_neardup_probe_stream
+
+    return run_video_neardup_probe_stream(spark, sf_dir)

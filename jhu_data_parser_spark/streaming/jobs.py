@@ -977,3 +977,92 @@ def run_quality_lr_serve_stream(
         F.min("m_min").cast("long").alias("m_min"),
         F.max("m_max").cast("long").alias("m_max"),
     )
+
+
+def run_video_neardup_probe_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 8
+) -> DataFrame:
+    """Incremental VIDEO near-dup as a REAL stream — the multimodal
+    member of the incremental-probe family (text:
+    run_incremental_dedup_stream; vectors: the IVF-PQ append): newly
+    arriving videos (doc_id % 5 == 0 — which includes every decade
+    head whose trailing-trimmed copy sits in the archive) decode their
+    frame signatures per micro-batch and probe the STORED frame-key
+    index of the old corpus with one equi-join; containment-verified
+    pairs append to idempotent _SUCCESS-gated batch_id sinks. The old
+    index and its per-video frame counts are built once and lazily
+    checkpointed; per-batch work is one Arrow decode + one narrow-key
+    join — payloads never shuffle, never re-decode."""
+    from jhu_data_parser_spark.operators.multimodal import (
+        attach_mp4_mirrored,
+        mp4_frame_signature,
+    )
+    from jhu_data_parser_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    old_sig = (
+        mp4_frame_signature(attach_mp4_mirrored(d.filter(F.col("doc_id") % 5 != 0)))
+        .localCheckpoint(eager=False)
+    )
+    old_nf = (
+        old_sig.groupBy("doc_id")
+        .agg((F.max("frame_no") + 1).cast("int").alias("nf_old"))
+        .localCheckpoint(eager=False)
+    )
+
+    out_dir = _cleanup_at_exit(tempfile.mkdtemp(prefix="jdps_vidprobe_out_"))
+    ckpt = _cleanup_at_exit(tempfile.mkdtemp(prefix="jdps_vidprobe_ckpt_"))
+
+    idx = old_sig.select(
+        F.col("doc_id").alias("id_old"), "width", "height", "frame_no", "fkey"
+    )
+
+    def _batch(bdf: DataFrame, batch_id: int) -> None:
+        new_sig = mp4_frame_signature(attach_mp4_mirrored(bdf.select("doc_id")))
+        new_nf = new_sig.groupBy("doc_id").agg(
+            (F.max("frame_no") + 1).cast("int").alias("nf_new")
+        )
+        cand = (
+            new_sig.select(
+                F.col("doc_id").alias("id_new"),
+                "width",
+                "height",
+                "frame_no",
+                "fkey",
+            )
+            .join(idx, ["width", "height", "frame_no", "fkey"])
+            .groupBy("id_new", "id_old")
+            .agg(F.count(F.lit(1)).cast("int").alias("n_shared"))
+        )
+        pairs = (
+            cand.join(
+                new_nf.select(F.col("doc_id").alias("id_new"), "nf_new"), "id_new"
+            )
+            .join(old_nf.select(F.col("doc_id").alias("id_old"), "nf_old"), "id_old")
+            .filter(10 * F.col("n_shared") >= 9 * F.least("nf_new", "nf_old"))
+            .select("id_new", "id_old", "n_shared", "nf_new", "nf_old")
+        )
+        _write_batch_once(pairs, os.path.join(out_dir, f"batch_id={batch_id}"))
+
+    _write_batch_once(
+        spark.createDataFrame(
+            [], "id_new long, id_old long, n_shared int, nf_new int, nf_old int"
+        ),
+        os.path.join(out_dir, "batch_id=-1"),
+    )
+
+    q = (
+        read_documents_stream(
+            spark, sf_dir, max_files_per_trigger=max_files_per_trigger
+        )
+        .filter(F.col("doc_id") % 5 == 0)
+        .writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    return spark.read.parquet(out_dir).select(
+        "id_new", "id_old", "n_shared", "nf_new", "nf_old"
+    )
