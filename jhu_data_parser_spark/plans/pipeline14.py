@@ -2207,3 +2207,114 @@ def stream_video_neardup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jhu_data_parser_spark.streaming.jobs import run_video_neardup_probe_stream
 
     return run_video_neardup_probe_stream(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Robust (MAD) outliers — the median-based twin of
+# events_zscore_outliers: a 3-sigma rule collapses when the outliers
+# themselves inflate sigma, so production monitors flag on
+# |x − median| > 3·MAD. Everything runs in integer cents with
+# doubled/quadrupled fixed points (med2 = 2·median, mad4 = 4·MAD —
+# medians of integers are exact halves, so the doubling keeps every
+# comparison in int64 and the cross-engine gate exact).
+# ---------------------------------------------------------------------------
+_MAD_ORACLE = """
+    WITH c AS (
+      SELECT event_id, event_type,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events),
+    med AS (
+      SELECT event_type, CAST(2 * median(cents) AS BIGINT) AS med2
+      FROM c GROUP BY event_type),
+    adev AS (
+      SELECT c.event_id, c.event_type, c.cents, med.med2,
+             abs(2 * c.cents - med.med2) AS adev2
+      FROM c JOIN med USING (event_type)),
+    mad AS (
+      SELECT event_type, CAST(2 * median(adev2) AS BIGINT) AS mad4
+      FROM adev GROUP BY event_type)
+    SELECT a.event_id, a.event_type, a.cents, a.med2, mad.mad4,
+           CAST(a.adev2 AS BIGINT) AS adev2
+    FROM adev a JOIN mad USING (event_type)
+    WHERE 2 * a.adev2 > 3 * mad.mad4
+    """
+
+
+@query("events_mad_outliers", oracle=_MAD_ORACLE)
+def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events whose |value − median| exceeds 3·MAD within their type.
+    Two small per-type aggregates broadcast back into the scan; the
+    doubled fixed points keep medians of integers exact in both
+    engines."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    med = c.groupBy("event_type").agg(
+        (2 * F.median("cents")).cast("long").alias("med2")
+    )
+    adev = c.join(F.broadcast(med), "event_type").withColumn(
+        "adev2", F.abs(2 * F.col("cents") - F.col("med2"))
+    )
+    mad = adev.groupBy("event_type").agg(
+        (2 * F.median("adev2")).cast("long").alias("mad4")
+    )
+    return (
+        adev.join(F.broadcast(mad), "event_type")
+        .filter(2 * F.col("adev2") > 3 * F.col("mad4"))
+        .select(
+            "event_id",
+            "event_type",
+            "cents",
+            "med2",
+            "mad4",
+            F.col("adev2").cast("long").alias("adev2"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-decayed engagement — the feature-engineering staple (half-life-
+# weighted activity): each event contributes floor(1e6·e^(−Δdays))
+# where Δdays is the age against the corpus frontier; the per-event
+# exp is one IEEE op on the same double in both engines, so the summed
+# integer scores hash-gate. One 1-row frontier broadcast + one user
+# aggregation; top-20 by score.
+# ---------------------------------------------------------------------------
+_DECAY_ORACLE = """
+    WITH mx AS (SELECT MAX(epoch(ts)) AS tmax FROM events),
+    s AS (
+      SELECT e.user_id,
+             SUM(CAST(floor(1000000.0 *
+                 exp(-((mx.tmax - epoch(e.ts)) / 86400.0))) AS BIGINT))
+               AS decayed_fp,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events e, mx GROUP BY e.user_id)
+    SELECT user_id, CAST(decayed_fp AS BIGINT) AS decayed_fp, n_events
+    FROM s ORDER BY decayed_fp DESC, user_id LIMIT 20
+    """
+
+
+@query("events_decayed_engagement", oracle=_DECAY_ORACLE)
+def events_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 users by exponentially time-decayed event mass (1-day
+    half-life scale), the engagement feature every ranking/feature
+    store keeps fresh."""
+    ev = load_table(spark, sf_dir, "events")
+    sec = F.col("ts").cast("timestamp").cast("double")
+    mx = ev.agg(F.max(sec).alias("tmax"))
+    contrib = F.floor(
+        1_000_000.0 * F.exp(-((F.col("tmax") - sec) / F.lit(86400.0)))
+    ).cast("long")
+    return (
+        ev.crossJoin(F.broadcast(mx))
+        .groupBy("user_id")
+        .agg(
+            F.sum(contrib).cast("long").alias("decayed_fp"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
+        .orderBy(F.col("decayed_fp").desc(), "user_id")
+        .limit(20)
+    )
