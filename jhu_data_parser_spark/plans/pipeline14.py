@@ -2318,3 +2318,75 @@ def events_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("decayed_fp").desc(), "user_id")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Canonical selection — the last mile of dedup: after clustering
+# near-duplicates (the embedding-CC components, shared oracle chain),
+# a pipeline must pick WHICH member survives. The standard keep-rule
+# is richest-content (most tokens; ties to the lowest id for
+# determinism); everything else in the component is dropped. Output
+# reports per component the canonical member, its token count, and
+# the drop count — the accounting a curation run logs.
+# ---------------------------------------------------------------------------
+def _canonical_oracle() -> str:
+    from jhu_data_parser_spark.plans.llm import _EMB_GROUPS_ORACLE
+
+    groups = _EMB_GROUPS_ORACLE.strip()
+    assert groups.startswith("WITH RECURSIVE")
+    body = groups[len("WITH RECURSIVE"):].strip()
+    # the groups oracle ends with its SELECT — wrap it as a CTE
+    sel = body.rindex("SELECT n.x AS id")
+    return (
+        "WITH RECURSIVE "
+        + body[:sel].rstrip().rstrip(",")
+        + """,
+    comp AS (
+      SELECT n.x AS id, LEAST(n.x, MIN(r.y)) AS component
+      FROM nodes n LEFT JOIN reach r ON r.x = n.x
+      GROUP BY n.x),
+    toks AS (
+      SELECT c.component, c.id,
+             len(list_filter(string_split_regex(lower(d.text), '\\s+'),
+                             x -> x <> '')) AS n_tokens
+      FROM comp c JOIN documents d ON d.doc_id = c.id),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY component
+                                   ORDER BY n_tokens DESC, id) AS rn
+      FROM toks)
+    SELECT component,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(MAX(CASE WHEN rn = 1 THEN id END) AS BIGINT) AS canonical_id,
+           CAST(MAX(CASE WHEN rn = 1 THEN n_tokens END) AS BIGINT)
+             AS canonical_tokens,
+           CAST(COUNT(*) - 1 AS BIGINT) AS n_dropped
+    FROM ranked GROUP BY component
+    """
+    )
+
+
+@query("dedup_canonical_selection", oracle=_canonical_oracle())
+def dedup_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per near-dup component: the surviving (richest-content) member
+    and the drop accounting. Composition of the CC groups (shared
+    machinery) with a per-component WindowGroupLimit argmax."""
+    from jhu_data_parser_spark.operators.dedup import connected_components
+    from jhu_data_parser_spark.plans.llm import dedup_embedding_pairs
+
+    comp = connected_components(dedup_embedding_pairs(spark, sf_dir))
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"),
+        F.expr("size(filter(split(lower(text), '\\\\s+'), x -> x <> ''))")
+        .alias("n_tokens"),
+    )
+    toks = comp.join(d, "id")
+    w = Window.partitionBy("component").orderBy(F.col("n_tokens").desc(), "id")
+    ranked = toks.withColumn("rn", F.row_number().over(w))
+    return ranked.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.max(F.when(F.col("rn") == 1, F.col("id"))).cast("long").alias("canonical_id"),
+        F.max(F.when(F.col("rn") == 1, F.col("n_tokens")))
+        .cast("long")
+        .alias("canonical_tokens"),
+        (F.count(F.lit(1)) - 1).cast("long").alias("n_dropped"),
+    )
