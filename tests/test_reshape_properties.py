@@ -216,3 +216,76 @@ def test_shared_span_pairs_matches_bruteforce(spark, docs):
             best = max(best, run)
         want[(ia, ib)] = (len(hits), best + k - 1)
     assert got == want
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(
+                min_value=-10, max_value=10, allow_nan=False, allow_infinity=False
+            ),
+            min_size=64,
+            max_size=64,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_binary_signature_property(spark, vecs):
+    """Property: the JVM-side packed sign words equal the driver-side
+    python twin for ANY 64-float vector, including exact zeros and
+    negatives (bit set iff strictly positive)."""
+    from jhu_data_parser_spark.operators.similarity import (
+        binary_query_words,
+        binary_signature,
+    )
+
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    for r in binary_signature(df).collect():
+        assert (r["sig_lo"], r["sig_hi"]) == binary_query_words(
+            [float(x) for x in r["embedding"]]
+        )
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    words=st.lists(
+        st.text(alphabet="abcdefg", min_size=1, max_size=10),
+        min_size=2,
+        max_size=12,
+    ),
+    merges=st.integers(0, 4),
+)
+def test_wordpiece_encode_property(spark, words, merges):
+    """Property: the greedy HOF encoder equals the pure-python
+    reference for ANY corpus-trained vocab over random short words —
+    including words that fall to [UNK] because every occurrence was
+    below the frequency floor."""
+    from pyspark.sql import functions as F
+
+    from jhu_data_parser_spark.operators.text import (
+        wordpiece_encode_expr,
+        wordpiece_vocab,
+    )
+    from tests.test_operators import _wp_encode_py
+
+    text = " ".join(words)
+    d = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    vocab = wordpiece_vocab(d, num_merges=merges, min_word_count=2)
+    if not vocab:  # every word unique -> empty floor vocab, nothing to encode with
+        return
+    vs = set(vocab)
+    got = {
+        r["w"]: list(r["ps"])
+        for r in d.select(
+            F.explode(F.split(F.lower("text"), r"\s+")).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .distinct()
+        .select("w", F.expr(wordpiece_encode_expr("w", vocab)).alias("ps"))
+        .collect()
+    }
+    for w, ps in got.items():
+        assert ps == _wp_encode_py(w, vs), (w, ps, vocab)
