@@ -1222,12 +1222,7 @@ def text_quality_lr_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     text_quality_train_lr's fit when both run in one session — exactly
     the train-once/serve-many lifecycle; scoring itself is one scan +
     one language aggregate, weights and means folded in as literals."""
-    from jhu_data_parser_spark.operators.text import (
-        LR_CLAMP,
-        LR_SCALE,
-        lr_fit_artifacts,
-        lr_quality_raw_frame,
-    )
+    from jhu_data_parser_spark.operators.text import lr_fit_artifacts
 
     d = load_table(spark, sf_dir, "documents")
     w, _stats, mean1000, _n = lr_fit_artifacts(d, steps=_LR_STEPS)

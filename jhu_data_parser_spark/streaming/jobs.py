@@ -730,17 +730,13 @@ def _ivfpq_append_segments(spark: SparkSession, sf_dir: str):
     discipline is what production IVF systems do between periodic
     retrains (codebook drift is a monitored, not per-batch, concern)."""
     from jhu_data_parser_spark.operators import similarity as sim
-    from jhu_data_parser_spark.operators.clustering import quantize_vectors
     from jhu_data_parser_spark.plans.pipeline11 import (
         _IP_CELLS,
         _IP_CITERS,
         _IP_ITERS,
         _IP_K,
         _IP_M,
-        _IP_PROBE,
-        _IP_SHORTLIST,
         _IP_SUB,
-        _IP_TOPK,
     )
     from jhu_data_parser_spark.sources.tables import load_table
 
