@@ -2390,3 +2390,146 @@ def dedup_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("canonical_tokens"),
         (F.count(F.lit(1)) - 1).cast("long").alias("n_dropped"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal curation funnel — the media-corpus twin of the text
+# funnel: decode with quarantine (corrupt payloads contained, not
+# fatal) → content dedup on the perceptual hash of the GENUINELY
+# decoded pixels (keep-first) → dimension floor — one yield table, the
+# accounting a media-corpus curation run logs. Every stage replays in
+# the oracle from doc_id arithmetic: the corruption rule, the pixel
+# LCG → grid → dHash chain (valid docs only), the keep-first rule, and
+# the dims floor.
+# ---------------------------------------------------------------------------
+_MMF_SEED_MOD = 23
+_MMF_MIN_W = 28
+_MMF_MIN_H = 24
+
+
+def _mmf_oracle() -> str:
+    powers = ", ".join(str(1 << i) for i in range(64))
+
+    def byte(i: str) -> str:
+        return (
+            f"CAST((((({i}) + s) * 6364136223846793005 + 1442695040888963407)"
+            f" % 170141183460469231731687303715884105728"
+            f" % 18446744073709551616) // 8589934592 % 256 AS BIGINT)"
+        )
+
+    base = "((sy * w + sx) * 3)"
+    return f"""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(doc_id % {_MMF_SEED_MOD} AS HUGEINT) AS s,
+             CAST(doc_id % {_MMF_SEED_MOD} % 64 + 16 AS BIGINT) AS w,
+             CAST(doc_id % {_MMF_SEED_MOD} % 48 + 16 AS BIGINT) AS h,
+             (doc_id % 7 NOT IN (3, 5)) AS ok
+      FROM documents),
+    grid AS (
+      SELECT d.*, gy.y, gx.x,
+             (gx.x * d.w) // 9 AS sx,
+             (gy.y * d.h) // 8 AS sy
+      FROM d, generate_series(0, 7) gy(y), generate_series(0, 8) gx(x)
+      WHERE d.ok),
+    gray AS (
+      SELECT doc_id, y, x,
+             ({byte(base)} + {byte(base + " + 1")} + {byte(base + " + 2")}) // 3
+               AS g
+      FROM grid),
+    bits AS (
+      SELECT doc_id, y, x,
+             CASE WHEN g > lead(g) OVER (PARTITION BY doc_id, y ORDER BY x)
+                  THEN 1 ELSE 0 END AS bit
+      FROM gray),
+    ph AS (
+      SELECT doc_id,
+             SUM(CAST(bit AS HUGEINT)
+                 * ([{powers}]::HUGEINT[])[y * 8 + x + 1]) AS pu
+      FROM bits WHERE x < 8 GROUP BY doc_id),
+    surv AS (
+      SELECT doc_id FROM (
+        SELECT doc_id,
+               row_number() OVER (PARTITION BY pu ORDER BY doc_id) AS rn
+        FROM ph) WHERE rn = 1),
+    dims AS (
+      SELECT surv.doc_id
+      FROM surv JOIN d USING (doc_id)
+      WHERE d.w >= {_MMF_MIN_W} AND d.h >= {_MMF_MIN_H})
+    SELECT 'raw' AS stage, CAST(COUNT(*) AS BIGINT) AS n_docs FROM d
+    UNION ALL
+    SELECT 'decode_ok', CAST(COUNT(*) AS BIGINT) FROM d WHERE ok
+    UNION ALL
+    SELECT 'phash_dedup', CAST(COUNT(*) AS BIGINT) FROM surv
+    UNION ALL
+    SELECT 'dims_floor', CAST(COUNT(*) AS BIGINT) FROM dims
+    """
+
+
+@query("pipeline_multimodal_curation", oracle=_mmf_oracle())
+def pipeline_multimodal_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage-by-stage yield of the media curation funnel: quarantine →
+    perceptual-hash keep-first dedup → dimension floor. The decode and
+    hash run on genuine bytes (corruption planted per the quarantine
+    rule, content keyed by doc_id % 23 so the dedup stage has real
+    work); the payloads never leave the Arrow decode stages."""
+    from pyspark.sql import functions as SF
+
+    from jhu_data_parser_spark.operators.multimodal import (
+        attach_png_bucketed,
+        extract_png_meta_quarantine,
+        perceptual_dhash_png,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    pngs = attach_png_bucketed(d, seed_mod=_MMF_SEED_MOD, perturb_odd=False)
+    corrupted = pngs.select(
+        "doc_id",
+        SF.when(
+            SF.col("doc_id") % 7 == 3,
+            SF.expr("substring(media, 1, octet_length(media) - 20)"),
+        )
+        .when(
+            SF.col("doc_id") % 7 == 5,
+            SF.expr(
+                "concat(substring(media, 1, 60), "
+                "CASE WHEN substring(media, 61, 1) = X'FF' THEN X'00' "
+                "ELSE X'FF' END, "
+                "substring(media, 62, octet_length(media) - 61))"
+            ),
+        )
+        .otherwise(SF.col("media"))
+        .alias("media"),
+    )
+    meta = extract_png_meta_quarantine(corrupted).localCheckpoint(eager=False)
+    valid_ids = meta.filter(F.col("status") == "ok").select("doc_id")
+    valid = pngs.join(valid_ids, "doc_id", "left_semi")
+    hashed = perceptual_dhash_png(valid)
+    w = Window.partitionBy("phash").orderBy("doc_id")
+    surv = (
+        hashed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id")
+        .localCheckpoint(eager=False)
+    )
+    dims = surv.join(
+        d.select(
+            "doc_id",
+            (F.col("doc_id") % _MMF_SEED_MOD % 64 + 16).alias("w"),
+            (F.col("doc_id") % _MMF_SEED_MOD % 48 + 16).alias("h"),
+        ),
+        "doc_id",
+    ).filter((F.col("w") >= _MMF_MIN_W) & (F.col("h") >= _MMF_MIN_H))
+
+    def stage(name: str, frame: DataFrame) -> DataFrame:
+        return frame.agg(
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+        )
+
+    return (
+        stage("raw", d)
+        .unionByName(stage("decode_ok", valid_ids))
+        .unionByName(stage("phash_dedup", surv))
+        .unionByName(stage("dims_floor", dims))
+    )
