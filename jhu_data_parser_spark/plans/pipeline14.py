@@ -2533,3 +2533,197 @@ def pipeline_multimodal_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(stage("phash_dedup", surv))
         .unionByName(stage("dims_floor", dims))
     )
+
+
+# ---------------------------------------------------------------------------
+# Corrupt-record JSON ingestion — the text-side analog of the PNG
+# quarantine: a landing prefix of JSON lines where some records are
+# malformed (planted: every 11th line truncated mid-object, every
+# 13th given a bare-word value) must load with the bad lines ROUTED,
+# not fatal. Spark's PERMISSIVE mode + columnNameOfCorruptRecord is
+# the engine-native containment; the oracle replays which doc_ids were
+# corrupted and the cents-exact aggregate over the survivors.
+# ---------------------------------------------------------------------------
+_JSON_CORRUPT_ORACLE = """
+    WITH status AS (
+      SELECT doc_id,
+             (doc_id % 11 = 3 OR doc_id % 13 = 4) AS bad,
+             CAST(floor(n_chars * 100 + 0.5) AS BIGINT) AS chars_cents
+      FROM documents)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(COUNT(*) FILTER (WHERE bad) AS BIGINT) AS n_corrupt,
+           CAST(COUNT(*) FILTER (WHERE NOT bad) AS BIGINT) AS n_loaded,
+           CAST(SUM(chars_cents) FILTER (WHERE NOT bad) AS BIGINT)
+             AS loaded_chars_cents
+    FROM status
+    """
+
+
+@query("source_json_corrupt_records", oracle=_JSON_CORRUPT_ORACLE)
+def source_json_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write a JSON-lines landing file with planted malformed records,
+    read it back PERMISSIVE with a corrupt-record column, and certify
+    the routing: corrupt counts and the exact aggregate over clean
+    rows. At 100 TB this is the difference between one bad crawl
+    record poisoning a job and a quarantine table to triage."""
+    import tempfile
+
+    from jhu_data_parser_spark.operators.similarity import _rmtree_at_exit
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    line = F.concat(
+        F.lit('{"doc_id": '),
+        F.col("doc_id").cast("string"),
+        F.lit(', "n_chars": '),
+        F.col("n_chars").cast("string"),
+        F.lit("}"),
+    )
+    corrupted = F.when(
+        F.col("doc_id") % 11 == 3, F.expr("substring(line, 1, 12)")
+    ).when(
+        F.col("doc_id") % 13 == 4,
+        F.concat(
+            F.lit('{"doc_id": '),
+            F.col("doc_id").cast("string"),
+            F.lit(', "n_chars": oops}'),
+        ),
+    ).otherwise(F.col("line"))
+    out = tempfile.mkdtemp(prefix="jdps_json_corrupt_")
+    _rmtree_at_exit(out)
+    d.withColumn("line", line).select(corrupted.alias("value")).write.mode(
+        "overwrite"
+    ).text(out)
+    back = (
+        spark.read.schema(
+            "doc_id long, n_chars double, _corrupt string"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(out)
+    )
+    return back.agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.count_if(F.col("_corrupt").isNotNull()).cast("long").alias("n_corrupt"),
+        F.count_if(F.col("_corrupt").isNull()).cast("long").alias("n_loaded"),
+        F.sum(
+            F.when(
+                F.col("_corrupt").isNull(),
+                F.floor(F.col("n_chars") * 100 + F.lit(0.5)).cast("long"),
+            )
+        )
+        .cast("long")
+        .alias("loaded_chars_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gaps-and-islands: activity streaks — the classic consecutive-day
+# analysis (retention's sibling): a user's distinct active days group
+# into islands where day − dense_rank(day) is constant; report each
+# user's longest streak and streak count. One user shuffle; the
+# island key is pure integer arithmetic.
+# ---------------------------------------------------------------------------
+_STREAK_ORACLE = """
+    WITH days AS (
+      -- explicit floor: DuckDB's // is NOT floor division on DOUBLE
+      -- (it returns the plain quotient, and the BIGINT cast ROUNDS)
+      SELECT DISTINCT user_id, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day
+      FROM events),
+    islands AS (
+      SELECT user_id, day,
+             day - dense_rank() OVER (PARTITION BY user_id ORDER BY day)
+               AS grp
+      FROM days),
+    streaks AS (
+      SELECT user_id, grp, CAST(COUNT(*) AS BIGINT) AS len
+      FROM islands GROUP BY user_id, grp)
+    SELECT user_id,
+           CAST(MAX(len) AS BIGINT) AS longest_streak,
+           CAST(COUNT(*) AS BIGINT) AS n_streaks,
+           CAST(SUM(len) AS BIGINT) AS active_days
+    FROM streaks GROUP BY user_id
+    """
+
+
+@query("events_activity_streaks", oracle=_STREAK_ORACLE)
+def events_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user (gaps and
+    islands via the day − dense_rank constant-group identity)."""
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id",
+        F.floor(F.col("ts").cast("timestamp").cast("double") / 86400)
+        .cast("long")
+        .alias("day"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    islands = days.withColumn("grp", F.col("day") - F.dense_rank().over(w))
+    streaks = islands.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).cast("long").alias("len")
+    )
+    return streaks.groupBy("user_id").agg(
+        F.max("len").cast("long").alias("longest_streak"),
+        F.count(F.lit(1)).cast("long").alias("n_streaks"),
+        F.sum("len").cast("long").alias("active_days"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# K-fold assignment — the cross-validation counterpart of the
+# train/test split: deterministic md5 fold draw per document, fold
+# accounting + per-fold membership checksum, plus the rotation
+# identity (every doc in exactly one fold) that makes CV folds
+# reproducible across engines and reruns.
+# ---------------------------------------------------------------------------
+_KFOLD_K = 5
+
+
+def _kfold_oracle() -> str:
+    from jhu_data_parser_spark.plans.pipeline6 import _hexpoly_sql
+
+    h = _hexpoly_sql("md5('fold:' || CAST(doc_id AS VARCHAR))", 12)
+    return f"""
+    WITH f AS (
+      SELECT doc_id,
+             CAST({h} % {_KFOLD_K} AS INT) AS fold,
+             len(list_filter(string_split_regex(lower(text), '\\s+'),
+                             x -> x <> '')) AS n_tokens
+      FROM documents)
+    SELECT fold,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id))
+             AS member_md5
+    FROM f GROUP BY fold
+    """
+
+
+@query("sample_kfold_assignment", oracle=_kfold_oracle())
+def sample_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5-fold CV assignment with hash-pinned membership —
+    one scan, one fold-key aggregation, no sort, no state."""
+    from jhu_data_parser_spark.plans.pipeline6 import _hex_long
+
+    d = load_table(spark, sf_dir, "documents")
+    f = d.select(
+        "doc_id",
+        (
+            _hex_long(
+                F.md5(F.concat(F.lit("fold:"), F.col("doc_id").cast("string"))), 12
+            )
+            % _KFOLD_K
+        )
+        .cast("int")
+        .alias("fold"),
+        F.expr("size(filter(split(lower(text), '\\\\s+'), x -> x <> ''))")
+        .alias("n_tokens"),
+    )
+    stream = F.expr(
+        "concat_ws(',', transform(array_sort(collect_list(doc_id)), "
+        "x -> CAST(x AS STRING)))"
+    )
+    return f.groupBy("fold").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.md5(stream).alias("member_md5"),
+    )
