@@ -748,8 +748,12 @@ def sketch_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # Two PARTIALLY-overlapping snapshots (different user-id slices of
     # different event types) — full-overlap sets would leave the
-    # intersection estimator untested.
-    a, b = side("click", 3), side("purchase", 4)
+    # intersection estimator untested. Each side is consumed by five
+    # plan branches (bottom-k, union sketch, overlap, exact count,
+    # exact intersection); checkpoint once or the fact table scans 10×
+    # (caught by the round-9 plan audit).
+    a = side("click", 3).localCheckpoint(eager=False)
+    b = side("purchase", 4).localCheckpoint(eager=False)
     ka = a.orderBy("h").limit(k)
     kb = b.orderBy("h").limit(k)
     ku = (
