@@ -479,6 +479,56 @@ def encode_png(width: int, height: int, seed: int = 0) -> bytes:
     return encode_png_pixels(raw)
 
 
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    """Frame one PNG chunk: length + tag + data + CRC32(tag+data)."""
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", zlib.crc32(tag + data))
+    )
+
+
+def encode_png_tagged(
+    width: int, height: int, seed: int, author_id: int,
+    software: str = "jdps-engine",
+) -> bytes:
+    """Valid PNG with two tEXt ancillary metadata chunks (Author,
+    Software) inserted between IHDR and IDAT — the synthetic stand-in
+    for the EXIF/metadata payloads a privacy pass must strip. The
+    pixel stream is byte-identical to :func:`encode_png`, so the
+    stripped file's size and content replay from the same doc_id
+    arithmetic the PNG oracles already use."""
+    base = encode_png(width, height, seed)
+    ihdr_end = 8 + 12 + 13  # signature + framed IHDR (13-byte payload)
+    texts = (
+        _png_chunk(b"tEXt", b"Author\x00" + f"user-{author_id}".encode()),
+        _png_chunk(b"tEXt", b"Software\x00" + software.encode()),
+    )
+    return base[:ihdr_end] + b"".join(texts) + base[ihdr_end:]
+
+
+def strip_png_ancillary(payload: bytes) -> tuple[bytes, int, int, str]:
+    """Remove every non-critical chunk from a PNG (CRC-checked walk),
+    keeping IHDR/PLTE/IDAT/IEND byte-for-byte. Returns (clean_bytes,
+    n_removed, bytes_removed, comma-joined sorted tEXt keywords)."""
+    kept: list[bytes] = [_PNG_SIG]
+    n_removed = 0
+    bytes_removed = 0
+    keywords: list[str] = []
+    for tag, data in _png_chunks(payload):
+        if tag in (b"IHDR", b"PLTE", b"IDAT", b"IEND"):
+            kept.append(_png_chunk(tag, data))
+        else:
+            n_removed += 1
+            bytes_removed += 12 + len(data)
+            if tag == b"tEXt":
+                keywords.append(data.split(b"\x00", 1)[0].decode("latin-1"))
+    return b"".join(kept), n_removed, bytes_removed, ",".join(sorted(keywords))
+
+
 def resize_png_nearest(payload: bytes, new_w: int, new_h: int) -> bytes:
     """REAL PNG resize: decode (inflate + unfilter), nearest-neighbor
     resample with floor index maps (the same convention as

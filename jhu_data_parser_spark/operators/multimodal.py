@@ -193,6 +193,77 @@ def attach_png(
     )
 
 
+def attach_png_tagged(
+    df: DataFrame, id_col: str = "doc_id", media_col: str = "media"
+) -> DataFrame:
+    """Synthesize PNGs carrying tEXt metadata (Author = user-{id%97},
+    Software) between IHDR and IDAT — the corpus for the privacy
+    metadata-strip pass. Pixel stream identical to :func:`attach_png`,
+    so post-strip size/content replay from the same id arithmetic."""
+    from jhu_data_parser_spark.functions.codecs import encode_png_tagged
+
+    def _map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                encode_png_tagged(
+                    int(did) % 64 + 16,
+                    int(did) % 48 + 16,
+                    seed=int(did),
+                    author_id=int(did) % 97,
+                )
+                for did in pdf[id_col]
+            ]
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col].astype("int64"), media_col: payloads}
+            )
+
+    return _spread_ids(df, id_col).mapInPandas(
+        _map, f"doc_id bigint, {media_col} binary"
+    )
+
+
+def strip_metadata_report(
+    df: DataFrame, id_col: str = "doc_id", media_col: str = "media"
+) -> DataFrame:
+    """Strip every ancillary PNG chunk (CRC-checked walk) and prove the
+    cleaned stream still decodes by summing the first scanline THROUGH
+    inflate+unfilter. Arrow-batched ``mapInPandas``; one pass, no
+    shuffle."""
+    from jhu_data_parser_spark.functions.codecs import (
+        decode_png_pixels,
+        strip_png_ancillary,
+    )
+
+    def _map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, nrem, brem, clen, r0, kws = [], [], [], [], [], []
+            for did, payload in zip(pdf[id_col], pdf[media_col]):
+                clean, n, b, kw = strip_png_ancillary(bytes(payload))
+                px = decode_png_pixels(clean)
+                ids.append(int(did))
+                nrem.append(n)
+                brem.append(b)
+                clen.append(len(clean))
+                r0.append(int(px[0].sum()))
+                kws.append(kw)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "n_removed": pd.Series(nrem, dtype="int64"),
+                    "bytes_removed": pd.Series(brem, dtype="int64"),
+                    "clean_bytes": pd.Series(clen, dtype="int64"),
+                    "row0_sum": pd.Series(r0, dtype="int64"),
+                    "keywords": kws,
+                }
+            )
+
+    return df.mapInPandas(
+        _map,
+        "doc_id bigint, n_removed bigint, bytes_removed bigint,"
+        " clean_bytes bigint, row0_sum bigint, keywords string",
+    )
+
+
 def extract_png_pixels_meta(
     df: DataFrame, id_col: str = "doc_id", media_col: str = "media"
 ) -> DataFrame:

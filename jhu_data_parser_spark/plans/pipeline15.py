@@ -94,11 +94,10 @@ _KN_ORACLE = f"""
     """
 
 
-@query("text_kn_perplexity", oracle=_KN_ORACLE)
-def text_kn_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Interpolated Kneser-Ney (D=3/4) bigram perplexity buckets per
-    language — the KenLM-grade smoothing behind the CCNet filter,
-    exact by 4·B-scaled int64 rationals."""
+def _kn_doc_ppx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Kneser-Ney micro-nat perplexity (doc_id, lang,
+    ppx_micro) — the shared core of the bucket report and the CCNet
+    shard split."""
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", F.split("text", " ").alias("w")
     )
@@ -149,9 +148,20 @@ def text_kn_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("nll_micro"),
         )
     )
-    pd = nll.groupBy("doc_id", "lang").agg(
+    return nll.groupBy("doc_id", "lang").agg(
         F.expr("CAST(SUM(nll_micro) DIV COUNT(*) AS BIGINT)").alias("ppx_micro")
     )
+
+
+_KN_PD_CHAIN = _KN_ORACLE.split("SELECT lang,")[0].rstrip().rstrip(",")
+
+
+@query("text_kn_perplexity", oracle=_KN_ORACLE)
+def text_kn_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney (D=3/4) bigram perplexity buckets per
+    language — the KenLM-grade smoothing behind the CCNet filter,
+    exact by 4·B-scaled int64 rationals."""
+    pd = _kn_doc_ppx(spark, sf_dir)
     return pd.groupBy(
         "lang",
         F.expr(f"CAST(ppx_micro DIV {_KN_BUCKET_MICRO} AS BIGINT)").alias(
@@ -704,4 +714,140 @@ def events_ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             f"abs(last_m - num DIV den) > {_EWMA_DEV_FLAG_MICRO}"
         ).alias("is_anomaly"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Privacy metadata strip over media payloads — the image-side twin of
+# text_redact_pii: remove every ancillary PNG chunk (tEXt Author/
+# Software here; EXIF/XMP in production) and PROVE the cleaned stream
+# still decodes by replaying the first scanline through inflate +
+# unfilter. The oracle reconstructs, from doc_id arithmetic alone, the
+# removed-chunk byte counts (keyword + NUL + value framing), the exact
+# stored-deflate clean file size, and the decoded scanline sum — a
+# hash match shows the strip removed exactly the ancillary bytes and
+# left the pixel stream untouched.
+# --------------------------------------------------------------------------
+
+_STRIP_ORACLE = """
+    WITH dims AS (
+      SELECT doc_id,
+             doc_id % 64 + 16 AS w,
+             doc_id % 48 + 16 AS h
+      FROM documents),
+    r0 AS (
+      SELECT d.doc_id,
+             CAST(SUM(
+               ((((g.i + d.doc_id)::HUGEINT * 6364136223846793005
+                  + 1442695040888963407) % 18446744073709551616::HUGEINT)
+                // 8589934592) % 256) AS BIGINT) AS row0_sum
+      FROM dims d CROSS JOIN generate_series(0, 240) g(i)
+      WHERE g.i < d.w * 3
+      GROUP BY d.doc_id)
+    SELECT d.doc_id,
+           CAST(2 AS BIGINT) AS n_removed,
+           CAST(24 + len(CAST(d.doc_id % 97 AS VARCHAR)) + 32 AS BIGINT)
+             AS bytes_removed,
+           CAST(63 + 5 * (((3 * d.w + 1) * d.h + 65534) // 65535)
+                + (3 * d.w + 1) * d.h AS BIGINT) AS clean_bytes,
+           r0.row0_sum,
+           'Author,Software' AS keywords
+    FROM dims d JOIN r0 USING (doc_id)
+    """
+
+
+@query("multimodal_strip_metadata", oracle=_STRIP_ORACLE)
+def multimodal_strip_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strip ancillary metadata chunks from tagged PNGs and verify the
+    cleaned stream still decodes (first-scanline sum through the real
+    inflate + unfilter). One Arrow-batched mapInPandas pass, no
+    shuffle; at 100 TB this is the embarrassingly-parallel shape —
+    per-file work, zero exchange."""
+    from jhu_data_parser_spark.operators.multimodal import (
+        attach_png_tagged,
+        strip_metadata_report,
+    )
+
+    d = attach_png_tagged(load_table(spark, sf_dir, "documents"))
+    return strip_metadata_report(d)
+
+
+# --------------------------------------------------------------------------
+# Streaming Wilson quality gate — per-batch (n, w) partials merged by
+# addition (the mergeable-statistic discipline: the Wilson bound is
+# applied ONCE at read-back over the exact merged integers, never to
+# partials), so stream ≡ batch ≡ SQL bit-identically.
+# --------------------------------------------------------------------------
+
+_STREAM_WILSON_ORACLE = f"""
+    WITH s AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(*) FILTER (value > 100.0) AS BIGINT) AS w
+      FROM events GROUP BY 1)
+    SELECT event_type, n, w, {_WILSON_SQL} AS wilson_lb_nano
+    FROM s
+    """
+
+
+@query("stream_wilson_value_rate", oracle=_STREAM_WILSON_ORACLE)
+def stream_wilson_value_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """z=2 Wilson lower bound of the high-value rate (value > 100) per
+    event type, computed as a REAL availableNow stream of additive
+    (n, w) partials."""
+    from jhu_data_parser_spark.streaming.jobs import run_wilson_value_stream
+
+    return run_wilson_value_stream(spark, sf_dir)
+
+
+# --------------------------------------------------------------------------
+# CCNet head/middle/tail sharding — the actual corpus split Wenzek et
+# al. 2020 publish: per language, documents ranked by LM perplexity
+# and cut into terciles (head = most fluent third). The rank and the
+# tercile boundary are pure integer arithmetic ((3·(rank−1)) DIV n per
+# language, doc_id tiebreak), so the shard assignment is exact.
+#
+# Scale posture: the per-doc KN table shuffles once on lang for the
+# rank (per-lang sort — the same distributed-sort shape as
+# sample_curriculum_phases; a skewed mega-language falls back to the
+# global-rank quantile bucketing documented there); output is
+# |langs|·3 rows.
+# --------------------------------------------------------------------------
+
+_CCNET_ORACLE = f"""{_KN_PD_CHAIN},
+    ranked AS (
+      SELECT doc_id, lang, ppx_micro,
+             CAST(row_number() OVER (PARTITION BY lang
+                    ORDER BY ppx_micro, doc_id) AS BIGINT) AS rk,
+             CAST(COUNT(*) OVER (PARTITION BY lang) AS BIGINT) AS nl
+      FROM pd)
+    SELECT lang,
+           CASE (3 * (rk - 1)) // nl WHEN 0 THEN 'head'
+                WHEN 1 THEN 'middle' ELSE 'tail' END AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(ppx_micro) AS BIGINT) AS sum_ppx_micro,
+           CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+    FROM ranked GROUP BY 1, 2
+    """
+
+
+@query("text_ccnet_shards", oracle=_CCNET_ORACLE)
+def text_ccnet_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style per-language head/middle/tail terciles under the
+    Kneser-Ney perplexity, with exact integer tercile boundaries."""
+    from pyspark.sql import Window
+
+    pd = _kn_doc_ppx(spark, sf_dir)
+    w = Window.partitionBy("lang").orderBy("ppx_micro", "doc_id")
+    ranked = pd.withColumn("rk", F.row_number().over(w).cast("long")).withColumn(
+        "nl", F.count(F.lit(1)).over(Window.partitionBy("lang")).cast("long")
+    )
+    shard = F.expr(
+        "CASE (3 * (rk - 1)) DIV nl WHEN 0 THEN 'head'"
+        " WHEN 1 THEN 'middle' ELSE 'tail' END"
+    )
+    return ranked.groupBy("lang", shard.alias("shard")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("ppx_micro").cast("long").alias("sum_ppx_micro"),
+        F.sum("doc_id").cast("long").alias("id_checksum"),
     )

@@ -918,6 +918,55 @@ def run_gopher_quality_stream(
     return parts.groupBy("lang").agg(*sums)
 
 
+def run_wilson_value_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson-lower-bound quality gate over a REAL events stream — the
+    streaming twin of quality_wilson_nonreturn_rank's ranking math:
+    each micro-batch sinks its own per-event-type (n, w) partial
+    counts (w = high-value events, value > 100); counts merge by
+    addition, and the z=2 Wilson bound is applied once at read-back,
+    so the result is bit-identical to the batch computation —
+    stream ≡ batch ≡ SQL under the shared oracle. Idempotent
+    _SUCCESS-gated batch_id sinks, same as the CMS/Gopher streams."""
+    from jhu_data_parser_spark.plans.pipeline15 import _WILSON_SQL
+
+    out_dir = _cleanup_at_exit(tempfile.mkdtemp(prefix="jdps_wilson_parts_"))
+    ckpt = _cleanup_at_exit(tempfile.mkdtemp(prefix="jdps_wilson_ckpt_"))
+
+    def _partials(bdf: DataFrame) -> DataFrame:
+        return bdf.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.when(F.col("value") > 100.0, 1).otherwise(0))
+            .cast("long")
+            .alias("w"),
+        )
+
+    def _batch(bdf: DataFrame, batch_id: int) -> None:
+        _write_batch_once(
+            _partials(bdf), os.path.join(out_dir, f"batch_id={batch_id}")
+        )
+
+    _write_batch_once(
+        spark.createDataFrame([], "event_type string, n long, w long"),
+        os.path.join(out_dir, "batch_id=-1"),
+    )
+
+    q = (
+        read_events_stream(spark, sf_dir)
+        .writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    parts = spark.read.parquet(out_dir)
+    merged = parts.groupBy("event_type").agg(
+        F.sum("n").cast("long").alias("n"),
+        F.sum("w").cast("long").alias("w"),
+    )
+    return merged.withColumn("wilson_lb_nano", F.expr(_WILSON_SQL))
+
+
 def run_quality_lr_serve_stream(
     spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 8
 ) -> DataFrame:
