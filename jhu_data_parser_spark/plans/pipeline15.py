@@ -851,3 +851,157 @@ def text_ccnet_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("ppx_micro").cast("long").alias("sum_ppx_micro"),
         F.sum("doc_id").cast("long").alias("id_checksum"),
     )
+
+
+# --------------------------------------------------------------------------
+# Bloom-filter decontamination — the scale path of
+# text_decontaminate_overlap: when the benchmark n-gram set is too
+# large to broadcast exactly, broadcast a fixed-size Bloom bitmap
+# instead (m = 65536 bits as 2048 32-bit words, k = 2 md5-derived
+# hashes). The report probes the corpus through the bitmap AND through
+# the exact set, so the hash gate pins the false-positive accounting —
+# the number a production run uses to size m.
+#
+# Exactness: both hash positions are 48-bit md5 prefixes mod m (the
+# house _hexpoly/conv portable-hash pair); bitmap words are sums of
+# DISTINCT powers of two (pow(2, b) is IEEE-exact for b <= 31); the
+# probe is integer DIV/% arithmetic — no engine-private hashing.
+#
+# Scale posture: the bitmap build is one distinct + one <= 2048-row
+# aggregate on the (small) benchmark side; the corpus probes via TWO
+# broadcast joins on word index (the bitmap never exceeds 8 KiB no
+# matter how large the benchmark grows — that is the point); the exact
+# twin join stays for calibration only.
+# --------------------------------------------------------------------------
+
+_BLOOM_BITS = 65536
+_BLOOM_WORDS = _BLOOM_BITS // 32
+
+from jhu_data_parser_spark.plans.pipeline6 import _hexpoly_sql  # noqa: E402
+
+
+def _bloom_oracle() -> str:
+    h1 = _hexpoly_sql("substr(md5(shingle), 1, 12)", 12) + f" % {_BLOOM_BITS}"
+    h2 = _hexpoly_sql("substr(md5(shingle), 13, 12)", 12) + f" % {_BLOOM_BITS}"
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+      FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, array_to_string(t[i:i+3], ' ') AS shingle
+      FROM toks, unnest(generate_series(1, greatest(len(t) - 3, 0))) AS u(i)),
+    hashed AS (
+      SELECT doc_id, shingle, ({h1}) AS p1, ({h2}) AS p2 FROM sh),
+    bench AS (SELECT DISTINCT shingle, p1, p2 FROM hashed
+              WHERE doc_id % 97 = 0),
+    pos AS (SELECT DISTINCT pos FROM
+            (SELECT p1 AS pos FROM bench UNION ALL SELECT p2 FROM bench)),
+    words AS (
+      SELECT pos // 32 AS word_idx,
+             CAST(SUM(CAST(pow(2.0, pos % 32) AS BIGINT)) AS BIGINT) AS word
+      FROM pos GROUP BY 1),
+    corp AS (SELECT * FROM hashed WHERE doc_id % 97 <> 0),
+    probed AS (
+      SELECT c.doc_id, c.shingle,
+             CASE WHEN w1.word IS NOT NULL AND w2.word IS NOT NULL
+                   AND (w1.word // CAST(pow(2.0, c.p1 % 32) AS BIGINT)) % 2 = 1
+                   AND (w2.word // CAST(pow(2.0, c.p2 % 32) AS BIGINT)) % 2 = 1
+                  THEN 1 ELSE 0 END AS bloom_hit,
+             CASE WHEN c.shingle IN (SELECT shingle FROM bench)
+                  THEN 1 ELSE 0 END AS exact_hit
+      FROM corp c
+      LEFT JOIN words w1 ON c.p1 // 32 = w1.word_idx
+      LEFT JOIN words w2 ON c.p2 // 32 = w2.word_idx)
+    SELECT doc_id,
+           CAST(SUM(bloom_hit) AS BIGINT) AS n_bloom_hits,
+           CAST(SUM(exact_hit) AS BIGINT) AS n_exact_hits,
+           CAST(SUM(bloom_hit) - SUM(exact_hit) AS BIGINT) AS n_false_pos
+    FROM probed GROUP BY 1 HAVING SUM(bloom_hit) > 0
+    """
+
+
+@query("text_decontaminate_bloom_report", oracle=_bloom_oracle())
+def text_decontaminate_bloom_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination through a broadcast 8 KiB Bloom bitmap (k=2,
+    m=65536) with exact-join calibration: per contaminated-candidate
+    doc, bloom hits vs exact hits vs false positives."""
+    from jhu_data_parser_spark.operators import dedup as dd
+
+    d = dd.ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    toks = d.select(
+        "doc_id",
+        F.expr("filter(split(lower(text), ' '), x -> x <> '')").alias("t"),
+    )
+    sh = (
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "IF(size(t) > 3, transform(sequence(1, size(t) - 3),"
+                    " i -> array_join(slice(t, i, 4), ' ')), array())"
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+    h1 = (
+        F.conv(F.substring(F.md5("shingle"), 1, 12), 16, 10).cast("long")
+        % _BLOOM_BITS
+    )
+    h2 = (
+        F.conv(F.substring(F.md5("shingle"), 13, 12), 16, 10).cast("long")
+        % _BLOOM_BITS
+    )
+    hashed = sh.select("doc_id", "shingle", h1.alias("p1"), h2.alias("p2"))
+    bench = hashed.filter(F.col("doc_id") % 97 == 0).select(
+        "shingle", "p1", "p2"
+    ).distinct()
+    pos = (
+        bench.select(F.col("p1").alias("pos"))
+        .unionAll(bench.select(F.col("p2").alias("pos")))
+        .distinct()
+    )
+    words = pos.groupBy(F.expr("pos DIV 32").alias("word_idx")).agg(
+        F.expr("CAST(SUM(CAST(pow(2.0, pos % 32) AS BIGINT)) AS BIGINT)").alias(
+            "word"
+        )
+    )
+    corp = hashed.filter(F.col("doc_id") % 97 != 0)
+    w1 = words.select(
+        F.col("word_idx").alias("w1_idx"), F.col("word").alias("word1")
+    )
+    w2 = words.select(
+        F.col("word_idx").alias("w2_idx"), F.col("word").alias("word2")
+    )
+    bench_sh = bench.select("shingle").distinct()
+    probed = (
+        corp.join(F.broadcast(w1), F.expr("p1 DIV 32") == F.col("w1_idx"), "left")
+        .join(F.broadcast(w2), F.expr("p2 DIV 32") == F.col("w2_idx"), "left")
+        .join(
+            F.broadcast(bench_sh.withColumn("exact_hit", F.lit(1))),
+            "shingle",
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.expr(
+                "CASE WHEN word1 IS NOT NULL AND word2 IS NOT NULL"
+                " AND (word1 DIV CAST(pow(2.0, p1 % 32) AS BIGINT)) % 2 = 1"
+                " AND (word2 DIV CAST(pow(2.0, p2 % 32) AS BIGINT)) % 2 = 1"
+                " THEN 1 ELSE 0 END"
+            ).alias("bloom_hit"),
+            F.coalesce(F.col("exact_hit"), F.lit(0)).alias("exact_hit"),
+        )
+    )
+    return (
+        probed.groupBy("doc_id")
+        .agg(
+            F.sum("bloom_hit").cast("long").alias("n_bloom_hits"),
+            F.sum("exact_hit").cast("long").alias("n_exact_hits"),
+            (F.sum("bloom_hit") - F.sum("exact_hit"))
+            .cast("long")
+            .alias("n_false_pos"),
+        )
+        .filter(F.col("n_bloom_hits") > 0)
+    )
