@@ -125,7 +125,17 @@ def _kn_doc_ppx(spark: SparkSession, sf_dir: str) -> DataFrame:
     # at the 100× layout (25.5 → 9.1 s warm). This INVERTS the
     # pipeline10 add-one A/B (re-aggregation slower), which had no
     # distinct counts to amortize.
-    cb = bg.groupBy("prev", "cur").agg(F.count(F.lit(1)).cast("long").alias("cb"))
+    # One lazy localCheckpoint on the bigram model table: cb feeds FOUR
+    # plan branches (the nll join + cp + cw + B) and AQE does not reuse
+    # its exchange across them — the same multi-branch materialization
+    # rule as sketch_kmv_set_ops. Measured at the 100× layout: 9.1 →
+    # 6.8 s warm; at 100 TB the model table is built once per corpus,
+    # not once per branch.
+    cb = (
+        bg.groupBy("prev", "cur")
+        .agg(F.count(F.lit(1)).cast("long").alias("cb"))
+        .localCheckpoint(eager=False)
+    )
     cp = cb.groupBy("prev").agg(
         F.sum("cb").cast("long").alias("cp"),
         F.count(F.lit(1)).cast("long").alias("n1p"),
