@@ -1,0 +1,339 @@
+"""Catalog wave 17 — round 9 continuation: interval-overlap co-activity
+pairs (the bucketed interval self-join), cohort LTV, class-balanced
+sampling, and the small-files compaction planner.
+
+Reference parity note: the reference (/root/reference) has no analytics
+surface — [extension] operators of the analytics/curation families.
+House exactness discipline: every hash gate rides on integers
+(epoch-microsecond interval arithmetic, floor(1e6·value) fixed points,
+md5-hex draws, integer DIV bucketing).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from jhu_data_parser_spark.plans.catalog import query
+from jhu_data_parser_spark.sources.tables import load_table
+
+# --------------------------------------------------------------------------
+# Interval-overlap co-activity pairs — the interval SELF-join (who was
+# online together): 4-hour-gap sessionization, then every cross-user
+# pair of overlapping multi-event sessions with >= 1 hour of overlap,
+# aggregated to a per-user-pair co-activity total.
+#
+# Scale posture: co-activity pair LISTING is inherently quadratic in
+# simultaneous users — measured unbounded on the 100× replicated
+# layout (15k users sharing one 30-day timeline, month-long sessions:
+# the probe did not finish in 10 minutes). The scale-honest contract
+# is therefore a bounded suspect set: the TOP-500 most-active users
+# (exact integer rank, user_id tiebreak — what an investigation
+# pipeline shortlists before pairwise timeline comparison). Within the
+# shortlist the enumeration is a DAY-BUCKETED equi-join — each session
+# explodes to the <= 31 day buckets it spans, pairs meet on the bucket
+# key, and each session pair is counted ONCE at the bucket containing
+# the overlap start (the standard interval-join dedup trick). Pair
+# candidates are <= 500²/2 per bucket regardless of corpus size; the
+# session build stays linear; the shortlist broadcast is <= 500 ids.
+#
+# Exactness: all interval arithmetic in epoch microseconds
+# (unix_micros ≡ epoch_us under the UTC-pinned session); overlap
+# totals integer; output seconds via DIV.
+# --------------------------------------------------------------------------
+
+_SESS_GAP_US = 4 * 3600 * 1_000_000
+_OVERLAP_MIN_US = 3600 * 1_000_000
+_DAY_US = 86400 * 1_000_000
+_COACT_TOP_USERS = 500
+
+_COACT_ORACLE = f"""
+    WITH active AS (
+      SELECT user_id FROM (
+        SELECT user_id, row_number() OVER (ORDER BY COUNT(*) DESC, user_id)
+                 AS urk
+        FROM events GROUP BY user_id)
+      WHERE urk <= {_COACT_TOP_USERS}),
+    e AS (
+      SELECT user_id, epoch_us(ts) AS us, event_id,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+                         (PARTITION BY user_id ORDER BY ts, event_id)
+                       > {_SESS_GAP_US}
+                   OR lag(epoch_us(ts)) OVER
+                         (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS brk
+      FROM events WHERE user_id IN (SELECT user_id FROM active)),
+    s AS (
+      SELECT user_id,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+                            ROWS UNBOUNDED PRECEDING) AS sid,
+             us
+      FROM e),
+    sess AS (
+      SELECT user_id, sid, MIN(us) AS st, MAX(us) AS en
+      FROM s GROUP BY 1, 2 HAVING MAX(us) > MIN(us)),
+    p AS (
+      SELECT a.user_id AS a_user, b.user_id AS b_user,
+             LEAST(a.en, b.en) - GREATEST(a.st, b.st) AS ov
+      FROM sess a JOIN sess b
+        ON a.user_id < b.user_id AND a.st < b.en AND b.st < a.en)
+    SELECT a_user, b_user,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(ov) // 1000000 AS BIGINT) AS overlap_sec_total
+    FROM p WHERE ov >= {_OVERLAP_MIN_US}
+    GROUP BY 1, 2
+    """
+
+
+@query("join_interval_overlap_pairs", oracle=_COACT_ORACLE)
+def join_interval_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-user co-activity among the top-500 most-active users:
+    overlapping (>= 1 h) session pairs per user pair, enumerated
+    through a day-bucketed interval equi-join (each pair counted once
+    at its overlap-start bucket — never a cross join; the suspect
+    shortlist bounds pair candidates at any corpus size)."""
+    all_ev = load_table(spark, sf_dir, "events")
+    active = (
+        all_ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_ev"))
+        .orderBy(F.col("n_ev").desc(), F.col("user_id"))
+        .limit(_COACT_TOP_USERS)
+        .select("user_id")
+    )
+    ev = all_ev.join(F.broadcast(active), "user_id").select(
+        "user_id", "ts", "event_id", F.expr("unix_micros(ts)").alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    brk = F.when(
+        F.lag("us").over(w).isNull()
+        | ((F.col("us") - F.lag("us").over(w)) > _SESS_GAP_US),
+        1,
+    ).otherwise(0)
+    s = ev.withColumn("brk", brk).withColumn(
+        "sid",
+        F.sum("brk").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    sess = (
+        s.groupBy("user_id", "sid")
+        .agg(F.min("us").alias("st"), F.max("us").alias("en"))
+        .filter(F.col("en") > F.col("st"))
+    )
+    # Day-bucket explode: a session appears in every day bucket it
+    # spans; the pair is kept only in the bucket where the overlap
+    # starts, so each (a_sid, b_sid) pair is emitted exactly once.
+    daysp = sess.select(
+        "user_id",
+        "sid",
+        "st",
+        "en",
+        F.explode(
+            F.expr(f"sequence(st DIV {_DAY_US}, en DIV {_DAY_US})")
+        ).alias("day"),
+    )
+    a = daysp.select(
+        F.col("user_id").alias("a_user"),
+        F.col("sid").alias("a_sid"),
+        F.col("st").alias("a_st"),
+        F.col("en").alias("a_en"),
+        "day",
+    )
+    b = daysp.select(
+        F.col("user_id").alias("b_user"),
+        F.col("sid").alias("b_sid"),
+        F.col("st").alias("b_st"),
+        F.col("en").alias("b_en"),
+        "day",
+    )
+    pairs = (
+        a.join(b, "day")
+        .filter(
+            (F.col("a_user") < F.col("b_user"))
+            & (F.col("a_st") < F.col("b_en"))
+            & (F.col("b_st") < F.col("a_en"))
+            & (
+                F.expr(f"greatest(a_st, b_st) DIV {_DAY_US}") == F.col("day")
+            )
+        )
+        .select(
+            "a_user",
+            "b_user",
+            (
+                F.least("a_en", "b_en") - F.greatest("a_st", "b_st")
+            ).alias("ov"),
+        )
+        .filter(F.col("ov") >= _OVERLAP_MIN_US)
+    )
+    return pairs.groupBy("a_user", "b_user").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.expr("CAST(SUM(ov) DIV 1000000 AS BIGINT)").alias(
+            "overlap_sec_total"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Cohort LTV matrix — users cohorted by the absolute week of their
+# first event; per (cohort_week, week_offset): active users and the
+# exact micro-value mass. The classic retention-revenue triangle.
+# Scale posture: one min-per-user aggregate (broadcastable frontier is
+# NOT assumed — the cohort table shuffle-joins back on user_id), one
+# rollup; output <= |weeks|² rows.
+# --------------------------------------------------------------------------
+
+_WEEK_US = 7 * _DAY_US
+
+_LTV_ORACLE = f"""
+    WITH f AS (
+      SELECT user_id, MIN(epoch_us(ts)) // {_WEEK_US} AS cohort_week
+      FROM events GROUP BY 1),
+    j AS (
+      SELECT f.cohort_week,
+             epoch_us(e.ts) // {_WEEK_US} - f.cohort_week AS week_offset,
+             e.user_id,
+             CAST(floor(1000000.0 * e.value) AS BIGINT) AS v
+      FROM events e JOIN f USING (user_id))
+    SELECT CAST(cohort_week AS BIGINT) AS cohort_week,
+           CAST(week_offset AS BIGINT) AS week_offset,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(SUM(v) AS BIGINT) AS value_sum_micro
+    FROM j GROUP BY 1, 2
+    """
+
+
+@query("events_cohort_ltv", oracle=_LTV_ORACLE)
+def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort-week × week-offset LTV triangle: distinct active users
+    and exact micro-value sums."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr(f"unix_micros(ts) DIV {_WEEK_US}").alias("wk"),
+        F.expr("CAST(floor(1000000.0 * value) AS BIGINT)").alias("v"),
+    )
+    f = ev.groupBy("user_id").agg(F.min("wk").alias("cohort_week"))
+    j = ev.join(f, "user_id").select(
+        F.col("cohort_week").cast("long").alias("cohort_week"),
+        (F.col("wk") - F.col("cohort_week")).cast("long").alias("week_offset"),
+        "user_id",
+        "v",
+    )
+    return j.groupBy("cohort_week", "week_offset").agg(
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.sum("v").cast("long").alias("value_sum_micro"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Class-balanced sampling — undersample every language to the minority
+# class size with a deterministic md5 draw (the training-data
+# balancing pass). The per-class rank is a window over the md5 hex of
+# the doc id (uniform, engine-portable); the minority size is a 1-row
+# broadcast scalar.
+# --------------------------------------------------------------------------
+
+_BALANCE_ORACLE = """
+    WITH n AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY 1),
+    m AS (SELECT MIN(n) AS min_n FROM n),
+    r AS (
+      SELECT doc_id, lang,
+             CAST(row_number() OVER (PARTITION BY lang
+                    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
+               AS rk
+      FROM documents)
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+    FROM r, m WHERE r.rk <= m.min_n
+    GROUP BY 1
+    """
+
+
+@query("sample_balanced_classes", oracle=_BALANCE_ORACLE)
+def sample_balanced_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undersample every language to the minority class size via a
+    deterministic md5 draw; per-language kept counts (all equal) and
+    id checksums."""
+    d = load_table(spark, sf_dir, "documents")
+    n = d.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    m = n.agg(F.min("n").alias("min_n"))
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    r = d.select("doc_id", "lang").withColumn(
+        "rk", F.row_number().over(w).cast("long")
+    )
+    return (
+        r.crossJoin(F.broadcast(m))
+        .filter(F.col("rk") <= F.col("min_n"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+            F.sum("doc_id").cast("long").alias("id_checksum"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Small-files compaction planner — the OPTIMIZE bin-packing decision:
+# per-day "files" (synthetic sizes = exact cent sums of the day's
+# orders) packed in day order into 8 balanced bins by cumulative-sum
+# bucketing (bin = exclusive-prefix-sum DIV target). Deterministic,
+# order-preserving, integer-exact; the real-lake twin reads file
+# manifests instead of orders.
+# --------------------------------------------------------------------------
+
+_COMPACT_ORACLE = """
+    WITH files AS (
+      SELECT o_orderdate AS day,
+             CAST(SUM(CAST(floor(100.0 * o_totalprice) AS BIGINT)) AS BIGINT)
+               AS bytes
+      FROM orders GROUP BY 1),
+    c AS (
+      SELECT day, bytes,
+             CAST(COALESCE(SUM(bytes) OVER (ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS before,
+             CAST(SUM(bytes) OVER () AS BIGINT) AS total
+      FROM files)
+    SELECT CAST(before // (total // 8 + 1) AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM(bytes) AS BIGINT) AS bytes_total,
+           MIN(day) AS day_min,
+           MAX(day) AS day_max
+    FROM c GROUP BY 1
+    """
+
+
+@query("layout_compaction_plan", oracle=_COMPACT_ORACLE)
+def layout_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack per-day file sizes into 8 balanced compaction bins via
+    exclusive-prefix-sum DIV target — the deterministic OPTIMIZE plan.
+    One aggregate + one ordered cumulative window (a single-partition
+    window over <= |days| rows — the FILE MANIFEST, not data)."""
+    o = load_table(spark, sf_dir, "orders")
+    files = o.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.expr("CAST(SUM(CAST(floor(100.0 * o_totalprice) AS BIGINT)) AS BIGINT)").alias(
+            "bytes"
+        )
+    )
+    wcum = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    c = files.select(
+        "day",
+        "bytes",
+        F.coalesce(F.sum("bytes").over(wcum), F.lit(0)).cast("long").alias("before"),
+        F.sum("bytes").over(
+            Window.partitionBy().rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).cast("long").alias("total"),
+    )
+    return c.groupBy(
+        F.expr("CAST(before DIV (total DIV 8 + 1) AS BIGINT)").alias("bin")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        F.sum("bytes").cast("long").alias("bytes_total"),
+        F.min("day").alias("day_min"),
+        F.max("day").alias("day_max"),
+    )
