@@ -886,3 +886,45 @@ def test_mih_stored_index_prunes_partitions(spark, tmp_path):
         .collect()
     }
     assert got == brute and len(got) > 0
+
+
+# ---------------------------------------------------------------- wave 15-17
+
+
+def test_matryoshka_shortlist_is_takeordered(spark):
+    """The prefix-dim shortlist must compile to TakeOrderedAndProject
+    (a streaming top-k, never a full sort of the corpus)."""
+    plan = _plan(spark, "sim_cosine_topk_matryoshka")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bloom_probe_joins_broadcast(spark):
+    """The Bloom bitmap probes must be broadcast joins (the 8 KiB
+    bitmap ships to the corpus, the corpus never shuffles on the word
+    key) and there must be no cartesian anywhere."""
+    plan = _plan(spark, "text_decontaminate_bloom_report")
+    assert plan.count("BroadcastHashJoin") >= 3  # w1, w2, exact twin
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_symspell_banding_is_equi_join(spark):
+    """SymSpell candidate generation must be an equi-join on the
+    deletion key — never a nested-loop over name pairs."""
+    plan = _plan(spark, "dedup_fuzzy_symspell_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_coactivity_shortlist_broadcasts(spark):
+    """The top-500 suspect shortlist must broadcast into the events
+    scan; the pair join is an equi-join on the day bucket."""
+    plan = _plan(spark, "join_interval_overlap_pairs")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_wilson_topk_is_takeordered(spark):
+    plan = _plan(spark, "quality_wilson_nonreturn_rank")
+    assert "TakeOrderedAndProject" in plan
