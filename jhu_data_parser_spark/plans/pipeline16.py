@@ -337,3 +337,97 @@ def layout_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("day").alias("day_min"),
         F.max("day").alias("day_max"),
     )
+
+
+# --------------------------------------------------------------------------
+# Holt double-exponential forecast — linear-trend smoothing over the
+# per-type daily counts with α = β = 1/2, which makes every state a
+# DYADIC RATIONAL: scaled by S = 2^32, the level/trend recurrence is
+# pure int64 arithmetic (one truncating halving per step — truncation
+# toward zero is identical in Spark DIV and DuckDB //, verified on
+# negatives), so 30 recurrence steps replay bit-for-bit. The oracle is
+# a genuine recursive CTE over the step index; the Spark side is one
+# JVM HOF fold over the per-type day array (bounded by |days| — the
+# time dimension, not the data volume).
+# --------------------------------------------------------------------------
+
+_HOLT_S = 1 << 32
+_HOLT_H = 7
+
+_HOLT_ORACLE = f"""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2),
+    steps AS (
+      SELECT event_type, n,
+             CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+               AS BIGINT) AS t,
+             CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS nd
+      FROM daily),
+    init AS (
+      SELECT s1.event_type, s1.nd,
+             s1.n * {_HOLT_S} AS l,
+             (s2.n - s1.n) * {_HOLT_S} AS tr
+      FROM steps s1 JOIN steps s2 USING (event_type)
+      WHERE s1.t = 1 AND s2.t = 2 AND s1.nd >= 2),
+    rec AS (
+      WITH RECURSIVE r(event_type, t, l, tr, nd) AS (
+        SELECT event_type, CAST(1 AS BIGINT), l, tr, nd FROM init
+        UNION ALL
+        SELECT r.event_type, r.t + 1,
+               (s.n * {_HOLT_S} + r.l + r.tr) // 2,
+               (r.tr + ((s.n * {_HOLT_S} + r.l + r.tr) // 2 - r.l)) // 2,
+               r.nd
+        FROM r JOIN steps s ON s.event_type = r.event_type AND s.t = r.t + 1
+        WHERE r.t < r.nd)
+      SELECT * FROM r),
+    fin AS (SELECT event_type, l, tr FROM rec WHERE t = nd)
+    SELECT f.event_type, CAST(h.h AS INT) AS horizon,
+           CAST((f.l + h.h * f.tr) * 1000 // {_HOLT_S} AS BIGINT)
+             AS forecast_milli
+    FROM fin f CROSS JOIN generate_series(1, {_HOLT_H}) h(h)
+    """
+
+
+@query("events_holt_forecast", oracle=_HOLT_ORACLE)
+def events_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day Holt (level+trend, α=β=1/2) forecast of daily event counts
+    per type, exact in 2^32-scaled dyadic fixed point."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.expr("unix_micros(ts) DIV 86400000000").alias("day"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    arr = (
+        daily.groupBy("event_type")
+        .agg(F.array_sort(F.collect_list(F.struct("day", "n"))).alias("a"))
+        .filter(F.size("a") >= 2)
+    )
+    fin = arr.select(
+        "event_type",
+        F.expr(
+            f"""aggregate(
+                 slice(a, 2, size(a) - 1),
+                 named_struct(
+                   'l', element_at(a, 1).n * {_HOLT_S}L,
+                   'tr', (element_at(a, 2).n - element_at(a, 1).n) * {_HOLT_S}L),
+                 (acc, x) -> named_struct(
+                   'l', (x.n * {_HOLT_S}L + acc.l + acc.tr) DIV 2L,
+                   'tr', (acc.tr + ((x.n * {_HOLT_S}L + acc.l + acc.tr) DIV 2L
+                                    - acc.l)) DIV 2L))"""
+        ).alias("st"),
+    )
+    return fin.select(
+        "event_type",
+        F.explode(F.sequence(F.lit(1), F.lit(_HOLT_H))).alias("horizon"),
+        F.col("st.l").alias("l"),
+        F.col("st.tr").alias("tr"),
+    ).select(
+        "event_type",
+        F.col("horizon").cast("int").alias("horizon"),
+        F.expr(f"CAST((l + horizon * tr) * 1000 DIV {_HOLT_S} AS BIGINT)").alias(
+            "forecast_milli"
+        ),
+    )
