@@ -431,3 +431,161 @@ def events_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             "forecast_milli"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# MinHash LSH band-parameter sweep — the tuning table that picks
+# (bands, rows): candidate-pair counts for 2×8 / 4×4 / 8×2 bandings of
+# the SAME 16-hash portable signature (collision probability
+# 1-(1-j^r)^b — more bands = higher recall = more candidates). The
+# signature is computed ONCE and lazily checkpointed across the three
+# config branches (the multi-branch materialization rule); each config
+# is one banded self-join + a 1-row aggregate.
+#
+# Dense-duplicate guard (house rule, and measured necessary: the raw
+# self-join stalled on the 100× replicated layout): identical texts
+# exact-collapse to (rep = min doc_id, cnt) BEFORE signatures, so a
+# duplicate-dense corpus costs ONE signature per distinct text; the
+# would-be raw candidate volume is REPORTED as Σ cnt_a·cnt_b (plus the
+# intra-family Σ cnt·(cnt−1)/2) without ever materializing it.
+# --------------------------------------------------------------------------
+
+_SWEEP_BANDS = (2, 4, 8)
+
+
+def _band_sweep_oracle() -> str:
+    cfgs = []
+    for nb in _SWEEP_BANDS:
+        w = 16 // nb
+        cfgs.append(f"""
+    b{nb} AS (
+      SELECT rep, cnt, g.b AS band,
+             md5(array_to_string(mh[g.b * {w} + 1 : g.b * {w} + {w}], '|'))
+               AS band_sig
+      FROM m, (SELECT unnest(range(0, {nb})) AS b) g),
+    c{nb} AS (
+      SELECT DISTINCT a.rep AS id_a, c.rep AS id_b,
+             a.cnt * c.cnt AS pw
+      FROM b{nb} a JOIN b{nb} c
+        ON a.band = c.band AND a.band_sig = c.band_sig
+       AND a.rep < c.rep),
+    r{nb} AS (
+      SELECT CAST({nb} AS INT) AS n_bands, CAST({w} AS INT) AS rows_per_band,
+             CAST(COUNT(*) AS BIGINT) AS n_candidates,
+             CAST(COALESCE(SUM(pw), 0)
+                  + (SELECT SUM(cnt * (cnt - 1) // 2) FROM g0) AS BIGINT)
+               AS n_expanded,
+             CAST(COALESCE(SUM(id_a * 1000003 + id_b), 0) AS BIGINT)
+               AS pair_checksum
+      FROM c{nb})""")
+    unions = " UNION ALL ".join(f"SELECT * FROM r{nb}" for nb in _SWEEP_BANDS)
+    return f"""
+    WITH g0 AS (
+      SELECT MIN(doc_id) AS rep, CAST(COUNT(*) AS BIGINT) AS cnt,
+             string_split(lower(text), ' ') AS toks
+      FROM documents GROUP BY lower(text)),
+    s AS (
+      SELECT rep, cnt,
+             CASE WHEN len(toks) >= 3
+                  THEN list_transform(range(1, len(toks) - 1),
+                         i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])
+                  ELSE [array_to_string(toks, ' ')] END AS sh
+      FROM g0),
+    hs AS (
+      SELECT rep, cnt,
+             list_transform(sh, x ->
+               md5('0:' || x) || md5('1:' || x)
+               || md5('2:' || x) || md5('3:' || x)) AS hs
+      FROM s),
+    m AS (
+      SELECT rep, cnt,
+             list_transform(range(0, 16), j ->
+               list_min(list_transform(hs, h -> substr(h, j * 8 + 1, 8)))) AS mh
+      FROM hs),{','.join(cfgs)}
+    {unions}
+    """
+
+
+@query("dedup_minhash_band_sweep", oracle=_band_sweep_oracle())
+def dedup_minhash_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-pair counts for 2x8 / 4x4 / 8x2 bandings of one
+    portable 16-hash MinHash signature over the exact-collapsed corpus
+    — the (bands, rows) tuning table, with expansion volumes reported
+    as numbers (never materialized)."""
+    from jhu_data_parser_spark.operators import dedup as dd
+
+    d = dd.ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    g0 = d.groupBy(F.lower(F.col("text")).alias("lt")).agg(
+        F.min("doc_id").alias("rep"),
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+    )
+    intra = g0.agg(
+        F.expr("CAST(SUM(cnt * (cnt - 1) DIV 2) AS BIGINT)").alias("ip")
+    )
+    t = g0.select(
+        F.col("rep").alias("doc_id"), "cnt", F.split("lt", " ").alias("toks")
+    )
+    mh = (
+        dd.minhash_signature_portable(t)
+        .join(t.select(F.col("doc_id"), "cnt"), "doc_id")
+        .localCheckpoint(eager=False)
+    )
+    reports = []
+    for nb in _SWEEP_BANDS:
+        w = 16 // nb
+        bands = mh.select(
+            "doc_id",
+            "cnt",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, {nb - 1}), b -> "
+                    f"md5(cast(concat_ws('|', slice(mh, b * {w} + 1, {w}))"
+                    " AS binary)))"
+                )
+            ).alias("band", "band_sig"),
+        )
+        a = bands.select(
+            F.col("doc_id").alias("id_a"),
+            F.col("cnt").alias("cnt_a"),
+            "band",
+            "band_sig",
+        )
+        b = bands.select(
+            F.col("doc_id").alias("id_b"),
+            F.col("cnt").alias("cnt_b"),
+            "band",
+            "band_sig",
+        )
+        cand = (
+            a.join(b, ["band", "band_sig"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select(
+                "id_a", "id_b", (F.col("cnt_a") * F.col("cnt_b")).alias("pw")
+            )
+            .distinct()
+        )
+        reports.append(
+            cand.agg(
+                F.lit(nb).cast("int").alias("n_bands"),
+                F.lit(w).cast("int").alias("rows_per_band"),
+                F.count(F.lit(1)).cast("long").alias("n_candidates"),
+                F.coalesce(F.sum("pw"), F.lit(0)).cast("long").alias("pwsum"),
+                F.coalesce(
+                    F.sum(F.col("id_a") * 1000003 + F.col("id_b")), F.lit(0)
+                )
+                .cast("long")
+                .alias("pair_checksum"),
+            )
+            .crossJoin(F.broadcast(intra))
+            .select(
+                "n_bands",
+                "rows_per_band",
+                "n_candidates",
+                (F.col("pwsum") + F.col("ip")).cast("long").alias("n_expanded"),
+                "pair_checksum",
+            )
+        )
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out
