@@ -967,6 +967,50 @@ def run_wilson_value_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.withColumn("wilson_lb_nano", F.expr(_WILSON_SQL))
 
 
+def run_holt_forecast_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt 7-day forecast over a REAL events stream — the streaming
+    twin of events_holt_forecast: each micro-batch sinks its own
+    (event_type, day, n) daily-count partials; counts merge by
+    addition, and the dyadic-exact Holt fold runs ONCE at read-back
+    over the merged integers, so stream ≡ batch ≡ SQL bit-identically.
+    Idempotent _SUCCESS-gated batch_id sinks (the CMS/Gopher/Wilson
+    discipline)."""
+    from jhu_data_parser_spark.plans.pipeline16 import (
+        _daily_counts_for_holt,
+        holt_forecast_from_daily,
+    )
+
+    out_dir = _cleanup_at_exit(tempfile.mkdtemp(prefix="jdps_holt_parts_"))
+    ckpt = _cleanup_at_exit(tempfile.mkdtemp(prefix="jdps_holt_ckpt_"))
+
+    def _batch(bdf: DataFrame, batch_id: int) -> None:
+        _write_batch_once(
+            _daily_counts_for_holt(bdf),
+            os.path.join(out_dir, f"batch_id={batch_id}"),
+        )
+
+    _write_batch_once(
+        spark.createDataFrame([], "event_type string, day long, n long"),
+        os.path.join(out_dir, "batch_id=-1"),
+    )
+
+    q = (
+        read_events_stream(spark, sf_dir)
+        .writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    merged = (
+        spark.read.parquet(out_dir)
+        .groupBy("event_type", "day")
+        .agg(F.sum("n").cast("long").alias("n"))
+    )
+    return holt_forecast_from_daily(merged)
+
+
 def run_quality_lr_serve_stream(
     spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 8
 ) -> DataFrame:
