@@ -931,11 +931,10 @@ def _bloom_oracle() -> str:
     """
 
 
-@query("text_decontaminate_bloom_report", oracle=_bloom_oracle())
-def text_decontaminate_bloom_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decontamination through a broadcast 8 KiB Bloom bitmap (k=2,
-    m=65536) with exact-join calibration: per contaminated-candidate
-    doc, bloom hits vs exact hits vs false positives."""
+def _bloom_probed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(corpus doc, shingle) Bloom + exact probe flags — the shared
+    core of the calibration report and the funnel-v4 decontamination
+    stage."""
     from jhu_data_parser_spark.operators import dedup as dd
 
     d = dd.ensure_parallelism(load_table(spark, sf_dir, "documents"))
@@ -1004,6 +1003,15 @@ def text_decontaminate_bloom_report(spark: SparkSession, sf_dir: str) -> DataFra
             F.coalesce(F.col("exact_hit"), F.lit(0)).alias("exact_hit"),
         )
     )
+    return probed
+
+
+@query("text_decontaminate_bloom_report", oracle=_bloom_oracle())
+def text_decontaminate_bloom_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination through a broadcast 8 KiB Bloom bitmap (k=2,
+    m=65536) with exact-join calibration: per contaminated-candidate
+    doc, bloom hits vs exact hits vs false positives."""
+    probed = _bloom_probed(spark, sf_dir)
     return (
         probed.groupBy("doc_id")
         .agg(
@@ -1014,4 +1022,13 @@ def text_decontaminate_bloom_report(spark: SparkSession, sf_dir: str) -> DataFra
             .alias("n_false_pos"),
         )
         .filter(F.col("n_bloom_hits") > 0)
+    )
+
+
+def bloom_flagged_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct corpus doc_ids with at least one Bloom hit — the
+    drop set of the funnel-v4 decontamination stage."""
+    probed = _bloom_probed(spark, sf_dir)
+    return (
+        probed.filter(F.col("bloom_hit") == 1).select("doc_id").distinct()
     )

@@ -844,3 +844,131 @@ def sim_cosine_topk_matryoshka_multi(
         .filter(F.col("rank") <= 5)
         .select("query_id", "vec_id", "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# Curation funnel v4 — this session's operators composed end-to-end,
+# the CCNet-flavored variant of funnels v2/v3: raw → drop the
+# benchmark/eval docs → Kneser-Ney fluency cut (keep the head+middle
+# perplexity terciles per language) → Bloom-bitmap decontamination →
+# class-balanced undersampling; one yield table (stage, n_docs,
+# id_checksum). Every stage reuses the verified standalone core
+# (_kn_doc_ppx, bloom_flagged_docs, the md5 balance draw); the reused
+# frames are lazily checkpointed across the stage aggregates, and the
+# oracle marks multi-referenced CTEs AS MATERIALIZED (the recorded
+# DuckDB-inlining lesson).
+# --------------------------------------------------------------------------
+
+
+def _funnel_v4_oracle() -> str:
+    from jhu_data_parser_spark.plans.pipeline15 import (
+        _KN_PD_CHAIN,
+        _bloom_oracle,
+    )
+
+    kn = _KN_PD_CHAIN.strip()
+    assert kn.startswith("WITH")
+    kn = kn[4:].strip()  # the KN CTE list: d, bg, cb, cp, cw, b, pd
+    bloom_sql = _bloom_oracle()
+    bloom = bloom_sql[: bloom_sql.rindex("SELECT doc_id,")].strip()
+    assert bloom.startswith("WITH")
+    bloom = bloom[4:].strip().rstrip(",")  # toks..probed (no name clashes)
+    return f"""
+    WITH {kn},
+    {bloom},
+    dirty AS MATERIALIZED (
+      SELECT DISTINCT doc_id FROM probed WHERE bloom_hit = 1),
+    ranked AS (
+      SELECT doc_id, lang,
+             CAST(row_number() OVER (PARTITION BY lang
+                    ORDER BY ppx_micro, doc_id) AS BIGINT) AS rk,
+             CAST(COUNT(*) OVER (PARTITION BY lang) AS BIGINT) AS nl
+      FROM pd WHERE doc_id % 97 <> 0),
+    fluent AS MATERIALIZED (
+      SELECT doc_id, lang FROM ranked WHERE (3 * (rk - 1)) // nl <= 1),
+    surv AS MATERIALIZED (
+      SELECT f.doc_id, f.lang FROM fluent f
+      WHERE f.doc_id NOT IN (SELECT doc_id FROM dirty)),
+    nmin AS (SELECT MIN(cnt) AS m FROM
+             (SELECT lang, COUNT(*) AS cnt FROM surv GROUP BY 1)),
+    bal AS (
+      SELECT doc_id FROM
+        (SELECT doc_id,
+                row_number() OVER (PARTITION BY lang
+                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+         FROM surv), nmin
+      WHERE rk <= m)
+    SELECT '0_raw' AS stage, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS id_checksum FROM documents
+    UNION ALL
+    SELECT '1_corpus', CAST(COUNT(*) AS BIGINT), CAST(SUM(doc_id) AS BIGINT)
+    FROM documents WHERE doc_id % 97 <> 0
+    UNION ALL
+    SELECT '2_fluent', CAST(COUNT(*) AS BIGINT), CAST(SUM(doc_id) AS BIGINT)
+    FROM fluent
+    UNION ALL
+    SELECT '3_decontaminated', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(doc_id) AS BIGINT)
+    FROM surv
+    UNION ALL
+    SELECT '4_balanced', CAST(COUNT(*) AS BIGINT), CAST(SUM(doc_id) AS BIGINT)
+    FROM bal
+    """
+
+
+@query("pipeline_curation_funnel_v4", oracle=_funnel_v4_oracle())
+def pipeline_curation_funnel_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-flavored curation funnel: benchmark split-off → KN
+    fluency terciles (keep head+middle per language) → Bloom
+    decontamination → class balancing; per-stage yield rows."""
+    from jhu_data_parser_spark.plans.pipeline15 import (
+        _kn_doc_ppx,
+        bloom_flagged_docs,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    pdf = _kn_doc_ppx(spark, sf_dir).filter(F.col("doc_id") % 97 != 0)
+    wl = Window.partitionBy("lang").orderBy("ppx_micro", "doc_id")
+    ranked = pdf.withColumn(
+        "rk", F.row_number().over(wl).cast("long")
+    ).withColumn(
+        "nl", F.count(F.lit(1)).over(Window.partitionBy("lang")).cast("long")
+    )
+    fluent = (
+        ranked.filter(F.expr("(3 * (rk - 1)) DIV nl <= 1"))
+        .select("doc_id", "lang")
+        .localCheckpoint(eager=False)
+    )
+    dirty = bloom_flagged_docs(spark, sf_dir)
+    surv = fluent.join(dirty, "doc_id", "left_anti").localCheckpoint(
+        eager=False
+    )
+    nmin = surv.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt")).agg(
+        F.min("cnt").alias("m")
+    )
+    wb = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    bal = (
+        surv.withColumn("rk", F.row_number().over(wb).cast("long"))
+        .crossJoin(F.broadcast(nmin))
+        .filter(F.col("rk") <= F.col("m"))
+        .select("doc_id")
+    )
+
+    def _stage(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("doc_id").cast("long").alias("id_checksum"),
+        )
+
+    out = _stage(d, "0_raw")
+    for frame, name in (
+        (d.filter(F.col("doc_id") % 97 != 0), "1_corpus"),
+        (fluent, "2_fluent"),
+        (surv, "3_decontaminated"),
+        (bal, "4_balanced"),
+    ):
+        out = out.unionByName(_stage(frame, name))
+    return out
