@@ -972,3 +972,132 @@ def pipeline_curation_funnel_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
     ):
         out = out.unionByName(_stage(frame, name))
     return out
+
+
+# --------------------------------------------------------------------------
+# Energy-gated VAD segmentation — the silence-trimming pass an audio
+# curation pipeline runs before modeling: 16 balanced frames per clip
+# through the REAL RIFF/WAVE parse, a frame is "voiced" iff its mean
+# |sample| exceeds the half-range (Σ|v| > 16384·n — integer-exact), and
+# voiced runs collapse to segments via gaps-and-islands. The oracle
+# replays frame energies from the PCM recurrence (doc_id·7919 +
+# i·104729) % 65536 − 32768 without seeing a byte.
+# --------------------------------------------------------------------------
+
+_VAD_FRAMES = 16
+
+_VAD_ORACLE = f"""
+    WITH base AS (
+      SELECT doc_id, doc_id % 192 + 64 AS n FROM documents),
+    s AS (
+      SELECT b.doc_id, b.n, g.i,
+             (b.doc_id * 7919 + g.i * 104729) % 65536 - 32768 AS v
+      FROM base b CROSS JOIN generate_series(0, 255) g(i)
+      WHERE g.i < b.n),
+    fe AS (
+      SELECT doc_id, ({_VAD_FRAMES} * i) // n AS frame,
+             CAST(SUM(abs(v)) AS BIGINT) AS e,
+             CAST(COUNT(*) AS BIGINT) AS ns
+      FROM s GROUP BY 1, 2),
+    voiced AS (
+      SELECT doc_id, frame FROM fe WHERE e > 16384 * ns),
+    isl AS (
+      SELECT doc_id, frame,
+             frame - row_number() OVER (PARTITION BY doc_id ORDER BY frame)
+               AS grp
+      FROM voiced),
+    seg AS (
+      SELECT doc_id, grp, CAST(COUNT(*) AS BIGINT) AS len
+      FROM isl GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(SUM(len) AS BIGINT) AS n_voiced,
+           CAST(COUNT(*) AS BIGINT) AS n_segments,
+           CAST(MAX(len) AS BIGINT) AS longest_run
+    FROM seg GROUP BY 1
+    """
+
+
+@query("multimodal_audio_vad_segments", oracle=_VAD_ORACLE)
+def multimodal_audio_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voice-activity segments per clip: 16-frame energy gate over the
+    real WAV decode, voiced runs collapsed gaps-and-islands; per doc the
+    voiced-frame count, segment count, and longest run."""
+    from jhu_data_parser_spark.operators.multimodal import (
+        attach_audio,
+        extract_audio_frames,
+    )
+
+    d = attach_audio(load_table(spark, sf_dir, "documents"))
+    fe = extract_audio_frames(d, n_frames=_VAD_FRAMES)
+    voiced = fe.filter(
+        F.col("abs_energy") > 16384 * F.col("n_samples")
+    ).select("doc_id", "frame")
+    isl = voiced.withColumn(
+        "grp",
+        F.col("frame")
+        - F.row_number().over(
+            Window.partitionBy("doc_id").orderBy("frame")
+        ),
+    )
+    seg = isl.groupBy("doc_id", "grp").agg(
+        F.count(F.lit(1)).cast("long").alias("len")
+    )
+    return seg.groupBy("doc_id").agg(
+        F.sum("len").cast("long").alias("n_voiced"),
+        F.count(F.lit(1)).cast("long").alias("n_segments"),
+        F.max("len").cast("long").alias("longest_run"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Conversion-latency histogram — per user, the first 'click' to the
+# first STRICTLY-LATER 'purchase'; latencies bucketed by hour. Exact
+# epoch-microsecond arithmetic end to end.
+# --------------------------------------------------------------------------
+
+_CONV_ORACLE = """
+    WITH fc AS (
+      SELECT user_id, MIN(epoch_us(ts)) AS c_us
+      FROM events WHERE event_type = 'click' GROUP BY 1),
+    fp AS (
+      SELECT e.user_id, MIN(epoch_us(e.ts)) AS p_us
+      FROM events e JOIN fc ON e.user_id = fc.user_id
+      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > fc.c_us
+      GROUP BY 1),
+    lat AS (
+      SELECT fc.user_id, (fp.p_us - fc.c_us) // 3600000000 AS hour_bucket
+      FROM fc JOIN fp ON fc.user_id = fp.user_id)
+    SELECT CAST(hour_bucket AS BIGINT) AS hour_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(user_id) AS BIGINT) AS user_checksum
+    FROM lat GROUP BY 1
+    """
+
+
+@query("events_conversion_latency", oracle=_CONV_ORACLE)
+def events_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-click → first-later-purchase latency histogram (hour
+    buckets) with user checksums."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.expr("unix_micros(ts)").alias("us")
+    )
+    fc = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("c_us"))
+    )
+    fp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(fc, "user_id")
+        .filter(F.col("us") > F.col("c_us"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("p_us"))
+    )
+    lat = fc.join(fp, "user_id").select(
+        "user_id",
+        F.expr("(p_us - c_us) DIV 3600000000").alias("hour_bucket"),
+    )
+    return lat.groupBy(F.col("hour_bucket").cast("long").alias("hour_bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("user_id").cast("long").alias("user_checksum"),
+    )
