@@ -1101,3 +1101,81 @@ def events_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_users"),
         F.sum("user_id").cast("long").alias("user_checksum"),
     )
+
+
+# --------------------------------------------------------------------------
+# RFM segmentation — recency / frequency / monetary quintiles per user
+# (the classic CRM cut): recency = whole days between the user's last
+# event and the corpus frontier, frequency = event count, monetary =
+# exact micro-value mass; each dimension ntile(5)'d with a user_id
+# tiebreak (deterministic total order), segment code = r·100+f·10+m.
+# One per-user aggregate + three bounded ntile windows over the
+# per-user table (users ≪ events); output ≤ 125 segment rows.
+# --------------------------------------------------------------------------
+
+_RFM_ORACLE = """
+    WITH u AS (
+      SELECT user_id,
+             MAX(epoch_us(ts)) AS last_us,
+             CAST(COUNT(*) AS BIGINT) AS freq,
+             CAST(SUM(CAST(floor(1000000.0 * value) AS BIGINT)) AS BIGINT)
+               AS money
+      FROM events GROUP BY 1),
+    fr AS (SELECT MAX(last_us) AS f_us FROM u),
+    d AS (
+      SELECT user_id, freq, money,
+             CAST((fr.f_us - last_us) // 86400000000 AS BIGINT) AS rec_days
+      FROM u, fr),
+    q AS (
+      SELECT user_id,
+             ntile(5) OVER (ORDER BY rec_days, user_id) AS r,
+             ntile(5) OVER (ORDER BY freq DESC, user_id) AS f,
+             ntile(5) OVER (ORDER BY money DESC, user_id) AS m
+      FROM d)
+    SELECT CAST(r * 100 + f * 10 + m AS INT) AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(user_id) AS BIGINT) AS user_checksum
+    FROM q GROUP BY 1
+    """
+
+
+@query("events_rfm_segments", oracle=_RFM_ORACLE)
+def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM quintile segmentation with deterministic ntile tiebreaks;
+    per segment-code user counts and checksums. The three ntile windows
+    are global sorts over the PER-USER table (users ≪ events); at
+    billion-user scale swap each for the quantile-literal bucket id of
+    window_global_rank_distributed (operators/intervals.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.max(F.expr("unix_micros(ts)")).alias("last_us"),
+        F.count(F.lit(1)).cast("long").alias("freq"),
+        F.sum(F.expr("CAST(floor(1000000.0 * value) AS BIGINT)"))
+        .cast("long")
+        .alias("money"),
+    )
+    fr = u.agg(F.max("last_us").alias("f_us"))
+    d = u.crossJoin(F.broadcast(fr)).select(
+        "user_id",
+        "freq",
+        "money",
+        F.expr("CAST((f_us - last_us) DIV 86400000000 AS BIGINT)").alias(
+            "rec_days"
+        ),
+    )
+    q = d.select(
+        "user_id",
+        F.ntile(5).over(Window.orderBy("rec_days", "user_id")).alias("r"),
+        F.ntile(5)
+        .over(Window.orderBy(F.col("freq").desc(), "user_id"))
+        .alias("f"),
+        F.ntile(5)
+        .over(Window.orderBy(F.col("money").desc(), "user_id"))
+        .alias("m"),
+    )
+    return q.groupBy(
+        F.expr("CAST(r * 100 + f * 10 + m AS INT)").alias("segment")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("user_id").cast("long").alias("user_checksum"),
+    )
