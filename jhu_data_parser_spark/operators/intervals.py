@@ -118,7 +118,13 @@ def session_overlap_counts(
     - ends<st: probes at ``st`` (tag 0) BEFORE points at ``en``
       (tag 1) on equal timestamps → strict count.
     """
-    base = sessions.select(*key_cols, st, en)
+    # The session table feeds FIVE plan branches (points + probes in
+    # each of the two sweeps, plus the final join) and the upstream
+    # sessionization window re-executes per branch — one lazy
+    # localCheckpoint materializes it once (the multi-branch rule;
+    # measured 5.4 -> 3.9 s warm at sf0.1, and the gap widens with the
+    # input).
+    base = sessions.select(*key_cols, st, en).localCheckpoint(eager=False)
 
     def sweep(point_col: str, probe_col: str, point_tag: int) -> DataFrame:
         points = base.select(

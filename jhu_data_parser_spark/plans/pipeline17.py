@@ -1,0 +1,179 @@
+"""Catalog wave 22 — round 9 continuation: experiment/audit statistics.
+
+Reference parity note: the reference (/root/reference) has no analytics
+surface — [extension] operators of the analytics family. Exactness:
+all inputs to floating expressions are exact int64 (micro-scaled sums,
+counts) or shared decimal literals, and both engines evaluate the
+IDENTICAL expression tree — IEEE ops are deterministic functions, so
+fixed-point floors of the results hash-match.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from jhu_data_parser_spark.plans.catalog import query
+from jhu_data_parser_spark.sources.tables import load_table
+
+# --------------------------------------------------------------------------
+# Welch's t statistic for an A/B readout — 'click' (A) vs 'view' (B)
+# event values. Group moments come from exact integer Σ floor(1e6·v)
+# and Σ floor(1e6·v)² sums (v < ~500 → v_micro < 5·10^8, squares
+# < 2.5·10^17 — int64-safe; Σ over a group must stay < 2^63, true to
+# ~3·10^10 rows per group); the t statistic is then a FIXED chain of
+# IEEE ops over those exact integers, identical in both engines, and
+# the gate rides on floor(1e6·t).
+#
+#   var_i = (Σx² − (Σx)²/n) / (n − 1)      [micro² units]
+#   t     = (m1 − m2) / sqrt(v1/n1 + v2/n2)
+# --------------------------------------------------------------------------
+
+_WELCH_EXPR = (
+    "CAST(floor(1000000.0 * ("
+    "(CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)"
+    " - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))"
+    " / sqrt("
+    "((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)"
+    " / CAST(n1 AS DOUBLE)) / CAST(n1 - 1 AS DOUBLE)) / CAST(n1 AS DOUBLE)"
+    " + ((CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)"
+    " / CAST(n2 AS DOUBLE)) / CAST(n2 - 1 AS DOUBLE)) / CAST(n2 AS DOUBLE)"
+    "))) AS BIGINT)"
+)
+
+_WELCH_ORACLE = f"""
+    WITH g AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(floor(1000000.0 * value) AS BIGINT)) AS BIGINT)
+               AS s,
+             CAST(SUM(CAST(floor(1000000.0 * value) AS BIGINT)
+                      * CAST(floor(1000000.0 * value) AS BIGINT)) AS BIGINT)
+               AS q
+      FROM events WHERE event_type IN ('click', 'view') GROUP BY 1),
+    w AS (
+      SELECT a.n AS n1, a.s AS s1, a.q AS q1,
+             b.n AS n2, b.s AS s2, b.q AS q2
+      FROM (SELECT * FROM g WHERE event_type = 'click') a,
+           (SELECT * FROM g WHERE event_type = 'view') b)
+    SELECT n1, n2,
+           CAST(s1 // n1 - s2 // n2 AS BIGINT) AS mean_diff_micro,
+           {_WELCH_EXPR} AS t_micro
+    FROM w
+    """
+
+
+@query("events_ab_welch_t", oracle=_WELCH_ORACLE)
+def events_ab_welch_t(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's t for click-vs-view values from exact integer group
+    moments; one map-side-combined aggregate, 1-row output."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.expr("CAST(floor(1000000.0 * value) AS BIGINT)"))
+        .cast("long")
+        .alias("s"),
+        F.sum(
+            F.expr(
+                "CAST(floor(1000000.0 * value) AS BIGINT)"
+                " * CAST(floor(1000000.0 * value) AS BIGINT)"
+            )
+        )
+        .cast("long")
+        .alias("q"),
+    )
+    a = g.filter(F.col("event_type") == "click").select(
+        F.col("n").alias("n1"), F.col("s").alias("s1"), F.col("q").alias("q1")
+    )
+    b = g.filter(F.col("event_type") == "view").select(
+        F.col("n").alias("n2"), F.col("s").alias("s2"), F.col("q").alias("q2")
+    )
+    w = a.crossJoin(F.broadcast(b))
+    return w.select(
+        "n1",
+        "n2",
+        F.expr("CAST(s1 DIV n1 - s2 DIV n2 AS BIGINT)").alias(
+            "mean_diff_micro"
+        ),
+        F.expr(_WELCH_EXPR).alias("t_micro"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Benford first-digit audit — the classic fraud screen over
+# o_totalprice: observed first-digit counts vs the Benford expectation
+# n·log10(1+1/d), with the chi-square statistic. The log10 values are
+# PRE-COMPUTED python double literals inlined into BOTH plans (one
+# shared literal per digit — no cross-engine transcendental calls);
+# expected counts and chi² are then fixed IEEE chains over exact
+# integers and those literals, gated at floor(1e6·x).
+# --------------------------------------------------------------------------
+
+_BENFORD_P = {d: math.log10(1.0 + 1.0 / d) for d in range(1, 10)}
+
+
+def _benford_oracle() -> str:
+    cases = " ".join(
+        f"WHEN {d} THEN {_BENFORD_P[d]!r}" for d in range(1, 10)
+    )
+    return f"""
+    WITH fd AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+                         1, 1) AS BIGINT) AS digit
+      FROM orders WHERE o_totalprice >= 1.0),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM fd),
+    obs AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS c FROM fd GROUP BY 1)
+    SELECT obs.digit,
+           obs.c AS observed,
+           CAST(floor(1000000.0 * (CAST(n.n AS DOUBLE)
+                * (CASE obs.digit {cases} END))) AS BIGINT)
+             AS expected_micro,
+           CAST(floor(1000000.0 *
+                ((CAST(obs.c AS DOUBLE) - CAST(n.n AS DOUBLE)
+                    * (CASE obs.digit {cases} END))
+                 * (CAST(obs.c AS DOUBLE) - CAST(n.n AS DOUBLE)
+                    * (CASE obs.digit {cases} END))
+                 / (CAST(n.n AS DOUBLE) * (CASE obs.digit {cases} END))))
+             AS BIGINT) AS chi2_term_micro
+    FROM obs, n
+    """
+
+
+@query("quality_benford_audit", oracle=_benford_oracle())
+def quality_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-digit Benford screen over order totals: per digit the
+    observed count, the Benford expectation, and the chi-square term
+    (all micro-fixed-point; log10 probabilities are shared literals)."""
+    cases = " ".join(
+        f"WHEN {d} THEN {_BENFORD_P[d]!r}" for d in range(1, 10)
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") >= 1.0
+    )
+    fd = o.select(
+        F.expr(
+            "CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT)"
+            " AS STRING), 1, 1) AS BIGINT)"
+        ).alias("digit")
+    )
+    n = fd.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    obs = fd.groupBy("digit").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    j = obs.crossJoin(F.broadcast(n))
+    p = f"(CASE digit {cases} END)"
+    return j.select(
+        "digit",
+        F.col("c").alias("observed"),
+        F.expr(
+            f"CAST(floor(1000000.0 * (CAST(n AS DOUBLE) * {p})) AS BIGINT)"
+        ).alias("expected_micro"),
+        F.expr(
+            "CAST(floor(1000000.0 * ("
+            f"(CAST(c AS DOUBLE) - CAST(n AS DOUBLE) * {p})"
+            f" * (CAST(c AS DOUBLE) - CAST(n AS DOUBLE) * {p})"
+            f" / (CAST(n AS DOUBLE) * {p}))) AS BIGINT)"
+        ).alias("chi2_term_micro"),
+    )
