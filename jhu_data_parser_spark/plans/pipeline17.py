@@ -20,10 +20,14 @@ from jhu_data_parser_spark.sources.tables import load_table
 
 # --------------------------------------------------------------------------
 # Welch's t statistic for an A/B readout — 'click' (A) vs 'view' (B)
-# event values. Group moments come from exact integer Σ floor(1e6·v)
-# and Σ floor(1e6·v)² sums (v < ~500 → v_micro < 5·10^8, squares
-# < 2.5·10^17 — int64-safe; Σ over a group must stay < 2^63, true to
-# ~3·10^10 rows per group); the t statistic is then a FIXED chain of
+# event values. Group moments come from exact integer Σ floor(1e3·v)
+# and Σ floor(1e3·v)² sums — MILLI scaling, because the micro-squared
+# sum overflows int64 after ~40 rows at v≈500 (caught by Spark's ANSI
+# overflow check at sf0.01): v_milli < 5·10^5, squares < 2.5·10^11,
+# Σ safe to ~3·10^7 rows per group (document the bound; a larger
+# corpus pre-aggregates per partition into HUGEINT-free decimal
+# sums). t is scale-invariant, so the statistic is unchanged; the
+# t computation is a FIXED chain of
 # IEEE ops over those exact integers, identical in both engines, and
 # the gate rides on floor(1e6·t).
 #
@@ -47,10 +51,10 @@ _WELCH_ORACLE = f"""
     WITH g AS (
       SELECT event_type,
              CAST(COUNT(*) AS BIGINT) AS n,
-             CAST(SUM(CAST(floor(1000000.0 * value) AS BIGINT)) AS BIGINT)
+             CAST(SUM(CAST(floor(1000.0 * value) AS BIGINT)) AS BIGINT)
                AS s,
-             CAST(SUM(CAST(floor(1000000.0 * value) AS BIGINT)
-                      * CAST(floor(1000000.0 * value) AS BIGINT)) AS BIGINT)
+             CAST(SUM(CAST(floor(1000.0 * value) AS BIGINT)
+                      * CAST(floor(1000.0 * value) AS BIGINT)) AS BIGINT)
                AS q
       FROM events WHERE event_type IN ('click', 'view') GROUP BY 1),
     w AS (
@@ -59,7 +63,7 @@ _WELCH_ORACLE = f"""
       FROM (SELECT * FROM g WHERE event_type = 'click') a,
            (SELECT * FROM g WHERE event_type = 'view') b)
     SELECT n1, n2,
-           CAST(s1 // n1 - s2 // n2 AS BIGINT) AS mean_diff_micro,
+           CAST(s1 // n1 - s2 // n2 AS BIGINT) AS mean_diff_milli,
            {_WELCH_EXPR} AS t_micro
     FROM w
     """
@@ -74,13 +78,13 @@ def events_ab_welch_t(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     g = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum(F.expr("CAST(floor(1000000.0 * value) AS BIGINT)"))
+        F.sum(F.expr("CAST(floor(1000.0 * value) AS BIGINT)"))
         .cast("long")
         .alias("s"),
         F.sum(
             F.expr(
-                "CAST(floor(1000000.0 * value) AS BIGINT)"
-                " * CAST(floor(1000000.0 * value) AS BIGINT)"
+                "CAST(floor(1000.0 * value) AS BIGINT)"
+                " * CAST(floor(1000.0 * value) AS BIGINT)"
             )
         )
         .cast("long")
@@ -97,7 +101,7 @@ def events_ab_welch_t(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n1",
         "n2",
         F.expr("CAST(s1 DIV n1 - s2 DIV n2 AS BIGINT)").alias(
-            "mean_diff_micro"
+            "mean_diff_milli"
         ),
         F.expr(_WELCH_EXPR).alias("t_micro"),
     )
