@@ -1315,6 +1315,40 @@ def extract_mp4_meta(
     )
 
 
+def extract_mp4_frame_sums(
+    df: DataFrame, id_col: str = "doc_id", media_col: str = "media"
+) -> DataFrame:
+    """Per-FRAME pixel sums through the real ISO BMFF walk — the frame
+    stream every scene-cut / frame-sampling pass consumes. One row per
+    (doc, frame index); integers only."""
+    from jhu_data_parser_spark.functions.codecs import decode_mp4_raw
+
+    def _map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fs, sums, ws, hs = [], [], [], [], []
+            for did, payload in zip(pdf[id_col], pdf[media_col]):
+                w, h, _fps, frames = decode_mp4_raw(bytes(payload))
+                for f in range(frames.shape[0]):
+                    ids.append(int(did))
+                    fs.append(f)
+                    sums.append(int(frames[f].astype("int64").sum()))
+                    ws.append(w)
+                    hs.append(h)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "f": pd.Series(fs, dtype="int32"),
+                    "fsum": pd.Series(sums, dtype="int64"),
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                }
+            )
+
+    return df.select(id_col, media_col).mapInPandas(
+        _map, "doc_id bigint, f int, fsum bigint, width int, height int"
+    )
+
+
 def attach_mp4_mirrored(
     df: DataFrame, id_col: str = "doc_id", media_col: str = "media"
 ) -> DataFrame:

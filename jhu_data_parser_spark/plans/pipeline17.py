@@ -181,3 +181,137 @@ def quality_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" / (CAST(n AS DOUBLE) * {p}))) AS BIGINT)"
         ).alias("chi2_term_micro"),
     )
+
+
+# --------------------------------------------------------------------------
+# Video scene-cut detection — the video member of the segmentation
+# family (VAD is the audio member): per-frame pixel sums through the
+# REAL ISO BMFF walk, a cut where the mean-byte delta between adjacent
+# frames exceeds 64 (integer-exact: |Δ fsum| > 64·w·h·3), scenes =
+# cuts + 1. The oracle replays every frame byte from the LCG
+# recurrence without seeing a container.
+# --------------------------------------------------------------------------
+
+_SCENE_ORACLE = """
+    WITH dims AS (
+      SELECT doc_id,
+             (doc_id % 4 + 1) * 8 AS w,
+             (doc_id % 3 + 1) * 8 AS h,
+             doc_id % 5 + 2 AS nf
+      FROM documents),
+    fr AS (
+      SELECT d.doc_id, d.w, d.h, d.nf, g.f,
+             ((((g.f + d.doc_id)::HUGEINT * 6364136223846793005
+                + 1442695040888963407) % 18446744073709551616::HUGEINT)
+              // 8589934592) % 256 AS v
+      FROM dims d CROSS JOIN generate_series(0, 6) g(f)
+      WHERE g.f < d.nf),
+    de AS (
+      SELECT doc_id, w, h, nf, f,
+             v * w * h * 3 AS fsum,
+             lag(v * w * h * 3) OVER (PARTITION BY doc_id ORDER BY f) AS pv
+      FROM fr),
+    cuts AS (
+      SELECT doc_id, MAX(nf) AS n_frames,
+             CAST(COUNT(*) FILTER (pv IS NOT NULL
+                    AND abs(fsum - pv) > 64 * w * h * 3) AS BIGINT) AS n_cuts
+      FROM de GROUP BY doc_id)
+    SELECT doc_id,
+           CAST(n_frames AS INT) AS n_frames,
+           n_cuts,
+           CAST(n_cuts + 1 AS BIGINT) AS n_scenes
+    FROM cuts
+    """
+
+
+@query("multimodal_video_scene_cuts", oracle=_SCENE_ORACLE)
+def multimodal_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene cuts per clip: adjacent-frame mean-byte delta > 64 over
+    the real MP4 decode; per doc the frame count, cut count, and scene
+    count."""
+    from pyspark.sql import Window
+
+    from jhu_data_parser_spark.operators.multimodal import (
+        attach_mp4_raw,
+        extract_mp4_frame_sums,
+    )
+
+    d = attach_mp4_raw(load_table(spark, sf_dir, "documents"))
+    fs = extract_mp4_frame_sums(d)
+    w = Window.partitionBy("doc_id").orderBy("f")
+    de = fs.withColumn("pv", F.lag("fsum").over(w))
+    return de.groupBy("doc_id").agg(
+        F.max(F.col("f") + 1).cast("int").alias("n_frames"),
+        F.sum(
+            F.when(
+                F.col("pv").isNotNull()
+                & (
+                    F.abs(F.col("fsum") - F.col("pv"))
+                    > 64 * F.col("width") * F.col("height") * 3
+                ),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_cuts"),
+    ).withColumn("n_scenes", (F.col("n_cuts") + 1).cast("long"))
+
+
+# --------------------------------------------------------------------------
+# Schema-evolution merge read — two parquet snapshots of the "same"
+# table across a column migration (v1 carries o_custkey, v2 carries
+# o_orderstatus; disjoint key ranges), read back in ONE scan with
+# mergeSchema; the report pins the unified-schema semantics: per
+# snapshot version, row counts and null counts of each migrated
+# column. The oracle replays the union-with-NULL-padding semantics
+# from the base table.
+# --------------------------------------------------------------------------
+
+_EVOLVE_ORACLE = """
+    WITH v1 AS (
+      SELECT o_orderkey, o_custkey, CAST(NULL AS VARCHAR) AS o_orderstatus
+      FROM orders WHERE o_orderkey % 2 = 0),
+    v2 AS (
+      SELECT o_orderkey, CAST(NULL AS BIGINT) AS o_custkey, o_orderstatus
+      FROM orders WHERE o_orderkey % 2 = 1),
+    u AS (SELECT *, 1 AS v FROM v1 UNION ALL SELECT *, 2 AS v FROM v2)
+    SELECT CAST(v AS INT) AS snapshot_version,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT) AS null_custkey,
+           CAST(COUNT(*) - COUNT(o_orderstatus) AS BIGINT) AS null_status,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_checksum
+    FROM u GROUP BY 1
+    """
+
+
+@query("source_schema_evolution_merge", oracle=_EVOLVE_ORACLE)
+def source_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write two schema-divergent parquet snapshots, read them back in
+    one mergeSchema scan, and report the unified-schema null
+    accounting per snapshot version."""
+    import tempfile
+
+    from jhu_data_parser_spark.operators.similarity import _rmtree_at_exit
+
+    o = load_table(spark, sf_dir, "orders")
+    out = tempfile.mkdtemp(prefix="jdps_evolve_")
+    _rmtree_at_exit(out)
+    o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_custkey", F.lit(1).alias("v")
+    ).write.mode("overwrite").parquet(f"{out}/v=1")
+    o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_orderstatus", F.lit(2).alias("v")
+    ).write.mode("overwrite").parquet(f"{out}/v=2")
+    u = spark.read.option("mergeSchema", "true").parquet(
+        f"{out}/v=1", f"{out}/v=2"
+    )
+    return u.groupBy(F.col("v").cast("int").alias("snapshot_version")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        (F.count(F.lit(1)) - F.count("o_custkey")).cast("long").alias(
+            "null_custkey"
+        ),
+        (F.count(F.lit(1)) - F.count("o_orderstatus")).cast("long").alias(
+            "null_status"
+        ),
+        F.sum("o_orderkey").cast("long").alias("key_checksum"),
+    )
