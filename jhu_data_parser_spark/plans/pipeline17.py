@@ -315,3 +315,87 @@ def source_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame
         ),
         F.sum("o_orderkey").cast("long").alias("key_checksum"),
     )
+
+
+# --------------------------------------------------------------------------
+# Feature-store point-in-time assembly — the training-set build every
+# feature platform serves: for each label event (purchase), three
+# leakage-safe features strictly BEFORE the label instant, all from
+# ONE user-clustered sort (three window frames share the single
+# exchange + sort — the plan shape that makes PIT assembly linear):
+#   f_last_click_milli  last click value before ts (ROWS, ignore nulls)
+#   f_events_7d         events in [ts-7d, ts)      (RANGE on epoch-us)
+#   f_cum_spend_milli   all-history spend before ts (ROWS running sum)
+# Exactness: milli-scaled integer values, integer epoch-us bounds,
+# (ts, event_id) deterministic order shared by both engines.
+# --------------------------------------------------------------------------
+
+_FSTORE_ORACLE = """
+    WITH e AS (
+      SELECT event_id, user_id, event_type, epoch_us(ts) AS us,
+             CAST(floor(1000.0 * value) AS BIGINT) AS vm
+      FROM events),
+    w AS (
+      SELECT event_id, user_id, event_type,
+             last_value(CASE WHEN event_type = 'click' THEN vm END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY us, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS f_last_click_milli,
+             COUNT(*) OVER (PARTITION BY user_id ORDER BY us
+                            RANGE BETWEEN 604800000000 PRECEDING
+                                      AND 1 PRECEDING)
+               AS f_events_7d,
+             COALESCE(SUM(vm) OVER (PARTITION BY user_id
+                        ORDER BY us, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS f_cum_spend_milli
+      FROM e)
+    SELECT event_id, user_id,
+           CAST(f_last_click_milli AS BIGINT) AS f_last_click_milli,
+           CAST(f_events_7d AS BIGINT) AS f_events_7d,
+           CAST(f_cum_spend_milli AS BIGINT) AS f_cum_spend_milli
+    FROM w WHERE event_type = 'purchase'
+    """
+
+
+@query("join_feature_store_multi", oracle=_FSTORE_ORACLE)
+def join_feature_store_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe multi-feature PIT assembly for purchase labels —
+    three as-of features off one user-clustered sort (one exchange,
+    three shared-frame windows)."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.expr("unix_micros(ts)").alias("us"),
+        F.expr("CAST(floor(1000.0 * value) AS BIGINT)").alias("vm"),
+    )
+    wrows = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wrange = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-604_800_000_000, -1)
+    )
+    w = e.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.last(
+            F.when(F.col("event_type") == "click", F.col("vm")), ignorenulls=True
+        )
+        .over(wrows)
+        .cast("long")
+        .alias("f_last_click_milli"),
+        F.count(F.lit(1)).over(wrange).cast("long").alias("f_events_7d"),
+        F.coalesce(F.sum("vm").over(wrows), F.lit(0))
+        .cast("long")
+        .alias("f_cum_spend_milli"),
+    )
+    return w.filter(F.col("event_type") == "purchase").drop("event_type")
