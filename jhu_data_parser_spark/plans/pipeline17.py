@@ -399,3 +399,125 @@ def join_feature_store_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("f_cum_spend_milli"),
     )
     return w.filter(F.col("event_type") == "purchase").drop("event_type")
+
+
+# --------------------------------------------------------------------------
+# Bag-semantics set ops — INTERSECT ALL / EXCEPT ALL complete the §2.7
+# family (the distinct variants landed in r5/r6). Multiplicity matters
+# here: the orders side repeats customers, so the ALL results differ
+# from the set forms and the driver's multiset value-hash pins the
+# per-row multiplicities.
+# --------------------------------------------------------------------------
+
+_SETQ_A = "SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'"
+_SETQ_B = "SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 300000.0"
+
+
+def _set_a(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("custkey"))
+    )
+
+
+def _set_b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 300000.0)
+        .select(F.col("o_custkey").alias("custkey"))
+    )
+
+
+@query("set_intersect_all", oracle=f"{_SETQ_A} INTERSECT ALL {_SETQ_B}")
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _set_a(spark, sf_dir).intersectAll(_set_b(spark, sf_dir))
+
+
+@query("set_except_all", oracle=f"{_SETQ_B} EXCEPT ALL {_SETQ_A}")
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _set_b(spark, sf_dir).exceptAll(_set_a(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
+# Deterministic Poisson bootstrap — the scalable bootstrap (each row's
+# replicate weight ~ Poisson(1), drawn independently per (row,
+# replicate) from an md5 uniform through the inverse CDF, so no
+# resampling pass touches the data twice and the whole procedure is
+# one linear scan). Thresholds are SHARED double literals
+# (e^{-1}·Σ 1/k!); the metric per replicate is the weighted mean
+# quality proxy (n_chars), exact by integer weighted sums with one
+# final fixed-point divide.
+# --------------------------------------------------------------------------
+
+_BOOT_REPS = 8
+# cumulative Poisson(1) CDF thresholds for k = 0..5 (shared literals)
+_POIS_CDF = []
+_acc = 0.0
+_fact = 1
+for _k in range(6):
+    if _k > 0:
+        _fact *= _k
+    _acc += math.exp(-1.0) / _fact
+    _POIS_CDF.append(_acc)
+
+
+def _pois_case(u_expr: str) -> str:
+    branches = " ".join(
+        f"WHEN {u_expr} < {_POIS_CDF[k]!r} THEN {k}" for k in range(6)
+    )
+    return f"(CASE {branches} ELSE 6 END)"
+
+
+def _bootstrap_oracle() -> str:
+    u = (
+        "(CAST(("
+        + " + ".join(
+            f"(strpos('0123456789abcdef', substr(md5('boot:' || CAST(r.r AS VARCHAR)"
+            f" || ':' || CAST(doc_id AS VARCHAR)), {i + 1}, 1)) - 1)"
+            f" * {16 ** (11 - i)}"
+            for i in range(12)
+        )
+        + ") AS DOUBLE) / 281474976710656.0)"
+    )
+    return f"""
+    WITH r AS (SELECT unnest(range(0, {_BOOT_REPS})) AS r),
+    w AS (
+      SELECT r.r AS replicate, d.doc_id, d.n_chars,
+             {_pois_case(u)} AS wt
+      FROM documents d CROSS JOIN r)
+    SELECT CAST(replicate AS INT) AS replicate,
+           CAST(SUM(wt) AS BIGINT) AS n_eff,
+           CAST(SUM(wt * n_chars) AS BIGINT) AS wsum_chars,
+           CAST(floor(1000000.0 * (CAST(SUM(wt * n_chars) AS DOUBLE)
+                / CAST(SUM(wt) AS DOUBLE))) AS BIGINT) AS mean_chars_micro
+    FROM w GROUP BY 1
+    """
+
+
+@query("sample_poisson_bootstrap", oracle=_bootstrap_oracle())
+def sample_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-replicate Poisson(1) bootstrap of mean document length in ONE
+    linear scan: per-(row, replicate) weights from md5 uniforms through
+    shared inverse-CDF literals; exact integer weighted sums, one
+    fixed-point divide per replicate."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    reps = F.explode(F.sequence(F.lit(0), F.lit(_BOOT_REPS - 1))).alias(
+        "replicate"
+    )
+    u = (
+        "(CAST(conv(substring(md5(concat('boot:', CAST(replicate AS STRING),"
+        " ':', CAST(doc_id AS STRING))), 1, 12), 16, 10) AS DOUBLE)"
+        " / 281474976710656.0)"
+    )
+    w = d.select("doc_id", "n_chars", reps).withColumn(
+        "wt", F.expr(_pois_case(u))
+    )
+    return w.groupBy(F.col("replicate").cast("int").alias("replicate")).agg(
+        F.sum("wt").cast("long").alias("n_eff"),
+        F.sum(F.col("wt") * F.col("n_chars")).cast("long").alias("wsum_chars"),
+        F.expr(
+            "CAST(floor(1000000.0 * (CAST(SUM(wt * n_chars) AS DOUBLE)"
+            " / CAST(SUM(wt) AS DOUBLE))) AS BIGINT)"
+        ).alias("mean_chars_micro"),
+    )
