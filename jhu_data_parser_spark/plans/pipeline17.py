@@ -521,3 +521,71 @@ def sample_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / CAST(SUM(wt) AS DOUBLE))) AS BIGINT)"
         ).alias("mean_chars_micro"),
     )
+
+
+# --------------------------------------------------------------------------
+# First-touch attribution — the second standard attribution model
+# (events_attribution_linear is the linear one): each purchase's full
+# 1e6 micro-credits go to the EARLIEST click/view touch in the 3-day
+# window. Same pairing join; the per-purchase argmin is a
+# WindowGroupLimit (rank 1 per purchase), so no per-key sort survives
+# to the shuffle.
+# --------------------------------------------------------------------------
+
+_FT_WINDOW_SEC = 3 * 86400
+
+_FT_ORACLE = f"""
+    WITH p AS (
+      SELECT event_id AS p_id, user_id, ts AS p_ts
+      FROM events WHERE event_type = 'purchase'),
+    t AS (
+      SELECT event_id AS t_id, user_id, ts AS t_ts, event_type AS touch_type
+      FROM events WHERE event_type IN ('click', 'view')),
+    pairs AS (
+      SELECT p.p_id, t.t_id, t.touch_type,
+             row_number() OVER (PARTITION BY p.p_id
+                                ORDER BY t.t_ts, t.t_id) AS rk
+      FROM p JOIN t USING (user_id)
+      WHERE t.t_ts < p.p_ts
+        AND t.t_ts >= p.p_ts - INTERVAL {_FT_WINDOW_SEC} SECONDS)
+    SELECT touch_type,
+           CAST(COUNT(*) * 1000000 AS BIGINT) AS micro_credits,
+           CAST(COUNT(*) AS BIGINT) AS n_first_touches,
+           CAST(SUM(t_id) AS BIGINT) AS id_checksum
+    FROM pairs WHERE rk = 1 GROUP BY 1
+    """
+
+
+@query("events_attribution_first_touch", oracle=_FT_ORACLE)
+def events_attribution_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch attribution: 1e6 micro-credits per purchase to the
+    earliest in-window touch; per touch type the credit mass, first-
+    touch counts, and id checksum."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), "user_id", F.col("ts").alias("p_ts")
+    )
+    t = ev.filter(F.col("event_type").isin("click", "view")).select(
+        F.col("event_id").alias("t_id"),
+        "user_id",
+        F.col("ts").alias("t_ts"),
+        F.col("event_type").alias("touch_type"),
+    )
+    pairs = p.join(t, "user_id").filter(
+        (F.col("t_ts") < F.col("p_ts"))
+        & (
+            F.col("t_ts")
+            >= F.col("p_ts") - F.expr(f"INTERVAL {_FT_WINDOW_SEC} SECONDS")
+        )
+    )
+    w = Window.partitionBy("p_id").orderBy("t_ts", "t_id")
+    first = pairs.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") == 1
+    )
+    return first.groupBy("touch_type").agg(
+        (F.count(F.lit(1)) * 1_000_000).cast("long").alias("micro_credits"),
+        F.count(F.lit(1)).cast("long").alias("n_first_touches"),
+        F.sum("t_id").cast("long").alias("id_checksum"),
+    )

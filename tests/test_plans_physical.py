@@ -928,3 +928,19 @@ def test_coactivity_shortlist_broadcasts(spark):
 def test_wilson_topk_is_takeordered(spark):
     plan = _plan(spark, "quality_wilson_nonreturn_rank")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_feature_store_single_exchange_single_sort(spark):
+    """PIT assembly: one user_id exchange and ONE sort feeds all three
+    window frames — the (us, event_id) ordering satisfies the RANGE
+    window's (us) requirement, so Catalyst inserts no second sort."""
+    df = plans.QUERIES["join_feature_store_multi"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan[:1500]
+    assert plan.count("Sort ") == 1
+
+
+def test_first_touch_argmin_is_window_group_limit(spark):
+    plan = _plan(spark, "events_attribution_first_touch")
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
