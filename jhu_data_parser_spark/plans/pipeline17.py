@@ -589,3 +589,77 @@ def events_attribution_first_touch(spark: SparkSession, sf_dir: str) -> DataFram
         F.count(F.lit(1)).cast("long").alias("n_first_touches"),
         F.sum("t_id").cast("long").alias("id_checksum"),
     )
+
+
+# --------------------------------------------------------------------------
+# Daily bounce rate — the product-analytics staple: per day (of session
+# start), sessions, single-event bounces, and the fixed-point bounce
+# rate. One sessionization window + one rollup; integers end to end.
+# --------------------------------------------------------------------------
+
+_BOUNCE_ORACLE = """
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS us, event_id,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+                         (PARTITION BY user_id ORDER BY ts, event_id)
+                       > 1800000000
+                   OR lag(epoch_us(ts)) OVER
+                         (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS brk
+      FROM events),
+    s AS (
+      SELECT user_id,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+                            ROWS UNBOUNDED PRECEDING) AS sid,
+             us
+      FROM e),
+    sess AS (
+      SELECT user_id, sid,
+             MIN(us) // 86400000000 AS day,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM s GROUP BY 1, 2)
+    SELECT CAST(day AS BIGINT) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(COUNT(*) FILTER (n_events = 1) AS BIGINT) AS n_bounces,
+           CAST(floor(1000000.0 *
+                (CAST(COUNT(*) FILTER (n_events = 1) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE))) AS BIGINT) AS bounce_rate_micro
+    FROM sess GROUP BY 1
+    """
+
+
+@query("events_bounce_rate_daily", oracle=_BOUNCE_ORACLE)
+def events_bounce_rate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day session counts, single-event bounces, and the
+    fixed-point bounce rate (30-minute gap sessionization)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.expr("unix_micros(ts)").alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    brk = F.when(
+        F.lag("us").over(w).isNull()
+        | ((F.col("us") - F.lag("us").over(w)) > 1_800_000_000),
+        1,
+    ).otherwise(0)
+    s = ev.withColumn("brk", brk).withColumn(
+        "sid",
+        F.sum("brk").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    sess = s.groupBy("user_id", "sid").agg(
+        F.expr("MIN(us) DIV 86400000000").alias("day"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+    return sess.groupBy(F.col("day").cast("long").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_bounces"),
+        F.expr(
+            "CAST(floor(1000000.0 * (CAST(SUM(IF(n_events = 1, 1, 0)) AS DOUBLE)"
+            " / CAST(COUNT(*) AS DOUBLE))) AS BIGINT)"
+        ).alias("bounce_rate_micro"),
+    )
