@@ -663,3 +663,49 @@ def events_bounce_rate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / CAST(COUNT(*) AS DOUBLE))) AS BIGINT)"
         ).alias("bounce_rate_micro"),
     )
+
+
+# --------------------------------------------------------------------------
+# Deterministic per-group mode — most-frequent event type per user
+# with the (count DESC, type ASC) tiebreak spelled out (engine-native
+# mode() functions leave ties implementation-defined, so the catalog
+# form pins them); rolled up to mode-type populations.
+# --------------------------------------------------------------------------
+
+_MODE_ORACLE = """
+    WITH c AS (
+      SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2),
+    m AS (
+      SELECT user_id, event_type AS mode_type FROM (
+        SELECT user_id, event_type,
+               row_number() OVER (PARTITION BY user_id
+                 ORDER BY n DESC, event_type) AS rk
+        FROM c)
+      WHERE rk = 1)
+    SELECT mode_type,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(user_id) AS BIGINT) AS user_checksum
+    FROM m GROUP BY 1
+    """
+
+
+@query("agg_mode_per_user", oracle=_MODE_ORACLE)
+def agg_mode_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-user modal event type (count DESC, type ASC
+    tiebreak), rolled up per mode; the per-user argmax compiles to
+    WindowGroupLimit."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("n").desc(), F.col("event_type")
+    )
+    m = c.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1)
+    return m.groupBy(F.col("event_type").alias("mode_type")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("user_id").cast("long").alias("user_checksum"),
+    )
