@@ -709,3 +709,101 @@ def agg_mode_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_users"),
         F.sum("user_id").cast("long").alias("user_checksum"),
     )
+
+
+# --------------------------------------------------------------------------
+# DAU / WAU / MAU — rolling distinct actives per day. Distinct counts
+# do not slide, so the exact linear form CONTRIBUTES each (user, day)
+# observation to the [day, day+6] / [day, day+29] target windows via a
+# bounded explode and dedups (user, target) once — never a windowed
+# COUNT(DISTINCT) (unsupported / quadratic). 7x + 30x row expansion of
+# the per-user-day table (users·days, already tiny next to events).
+# --------------------------------------------------------------------------
+
+_ACTIVE_ORACLE = """
+    WITH ud AS (
+      SELECT DISTINCT user_id,
+             CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS day
+      FROM events),
+    days AS (SELECT DISTINCT day FROM ud),
+    dau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY 1),
+    wau AS (
+      SELECT t.day, CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS wau
+      FROM days t JOIN ud u ON u.day BETWEEN t.day - 6 AND t.day
+      GROUP BY 1),
+    mau AS (
+      SELECT t.day, CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS mau
+      FROM days t JOIN ud u ON u.day BETWEEN t.day - 29 AND t.day
+      GROUP BY 1)
+    SELECT d.day, d.dau, w.wau, m.mau
+    FROM dau d JOIN wau w USING (day) JOIN mau m USING (day)
+    """
+
+
+@query("events_dau_wau_mau", oracle=_ACTIVE_ORACLE)
+def events_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily / trailing-7d / trailing-30d distinct actives per day via
+    the contribute-and-dedup expansion (each user-day feeds its target
+    windows; one distinct per horizon; observed days only)."""
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id",
+        F.expr("unix_micros(ts) DIV 86400000000").alias("day"),
+    ).distinct()
+    days = ud.select("day").distinct()
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).cast("long").alias("dau"))
+
+    def trailing(width: int, alias: str) -> DataFrame:
+        contrib = (
+            ud.select(
+                "user_id",
+                F.explode(
+                    F.expr(f"sequence(day, day + {width - 1})")
+                ).alias("day"),
+            )
+            .distinct()
+            .join(F.broadcast(days), "day", "left_semi")
+        )
+        return contrib.groupBy("day").agg(
+            F.count(F.lit(1)).cast("long").alias(alias)
+        )
+
+    return (
+        dau.join(trailing(7, "wau"), "day")
+        .join(trailing(30, "mau"), "day")
+        .select(F.col("day").cast("long").alias("day"), "dau", "wau", "mau")
+    )
+
+
+# --------------------------------------------------------------------------
+# Systematic sampling — every k-th document in a deterministic total
+# order (the stratification-free fallback every sampling toolkit
+# carries); rolled up per language for the gate.
+# --------------------------------------------------------------------------
+
+_SYSTEMATIC_ORACLE = """
+    WITH r AS (
+      SELECT doc_id, lang,
+             row_number() OVER (ORDER BY doc_id) AS rk
+      FROM documents)
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+    FROM r WHERE rk % 10 = 1 GROUP BY 1
+    """
+
+
+@query("sample_systematic_every_k", oracle=_SYSTEMATIC_ORACLE)
+def sample_systematic_every_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every 10th document by doc_id order (systematic sample), per-
+    language kept counts and checksums. The global rank is over the
+    (sorted) key itself; at billion-row scale swap row_number for the
+    distributed global-rank bucketing, as documented on RFM."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    r = d.withColumn("rk", F.row_number().over(Window.orderBy("doc_id")))
+    return r.filter(F.col("rk") % 10 == 1).groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.sum("doc_id").cast("long").alias("id_checksum"),
+    )
