@@ -511,15 +511,20 @@ def encode_png_tagged(
 
 
 def strip_png_ancillary(payload: bytes) -> tuple[bytes, int, int, str]:
-    """Remove every non-critical chunk from a PNG (CRC-checked walk),
-    keeping IHDR/PLTE/IDAT/IEND byte-for-byte. Returns (clean_bytes,
-    n_removed, bytes_removed, comma-joined sorted tEXt keywords)."""
+    """Remove every ancillary chunk from a PNG (CRC-checked walk),
+    keeping critical chunks byte-for-byte. Per the PNG spec the
+    classification is the ancillary bit — bit 5 of the type's first
+    byte (lowercase = ancillary, strippable; uppercase = critical,
+    must keep) — not a whitelist, so an unknown critical chunk (e.g. a
+    future extension) is preserved rather than silently dropped.
+    Returns (clean_bytes, n_removed, bytes_removed, comma-joined
+    sorted tEXt keywords)."""
     kept: list[bytes] = [_PNG_SIG]
     n_removed = 0
     bytes_removed = 0
     keywords: list[str] = []
     for tag, data in _png_chunks(payload):
-        if tag in (b"IHDR", b"PLTE", b"IDAT", b"IEND"):
+        if (tag[0] & 0x20) == 0:  # critical chunk
             kept.append(_png_chunk(tag, data))
         else:
             n_removed += 1

@@ -1139,13 +1139,39 @@ _RFM_ORACLE = """
     """
 
 
+def _ntile_from_rank(rk, n, tiles: int):
+    """SQL-exact ntile(tiles) from a 1-based dense unique rank ``rk``
+    over ``n`` rows, as pure integer arithmetic (no window): the first
+    ``n % tiles`` buckets hold ``n DIV tiles + 1`` rows, the rest hold
+    ``n DIV tiles``. ``greatest(q, 1)`` guards the n < tiles case where
+    the otherwise-branch denominator would be 0 under ANSI mode (that
+    branch is never taken then — every row satisfies rk <= rem)."""
+    q = F.floor(n / F.lit(tiles))
+    rem = n % F.lit(tiles)
+    big = rem * (q + 1)
+    return (
+        F.when(rk <= big, F.floor((rk + q) / (q + 1)))
+        .otherwise(
+            rem + F.floor((rk - big + q - 1) / F.greatest(q, F.lit(1)))
+        )
+        .cast("int")
+    )
+
+
 @query("events_rfm_segments", oracle=_RFM_ORACLE)
 def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM quintile segmentation with deterministic ntile tiebreaks;
-    per segment-code user counts and checksums. The three ntile windows
-    are global sorts over the PER-USER table (users ≪ events); at
-    billion-user scale swap each for the quantile-literal bucket id of
-    window_global_rank_distributed (operators/intervals.py)."""
+    per segment-code user counts and checksums. NO global ntile window:
+    each dimension's 1-based unique rank comes from the distributed
+    two-level prefix sum (operators/intervals.global_rank — quantile-
+    literal range buckets, per-bucket running sums, broadcast offsets),
+    and ntile(5) is recovered from (rank, n) by integer arithmetic
+    (_ntile_from_rank; n rides the same 1-row broadcast as the corpus
+    frontier). Descending dimensions rank on the negated key. The
+    per-user table is localCheckpoint(eager=False)'d once — it feeds
+    three rank branches plus their quantile probes, and re-deriving the
+    events aggregation 6× is the worse trade (storage cost: one
+    |users|-row cached table, evicted with the session)."""
     ev = load_table(spark, sf_dir, "events")
     u = ev.groupBy("user_id").agg(
         F.max(F.expr("unix_micros(ts)")).alias("last_us"),
@@ -1154,24 +1180,44 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("money"),
     )
-    fr = u.agg(F.max("last_us").alias("f_us"))
-    d = u.crossJoin(F.broadcast(fr)).select(
-        "user_id",
-        "freq",
-        "money",
-        F.expr("CAST((f_us - last_us) DIV 86400000000 AS BIGINT)").alias(
-            "rec_days"
-        ),
+    fr = u.agg(
+        F.max("last_us").alias("f_us"),
+        F.count(F.lit(1)).cast("long").alias("n"),
     )
-    q = d.select(
-        "user_id",
-        F.ntile(5).over(Window.orderBy("rec_days", "user_id")).alias("r"),
-        F.ntile(5)
-        .over(Window.orderBy(F.col("freq").desc(), "user_id"))
-        .alias("f"),
-        F.ntile(5)
-        .over(Window.orderBy(F.col("money").desc(), "user_id"))
-        .alias("m"),
+    d = (
+        u.crossJoin(F.broadcast(fr))
+        .select(
+            "user_id",
+            "freq",
+            "money",
+            "n",
+            F.expr("CAST((f_us - last_us) DIV 86400000000 AS BIGINT)").alias(
+                "rec_days"
+            ),
+        )
+        .localCheckpoint(eager=False)
+    )
+    from jhu_data_parser_spark.operators.intervals import global_rank
+
+    def dim_rank(sort_col, alias: str) -> DataFrame:
+        ranked = global_rank(
+            d.select(
+                "user_id", sort_col.alias("__k"), F.lit(1).alias("__w")
+            ),
+            ["__k", "user_id"],
+            "__w",
+        )
+        return ranked.select("user_id", F.col("rank").alias(alias))
+    q = (
+        d.join(dim_rank(F.col("rec_days"), "rk_r"), "user_id")
+        .join(dim_rank(-F.col("freq"), "rk_f"), "user_id")
+        .join(dim_rank(-F.col("money"), "rk_m"), "user_id")
+        .select(
+            "user_id",
+            _ntile_from_rank(F.col("rk_r"), F.col("n"), 5).alias("r"),
+            _ntile_from_rank(F.col("rk_f"), F.col("n"), 5).alias("f"),
+            _ntile_from_rank(F.col("rk_m"), F.col("n"), 5).alias("m"),
+        )
     )
     return q.groupBy(
         F.expr("CAST(r * 100 + f * 10 + m AS INT)").alias("segment")

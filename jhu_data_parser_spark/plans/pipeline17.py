@@ -35,7 +35,23 @@ from jhu_data_parser_spark.sources.tables import load_table
 #   t     = (m1 − m2) / sqrt(v1/n1 + v2/n2)
 # --------------------------------------------------------------------------
 
-_WELCH_EXPR = (
+# Degenerate-input guard (r9 ADVICE): a single-row group makes the
+# (n − 1) variance divisor zero, and two zero-variance groups make the
+# pooled denominator zero — either way the raw chain yields NaN/inf
+# whose BIGINT cast throws under Spark ANSI while DuckDB would error
+# differently. Pin the degenerate case to NULL with the SAME predicate
+# in both engines (the variance positivity test reuses the identical
+# IEEE subexpression the t chain itself computes, so the branch choice
+# is consistent by construction).
+_WELCH_GUARD = (
+    "n1 > 1 AND n2 > 1 AND ("
+    "(CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)"
+    " / CAST(n1 AS DOUBLE)) > 0.0"
+    " OR (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)"
+    " / CAST(n2 AS DOUBLE)) > 0.0)"
+)
+
+_WELCH_RAW = (
     "CAST(floor(1000000.0 * ("
     "(CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)"
     " - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))"
@@ -46,6 +62,8 @@ _WELCH_EXPR = (
     " / CAST(n2 AS DOUBLE)) / CAST(n2 - 1 AS DOUBLE)) / CAST(n2 AS DOUBLE)"
     "))) AS BIGINT)"
 )
+
+_WELCH_EXPR = f"CASE WHEN {_WELCH_GUARD} THEN {_WELCH_RAW} ELSE NULL END"
 
 _WELCH_ORACLE = f"""
     WITH g AS (
@@ -469,6 +487,18 @@ def _pois_case(u_expr: str) -> str:
     return f"(CASE {branches} ELSE 6 END)"
 
 
+# SUM(wt) = 0 guard (r9 ADVICE): an all-zero-weight replicate (possible
+# on tiny inputs) would divide by zero — NaN cast to BIGINT throws under
+# Spark ANSI while DuckDB returns NULL. Pin the degenerate case to NULL
+# with the same CASE in both engines.
+_BOOT_MEAN_EXPR = (
+    "CASE WHEN SUM(wt) > 0 THEN"
+    " CAST(floor(1000000.0 * (CAST(SUM(wt * n_chars) AS DOUBLE)"
+    " / CAST(SUM(wt) AS DOUBLE))) AS BIGINT)"
+    " ELSE NULL END"
+)
+
+
 def _bootstrap_oracle() -> str:
     u = (
         "(CAST(("
@@ -489,8 +519,7 @@ def _bootstrap_oracle() -> str:
     SELECT CAST(replicate AS INT) AS replicate,
            CAST(SUM(wt) AS BIGINT) AS n_eff,
            CAST(SUM(wt * n_chars) AS BIGINT) AS wsum_chars,
-           CAST(floor(1000000.0 * (CAST(SUM(wt * n_chars) AS DOUBLE)
-                / CAST(SUM(wt) AS DOUBLE))) AS BIGINT) AS mean_chars_micro
+           {_BOOT_MEAN_EXPR} AS mean_chars_micro
     FROM w GROUP BY 1
     """
 
@@ -516,10 +545,7 @@ def sample_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return w.groupBy(F.col("replicate").cast("int").alias("replicate")).agg(
         F.sum("wt").cast("long").alias("n_eff"),
         F.sum(F.col("wt") * F.col("n_chars")).cast("long").alias("wsum_chars"),
-        F.expr(
-            "CAST(floor(1000000.0 * (CAST(SUM(wt * n_chars) AS DOUBLE)"
-            " / CAST(SUM(wt) AS DOUBLE))) AS BIGINT)"
-        ).alias("mean_chars_micro"),
+        F.expr(_BOOT_MEAN_EXPR).alias("mean_chars_micro"),
     )
 
 
@@ -796,14 +822,21 @@ _SYSTEMATIC_ORACLE = """
 @query("sample_systematic_every_k", oracle=_SYSTEMATIC_ORACLE)
 def sample_systematic_every_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Every 10th document by doc_id order (systematic sample), per-
-    language kept counts and checksums. The global rank is over the
-    (sorted) key itself; at billion-row scale swap row_number for the
-    distributed global-rank bucketing, as documented on RFM."""
-    from pyspark.sql import Window
+    language kept counts and checksums. The global rank over doc_id is
+    the DISTRIBUTED two-level prefix sum (operators/intervals.global_rank:
+    quantile-literal range buckets + per-bucket running sums + broadcast
+    offsets) — no single-partition window anywhere in the plan
+    (pinned by tests/test_plans_physical.py). doc_id is unique, so the
+    inclusive weight-1 running sum IS row_number."""
+    from jhu_data_parser_spark.operators.intervals import global_rank
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
-    r = d.withColumn("rk", F.row_number().over(Window.orderBy("doc_id")))
-    return r.filter(F.col("rk") % 10 == 1).groupBy("lang").agg(
-        F.count(F.lit(1)).cast("long").alias("n_kept"),
-        F.sum("doc_id").cast("long").alias("id_checksum"),
+    r = global_rank(d.withColumn("__w", F.lit(1)), ["doc_id"], "__w")
+    return (
+        r.filter(F.col("rank") % 10 == 1)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+            F.sum("doc_id").cast("long").alias("id_checksum"),
+        )
     )

@@ -944,3 +944,36 @@ def test_first_touch_argmin_is_window_group_limit(spark):
     plan = _plan(spark, "events_attribution_first_touch")
     assert "WindowGroupLimit" in plan
     assert "CartesianProduct" not in plan
+
+
+def _assert_no_full_table_single_partition(plan: str) -> None:
+    """Every ``Exchange SinglePartition`` must feed directly from an
+    aggregate (the ≤n_parts bucket-totals frame or a 1-row global agg)
+    — never from a full-table project/scan (the ntile/row_number
+    scale-killer shape). Global window functions must be absent."""
+    assert "ntile(" not in plan
+    assert "row_number(" not in plan
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" not in line:
+            continue
+        window = " ".join(lines[i + 1 : i + 3])
+        assert "HashAggregate" in window or "SortAggregate" in window, (
+            f"single-partition exchange over non-aggregate input:\n"
+            f"{line}\n{window}"
+        )
+
+
+def test_systematic_sample_has_no_global_sort(spark):
+    """r9 verdict item 1: the every-k systematic sample must use the
+    distributed two-level prefix sum, not row_number over a
+    single-partition global sort."""
+    plan = _plan(spark, "sample_systematic_every_k", execute=True)
+    _assert_no_full_table_single_partition(plan)
+
+
+def test_rfm_segments_have_no_global_ntile(spark):
+    """r9 verdict item 1: RFM quintiles must come from distributed
+    global ranks + arithmetic ntile, not three global ntile windows."""
+    plan = _plan(spark, "events_rfm_segments", execute=True)
+    _assert_no_full_table_single_partition(plan)

@@ -38,6 +38,28 @@ def test_strip_png_ancillary_removes_planted_unknown_chunk():
     assert tags == [b"IHDR", b"IDAT", b"IEND"]
 
 
+def test_strip_png_ancillary_keeps_unknown_critical_chunk():
+    """Classification is the PNG ancillary bit (tag[0] & 0x20), not a
+    whitelist: an unknown CRITICAL chunk (uppercase first letter, e.g.
+    APNG's hypothetical successor) must be preserved byte-for-byte,
+    while unknown ancillary chunks are stripped (r9 ADVICE)."""
+    from jhu_data_parser_spark.functions.codecs import (
+        _png_chunk,
+        _png_chunks,
+        encode_png,
+        strip_png_ancillary,
+    )
+
+    base = encode_png(12, 10, seed=3)
+    crit = _png_chunk(b"XTRA", b"\xaa\xbb")  # unknown critical
+    anc = _png_chunk(b"xTRa", b"\xcc")  # unknown ancillary
+    planted = base[:-12] + crit + anc + base[-12:]
+    clean, n, b, kw = strip_png_ancillary(planted)
+    assert n == 1 and b == 12 + 1 and kw == ""
+    tags = [t for t, _ in _png_chunks(clean)]
+    assert tags == [b"IHDR", b"IDAT", b"XTRA", b"IEND"]
+
+
 # ----------------------------------------------------------------- SymSpell
 
 def test_symspell_collapse_carries_multiplicity(spark, tmp_path):
