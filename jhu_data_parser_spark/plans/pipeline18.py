@@ -1,0 +1,379 @@
+"""Catalog wave 23 — round 10: post-training data assembly.
+
+The missing second half of an LLM data engine (r9 verdict item 3):
+every public stack pairs pretraining curation with SFT / preference
+assembly. Four batch operators over the synthetic tables:
+
+- ``pairs_preference_assembly`` — chosen/rejected preference pairs per
+  prompt group with deterministic tie-breaks (the DPO/RLHF input table);
+- ``dedup_prompt_groups`` — prompt-group dedup on a normalized
+  representative-text fingerprint (prompt sets must dedup BEFORE
+  pairing or the same comparison is trained twice);
+- ``dialog_thread_turns`` — conversation-turn threading over the
+  events stream: gap sessionization → role runs → one row per turn
+  (the U1/U2 reshape applied to dialogue);
+- ``sample_eval_holdout_pairs`` — leakage-safe eval holdout: the split
+  is a deterministic md5 draw on the PROMPT key, so no prompt ever
+  contributes pairs to both splits.
+
+Reference parity note: the reference (/root/reference) has no
+post-training surface — [extension] operators (SURVEY.md §2.12).
+
+Determinism discipline: ranking scores are exact int64 (token counts ×
+1e5 + capped milli mean-token-length), tie-breaks are total orders on
+doc_id, and split draws are md5 uniforms against integer thresholds —
+every decision replays bit-for-bit in DuckDB.
+
+Scale posture: prompt-group operators are one hash shuffle on
+prompt_id (map-side-combinable struct min/max aggregates — no window
+sort); threading is the sessionize shape (one user_id exchange, all
+windows partitioned); the holdout is a scan-level filter on a hash of
+the group key. No global sorts, no driver-side state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from jhu_data_parser_spark.plans.catalog import query
+from jhu_data_parser_spark.sources.tables import load_table
+
+_TS_FMT = "yyyy-MM-dd HH:mm:ss"
+_TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
+
+# --------------------------------------------------------------------------
+# Shared prompt-group model: consecutive documents form a candidate
+# pool for one synthetic prompt (doc_id DIV _GROUP span), mirroring how
+# K sampled completions per prompt land adjacently in a generation
+# log. The ranking score is exact-integer: token count dominates
+# (×1e5), capped milli mean-token-length refines ties, doc_id totals
+# the order.
+# --------------------------------------------------------------------------
+
+_GROUP = 8
+
+# DuckDB: exact-integer candidate score. len(string_split) counts
+# whitespace tokens exactly like Spark's size(split) on the same text.
+_SCORE_DUCK = (
+    "(CAST(len(string_split(text, ' ')) AS BIGINT) * 100000"
+    " + LEAST((CAST(length(replace(text, ' ', '')) AS BIGINT) * 1000)"
+    " // len(string_split(text, ' ')), 99999))"
+)
+
+_CAND_DUCK = f"""
+      SELECT doc_id, doc_id // {_GROUP} AS prompt_id, lang,
+             {_SCORE_DUCK} AS score
+      FROM documents WHERE length(text) > 0
+"""
+
+
+# Spark twin of _SCORE_DUCK — integer DIV (never double division: the
+# truncating double quotient is only probabilistically equal to exact
+# floor division).
+_SCORE_SPARK = (
+    "CAST(size(split(text, ' ')) AS BIGINT) * 100000"
+    " + LEAST((CAST(length(replace(text, ' ', '')) AS BIGINT) * 1000)"
+    " DIV CAST(size(split(text, ' ')) AS BIGINT), CAST(99999 AS BIGINT))"
+)
+
+
+def _candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    return d.select(
+        "doc_id",
+        F.expr(f"doc_id DIV {_GROUP}").alias("prompt_id"),
+        "lang",
+        F.expr(_SCORE_SPARK).alias("score"),
+    )
+
+
+# --------------------------------------------------------------------------
+# ★ pairs_preference_assembly — the DPO input table: per prompt, the
+# deterministically-chosen best candidate paired against EVERY other
+# candidate (the standard best-vs-rest pairing), with the exact score
+# margin. Chosen = max score, ties to the LOWER doc_id.
+#
+# Plan: ONE hash exchange on prompt_id; the chosen candidate is a
+# max(struct(score, -doc_id)) window aggregate over the unbounded
+# partition frame (no ORDER BY → no per-group sort), then a filter
+# keeps the rejected rows. No join, no global sort.
+# --------------------------------------------------------------------------
+
+_PAIRS_DUCK = f"""
+    WITH c AS ({_CAND_DUCK}),
+    ch AS (
+      SELECT prompt_id, doc_id AS chosen_doc_id, score AS chosen_score
+      FROM (SELECT *, row_number() OVER (PARTITION BY prompt_id
+                    ORDER BY score DESC, doc_id ASC) AS rk FROM c)
+      WHERE rk = 1)
+    SELECT c.prompt_id AS prompt_id,
+           ch.chosen_doc_id AS chosen_doc_id,
+           c.doc_id AS rejected_doc_id,
+           CAST(ch.chosen_score - c.score AS BIGINT) AS margin
+    FROM c JOIN ch ON c.prompt_id = ch.prompt_id
+    WHERE c.doc_id <> ch.chosen_doc_id
+"""
+
+
+def _pref_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _candidates(spark, sf_dir)
+    w = Window.partitionBy("prompt_id")
+    ch = F.max(F.struct(F.col("score"), (-F.col("doc_id")).alias("nd"))).over(w)
+    return (
+        c.withColumn("chosen_doc_id", -ch.getField("nd"))
+        .withColumn("margin", ch.getField("score") - F.col("score"))
+        .filter(F.col("doc_id") != F.col("chosen_doc_id"))
+        .select(
+            "prompt_id",
+            "chosen_doc_id",
+            F.col("doc_id").alias("rejected_doc_id"),
+            F.col("margin").cast("long").alias("margin"),
+        )
+    )
+
+
+@query("pairs_preference_assembly", oracle=_PAIRS_DUCK)
+def pairs_preference_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-vs-rest preference pairs per prompt group: (chosen,
+    rejected, exact margin) rows, chosen by max(score, tie→low doc_id).
+    One prompt_id exchange, sort-free window aggregate, no join."""
+    return _pref_pairs(spark, sf_dir)
+
+
+# --------------------------------------------------------------------------
+# ★ dedup_prompt_groups — prompt-group dedup: two prompts whose
+# REPRESENTATIVE candidate (lowest doc_id — the original completion
+# every pool is seeded from) normalizes to the same text are the same
+# prompt; keep the lowest prompt_id as canonical. Normalization folds
+# case and collapses non-alphanumeric runs — the same class of
+# canonicalization dedup_url_canonical applies to URLs.
+# Per-lang accounting: total prompts, canonical survivors, duplicates
+# removed, and the canonical prompt-id checksum.
+# --------------------------------------------------------------------------
+
+_PROMPT_DEDUP_ORACLE = f"""
+    WITH fps AS (
+      SELECT doc_id, doc_id // {_GROUP} AS prompt_id, lang,
+             md5(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS fp
+      FROM documents WHERE length(text) > 0),
+    rep AS (
+      SELECT prompt_id,
+             arg_min(lang, doc_id) AS lang,
+             arg_min(fp, doc_id) AS fp
+      FROM fps GROUP BY 1),
+    g AS (
+      SELECT lang, fp,
+             CAST(COUNT(*) AS BIGINT) AS n_prompts,
+             CAST(MIN(prompt_id) AS BIGINT) AS canon_prompt
+      FROM rep GROUP BY 1, 2)
+    SELECT lang,
+           CAST(SUM(n_prompts) AS BIGINT) AS n_prompts,
+           CAST(COUNT(*) AS BIGINT) AS n_canonical,
+           CAST(SUM(n_prompts) - COUNT(*) AS BIGINT) AS n_dups,
+           CAST(SUM(canon_prompt) AS BIGINT) AS canon_checksum
+    FROM g GROUP BY 1
+    """
+
+
+@query("dedup_prompt_groups", oracle=_PROMPT_DEDUP_ORACLE)
+def dedup_prompt_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prompt-group dedup on the md5 fingerprint of the representative
+    candidate's normalized text; per-lang survivor accounting. The
+    fingerprint is computed MAP-SIDE per document (32 hex chars cross
+    the shuffle, never the text), then two map-side-combinable
+    aggregates (prompt rep via min_by → fingerprint group) — no window
+    sort anywhere."""
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    fps = d.select(
+        F.expr(f"doc_id DIV {_GROUP}").alias("prompt_id"),
+        "doc_id",
+        "lang",
+        F.md5(
+            F.regexp_replace(F.lower("text"), "[^a-z0-9]+", " ").cast(
+                "binary"
+            )
+        ).alias("fp"),
+    )
+    rep = fps.groupBy("prompt_id").agg(
+        F.min_by("lang", "doc_id").alias("lang"),
+        F.min_by("fp", "doc_id").alias("fp"),
+    )
+    g = rep.groupBy("lang", "fp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_prompts"),
+        F.min("prompt_id").cast("long").alias("canon_prompt"),
+    )
+    return g.groupBy("lang").agg(
+        F.sum("n_prompts").cast("long").alias("n_prompts"),
+        F.count(F.lit(1)).cast("long").alias("n_canonical"),
+        (F.sum("n_prompts") - F.count(F.lit(1)))
+        .cast("long")
+        .alias("n_dups"),
+        F.sum("canon_prompt").cast("long").alias("canon_checksum"),
+    )
+
+
+# --------------------------------------------------------------------------
+# ★ dialog_thread_turns — conversation threading: sessionize each
+# user's event stream at >30-min gaps (the events_sessionize rule),
+# map event types to dialogue roles (user-initiated click/purchase/
+# signup = 'user'; system-emitted view/error = 'assistant'), then
+# merge CONSECUTIVE same-role events into turns. One row per turn with
+# its within-session index, event count, id checksum and span — the
+# row-form threading a dialogue SFT pipeline needs (array forms
+# explode back to exactly these rows).
+# --------------------------------------------------------------------------
+
+_GAP_SEC = 1800.0
+_ROLE_DUCK = (
+    "CASE WHEN event_type IN ('click', 'purchase', 'signup')"
+    " THEN 'user' ELSE 'assistant' END"
+)
+
+_THREAD_ORACLE = f"""
+    WITH e AS (
+      SELECT user_id, event_id, ts, {_ROLE_DUCK} AS role
+      FROM events),
+    g AS (
+      SELECT *,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch(ts) - lag(epoch(ts)) OVER w > {_GAP_SEC}
+                  THEN 1 ELSE 0 END AS new_sess,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch(ts) - lag(epoch(ts)) OVER w > {_GAP_SEC}
+                       OR role <> lag(role) OVER w
+                  THEN 1 ELSE 0 END AS new_turn
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (
+      SELECT *,
+             SUM(new_sess) OVER wp AS session_no,
+             SUM(new_turn) OVER wp AS turn_no
+      FROM g
+      WINDOW wp AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING)),
+    t AS (
+      SELECT user_id, session_no, turn_no, role,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(event_id) AS BIGINT) AS evt_checksum,
+             strftime(MIN(ts), '{_TS_FMT_DUCK}') AS turn_start,
+             strftime(MAX(ts), '{_TS_FMT_DUCK}') AS turn_end
+      FROM s GROUP BY 1, 2, 3, 4)
+    SELECT user_id,
+           CAST(session_no AS BIGINT) AS session_no,
+           CAST(turn_no - MIN(turn_no) OVER (PARTITION BY user_id, session_no)
+                + 1 AS BIGINT) AS turn_idx,
+           role, n_events, evt_checksum, turn_start, turn_end
+    FROM t
+    """
+
+
+@query("dialog_thread_turns", oracle=_THREAD_ORACLE)
+def dialog_thread_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-sessionized, role-run-merged dialogue turns, one row per
+    turn. Every window partitions by user_id (the turn-index window by
+    (user_id, session_no)) — Catalyst reuses ONE user_id exchange for
+    the lag flags, both prefix sums and the turn aggregate; no global
+    sort anywhere."""
+    ev = load_table(spark, sf_dir, "events")
+    role = F.when(
+        F.col("event_type").isin("click", "purchase", "signup"), "user"
+    ).otherwise("assistant")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = F.col("ts").cast("timestamp").cast("double")
+    prev = F.lag(sec).over(w)
+    gap = prev.isNull() | (sec - prev > _GAP_SEC)
+    e = ev.select("user_id", "event_id", "ts", role.alias("role"))
+    g = e.withColumn("new_sess", F.when(gap, 1).otherwise(0)).withColumn(
+        "new_turn",
+        F.when(gap | (F.col("role") != F.lag("role").over(w)), 1).otherwise(0),
+    )
+    wp = w.rowsBetween(Window.unboundedPreceding, 0)
+    s = g.withColumn("session_no", F.sum("new_sess").over(wp)).withColumn(
+        "turn_no", F.sum("new_turn").over(wp)
+    )
+    t = s.groupBy("user_id", "session_no", "turn_no", "role").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("event_id").cast("long").alias("evt_checksum"),
+        F.date_format(F.min("ts"), _TS_FMT).alias("turn_start"),
+        F.date_format(F.max("ts"), _TS_FMT).alias("turn_end"),
+    )
+    w_sess = Window.partitionBy("user_id", "session_no")
+    return t.select(
+        "user_id",
+        F.col("session_no").cast("long").alias("session_no"),
+        (F.col("turn_no") - F.min("turn_no").over(w_sess) + 1)
+        .cast("long")
+        .alias("turn_idx"),
+        "role",
+        "n_events",
+        "evt_checksum",
+        "turn_start",
+        "turn_end",
+    )
+
+
+# --------------------------------------------------------------------------
+# ★ sample_eval_holdout_pairs — leakage-safe preference-pair holdout:
+# the train/eval decision is a deterministic md5 draw on the PROMPT id
+# (never the pair), so all of a prompt's pairs land in ONE split — the
+# property that keeps eval prompts out of training (same discipline as
+# sample_split_leakage_safe, applied to the post-training table).
+# Eval rate = 1/8 exactly: first 12 md5-hex chars as a 48-bit integer
+# against the integer threshold 2^48/8.
+# --------------------------------------------------------------------------
+
+_EVAL_THRESH = (1 << 48) // 8  # exact integer literal, shared by both engines
+
+_HOLDOUT_ORACLE = f"""
+    WITH p AS ({_PAIRS_DUCK}),
+    s AS (
+      SELECT *,
+             CASE WHEN CAST(({" + ".join(
+                 f"(strpos('0123456789abcdef', substr(md5('sft:' || "
+                 f"CAST(prompt_id AS VARCHAR)), {i + 1}, 1)) - 1)"
+                 f" * {16 ** (11 - i)}"
+                 for i in range(12)
+             )}) AS BIGINT) < {_EVAL_THRESH}
+                  THEN 'eval' ELSE 'train' END AS split
+      FROM p)
+    SELECT split,
+           CAST(COUNT(DISTINCT prompt_id) AS BIGINT) AS n_prompts,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(chosen_doc_id + rejected_doc_id) AS BIGINT)
+             AS pair_checksum
+    FROM s GROUP BY 1
+    """
+
+
+@query("sample_eval_holdout_pairs", oracle=_HOLDOUT_ORACLE)
+def sample_eval_holdout_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split the preference pairs into train/eval BY PROMPT via a
+    deterministic 48-bit md5 draw (eval = 1/8); per-split prompt and
+    pair counts plus a composition checksum. The draw is a scan-level
+    expression — no extra shuffle beyond the pair assembly's one."""
+    pairs = _pref_pairs(spark, sf_dir)
+    draw = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("sft:"), F.col("prompt_id").cast("string")
+                ).cast("binary")
+            ),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("long")
+    s = pairs.withColumn(
+        "split",
+        F.when(draw < F.lit(_EVAL_THRESH), "eval").otherwise("train"),
+    )
+    return s.groupBy("split").agg(
+        F.countDistinct("prompt_id").cast("long").alias("n_prompts"),
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(F.col("chosen_doc_id") + F.col("rejected_doc_id"))
+        .cast("long")
+        .alias("pair_checksum"),
+    )

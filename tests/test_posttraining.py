@@ -1,0 +1,121 @@
+"""Post-training assembly properties (wave 23): deterministic
+chosen/rejected pairing, leakage-safe holdout disjointness, turn
+alternation, and the arithmetic-ntile helper vs exact expected sizes."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from pyspark.sql import functions as F
+
+from jhu_data_parser_spark import plans
+from tests.conftest import SF_SMOKE
+
+
+def test_preference_pairs_deterministic_and_consistent(spark):
+    rows = plans.QUERIES["pairs_preference_assembly"](spark, SF_SMOKE).collect()
+    assert rows
+    by_prompt = defaultdict(list)
+    for r in rows:
+        assert r.chosen_doc_id != r.rejected_doc_id
+        assert r.margin >= 0
+        by_prompt[r.prompt_id].append(r)
+    for pid, prs in by_prompt.items():
+        # exactly one chosen per prompt, shared by every pair row
+        assert len({p.chosen_doc_id for p in prs}) == 1
+        # best-vs-rest: every non-chosen candidate appears exactly once
+        rejected = [p.rejected_doc_id for p in prs]
+        assert len(rejected) == len(set(rejected))
+        # chosen belongs to the same prompt group
+        assert prs[0].chosen_doc_id // 8 == pid
+
+
+def test_preference_chosen_is_argmax_with_low_id_tiebreak(spark):
+    from jhu_data_parser_spark.plans.pipeline18 import _candidates
+
+    cand = _candidates(spark, SF_SMOKE).collect()
+    best = {}
+    for r in cand:
+        key = (-r.score, r.doc_id)  # max score, tie -> lower doc_id
+        if r.prompt_id not in best or key < best[r.prompt_id][0]:
+            best[r.prompt_id] = (key, r.doc_id)
+    pairs = plans.QUERIES["pairs_preference_assembly"](spark, SF_SMOKE).collect()
+    for p in pairs:
+        assert p.chosen_doc_id == best[p.prompt_id][1]
+
+
+def test_holdout_split_is_leakage_safe(spark):
+    """The md5 draw rides the prompt key, so replaying the split
+    expression over the pair table must put each prompt's pairs in
+    exactly one split — and the aggregate counts must reconcile."""
+    from jhu_data_parser_spark.plans.pipeline18 import _EVAL_THRESH, _pref_pairs
+
+    pairs = _pref_pairs(spark, SF_SMOKE)
+    draw = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(F.lit("sft:"), F.col("prompt_id").cast("string")).cast(
+                    "binary"
+                )
+            ),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("long")
+    tagged = pairs.withColumn(
+        "split", F.when(draw < F.lit(_EVAL_THRESH), "eval").otherwise("train")
+    ).collect()
+    seen = defaultdict(set)
+    for r in tagged:
+        seen[r.prompt_id].add(r.split)
+    assert all(len(s) == 1 for s in seen.values())
+    agg = {
+        r.split: r
+        for r in plans.QUERIES["sample_eval_holdout_pairs"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    for split in agg:
+        assert agg[split].n_pairs == sum(
+            1 for r in tagged if r.split == split
+        )
+
+
+def test_dialog_turns_alternate_roles(spark):
+    rows = plans.QUERIES["dialog_thread_turns"](spark, SF_SMOKE).collect()
+    assert rows
+    threads = defaultdict(dict)
+    for r in rows:
+        threads[(r.user_id, r.session_no)][r.turn_idx] = r.role
+    for key, turns in threads.items():
+        idxs = sorted(turns)
+        assert idxs == list(range(1, len(idxs) + 1)), key
+        for a, b in zip(idxs, idxs[1:]):
+            # consecutive turns never share a role (runs were merged)
+            assert turns[a] != turns[b], key
+
+
+def test_ntile_from_rank_matches_exact_bucket_sizes(spark):
+    """ntile(t) contract: first n%t buckets hold n//t+1 rows, the rest
+    n//t — checked for every n in 1..17 against the arithmetic form."""
+    from jhu_data_parser_spark.plans.pipeline16 import _ntile_from_rank
+
+    for n in range(1, 18):
+        df = spark.range(1, n + 1).select(
+            F.col("id").alias("rk"), F.lit(n).cast("long").alias("n")
+        )
+        got = [
+            r.b
+            for r in df.select(
+                _ntile_from_rank(F.col("rk"), F.col("n"), 5).alias("b")
+            )
+            .orderBy("rk")
+            .collect()
+        ]
+        expected = []
+        q, rem = divmod(n, 5)
+        for bucket in range(1, 6):
+            expected.extend([bucket] * (q + 1 if bucket <= rem else q))
+        assert got == expected, (n, got)
