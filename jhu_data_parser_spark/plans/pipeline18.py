@@ -377,3 +377,79 @@ def sample_eval_holdout_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("pair_checksum"),
     )
+
+
+# --------------------------------------------------------------------------
+# ★ stream_pack_batches_incremental — r9 verdict item 7 (stretch): the
+# INCREMENTAL packed-batch funnel. New crawl chunks arrive as real
+# micro-batches; each passes the frozen per-doc gates (funnel-v3
+# Gopher thresholds + lang + 8-token-shingle decontamination against
+# the frozen benchmark set) and extends the per-source packed-sequence
+# table under a carried token offset — idempotent _SUCCESS-gated
+# segments + a ≤|sources|-row offset state per batch_id (the
+# stream_ivfpq_index_append discipline applied to packing). The oracle
+# replays the SAME gates + packing as ONE batch pass over the union,
+# so the driver hash proves N micro-batches ≡ the batch funnel.
+# Corpus-global stages (URL/near dedup, boilerplate, trained LR, mix)
+# are deliberately absent from this gate — each has its own
+# incremental operator (see streaming/jobs._pack_gate_survivors).
+# --------------------------------------------------------------------------
+
+_INC_PACK_ORACLE = """
+    WITH gm AS (
+      SELECT doc_id, lang, source,
+             len(string_split(text, ' ')) AS n_tok,
+             length(text) - (len(string_split(text, ' ')) - 1) AS letters,
+             length(text) - length(replace(text, '#', '')) AS n_hash,
+             len(list_filter(string_split(text, ' '),
+                             w -> NOT regexp_matches(w, '[a-z]'))) AS n_nonalpha,
+             len(list_intersect(string_split(text, ' '),
+                                ['the', 'and', 'of', 'to', 'in', 'a', 'is']))
+               AS n_stop
+      FROM documents),
+    gf AS (
+      SELECT doc_id, source, n_tok FROM gm
+      WHERE lang = 'en' AND n_tok >= 30
+        AND 3 * n_tok <= letters AND letters <= 10 * n_tok
+        AND 10 * n_hash <= n_tok AND 10 * n_nonalpha <= n_tok
+        AND n_stop >= 2),
+    lt AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+           FROM documents),
+    bench AS (
+      SELECT DISTINCT array_to_string(toks[1:8], ' ') AS g
+      FROM lt WHERE doc_id % 17 = 0),
+    shg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(toks) - 6),
+                                   i -> array_to_string(toks[i:i+7], ' ')))
+               AS g
+      FROM lt),
+    contam AS (SELECT DISTINCT shg.doc_id FROM shg JOIN bench USING (g)),
+    surv AS (
+      SELECT gf.* FROM gf LEFT JOIN contam c ON c.doc_id = gf.doc_id
+      WHERE c.doc_id IS NULL),
+    packed AS (
+      SELECT source, doc_id, n_tok,
+             (SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                               ROWS UNBOUNDED PRECEDING) - n_tok)
+               // 512 AS pack_id
+      FROM surv)
+    SELECT source, CAST(pack_id AS BIGINT) AS pack_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+    FROM packed GROUP BY 1, 2
+    """
+
+
+@query("stream_pack_batches_incremental", oracle=_INC_PACK_ORACLE)
+def stream_pack_batches_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental packed batches from a real documents stream; see
+    streaming/jobs.run_pack_batches_incremental_stream."""
+    from jhu_data_parser_spark.streaming.jobs import (
+        run_pack_batches_incremental_stream,
+    )
+
+    return run_pack_batches_incremental_stream(spark, sf_dir)

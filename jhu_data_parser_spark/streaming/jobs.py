@@ -1155,3 +1155,228 @@ def run_video_neardup_probe_stream(
     return spark.read.parquet(out_dir).select(
         "id_new", "id_old", "n_shared", "nf_new", "nf_old"
     )
+
+
+# --------------------------------------------------------------------------
+# Incremental packed-batch funnel (r9 verdict item 7): the streaming
+# composition of the curation pieces — new crawl chunks arrive as
+# micro-batches, pass the FROZEN per-document gates, and extend the
+# per-source packed-sequence table incrementally.
+# --------------------------------------------------------------------------
+
+_PACK_BUDGET = 512  # tokens per packed training sequence (funnel v3 value)
+
+
+def _pack_gate_survivors(bdf: DataFrame, bench: DataFrame) -> DataFrame:
+    """Frozen per-document gates of the incremental funnel: Gopher-style
+    quality thresholds (the funnel-v3 ``gf`` conditions verbatim),
+    lang = 'en', and 8-token-shingle decontamination against the frozen
+    benchmark set ``bench`` (a bounded static table, broadcast into
+    every micro-batch). Pure per-doc logic → valid on any batch slice.
+    Corpus-global funnel stages (URL dedup, near-dedup, boilerplate
+    statistics, the trained-LR threshold, mixing allocation) are NOT in
+    this gate by design — each needs cross-corpus state and has its own
+    incremental operator (stream_incremental_dedup, the stored-index
+    probes, stream_quality_lr_serve with frozen weights)."""
+    toks = F.split(F.col("text"), " ")
+    n_tok = F.size(toks).cast("long")
+    letters = (F.length("text") - (F.size(toks) - 1)).cast("long")
+    n_hash = (
+        F.length("text")
+        - F.length(F.replace(F.col("text"), F.lit("#"), F.lit("")))
+    ).cast("long")
+    n_nonalpha = F.expr(
+        "size(filter(split(text, ' '), w -> NOT (w rlike '[a-z]')))"
+    ).cast("long")
+    n_stop = F.expr(
+        "size(array_intersect(split(text, ' '), "
+        "array('the', 'and', 'of', 'to', 'in', 'a', 'is')))"
+    ).cast("long")
+    gq = (
+        (n_tok >= 30)
+        & (3 * n_tok <= letters)
+        & (letters <= 10 * n_tok)
+        & (10 * n_hash <= n_tok)
+        & (10 * n_nonalpha <= n_tok)
+        & (n_stop >= 2)
+    )
+    base = bdf.select(
+        "doc_id",
+        "source",
+        n_tok.alias("n_tok"),
+        ((F.col("lang") == "en") & gq).alias("keep"),
+        F.split(F.lower("text"), " ").alias("toks"),
+    ).filter("keep")
+    shg = base.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(toks) >= 8 THEN transform("
+                "sequence(1, size(toks) - 7), "
+                "i -> array_join(slice(toks, i, 8), ' ')) "
+                "ELSE CAST(array() AS array<string>) END"
+            )
+        ).alias("g"),
+    )
+    contam = shg.join(F.broadcast(bench), "g").select("doc_id").distinct()
+    return base.join(contam, "doc_id", "left_anti").select(
+        "doc_id", "source", "n_tok"
+    )
+
+
+def run_pack_batches_incremental_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    n_chunks: int = 3,
+    work_dir: str | None = None,
+) -> DataFrame:
+    """Incremental packed batches from a REAL documents stream.
+
+    The landing prefix is simulated by splitting the corpus into
+    ``n_chunks`` doc_id-CONTIGUOUS chunk files with ascending mtimes
+    (crawl chunk k lands after chunk k−1 — the ordering a dated landing
+    prefix provides for free); ``maxFilesPerTrigger=1`` + availableNow
+    then processes exactly one chunk per micro-batch, oldest first.
+
+    Each micro-batch: frozen gates (:func:`_pack_gate_survivors`) →
+    in-batch per-source running token sums (a PARTITIONED window) →
+    shifted by the carried per-source token offset → pack_id under the
+    same ``(cum − n_tok) DIV 512`` rule as the batch funnel. Cross-batch
+    state is the ≤|sources|-row offset table, persisted per batch_id
+    with the same ``_SUCCESS``-gated idempotent discipline as the
+    segments themselves (a restart retry recomputes batch N's state
+    from state N−1 + the batch's checkpointed file set — deterministic,
+    so neither sink can double-apply). Because chunks are contiguous
+    per source, concatenating the per-batch sequences in batch order
+    IS the global per-source doc_id order — so the read-back union is
+    bit-identical to the one-shot batch packing, which is exactly what
+    the shared oracle replays (stream ≡ batch, the
+    stream_ivfpq_index_append discipline applied to packing)."""
+    import time as _time
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import Window
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    # --- stage the landing prefix (test scaffolding: in production the
+    # upstream crawler writes these files; sizes here are bounded by the
+    # test corpus, not a 100 TB concern) -------------------------------
+    stage = _cleanup_at_exit(tempfile.mkdtemp(prefix="jdps_pack_src_"))
+    tbl = pq.read_table(src)
+    ids = tbl.column("doc_id")
+    lo, hi = pc.min(ids).as_py(), pc.max(ids).as_py()
+    bounds = [lo + (hi - lo + 1) * k // n_chunks for k in range(n_chunks + 1)]
+    now = _time.time() - 1000
+    for k in range(n_chunks):
+        mask = pc.and_(
+            pc.greater_equal(ids, bounds[k]), pc.less(ids, bounds[k + 1])
+        )
+        path = os.path.join(stage, f"chunk_{k:03d}.parquet")
+        pq.write_table(tbl.filter(mask), path)
+        os.utime(path, (now + 30 * k, now + 30 * k))
+
+    # frozen benchmark set (decontamination reference — static, bounded)
+    docs = spark.read.parquet(src)
+    bench = (
+        docs.filter(F.col("doc_id") % 17 == 0)
+        .select(
+            F.expr(
+                "array_join(slice(split(lower(text), ' '), 1, 8), ' ')"
+            ).alias("g")
+        )
+        .distinct()
+    )
+
+    # ``work_dir`` pins the segment/state roots across calls (tests use
+    # it to prove _SUCCESS-gated idempotency: a re-run with a fresh
+    # checkpoint recomputes batch ids 0..N, finds every sink committed,
+    # skips all writes, and reads back identical rows).
+    if work_dir is None:
+        out_dir = _cleanup_at_exit(tempfile.mkdtemp(prefix="jdps_pack_segs_"))
+        state_dir = _cleanup_at_exit(tempfile.mkdtemp(prefix="jdps_pack_state_"))
+    else:
+        out_dir = os.path.join(work_dir, "segments")
+        state_dir = os.path.join(work_dir, "state")
+        os.makedirs(out_dir, exist_ok=True)
+        os.makedirs(state_dir, exist_ok=True)
+    ckpt = _cleanup_at_exit(tempfile.mkdtemp(prefix="jdps_pack_ckpt_"))
+
+    _write_batch_once(
+        spark.createDataFrame([], "source string, off_tok long"),
+        os.path.join(state_dir, "batch_id=-1"),
+    )
+    _write_batch_once(
+        spark.createDataFrame(
+            [], "source string, doc_id long, n_tok long, pack_id long"
+        ),
+        os.path.join(out_dir, "batch_id=-1"),
+    )
+
+    def _batch(bdf: DataFrame, batch_id: int) -> None:
+        seg_dir = os.path.join(out_dir, f"batch_id={batch_id}")
+        st_dir = os.path.join(state_dir, f"batch_id={batch_id}")
+        prev = spark.read.parquet(
+            os.path.join(state_dir, f"batch_id={batch_id - 1}")
+        )
+        surv = _pack_gate_survivors(bdf, bench)
+        w = (
+            Window.partitionBy("source")
+            .orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        seg = (
+            surv.withColumn("cum_in", F.sum("n_tok").over(w))
+            .join(F.broadcast(prev), "source", "left")
+            .withColumn(
+                "cum", F.col("cum_in") + F.coalesce(F.col("off_tok"), F.lit(0))
+            )
+            .select(
+                "source",
+                "doc_id",
+                "n_tok",
+                F.expr(
+                    f"CAST((cum - n_tok) DIV {_PACK_BUDGET} AS BIGINT)"
+                ).alias("pack_id"),
+            )
+        )
+        _write_batch_once(seg, seg_dir)
+        # derive the next offset table from the COMMITTED segment so a
+        # restart retry reproduces it exactly
+        seg_rb = spark.read.parquet(seg_dir)
+        bsum = seg_rb.groupBy("source").agg(
+            F.sum("n_tok").cast("long").alias("b_tok")
+        )
+        new_state = (
+            prev.join(bsum, "source", "full")
+            .select(
+                "source",
+                (
+                    F.coalesce("off_tok", F.lit(0))
+                    + F.coalesce("b_tok", F.lit(0))
+                )
+                .cast("long")
+                .alias("off_tok"),
+            )
+        )
+        _write_batch_once(new_state, st_dir)
+
+    schema = docs.schema
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+        .writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    segs = spark.read.parquet(out_dir)
+    return segs.groupBy("source", "pack_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+        F.sum("doc_id").cast("long").alias("id_checksum"),
+    )
