@@ -23,7 +23,7 @@ from jhu_data_parser_spark.session import get_spark
 # top-k join, window, time windows, dedup (exact + MinHash near-dup),
 # vector top-k (exact + IVF), rolling-hash fingerprints, unpivot,
 # bucketed range join.
-HEADLINE = [
+LEGACY12 = [
     "join_revenue_by_nation",
     "agg_pricing_summary",
     "join_shipping_priority_top10",
@@ -37,6 +37,19 @@ HEADLINE = [
     "unpivot_lineitem_metrics",
     "join_range_followup_events",
 ]
+
+# Flagship capabilities added since r1 (r9 verdict item 4): the full
+# curation funnel's packed-batch deliverable + its yield table, and
+# batch IVF-PQ ANN serving. Reported alongside the legacy set; the
+# JSON carries value_legacy12 so round-over-round totals stay
+# comparable across the set change.
+FLAGSHIP = [
+    "pipeline_pack_batches",
+    "pipeline_curation_funnel_v3",
+    "sim_cosine_topk_ivfpq_multi",
+]
+
+HEADLINE = LEGACY12 + FLAGSHIP
 
 
 def materialize(df) -> None:
@@ -158,11 +171,13 @@ def main() -> None:
             )
 
     total = round(sum(timings.values()), 3)
+    legacy_total = round(sum(timings[n] for n in LEGACY12), 3)
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_sec",
                 "value": total,
+                "value_legacy12": legacy_total,
                 "unit": "sec",
                 "n": runs,
                 "run_id": run_id,
