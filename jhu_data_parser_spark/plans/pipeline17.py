@@ -840,3 +840,75 @@ def sample_systematic_every_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("doc_id").cast("long").alias("id_checksum"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Pearson correlation from exact integer moments — corr(value, hour of
+# day) per event_type (the "does spend correlate with time of day"
+# readout). x = milli-scaled value (the Welch scale bound applies:
+# Σx² safe to ~3.7e7 rows/group at v≈500), y = hour derived by pure
+# micros arithmetic (no engine TZ/extract involved). All six moments
+# are exact int64 aggregates; r is one fixed IEEE chain over them,
+# gated at floor(1e6·r), with the same degenerate-variance NULL guard
+# as Welch (shared predicate shape in both engines).
+# --------------------------------------------------------------------------
+
+_CORR_RAW = (
+    "CAST(floor(1000000.0 * ("
+    "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    " / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    " * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
+    " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))"
+    ")) AS BIGINT)"
+)
+
+_CORR_GUARD = (
+    "(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0.0"
+    " AND (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
+    " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0.0"
+)
+
+_CORR_EXPR = f"CASE WHEN {_CORR_GUARD} THEN {_CORR_RAW} ELSE NULL END"
+
+_CORR_ORACLE = f"""
+    WITH m AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(floor(1000.0 * value) AS BIGINT)) AS BIGINT)
+               AS sx,
+             CAST(SUM((epoch_us(ts) // 3600000000) % 24) AS BIGINT) AS sy,
+             CAST(SUM(CAST(floor(1000.0 * value) AS BIGINT)
+                      * ((epoch_us(ts) // 3600000000) % 24)) AS BIGINT)
+               AS sxy,
+             CAST(SUM(CAST(floor(1000.0 * value) AS BIGINT)
+                      * CAST(floor(1000.0 * value) AS BIGINT)) AS BIGINT)
+               AS sxx,
+             CAST(SUM(((epoch_us(ts) // 3600000000) % 24)
+                      * ((epoch_us(ts) // 3600000000) % 24)) AS BIGINT)
+               AS syy
+      FROM events GROUP BY 1)
+    SELECT event_type, n, {_CORR_EXPR} AS corr_micro
+    FROM m
+    """
+
+
+@query("agg_corr_pearson", oracle=_CORR_ORACLE)
+def agg_corr_pearson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson corr(milli value, hour-of-day) per event_type from exact
+    integer moments; one map-side-combined aggregate, ≤|event_type|
+    rows, NULL on degenerate variance."""
+    ev = load_table(spark, sf_dir, "events")
+    x = "CAST(floor(1000.0 * value) AS BIGINT)"
+    y = "(unix_micros(ts) DIV 3600000000) % 24"
+    m = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.expr(x)).cast("long").alias("sx"),
+        F.sum(F.expr(y)).cast("long").alias("sy"),
+        F.sum(F.expr(f"{x} * ({y})")).cast("long").alias("sxy"),
+        F.sum(F.expr(f"{x} * {x}")).cast("long").alias("sxx"),
+        F.sum(F.expr(f"({y}) * ({y})")).cast("long").alias("syy"),
+    )
+    return m.select("event_type", "n", F.expr(_CORR_EXPR).alias("corr_micro"))

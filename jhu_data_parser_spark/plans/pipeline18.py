@@ -230,8 +230,10 @@ _ROLE_DUCK = (
     " THEN 'user' ELSE 'assistant' END"
 )
 
-_THREAD_ORACLE = f"""
-    WITH e AS (
+# CTE body shared by the threading oracle and the SFT-packing oracle
+# (same sessionization + role-run merge; the packer adds one more
+# windowed running sum over the turn table).
+_THREAD_CTES = f"""e AS (
       SELECT user_id, event_id, ts, {_ROLE_DUCK} AS role
       FROM events),
     g AS (
@@ -257,8 +259,13 @@ _THREAD_ORACLE = f"""
              CAST(COUNT(*) AS BIGINT) AS n_events,
              CAST(SUM(event_id) AS BIGINT) AS evt_checksum,
              strftime(MIN(ts), '{_TS_FMT_DUCK}') AS turn_start,
-             strftime(MAX(ts), '{_TS_FMT_DUCK}') AS turn_end
-      FROM s GROUP BY 1, 2, 3, 4)
+             strftime(MAX(ts), '{_TS_FMT_DUCK}') AS turn_end,
+             CAST(MIN(epoch_us(ts)) AS BIGINT) AS start_us,
+             CAST(MAX(epoch_us(ts)) AS BIGINT) AS end_us
+      FROM s GROUP BY 1, 2, 3, 4)"""
+
+_THREAD_ORACLE = f"""
+    WITH {_THREAD_CTES}
     SELECT user_id,
            CAST(session_no AS BIGINT) AS session_no,
            CAST(turn_no - MIN(turn_no) OVER (PARTITION BY user_id, session_no)
@@ -268,13 +275,11 @@ _THREAD_ORACLE = f"""
     """
 
 
-@query("dialog_thread_turns", oracle=_THREAD_ORACLE)
-def dialog_thread_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gap-sessionized, role-run-merged dialogue turns, one row per
-    turn. Every window partitions by user_id (the turn-index window by
-    (user_id, session_no)) — Catalyst reuses ONE user_id exchange for
-    the lag flags, both prefix sums and the turn aggregate; no global
-    sort anywhere."""
+def _dialog_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-turn table (threading core, shared by the turn gate, the
+    SFT packer and the latency report): one row per role-run turn with
+    session/turn numbers, counts, checksum and both string- and
+    micros-typed span bounds."""
     ev = load_table(spark, sf_dir, "events")
     role = F.when(
         F.col("event_type").isin("click", "purchase", "signup"), "user"
@@ -297,14 +302,27 @@ def dialog_thread_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("event_id").cast("long").alias("evt_checksum"),
         F.date_format(F.min("ts"), _TS_FMT).alias("turn_start"),
         F.date_format(F.max("ts"), _TS_FMT).alias("turn_end"),
+        F.min(F.expr("unix_micros(ts)")).cast("long").alias("start_us"),
+        F.max(F.expr("unix_micros(ts)")).cast("long").alias("end_us"),
     )
     w_sess = Window.partitionBy("user_id", "session_no")
-    return t.select(
+    return t.withColumn(
+        "turn_idx",
+        (F.col("turn_no") - F.min("turn_no").over(w_sess) + 1).cast("long"),
+    ).withColumn("session_no", F.col("session_no").cast("long"))
+
+
+@query("dialog_thread_turns", oracle=_THREAD_ORACLE)
+def dialog_thread_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-sessionized, role-run-merged dialogue turns, one row per
+    turn. Every window partitions by user_id (the turn-index window by
+    (user_id, session_no)) — Catalyst reuses ONE user_id exchange for
+    the lag flags, both prefix sums and the turn aggregate; no global
+    sort anywhere."""
+    return _dialog_turns(spark, sf_dir).select(
         "user_id",
-        F.col("session_no").cast("long").alias("session_no"),
-        (F.col("turn_no") - F.min("turn_no").over(w_sess) + 1)
-        .cast("long")
-        .alias("turn_idx"),
+        "session_no",
+        "turn_idx",
         "role",
         "n_events",
         "evt_checksum",
@@ -453,3 +471,344 @@ def stream_pack_batches_incremental(
     )
 
     return run_pack_batches_incremental_stream(spark, sf_dir)
+
+
+# --------------------------------------------------------------------------
+# ★ dialog_pack_sft — SFT sequence packing: each user's dialogue turns
+# (in session/turn order) are packed greedily into training sequences
+# of ≤ 64 events — the post-training twin of pipeline_pack_batches'
+# running-sum rule (seq boundary where the cumulative event count
+# crosses the budget; no global sort, one partitioned window).
+# Output per (user_id, seq_id): turn and event counts + checksum.
+# --------------------------------------------------------------------------
+
+_SFT_BUDGET = 64  # events per packed SFT sequence
+
+_SFT_PACK_ORACLE = f"""
+    WITH {_THREAD_CTES},
+    packed AS (
+      SELECT user_id, n_events, evt_checksum,
+             (SUM(n_events) OVER (PARTITION BY user_id
+                                  ORDER BY session_no, turn_no
+                                  ROWS UNBOUNDED PRECEDING) - n_events)
+               // {_SFT_BUDGET} AS seq_id
+      FROM t)
+    SELECT user_id,
+           CAST(seq_id AS BIGINT) AS seq_id,
+           CAST(COUNT(*) AS BIGINT) AS n_turns,
+           CAST(SUM(n_events) AS BIGINT) AS n_events,
+           CAST(SUM(evt_checksum) AS BIGINT) AS evt_checksum
+    FROM packed GROUP BY 1, 2
+    """
+
+
+@query("dialog_pack_sft", oracle=_SFT_PACK_ORACLE)
+def dialog_pack_sft(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy per-user packing of dialogue turns into ≤64-event SFT
+    sequences; per (user, seq) turn/event counts and checksum. The
+    packing window partitions by user_id and orders by (session_no,
+    turn_no) — same exchange as the threading itself."""
+    t = _dialog_turns(spark, sf_dir)
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("session_no", "turn_no")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    packed = t.withColumn("sum_ev", F.sum("n_events").over(wp)).withColumn(
+        "seq_id",
+        F.expr(f"CAST((sum_ev - n_events) DIV {_SFT_BUDGET} AS BIGINT)"),
+    )
+    return packed.groupBy("user_id", "seq_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_turns"),
+        F.sum("n_events").cast("long").alias("n_events"),
+        F.sum("evt_checksum").cast("long").alias("evt_checksum"),
+    )
+
+
+# --------------------------------------------------------------------------
+# ★ dialog_response_latency — assistant response-latency histogram:
+# for every assistant turn directly following a user turn in the same
+# session, latency = assistant turn start − user turn end (exact
+# micros via lag over the turn table); bucketed into 10-minute bins
+# (capped at bucket 6) so the output is a bounded histogram.
+# --------------------------------------------------------------------------
+
+_LAT_BUCKET_US = 600 * 1_000_000  # 10 minutes
+
+_LATENCY_ORACLE = f"""
+    WITH {_THREAD_CTES},
+    lagged AS (
+      SELECT user_id, session_no, role, start_us,
+             lag(role) OVER w AS prev_role,
+             lag(end_us) OVER w AS prev_end,
+             lag(session_no) OVER w AS prev_sess
+      FROM t
+      WINDOW w AS (PARTITION BY user_id ORDER BY session_no, turn_no)),
+    lat AS (
+      SELECT CAST(LEAST((start_us - prev_end) // {_LAT_BUCKET_US}, 6)
+                  AS BIGINT) AS bucket,
+             start_us - prev_end AS lat_us
+      FROM lagged
+      WHERE role = 'assistant' AND prev_role = 'user'
+        AND prev_sess = session_no)
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_responses,
+           CAST(SUM(lat_us) AS BIGINT) AS lat_us_sum
+    FROM lat GROUP BY 1
+    """
+
+
+@query("dialog_response_latency", oracle=_LATENCY_ORACLE)
+def dialog_response_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assistant response latency (user turn end → assistant turn
+    start) as a bounded 10-minute-bucket histogram. One lag window over
+    the turn table, same user_id partitioning as the threading."""
+    t = _dialog_turns(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("session_no", "turn_no")
+    lagged = t.select(
+        "user_id",
+        "session_no",
+        "role",
+        "start_us",
+        F.lag("role").over(w).alias("prev_role"),
+        F.lag("end_us").over(w).alias("prev_end"),
+        F.lag("session_no").over(w).alias("prev_sess"),
+    )
+    lat = lagged.filter(
+        (F.col("role") == "assistant")
+        & (F.col("prev_role") == "user")
+        & (F.col("prev_sess") == F.col("session_no"))
+    ).select(
+        F.expr(
+            f"CAST(LEAST((start_us - prev_end) DIV {_LAT_BUCKET_US}, 6)"
+            " AS BIGINT)"
+        ).alias("bucket"),
+        (F.col("start_us") - F.col("prev_end")).alias("lat_us"),
+    )
+    return lat.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_responses"),
+        F.sum("lat_us").cast("long").alias("lat_us_sum"),
+    )
+
+
+# --------------------------------------------------------------------------
+# ★ pairs_best_of_k_reward — rejection sampling (best-of-K) under a
+# FROZEN reward model, and its agreement with the heuristic-quality
+# choice: the reward is a deterministic 48-bit md5 score per candidate
+# (the replayable stand-in for frozen RM logits — same md5-uniform
+# discipline as every sampling operator here). Per lang: prompts,
+# reward-vs-quality agreement count, and the reward pick checksum.
+# ONE aggregate computes both argmaxes (two max(struct) accumulators,
+# map-side combinable, no window, no join).
+# --------------------------------------------------------------------------
+
+_RM_DUCK = (
+    "CAST(("
+    + " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5('rm:' || "
+        f"CAST(doc_id AS VARCHAR)), {i + 1}, 1)) - 1) * {16 ** (11 - i)}"
+        for i in range(12)
+    )
+    + ") AS BIGINT)"
+)
+
+_BEST_OF_K_ORACLE = f"""
+    WITH c AS ({_CAND_DUCK}),
+    r AS (SELECT *, {_RM_DUCK} AS reward FROM c),
+    rm AS (
+      SELECT prompt_id, doc_id AS rm_doc
+      FROM (SELECT *, row_number() OVER (PARTITION BY prompt_id
+                    ORDER BY reward DESC, doc_id ASC) AS rk FROM r)
+      WHERE rk = 1),
+    qp AS (
+      SELECT prompt_id, doc_id AS q_doc
+      FROM (SELECT *, row_number() OVER (PARTITION BY prompt_id
+                    ORDER BY score DESC, doc_id ASC) AS rk FROM r)
+      WHERE rk = 1),
+    lg AS (SELECT prompt_id, arg_min(lang, doc_id) AS lang
+           FROM r GROUP BY 1)
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_prompts,
+           CAST(SUM(CASE WHEN rm_doc = q_doc THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_agree,
+           CAST(SUM(rm_doc) AS BIGINT) AS rm_pick_checksum
+    FROM lg JOIN rm USING (prompt_id) JOIN qp USING (prompt_id)
+    GROUP BY 1
+    """
+
+
+@query("pairs_best_of_k_reward", oracle=_BEST_OF_K_ORACLE)
+def pairs_best_of_k_reward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-of-K selection under a frozen (md5-replayable) reward and
+    its agreement rate with the heuristic-quality choice, per lang.
+    One map-side-combinable aggregate carrying two struct argmaxes."""
+    c = _candidates(spark, sf_dir)
+    reward = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(F.lit("rm:"), F.col("doc_id").cast("string")).cast(
+                    "binary"
+                )
+            ),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("long")
+    r = c.withColumn("reward", reward)
+    picks = r.groupBy("prompt_id").agg(
+        F.min_by("lang", "doc_id").alias("lang"),
+        F.max(F.struct(F.col("reward"), (-F.col("doc_id")).alias("nd"))).alias(
+            "rm_pick"
+        ),
+        F.max(F.struct(F.col("score"), (-F.col("doc_id")).alias("nd"))).alias(
+            "q_pick"
+        ),
+    )
+    return picks.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_prompts"),
+        F.sum(
+            F.when(
+                F.col("rm_pick.nd") == F.col("q_pick.nd"), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_agree"),
+        F.sum(-F.col("rm_pick.nd")).cast("long").alias("rm_pick_checksum"),
+    )
+
+
+# --------------------------------------------------------------------------
+# ★ text_instruction_decontaminate — cross-split leakage scan: the
+# pre-release hygiene check that no EVAL prompt's content survives in
+# the TRAIN split. Eval prompts = the md5-held-out prompt groups (the
+# sample_eval_holdout_pairs draw); their representative texts' 8-token
+# shingles form a bounded reference set (broadcast); every TRAIN-split
+# candidate document is flagged if it shares any shingle. Per lang:
+# train docs, leaked docs, leaked checksum.
+# --------------------------------------------------------------------------
+
+_SPLIT_DUCK = (
+    "CASE WHEN CAST(("
+    + " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5('sft:' || "
+        f"CAST(prompt_id AS VARCHAR)), {i + 1}, 1)) - 1) * {16 ** (11 - i)}"
+        for i in range(12)
+    )
+    + f") AS BIGINT) < {(1 << 48) // 8} THEN 'eval' ELSE 'train' END"
+)
+
+_INSTR_DECON_ORACLE = f"""
+    WITH c AS (
+      SELECT doc_id, doc_id // {_GROUP} AS prompt_id, lang, text
+      FROM documents WHERE length(text) > 0),
+    s AS (SELECT *, {_SPLIT_DUCK} AS split FROM c),
+    reps AS (
+      SELECT prompt_id, arg_min(text, doc_id) AS rep_text
+      FROM s WHERE split = 'eval' GROUP BY 1),
+    ref AS (
+      SELECT DISTINCT
+             unnest(list_transform(
+               range(1, len(string_split(lower(rep_text), ' ')) - 6),
+               i -> array_to_string(
+                      string_split(lower(rep_text), ' ')[i:i+7], ' '))) AS g
+      FROM reps),
+    tr AS (SELECT doc_id, lang,
+                  string_split(lower(text), ' ') AS toks
+           FROM s WHERE split = 'train'),
+    shg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(toks) - 6),
+                                   i -> array_to_string(toks[i:i+7], ' ')))
+               AS g
+      FROM tr),
+    hits AS (SELECT DISTINCT shg.doc_id FROM shg JOIN ref USING (g))
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_train_docs,
+           CAST(SUM(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_leaked,
+           CAST(COALESCE(SUM(CASE WHEN h.doc_id IS NOT NULL
+                                  THEN tr.doc_id END), 0) AS BIGINT)
+             AS leaked_checksum
+    FROM tr LEFT JOIN hits h ON h.doc_id = tr.doc_id
+    GROUP BY 1
+    """
+
+
+@query("text_instruction_decontaminate", oracle=_INSTR_DECON_ORACLE)
+def text_instruction_decontaminate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Eval→train leakage scan: 8-token shingles of the eval-split
+    prompt representatives (bounded reference set, broadcast) probed
+    against every train-split candidate's shingles. Per-lang train-doc
+    and leaked-doc accounting. Plan: the reference set is an aggregate
+    of the eval slice (distinct shingles); the probe is one broadcast
+    equi-join on the shingle string — never a text-pair comparison."""
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    draw = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("sft:"), F.col("prompt_id").cast("string")
+                ).cast("binary")
+            ),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("long")
+    c = d.select(
+        "doc_id",
+        F.expr(f"doc_id DIV {_GROUP}").alias("prompt_id"),
+        "lang",
+        "text",
+    ).withColumn(
+        "split",
+        F.when(draw < F.lit(_EVAL_THRESH), "eval").otherwise("train"),
+    )
+    reps = (
+        c.filter(F.col("split") == "eval")
+        .groupBy("prompt_id")
+        .agg(F.min_by("text", "doc_id").alias("rep_text"))
+    )
+    shingle_expr = (
+        "CASE WHEN size(toks) >= 8 THEN transform("
+        "sequence(1, size(toks) - 7), "
+        "i -> array_join(slice(toks, i, 8), ' ')) "
+        "ELSE CAST(array() AS array<string>) END"
+    )
+    ref = (
+        reps.select(F.split(F.lower("rep_text"), " ").alias("toks"))
+        .select(F.explode(F.expr(shingle_expr)).alias("g"))
+        .distinct()
+    )
+    tr = c.filter(F.col("split") == "train").select(
+        "doc_id", "lang", F.split(F.lower("text"), " ").alias("toks")
+    )
+    shg = tr.select(
+        "doc_id", F.explode(F.expr(shingle_expr)).alias("g")
+    )
+    hits = (
+        shg.join(F.broadcast(ref), "g")
+        .select("doc_id")
+        .distinct()
+        .withColumn("leak", F.lit(True))
+    )
+    return (
+        tr.join(hits, "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_train_docs"),
+            F.sum(F.when(F.col("leak"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_leaked"),
+            F.coalesce(
+                F.sum(F.when(F.col("leak"), F.col("doc_id"))), F.lit(0)
+            )
+            .cast("long")
+            .alias("leaked_checksum"),
+        )
+    )

@@ -183,3 +183,44 @@ def test_incremental_pack_state_carries_offsets(spark, tmp_path):
     for r in segs:
         per_src[r.source] += r.n_tok
     assert dict(per_src) == {s: o for s, o in state[2].items() if o > 0 or s in per_src}
+
+
+def test_sft_pack_budget_rule_and_mass_conservation(spark):
+    """Every turn's seq assignment must follow the running-sum rule
+    ((cum - n_events) DIV 64), and packing must conserve events."""
+    from jhu_data_parser_spark.plans.pipeline18 import _dialog_turns
+
+    turns = _dialog_turns(spark, SF_SMOKE).collect()
+    packed = plans.QUERIES["dialog_pack_sft"](spark, SF_SMOKE).collect()
+    by_user = defaultdict(list)
+    for t in turns:
+        by_user[t.user_id].append(t)
+    expect = defaultdict(lambda: [0, 0, 0])  # (user, seq) -> turns, events, cs
+    for uid, ts in by_user.items():
+        cum = 0
+        for t in sorted(ts, key=lambda r: (r.session_no, r.turn_no)):
+            seq = cum // 64
+            cum += t.n_events
+            e = expect[(uid, seq)]
+            e[0] += 1
+            e[1] += t.n_events
+            e[2] += t.evt_checksum
+    got = {(r.user_id, r.seq_id): [r.n_turns, r.n_events, r.evt_checksum]
+           for r in packed}
+    assert got == dict(expect)
+
+
+def test_best_of_k_agreement_bounded(spark):
+    rows = plans.QUERIES["pairs_best_of_k_reward"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_agree <= r.n_prompts
+
+
+def test_instruction_decontaminate_counts_consistent(spark):
+    rows = plans.QUERIES["text_instruction_decontaminate"](
+        spark, SF_SMOKE
+    ).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_leaked <= r.n_train_docs
