@@ -977,3 +977,31 @@ def test_rfm_segments_have_no_global_ntile(spark):
     global ranks + arithmetic ntile, not three global ntile windows."""
     plan = _plan(spark, "events_rfm_segments", execute=True)
     _assert_no_full_table_single_partition(plan)
+
+
+def test_preference_pairs_single_exchange_no_join(spark):
+    """Best-vs-rest pairing must be ONE prompt_id exchange + a window
+    aggregate — no self-join, no per-group sort from ntile/row_number."""
+    df = plans.QUERIES["pairs_preference_assembly"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan[:1200]
+    assert "Join" not in plan
+    assert "row_number(" not in plan
+
+
+def test_instruction_decontaminate_probe_is_broadcast(spark):
+    """The eval-shingle reference set must broadcast into the train
+    probe; no cartesian/NLJ anywhere."""
+    plan = _plan(spark, "text_instruction_decontaminate")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dialog_threading_reuses_one_user_exchange(spark):
+    """Sessionization flags, both prefix sums and the turn aggregate
+    all partition by user_id — Catalyst must plan exactly one exchange
+    for the whole threading chain."""
+    df = plans.QUERIES["dialog_thread_turns"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan[:1200]
