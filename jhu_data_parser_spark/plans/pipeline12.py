@@ -461,3 +461,93 @@ def stream_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jhu_data_parser_spark.streaming.jobs import run_cms_heavy_hitters_stream
 
     return run_cms_heavy_hitters_stream(spark, sf_dir)
+
+
+@query("source_xml_roundtrip", oracle=_ROUNDTRIP_ORACLE)
+def source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem projection → XML files (Spark 4's built-in XML data
+    source, rowTag framing) → read back with an EXPLICIT schema (same
+    no-inferSchema rule as the CSV roundtrip) → cents-exact aggregate
+    against the parquet-sourced oracle. Completes the format-breadth
+    matrix (parquet/ORC/CSV/JSON/XML; Avro's data-source jar is absent
+    from this distribution — recorded in PLANS.md r8)."""
+    import tempfile
+
+    from jhu_data_parser_spark.operators.similarity import _rmtree_at_exit
+
+    out = tempfile.mkdtemp(prefix="jdps_xml_rt_")
+    _rmtree_at_exit(out)
+    _roundtrip_cols(spark, sf_dir).write.mode("overwrite").format(
+        "xml"
+    ).option("rootTag", "lineitems").option("rowTag", "lineitem").save(out)
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "lineitem")
+        .schema("l_returnflag string, l_extendedprice double, l_quantity double")
+        .load(out)
+    )
+    return _roundtrip_agg(back)
+
+
+# --------------------------------------------------------------------------
+# binaryFile ingestion — the multimodal landing path: raw files on a
+# prefix read as (path, length, content) by Spark's binaryFile source,
+# the standard first hop for image/audio/video corpora. The staging
+# dir simulates the upstream-provided landing prefix with a BOUNDED
+# deterministic sample (first 256 documents with doc_id % 101 == 0,
+# one .txt file of the document's UTF-8 bytes each — scaffolding, not
+# the operator). The oracle never touches the files: it recomputes
+# byte length and a 16-hex-char prefix from the documents table, so a
+# hash match proves the binary source preserved every byte end-to-end.
+# --------------------------------------------------------------------------
+
+_BIN_MOD = 101
+_BIN_CAP = 256
+
+_BINFILE_ORACLE = f"""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           substr(hex(encode(text)), 1, 16) AS head_hex
+    FROM (SELECT doc_id, text FROM documents
+          WHERE doc_id % {_BIN_MOD} = 0 ORDER BY doc_id LIMIT {_BIN_CAP})
+    """
+
+
+@query("source_binaryfile_ingest", oracle=_BINFILE_ORACLE)
+def source_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read a staged binary landing prefix with format('binaryFile')
+    and prove byte fidelity (length + 16-hex prefix per file) against
+    the table-derived oracle. doc_id rides the file name."""
+    import hashlib
+    import os
+    import tempfile
+
+    import duckdb
+
+    from jhu_data_parser_spark.operators.similarity import _rmtree_at_exit
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    stage = os.path.join(tempfile.gettempdir(), f"jdps_binsrc_{key}")
+    marker = os.path.join(stage, "_STAGED")
+    if not os.path.exists(marker):
+        os.makedirs(stage, exist_ok=True)
+        src = os.path.join(sf_dir, "documents.parquet")
+        glob = os.path.join(src, "*.parquet") if os.path.isdir(src) else src
+        rows = duckdb.connect().execute(
+            f"SELECT doc_id, text FROM read_parquet('{glob}')"
+            f" WHERE doc_id % {_BIN_MOD} = 0 ORDER BY doc_id LIMIT {_BIN_CAP}"
+        ).fetchall()
+        for doc_id, text in rows:
+            with open(os.path.join(stage, f"doc_{doc_id}.txt"), "wb") as fh:
+                fh.write(text.encode("utf-8"))
+        with open(marker, "w") as fh:
+            fh.write("ok")
+        _rmtree_at_exit(stage)
+    files = spark.read.format("binaryFile").load(os.path.join(stage, "*.txt"))
+    return files.select(
+        F.regexp_extract(F.col("path"), r"doc_(\d+)\.txt$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("length").cast("long").alias("n_bytes"),
+        F.substring(F.hex("content"), 1, 16).alias("head_hex"),
+    )
