@@ -812,3 +812,28 @@ def text_instruction_decontaminate(
             .alias("leaked_checksum"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# ★ stream_dialog_threads_incremental — dialogue threading as a REAL
+# stream: time-contiguous event chunks arrive as micro-batches; a
+# carried per-user state table (last event's clock + role, running
+# session/turn counters) keeps (session_no, turn_no) globally
+# consistent, so a turn spanning a batch boundary is emitted as
+# PARTIAL rows under the same key and the read-back merge reassembles
+# it exactly. Shares dialog_thread_turns' oracle: the driver hash
+# proves stream-threaded ≡ batch-threaded — the incremental-index
+# discipline applied to stateful segmentation.
+# --------------------------------------------------------------------------
+
+
+@query("stream_dialog_threads_incremental", oracle=_THREAD_ORACLE)
+def stream_dialog_threads_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """See streaming/jobs.run_dialog_threads_incremental_stream."""
+    from jhu_data_parser_spark.streaming.jobs import (
+        run_dialog_threads_incremental_stream,
+    )
+
+    return run_dialog_threads_incremental_stream(spark, sf_dir)

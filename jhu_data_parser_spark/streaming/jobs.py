@@ -1380,3 +1380,202 @@ def run_pack_batches_incremental_stream(
         F.sum("n_tok").cast("long").alias("n_tokens"),
         F.sum("doc_id").cast("long").alias("id_checksum"),
     )
+
+
+# --------------------------------------------------------------------------
+# Incremental dialogue threading: role-run turn merging as a REAL
+# stream with carried per-user state. A turn that spans a micro-batch
+# boundary is emitted as PARTIAL rows under the same globally-
+# consistent (session_no, turn_no) key — consistent because the state
+# table carries each user's end-of-batch counters — and the read-back
+# groupBy merges the partials. That makes the per-turn table itself
+# addition-mergeable, the same property the CMS/Gopher streams exploit
+# for counts, applied to a STATEFUL segmentation.
+# --------------------------------------------------------------------------
+
+
+def run_dialog_threads_incremental_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    n_chunks: int = 3,
+    work_dir: str | None = None,
+) -> DataFrame:
+    """Gap-sessionized role-run dialogue turns from time-contiguous
+    event micro-batches (chunk k = the k-th global ts range, so every
+    user's chunk-k events follow their chunk-(k−1) events).
+
+    Per batch: in-batch lag flags fall back to the carried per-user
+    state (last event's epoch seconds + role) for each user's FIRST
+    row, and the in-batch prefix sums are offset by the carried
+    session/turn counters — so (session_no, turn_no) are globally
+    identical to the one-shot batch computation. Per-turn PARTIALS
+    (count, checksum, min/max micros) land in _SUCCESS-gated
+    ``batch_id=N`` segments; next-state = previous state full-outer
+    merged with the batch's per-user tail, written under the same
+    idempotent discipline (restart retries recompute batch N's outputs
+    from state N−1 + the checkpointed file set). Read-back merges
+    partials by the turn key and derives the within-session turn index
+    — bit-identical to ``dialog_thread_turns``'s batch output, which
+    is exactly what the shared oracle replays."""
+    import time as _time
+
+    import duckdb
+
+    from pyspark.sql import Window
+
+    src = os.path.join(sf_dir, "events.parquet")
+    glob_src = os.path.join(src, "*.parquet") if os.path.isdir(src) else src
+    con = duckdb.connect()
+    lo, hi = con.execute(
+        f"SELECT MIN(epoch_us(ts)), MAX(epoch_us(ts)) FROM read_parquet('{glob_src}')"
+    ).fetchone()
+    bounds = [lo + (hi - lo + 1) * k // n_chunks for k in range(n_chunks)] + [
+        hi + 1
+    ]
+    stage = _cleanup_at_exit(tempfile.mkdtemp(prefix="jdps_dlg_src_"))
+    now = _time.time() - 1000
+    for k in range(n_chunks):
+        path = os.path.join(stage, f"chunk_{k:03d}.parquet")
+        con.execute(
+            f"COPY (SELECT * FROM read_parquet('{glob_src}')"
+            f" WHERE epoch_us(ts) >= {bounds[k]} AND epoch_us(ts) < {bounds[k + 1]})"
+            f" TO '{path}' (FORMAT PARQUET)"
+        )
+        os.utime(path, (now + 30 * k, now + 30 * k))
+
+    if work_dir is None:
+        out_dir = _cleanup_at_exit(tempfile.mkdtemp(prefix="jdps_dlg_segs_"))
+        state_dir = _cleanup_at_exit(tempfile.mkdtemp(prefix="jdps_dlg_state_"))
+    else:
+        out_dir = os.path.join(work_dir, "segments")
+        state_dir = os.path.join(work_dir, "state")
+        os.makedirs(out_dir, exist_ok=True)
+        os.makedirs(state_dir, exist_ok=True)
+    ckpt = _cleanup_at_exit(tempfile.mkdtemp(prefix="jdps_dlg_ckpt_"))
+
+    _write_batch_once(
+        spark.createDataFrame(
+            [],
+            "user_id long, st_sec double, st_role string,"
+            " st_sess long, st_turn long",
+        ),
+        os.path.join(state_dir, "batch_id=-1"),
+    )
+    _write_batch_once(
+        spark.createDataFrame(
+            [],
+            "user_id long, session_no long, turn_no long, role string,"
+            " n_events long, evt_checksum long, min_us long, max_us long",
+        ),
+        os.path.join(out_dir, "batch_id=-1"),
+    )
+
+    gap = 1800.0  # the events_sessionize / dialog_thread_turns cutoff
+
+    def _batch(bdf: DataFrame, batch_id: int) -> None:
+        seg_dir = os.path.join(out_dir, f"batch_id={batch_id}")
+        st_dir = os.path.join(state_dir, f"batch_id={batch_id}")
+        prev = spark.read.parquet(
+            os.path.join(state_dir, f"batch_id={batch_id - 1}")
+        )
+        role = F.when(
+            F.col("event_type").isin("click", "purchase", "signup"), "user"
+        ).otherwise("assistant")
+        e = bdf.select(
+            "user_id",
+            "event_id",
+            "ts",
+            role.alias("role"),
+            F.col("ts").cast("timestamp").cast("double").alias("sec"),
+            F.expr("unix_micros(ts)").cast("long").alias("us"),
+        ).join(F.broadcast(prev), "user_id", "left")
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        eff_sec = F.coalesce(F.lag("sec").over(w), F.col("st_sec"))
+        eff_role = F.coalesce(F.lag("role").over(w), F.col("st_role"))
+        new_sess = F.when(
+            eff_sec.isNull() | (F.col("sec") - eff_sec > gap), 1
+        ).otherwise(0)
+        g = e.withColumn("new_sess", new_sess).withColumn(
+            "new_turn",
+            F.when(
+                (F.col("new_sess") == 1) | (F.col("role") != eff_role), 1
+            ).otherwise(0),
+        )
+        wp = w.rowsBetween(Window.unboundedPreceding, 0)
+        s = g.withColumn(
+            "session_no",
+            F.coalesce(F.col("st_sess"), F.lit(0))
+            + F.sum("new_sess").over(wp),
+        ).withColumn(
+            "turn_no",
+            F.coalesce(F.col("st_turn"), F.lit(0))
+            + F.sum("new_turn").over(wp),
+        )
+        seg = s.groupBy("user_id", "session_no", "turn_no", "role").agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("event_id").cast("long").alias("evt_checksum"),
+            F.min("us").cast("long").alias("min_us"),
+            F.max("us").cast("long").alias("max_us"),
+        )
+        _write_batch_once(seg, seg_dir)
+        # end-of-batch per-user tail (max by (ts, event_id)) + counters
+        tail = s.groupBy("user_id").agg(
+            F.max(F.struct("ts", "event_id", "sec", "role")).alias("last"),
+            F.max("session_no").cast("long").alias("b_sess"),
+            F.max("turn_no").cast("long").alias("b_turn"),
+        ).select(
+            "user_id",
+            F.col("last.sec").alias("b_sec"),
+            F.col("last.role").alias("b_role"),
+            "b_sess",
+            "b_turn",
+        )
+        new_state = prev.join(tail, "user_id", "full").select(
+            "user_id",
+            F.coalesce("b_sec", "st_sec").alias("st_sec"),
+            F.coalesce("b_role", "st_role").alias("st_role"),
+            F.coalesce("b_sess", "st_sess").cast("long").alias("st_sess"),
+            F.coalesce("b_turn", "st_turn").cast("long").alias("st_turn"),
+        )
+        _write_batch_once(new_state, st_dir)
+
+    schema = spark.read.parquet(glob_src).schema
+    from jhu_data_parser_spark.sources.tables import _normalize_nanos_ts
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    q = (
+        _normalize_nanos_ts(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+        .writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    segs = spark.read.parquet(out_dir)
+    t = segs.groupBy("user_id", "session_no", "turn_no", "role").agg(
+        F.sum("n_events").cast("long").alias("n_events"),
+        F.sum("evt_checksum").cast("long").alias("evt_checksum"),
+        F.min("min_us").alias("min_us"),
+        F.max("max_us").alias("max_us"),
+    )
+    w_sess = Window.partitionBy("user_id", "session_no")
+    return t.select(
+        "user_id",
+        F.col("session_no").cast("long").alias("session_no"),
+        (F.col("turn_no") - F.min("turn_no").over(w_sess) + 1)
+        .cast("long")
+        .alias("turn_idx"),
+        "role",
+        "n_events",
+        "evt_checksum",
+        F.date_format(F.timestamp_micros(F.col("min_us")), "yyyy-MM-dd HH:mm:ss")
+        .alias("turn_start"),
+        F.date_format(F.timestamp_micros(F.col("max_us")), "yyyy-MM-dd HH:mm:ss")
+        .alias("turn_end"),
+    )

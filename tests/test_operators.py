@@ -1928,7 +1928,8 @@ from jhu_data_parser_spark import plans
 from tests.oracle_compare import compare, duckdb_con
 spark = SparkSession.builder.master("local[4]").getOrCreate()
 con = duckdb_con("/root/testdata/sf0.001")
-for name in ("scd2_incremental_merge", "events_sessionize", "scalar_date_funcs"):
+for name in ("scd2_incremental_merge", "events_sessionize", "scalar_date_funcs",
+             "dialog_thread_turns", "dialog_response_latency"):
     r = compare(plans.QUERIES[name](spark, "/root/testdata/sf0.001"),
                 con, plans.ORACLES[name])
     assert r["rows_match"] and r["cols_match"] and r["values_match"], (name, r)

@@ -224,3 +224,76 @@ def test_instruction_decontaminate_counts_consistent(spark):
     assert rows
     for r in rows:
         assert 0 <= r.n_leaked <= r.n_train_docs
+
+
+def test_incremental_dialog_threads_merge_across_batches(spark, tmp_path):
+    """A long single-role run engineered to span every micro-batch cut
+    must be emitted as partials under ONE (user, session, turn) key in
+    multiple segments, and the merged read-back must equal the batch
+    threading exactly. A re-run over the same work_dir must skip every
+    committed sink (idempotency)."""
+    import datetime
+    import os
+
+    from jhu_data_parser_spark.plans.pipeline18 import _dialog_turns
+    from jhu_data_parser_spark.streaming.jobs import (
+        run_dialog_threads_incremental_stream,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    # user 1: one unbroken 'click' run, 60 events 60 s apart -> ONE turn
+    # spanning every time cut
+    for i in range(60):
+        rows.append((i, t0 + datetime.timedelta(seconds=60 * i), 1, "click", 1.0, "{}"))
+    # user 2: alternating roles every 5 min -> many short turns
+    for i in range(12):
+        et = "click" if i % 2 == 0 else "view"
+        rows.append((100 + i, t0 + datetime.timedelta(seconds=300 * i), 2, et, 1.0, "{}"))
+    sf = str(tmp_path / "corpus")
+    os.makedirs(sf)
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.parquet(os.path.join(sf, "events.parquet"))
+
+    wd = str(tmp_path / "dlg")
+    got = sorted(
+        tuple(r)
+        for r in run_dialog_threads_incremental_stream(
+            spark, sf, work_dir=wd
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in _dialog_turns(spark, sf)
+        .select(
+            "user_id", "session_no", "turn_idx", "role",
+            "n_events", "evt_checksum", "turn_start", "turn_end",
+        )
+        .collect()
+    )
+    assert got == want
+    # the long run must appear as partials in >1 batch segment
+    from pyspark.sql import functions as F2
+
+    segs = spark.read.parquet(os.path.join(wd, "segments"))
+    spans = (
+        segs.groupBy("user_id", "session_no", "turn_no")
+        .agg(F2.countDistinct("batch_id").alias("nb"))
+        .filter("nb > 1")
+        .count()
+    )
+    assert spans > 0
+    # idempotent re-run
+    seg0 = os.path.join(wd, "segments", "batch_id=0", "_SUCCESS")
+    mtime = os.path.getmtime(seg0)
+    got2 = sorted(
+        tuple(r)
+        for r in run_dialog_threads_incremental_stream(
+            spark, sf, work_dir=wd
+        ).collect()
+    )
+    assert got2 == got
+    assert os.path.getmtime(seg0) == mtime
