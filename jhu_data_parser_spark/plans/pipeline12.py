@@ -526,7 +526,12 @@ def source_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from jhu_data_parser_spark.operators.similarity import _rmtree_at_exit
 
-    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    # cache key includes the source mtime (same invariant as the IVF
+    # index registry): a regenerated testdata tree must re-stage.
+    src_path = os.path.join(sf_dir, "documents.parquet")
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:{os.path.getmtime(src_path)}".encode()
+    ).hexdigest()[:12]
     stage = os.path.join(tempfile.gettempdir(), f"jdps_binsrc_{key}")
     marker = os.path.join(stage, "_STAGED")
     if not os.path.exists(marker):

@@ -1032,3 +1032,52 @@ def bloom_flagged_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         probed.filter(F.col("bloom_hit") == 1).select("doc_id").distinct()
     )
+
+
+# --------------------------------------------------------------------------
+# Privacy: l-diversity report — k-anonymity's companion audit (Machana-
+# vajjhala et al. 2007): a group can be k-large yet reveal its sensitive
+# attribute if every member shares it. Quasi-identifier = (nation,
+# balance kilobucket); sensitive attribute = market segment; report =
+# the l-class histogram (l = distinct sensitive values per QI group)
+# with the l < 2 disclosure verdict. Same exactness discipline as
+# privacy_k_anonymity (shared floored bucket, integer counts).
+# --------------------------------------------------------------------------
+
+_LDIV_ORACLE = """
+    WITH qi AS (
+      SELECT c_nationkey,
+             CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_kbucket,
+             c_mktsegment
+      FROM customer),
+    grp AS (
+      SELECT c_nationkey, bal_kbucket,
+             CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS l
+      FROM qi GROUP BY 1, 2)
+    SELECT l AS diversity,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(k) AS BIGINT) AS n_rows,
+           CAST(l < 2 AS BOOLEAN) AS is_disclosing
+    FROM grp GROUP BY 1
+    """
+
+
+@query("privacy_l_diversity", oracle=_LDIV_ORACLE)
+def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity histogram over (nation, balance kilobucket) QI
+    groups with market segment as the sensitive attribute; l<2 flags
+    disclosing groups. Two map-side-combined aggregates."""
+    c = load_table(spark, sf_dir, "customer")
+    grp = c.select(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 1000.0).cast("long").alias("bal_kbucket"),
+        "c_mktsegment",
+    ).groupBy("c_nationkey", "bal_kbucket").agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.countDistinct("c_mktsegment").cast("long").alias("l"),
+    )
+    return grp.groupBy(F.col("l").alias("diversity")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum("k").cast("long").alias("n_rows"),
+    ).withColumn("is_disclosing", F.col("diversity") < 2)

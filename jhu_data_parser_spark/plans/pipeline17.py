@@ -912,3 +912,62 @@ def agg_corr_pearson(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.expr(f"({y}) * ({y})")).cast("long").alias("syy"),
     )
     return m.select("event_type", "n", F.expr(_CORR_EXPR).alias("corr_micro"))
+
+
+# --------------------------------------------------------------------------
+# Seasonal decomposition (seasonal-means / "classical" additive form):
+# daily event counts split into a day-of-week seasonal component and a
+# residual — the standard pre-step before anomaly thresholds on
+# business metrics. dow = day % 7 (pure integer arithmetic on the
+# epoch-day, calendar/TZ-free); seasonal mean is milli-fixed-point by
+# integer division, residual = count·1000 − seasonal_milli. Output is
+# one row per day (bounded by the corpus' day span). One aggregate +
+# a broadcast join of the 7-row seasonal table.
+# --------------------------------------------------------------------------
+
+_SEASONAL_ORACLE = """
+    WITH d AS (
+      SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1),
+    s AS (
+      SELECT day % 7 AS dow,
+             CAST((SUM(n_events) * 1000) // COUNT(*) AS BIGINT)
+               AS seasonal_milli
+      FROM d GROUP BY 1)
+    SELECT d.day, CAST(d.day % 7 AS BIGINT) AS dow, d.n_events,
+           s.seasonal_milli,
+           CAST(d.n_events * 1000 - s.seasonal_milli AS BIGINT)
+             AS residual_milli
+    FROM d JOIN s ON s.dow = d.day % 7
+    """
+
+
+@query("events_seasonal_decompose", oracle=_SEASONAL_ORACLE)
+def events_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive seasonal-means decomposition of the daily event count:
+    per day its dow-seasonal component (milli fixed-point) and
+    residual. One shuffle to daily counts; the seasonal table is 7
+    rows, broadcast back."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        F.expr("CAST(unix_micros(ts) DIV 86400000000 AS BIGINT)").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    s = d.groupBy((F.col("day") % 7).alias("dow")).agg(
+        F.expr("CAST((SUM(n_events) * 1000) DIV COUNT(*) AS BIGINT)").alias(
+            "seasonal_milli"
+        )
+    )
+    return (
+        d.withColumn("dow", (F.col("day") % 7).cast("long"))
+        .join(F.broadcast(s), "dow")
+        .select(
+            "day",
+            "dow",
+            "n_events",
+            "seasonal_milli",
+            (F.col("n_events") * 1000 - F.col("seasonal_milli"))
+            .cast("long")
+            .alias("residual_milli"),
+        )
+    )
