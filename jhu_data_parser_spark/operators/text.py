@@ -39,6 +39,22 @@ STOPWORDS_EN = ("the", "a", "an", "of", "and", "to", "in", "is", "it", "for")
 BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 
+
+# The benchmark-decontamination shingle window over a PRE-SPLIT ``toks``
+# array column — shared verbatim by the funnel flags (plans/pipeline13),
+# the JSON-roundtrip fixtures (plans/pipeline12), the instruction
+# decontamination scan (plans/pipeline18) and the incremental packer
+# gate (streaming/jobs): all four are hash-gated against oracles that
+# spell the same 8-token window, so the expression must never drift
+# per-site. (Unlike :func:`shingles`, this neither dedups nor filters
+# empty tokens — it mirrors the oracles' list_transform exactly.)
+SHINGLE8_TOKS_SQL = (
+    "CASE WHEN size(toks) >= 8 THEN transform("
+    "sequence(1, size(toks) - 7), "
+    "i -> array_join(slice(toks, i, 8), ' ')) "
+    "ELSE CAST(array() AS array<string>) END"
+)
+
 def tokens(col: Column | str, sep: str = " ") -> Column:
     c = F.col(col) if isinstance(col, str) else col
     return F.split(c, sep)

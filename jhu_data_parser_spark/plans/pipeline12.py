@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 from jhu_data_parser_spark.plans.catalog import query
 from jhu_data_parser_spark.plans.llm import _PORTABLE_MH_ORACLE
 from jhu_data_parser_spark.plans.pipeline4 import _URL_CANON_CTES
+from jhu_data_parser_spark.operators.text import SHINGLE8_TOKS_SQL
 from jhu_data_parser_spark.sources.tables import load_table
 
 _STAGES = (
@@ -181,10 +182,7 @@ def pipeline_curation_funnel_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(
             F.expr(
-                "CASE WHEN size(toks) >= 8 THEN transform("
-                "sequence(1, size(toks) - 7), "
-                "i -> array_join(slice(toks, i, 8), ' ')) "
-                "ELSE CAST(array() AS array<string>) END"
+                SHINGLE8_TOKS_SQL
             )
         ).alias("g"),
     )
@@ -518,7 +516,6 @@ def source_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Read a staged binary landing prefix with format('binaryFile')
     and prove byte fidelity (length + 16-hex prefix per file) against
     the table-derived oracle. doc_id rides the file name."""
-    import hashlib
     import os
     import tempfile
 
@@ -526,16 +523,17 @@ def source_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from jhu_data_parser_spark.operators.similarity import _rmtree_at_exit
 
-    # cache key includes the source mtime (same invariant as the IVF
-    # index registry): a regenerated testdata tree must re-stage.
-    src_path = os.path.join(sf_dir, "documents.parquet")
-    key = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}:{os.path.getmtime(src_path)}".encode()
-    ).hexdigest()[:12]
-    stage = os.path.join(tempfile.gettempdir(), f"jdps_binsrc_{key}")
-    marker = os.path.join(stage, "_STAGED")
-    if not os.path.exists(marker):
-        os.makedirs(stage, exist_ok=True)
+    # Per-PROCESS staging only (a module dict keyed by the resolved
+    # sf_dir): a shared /tmp cache would need the IVF registry's full
+    # per-file (path, mtime, size) fingerprint to catch in-place part
+    # overwrites, and its atexit cleanup would race any concurrent
+    # session reusing it — at ≤256 tiny files, re-staging per process
+    # is cheaper than getting cross-process caching right.
+    cache = source_binaryfile_ingest.__dict__.setdefault("_stages", {})
+    stage = cache.get(os.path.abspath(sf_dir))
+    if stage is None:
+        stage = tempfile.mkdtemp(prefix="jdps_binsrc_")
+        _rmtree_at_exit(stage)
         src = os.path.join(sf_dir, "documents.parquet")
         glob = os.path.join(src, "*.parquet") if os.path.isdir(src) else src
         rows = duckdb.connect().execute(
@@ -545,9 +543,7 @@ def source_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         for doc_id, text in rows:
             with open(os.path.join(stage, f"doc_{doc_id}.txt"), "wb") as fh:
                 fh.write(text.encode("utf-8"))
-        with open(marker, "w") as fh:
-            fh.write("ok")
-        _rmtree_at_exit(stage)
+        cache[os.path.abspath(sf_dir)] = stage
     files = spark.read.format("binaryFile").load(os.path.join(stage, "*.txt"))
     return files.select(
         F.regexp_extract(F.col("path"), r"doc_(\d+)\.txt$", 1)

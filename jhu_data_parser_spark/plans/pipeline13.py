@@ -63,6 +63,7 @@ from jhu_data_parser_spark.plans.pipeline4 import (
 )
 from jhu_data_parser_spark.plans.pipeline6 import _hexpoly_sql
 from jhu_data_parser_spark.plans.pipeline8 import _BOILER_LINES_SPARK
+from jhu_data_parser_spark.operators.text import SHINGLE8_TOKS_SQL
 from jhu_data_parser_spark.sources.tables import load_table
 
 # Every 10th document is a URL mirror of its decade head: the raw URLs
@@ -320,10 +321,7 @@ def _v3_frames(spark: SparkSession, sf_dir: str) -> dict:
         "doc_id",
         F.explode(
             F.expr(
-                "CASE WHEN size(toks) >= 8 THEN transform("
-                "sequence(1, size(toks) - 7), "
-                "i -> array_join(slice(toks, i, 8), ' ')) "
-                "ELSE CAST(array() AS array<string>) END"
+                SHINGLE8_TOKS_SQL
             )
         ).alias("g"),
     )

@@ -36,6 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from jhu_data_parser_spark.operators.text import SHINGLE8_TOKS_SQL
 from jhu_data_parser_spark.plans.catalog import query
 from jhu_data_parser_spark.sources.tables import load_table
 
@@ -225,10 +226,21 @@ def dedup_prompt_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 _GAP_SEC = 1800.0
+# single source of truth for the role mapping — the batch plan, the
+# DuckDB oracle and the incremental stream (streaming/jobs.py) must
+# never disagree on it, or the shared-oracle equivalence breaks.
+_USER_ROLE_TYPES = ("click", "purchase", "signup")
 _ROLE_DUCK = (
-    "CASE WHEN event_type IN ('click', 'purchase', 'signup')"
+    f"CASE WHEN event_type IN {_USER_ROLE_TYPES!r}"
     " THEN 'user' ELSE 'assistant' END"
 )
+
+
+def dialog_role_expr():
+    """Spark twin of _ROLE_DUCK."""
+    return F.when(
+        F.col("event_type").isin(*_USER_ROLE_TYPES), "user"
+    ).otherwise("assistant")
 
 # CTE body shared by the threading oracle and the SFT-packing oracle
 # (same sessionization + role-run merge; the packer adds one more
@@ -281,9 +293,7 @@ def _dialog_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
     session/turn numbers, counts, checksum and both string- and
     micros-typed span bounds."""
     ev = load_table(spark, sf_dir, "events")
-    role = F.when(
-        F.col("event_type").isin("click", "purchase", "signup"), "user"
-    ).otherwise("assistant")
+    role = dialog_role_expr()
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     sec = F.col("ts").cast("timestamp").cast("double")
     prev = F.lag(sec).over(w)
@@ -343,16 +353,35 @@ def dialog_thread_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _EVAL_THRESH = (1 << 48) // 8  # exact integer literal, shared by both engines
 
+
+def _draw48_duck(prefix: str, key_expr: str) -> str:
+    """DuckDB: 48-bit md5 uniform of 'prefix' || key — the single
+    source for every deterministic draw in this module (holdout split,
+    frozen reward). Built on pipeline6's hex polynomial so the Spark
+    twin (:func:`_draw48_spark`) can never drift from it per-site."""
+    from jhu_data_parser_spark.plans.pipeline6 import _hexpoly_sql
+
+    return _hexpoly_sql(
+        f"md5('{prefix}' || CAST({key_expr} AS VARCHAR))", 12
+    )
+
+
+def _draw48_spark(prefix: str, key_col) -> object:
+    """Spark twin of :func:`_draw48_duck`."""
+    from jhu_data_parser_spark.plans.pipeline6 import _hex_long
+
+    return _hex_long(
+        F.md5(
+            F.concat(F.lit(prefix), key_col.cast("string")).cast("binary")
+        ),
+        12,
+    )
+
 _HOLDOUT_ORACLE = f"""
     WITH p AS ({_PAIRS_DUCK}),
     s AS (
       SELECT *,
-             CASE WHEN CAST(({" + ".join(
-                 f"(strpos('0123456789abcdef', substr(md5('sft:' || "
-                 f"CAST(prompt_id AS VARCHAR)), {i + 1}, 1)) - 1)"
-                 f" * {16 ** (11 - i)}"
-                 for i in range(12)
-             )}) AS BIGINT) < {_EVAL_THRESH}
+             CASE WHEN {_draw48_duck("sft:", "prompt_id")} < {_EVAL_THRESH}
                   THEN 'eval' ELSE 'train' END AS split
       FROM p)
     SELECT split,
@@ -371,19 +400,7 @@ def sample_eval_holdout_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair counts plus a composition checksum. The draw is a scan-level
     expression — no extra shuffle beyond the pair assembly's one."""
     pairs = _pref_pairs(spark, sf_dir)
-    draw = F.conv(
-        F.substring(
-            F.md5(
-                F.concat(
-                    F.lit("sft:"), F.col("prompt_id").cast("string")
-                ).cast("binary")
-            ),
-            1,
-            12,
-        ),
-        16,
-        10,
-    ).cast("long")
+    draw = _draw48_spark("sft:", F.col("prompt_id"))
     s = pairs.withColumn(
         "split",
         F.when(draw < F.lit(_EVAL_THRESH), "eval").otherwise("train"),
@@ -602,15 +619,7 @@ def dialog_response_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
 # map-side combinable, no window, no join).
 # --------------------------------------------------------------------------
 
-_RM_DUCK = (
-    "CAST(("
-    + " + ".join(
-        f"(strpos('0123456789abcdef', substr(md5('rm:' || "
-        f"CAST(doc_id AS VARCHAR)), {i + 1}, 1)) - 1) * {16 ** (11 - i)}"
-        for i in range(12)
-    )
-    + ") AS BIGINT)"
-)
+_RM_DUCK = _draw48_duck("rm:", "doc_id")
 
 _BEST_OF_K_ORACLE = f"""
     WITH c AS ({_CAND_DUCK}),
@@ -643,19 +652,7 @@ def pairs_best_of_k_reward(spark: SparkSession, sf_dir: str) -> DataFrame:
     its agreement rate with the heuristic-quality choice, per lang.
     One map-side-combinable aggregate carrying two struct argmaxes."""
     c = _candidates(spark, sf_dir)
-    reward = F.conv(
-        F.substring(
-            F.md5(
-                F.concat(F.lit("rm:"), F.col("doc_id").cast("string")).cast(
-                    "binary"
-                )
-            ),
-            1,
-            12,
-        ),
-        16,
-        10,
-    ).cast("long")
+    reward = _draw48_spark("rm:", F.col("doc_id"))
     r = c.withColumn("reward", reward)
     picks = r.groupBy("prompt_id").agg(
         F.min_by("lang", "doc_id").alias("lang"),
@@ -684,19 +681,17 @@ def pairs_best_of_k_reward(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pre-release hygiene check that no EVAL prompt's content survives in
 # the TRAIN split. Eval prompts = the md5-held-out prompt groups (the
 # sample_eval_holdout_pairs draw); their representative texts' 8-token
-# shingles form a bounded reference set (broadcast); every TRAIN-split
+# shingles form the reference set (grows with the eval split here —
+# a curated production eval suite is bounded); every TRAIN-split
 # candidate document is flagged if it shares any shingle. Per lang:
 # train docs, leaked docs, leaked checksum.
 # --------------------------------------------------------------------------
 
+# MUST be the same draw as _HOLDOUT_ORACLE's — both derive from
+# _draw48_duck so the two queries can never disagree on the split.
 _SPLIT_DUCK = (
-    "CASE WHEN CAST(("
-    + " + ".join(
-        f"(strpos('0123456789abcdef', substr(md5('sft:' || "
-        f"CAST(prompt_id AS VARCHAR)), {i + 1}, 1)) - 1) * {16 ** (11 - i)}"
-        for i in range(12)
-    )
-    + f") AS BIGINT) < {(1 << 48) // 8} THEN 'eval' ELSE 'train' END"
+    f"CASE WHEN {_draw48_duck('sft:', 'prompt_id')} < {_EVAL_THRESH}"
+    " THEN 'eval' ELSE 'train' END"
 )
 
 _INSTR_DECON_ORACLE = f"""
@@ -741,25 +736,16 @@ def text_instruction_decontaminate(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """Eval→train leakage scan: 8-token shingles of the eval-split
-    prompt representatives (bounded reference set, broadcast) probed
-    against every train-split candidate's shingles. Per-lang train-doc
-    and leaked-doc accounting. Plan: the reference set is an aggregate
-    of the eval slice (distinct shingles); the probe is one broadcast
-    equi-join on the shingle string — never a text-pair comparison."""
+    prompt representatives probed against every train-split
+    candidate's shingles; per-lang train-doc and leaked-doc
+    accounting. Plan: the probe is ONE equi-join on the shingle string
+    — never a text-pair comparison. Here the eval split is 1/8 of the
+    SAME corpus, so the reference set grows with it: no broadcast hint
+    (AQE broadcasts while it fits and falls back to a shuffle join at
+    scale; a production eval suite is a curated bounded set and would
+    always broadcast)."""
     d = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
-    draw = F.conv(
-        F.substring(
-            F.md5(
-                F.concat(
-                    F.lit("sft:"), F.col("prompt_id").cast("string")
-                ).cast("binary")
-            ),
-            1,
-            12,
-        ),
-        16,
-        10,
-    ).cast("long")
+    draw = _draw48_spark("sft:", F.col("prompt_id"))
     c = d.select(
         "doc_id",
         F.expr(f"doc_id DIV {_GROUP}").alias("prompt_id"),
@@ -775,10 +761,7 @@ def text_instruction_decontaminate(
         .agg(F.min_by("text", "doc_id").alias("rep_text"))
     )
     shingle_expr = (
-        "CASE WHEN size(toks) >= 8 THEN transform("
-        "sequence(1, size(toks) - 7), "
-        "i -> array_join(slice(toks, i, 8), ' ')) "
-        "ELSE CAST(array() AS array<string>) END"
+        SHINGLE8_TOKS_SQL
     )
     ref = (
         reps.select(F.split(F.lower("rep_text"), " ").alias("toks"))
@@ -792,7 +775,7 @@ def text_instruction_decontaminate(
         "doc_id", F.explode(F.expr(shingle_expr)).alias("g")
     )
     hits = (
-        shg.join(F.broadcast(ref), "g")
+        shg.join(ref, "g")
         .select("doc_id")
         .distinct()
         .withColumn("leak", F.lit(True))

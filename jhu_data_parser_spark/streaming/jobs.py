@@ -1178,6 +1178,8 @@ def _pack_gate_survivors(bdf: DataFrame, bench: DataFrame) -> DataFrame:
     this gate by design — each needs cross-corpus state and has its own
     incremental operator (stream_incremental_dedup, the stored-index
     probes, stream_quality_lr_serve with frozen weights)."""
+    from jhu_data_parser_spark.operators.text import SHINGLE8_TOKS_SQL
+
     toks = F.split(F.col("text"), " ")
     n_tok = F.size(toks).cast("long")
     letters = (F.length("text") - (F.size(toks) - 1)).cast("long")
@@ -1211,10 +1213,7 @@ def _pack_gate_survivors(bdf: DataFrame, bench: DataFrame) -> DataFrame:
         "doc_id",
         F.explode(
             F.expr(
-                "CASE WHEN size(toks) >= 8 THEN transform("
-                "sequence(1, size(toks) - 7), "
-                "i -> array_join(slice(toks, i, 8), ' ')) "
-                "ELSE CAST(array() AS array<string>) END"
+                SHINGLE8_TOKS_SQL
             )
         ).alias("g"),
     )
@@ -1425,6 +1424,11 @@ def run_dialog_threads_incremental_stream(
 
     src = os.path.join(sf_dir, "events.parquet")
     glob_src = os.path.join(src, "*.parquet") if os.path.isdir(src) else src
+    # set BEFORE any Spark schema read — the events parquet has shipped
+    # as TIMESTAMP(NANOS) in some driver generations and a plain read
+    # throws without nanosAsLong (same order as read_events_stream).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     con = duckdb.connect()
     lo, hi = con.execute(
         f"SELECT MIN(epoch_us(ts)), MAX(epoch_us(ts)) FROM read_parquet('{glob_src}')"
@@ -1470,7 +1474,12 @@ def run_dialog_threads_incremental_stream(
         os.path.join(out_dir, "batch_id=-1"),
     )
 
-    gap = 1800.0  # the events_sessionize / dialog_thread_turns cutoff
+    # shared constants — the stream must never drift from the batch
+    # plan / oracle it is hash-gated against (lazy import: plans.*
+    # modules import this module's helpers inside functions only)
+    from jhu_data_parser_spark.plans.pipeline18 import _GAP_SEC, dialog_role_expr
+
+    gap = _GAP_SEC
 
     def _batch(bdf: DataFrame, batch_id: int) -> None:
         seg_dir = os.path.join(out_dir, f"batch_id={batch_id}")
@@ -1478,9 +1487,7 @@ def run_dialog_threads_incremental_stream(
         prev = spark.read.parquet(
             os.path.join(state_dir, f"batch_id={batch_id - 1}")
         )
-        role = F.when(
-            F.col("event_type").isin("click", "purchase", "signup"), "user"
-        ).otherwise("assistant")
+        role = dialog_role_expr()
         e = bdf.select(
             "user_id",
             "event_id",
@@ -1539,11 +1546,12 @@ def run_dialog_threads_incremental_stream(
         )
         _write_batch_once(new_state, st_dir)
 
-    schema = spark.read.parquet(glob_src).schema
+    # schema from the STAGED chunks, not the source: DuckDB's COPY
+    # always writes timestamp[us], so the chunk schema is uniform even
+    # when the source parquet was TIMESTAMP(NANOS).
+    schema = spark.read.parquet(stage).schema
     from jhu_data_parser_spark.sources.tables import _normalize_nanos_ts
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     q = (
         _normalize_nanos_ts(
             spark.readStream.schema(schema)

@@ -989,11 +989,16 @@ def test_preference_pairs_single_exchange_no_join(spark):
     assert "row_number(" not in plan
 
 
-def test_instruction_decontaminate_probe_is_broadcast(spark):
-    """The eval-shingle reference set must broadcast into the train
-    probe; no cartesian/NLJ anywhere."""
+def test_instruction_decontaminate_probe_is_equi_join(spark):
+    """The eval→train probe must be an equi hash join on the shingle
+    string (broadcast when the reference fits, shuffle otherwise —
+    AQE's call); never a cartesian/NLJ text-pair comparison."""
     plan = _plan(spark, "text_instruction_decontaminate")
-    assert "BroadcastHashJoin" in plan
+    assert (
+        "BroadcastHashJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or "SortMergeJoin" in plan
+    )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
 
