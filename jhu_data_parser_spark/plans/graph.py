@@ -226,3 +226,90 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.orderBy(
         F.desc("common"), F.desc("jaccard_e6"), "a", "b"
     ).limit(_LP_TOPK)
+
+
+# --------------------------------------------------------------------------
+# Label propagation (min-label variant) — community detection by
+# synchronous label updates: label_i(v) = min(label_{i-1}(v),
+# min over undirected neighbors' label_{i-1}) for a FIXED 3 rounds.
+# The min rule is fully deterministic (no tie randomness — unlike
+# frequency-LPA) and each round is one |E| join + one |V| groupBy, the
+# same iterative shape as pagerank; after enough rounds the labels are
+# connected components, so the fixed-round output is the distance-≤3
+# community approximation. Integer labels replay exactly in DuckDB
+# (unrolled CTEs).
+# --------------------------------------------------------------------------
+
+_LPA_ITERS = 3
+
+
+def _lpa_oracle() -> str:
+    steps = []
+    for i in range(1, _LPA_ITERS + 1):
+        steps.append(f"""
+    l{i} AS (
+      SELECT n.node,
+             LEAST(p.label, COALESCE(m.nl, p.label)) AS label
+      FROM nodes n
+      JOIN l{i - 1} p ON p.node = n.node
+      LEFT JOIN (
+        SELECT u.src AS node, MIN(p2.label) AS nl
+        FROM undirected u JOIN l{i - 1} p2 ON p2.node = u.dst
+        GROUP BY 1) m ON m.node = n.node)""")
+    return f"""
+    WITH edges AS ({_EDGES_SQL}),
+    undirected AS (
+      SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+    nodes AS (SELECT DISTINCT src AS node FROM undirected),
+    l0 AS (SELECT node, node AS label FROM nodes),{",".join(steps)}
+    SELECT label AS community,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(SUM(node) AS BIGINT) AS member_checksum
+    FROM l{_LPA_ITERS} GROUP BY 1
+    """
+
+
+@query("graph_label_propagation", oracle=_lpa_oracle())
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-label propagation communities after 3 synchronous rounds on
+    the undirected trade graph: per community its size and member
+    checksum. Each round joins the checkpointed edge list to the
+    current |V|-row label table and min-aggregates — no driver-side
+    state, the billion-edge-safe iterative-join shape."""
+    from jhu_data_parser_spark.operators.graph import trade_edges
+
+    edges = trade_edges(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "supplier"),
+    ).select("src", "dst")
+    und = (
+        edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = und.select(F.col("src").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    for _ in range(_LPA_ITERS):
+        nbr = (
+            und.join(labels.withColumnRenamed("node", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.min("label").alias("nl"))
+            .withColumnRenamed("src", "node")
+        )
+        labels = (
+            labels.join(nbr, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nl", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return labels.groupBy(F.col("label").alias("community")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.sum("node").cast("long").alias("member_checksum"),
+    )

@@ -971,3 +971,156 @@ def events_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("residual_milli"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Multi-step conversion funnel — the classic product-analytics STEP
+# funnel (distinct from attribution and conversion latency): within
+# each (user, day), step 1 = saw a view, step 2 = clicked strictly
+# AFTER the first view, step 3 = purchased strictly after that first
+# click. Strict ordering on exact micros; histogram of max step
+# reached. Three aggregates over the SAME (user, day) key with two
+# co-partitioned joins — Catalyst reuses one exchange.
+# --------------------------------------------------------------------------
+
+_FUNNEL_STEPS_ORACLE = """
+    WITH e AS (
+      SELECT user_id,
+             CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+             event_type, CAST(epoch_us(ts) AS BIGINT) AS us
+      FROM events),
+    s1 AS (
+      SELECT user_id, day, MIN(CASE WHEN event_type = 'view' THEN us END)
+               AS t_view
+      FROM e GROUP BY 1, 2),
+    s2 AS (
+      SELECT e.user_id, e.day,
+             MIN(CASE WHEN e.event_type = 'click' AND e.us > s1.t_view
+                      THEN e.us END) AS t_click,
+             MIN(s1.t_view) AS t_view
+      FROM e JOIN s1 ON e.user_id = s1.user_id AND e.day = s1.day
+      GROUP BY 1, 2),
+    s3 AS (
+      SELECT e.user_id, e.day, MIN(s2.t_view) AS t_view,
+             MIN(s2.t_click) AS t_click,
+             MIN(CASE WHEN e.event_type = 'purchase' AND e.us > s2.t_click
+                      THEN e.us END) AS t_purchase
+      FROM e JOIN s2 ON e.user_id = s2.user_id AND e.day = s2.day
+      GROUP BY 1, 2)
+    SELECT CAST(CASE WHEN t_purchase IS NOT NULL THEN 3
+                     WHEN t_click IS NOT NULL THEN 2
+                     WHEN t_view IS NOT NULL THEN 1
+                     ELSE 0 END AS INT) AS step,
+           CAST(COUNT(*) AS BIGINT) AS n_user_days,
+           CAST(SUM(user_id) AS BIGINT) AS user_checksum
+    FROM s3 GROUP BY 1
+    """
+
+
+@query("events_funnel_steps", oracle=_FUNNEL_STEPS_ORACLE)
+def events_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view → click → purchase step funnel per (user, day) with strict
+    exact-micros ordering; histogram of the max step reached."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id",
+        F.expr("CAST(unix_micros(ts) DIV 86400000000 AS BIGINT)").alias("day"),
+        "event_type",
+        F.expr("unix_micros(ts)").cast("long").alias("us"),
+    )
+    s1 = e.groupBy("user_id", "day").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("us"))).alias(
+            "t_view"
+        )
+    )
+    s2 = (
+        e.join(s1, ["user_id", "day"])
+        .groupBy("user_id", "day")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("us") > F.col("t_view")),
+                    F.col("us"),
+                )
+            ).alias("t_click"),
+            F.min("t_view").alias("t_view"),
+        )
+    )
+    s3 = (
+        e.join(s2, ["user_id", "day"])
+        .groupBy("user_id", "day")
+        .agg(
+            F.min("t_view").alias("t_view"),
+            F.min("t_click").alias("t_click"),
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("us") > F.col("t_click")),
+                    F.col("us"),
+                )
+            ).alias("t_purchase"),
+        )
+    )
+    step = (
+        F.when(F.col("t_purchase").isNotNull(), 3)
+        .when(F.col("t_click").isNotNull(), 2)
+        .when(F.col("t_view").isNotNull(), 1)
+        .otherwise(0)
+        .cast("int")
+    )
+    return s3.groupBy(step.alias("step")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_user_days"),
+        F.sum("user_id").cast("long").alias("user_checksum"),
+    )
+
+
+# --------------------------------------------------------------------------
+# First-order Markov transition matrix over event types — per user's
+# time-ordered stream, count (from_type → to_type) transitions and the
+# exact milli transition probability (n·1000 DIV from-total). The
+# sequence-analytics companion to the sessions→paths top-k: one lag
+# window partitioned by user_id, a ≤|types|²-row pair aggregate, and a
+# ≤|types|-row broadcast of the from-totals.
+# --------------------------------------------------------------------------
+
+_MARKOV_ORACLE = """
+    WITH s AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events),
+    p AS (
+      SELECT prev_type AS from_type, event_type AS to_type,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM s WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+    t AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS tot
+          FROM p GROUP BY 1)
+    SELECT p.from_type, p.to_type, p.n,
+           CAST((p.n * 1000) // t.tot AS BIGINT) AS prob_milli
+    FROM p JOIN t USING (from_type)
+    """
+
+
+@query("events_markov_transitions", oracle=_MARKOV_ORACLE)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type transition matrix with exact milli probabilities;
+    one user_id lag window, bounded pair/total aggregates."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    p = s.groupBy(
+        F.col("prev_type").alias("from_type"),
+        F.col("event_type").alias("to_type"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    t = p.groupBy("from_type").agg(F.sum("n").cast("long").alias("tot"))
+    return p.join(F.broadcast(t), "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        F.expr("CAST((n * 1000) DIV tot AS BIGINT)").alias("prob_milli"),
+    )
