@@ -163,6 +163,8 @@ def main() -> None:
                 {
                     "run_id": run_id,
                     "n_samples": n_samples,
+                    "medians": medians,
+                    "spread": spread,
                     "samples": {
                         n: [round(x, 3) for x in s] for n, s in samples.items()
                     },
@@ -172,23 +174,41 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     legacy_total = round(sum(timings[n] for n in LEGACY12), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": total,
-                "value_legacy12": legacy_total,
-                "unit": "sec",
-                "n": runs,
-                "run_id": run_id,
-                "n_samples": n_samples,
-                "queries": timings,
-                "medians": medians,
-                "spread": spread,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    # The driver captures only the tail of stdout (≈2000 chars) and
+    # parses the LAST json-looking line. r10's single detailed line grew
+    # past that window and was head-truncated (BENCH_r10.json
+    # parsed:null), so emission is now two lines: the full detail first
+    # (for humans / logs), then a compact summary line LAST that stays
+    # well under the capture window. medians/spread/n_samples live in
+    # the run_id-correlated samples file, not the summary line.
+    detail = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "value_legacy12": legacy_total,
+        "unit": "sec",
+        "n": runs,
+        "run_id": run_id,
+        "n_samples": n_samples,
+        "queries": timings,
+        "medians": medians,
+        "spread": spread,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(detail))
+    compact = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "value_legacy12": legacy_total,
+        "unit": "sec",
+        "run_id": run_id,
+        "queries": timings,
+        "sf": detail["sf"],
+    }
+    line = json.dumps(compact)
+    if len(line) > 1500:  # never regress into the truncation failure mode
+        compact.pop("queries")
+        line = json.dumps(compact)
+    print(line)
 
 
 if __name__ == "__main__":

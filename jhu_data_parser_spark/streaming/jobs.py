@@ -1399,6 +1399,33 @@ def run_dialog_threads_incremental_stream(
     n_chunks: int = 3,
     work_dir: str | None = None,
 ) -> DataFrame:
+    """Scoped-conf wrapper: the impl sets nanosAsLong + UTC for its own
+    reads/formatting; restore the caller's values afterwards so the
+    side effect never leaks into later reads in the same session (a
+    foreign session with nanosAsLong=false would otherwise see every
+    subsequent nanos-timestamp parquet surfaced as long). Safe because
+    PySpark analyzes eagerly: the returned DataFrame's time-zone-aware
+    expressions are resolved before the restore runs."""
+    keys = ("spark.sql.legacy.parquet.nanosAsLong", "spark.sql.session.timeZone")
+    prior = {k: spark.conf.get(k, None) for k in keys}
+    try:
+        return _run_dialog_threads_incremental_impl(
+            spark, sf_dir, n_chunks, work_dir
+        )
+    finally:
+        for k, v in prior.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def _run_dialog_threads_incremental_impl(
+    spark: SparkSession,
+    sf_dir: str,
+    n_chunks: int = 3,
+    work_dir: str | None = None,
+) -> DataFrame:
     """Gap-sessionized role-run dialogue turns from time-contiguous
     event micro-batches (chunk k = the k-th global ts range, so every
     user's chunk-k events follow their chunk-(k−1) events).
@@ -1495,7 +1522,11 @@ def run_dialog_threads_incremental_stream(
             role.alias("role"),
             F.col("ts").cast("timestamp").cast("double").alias("sec"),
             F.expr("unix_micros(ts)").cast("long").alias("us"),
-        ).join(F.broadcast(prev), "user_id", "left")
+        ).join(prev, "user_id", "left")
+        # no broadcast hint on prev: unlike the pack stream's
+        # ≤|sources|-row state this table grows with |users|, so the
+        # user_id equi-join shuffles (or AQE-broadcasts when small) —
+        # a forced broadcast would OOM at large user counts.
         w = Window.partitionBy("user_id").orderBy("ts", "event_id")
         eff_sec = F.coalesce(F.lag("sec").over(w), F.col("st_sec"))
         eff_role = F.coalesce(F.lag("role").over(w), F.col("st_role"))
