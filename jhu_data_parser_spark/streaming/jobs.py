@@ -853,6 +853,73 @@ def run_ivfpq_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivfpq_serve_union(spark, compacted, coarse, books, emb)
 
 
+def run_quantile_sketch_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 8
+) -> DataFrame:
+    """Per-language token-count quantiles over a REAL documents stream
+    — the streaming twin of ``agg_quantile_sketch_tokens``, and the
+    demonstration that the fixed-bucket histogram's MERGEABILITY is
+    exactly what makes it streamable: each micro-batch sinks its OWN
+    (lang, bucket) count partial (one map-side-combinable aggregate,
+    no state), partials merge by ADDITION on read-back, and the
+    quantile query runs once over the merged sketch — so N
+    micro-batches ≡ one batch build ≡ the SQL oracle, bit-for-bit
+    (the batch query's leaves split by (lang, source), the stream's by
+    (lang, batch): a DIFFERENT partition of the same rows, which is
+    precisely the associativity claim). Engine-private KLL/GK sketches
+    could not share this oracle.
+
+    Same ``_write_batch_once`` idempotency discipline as the
+    CMS/Gopher partial sinks: ``batch_id=N`` dirs, _SUCCESS-gated, so
+    a checkpoint-restart retry can neither double-count nor keep a
+    torn write."""
+    from jhu_data_parser_spark.plans.pipeline19 import (
+        _QT_QUANTS,
+        _QT_WIDTH,
+        _sketch_quantiles,
+    )
+
+    out_dir = _cleanup_at_exit(tempfile.mkdtemp(prefix="jdps_qsk_parts_"))
+    ckpt = _cleanup_at_exit(tempfile.mkdtemp(prefix="jdps_qsk_ckpt_"))
+
+    def _batch(bdf: DataFrame, batch_id: int) -> None:
+        part = (
+            bdf.filter(F.length("text") > 0)
+            .select(
+                "lang",
+                F.expr(
+                    f"CAST(size(split(text, ' ')) AS BIGINT) DIV {_QT_WIDTH}"
+                ).alias("bucket"),
+            )
+            .groupBy("lang", "bucket")
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        )
+        _write_batch_once(part, os.path.join(out_dir, f"batch_id={batch_id}"))
+
+    _write_batch_once(
+        spark.createDataFrame([], "lang string, bucket long, cnt long"),
+        os.path.join(out_dir, "batch_id=-1"),
+    )
+
+    q = (
+        read_documents_stream(
+            spark, sf_dir, max_files_per_trigger=max_files_per_trigger
+        )
+        .writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    merged = (
+        spark.read.parquet(out_dir)
+        .groupBy("lang", "bucket")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+    return _sketch_quantiles(merged, "lang", _QT_WIDTH, _QT_QUANTS, "n_docs")
+
+
 def run_gopher_quality_stream(
     spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 8
 ) -> DataFrame:

@@ -570,3 +570,80 @@ def test_lr_serve_stream_multibatch_equals_batch(spark, tmp_path):
     g = {tuple(r) for r in got.collect()}
     wv = {tuple(r) for r in want.collect()}
     assert g == wv and len(g) > 0
+
+
+def test_incremental_topology_sequence_with_crash_restart(spark, tmp_path):
+    """The composed incremental topology (r10 verdict item 5): the
+    three real streams run IN SEQUENCE in one session on a shared work
+    root — crawl chunks through the frozen gates into packed batches,
+    dialogue threading, then ANN index append — with a simulated crash
+    in the middle: after the pack stream completes, its LAST batch's
+    segment and state sinks are deleted (a crash between computing and
+    committing batch N) and the stream re-runs over the same work dir.
+    The restart must recompute ONLY the missing batch (earlier
+    _SUCCESS sinks untouched, byte-identical results), and every
+    stage's final artifact must hash-match its one-shot batch oracle —
+    the micro-batch ≡ batch claim proven for the pipeline as a whole,
+    not just each stream in isolation."""
+    import shutil
+
+    from jhu_data_parser_spark import plans
+    from jhu_data_parser_spark.streaming.jobs import (
+        run_dialog_threads_incremental_stream,
+        run_pack_batches_incremental_stream,
+    )
+    from tests.conftest import SF_SMOKE
+    from tests.oracle_compare import compare, duckdb_con
+
+    con = duckdb_con(SF_SMOKE)
+    work = str(tmp_path)
+
+    # --- stage 1: gates -> packing ------------------------------------
+    pack_wd = os.path.join(work, "pack")
+    r1 = sorted(
+        tuple(r)
+        for r in run_pack_batches_incremental_stream(
+            spark, SF_SMOKE, work_dir=pack_wd
+        ).collect()
+    )
+    seg_root = os.path.join(pack_wd, "segments")
+    batch_ids = sorted(
+        int(d.split("=")[1])
+        for d in os.listdir(seg_root)
+        if d.startswith("batch_id=") and int(d.split("=")[1]) >= 0
+    )
+    assert len(batch_ids) >= 2, "need multiple micro-batches to crash between"
+    last = batch_ids[-1]
+    # crash: batch `last` computed but never committed
+    shutil.rmtree(os.path.join(seg_root, f"batch_id={last}"))
+    shutil.rmtree(os.path.join(pack_wd, "state", f"batch_id={last}"))
+    first_success = os.path.join(seg_root, "batch_id=0", "_SUCCESS")
+    mtime0 = os.path.getmtime(first_success)
+
+    # restart over the same work dir: recomputes only the missing batch
+    restarted = run_pack_batches_incremental_stream(
+        spark, SF_SMOKE, work_dir=pack_wd
+    )
+    assert sorted(tuple(r) for r in restarted.collect()) == r1
+    assert os.path.getmtime(first_success) == mtime0
+    assert os.path.exists(
+        os.path.join(seg_root, f"batch_id={last}", "_SUCCESS")
+    )
+    res = compare(
+        restarted, con, plans.ORACLES["stream_pack_batches_incremental"]
+    )
+    assert res["values_match"], res
+
+    # --- stage 2: dialogue threading on the same work root ------------
+    dlg = run_dialog_threads_incremental_stream(
+        spark, SF_SMOKE, work_dir=os.path.join(work, "dlg")
+    )
+    res = compare(
+        dlg, con, plans.ORACLES["stream_dialog_threads_incremental"]
+    )
+    assert res["values_match"], res
+
+    # --- stage 3: ANN index append serving ----------------------------
+    idx = plans.QUERIES["stream_ivfpq_index_append"](spark, SF_SMOKE)
+    res = compare(idx, con, plans.ORACLES["stream_ivfpq_index_append"])
+    assert res["values_match"], res
