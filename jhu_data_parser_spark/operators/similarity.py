@@ -1306,3 +1306,52 @@ def hamming64(lo: Column, hi: Column, qlo: int, qhi: int) -> Column:
         F.bit_count(lo.bitwiseXOR(F.lit(qlo).cast("long")))
         + F.bit_count(hi.bitwiseXOR(F.lit(qhi).cast("long")))
     ).cast("int")
+
+
+def embedding_moment_partials(
+    df: DataFrame,
+    emb_col: str = "embedding",
+    scale: int = 100_000,
+) -> DataFrame:
+    """Exact fixed-point first/second-moment PARTIALS of an embedding
+    column — the covariance analogue of the mergeable histogram
+    sketch: each Arrow batch contributes ONE D×D integer Gram partial
+    (a numpy int64 ``Xᵀ·X`` — the matmul is where Python pays for
+    itself, same rule as :func:`rp_lsh_bucket`), emitted as
+    D(D+1)/2 + D + 1 narrow rows per BATCH (upper-triangle products,
+    per-dim sums, a count row) — never per input row. Partials merge
+    by ADDITION (one groupBy over (i, j)), so per-partition builds
+    equal the global build exactly; covariance/PCA consumers derive
+    n·Sxy − Sx·Sy from the merged moments.
+
+    Fixed-point discipline: elements are ``floor(x · scale)`` int64;
+    with |x| ≲ 1 the summed-squares bound (verify-skill rule: bound
+    Σ(scale·v)², not scale·v) allows ~3·10⁹ rows at scale = 1e5
+    before int64 overflow — ANSI mode would throw, not corrupt,
+    beyond it. Rows encode: (i, j, s) with 1-based dims for
+    Σ fp_i·fp_j (i ≤ j), (i, -1, s) for Σ fp_i, and (-1, -1, n).
+    1-based so the DuckDB oracle's ``fp[i]`` list indexing replays
+    the same positions."""
+    schema = "i int, j int, s long"
+
+    def _part(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf[emb_col].values).astype(np.float64)
+            Xi = np.floor(X * scale).astype(np.int64)
+            g = Xi.T @ Xi
+            s1 = Xi.sum(axis=0)
+            d = Xi.shape[1]
+            iu, ju = np.triu_indices(d)
+            out_i = np.concatenate([iu + 1, np.arange(1, d + 1), [-1]])
+            out_j = np.concatenate([ju + 1, np.full(d, -1), [-1]])
+            out_s = np.concatenate([g[iu, ju], s1, [len(pdf)]])
+            yield pd.DataFrame({"i": out_i, "j": out_j, "s": out_s})
+
+    return (
+        df.select(emb_col)
+        .mapInPandas(_part, schema)
+        .groupBy("i", "j")
+        .agg(F.sum("s").cast("long").alias("s"))
+    )

@@ -397,3 +397,121 @@ def stream_quantile_sketch_tokens(spark: SparkSession, sf_dir: str) -> DataFrame
     from jhu_data_parser_spark.streaming.jobs import run_quantile_sketch_stream
 
     return run_quantile_sketch_stream(spark, sf_dir)
+
+
+# --------------------------------------------------------------------------
+# Exact embedding covariance from mergeable integer moments — the
+# second-moment analogue of the histogram sketch (PCA/whitening is the
+# standard pre-step for SemDeDup-style embedding dedup): each Arrow
+# batch contributes one D×D int64 Gram partial (numpy matmul — the
+# vectorized-Python rule), partials merge by ADDITION, and covariance
+# derives from the merged moments as n·Sxy − Sx·Sy with one fixed IEEE
+# chain over exact integers (the Pearson discipline, pipeline17).
+# --------------------------------------------------------------------------
+
+_COV_SCALE = 100_000  # element fixed point; Σ(scale·x)² safe to ~3e9 rows
+_COV_DIM = 64
+
+# One fixed IEEE chain over exact integer moments (identical text both
+# engines): covariance scaled to 1e9 fixed point. scale² = 1e10.
+_COV_EXPR = (
+    "CAST(floor(1000000000.0 * ("
+    "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    " / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * 10000000000.0)"
+    ")) AS BIGINT)"
+)
+
+_COV_CTE = f"""
+    f AS (
+      SELECT list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(floor(x * {_COV_SCALE}) AS BIGINT))
+               AS fp
+      FROM embeddings),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM f),
+    s1 AS (
+      SELECT i, CAST(SUM(fp[i]) AS BIGINT) AS sx
+      FROM f, range(1, {_COV_DIM + 1}) t(i) GROUP BY i),
+    s2 AS (
+      SELECT i, j, CAST(SUM(fp[i] * fp[j]) AS BIGINT) AS sxy
+      FROM f, range(1, {_COV_DIM + 1}) t(i), range(1, {_COV_DIM + 1}) u(j)
+      WHERE i <= j GROUP BY i, j),
+    cov AS (
+      SELECT i, j, {_COV_EXPR} AS cov_fp
+      FROM (SELECT s2.i AS i, s2.j AS j, s2.sxy AS sxy,
+                   a.sx AS sx, b.sx AS sy, nn.n AS n
+            FROM s2
+            JOIN s1 a ON a.i = s2.i
+            JOIN s1 b ON b.i = s2.j
+            CROSS JOIN nn) v)
+"""
+
+
+def _cov_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jhu_data_parser_spark.operators import similarity as sim
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    mom = sim.embedding_moment_partials(emb, scale=_COV_SCALE)
+    n_row = mom.filter((F.col("i") == -1) & (F.col("j") == -1)).select(
+        F.col("s").alias("n")
+    )
+    s1 = mom.filter((F.col("j") == -1) & (F.col("i") > 0)).select(
+        "i", F.col("s").alias("sx")
+    )
+    s2 = mom.filter(F.col("j") > 0).select("i", "j", F.col("s").alias("sxy"))
+    return (
+        s2.join(F.broadcast(s1), "i")
+        .join(
+            F.broadcast(
+                s1.select(F.col("i").alias("j"), F.col("sx").alias("sy"))
+            ),
+            "j",
+        )
+        .crossJoin(F.broadcast(n_row))
+        .select("i", "j", F.expr(_COV_EXPR).alias("cov_fp"))
+    )
+
+
+_COV_SPECTRUM_ORACLE = f"""
+    WITH {_COV_CTE}
+    SELECT i AS dim, cov_fp AS var_fp FROM cov WHERE i = j
+"""
+
+
+@query("embed_covariance_spectrum", oracle=_COV_SPECTRUM_ORACLE)
+def embed_covariance_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-dimension embedding variance (1e9 fixed point) from
+    the merged integer moments — the diagonal of the covariance; the
+    table a whitening/Matryoshka-truncation decision reads. One
+    Arrow-batched moment pass + one (i, j) merge; every downstream
+    row count is D-bounded (≤ 64 here), never corpus-bounded."""
+    return _cov_table(spark, sf_dir).filter(F.col("i") == F.col("j")).select(
+        F.col("i").alias("dim"), F.col("cov_fp").alias("var_fp")
+    )
+
+
+_COV_TOPK_ORACLE = f"""
+    WITH {_COV_CTE}
+    SELECT i AS dim_i, j AS dim_j, cov_fp
+    FROM cov WHERE i < j
+    ORDER BY abs(cov_fp) DESC, i, j LIMIT 20
+"""
+
+
+@query("embed_covariance_topk", oracle=_COV_TOPK_ORACLE)
+def embed_covariance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 most-correlated off-diagonal dimension pairs by |cov|
+    (signed value reported) — the entries an OPQ-style rotation or
+    feature-decorrelation audit looks at first. Same moment table as
+    the spectrum; the top-k orders a D(D−1)/2-row table (2016 rows at
+    D = 64 — constant in corpus size)."""
+    c = _cov_table(spark, sf_dir).filter(F.col("i") < F.col("j"))
+    return (
+        c.orderBy(F.abs(F.col("cov_fp")).desc(), "i", "j")
+        .limit(20)
+        .select(
+            F.col("i").alias("dim_i"),
+            F.col("j").alias("dim_j"),
+            "cov_fp",
+        )
+    )

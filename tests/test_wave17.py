@@ -205,3 +205,37 @@ def test_quantile_sketch_stream_multibatch_equals_batch(spark, tmp_path):
     }
     want = {tuple(r) for r in agg_quantile_sketch_tokens(spark, sf).collect()}
     assert got == want and len(got) > 0
+
+
+def test_embedding_moments_merge_invariant_and_match_numpy(spark, sf_dir):
+    """The moment partials must be partition-invariant (1 partition ≡ 8
+    partitions — addition-mergeability where it can fail) and equal a
+    numpy int64 reference on the collected corpus."""
+    import numpy as np
+
+    from jhu_data_parser_spark.operators.similarity import (
+        embedding_moment_partials,
+    )
+    from jhu_data_parser_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    one = {
+        (r["i"], r["j"]): r["s"]
+        for r in embedding_moment_partials(emb.repartition(1)).collect()
+    }
+    many = {
+        (r["i"], r["j"]): r["s"]
+        for r in embedding_moment_partials(emb.repartition(8)).collect()
+    }
+    assert one == many
+
+    X = np.stack([r["embedding"] for r in emb.collect()]).astype(np.float64)
+    Xi = np.floor(X * 100_000).astype(np.int64)
+    g = Xi.T @ Xi
+    d = Xi.shape[1]
+    want = {(-1, -1): len(Xi)}
+    for i in range(d):
+        want[(i + 1, -1)] = int(Xi[:, i].sum())
+        for j in range(i, d):
+            want[(i + 1, j + 1)] = int(g[i, j])
+    assert one == want
