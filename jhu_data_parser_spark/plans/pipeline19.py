@@ -515,3 +515,241 @@ def embed_covariance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cov_fp",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Daily event-value quantiles — an event-time consumer of the same
+# mergeable histogram: leaves per (day, event_type, bucket) merge to
+# (day, bucket), quantiles per day. The leaf level is exactly what a
+# per-hour/per-executor partial build would sink; the merge proves the
+# day readout is independent of how the partials were cut.
+# --------------------------------------------------------------------------
+
+_QE_WIDTH = 10  # whole-value bucket width for events.value
+_QE_QUANTS = ((50, "q50_est"), (95, "q95_est"))
+
+_QE_DAILY_ORACLE = f"""
+    WITH v AS (
+      SELECT epoch_us(ts) // 86400000000 AS day, event_type,
+             CAST(floor(value) AS BIGINT) // {_QE_WIDTH} AS bucket
+      FROM events),
+    leaf AS (
+      SELECT day, event_type, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM v GROUP BY 1, 2, 3),
+    merged AS (
+      SELECT day, bucket, CAST(SUM(cnt) AS BIGINT) AS cnt
+      FROM leaf GROUP BY 1, 2),
+    cum AS (
+      SELECT *,
+             CAST(SUM(cnt) OVER (PARTITION BY day ORDER BY bucket
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+             CAST(SUM(cnt) OVER (PARTITION BY day) AS BIGINT) AS n
+      FROM merged)
+    SELECT CAST(day AS BIGINT) AS day,
+           CAST(MAX(n) AS BIGINT) AS n_events,
+           {", ".join(
+               f"CAST(MIN(CASE WHEN cum * 100 >= n * {q} "
+               f"THEN (bucket + 1) * {_QE_WIDTH} END) AS BIGINT) AS {alias}"
+               for q, alias in _QE_QUANTS
+           )}
+    FROM cum GROUP BY 1
+"""
+
+
+@query("events_value_quantiles_daily", oracle=_QE_DAILY_ORACLE)
+def events_value_quantiles_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day event-value quantile estimates from merged (day,
+    event_type) histogram leaves — the event-time consumer of the
+    mergeable sketch (day derived by pure micros integer arithmetic;
+    no engine TZ involved)."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        F.expr("unix_micros(ts) DIV 86400000000").alias("day"),
+        "event_type",
+        F.expr(f"CAST(floor(value) AS BIGINT) DIV {_QE_WIDTH}").alias(
+            "bucket"
+        ),
+    )
+    leaf = v.groupBy("day", "event_type", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    merged = leaf.groupBy("day", "bucket").agg(
+        F.sum("cnt").cast("long").alias("cnt")
+    )
+    out = _sketch_quantiles(merged, "day", _QE_WIDTH, _QE_QUANTS, "n_events")
+    return out.select(
+        F.col("day").cast("long").alias("day"),
+        "n_events",
+        *[alias for _q, alias in _QE_QUANTS],
+    )
+
+
+# --------------------------------------------------------------------------
+# ROUGE-style exact bigram overlap for preference pairs — the lexical-
+# closeness audit of the DPO input table (a chosen/rejected pair that
+# is a near-copy teaches nothing and hints at reward hacking): per
+# best-vs-rest pair, the MULTISET bigram intersection (Σ least(count_a,
+# count_b) — clipped counts, the ROUGE definition) plus both totals
+# and an integer-milli recall. All counts exact; the pair table is
+# |corpus|-bounded (each doc is rejected in at most one pair), and the
+# gram join runs pair-constrained — pairs pick up the CHOSEN doc's
+# bigram counts first, then equi-join on (rejected_doc, gram): rows
+# stay linear in corpus grams end-to-end, never |pairs| × vocabulary.
+# --------------------------------------------------------------------------
+
+def _rouge_oracle() -> str:
+    # the pair definition is pipeline18's best-vs-rest table, verbatim —
+    # one source of truth for what a "preference pair" is
+    from jhu_data_parser_spark.plans.pipeline18 import _CAND_DUCK
+
+    return f"""
+    WITH c AS ({_CAND_DUCK}),
+    ch AS (
+      SELECT prompt_id, doc_id AS chosen_doc_id
+      FROM (SELECT *, row_number() OVER (PARTITION BY prompt_id
+                    ORDER BY score DESC, doc_id ASC) AS rk FROM c)
+      WHERE rk = 1),
+    pairs AS (
+      SELECT c.prompt_id, ch.chosen_doc_id, c.doc_id AS rejected_doc_id
+      FROM c JOIN ch ON c.prompt_id = ch.prompt_id
+      WHERE c.doc_id <> ch.chosen_doc_id),
+    tk AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t
+      FROM documents WHERE length(text) > 0),
+    bg AS (
+      SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS c FROM (
+        SELECT doc_id, array_to_string(t[i:i+1], ' ') AS g
+        FROM tk, unnest(generate_series(1, greatest(len(t) - 1, 0))) u(i))
+      GROUP BY 1, 2),
+    tot AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n FROM bg GROUP BY 1),
+    ov AS (
+      SELECT p.prompt_id, p.chosen_doc_id, p.rejected_doc_id,
+             CAST(SUM(LEAST(a.c, b.c)) AS BIGINT) AS n_overlap
+      FROM pairs p
+      JOIN bg a ON a.doc_id = p.chosen_doc_id
+      JOIN bg b ON b.doc_id = p.rejected_doc_id AND b.g = a.g
+      GROUP BY 1, 2, 3)
+    SELECT p.prompt_id, p.chosen_doc_id, p.rejected_doc_id,
+           CAST(COALESCE(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+           CAST(COALESCE(tc.n, 0) AS BIGINT) AS n_chosen_bigrams,
+           CAST(COALESCE(tr.n, 0) AS BIGINT) AS n_rejected_bigrams,
+           CAST(CASE WHEN COALESCE(tc.n, 0) > 0
+                THEN (1000 * COALESCE(ov.n_overlap, 0)) // tc.n
+                END AS BIGINT) AS rouge2_recall_milli
+    FROM pairs p
+    LEFT JOIN ov ON ov.prompt_id = p.prompt_id
+               AND ov.chosen_doc_id = p.chosen_doc_id
+               AND ov.rejected_doc_id = p.rejected_doc_id
+    LEFT JOIN tot tc ON tc.doc_id = p.chosen_doc_id
+    LEFT JOIN tot tr ON tr.doc_id = p.rejected_doc_id
+    """
+
+
+_BIGRAMS_SQL = (
+    "CASE WHEN size(t) >= 2 THEN transform(sequence(1, size(t) - 1), "
+    "i -> array_join(slice(t, i, 2), ' ')) "
+    "ELSE CAST(array() AS array<string>) END"
+)
+
+
+@query("pairs_rouge_bigram", oracle=_rouge_oracle())
+def pairs_rouge_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact clipped-bigram (ROUGE-2-style) overlap per preference
+    pair: Σ least(count_chosen, count_rejected) over shared bigrams,
+    both totals, and integer-milli recall against the chosen text.
+    Plan: one per-doc clipped-count table (explode + hash aggregate,
+    grams crossing the shuffle as 8-byte xxhash64 keys, never text),
+    then ONE equi-join on (prompt group, gram hash) where only the
+    CHOSEN side expands to gram rows (|groups| x grams — group-size
+    times smaller than expanding every pair; measured 62 -> 11 s at
+    100x against the per-pair expansion) and the rejected side is the
+    count table itself with its group id derived in place. Per-key
+    skew is bounded by the group size; the pair table is
+    |corpus|-bounded (each doc is rejected in at most one best-vs-rest
+    pair); totals are size(t)-1 arithmetic, no aggregation."""
+    from jhu_data_parser_spark.plans.pipeline18 import _GROUP, _pref_pairs
+
+    pairs = _pref_pairs(spark, sf_dir).select(
+        "prompt_id", "chosen_doc_id", "rejected_doc_id"
+    )
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    tk = d.select("doc_id", F.split(F.lower("text"), " ").alias("t"))
+    # per-doc clipped-count table; the gram crosses the shuffle as an
+    # 8-byte xxhash64, never text (engine-internal key only — the
+    # oracle compares final counts, and a within-pair collision needs
+    # two of a doc's ~|text| grams to agree on 64 bits)
+    def _gram_counts(docs: DataFrame) -> DataFrame:
+        return (
+            docs.select("doc_id", F.explode(F.expr(_BIGRAMS_SQL)).alias("g"))
+            .groupBy("doc_id", F.xxhash64("g").alias("gh"))
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        )
+
+    # total bigram mass needs no aggregation: it is exactly size(t)-1
+    tot = tk.select(
+        "doc_id",
+        F.greatest(F.size("t") - 1, F.lit(0)).cast("long").alias("n"),
+    )
+    # The clip join runs per (prompt group, gram): only the CHOSEN
+    # side expands to gram rows keyed by group, and its count table is
+    # built from the 1/group_size chosen-doc subset (semi-join BEFORE
+    # the explode — building the full table twice was the measured
+    # cost center); the rejected side is the full count table with its
+    # group id derived in place. shuffle_hash on the small side keeps
+    # the 25M-row big side from sorting (SMJ's sort was the other
+    # half); per-key skew is bounded by the group size, and the
+    # (prompt, chosen, rejected) aggregate partial-combines map-side.
+    ch = pairs.select("prompt_id", "chosen_doc_id").distinct()
+    tkc = tk.join(
+        ch.select(F.col("chosen_doc_id").alias("doc_id")), "doc_id", "semi"
+    )
+    cg = (
+        _gram_counts(tkc)
+        .withColumnRenamed("doc_id", "chosen_doc_id")
+        .withColumn("prompt_id", F.expr(f"chosen_doc_id DIV {_GROUP}"))
+        .withColumnRenamed("c", "ca")
+    )
+    bgb = _gram_counts(tk).withColumn(
+        "prompt_id", F.expr(f"doc_id DIV {_GROUP}")
+    )
+    ov = (
+        bgb.join(cg.hint("shuffle_hash"), ["prompt_id", "gh"])
+        .filter(F.col("doc_id") != F.col("chosen_doc_id"))
+        .groupBy(
+            "prompt_id",
+            "chosen_doc_id",
+            F.col("doc_id").alias("rejected_doc_id"),
+        )
+        .agg(F.sum(F.least("ca", "c")).cast("long").alias("n_overlap"))
+    )
+    tc = tot.select(
+        F.col("doc_id").alias("chosen_doc_id"), F.col("n").alias("nc")
+    )
+    tr = tot.select(
+        F.col("doc_id").alias("rejected_doc_id"), F.col("n").alias("nr")
+    )
+    return (
+        pairs.join(
+            ov, ["prompt_id", "chosen_doc_id", "rejected_doc_id"], "left"
+        )
+        .join(tc, "chosen_doc_id", "left")
+        .join(tr, "rejected_doc_id", "left")
+        .select(
+            "prompt_id",
+            "chosen_doc_id",
+            "rejected_doc_id",
+            F.coalesce("n_overlap", F.lit(0))
+            .cast("long")
+            .alias("n_overlap"),
+            F.coalesce("nc", F.lit(0)).cast("long").alias("n_chosen_bigrams"),
+            F.coalesce("nr", F.lit(0))
+            .cast("long")
+            .alias("n_rejected_bigrams"),
+            F.when(
+                F.coalesce("nc", F.lit(0)) > 0,
+                F.expr("(1000 * coalesce(n_overlap, 0)) DIV nc"),
+            )
+            .cast("long")
+            .alias("rouge2_recall_milli"),
+        )
+    )
