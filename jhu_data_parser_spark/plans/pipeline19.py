@@ -753,3 +753,93 @@ def pairs_rouge_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("rouge2_recall_milli"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Dominant principal direction by fixed-point power iteration over the
+# merged covariance — the PCA step on top of the moment sketch, kept
+# ORACLE-PAIRABLE (unlike any float eigen-solver): the matvec is exact
+# int64 (|cov_fp·v| ≤ 64·2.5e8·1000 ≈ 1.6e13), the per-iteration
+# renormalization is one floor(u·1000/max|u|) double op over exact
+# integers (bit-identical IEEE in both engines), and the iteration
+# count is fixed (6) — determinism by construction, convergence a
+# quality property rather than a correctness requirement. Everything
+# after the corpus scan is D- or D²-bounded.
+# --------------------------------------------------------------------------
+
+_PCA_ITERS = 6
+
+
+def _pca_oracle() -> str:
+    ctes = [
+        f"full_c AS (SELECT i, j, cov_fp FROM cov UNION ALL "
+        f"SELECT j, i, cov_fp FROM cov WHERE i < j)",
+        f"v0 AS (SELECT i AS dim, CAST(1000 AS BIGINT) AS v "
+        f"FROM range(1, {_COV_DIM + 1}) t(i))",
+    ]
+    for k in range(1, _PCA_ITERS + 1):
+        # MATERIALIZED: each vK is referenced twice by vK+1 (values +
+        # the max-abs subquery) — default inlining grows 2^iters
+        ctes.append(
+            f"u{k} AS MATERIALIZED ("
+            f"SELECT c.i AS dim, CAST(SUM(c.cov_fp * v.v) AS BIGINT) AS u "
+            f"FROM full_c c JOIN v{k - 1} v ON v.dim = c.j GROUP BY 1)"
+        )
+        ctes.append(
+            f"v{k} AS MATERIALIZED ("
+            f"SELECT dim, CAST(floor(u * 1000.0 / "
+            f"(SELECT greatest(MAX(abs(u)), 1) FROM u{k})) AS BIGINT) AS v "
+            f"FROM u{k})"
+        )
+    return (
+        f"WITH {_COV_CTE}, "
+        + ", ".join(ctes)
+        + f" SELECT CAST(dim AS INT) AS dim, v AS v_milli FROM v{_PCA_ITERS}"
+    )
+
+
+@query("embed_pca_power_direction", oracle=_pca_oracle())
+def embed_pca_power_direction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant covariance eigendirection (milli fixed point, 64 rows)
+    after 6 deterministic power iterations from the all-ones start —
+    the direction a PCA-whitening or Matryoshka-rotation step would
+    remove first. Each iteration is a D²-row join + D-row aggregate
+    (tiny, lazily checkpointed to keep the lineage flat); the only
+    corpus-sized work is the one moment-partial scan underneath
+    ``_cov_table``."""
+    cov = _cov_table(spark, sf_dir)
+    mirror = cov.filter(F.col("i") < F.col("j")).select(
+        F.col("j").alias("i"), F.col("i").alias("j"), "cov_fp"
+    )
+    # checkpoint the D²-row matrix once: every iteration's matvec
+    # references it, and without the cut the corpus-sized moment scan
+    # underneath re-runs per iteration (measured 12.2 → 6.4 s at 100×)
+    full_c = (
+        cov.select("i", "j", "cov_fp")
+        .unionByName(mirror)
+        .localCheckpoint(eager=False)
+    )
+    v = spark.range(1, _COV_DIM + 1).select(
+        F.col("id").cast("int").alias("dim"),
+        F.lit(1000).cast("long").alias("v"),
+    )
+    for _ in range(_PCA_ITERS):
+        u = (
+            full_c.join(v, full_c["j"] == v["dim"])
+            .groupBy(full_c["i"].alias("dim"))
+            .agg(F.sum(F.col("cov_fp") * F.col("v")).cast("long").alias("u"))
+        )
+        m = u.agg(
+            F.greatest(F.max(F.abs(F.col("u"))), F.lit(1))
+            .cast("long")
+            .alias("m")
+        )
+        v = (
+            u.crossJoin(F.broadcast(m))
+            .select(
+                "dim",
+                F.expr("CAST(floor(u * 1000.0 / m) AS BIGINT)").alias("v"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return v.select(F.col("dim").cast("int").alias("dim"), F.col("v").alias("v_milli"))
