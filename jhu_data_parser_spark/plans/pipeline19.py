@@ -843,3 +843,342 @@ def embed_pca_power_direction(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=False)
         )
     return v.select(F.col("dim").cast("int").alias("dim"), F.col("v").alias("v_milli"))
+
+
+# --------------------------------------------------------------------------
+# U-shaped (position-based) multi-touch attribution — completes the
+# attribution family (first/last/linear exist): 40% first, 40% last,
+# 20% shared by the middles, all as exact integer micro-credits with
+# largest-remainder conservation (n=1 -> 1e6, n=2 -> 500k/500k).
+# Same scale shape as events_attribution_linear: one user_id equi-join,
+# bounded per-purchase windows.
+# --------------------------------------------------------------------------
+
+_U_WINDOW_SEC = 3 * 86400
+
+_U_CREDIT_CASE = """
+    CASE WHEN n_touch = 1 THEN 1000000
+         WHEN n_touch = 2 THEN 500000
+         WHEN rk = 1 OR rk = n_touch THEN 400000
+         ELSE 200000 {div} (n_touch - 2)
+              + CASE WHEN rk - 1 <= 200000 % (n_touch - 2)
+                     THEN 1 ELSE 0 END
+    END
+"""
+
+_USHAPE_ORACLE = f"""
+    WITH p AS (
+      SELECT event_id AS p_id, user_id, ts AS p_ts
+      FROM events WHERE event_type = 'purchase'),
+    t AS (
+      SELECT event_id AS t_id, user_id, ts AS t_ts, event_type AS touch_type
+      FROM events WHERE event_type IN ('click', 'view')),
+    pairs AS (
+      SELECT p.p_id, t.t_id, t.touch_type,
+             CAST(row_number() OVER (PARTITION BY p.p_id
+                                     ORDER BY t.t_ts, t.t_id) AS BIGINT) AS rk,
+             CAST(COUNT(*) OVER (PARTITION BY p.p_id) AS BIGINT) AS n_touch
+      FROM p JOIN t USING (user_id)
+      WHERE t.t_ts < p.p_ts
+        AND t.t_ts >= p.p_ts - INTERVAL {_U_WINDOW_SEC} SECONDS),
+    credit AS (
+      SELECT touch_type, t_id,
+             {_U_CREDIT_CASE.format(div="//")} AS micro
+      FROM pairs)
+    SELECT touch_type,
+           CAST(SUM(micro) AS BIGINT) AS micro_credits,
+           CAST(COUNT(*) AS BIGINT) AS n_touches,
+           CAST(SUM(t_id) AS BIGINT) AS id_checksum
+    FROM credit GROUP BY 1
+"""
+
+
+@query("events_attribution_ushape", oracle=_USHAPE_ORACLE)
+def events_attribution_ushape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped) attribution: 40/20/40 first/middles/
+    last split per purchase over its 3-day touch window, exact integer
+    micro-credits (largest remainder to the earliest middles — credit
+    conserves to exactly 1e6 per attributed purchase). Same one-join +
+    bounded-window plan as the linear variant."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), "user_id", F.col("ts").alias("p_ts")
+    )
+    t = ev.filter(F.col("event_type").isin("click", "view")).select(
+        F.col("event_id").alias("t_id"),
+        "user_id",
+        F.col("ts").alias("t_ts"),
+        F.col("event_type").alias("touch_type"),
+    )
+    pairs = p.join(t, "user_id").filter(
+        (F.col("t_ts") < F.col("p_ts"))
+        & (
+            F.col("t_ts")
+            >= F.col("p_ts") - F.expr(f"INTERVAL {_U_WINDOW_SEC} SECONDS")
+        )
+    )
+    w = Window.partitionBy("p_id").orderBy("t_ts", "t_id")
+    wn = Window.partitionBy("p_id")
+    credit = (
+        pairs.withColumn("rk", F.row_number().over(w).cast("long"))
+        .withColumn("n_touch", F.count(F.lit(1)).over(wn).cast("long"))
+        .select(
+            "touch_type",
+            "t_id",
+            F.expr(
+                f"CAST({_U_CREDIT_CASE.format(div='DIV')} AS BIGINT)"
+            ).alias("micro"),
+        )
+    )
+    return credit.groupBy("touch_type").agg(
+        F.sum("micro").cast("long").alias("micro_credits"),
+        F.count(F.lit(1)).cast("long").alias("n_touches"),
+        F.sum("t_id").cast("long").alias("id_checksum"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Neyman-allocated stratified sampling, threshold form — the sampling
+# family's statistical close-out: a fixed budget is allocated across
+# language strata proportional to N_h·S_h (optimal allocation for
+# estimating the mean token count), with the allocation computed by
+# exact integer moments + one fixed IEEE sqrt chain and apportioned by
+# the largest-remainder rule over the ≤|strata| allocation table; the
+# draw itself is the leakage-safe threshold form (u48 md5 draw per
+# doc against a precomputed integer threshold) — one scan, NO
+# per-stratum sort (the exact-n_h variant would sort each stratum; the
+# threshold form is the shape that survives 100 TB, trading exact
+# counts for a Binomial(n_h/N_h) draw, both reported).
+# --------------------------------------------------------------------------
+
+_NEY_BUDGET = 100
+_NEY_TWO48 = 1 << 48
+
+
+def _neyman_oracle() -> str:
+    from jhu_data_parser_spark.plans.pipeline18 import _draw48_duck
+
+    u48 = _draw48_duck("neyman:", "doc_id")
+    return f"""
+    WITH d AS (
+      SELECT doc_id, lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS x
+      FROM documents WHERE length(text) > 0),
+    m AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS s1,
+             CAST(SUM(x * x) AS BIGINT) AS s2
+      FROM d GROUP BY 1),
+    wgt AS (
+      SELECT lang, n, s1, s2,
+             CAST(n AS DOUBLE) * sqrt(
+               (CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+                - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+               / (CAST(n AS DOUBLE) * CAST(greatest(n - 1, 1) AS DOUBLE))
+             ) AS w
+      FROM m),
+    shares AS (
+      SELECT lang, n, s1, s2, w,
+             CAST(floor({_NEY_BUDGET} * w / (SELECT SUM(w) FROM wgt))
+                  AS BIGINT) AS base,
+             {_NEY_BUDGET} * w / (SELECT SUM(w) FROM wgt)
+               - floor({_NEY_BUDGET} * w / (SELECT SUM(w) FROM wgt)) AS frac
+      FROM wgt),
+    alloc AS (
+      SELECT lang, n, s1, s2, w,
+             base + CASE WHEN row_number() OVER (ORDER BY frac DESC, lang)
+                         <= {_NEY_BUDGET} - (SELECT SUM(base) FROM shares)
+                    THEN 1 ELSE 0 END AS n_alloc
+      FROM shares),
+    thr AS (
+      SELECT lang, n, n_alloc,
+             (n_alloc * CAST({_NEY_TWO48} AS BIGINT)) // n AS t48
+      FROM alloc),
+    drawn AS (
+      SELECT d.lang, d.doc_id
+      FROM d JOIN thr ON thr.lang = d.lang
+      WHERE {u48} < thr.t48)
+    SELECT thr.lang,
+           CAST(thr.n AS BIGINT) AS n_docs,
+           CAST(thr.n_alloc AS BIGINT) AS n_alloc,
+           CAST(COUNT(drawn.doc_id) AS BIGINT) AS n_drawn,
+           CAST(COALESCE(SUM(drawn.doc_id), 0) AS BIGINT) AS drawn_checksum
+    FROM thr LEFT JOIN drawn ON drawn.lang = thr.lang
+    GROUP BY 1, 2, 3
+    """
+
+
+@query("sample_neyman_threshold", oracle=_neyman_oracle())
+def sample_neyman_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified sample: budget apportioned across
+    language strata by N_h·S_h (exact integer moments, one IEEE sqrt
+    chain, largest-remainder over the tiny allocation table — the only
+    single-partition window runs over ≤|strata| aggregate rows), then
+    a threshold md5 draw per doc against the per-stratum integer
+    threshold floor(n_alloc·2^48 / N_h) — one corpus scan, no
+    per-stratum sort. Reports per stratum: size, allocation, actual
+    draws, and the drawn-id checksum."""
+    from jhu_data_parser_spark.plans.pipeline18 import _draw48_spark
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.length("text") > 0)
+        .select(
+            "doc_id",
+            "lang",
+            F.expr("CAST(size(split(text, ' ')) AS BIGINT)").alias("x"),
+        )
+    )
+    m = d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s1"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("s2"),
+    )
+    w_expr = (
+        "CAST(n AS DOUBLE) * sqrt("
+        "(CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)"
+        " - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))"
+        " / (CAST(n AS DOUBLE) * CAST(greatest(n - 1, CAST(1 AS BIGINT)) AS DOUBLE)))"
+    )
+    wgt = m.withColumn("w", F.expr(w_expr))
+    tw = wgt.agg(F.sum("w").alias("wsum"))
+    shares = (
+        wgt.crossJoin(F.broadcast(tw))
+        .withColumn(
+            "base",
+            F.expr(f"CAST(floor({_NEY_BUDGET} * w / wsum) AS BIGINT)"),
+        )
+        .withColumn(
+            "frac",
+            F.expr(
+                f"{_NEY_BUDGET} * w / wsum"
+                f" - floor({_NEY_BUDGET} * w / wsum)"
+            ),
+        )
+    )
+    rem = shares.agg(
+        (F.lit(_NEY_BUDGET) - F.sum("base")).cast("long").alias("spare")
+    )
+    wr = Window.orderBy(F.desc("frac"), "lang")
+    alloc = (
+        shares.crossJoin(F.broadcast(rem))
+        .withColumn("rk", F.row_number().over(wr))
+        .withColumn(
+            "n_alloc",
+            (
+                F.col("base")
+                + F.when(F.col("rk") <= F.col("spare"), 1).otherwise(0)
+            ).cast("long"),
+        )
+    )
+    thr = alloc.select(
+        "lang",
+        "n",
+        "n_alloc",
+        F.expr(
+            f"CAST((n_alloc * CAST({_NEY_TWO48} AS BIGINT)) DIV n AS BIGINT)"
+        ).alias("t48"),
+    )
+    u48 = _draw48_spark("neyman:", F.col("doc_id"))
+    drawn = (
+        d.join(F.broadcast(thr), "lang")
+        .filter(u48 < F.col("t48"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_drawn"),
+            F.sum("doc_id").cast("long").alias("drawn_checksum"),
+        )
+    )
+    return (
+        thr.join(drawn, "lang", "left")
+        .select(
+            "lang",
+            F.col("n").alias("n_docs"),
+            "n_alloc",
+            F.coalesce("n_drawn", F.lit(0)).cast("long").alias("n_drawn"),
+            F.coalesce("drawn_checksum", F.lit(0))
+            .cast("long")
+            .alias("drawn_checksum"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Data-loader interleave audit — after the deterministic hash shuffle
+# that orders training examples, how well are sources interleaved?
+# Per-source gap statistics over the global shuffle rank: a gap of 1
+# means two same-source docs are adjacent (the correlation data-loader
+# shuffling exists to prevent). The global rank reuses
+# adaptive_global_rank (single-task under the crossover, distributed
+# prefix sum above); the gap windows partition BY SOURCE — bounded,
+# never global.
+# --------------------------------------------------------------------------
+
+
+def _interleave_oracle() -> str:
+    from jhu_data_parser_spark.plans.pipeline18 import _draw48_duck
+
+    u48 = _draw48_duck("shuffle:", "doc_id")
+    return f"""
+    WITH d AS (
+      SELECT doc_id, source, {u48} AS u48
+      FROM documents WHERE length(text) > 0),
+    r AS (
+      SELECT doc_id, source,
+             CAST(row_number() OVER (ORDER BY u48, doc_id) AS BIGINT) AS rk
+      FROM d),
+    g AS (
+      SELECT source, rk,
+             rk - lag(rk) OVER (PARTITION BY source ORDER BY rk) AS gap
+      FROM r)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(gap) FILTER (gap = 1) AS BIGINT) AS n_adjacent,
+           CAST(MIN(gap) AS BIGINT) AS min_gap,
+           CAST(MAX(gap) AS BIGINT) AS max_gap,
+           CAST(CASE WHEN COUNT(gap) > 0
+                THEN (1000 * SUM(gap)) // COUNT(gap) END AS BIGINT)
+             AS mean_gap_milli
+    FROM g GROUP BY 1
+    """
+
+
+@query("sample_interleave_gaps", oracle=_interleave_oracle())
+def sample_interleave_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source interleave quality of the deterministic md5 shuffle
+    order: adjacent-pair counts and gap statistics over the global
+    shuffle rank (adaptive_global_rank — u48 keys are unique with
+    doc_id tiebreak, so the weight-1 running sum IS row_number), with
+    the gap windows partitioned per source."""
+    from jhu_data_parser_spark.operators.intervals import adaptive_global_rank
+    from jhu_data_parser_spark.plans.pipeline18 import _draw48_spark
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.length("text") > 0)
+        .select(
+            "doc_id",
+            "source",
+            _draw48_spark("shuffle:", F.col("doc_id")).alias("u48"),
+        )
+    )
+    r = adaptive_global_rank(
+        d.withColumn("__w", F.lit(1)), ["u48", "doc_id"], "__w",
+        n_rows=d.count(),
+    ).select("source", F.col("rank").alias("rk"))
+    wg = Window.partitionBy("source").orderBy("rk")
+    g = r.withColumn("gap", F.col("rk") - F.lag("rk").over(wg))
+    return g.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("gap") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_adjacent"),
+        F.min("gap").cast("long").alias("min_gap"),
+        F.max("gap").cast("long").alias("max_gap"),
+        F.when(
+            F.count("gap") > 0,
+            F.expr("(1000 * sum(gap)) DIV count(gap)"),
+        )
+        .cast("long")
+        .alias("mean_gap_milli"),
+    )

@@ -1,6 +1,9 @@
 """bench.py is a graded per-round artifact — a crash there loses the
 round's BENCH record. Smoke: it runs end-to-end at the smallest SF and
-prints exactly one well-formed JSON line."""
+prints the two-line emission the driver's tail capture needs — the
+full detail line first, then a compact summary line LAST that stays
+well under the ~2000-char capture window (r10's single detail line
+outgrew it → BENCH_r10 parsed:null)."""
 
 from __future__ import annotations
 
@@ -26,9 +29,18 @@ def test_bench_emits_one_json_line():
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
     lines = [l for l in proc.stdout.splitlines() if l.strip().startswith("{")]
-    assert len(lines) == 1, proc.stdout[-2000:]
-    payload = json.loads(lines[0])
-    assert payload["metric"] == "headline_queries_total_sec"
-    assert payload["unit"] == "sec"
-    assert payload["value"] > 0
-    assert len(payload["queries"]) >= 10
+    assert len(lines) == 2, proc.stdout[-2000:]
+    detail, compact = (json.loads(l) for l in lines)
+    # the LAST line is what the driver's tail capture parses: compact,
+    # hard-bounded, and carrying the graded fields
+    assert len(lines[-1]) < 1500
+    for payload in (detail, compact):
+        assert payload["metric"] == "headline_queries_total_sec"
+        assert payload["unit"] == "sec"
+        assert payload["value"] > 0
+        assert len(payload["queries"]) >= 10
+    assert compact["value"] == detail["value"]
+    assert compact["value_legacy12"] == detail["value_legacy12"]
+    assert compact["run_id"] == detail["run_id"]
+    # the detail line keeps the per-query medians/spread for humans
+    assert "medians" in detail and "medians" not in compact
