@@ -1182,3 +1182,19 @@ def sample_interleave_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("mean_gap_milli"),
     )
+
+
+@query("stream_substring_spans_incremental", oracle=_SPANS_ORACLE)
+def stream_substring_spans_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Substring-span dedup as a REAL incremental stream (append-only
+    gram-posting index, exactly-once cross-batch seed discovery,
+    corpus-global df gate at read-back) sharing the batch query's
+    oracle — stream ≡ batch ≡ SQL; see
+    streaming/jobs.run_substring_spans_incremental_stream."""
+    from jhu_data_parser_spark.streaming.jobs import (
+        run_substring_spans_incremental_stream,
+    )
+
+    return run_substring_spans_incremental_stream(spark, sf_dir)

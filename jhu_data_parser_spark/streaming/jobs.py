@@ -1685,3 +1685,212 @@ def _run_dialog_threads_incremental_impl(
         F.date_format(F.timestamp_micros(F.col("max_us")), "yyyy-MM-dd HH:mm:ss")
         .alias("turn_end"),
     )
+
+
+def run_substring_spans_incremental_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    n_chunks: int = 3,
+    work_dir: str | None = None,
+) -> DataFrame:
+    """Exact substring-span dedup as a REAL incremental stream: crawl
+    chunks (doc_id-contiguous, ascending mtimes) arrive as
+    micro-batches; each batch exact-collapses ITS OWN texts, drops
+    texts already represented in the accumulated collapse state
+    (contiguous ascending ids mean the first-seen copy IS the global
+    min-id representative), emits its positional 8-gram postings into
+    an append-only ``batch_id=N`` index, and discovers candidate
+    SEEDS exactly once by probing the accumulated index (new×old via
+    one gram equi-join — old ids are strictly smaller, so orientation
+    is by construction — plus the in-batch new×new self-join).
+    Everything is append-only: no carried offsets, no full-outer state
+    merges — the postings/seeds/state unions across batch dirs ARE the
+    state, written with the same ``_SUCCESS``-gated idempotent
+    discipline as every incremental sink.
+
+    The read-back applies the CORPUS-GLOBAL doc-frequency gate
+    (a gram's final df is unknowable mid-stream: a boilerplate gram
+    under the cap at batch k may blow past it at batch k+3 — so seeds
+    carry their gram hash and the gate filters them against the
+    final index's df table; a production stream would additionally
+    maintain a stoplist state to stop generating seeds for
+    already-over-cap grams), then runs the same diagonal
+    gaps-and-islands recovery and top-50 contract as the batch
+    operator — so the batch query's oracle gates the stream
+    bit-for-bit (stream ≡ batch ≡ SQL, the incremental-index
+    discipline applied to positional gram postings)."""
+    import time as _time
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import Window
+
+    from jhu_data_parser_spark.plans.pipeline19 import (
+        _SUB_DF_CAP,
+        _SUB_K,
+        _SUB_MIN_SPAN,
+    )
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    stage = _cleanup_at_exit(tempfile.mkdtemp(prefix="jdps_subs_src_"))
+    tbl = pq.read_table(src)
+    ids = tbl.column("doc_id")
+    lo, hi = pc.min(ids).as_py(), pc.max(ids).as_py()
+    bounds = [lo + (hi - lo + 1) * k // n_chunks for k in range(n_chunks + 1)]
+    now = _time.time() - 1000
+    for k in range(n_chunks):
+        mask = pc.and_(
+            pc.greater_equal(ids, bounds[k]), pc.less(ids, bounds[k + 1])
+        )
+        path = os.path.join(stage, f"chunk_{k:03d}.parquet")
+        pq.write_table(tbl.filter(mask), path)
+        os.utime(path, (now + 30 * k, now + 30 * k))
+
+    if work_dir is None:
+        work_dir = _cleanup_at_exit(tempfile.mkdtemp(prefix="jdps_subs_wd_"))
+    index_dir = os.path.join(work_dir, "index")
+    seeds_dir = os.path.join(work_dir, "seeds")
+    state_dir = os.path.join(work_dir, "state")
+    for p in (index_dir, seeds_dir, state_dir):
+        os.makedirs(p, exist_ok=True)
+    ckpt = _cleanup_at_exit(tempfile.mkdtemp(prefix="jdps_subs_ckpt_"))
+
+    _write_batch_once(
+        spark.createDataFrame([], "doc long, pos long, gh string"),
+        os.path.join(index_dir, "batch_id=-1"),
+    )
+    _write_batch_once(
+        spark.createDataFrame(
+            [], "doc_a long, doc_b long, pos_a long, pos_b long, gh string"
+        ),
+        os.path.join(seeds_dir, "batch_id=-1"),
+    )
+    _write_batch_once(
+        spark.createDataFrame([], "xh long, mh string"),
+        os.path.join(state_dir, "batch_id=-1"),
+    )
+
+    gram_expr = (
+        f"transform(sequence(1, size(toks) - {_SUB_K - 1}), i -> "
+        f"struct(CAST(i AS BIGINT) AS pos, "
+        f"substr(md5(array_join(slice(toks, i, {_SUB_K}), ' ')), 1, 16)"
+        " AS gh))"
+    )
+
+    def _batch(bdf: DataFrame, batch_id: int) -> None:
+        prev_state = spark.read.parquet(state_dir)
+        old_index = spark.read.parquet(index_dir).select("doc", "pos", "gh")
+        reps = (
+            bdf.filter(F.length("text") > 0)
+            .groupBy(F.xxhash64("text").alias("xh"), F.md5("text").alias("mh"))
+            .agg(
+                F.min("doc_id").alias("doc"),
+                F.min_by("text", "doc_id").alias("text"),
+            )
+            .join(prev_state.select("xh", "mh"), ["xh", "mh"], "anti")
+        )
+        fresh = reps.select(
+            "xh",
+            "mh",
+            "doc",
+            F.split(F.lower("text"), " ").alias("toks"),
+        ).localCheckpoint(eager=False)
+        postings = (
+            fresh.filter(F.size("toks") >= _SUB_K)
+            .select("doc", F.explode(F.expr(gram_expr)).alias("pg"))
+            .select("doc", "pg.pos", "pg.gh")
+            .localCheckpoint(eager=False)
+        )
+        new_old = (
+            old_index.select(
+                F.col("doc").alias("doc_a"),
+                F.col("pos").alias("pos_a"),
+                "gh",
+            )
+            .join(
+                postings.select(
+                    F.col("doc").alias("doc_b"),
+                    F.col("pos").alias("pos_b"),
+                    "gh",
+                ),
+                "gh",
+            )
+            .select("doc_a", "doc_b", "pos_a", "pos_b", "gh")
+        )
+        new_new = (
+            postings.select(
+                F.col("doc").alias("doc_a"), F.col("pos").alias("pos_a"), "gh"
+            )
+            .join(
+                postings.select(
+                    F.col("doc").alias("doc_b"),
+                    F.col("pos").alias("pos_b"),
+                    "gh",
+                ),
+                "gh",
+            )
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b", "pos_a", "pos_b", "gh")
+        )
+        _write_batch_once(
+            new_old.unionByName(new_new),
+            os.path.join(seeds_dir, f"batch_id={batch_id}"),
+        )
+        _write_batch_once(
+            postings, os.path.join(index_dir, f"batch_id={batch_id}")
+        )
+        _write_batch_once(
+            fresh.select("xh", "mh"),
+            os.path.join(state_dir, f"batch_id={batch_id}"),
+        )
+
+    schema = spark.read.parquet(stage).schema
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+        .writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    index = spark.read.parquet(index_dir)
+    mg = (
+        index.groupBy("gh")
+        .agg(F.countDistinct("doc").alias("df_docs"))
+        .filter(
+            (F.col("df_docs") >= 2) & (F.col("df_docs") <= _SUB_DF_CAP)
+        )
+        .select("gh")
+    )
+    seeds = (
+        spark.read.parquet(seeds_dir)
+        .join(mg, "gh")
+        .select(
+            "doc_a",
+            "doc_b",
+            "pos_a",
+            "pos_b",
+            (F.col("pos_a") - F.col("pos_b")).alias("diag"),
+        )
+    )
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
+    isl = seeds.withColumn("grp", F.col("pos_a") - F.row_number().over(w))
+    spans = (
+        isl.groupBy("doc_a", "doc_b", "diag", "grp")
+        .agg(
+            F.min("pos_a").cast("long").alias("start_a"),
+            F.min("pos_b").cast("long").alias("start_b"),
+            (F.max("pos_a") - F.min("pos_a") + _SUB_K)
+            .cast("long")
+            .alias("span_len"),
+        )
+        .filter(F.col("span_len") >= _SUB_MIN_SPAN)
+        .select("doc_a", "doc_b", "start_a", "start_b", "span_len")
+    )
+    return spans.orderBy(
+        F.desc("span_len"), "doc_a", "doc_b", "start_a", "start_b"
+    ).limit(50)

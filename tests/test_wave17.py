@@ -239,3 +239,65 @@ def test_embedding_moments_merge_invariant_and_match_numpy(spark, sf_dir):
         for j in range(i, d):
             want[(i + 1, j + 1)] = int(g[i, j])
     assert one == want
+
+
+def test_substring_spans_stream_cross_batch_discovery(spark, tmp_path):
+    """The incremental span stream must discover a pair whose two docs
+    arrive in DIFFERENT micro-batches (new x old index probe), match
+    the batch operator exactly, and re-run idempotently over the same
+    work dir."""
+    import os
+
+    from jhu_data_parser_spark.operators.dedup import substring_spans
+    from jhu_data_parser_spark.streaming.jobs import (
+        run_substring_spans_incremental_stream,
+    )
+
+    docs = [
+        # chunk 0 (ids 0..9): the source doc
+        (0, _toks("a", 1, 30)),
+        (1, _toks("q", 1, 12)),
+        # chunk 1 (ids 10..19): unrelated + an exact copy of doc 0
+        (10, _toks("r", 1, 12)),
+        (11, _toks("a", 1, 30)),
+        # chunk 2 (ids 20..29): copies a5..a20 from doc 0 at offset 11
+        (20, _toks("b", 1, 10) + _toks("a", 5, 20) + _toks("c", 1, 5)),
+    ]
+    d = _docs_df(spark, docs)
+    sf = str(tmp_path / "corpus")
+    os.makedirs(sf)
+    d.coalesce(1).write.parquet(os.path.join(sf, "documents.parquet"))
+
+    wd = str(tmp_path / "subs")
+    got = [
+        tuple(r)
+        for r in run_substring_spans_incremental_stream(
+            spark, sf, n_chunks=3, work_dir=wd
+        ).collect()
+    ]
+    want = [
+        tuple(r)
+        for r in substring_spans(d, k=8, min_span=12, df_cap=16)
+        .orderBy("span_len", "doc_a", "doc_b", "start_a", "start_b")
+        .collect()
+    ]
+    # one span, found across batches; the exact copy (doc 11) collapsed
+    assert got == [(0, 20, 5, 11, 16)]
+    assert sorted(got) == sorted(want)
+    # the seed rows for the pair live in the LAST batch's seed segment
+    # (new x old probe), proving cross-batch discovery
+    seeds = spark.read.parquet(os.path.join(wd, "seeds"))
+    assert (
+        seeds.filter("doc_a = 0 AND doc_b = 20 AND batch_id = 2").count() > 0
+    )
+    # idempotent re-run: committed sinks untouched, identical result
+    s0 = os.path.join(wd, "index", "batch_id=0", "_SUCCESS")
+    mtime = os.path.getmtime(s0)
+    got2 = [
+        tuple(r)
+        for r in run_substring_spans_incremental_stream(
+            spark, sf, n_chunks=3, work_dir=wd
+        ).collect()
+    ]
+    assert got2 == got
+    assert os.path.getmtime(s0) == mtime
