@@ -1039,3 +1039,40 @@ def test_dialog_threading_reuses_one_user_exchange(spark):
     df = plans.QUERIES["dialog_thread_turns"](spark, SF_SMOKE)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1, plan[:1200]
+
+
+def test_substring_spans_pair_join_is_equi(spark):
+    """The span seed join must be the banded equi-join shape on the
+    gram key — never a cartesian/NLJ text-pair comparison — and the
+    top-50 contract must plan as TakeOrderedAndProject (per-task
+    heaps, no global sort)."""
+    plan = _plan(spark, "dedup_substring_spans", execute=True)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert (
+        "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or "BroadcastHashJoin" in plan
+    )
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_quantile_sketch_merge_is_two_aggregates(spark):
+    """The mergeable sketch must plan as leaf aggregate -> merge
+    aggregate with broadcast dims; the cumulative window partitions by
+    region (no full-table single-partition window)."""
+    plan = _plan(spark, "agg_quantile_sketch_merge", execute=True)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 4  # partial+final x two levels
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_rouge_clip_join_no_nested_loop(spark):
+    """The clipped-overlap join must stay an equi join on (group, gram
+    hash) — the text never crosses as a join key and nothing plans as
+    NLJ/cartesian."""
+    plan = _plan(spark, "pairs_rouge_bigram", execute=True)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "xxhash64" in plan
