@@ -1198,3 +1198,94 @@ def stream_substring_spans_incremental(
     )
 
     return run_substring_spans_incremental_stream(spark, sf_dir)
+
+
+# --------------------------------------------------------------------------
+# Winsorized robust pricing — the sketch COMPOSED in-plan: per-region
+# p05/p95 bucket bounds come from the same merged histogram the
+# quantile queries read, broadcast back onto the fact rows, and values
+# clip to the integer bounds — robust location statistics whose every
+# step (bucket thresholds, clipping, sums) is exact integer
+# arithmetic. The composition is the point: sketch artifacts are plan
+# nodes, not driver-side state.
+# --------------------------------------------------------------------------
+
+_WINS_QUANTS = ((5, "q05_est"), (95, "q95_est"))
+
+_WINSOR_ORACLE = f"""
+    WITH v AS (
+      SELECT r_name AS region_name, n_name AS nation_name,
+             CAST(floor(o_totalprice) AS BIGINT) AS val,
+             CAST(floor(o_totalprice) AS BIGINT) // {_QS_WIDTH} AS bucket
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey),
+    merged AS (
+      SELECT region_name, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM v GROUP BY 1, 2),
+    cum AS (
+      SELECT *,
+             CAST(SUM(cnt) OVER (PARTITION BY region_name ORDER BY bucket
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+             CAST(SUM(cnt) OVER (PARTITION BY region_name) AS BIGINT) AS n
+      FROM merged),
+    thr AS (
+      SELECT region_name,
+             CAST(MIN(CASE WHEN cum * 100 >= n * 5
+                  THEN (bucket + 1) * {_QS_WIDTH} END) AS BIGINT) AS q05_est,
+             CAST(MIN(CASE WHEN cum * 100 >= n * 95
+                  THEN (bucket + 1) * {_QS_WIDTH} END) AS BIGINT) AS q95_est
+      FROM cum GROUP BY 1)
+    SELECT v.region_name,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(LEAST(GREATEST(v.val, t.q05_est), t.q95_est)) AS BIGINT)
+             AS winsorized_sum,
+           CAST(SUM(CASE WHEN v.val < t.q05_est THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clipped_low,
+           CAST(SUM(CASE WHEN v.val > t.q95_est THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clipped_high
+    FROM v JOIN thr t USING (region_name)
+    GROUP BY 1
+"""
+
+
+@query("agg_winsorized_pricing", oracle=_WINSOR_ORACLE)
+def agg_winsorized_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-region winsorized order-value statistics: values clip to the
+    sketch's p05/p95 integer bucket bounds (the ≤|regions|-row
+    threshold table broadcasts back onto the facts), reporting the
+    winsorized sum and clip counts — robust aggregates from one fact
+    scan feeding both the sketch and the clip pass."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    v = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .select(
+            F.col("r_name").alias("region_name"),
+            F.expr("CAST(floor(o_totalprice) AS BIGINT)").alias("val"),
+        )
+        .withColumn("bucket", F.expr(f"val DIV {_QS_WIDTH}"))
+    )
+    merged = v.groupBy("region_name", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    thr = _sketch_quantiles(
+        merged, "region_name", _QS_WIDTH, _WINS_QUANTS, "n_sketch"
+    ).drop("n_sketch")
+    clipped = v.join(F.broadcast(thr), "region_name").select(
+        "region_name",
+        F.expr("LEAST(GREATEST(val, q05_est), q95_est)").alias("w"),
+        F.when(F.col("val") < F.col("q05_est"), 1).otherwise(0).alias("lo"),
+        F.when(F.col("val") > F.col("q95_est"), 1).otherwise(0).alias("hi"),
+    )
+    return clipped.groupBy("region_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("w").cast("long").alias("winsorized_sum"),
+        F.sum("lo").cast("long").alias("n_clipped_low"),
+        F.sum("hi").cast("long").alias("n_clipped_high"),
+    )
