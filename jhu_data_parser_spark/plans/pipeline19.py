@@ -1,7 +1,8 @@
-"""Catalog wave 24 — round 11: substring-span dedup + mergeable
-quantile sketches.
+"""Catalog waves 34-41 — round 11: substring-span dedup, mergeable
+sketches (quantile histograms, covariance moments, PCA), preference-
+pair audits, statistical sampling, and their incremental/stream twins.
 
-Two families closing the r10 verdict's "next" items 3 and 4:
+The two anchor families close the r10 verdict's "next" items 3 and 4:
 
 - ``dedup_substring_spans`` / ``dedup_substring_excision`` — exact
   cross-document substring duplication with POSITIONS: the span
