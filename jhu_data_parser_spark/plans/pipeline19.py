@@ -1290,3 +1290,239 @@ def agg_winsorized_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("lo").cast("long").alias("n_clipped_low"),
         F.sum("hi").cast("long").alias("n_clipped_high"),
     )
+
+
+# --------------------------------------------------------------------------
+# k-core peeling on the strong trade graph — the degeneracy view the
+# community/link-prediction family lacks: nodes with degree < k peel
+# off, degrees recompute, repeat. Fixed peel schedule (4 rounds — a
+# fixed iteration count like the LPA/PageRank chains: determinism by
+# construction, convergence a property the per-round stats expose),
+# per-round node/edge counts + a node checksum. The graph-build step
+# (top-60 undirected edges by lineitem volume) is the family's shared
+# convention; every peel round is a |E|-row join — nation arity bounds
+# the graph, the fact scan is the only corpus-sized work.
+# --------------------------------------------------------------------------
+
+_KCORE_K = 4
+_KCORE_ROUNDS = 4
+
+_STRONG_CTE = """
+    raw AS (
+      SELECT LEAST(s.s_nationkey, c.c_nationkey) AS a,
+             GREATEST(s.s_nationkey, c.c_nationkey) AS b,
+             COUNT(*) AS w
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      WHERE s.s_nationkey <> c.c_nationkey
+      GROUP BY 1, 2),
+    strong AS (
+      SELECT a, b FROM raw ORDER BY w DESC, a, b LIMIT 60)
+"""
+
+
+def _kcore_oracle() -> str:
+    ctes = [f"e0 AS MATERIALIZED (SELECT a, b FROM strong)"]
+    stats = []
+    for r in range(_KCORE_ROUNDS + 1):
+        ctes.append(
+            f"d{r} AS MATERIALIZED ("
+            f"SELECT x, CAST(COUNT(*) AS BIGINT) AS d FROM ("
+            f"SELECT a AS x FROM e{r} UNION ALL SELECT b FROM e{r})"
+            f" GROUP BY x)"
+        )
+        stats.append(
+            f"SELECT CAST({r} AS INT) AS peel_round,"
+            f" CAST((SELECT COUNT(*) FROM d{r}) AS BIGINT) AS n_nodes,"
+            f" CAST((SELECT COUNT(*) FROM e{r}) AS BIGINT) AS n_edges,"
+            f" CAST(COALESCE((SELECT SUM(x) FROM d{r}), 0) AS BIGINT)"
+            f" AS node_checksum"
+        )
+        if r < _KCORE_ROUNDS:
+            ctes.append(
+                f"s{r} AS (SELECT x FROM d{r} WHERE d >= {_KCORE_K})"
+            )
+            ctes.append(
+                f"e{r + 1} AS MATERIALIZED ("
+                f"SELECT a, b FROM e{r}"
+                f" WHERE a IN (SELECT x FROM s{r})"
+                f" AND b IN (SELECT x FROM s{r}))"
+            )
+    return (
+        f"WITH {_STRONG_CTE}, "
+        + ", ".join(ctes)
+        + " "
+        + " UNION ALL ".join(stats)
+    )
+
+
+@query("graph_kcore_peel", oracle=_kcore_oracle())
+def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core peeling (k = 4, 4 fixed rounds) over the strong trade
+    graph: per round, the surviving node/edge counts and node-id
+    checksum — the degeneracy profile. Each round is two tiny
+    semi-joins + a degree aggregate over the ≤60-edge table (lazily
+    checkpointed per round); the fact scan feeding the graph build is
+    the only corpus-sized work."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    raw = (
+        l.select("l_orderkey", "l_suppkey")
+        .join(
+            o.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(c.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(s.select("s_suppkey", "s_nationkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .select(
+            F.least("s_nationkey", "c_nationkey").alias("a"),
+            F.greatest("s_nationkey", "c_nationkey").alias("b"),
+        )
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    cur = (
+        raw.orderBy(F.desc("w"), "a", "b")
+        .limit(60)
+        .select("a", "b")
+        .localCheckpoint(eager=False)
+    )
+    stats = []
+    for r in range(_KCORE_ROUNDS + 1):
+        sym = cur.select(F.col("a").alias("x")).unionAll(
+            cur.select(F.col("b").alias("x"))
+        )
+        deg = sym.groupBy("x").agg(F.count(F.lit(1)).cast("long").alias("d"))
+        node_stats = deg.agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.coalesce(F.sum("x"), F.lit(0)).cast("long").alias("node_checksum"),
+        )
+        edge_stats = cur.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+        stats.append(
+            node_stats.crossJoin(edge_stats).select(
+                F.lit(r).cast("int").alias("peel_round"),
+                "n_nodes",
+                "n_edges",
+                "node_checksum",
+            )
+        )
+        if r < _KCORE_ROUNDS:
+            surv = deg.filter(F.col("d") >= _KCORE_K).select("x")
+            cur = (
+                cur.join(
+                    surv.select(F.col("x").alias("a")), "a", "semi"
+                )
+                .join(surv.select(F.col("x").alias("b")), "b", "semi")
+                .select("a", "b")
+                .localCheckpoint(eager=False)
+            )
+    out = stats[0]
+    for st in stats[1:]:
+        out = out.unionByName(st)
+    return out
+
+
+# --------------------------------------------------------------------------
+# Vocabulary growth curve (the Heaps'-law points, exact integers): how
+# many distinct words has the corpus seen after each eighth of the
+# doc-id range? The classic one-pass trick: a word's contribution to
+# every prefix is determined by its FIRST document (min doc_id), so
+# one word-level aggregate + a broadcast 8-row bounds table replaces
+# eight distinct-count scans. The curve is what a tokenizer-budget or
+# dedup-saturation decision reads; all points are exact integers (no
+# cross-engine ln()).
+# --------------------------------------------------------------------------
+
+_VG_PARTS = 8
+
+_VOCAB_GROWTH_ORACLE = f"""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS ntok
+      FROM documents WHERE length(text) > 0),
+    lim AS (
+      SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi FROM d),
+    bounds AS (
+      SELECT CAST(p AS INT) AS p,
+             lim.lo + (lim.hi - lim.lo + 1) * p // {_VG_PARTS} AS bound
+      FROM range(1, {_VG_PARTS} + 1) t(p), lim),
+    w AS (
+      SELECT word, MIN(doc_id) AS first_doc FROM (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+        FROM documents WHERE length(text) > 0)
+      GROUP BY word),
+    tok AS (
+      SELECT b.p, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(d.ntok) AS BIGINT) AS n_tokens
+      FROM d JOIN bounds b ON d.doc_id < b.bound GROUP BY b.p),
+    voc AS (
+      SELECT b.p, CAST(COUNT(*) AS BIGINT) AS n_vocab
+      FROM w JOIN bounds b ON w.first_doc < b.bound GROUP BY b.p)
+    SELECT tok.p AS prefix_eighth, tok.n_docs, tok.n_tokens, voc.n_vocab
+    FROM tok JOIN voc ON voc.p = tok.p
+"""
+
+
+@query("text_vocab_growth", oracle=_VOCAB_GROWTH_ORACLE)
+def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact vocabulary-growth (Heaps) points over eight doc-id-range
+    prefixes: docs, tokens, and distinct words seen per prefix. One
+    word-level min(doc_id) aggregate + an 8-row broadcast bounds table
+    — never eight distinct scans; every point is an exact integer."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.length("text") > 0)
+        .select(
+            "doc_id",
+            F.expr("CAST(size(split(lower(text), ' ')) AS BIGINT)").alias(
+                "ntok"
+            ),
+            F.split(F.lower("text"), " ").alias("toks"),
+        )
+    )
+    lim = d.agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
+    bounds = (
+        spark.range(1, _VG_PARTS + 1)
+        .select(F.col("id").cast("int").alias("p"))
+        .crossJoin(F.broadcast(lim))
+        .select(
+            "p",
+            F.expr(f"lo + (hi - lo + 1) * p DIV {_VG_PARTS}").alias("bound"),
+        )
+    )
+    tok = (
+        d.select("doc_id", "ntok")
+        .join(F.broadcast(bounds), F.col("doc_id") < F.col("bound"))
+        .groupBy("p")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("ntok").cast("long").alias("n_tokens"),
+        )
+    )
+    w = (
+        d.select("doc_id", F.explode("toks").alias("word"))
+        .groupBy("word")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    voc = (
+        w.join(F.broadcast(bounds), F.col("first_doc") < F.col("bound"))
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_vocab"))
+    )
+    return (
+        tok.join(voc, "p")
+        .select(
+            F.col("p").alias("prefix_eighth"), "n_docs", "n_tokens", "n_vocab"
+        )
+    )
