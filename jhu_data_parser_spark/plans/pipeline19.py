@@ -1526,3 +1526,112 @@ def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p").alias("prefix_eighth"), "n_docs", "n_tokens", "n_vocab"
         )
     )
+
+
+# --------------------------------------------------------------------------
+# CUSUM drift monitor — the monitoring family's change-point chart
+# (EWMA/Holt/seasonal cover smoothing; CUSUM's max(0, ·) CLAMP is a
+# different recurrence class — not window-expressible, not a linear
+# fold): per event type, the two-sided cumulative-sum chart over the
+# daily count series with target = mean (integer floor) and slack =
+# 5% of target. Exact integers end-to-end. The per-type day series is
+# bounded by the TIME RANGE, not the data size (a 100 TB corpus over
+# the same month still folds ≤31 elements per type), so the
+# collect_list + in-row fold is the scale-correct shape; the oracle
+# replays the clamp recurrence as a recursive CTE over day indexes.
+# --------------------------------------------------------------------------
+
+_CUSUM_ORACLE = """
+    WITH RECURSIVE c AS (
+      SELECT event_type,
+             epoch_us(ts) // 86400000000 AS day,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2),
+    ci AS (
+      SELECT event_type, x,
+             CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+                  AS BIGINT) AS i
+      FROM c),
+    t AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(x) // COUNT(*) AS BIGINT) AS target,
+             CAST(greatest((SUM(x) // COUNT(*)) // 20, 1) AS BIGINT) AS slack
+      FROM ci GROUP BY 1),
+    rec(event_type, i, hi, ph, lo, pl) AS (
+      SELECT ci.event_type, ci.i,
+             greatest(ci.x - t.target - t.slack, 0),
+             greatest(ci.x - t.target - t.slack, 0),
+             greatest(t.target - t.slack - ci.x, 0),
+             greatest(t.target - t.slack - ci.x, 0)
+      FROM ci JOIN t USING (event_type) WHERE ci.i = 1
+      UNION ALL
+      SELECT r.event_type, r.i + 1,
+             greatest(r.hi + ci.x - t.target - t.slack, 0),
+             greatest(r.ph, greatest(r.hi + ci.x - t.target - t.slack, 0)),
+             greatest(r.lo + t.target - t.slack - ci.x, 0),
+             greatest(r.pl, greatest(r.lo + t.target - t.slack - ci.x, 0))
+      FROM rec r
+      JOIN ci ON ci.event_type = r.event_type AND ci.i = r.i + 1
+      JOIN t ON t.event_type = r.event_type)
+    SELECT r.event_type,
+           t.n_days, t.target, t.slack,
+           CAST(r.ph AS BIGINT) AS peak_hi,
+           CAST(r.pl AS BIGINT) AS peak_lo
+    FROM rec r JOIN t ON t.event_type = r.event_type
+    WHERE r.i = t.n_days
+"""
+
+
+@query("events_cusum_drift", oracle=_CUSUM_ORACLE)
+def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM control chart per event type over daily counts:
+    peak upward/downward cumulative deviations against an integer
+    target (mean daily count) with 5% slack — the clamped recurrence
+    folded in-row over the day-sorted series (bounded by the time
+    range); one (type, day) aggregate + one per-type fold."""
+    ev = load_table(spark, sf_dir, "events")
+    c = (
+        ev.select(
+            "event_type",
+            F.expr("unix_micros(ts) DIV 86400000000").alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+    per = c.groupBy("event_type").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(day, x))), e -> e.x)"
+        ).alias("xs"),
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("x").cast("long").alias("total"),
+    ).select(
+        "event_type",
+        "xs",
+        "n_days",
+        F.expr("CAST(total DIV n_days AS BIGINT)").alias("target"),
+        F.expr(
+            "CAST(greatest((total DIV n_days) DIV 20, CAST(1 AS BIGINT))"
+            " AS BIGINT)"
+        ).alias("slack"),
+    )
+    fold = (
+        "aggregate(xs, "
+        "named_struct('hi', CAST(0 AS BIGINT), 'ph', CAST(0 AS BIGINT), "
+        "'lo', CAST(0 AS BIGINT), 'pl', CAST(0 AS BIGINT)), "
+        "(a, x) -> named_struct("
+        "'hi', greatest(a.hi + x - target - slack, CAST(0 AS BIGINT)), "
+        "'ph', greatest(a.ph, greatest(a.hi + x - target - slack,"
+        " CAST(0 AS BIGINT))), "
+        "'lo', greatest(a.lo + target - slack - x, CAST(0 AS BIGINT)), "
+        "'pl', greatest(a.pl, greatest(a.lo + target - slack - x,"
+        " CAST(0 AS BIGINT)))))"
+    )
+    return per.withColumn("cs", F.expr(fold)).select(
+        "event_type",
+        "n_days",
+        "target",
+        "slack",
+        F.col("cs.ph").alias("peak_hi"),
+        F.col("cs.pl").alias("peak_lo"),
+    )
