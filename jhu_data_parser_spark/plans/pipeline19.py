@@ -1583,22 +1583,10 @@ _CUSUM_ORACLE = """
 """
 
 
-@query("events_cusum_drift", oracle=_CUSUM_ORACLE)
-def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-sided CUSUM control chart per event type over daily counts:
-    peak upward/downward cumulative deviations against an integer
-    target (mean daily count) with 5% slack — the clamped recurrence
-    folded in-row over the day-sorted series (bounded by the time
-    range); one (type, day) aggregate + one per-type fold."""
-    ev = load_table(spark, sf_dir, "events")
-    c = (
-        ev.select(
-            "event_type",
-            F.expr("unix_micros(ts) DIV 86400000000").alias("day"),
-        )
-        .groupBy("event_type", "day")
-        .agg(F.count(F.lit(1)).cast("long").alias("x"))
-    )
+def _cusum_finish(c: DataFrame) -> DataFrame:
+    """Chart computation over a (event_type, day, x) daily-count table
+    — shared by the batch query and the stream twin so the fold can
+    never drift between them."""
     per = c.groupBy("event_type").agg(
         F.expr(
             "transform(array_sort(collect_list(struct(day, x))), e -> e.x)"
@@ -1635,3 +1623,34 @@ def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cs.ph").alias("peak_hi"),
         F.col("cs.pl").alias("peak_lo"),
     )
+
+
+@query("events_cusum_drift", oracle=_CUSUM_ORACLE)
+def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM control chart per event type over daily counts:
+    peak upward/downward cumulative deviations against an integer
+    target (mean daily count) with 5% slack — the clamped recurrence
+    folded in-row over the day-sorted series (bounded by the time
+    range); one (type, day) aggregate + one per-type fold
+    (:func:`_cusum_finish`)."""
+    ev = load_table(spark, sf_dir, "events")
+    c = (
+        ev.select(
+            "event_type",
+            F.expr("unix_micros(ts) DIV 86400000000").alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+    return _cusum_finish(c)
+
+
+@query("stream_cusum_drift", oracle=_CUSUM_ORACLE)
+def stream_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM over a REAL events stream: per-micro-batch (type, day)
+    count partials merge by addition, the chart folds once at
+    read-back — N micro-batches ≡ one batch pass, gated by the shared
+    oracle; see streaming/jobs.run_cusum_drift_stream."""
+    from jhu_data_parser_spark.streaming.jobs import run_cusum_drift_stream
+
+    return run_cusum_drift_stream(spark, sf_dir)

@@ -1894,3 +1894,55 @@ def run_substring_spans_incremental_stream(
     return spans.orderBy(
         F.desc("span_len"), "doc_a", "doc_b", "start_a", "start_b"
     ).limit(50)
+
+
+def run_cusum_drift_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 8
+) -> DataFrame:
+    """CUSUM drift monitoring over a REAL events stream — the
+    streaming twin of ``events_cusum_drift``: each micro-batch sinks
+    its OWN (event_type, day) count partial (addition-mergeable, no
+    state), the read-back merges partials and folds the clamped
+    recurrence ONCE over the merged day-sorted series. The recurrence
+    itself is order-dependent and cannot stream incrementally without
+    carrying the chart state; merging the mergeable HALF (the counts)
+    and folding at read time is exactly how a monitoring service
+    recomputes its charts each tick — and makes N micro-batches ≡ one
+    batch pass, gated by the shared oracle. Same ``_write_batch_once``
+    idempotency discipline as the CMS/Gopher/quantile partial sinks."""
+    from jhu_data_parser_spark.plans.pipeline19 import _cusum_finish
+
+    out_dir = _cleanup_at_exit(tempfile.mkdtemp(prefix="jdps_cusum_parts_"))
+    ckpt = _cleanup_at_exit(tempfile.mkdtemp(prefix="jdps_cusum_ckpt_"))
+
+    def _batch(bdf: DataFrame, batch_id: int) -> None:
+        part = (
+            bdf.select(
+                "event_type",
+                F.expr("unix_micros(ts) DIV 86400000000").alias("day"),
+            )
+            .groupBy("event_type", "day")
+            .agg(F.count(F.lit(1)).cast("long").alias("x"))
+        )
+        _write_batch_once(part, os.path.join(out_dir, f"batch_id={batch_id}"))
+
+    _write_batch_once(
+        spark.createDataFrame([], "event_type string, day long, x long"),
+        os.path.join(out_dir, "batch_id=-1"),
+    )
+
+    q = (
+        read_events_stream(spark, sf_dir)
+        .writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    merged = (
+        spark.read.parquet(out_dir)
+        .groupBy("event_type", "day")
+        .agg(F.sum("x").cast("long").alias("x"))
+    )
+    return _cusum_finish(merged)
