@@ -1654,3 +1654,134 @@ def stream_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jhu_data_parser_spark.streaming.jobs import run_cusum_drift_stream
 
     return run_cusum_drift_stream(spark, sf_dir)
+
+
+# --------------------------------------------------------------------------
+# KMV/theta sketch SET ALGEBRA — the sketch family's missing operation:
+# union and intersection cardinality estimates between two user sets
+# (clickers vs purchasers) from one bottom-k sample of the union, next
+# to the exact counts so the driver gate certifies estimator AND input.
+# theta = k-th smallest union hash; |A∪B| ≈ (k−1)·2^48 // θ; |A∩B| ≈
+# |{h ∈ A∩B : h < θ}| · 2^48 // θ — all exact integer division. The
+# bottom-k is orderBy().limit(k) → TakeOrderedAndProject (per-task
+# heaps — the scale-correct bottom-k, no global sort/window), exactly
+# the distributed merge a theta sketch does.
+# --------------------------------------------------------------------------
+
+_THETA_K = 32
+_THETA_DOMAIN = 1 << 48
+
+
+def _theta_oracle() -> str:
+    from jhu_data_parser_spark.plans.pipeline6 import _hexpoly_sql
+
+    h = _hexpoly_sql("md5(CAST(user_id AS VARCHAR))", 12)
+    return f"""
+    WITH a AS (SELECT DISTINCT {h} AS h FROM events
+               WHERE event_type = 'click'),
+    b AS (SELECT DISTINCT {h} AS h FROM events
+          WHERE event_type = 'purchase'),
+    u AS (SELECT h FROM a UNION SELECT h FROM b),
+    bk AS (SELECT h FROM u ORDER BY h LIMIT {_THETA_K}),
+    th AS (SELECT MAX(h) AS theta, CAST(COUNT(*) AS BIGINT) AS n_bot FROM bk),
+    ex AS (
+      SELECT CAST((SELECT COUNT(*) FROM a) AS BIGINT) AS n_click_exact,
+             CAST((SELECT COUNT(*) FROM b) AS BIGINT) AS n_purchase_exact,
+             CAST((SELECT COUNT(*) FROM u) AS BIGINT) AS n_union_exact,
+             CAST((SELECT COUNT(*) FROM a JOIN b USING (h)) AS BIGINT)
+               AS n_inter_exact),
+    samp AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS ni_samp
+      FROM a JOIN b USING (h), th WHERE a.h < th.theta)
+    SELECT ex.n_click_exact, ex.n_purchase_exact,
+           ex.n_union_exact, ex.n_inter_exact,
+           CAST(th.theta AS BIGINT) AS theta,
+           CAST(CASE WHEN th.n_bot < {_THETA_K} THEN ex.n_union_exact
+                ELSE ({_THETA_K - 1} * CAST({_THETA_DOMAIN} AS BIGINT))
+                     // th.theta END AS BIGINT) AS union_est,
+           CAST(CASE WHEN th.n_bot < {_THETA_K} THEN ex.n_inter_exact
+                ELSE (samp.ni_samp * CAST({_THETA_DOMAIN} AS BIGINT))
+                     // th.theta END AS BIGINT) AS inter_est
+    FROM ex, th, samp
+    """
+
+
+@query("agg_kmv_set_algebra", oracle=_theta_oracle())
+def agg_kmv_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch set algebra over clicker/purchaser user sets:
+    union and intersection estimates from one bottom-k union sample
+    (TakeOrderedAndProject bottom-k — per-task heaps, the distributed
+    theta merge), reported next to the exact counts. Exact integer
+    division throughout; ni_samp ≤ k−1 bounds the product far inside
+    int64."""
+    from jhu_data_parser_spark.plans.pipeline6 import _hex_long
+
+    ev = load_table(spark, sf_dir, "events")
+
+    def _set(et: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == et)
+            .select(
+                _hex_long(F.md5(F.col("user_id").cast("string")), 12).alias(
+                    "h"
+                )
+            )
+            .distinct()
+        )
+
+    a = _set("click").localCheckpoint(eager=False)
+    b = _set("purchase").localCheckpoint(eager=False)
+    u = a.unionByName(b).distinct().localCheckpoint(eager=False)
+    th = (
+        u.orderBy("h")
+        .limit(_THETA_K)
+        .agg(
+            F.max("h").alias("theta"),
+            F.count(F.lit(1)).cast("long").alias("n_bot"),
+        )
+    )
+    ex = (
+        a.agg(F.count(F.lit(1)).cast("long").alias("n_click_exact"))
+        .crossJoin(
+            b.agg(F.count(F.lit(1)).cast("long").alias("n_purchase_exact"))
+        )
+        .crossJoin(u.agg(F.count(F.lit(1)).cast("long").alias("n_union_exact")))
+        .crossJoin(
+            a.join(b, "h")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_inter_exact"))
+        )
+    )
+    samp = (
+        a.join(b, "h")
+        .crossJoin(F.broadcast(th.select("theta")))
+        .filter(F.col("h") < F.col("theta"))
+        .agg(F.count(F.lit(1)).cast("long").alias("ni_samp"))
+    )
+    return (
+        ex.crossJoin(F.broadcast(th))
+        .crossJoin(F.broadcast(samp))
+        .select(
+            "n_click_exact",
+            "n_purchase_exact",
+            "n_union_exact",
+            "n_inter_exact",
+            F.col("theta").cast("long").alias("theta"),
+            F.when(F.col("n_bot") < _THETA_K, F.col("n_union_exact"))
+            .otherwise(
+                F.expr(
+                    f"CAST({(_THETA_K - 1) * _THETA_DOMAIN} AS BIGINT)"
+                    " DIV theta"
+                )
+            )
+            .cast("long")
+            .alias("union_est"),
+            F.when(F.col("n_bot") < _THETA_K, F.col("n_inter_exact"))
+            .otherwise(
+                F.expr(
+                    f"(ni_samp * CAST({_THETA_DOMAIN} AS BIGINT)) DIV theta"
+                )
+            )
+            .cast("long")
+            .alias("inter_est"),
+        )
+    )
