@@ -1785,3 +1785,91 @@ def agg_kmv_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("inter_est"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Theil–Sen robust trend per event type — the monitoring family's
+# robust-regression member (CUSUM detects shifts; Theil–Sen quantifies
+# the trend without OLS's outlier sensitivity): the median of all
+# pairwise slopes over the daily-count series. The day series is
+# bounded by the TIME RANGE (≤ a few hundred points at any corpus
+# size), so the O(n²) pair set stays in-row: nested transforms
+# generate the ≤ n(n−1)/2 slopes, one array_sort + element pick takes
+# the lower-median. Slopes are one IEEE double division over exact
+# integers (identical both engines; integer DIV is AVOIDED — Spark
+# truncates toward zero while DuckDB floors, which diverges on
+# negative slopes); the reported value re-enters integers as
+# floor(1e6·median).
+# --------------------------------------------------------------------------
+
+_THEIL_ORACLE = """
+    WITH c AS (
+      SELECT event_type,
+             epoch_us(ts) // 86400000000 AS day,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2),
+    arr AS (
+      SELECT event_type,
+             list(day ORDER BY day) AS ds,
+             list(x ORDER BY day) AS xs,
+             CAST(COUNT(*) AS BIGINT) AS n_days
+      FROM c GROUP BY event_type),
+    sl AS (
+      SELECT event_type, n_days, xs,
+             list_sort(flatten(list_transform(range(1, len(xs)), i ->
+               list_transform(range(i + 1, len(xs) + 1), j ->
+                 CAST(xs[j] - xs[i] AS DOUBLE)
+                 / CAST(ds[j] - ds[i] AS DOUBLE))))) AS slopes
+      FROM arr)
+    SELECT event_type, n_days,
+           CAST(list_sort(xs)[CAST((n_days + 1) // 2 AS INT)] AS BIGINT)
+             AS median_daily,
+           CAST(floor(1000000.0 *
+                slopes[CAST((len(slopes) + 1) // 2 AS INT)]) AS BIGINT)
+             AS sen_slope_micro
+    FROM sl
+"""
+
+
+@query("events_theil_sen_trend", oracle=_THEIL_ORACLE)
+def events_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust daily-count trend per event type: lower-median
+    of all pairwise slopes (micro fixed point) plus the median daily
+    count. One (type, day) aggregate; the pair set and both medians
+    stay in-row over the time-range-bounded series."""
+    ev = load_table(spark, sf_dir, "events")
+    c = (
+        ev.select(
+            "event_type",
+            F.expr("unix_micros(ts) DIV 86400000000").alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+    arr = c.groupBy("event_type").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(day, x))), e -> e.day)"
+        ).alias("ds"),
+        F.expr(
+            "transform(array_sort(collect_list(struct(day, x))), e -> e.x)"
+        ).alias("xs"),
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+    )
+    slopes = (
+        "array_sort(flatten(transform(sequence(1, size(xs) - 1), i -> "
+        "transform(sequence(i + 1, size(xs)), j -> "
+        "CAST(element_at(xs, j) - element_at(xs, i) AS DOUBLE)"
+        " / CAST(element_at(ds, j) - element_at(ds, i) AS DOUBLE)))))"
+    )
+    return arr.withColumn("slopes", F.expr(slopes)).select(
+        "event_type",
+        "n_days",
+        F.expr(
+            "CAST(element_at(array_sort(xs),"
+            " CAST((n_days + 1) DIV 2 AS INT)) AS BIGINT)"
+        ).alias("median_daily"),
+        F.expr(
+            "CAST(floor(1000000.0 * element_at(slopes,"
+            " CAST((size(slopes) + 1) DIV 2 AS INT))) AS BIGINT)"
+        ).alias("sen_slope_micro"),
+    )
