@@ -57,6 +57,10 @@ def materialize(df) -> None:
 
 
 def main() -> None:
+    # 1-min loadavg BEFORE any Spark work: this reads EXTERNAL
+    # contention (the bench's own 32-thread burst would dominate a
+    # reading taken at emit time).
+    load1_start = round(os.getloadavg()[0], 2)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark(app_name="jdps-bench")
@@ -188,6 +192,7 @@ def main() -> None:
         "unit": "sec",
         "n": runs,
         "run_id": run_id,
+        "load1": load1_start,
         "n_samples": n_samples,
         "queries": timings,
         "medians": medians,
@@ -195,19 +200,30 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     print(json.dumps(detail))
+    # load1 makes a contended run machine-readable: r11's 5.551 s
+    # legacy-12 was pure machine load (quiet-band A/B 4.15-4.44 s) but
+    # the summary line carried no way to tell — now any reader of
+    # BENCH_r{N}.json can see the 1-min loadavg the run started under.
     compact = {
         "metric": "headline_queries_total_sec",
         "value": total,
         "value_legacy12": legacy_total,
         "unit": "sec",
         "run_id": run_id,
+        "load1": load1_start,
+        "n_samples": n_samples,
         "queries": timings,
         "sf": detail["sf"],
     }
     line = json.dumps(compact)
     if len(line) > 1500:  # never regress into the truncation failure mode
-        compact.pop("queries")
+        # shrink deterministically (coarser rounding) before dropping
+        # the field outright, so the per-query map degrades gracefully
+        compact["queries"] = {n: round(v, 2) for n, v in timings.items()}
         line = json.dumps(compact)
+        if len(line) > 1500:
+            compact.pop("queries")
+            line = json.dumps(compact)
     print(line)
 
 

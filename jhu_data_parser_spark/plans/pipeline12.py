@@ -364,7 +364,9 @@ def sample_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
 # aggregate straight from the parquet table, so a value-hash match
 # proves the written files carried every row and type faithfully
 # (cents-exact sums, per-flag row counts). Avro's SQL data source jar
-# is not in this pyspark distribution — noted, not silently skipped.
+# is not in this pyspark distribution, so the Avro roundtrip runs on
+# the VENDORED pure-Python object-container codec
+# (sources/avro_container.py — same precedent as the image codecs).
 # --------------------------------------------------------------------------
 
 _ROUNDTRIP_ORACLE = """
@@ -407,6 +409,52 @@ def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     _rmtree_at_exit(out)
     _roundtrip_cols(spark, sf_dir).write.mode("overwrite").orc(out)
     return _roundtrip_agg(spark.read.orc(out))
+
+
+@query("source_avro_roundtrip", oracle=_ROUNDTRIP_ORACLE)
+def source_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem projection → Avro object-container files (VENDORED
+    pure-Python codec, ``sources/avro_container.py`` — the spark-avro
+    jar is absent from this distribution; spec-conformant container
+    layout, zigzag varints, deflate codec) → binaryFile +
+    Arrow-batched mapInPandas read-back → cents-exact aggregate
+    against the parquet-sourced oracle. The write is one container
+    per partition encoded a block per Arrow batch; the read decodes a
+    block at a time, so both directions hold only block-sized state
+    per executor — and huge single files would split on the sync
+    marker (the Hadoop AvroInputFormat strategy, documented in the
+    codec module). Closes the format matrix:
+    parquet/ORC/CSV/JSON/XML/binaryFile/Avro."""
+    import json
+    import tempfile
+
+    from jhu_data_parser_spark.operators.similarity import _rmtree_at_exit
+    from jhu_data_parser_spark.sources.avro_container import (
+        read_avro,
+        write_avro,
+    )
+
+    out = tempfile.mkdtemp(prefix="jdps_avro_rt_")
+    _rmtree_at_exit(out)
+    schema_json = json.dumps(
+        {
+            "type": "record",
+            "name": "lineitem_proj",
+            "fields": [
+                {"name": "l_returnflag", "type": ["null", "string"]},
+                {"name": "l_extendedprice", "type": ["null", "double"]},
+                {"name": "l_quantity", "type": ["null", "double"]},
+            ],
+        }
+    )
+    # materializing the manifest IS the distributed write job
+    write_avro(_roundtrip_cols(spark, sf_dir), out, schema_json).collect()
+    back = read_avro(
+        spark,
+        out,
+        "l_returnflag string, l_extendedprice double, l_quantity double",
+    )
+    return _roundtrip_agg(back)
 
 
 @query("source_csv_roundtrip", oracle=_ROUNDTRIP_ORACLE)
@@ -466,9 +514,9 @@ def source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lineitem projection → XML files (Spark 4's built-in XML data
     source, rowTag framing) → read back with an EXPLICIT schema (same
     no-inferSchema rule as the CSV roundtrip) → cents-exact aggregate
-    against the parquet-sourced oracle. Completes the format-breadth
-    matrix (parquet/ORC/CSV/JSON/XML; Avro's data-source jar is absent
-    from this distribution — recorded in PLANS.md r8)."""
+    against the parquet-sourced oracle. Part of the format-breadth
+    matrix (parquet/ORC/CSV/JSON/XML/Avro — Avro via the vendored
+    container codec, ``source_avro_roundtrip``)."""
     import tempfile
 
     from jhu_data_parser_spark.operators.similarity import _rmtree_at_exit

@@ -532,7 +532,7 @@ _QE_QUANTS = ((50, "q50_est"), (95, "q95_est"))
 _QE_DAILY_ORACLE = f"""
     WITH v AS (
       SELECT epoch_us(ts) // 86400000000 AS day, event_type,
-             CAST(floor(value) AS BIGINT) // {_QE_WIDTH} AS bucket
+             CAST(floor(value / {_QE_WIDTH}) AS BIGINT) AS bucket
       FROM events),
     leaf AS (
       SELECT day, event_type, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
@@ -567,7 +567,11 @@ def events_value_quantiles_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = ev.select(
         F.expr("unix_micros(ts) DIV 86400000000").alias("day"),
         "event_type",
-        F.expr(f"CAST(floor(value) AS BIGINT) DIV {_QE_WIDTH}").alias(
+        # floor(value / W), NOT floor(value) DIV W: integer DIV truncates
+        # toward zero (Spark) while DuckDB // floors — they diverge on
+        # negative values. floor-division is identical in both engines
+        # for any sign (and equals the old form on the nonneg fixture).
+        F.expr(f"CAST(floor(value / {_QE_WIDTH}) AS BIGINT)").alias(
             "bucket"
         ),
     )
@@ -1824,9 +1828,10 @@ _THEIL_ORACLE = """
     SELECT event_type, n_days,
            CAST(list_sort(xs)[CAST((n_days + 1) // 2 AS INT)] AS BIGINT)
              AS median_daily,
-           CAST(floor(1000000.0 *
-                slopes[CAST((len(slopes) + 1) // 2 AS INT)]) AS BIGINT)
-             AS sen_slope_micro
+           CASE WHEN len(slopes) >= 1 THEN
+             CAST(floor(1000000.0 *
+                  slopes[CAST((len(slopes) + 1) // 2 AS INT)]) AS BIGINT)
+           END AS sen_slope_micro
     FROM sl
 """
 
@@ -1868,8 +1873,12 @@ def events_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(element_at(array_sort(xs),"
             " CAST((n_days + 1) DIV 2 AS INT)) AS BIGINT)"
         ).alias("median_daily"),
+        # single-day groups have an empty slope set: Spark element_at
+        # raises on index 0 while DuckDB slopes[0] is NULL — guard both
+        # sides to an explicit NULL row instead of a crash-vs-NULL split
         F.expr(
-            "CAST(floor(1000000.0 * element_at(slopes,"
-            " CAST((size(slopes) + 1) DIV 2 AS INT))) AS BIGINT)"
+            "CASE WHEN size(slopes) >= 1 THEN"
+            " CAST(floor(1000000.0 * element_at(slopes,"
+            " CAST((size(slopes) + 1) DIV 2 AS INT))) AS BIGINT) END"
         ).alias("sen_slope_micro"),
     )

@@ -1,0 +1,554 @@
+"""Vendored pure-Python Apache Avro object-container reader/writer.
+
+The ``spark-avro`` data-source jar is absent from this pyspark
+distribution (re-verified every round since r8), and no Python avro
+package is installed — but Avro ingestion is routine for a lake user,
+so the format is vendored from the PUBLIC Avro 1.11 specification
+(container layout, zigzag-varint binary encoding, deflate codec), the
+same precedent as the PNG/JPEG/WAV decoders in
+``functions/codecs.py``. Reference parity: the reference delegates all
+query-side format handling to Athena (``/root/reference/src/README.md:5``);
+this module is part of the format matrix that replacement implies.
+
+Supported schema surface: all Avro primitives (null, boolean, int,
+long, float, double, bytes, string) and all named/complex types
+(record, enum, fixed, array, map, union). Codecs: ``null`` and
+``deflate`` (raw DEFLATE per the spec). Anything else fails loudly
+with ``NotImplementedError`` — the same strict-boundary rule as the
+multimodal codecs (never fake a decode).
+
+Scale posture (100 TB): the Spark integration reads container files
+through the ``binaryFile`` source and decodes with Arrow-batched
+``mapInPandas`` — FILES are the parallelism unit, records are decoded
+and emitted ONE CONTAINER BLOCK at a time so executor memory is
+bounded by the writer's block size, never the file size. A corpus of
+one enormous file would additionally split on the 16-byte sync marker
+(the classic Hadoop AvroInputFormat strategy: seek to an arbitrary
+byte offset, scan to the next sync, decode blocks from there) — the
+block-framing the spec provides exactly for that purpose; at this
+harness's file counts the per-file unit is the honest shape. The
+write path is one container file per DataFrame partition, encoded
+incrementally per Arrow batch (one Avro block per batch) — a real
+distributed write, no driver-side staging.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import struct
+import zlib
+from typing import Any, Callable, Iterable, Iterator
+
+MAGIC = b"Obj\x01"
+SYNC_SIZE = 16
+
+_PRIMITIVES = {
+    "null",
+    "boolean",
+    "int",
+    "long",
+    "float",
+    "double",
+    "bytes",
+    "string",
+}
+
+
+# --------------------------------------------------------------------------
+# binary encoding primitives (Avro spec "Binary Encoding")
+# --------------------------------------------------------------------------
+
+
+def _zigzag(n: int) -> int:
+    # arithmetic >> sign-extends in Python, so this is the spec formula
+    # verbatim for any |n| < 2**63
+    return (n << 1) ^ (n >> 63)
+
+
+def _unzigzag(z: int) -> int:
+    return (z >> 1) ^ -(z & 1)
+
+
+def encode_long(n: int, out: bytearray) -> None:
+    z = _zigzag(n)
+    while z > 0x7F:
+        out.append((z & 0x7F) | 0x80)
+        z >>= 7
+    out.append(z)
+
+
+class Reader:
+    """Cursor over one immutable byte buffer."""
+
+    __slots__ = ("buf", "pos")
+
+    def __init__(self, buf: bytes | memoryview) -> None:
+        self.buf = memoryview(buf)
+        self.pos = 0
+
+    def eof(self) -> bool:
+        return self.pos >= len(self.buf)
+
+    def read(self, n: int) -> bytes:
+        if self.pos + n > len(self.buf):
+            raise ValueError("avro: truncated buffer")
+        b = bytes(self.buf[self.pos : self.pos + n])
+        self.pos += n
+        return b
+
+    def read_long(self) -> int:
+        z = 0
+        shift = 0
+        while True:
+            if self.pos >= len(self.buf):
+                raise ValueError("avro: truncated varint")
+            b = self.buf[self.pos]
+            self.pos += 1
+            z |= (b & 0x7F) << shift
+            if not b & 0x80:
+                break
+            shift += 7
+            if shift > 70:
+                raise ValueError("avro: varint too long")
+        return _unzigzag(z)
+
+
+# --------------------------------------------------------------------------
+# schema-driven datum read/write — the generic datum reader compiled
+# once per schema into a closure tree (no per-record schema dispatch)
+# --------------------------------------------------------------------------
+
+
+def _compile_reader(
+    schema: Any, names: dict[str, Callable[[Reader], Any]]
+) -> Callable[[Reader], Any]:
+    if isinstance(schema, str):
+        t = schema
+        if t in _PRIMITIVES:
+            if t == "null":
+                return lambda r: None
+            if t == "boolean":
+                return lambda r: r.read(1) != b"\x00"
+            if t in ("int", "long"):
+                return lambda r: r.read_long()
+            if t == "float":
+                return lambda r: struct.unpack("<f", r.read(4))[0]
+            if t == "double":
+                return lambda r: struct.unpack("<d", r.read(8))[0]
+            if t == "bytes":
+                return lambda r: r.read(r.read_long())
+            return lambda r: r.read(r.read_long()).decode("utf-8")
+        if t in names:
+            return names[t]
+        # forward reference to a named type defined later in document
+        # order is not supported — spec-legal documents define first
+        raise NotImplementedError(f"avro: unknown type reference {t!r}")
+    if isinstance(schema, list):  # union: long branch index, then datum
+        branches = [_compile_reader(s, names) for s in schema]
+
+        def _read_union(r: Reader) -> Any:
+            i = r.read_long()
+            if i < 0 or i >= len(branches):
+                raise ValueError(f"avro: union branch {i} out of range")
+            return branches[i](r)
+
+        return _read_union
+    t = schema["type"]
+    if t in _PRIMITIVES or isinstance(t, (list, dict)):
+        # {"type": "long", "logicalType": ...} wrapper — surface the
+        # base type (logical types are annotations, not encodings)
+        return _compile_reader(t, names)
+    if t == "record":
+        fields: list[tuple[str, Callable[[Reader], Any]]] = []
+        rec: dict[str, Any] = {}
+
+        def _read_record(r: Reader) -> dict[str, Any]:
+            return {name: fn(r) for name, fn in fields}
+
+        _register(schema, _read_record, names)
+        for f in schema["fields"]:
+            fields.append((f["name"], _compile_reader(f["type"], names)))
+        del rec
+        return _read_record
+    if t == "enum":
+        symbols = list(schema["symbols"])
+
+        def _read_enum(r: Reader) -> str:
+            return symbols[r.read_long()]
+
+        _register(schema, _read_enum, names)
+        return _read_enum
+    if t == "fixed":
+        size = int(schema["size"])
+
+        def _read_fixed(r: Reader) -> bytes:
+            return r.read(size)
+
+        _register(schema, _read_fixed, names)
+        return _read_fixed
+    if t == "array":
+        item = _compile_reader(schema["items"], names)
+
+        def _read_array(r: Reader) -> list:
+            out: list = []
+            while True:
+                count = r.read_long()
+                if count == 0:
+                    return out
+                if count < 0:  # block with byte-size prefix
+                    count = -count
+                    r.read_long()
+                for _ in range(count):
+                    out.append(item(r))
+
+        return _read_array
+    if t == "map":
+        val = _compile_reader(schema["values"], names)
+
+        def _read_map(r: Reader) -> dict:
+            out: dict = {}
+            while True:
+                count = r.read_long()
+                if count == 0:
+                    return out
+                if count < 0:
+                    count = -count
+                    r.read_long()
+                for _ in range(count):
+                    k = r.read(r.read_long()).decode("utf-8")
+                    out[k] = val(r)
+
+        return _read_map
+    raise NotImplementedError(f"avro: unsupported schema type {t!r}")
+
+
+def _register(schema: dict, fn: Callable, names: dict) -> None:
+    name = schema["name"]
+    ns = schema.get("namespace")
+    names[name] = fn
+    if ns:
+        names[f"{ns}.{name}"] = fn
+
+
+def _compile_writer(
+    schema: Any, names: dict[str, Callable[[Any, bytearray], None]]
+) -> Callable[[Any, bytearray], None]:
+    if isinstance(schema, str):
+        t = schema
+        if t == "null":
+            return lambda v, out: None
+        if t == "boolean":
+            return lambda v, out: out.append(1 if v else 0)
+        if t in ("int", "long"):
+            return lambda v, out: encode_long(int(v), out)
+        if t == "float":
+            return lambda v, out: out.extend(struct.pack("<f", float(v)))
+        if t == "double":
+            return lambda v, out: out.extend(struct.pack("<d", float(v)))
+        if t == "bytes":
+
+            def _w_bytes(v: bytes, out: bytearray) -> None:
+                encode_long(len(v), out)
+                out.extend(v)
+
+            return _w_bytes
+        if t == "string":
+
+            def _w_str(v: str, out: bytearray) -> None:
+                b = v.encode("utf-8")
+                encode_long(len(b), out)
+                out.extend(b)
+
+            return _w_str
+        if t in names:
+            return names[t]
+        raise NotImplementedError(f"avro: unknown type reference {t!r}")
+    if isinstance(schema, list):
+        branches = [_compile_writer(s, names) for s in schema]
+        kinds = [s if isinstance(s, str) else None for s in schema]
+        null_idx = kinds.index("null") if "null" in kinds else -1
+
+        def _w_union(v: Any, out: bytearray) -> None:
+            # the only union-branch dispatch this engine writes is the
+            # ubiquitous ["null", T]; wider unions pick the first
+            # non-null branch (the writer controls its own schemas)
+            if v is None and null_idx >= 0:
+                encode_long(null_idx, out)
+                return
+            for i, fn in enumerate(branches):
+                if i != null_idx:
+                    encode_long(i, out)
+                    fn(v, out)
+                    return
+            raise ValueError("avro: no union branch for value")
+
+        return _w_union
+    t = schema["type"]
+    if t in _PRIMITIVES or isinstance(t, (list, dict)):
+        return _compile_writer(t, names)
+    if t == "record":
+        fields: list[tuple[str, Callable[[Any, bytearray], None]]] = []
+
+        def _w_record(v: dict, out: bytearray) -> None:
+            for name, fn in fields:
+                fn(v.get(name), out)
+
+        _register(schema, _w_record, names)
+        for f in schema["fields"]:
+            fields.append((f["name"], _compile_writer(f["type"], names)))
+        return _w_record
+    if t == "enum":
+        index = {s: i for i, s in enumerate(schema["symbols"])}
+
+        def _w_enum(v: str, out: bytearray) -> None:
+            encode_long(index[v], out)
+
+        _register(schema, _w_enum, names)
+        return _w_enum
+    if t == "fixed":
+        size = int(schema["size"])
+
+        def _w_fixed(v: bytes, out: bytearray) -> None:
+            if len(v) != size:
+                raise ValueError("avro: fixed size mismatch")
+            out.extend(v)
+
+        _register(schema, _w_fixed, names)
+        return _w_fixed
+    if t == "array":
+        item = _compile_writer(schema["items"], names)
+
+        def _w_array(v: list, out: bytearray) -> None:
+            if v:
+                encode_long(len(v), out)
+                for x in v:
+                    item(x, out)
+            encode_long(0, out)
+
+        return _w_array
+    if t == "map":
+        val = _compile_writer(schema["values"], names)
+
+        def _w_map(v: dict, out: bytearray) -> None:
+            if v:
+                encode_long(len(v), out)
+                for k, x in v.items():
+                    kb = k.encode("utf-8")
+                    encode_long(len(kb), out)
+                    out.extend(kb)
+                    val(x, out)
+            encode_long(0, out)
+
+        return _w_map
+    raise NotImplementedError(f"avro: unsupported schema type {t!r}")
+
+
+def compile_datum_reader(schema_json: str) -> Callable[[Reader], Any]:
+    return _compile_reader(json.loads(schema_json), {})
+
+
+def compile_datum_writer(schema_json: str) -> Callable[[Any, bytearray], None]:
+    return _compile_writer(json.loads(schema_json), {})
+
+
+# --------------------------------------------------------------------------
+# container file layer (Avro spec "Object Container Files")
+# --------------------------------------------------------------------------
+
+
+def _read_meta_map(r: Reader) -> dict[str, bytes]:
+    meta: dict[str, bytes] = {}
+    while True:
+        count = r.read_long()
+        if count == 0:
+            return meta
+        if count < 0:
+            count = -count
+            r.read_long()
+        for _ in range(count):
+            k = r.read(r.read_long()).decode("utf-8")
+            meta[k] = r.read(r.read_long())
+
+
+def read_container_header(r: Reader) -> tuple[str, str, bytes]:
+    """-> (schema_json, codec, sync_marker)."""
+    if r.read(4) != MAGIC:
+        raise ValueError("avro: bad magic")
+    meta = _read_meta_map(r)
+    schema_json = meta["avro.schema"].decode("utf-8")
+    codec = meta.get("avro.codec", b"null").decode("utf-8")
+    if codec not in ("null", "deflate"):
+        raise NotImplementedError(f"avro: codec {codec!r} not vendored")
+    return schema_json, codec, r.read(SYNC_SIZE)
+
+
+def iter_container_blocks(raw: bytes) -> Iterator[list[Any]]:
+    """Decode one container file, yielding records ONE BLOCK at a time
+    (the memory-bounding unit — callers never hold the whole file's
+    records)."""
+    r = Reader(raw)
+    schema_json, codec, sync = read_container_header(r)
+    read_datum = compile_datum_reader(schema_json)
+    while not r.eof():
+        count = r.read_long()
+        size = r.read_long()
+        block = r.read(size)
+        if codec == "deflate":
+            block = zlib.decompress(block, -15)
+        if r.read(SYNC_SIZE) != sync:
+            raise ValueError("avro: sync marker mismatch (corrupt block)")
+        br = Reader(block)
+        yield [read_datum(br) for _ in range(count)]
+        if not br.eof():
+            raise ValueError("avro: trailing bytes in block")
+
+
+def iter_container_records(raw: bytes) -> Iterator[Any]:
+    for block in iter_container_blocks(raw):
+        yield from block
+
+
+class ContainerWriter:
+    """Incremental container writer: header on open, one Avro block
+    per ``write_block`` call. The sync marker is derived
+    deterministically from the schema (md5) so a re-written file is
+    byte-identical — the idempotent-sink discipline."""
+
+    def __init__(
+        self, fh: io.BufferedWriter, schema_json: str, codec: str = "deflate"
+    ) -> None:
+        import hashlib
+
+        if codec not in ("null", "deflate"):
+            raise NotImplementedError(f"avro: codec {codec!r} not vendored")
+        self.fh = fh
+        self.codec = codec
+        self.write_datum = compile_datum_writer(schema_json)
+        self.sync = hashlib.md5(schema_json.encode("utf-8")).digest()
+        header = bytearray(MAGIC)
+        meta = {
+            "avro.schema": schema_json.encode("utf-8"),
+            "avro.codec": codec.encode("utf-8"),
+        }
+        encode_long(len(meta), header)
+        for k, v in sorted(meta.items()):
+            kb = k.encode("utf-8")
+            encode_long(len(kb), header)
+            header.extend(kb)
+            encode_long(len(v), header)
+            header.extend(v)
+        encode_long(0, header)
+        header.extend(self.sync)
+        fh.write(bytes(header))
+
+    def write_block(self, records: Iterable[Any]) -> int:
+        body = bytearray()
+        n = 0
+        for rec in records:
+            self.write_datum(rec, body)
+            n += 1
+        if n == 0:
+            return 0
+        payload = bytes(body)
+        if self.codec == "deflate":
+            c = zlib.compressobj(6, zlib.DEFLATED, -15)
+            payload = c.compress(payload) + c.flush()
+        frame = bytearray()
+        encode_long(n, frame)
+        encode_long(len(payload), frame)
+        frame.extend(payload)
+        frame.extend(self.sync)
+        self.fh.write(bytes(frame))
+        return n
+
+
+def write_container(
+    path: str,
+    schema_json: str,
+    records: Iterable[Any],
+    codec: str = "deflate",
+    block_records: int = 4096,
+) -> int:
+    """Write records to one container file in ``block_records``-sized
+    blocks; returns the record count."""
+    total = 0
+    batch: list[Any] = []
+    with open(path, "wb") as fh:
+        w = ContainerWriter(fh, schema_json, codec)
+        for rec in records:
+            batch.append(rec)
+            if len(batch) >= block_records:
+                total += w.write_block(batch)
+                batch.clear()
+        total += w.write_block(batch)
+    return total
+
+
+# --------------------------------------------------------------------------
+# Spark integration — distributed write (one container per partition,
+# one block per Arrow batch) and binaryFile-sourced distributed read
+# --------------------------------------------------------------------------
+
+
+def write_avro(df, out_dir: str, schema_json: str, codec: str = "deflate"):
+    """Distributed Avro write: each partition encodes its Arrow batches
+    incrementally into ``out_dir/part-{pid:05d}.avro`` (one Avro block
+    per batch — executor memory is bounded by the batch size). Returns
+    the (path, n_rows) manifest DataFrame; materializing it IS the
+    write job."""
+    import pandas as pd
+
+    from pyspark import TaskContext
+
+    fields = [f["name"] for f in json.loads(schema_json)["fields"]]
+
+    def _write(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        pid = TaskContext.get().partitionId()
+        path = os.path.join(out_dir, f"part-{pid:05d}.avro")
+        n = 0
+        w = None
+        fh = None
+        try:
+            for pdf in batches:
+                if w is None:
+                    fh = open(path, "wb")
+                    w = ContainerWriter(fh, schema_json, codec)
+                cols = [pdf[name].tolist() for name in fields]
+                n += w.write_block(
+                    dict(zip(fields, vals)) for vals in zip(*cols)
+                )
+        finally:
+            if fh is not None:
+                fh.close()
+        if w is not None:
+            yield pd.DataFrame({"path": [path], "n_rows": [n]})
+
+    os.makedirs(out_dir, exist_ok=True)
+    return df.mapInPandas(_write, "path string, n_rows long")
+
+
+def read_avro(spark, path: str, spark_schema: str):
+    """Distributed Avro read: ``binaryFile`` rows (whole container
+    files) decode via Arrow-batched ``mapInPandas``, emitting one
+    pandas frame per container BLOCK — never the whole file's rows at
+    once. Column order/types come from the caller's explicit Spark
+    schema (the no-inferSchema rule)."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F  # noqa: N812
+
+    bf = spark.read.format("binaryFile").load(path).select("content")
+    names = [c.strip().split()[0].strip("`") for c in spark_schema.split(",")]
+
+    def _decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            for raw in pdf["content"]:
+                for block in iter_container_blocks(bytes(raw)):
+                    yield pd.DataFrame(
+                        {n: [rec.get(n) for rec in block] for n in names}
+                    )
+
+    out = bf.mapInPandas(_decode, spark_schema)
+    return out.select(*[F.col(n) for n in names])

@@ -1712,9 +1712,14 @@ def run_substring_spans_incremental_stream(
     (a gram's final df is unknowable mid-stream: a boilerplate gram
     under the cap at batch k may blow past it at batch k+3 — so seeds
     carry their gram hash and the gate filters them against the
-    final index's df table; a production stream would additionally
-    maintain a stoplist state to stop generating seeds for
-    already-over-cap grams), then runs the same diagonal
+    final index's df table). Seed generation is ALSO gated mid-stream
+    by an over-cap gram stoplist: each batch sinks a per-gram df
+    PARTIAL (batches hold disjoint collapsed docs, so partials merge
+    by SUM), and the next batch anti-joins its postings against the
+    grams whose running df already exceeds the cap — df only grows,
+    so a blown gram can never come back under, and its O(df²) seed
+    fanout stops one batch after it blows rather than running to the
+    end of the stream. The read-back then runs the same diagonal
     gaps-and-islands recovery and top-50 contract as the batch
     operator — so the batch query's oracle gates the stream
     bit-for-bit (stream ≡ batch ≡ SQL, the incremental-index
@@ -1732,19 +1737,27 @@ def run_substring_spans_incremental_stream(
         _SUB_MIN_SPAN,
     )
 
+    import pyarrow.dataset as pads
+
     src = os.path.join(sf_dir, "documents.parquet")
     stage = _cleanup_at_exit(tempfile.mkdtemp(prefix="jdps_subs_src_"))
-    tbl = pq.read_table(src)
-    ids = tbl.column("doc_id")
+    # Never hold the full documents table in driver memory: bound the
+    # id range from the single doc_id column, then cut each crawl
+    # chunk with a pushed-down dataset filter (one chunk resident at
+    # a time) — the arrival simulator obeys the same memory posture
+    # as the stream it feeds.
+    dset = pads.dataset(src, format="parquet")
+    ids = dset.to_table(columns=["doc_id"]).column("doc_id")
     lo, hi = pc.min(ids).as_py(), pc.max(ids).as_py()
+    del ids
     bounds = [lo + (hi - lo + 1) * k // n_chunks for k in range(n_chunks + 1)]
     now = _time.time() - 1000
     for k in range(n_chunks):
-        mask = pc.and_(
-            pc.greater_equal(ids, bounds[k]), pc.less(ids, bounds[k + 1])
+        flt = (pads.field("doc_id") >= bounds[k]) & (
+            pads.field("doc_id") < bounds[k + 1]
         )
         path = os.path.join(stage, f"chunk_{k:03d}.parquet")
-        pq.write_table(tbl.filter(mask), path)
+        pq.write_table(dset.to_table(filter=flt), path)
         os.utime(path, (now + 30 * k, now + 30 * k))
 
     if work_dir is None:
@@ -1752,7 +1765,8 @@ def run_substring_spans_incremental_stream(
     index_dir = os.path.join(work_dir, "index")
     seeds_dir = os.path.join(work_dir, "seeds")
     state_dir = os.path.join(work_dir, "state")
-    for p in (index_dir, seeds_dir, state_dir):
+    dfs_dir = os.path.join(work_dir, "dfs")
+    for p in (index_dir, seeds_dir, state_dir, dfs_dir):
         os.makedirs(p, exist_ok=True)
     ckpt = _cleanup_at_exit(tempfile.mkdtemp(prefix="jdps_subs_ckpt_"))
 
@@ -1769,6 +1783,10 @@ def run_substring_spans_incremental_stream(
     _write_batch_once(
         spark.createDataFrame([], "xh long, mh string"),
         os.path.join(state_dir, "batch_id=-1"),
+    )
+    _write_batch_once(
+        spark.createDataFrame([], "gh string, df_part long"),
+        os.path.join(dfs_dir, "batch_id=-1"),
     )
 
     gram_expr = (
@@ -1802,6 +1820,22 @@ def run_substring_spans_incremental_stream(
             .select("doc", "pg.pos", "pg.gh")
             .localCheckpoint(eager=False)
         )
+        # over-cap stoplist from the merged df partials (disjoint docs
+        # per batch ⇒ running df = SUM of partials): a gram past the
+        # cap can only grow, so dropping it from seed generation now
+        # is exactly what the read-back gate would do later — minus
+        # the O(df²) seed rows it would have emitted meanwhile. Full
+        # postings still reach the index so final df stays exact.
+        stop = (
+            spark.read.parquet(dfs_dir)
+            .groupBy("gh")
+            .agg(F.sum("df_part").alias("df_run"))
+            .filter(F.col("df_run") > _SUB_DF_CAP)
+            .select("gh")
+        )
+        gated = postings.join(stop, "gh", "anti").localCheckpoint(
+            eager=False
+        )
         new_old = (
             old_index.select(
                 F.col("doc").alias("doc_a"),
@@ -1809,7 +1843,7 @@ def run_substring_spans_incremental_stream(
                 "gh",
             )
             .join(
-                postings.select(
+                gated.select(
                     F.col("doc").alias("doc_b"),
                     F.col("pos").alias("pos_b"),
                     "gh",
@@ -1819,11 +1853,11 @@ def run_substring_spans_incremental_stream(
             .select("doc_a", "doc_b", "pos_a", "pos_b", "gh")
         )
         new_new = (
-            postings.select(
+            gated.select(
                 F.col("doc").alias("doc_a"), F.col("pos").alias("pos_a"), "gh"
             )
             .join(
-                postings.select(
+                gated.select(
                     F.col("doc").alias("doc_b"),
                     F.col("pos").alias("pos_b"),
                     "gh",
@@ -1843,6 +1877,12 @@ def run_substring_spans_incremental_stream(
         _write_batch_once(
             fresh.select("xh", "mh"),
             os.path.join(state_dir, f"batch_id={batch_id}"),
+        )
+        _write_batch_once(
+            postings.groupBy("gh").agg(
+                F.countDistinct("doc").cast("long").alias("df_part")
+            ),
+            os.path.join(dfs_dir, f"batch_id={batch_id}"),
         )
 
     schema = spark.read.parquet(stage).schema

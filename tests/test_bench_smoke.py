@@ -38,7 +38,15 @@ def test_bench_emits_one_json_line():
         assert payload["metric"] == "headline_queries_total_sec"
         assert payload["unit"] == "sec"
         assert payload["value"] > 0
-        assert len(payload["queries"]) >= 10
+        # a contended run must be machine-readable from either line
+        assert isinstance(payload["load1"], (int, float))
+    # the detail line always carries the full per-query map; the
+    # compact line may degrade it (coarser rounding, then dropped) if
+    # catalog growth pushes the line past the capture window — the
+    # graded scalars must survive that degradation.
+    assert len(detail["queries"]) >= 10
+    if "queries" in compact:
+        assert len(compact["queries"]) >= 10
     assert compact["value"] == detail["value"]
     assert compact["value_legacy12"] == detail["value_legacy12"]
     assert compact["run_id"] == detail["run_id"]
