@@ -1355,3 +1355,355 @@ def embedding_moment_partials(
         .groupBy("i", "j")
         .agg(F.sum("s").cast("long").alias("s"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Graph ANN (HNSW-family): banded kNN-graph build + greedy beam search.
+# ---------------------------------------------------------------------------
+
+
+def quantize_unit_vectors(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """``(id, q)`` with ``q_i = ROUND(scale · x_i / ‖x‖)`` — quantized
+    UNIT vectors, so integer squared-L2 is monotone in cosine
+    (``‖a−b‖² ≈ 2·scale² − 2·a·b`` at unit norm): the metric contract
+    graph/beam ANN needs when the corpus ranks by cosine but the
+    search wants exact integer comparisons. The norm is the
+    sequential-double dot (bit-identical to DuckDB
+    ``list_dot_product`` on DOUBLE[]), the division one IEEE op, and
+    ROUND is HALF_UP in both engines — bit-portable like
+    ``clustering.quantize_vectors``."""
+    norm = (
+        f"sqrt(aggregate(zip_with({vec_col}, {vec_col}, "
+        "(a, b) -> CAST(a AS DOUBLE) * CAST(b AS DOUBLE)), "
+        "CAST(0.0 AS DOUBLE), (s, x) -> s + x))"
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.expr(
+            f"transform({vec_col}, x -> "
+            f"CAST(ROUND(CAST(x AS DOUBLE) * {scale} / {norm}, 0) "
+            "AS BIGINT))"
+        ).alias("q"),
+    )
+
+
+def knn_graph_banded(
+    corpus: DataFrame,
+    dim: int,
+    m: int = 6,
+    n_planes: int = 6,
+    bands: int = 3,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    exact_buckets: bool = True,
+) -> DataFrame:
+    """Deterministic fixed-fanout kNN graph ``(src, dst)`` — the
+    navigable-small-world index build (the industry-default graph-ANN
+    family: HNSW/NSW), expressed Spark-first and integer-exact so the
+    whole build replays in SQL.
+
+    Candidate pairs come from ``bands`` independent RP-LSH bucketings
+    (:func:`rp_bucket_expr`, seeds ``seed + band``) — a BANDED
+    EQUI-JOIN, never all-pairs: per band, vectors sharing a bucket are
+    candidates; the union across bands recovers neighbors a single
+    hyperplane cut separated (the same band-union recall argument as
+    MinHash LSH). Each node keeps its ``m`` nearest candidates by
+    SQUARED L2 over quantized UNIT vectors
+    (:func:`quantize_unit_vectors` — monotone in cosine; exact BIGINT
+    arithmetic, ties by id) — fanout is exactly ≤ m, so the edge table
+    is ≤ n·m rows.
+
+    Scale posture (100 TB): candidate volume per band is
+    Σ_buckets |b|² — bounded by bucket size, which the ``n_planes``
+    knob holds ~constant as the corpus grows (planes ≈ log2(n/target)
+    keeps |b| ≈ target; the catalog queries pin planes for their
+    fixture so the oracle's plane literals stay static). The per-src
+    top-m is a bounded window per key (WindowGroupLimit shape), and
+    the edge table partitions/broadcasts by src for the search phase.
+    Unlike sequential HNSW insertion (inherently serial, order-
+    dependent), the banded build is one shuffle round and fully
+    order-independent — the Spark-native construction.
+
+    ``exact_buckets=True`` bands with the sequential-double column
+    expression (cross-engine replayable — the oracle-gated path);
+    ``False`` uses the Arrow matmul bucketing
+    (:func:`rp_lsh_bucket`) for bulk builds, where only within-engine
+    determinism matters — at 13+ planes × several bands the matmul is
+    the right tool (same rule as :func:`topk_cosine_lsh`).
+    """
+    from pyspark.sql import Window
+
+    qz = quantize_unit_vectors(corpus, id_col=id_col, vec_col=vec_col)
+    if exact_buckets:
+        bucketed = corpus.select(
+            F.col(id_col).alias("id"),
+            *[
+                rp_bucket_expr(vec_col, n_planes, dim, seed + b).alias(
+                    f"b{b}"
+                )
+                for b in range(bands)
+            ],
+        )
+    else:
+        bucketed = corpus.select(F.col(id_col).alias("id"), vec_col)
+        for b in range(bands):
+            bucketed = rp_lsh_bucket(
+                bucketed, dim, n_planes, seed + b, vec_col, f"b{b}"
+            )
+        bucketed = bucketed.drop(vec_col)
+    pairs = None
+    for b in range(bands):
+        left = bucketed.select("id", f"b{b}")
+        right = bucketed.select(
+            F.col("id").alias("dst_id"), F.col(f"b{b}").alias(f"rb{b}")
+        )
+        p = (
+            left.join(right, F.col(f"b{b}") == F.col(f"rb{b}"))
+            .filter(F.col("id") != F.col("dst_id"))
+            .select(F.col("id").alias("src"), F.col("dst_id").alias("dst"))
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    cand = pairs.distinct()
+    qa = qz.select(F.col("id").alias("src"), F.col("q").alias("qa"))
+    qb = qz.select(F.col("id").alias("dst"), F.col("q").alias("qb"))
+    d2 = (
+        cand.join(qa, "src")
+        .join(qb, "dst")
+        .select(
+            "src",
+            "dst",
+            F.expr(
+                "aggregate(zip_with(qa, qb, (a, b) -> (a - b) * (a - b)), "
+                "CAST(0 AS BIGINT), (s, x) -> s + x)"
+            ).alias("d2"),
+        )
+    )
+    w = Window.partitionBy("src").orderBy("d2", "dst")
+    return (
+        d2.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= m)
+        .select("src", "dst")
+    )
+
+
+_KNN_GRAPH_CACHE: dict = {}
+_KNN_GRAPH_CACHE_MAX = 8
+
+
+def knn_graph_index(
+    corpus: DataFrame,
+    dim: int,
+    m: int = 6,
+    n_planes: int = 6,
+    bands: int = 3,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    exact_buckets: bool = True,
+    variant: str = "",
+) -> str:
+    """Build-once graph index: :func:`knn_graph_banded` written to a
+    parquet dir, cached per (corpus file fingerprint, params) — the
+    same index lifecycle as :func:`ivf_build_index` (a graph index is
+    prebuilt in any real ANN deployment; serving never pays the build).
+    Returns the index path. At scale the edge table would be written
+    bucketed by src range so the per-hop broadcast-id join prunes
+    file groups; at harness sizes (≤ n·m rows) a plain layout reads in
+    one task wave. Same cache-key invariant as the IVF indexes: the
+    fingerprint covers input files only — callers indexing
+    DIFFERENTLY-FILTERED frames over the same parquet MUST pass a
+    distinct ``variant`` string (it is part of the key)."""
+    import os
+    import tempfile
+
+    fp = _file_fingerprint(corpus.inputFiles())
+    key = (
+        fp,
+        dim,
+        m,
+        n_planes,
+        bands,
+        seed,
+        vec_col,
+        id_col,
+        exact_buckets,
+        variant,
+    )
+    cacheable = _fingerprint_cacheable(fp)
+    if cacheable and key in _KNN_GRAPH_CACHE:
+        return _KNN_GRAPH_CACHE[key]
+    path = tempfile.mkdtemp(prefix="jdps_knng_index_")
+    knn_graph_banded(
+        corpus, dim, m, n_planes, bands, seed, vec_col, id_col, exact_buckets
+    ).write.parquet(path, mode="overwrite")
+    if cacheable:
+
+        def corpus_dirs(f_tuple):
+            return tuple(sorted({os.path.dirname(f) for (f, _, _) in f_tuple}))
+
+        dirs = corpus_dirs(fp)
+        stale = [
+            k
+            for k in _KNN_GRAPH_CACHE
+            if k[1:] == key[1:] and corpus_dirs(k[0]) == dirs
+        ]
+        for k in stale:
+            _rmtree_quiet(_KNN_GRAPH_CACHE.pop(k))
+        while len(_KNN_GRAPH_CACHE) >= _KNN_GRAPH_CACHE_MAX:
+            oldest = next(iter(_KNN_GRAPH_CACHE))
+            _rmtree_at_exit(_KNN_GRAPH_CACHE.pop(oldest))
+        _KNN_GRAPH_CACHE[key] = path
+    return path
+
+
+def graph_beam_search(
+    corpus_qz: DataFrame,
+    edges: DataFrame,
+    query_q: DataFrame,
+    beam: int = 16,
+    hops: int = 4,
+    depth: int = 1,
+    entry_ids: DataFrame | None = None,
+) -> DataFrame:
+    """Greedy beam search over a kNN graph: start at the minimum-id
+    entry point, expand the beam's out-edges each hop, keep the
+    ``beam`` nearest nodes seen so far by exact integer squared-L2 to
+    the query (ties by id). Returns the final beam as ``(id, d2)``.
+
+    Inputs: ``corpus_qz`` is the quantized vector table ``(id, q)``
+    (:func:`jhu_data_parser_spark.operators.clustering.quantize_vectors`
+    — integer-exact, so search replays bit-for-bit in SQL), ``edges``
+    the ``(src, dst)`` graph (:func:`knn_graph_banded`), ``query_q`` a
+    one-row ``(q)`` quantized query (derive it IN-PLAN from the stored
+    row — both engines apply their own HALF_UP ROUND to the same
+    stored doubles).
+
+    Entry: ``entry_ids`` (an id DataFrame, e.g. the query's RP-LSH
+    bucket mates — the LSH-seeded NSW discipline; a banded kNN graph
+    is not guaranteed connected, so good seeds matter more than more
+    hops) unioned with the minimum-id node as a deterministic
+    fallback; the initial beam is the ``beam`` nearest seeds.
+
+    Monotone by construction (the previous beam is always in the
+    candidate set), so a fixed ``hops`` bound works without a
+    visited-set. Every hop expands the frontier ``depth`` edge levels
+    before re-ranking (``depth=2`` explores neighbors-of-neighbors
+    per round — measured 3 rounds × depth 2 beats 10 × depth 1 on
+    both recall AND wall-clock, because each round is one scheduled
+    job and Spark's per-job latency dominates at small frontier
+    sizes). Every hop is the BOUNDED-FRONTIER join shape: the
+    ≤ beam-row id list broadcasts against the edge table (equi on
+    src; a partitionBy(src) index layout turns this into partition
+    pruning), then the ≤ beam·mᵈᵉᵖᵗʰ candidate ids broadcast back
+    against the vector table for distances. Only visited candidates
+    are ever scored — O(hops·beam·mᵈᵉᵖᵗʰ) distance evaluations
+    total, never a corpus scan (the ANN serving contract). The
+    per-hop beam is lazily localCheckpointed: ≤ beam rows
+    (parameter-bounded, the small-derived-table rule), keeping plan
+    depth constant in hops.
+    """
+    qv = query_q.select(F.col("q").alias("qv"))
+    d2 = F.expr(
+        "aggregate(zip_with(q, qv, (a, b) -> (a - b) * (a - b)), "
+        "CAST(0 AS BIGINT), (s, x) -> s + x)"
+    )
+    seeds = corpus_qz.agg(F.min("id").alias("id"))
+    if entry_ids is not None:
+        seeds = entry_ids.select("id").unionByName(seeds).distinct()
+    bm = (
+        corpus_qz.join(F.broadcast(seeds), "id")
+        .crossJoin(F.broadcast(qv))
+        .select("id", d2.alias("d2"))
+        .orderBy("d2", "id")
+        .limit(beam)
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(hops):
+        cand = bm.select("id")
+        frontier = bm.select("id")
+        for _ in range(depth):
+            frontier = edges.join(
+                F.broadcast(frontier.select(F.col("id").alias("src"))),
+                "src",
+            ).select(F.col("dst").alias("id"))
+            cand = cand.unionByName(frontier)
+        scored = (
+            corpus_qz.join(F.broadcast(cand.distinct()), "id")
+            .crossJoin(F.broadcast(qv))
+            .select("id", d2.alias("d2"))
+        )
+        bm = (
+            scored.orderBy("d2", "id")
+            .limit(beam)
+            .localCheckpoint(eager=False)
+        )
+    return bm
+
+
+def graph_beam_search_many(
+    corpus_qz: DataFrame,
+    edges: DataFrame,
+    queries_q: DataFrame,
+    entry_ids: DataFrame,
+    beam: int = 64,
+    hops: int = 3,
+    depth: int = 2,
+) -> DataFrame:
+    """Batch graph serving: :func:`graph_beam_search` for EVERY query
+    in a request batch at once — one job sequence regardless of batch
+    size (the ANN serving shape, like :func:`topk_cosine_many`).
+
+    ``queries_q`` is the quantized query batch ``(query_id, q)``;
+    ``entry_ids`` the per-query seed list ``(query_id, id)`` (bucket
+    mates; a global min-id fallback row per query keeps empty-seed
+    queries alive). The beam state is ``(query_id, id)`` — hops join
+    the broadcast state against the edge table on src exactly as the
+    single-query search; the re-rank is one ``row_number`` per
+    query_id (WindowGroupLimit — per-task partial top-beam). State is
+    ≤ |batch|·beam rows: parameter-bounded, same checkpoint rule.
+
+    Returns the final per-query beam ``(query_id, id, d2)``."""
+    from pyspark.sql import Window
+
+    qv = queries_q.select("query_id", F.col("q").alias("qv"))
+    d2 = F.expr(
+        "aggregate(zip_with(q, qv, (a, b) -> (a - b) * (a - b)), "
+        "CAST(0 AS BIGINT), (s, x) -> s + x)"
+    )
+    w = Window.partitionBy("query_id").orderBy("d2", "id")
+
+    def _rank(cand: DataFrame) -> DataFrame:
+        scored = (
+            corpus_qz.join(F.broadcast(cand.distinct()), "id")
+            .join(F.broadcast(qv), "query_id")
+            .select("query_id", "id", d2.alias("d2"))
+        )
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= beam)
+            .drop("rn")
+            .localCheckpoint(eager=False)
+        )
+
+    bm = _rank(entry_ids.select("query_id", "id"))
+    for _ in range(hops):
+        cand = bm.select("query_id", "id")
+        frontier = bm.select("query_id", "id")
+        for _ in range(depth):
+            frontier = edges.join(
+                F.broadcast(
+                    frontier.select("query_id", F.col("id").alias("src"))
+                ),
+                "src",
+            ).select("query_id", F.col("dst").alias("id"))
+            cand = cand.unionByName(frontier)
+        bm = _rank(cand)
+    return bm
+
+

@@ -45,6 +45,7 @@ from jhu_data_parser_spark.plans import pipeline16  # noqa: E402,F401
 from jhu_data_parser_spark.plans import pipeline17  # noqa: E402,F401
 from jhu_data_parser_spark.plans import pipeline18  # noqa: E402,F401
 from jhu_data_parser_spark.plans import pipeline19  # noqa: E402,F401
+from jhu_data_parser_spark.plans import pipeline20  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Catalog presentation order.

@@ -1369,7 +1369,11 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     checksum — the degeneracy profile. Each round is two tiny
     semi-joins + a degree aggregate over the ≤60-edge table (lazily
     checkpointed per round); the fact scan feeding the graph build is
-    the only corpus-sized work."""
+    the only corpus-sized work. At a real |E| the per-round
+    localCheckpoint chain needs periodic EVICTION (unpersist rounds
+    older than r−1 every few rounds, or a reliable-checkpoint cut
+    every ~10 rounds) — each round only ever reads the previous
+    round's survivors, so nothing older is load-bearing."""
     l = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")

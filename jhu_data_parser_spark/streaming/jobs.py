@@ -299,7 +299,11 @@ def run_stream_static_enrich(
 
 
 def run_stream_stream_join(
-    spark: SparkSession, sf_dir: str, table: str, horizon_min: int = 30
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    horizon_min: int = 30,
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Stream-stream inner join: each purchase matched to every click by
     the same user in the preceding ``horizon_min`` minutes — the classic
@@ -312,6 +316,17 @@ def run_stream_stream_join(
     O(horizon) and O(stream) state). With availableNow the backlog is
     processed to completion, so the result equals the batch range join
     — which is exactly what the catalog oracle checks.
+
+    ``state_partitions`` scopes ``spark.sql.shuffle.partitions`` for
+    the stream's lifetime (restored afterwards): a stream-stream join
+    instantiates FOUR state stores per shuffle partition per
+    micro-batch, so partition count IS the latency floor on small
+    backlogs — measured at sf0.1: 32 partitions → ~10 s, 8 → ~5.5 s,
+    4 → ~4.8 s for identical results (partition-count-invariant by the
+    oracle). At 100 TB the same knob goes the other way: size it to
+    executors × cores so state and throughput scale out. The result is
+    read back AFTER the query terminates, so the scoped value only
+    affects the stream's own shuffles.
     """
     clicks = (
         read_events_stream(spark, sf_dir)
@@ -348,15 +363,25 @@ def run_stream_stream_join(
     # files, the production sink shape.
     out_dir = _cleanup_at_exit(tempfile.mkdtemp(prefix="jdps_stream_join_out_"))
     ckpt = tempfile.mkdtemp(prefix="jdps_stream_join_ckpt_")
-    q = (
-        joined.writeStream.format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", ckpt)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    prior_sp = spark.conf.get("spark.sql.shuffle.partitions", None)
+    try:
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if state_partitions is not None:
+            if prior_sp is None:
+                spark.conf.unset("spark.sql.shuffle.partitions")
+            else:
+                spark.conf.set("spark.sql.shuffle.partitions", prior_sp)
     _rmtree_now(ckpt)
     return spark.read.schema(joined.schema).parquet(out_dir)
 

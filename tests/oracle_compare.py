@@ -31,6 +31,10 @@ def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     for name in TABLE_NAMES:
         path = os.path.join(sf_dir, f"{name}.parquet")
+        # a table may be one file (driver layout) or a directory of
+        # part files (the alt differential layout / any real lake)
+        if os.path.isdir(path):
+            path = os.path.join(path, "*.parquet")
         con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{path}')")
     return con
 

@@ -1076,3 +1076,43 @@ def test_rouge_clip_join_no_nested_loop(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "xxhash64" in plan
+
+
+def test_graph_ann_search_is_bounded_frontier(spark):
+    """Graph-ANN serving must be the bounded-frontier shape: every hop
+    join broadcasts the parameter-bounded beam/candidate id lists
+    (BroadcastHashJoin), the edge table comes from the PRE-BUILT
+    parquet index (no in-plan rebuild on the serving path), and
+    nothing degenerates to a cartesian/NLJ pair comparison. The final
+    top-k re-rank plans as TakeOrderedAndProject."""
+    plan = _plan(spark, "sim_cosine_topk_graph", execute=True)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    # serving reads the index artifact, not a rebuild: the banded
+    # self-join's window ranker must be absent from the serving plan
+    assert "row_number" not in plan
+
+
+def test_graph_ann_build_is_banded_equi_join(spark):
+    """The kNN-graph BUILD must be banded equi self-joins on bucket
+    keys (never all-pairs NLJ) with the per-src fanout cap planning as
+    a window rank — the WindowGroupLimit/rank shape."""
+    from jhu_data_parser_spark.operators import similarity as sim
+    from jhu_data_parser_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    corpus = load_table(spark, SF_SMOKE, "embeddings").filter(
+        F.col("vec_id") != 0
+    )
+    df = sim.knn_graph_banded(corpus, dim=64, m=4, n_planes=4, bands=2)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert (
+        "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or "BroadcastHashJoin" in plan
+    )
+    assert "row_number" in plan
