@@ -1492,6 +1492,73 @@ def knn_graph_banded(
     )
 
 
+def knn_graph_arrival(
+    corpus: DataFrame,
+    dim: int,
+    m: int = 8,
+    n_planes: int = 6,
+    bands: int = 3,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Arrival-order NSW graph ``(src, dst, rank)``: each node links to
+    its ``m`` nearest banded candidates among EARLIER ids only
+    (``dst < src``) — exactly the classic NSW insertion rule (each
+    inserted point links to nearest already-inserted points), with id
+    order standing in for arrival order. The decisive property: a
+    node's edge list depends only on nodes before it, so an
+    INCREMENTAL builder that appends per-batch edges (ids ascending
+    across batches) reproduces this graph bit-for-bit — stream ≡
+    batch ≡ SQL, the incremental-index discipline applied to a graph.
+    Candidates and ranking are the :func:`knn_graph_banded` machinery
+    (banded equi self-join, integer squared-L2 over quantized unit
+    vectors, ties by id)."""
+    from pyspark.sql import Window
+
+    qz = quantize_unit_vectors(corpus, id_col=id_col, vec_col=vec_col)
+    bucketed = corpus.select(
+        F.col(id_col).alias("id"),
+        *[
+            rp_bucket_expr(vec_col, n_planes, dim, seed + b).alias(f"b{b}")
+            for b in range(bands)
+        ],
+    )
+    pairs = None
+    for b in range(bands):
+        left = bucketed.select("id", f"b{b}")
+        right = bucketed.select(
+            F.col("id").alias("dst_id"), F.col(f"b{b}").alias(f"rb{b}")
+        )
+        p = (
+            left.join(right, F.col(f"b{b}") == F.col(f"rb{b}"))
+            .filter(F.col("dst_id") < F.col("id"))
+            .select(F.col("id").alias("src"), F.col("dst_id").alias("dst"))
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    cand = pairs.distinct()
+    qa = qz.select(F.col("id").alias("src"), F.col("q").alias("qa"))
+    qb = qz.select(F.col("id").alias("dst"), F.col("q").alias("qb"))
+    d2 = (
+        cand.join(qa, "src")
+        .join(qb, "dst")
+        .select(
+            "src",
+            "dst",
+            F.expr(
+                "aggregate(zip_with(qa, qb, (a, b) -> (a - b) * (a - b)), "
+                "CAST(0 AS BIGINT), (s, x) -> s + x)"
+            ).alias("d2"),
+        )
+    )
+    w = Window.partitionBy("src").orderBy("d2", "dst")
+    return (
+        d2.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= m)
+        .select("src", "dst", "rank")
+    )
+
+
 _KNN_GRAPH_CACHE: dict = {}
 _KNN_GRAPH_CACHE_MAX = 8
 

@@ -600,3 +600,167 @@ def source_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("length").cast("long").alias("n_bytes"),
         F.substring(F.hex("content"), 1, 16).alias("head_hex"),
     )
+
+
+# Avro ARRAY-typed roundtrip — the embeddings table through the
+# vendored container codec: proves the complex-type branches (array of
+# float) survive the distributed write/read path bit-for-bit, not just
+# the scalar projection. The checksum is integer fixed point per row
+# (ROUND half-up is engine-identical; float values decode to the exact
+# same IEEE singles the writer encoded), summed as BIGINT so no
+# double-accumulation order can move the hash.
+_AVRO_EMB_ORACLE = """
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(list_sum(list_transform(
+                 CAST(embedding AS DOUBLE[]),
+                 x -> CAST(ROUND(x * 1000000) AS BIGINT))) AS BIGINT))
+                AS BIGINT) AS emb_checksum,
+           CAST(SUM(vec_id) AS BIGINT) AS id_checksum
+    FROM embeddings GROUP BY label
+    """
+
+
+@query("source_avro_embeddings_roundtrip", oracle=_AVRO_EMB_ORACLE)
+def source_avro_embeddings_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """embeddings (vec_id, array<float>, label) → Avro container files
+    (array + long + int branches of the vendored codec) → binaryFile +
+    mapInPandas read-back → per-label fixed-point checksum against the
+    parquet-sourced oracle. Complements ``source_avro_roundtrip``
+    (scalars): a hash match here proves the ARRAY encoding carried
+    every element bit-for-bit through both distributed directions."""
+    import json
+    import tempfile
+
+    from jhu_data_parser_spark.operators.similarity import _rmtree_at_exit
+    from jhu_data_parser_spark.sources.avro_container import (
+        read_avro,
+        write_avro,
+    )
+
+    out = tempfile.mkdtemp(prefix="jdps_avro_emb_")
+    _rmtree_at_exit(out)
+    schema_json = json.dumps(
+        {
+            "type": "record",
+            "name": "emb_row",
+            "fields": [
+                {"name": "vec_id", "type": "long"},
+                {
+                    "name": "embedding",
+                    "type": {"type": "array", "items": "float"},
+                },
+                {"name": "label", "type": "int"},
+            ],
+        }
+    )
+    src = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", "label"
+    )
+    write_avro(src, out, schema_json).collect()
+    back = read_avro(
+        spark, out, "vec_id long, embedding array<float>, label int"
+    )
+    return back.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(
+            F.expr(
+                "aggregate(transform(embedding, x -> "
+                "CAST(ROUND(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)), "
+                "CAST(0 AS BIGINT), (s, x) -> s + x)"
+            )
+        )
+        .cast("long")
+        .alias("emb_checksum"),
+        F.sum("vec_id").cast("long").alias("id_checksum"),
+    )
+
+
+# Avro LOGICAL-type roundtrip — date / timestamp-micros / decimal (the
+# trio every Avro lake actually serves): orders projected to typed
+# columns, written with logical-type annotations, read back as Spark
+# DATE/TIMESTAMP/DECIMAL, aggregated to integer checksums. The oracle
+# recomputes from parquet; double→decimal(12,2) rounding is spelled
+# floor(x·100 + 0.5) there (Spark's cast is HALF_UP; values positive).
+_AVRO_LOGICAL_ORACLE = """
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS order_year,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS price_cents,
+           CAST(SUM(epoch_us(o_orderdate)) AS BIGINT) AS ts_checksum,
+           CAST(SUM(CAST(o_orderdate AS DATE) - DATE '1970-01-01')
+                AS BIGINT) AS date_checksum
+    FROM orders GROUP BY 1
+    """
+
+
+@query("source_avro_orders_logical", oracle=_AVRO_LOGICAL_ORACLE)
+def source_avro_orders_logical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders → Avro with LOGICAL types (o_orderdate as both
+    timestamp-micros and date, o_totalprice as decimal(12,2) bytes) →
+    read back as typed Spark columns → integer checksums per order
+    year against the parquet-sourced oracle. Proves the codec's
+    logical-type layer carries calendar and exact-money semantics —
+    not just raw base encodings — through both distributed
+    directions."""
+    import json
+    import tempfile
+
+    from jhu_data_parser_spark.operators.similarity import _rmtree_at_exit
+    from jhu_data_parser_spark.sources.avro_container import (
+        read_avro,
+        write_avro,
+    )
+
+    out = tempfile.mkdtemp(prefix="jdps_avro_lt_")
+    _rmtree_at_exit(out)
+    schema_json = json.dumps(
+        {
+            "type": "record",
+            "name": "order_row",
+            "fields": [
+                {"name": "o_orderkey", "type": "long"},
+                {
+                    "name": "ots",
+                    "type": {
+                        "type": "long",
+                        "logicalType": "timestamp-micros",
+                    },
+                },
+                {"name": "odate", "type": {"type": "int", "logicalType": "date"}},
+                {
+                    "name": "oprice",
+                    "type": {
+                        "type": "bytes",
+                        "logicalType": "decimal",
+                        "precision": 12,
+                        "scale": 2,
+                    },
+                },
+            ],
+        }
+    )
+    src = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderdate").alias("ots"),
+        F.to_date("o_orderdate").alias("odate"),
+        F.col("o_totalprice").cast("decimal(12,2)").alias("oprice"),
+    )
+    write_avro(src, out, schema_json).collect()
+    back = read_avro(
+        spark,
+        out,
+        "o_orderkey long, ots timestamp, odate date, oprice decimal(12,2)",
+    )
+    return back.groupBy(F.year("ots").cast("int").alias("order_year")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum((F.col("oprice") * 100).cast("long"))
+        .cast("long")
+        .alias("price_cents"),
+        F.sum(F.unix_micros("ots")).cast("long").alias("ts_checksum"),
+        F.sum(F.datediff("odate", F.lit("1970-01-01")))
+        .cast("long")
+        .alias("date_checksum"),
+    )

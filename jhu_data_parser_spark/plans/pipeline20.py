@@ -530,3 +530,96 @@ def sim_graph_topk_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _GM_K)
         .select("query_id", "vec_id", F.col("rank").cast("int").alias("rank"))
     )
+
+
+# --------------------------------------------------------------------------
+# Arrival-order NSW graph + its incremental stream twin. The classic
+# NSW insertion rule (each point links to its nearest ALREADY-INSERTED
+# points) makes the edge list of a node a function of earlier ids
+# only — so an append-only incremental builder reproduces the batch
+# graph bit-for-bit (stream ≡ batch ≡ SQL), which is how a real
+# deployment keeps a graph index fresh without rebuilds.
+# --------------------------------------------------------------------------
+
+_GA_M = 8
+_GA_BANDS = 3
+
+
+def _arrival_ctes() -> str:
+    plane_cols = ", ".join(
+        f"{_planes_lit(_G_SEED + b)} AS p{b}" for b in range(_GA_BANDS)
+    )
+    bucket_cols = ", ".join(
+        f"({_bucket_sql('e.emb', f'pl.p{b}')}) AS b{b}"
+        for b in range(_GA_BANDS)
+    )
+    pair_arms = "\n      UNION\n".join(
+        f"      SELECT a.id AS src, b.id AS dst FROM abks a JOIN abks b "
+        f"ON a.b{b} = b.b{b} AND b.id < a.id"
+        for b in range(_GA_BANDS)
+    )
+    return f"""pl AS (SELECT {plane_cols}),
+    aemb AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS emb
+             FROM embeddings WHERE vec_id <> 0),
+    abks AS MATERIALIZED (SELECT e.id, {bucket_cols} FROM aemb e, pl),
+    aqz AS MATERIALIZED (
+      SELECT vec_id AS id, {_QZ_EXPR} AS q
+      FROM embeddings WHERE vec_id <> 0),
+    apairs AS (
+{pair_arms}),
+    apd AS (
+      SELECT p.src, p.dst, {_D2_SQL.format(a='qa.q', b='qb.q')} AS d2
+      FROM apairs p JOIN aqz qa ON qa.id = p.src
+      JOIN aqz qb ON qb.id = p.dst),
+    aedges AS (
+      SELECT src, dst, CAST(rn AS INT) AS rank FROM (
+        SELECT src, dst,
+               row_number() OVER (PARTITION BY src ORDER BY d2, dst) AS rn
+        FROM apd) t
+      WHERE rn <= {_GA_M})"""
+
+
+_ARRIVAL_ORACLE = f"""
+    WITH {_arrival_ctes()}
+    SELECT src, dst, rank FROM aedges
+"""
+
+
+@query("sim_graph_arrival_edges", oracle=_ARRIVAL_ORACLE)
+def sim_graph_arrival_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The arrival-order NSW edge table itself (src, dst, rank ≤ {m}):
+    every node's links to its nearest EARLIER-id banded candidates —
+    the graph an insertion-order index build produces, hash-gated in
+    full (the oracle replays banding, candidate generation, distance
+    ranking and the fanout cut for every node). The streaming twin
+    (``stream_graph_index_append``) must reproduce this table
+    bit-for-bit from per-batch appends."""
+    corpus = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") != 0
+    )
+    return sim.knn_graph_arrival(
+        corpus,
+        dim=_G_DIM,
+        m=_GA_M,
+        n_planes=_G_PLANES,
+        bands=_GA_BANDS,
+        seed=_G_SEED,
+    )
+
+
+@query("stream_graph_index_append", oracle=_ARRIVAL_ORACLE)
+def stream_graph_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The arrival-order NSW graph built as a REAL incremental stream:
+    embedding chunks (id-contiguous, ascending) arrive as
+    micro-batches; each batch buckets+quantizes its own vectors,
+    probes the ACCUMULATED posting index for earlier-id candidates,
+    ranks, and appends its nodes' edges to a ``batch_id=N`` dir —
+    append-only, no carried offsets. Because a node's edges depend
+    only on earlier ids, the unioned appends ARE the batch graph:
+    shares ``sim_graph_arrival_edges``'s oracle, so the driver hash
+    proves stream ≡ batch ≡ SQL."""
+    from jhu_data_parser_spark.streaming.jobs import (
+        run_graph_index_append_stream,
+    )
+
+    return run_graph_index_append_stream(spark, sf_dir)

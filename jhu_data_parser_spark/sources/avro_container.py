@@ -156,9 +156,34 @@ def _compile_reader(
 
         return _read_union
     t = schema["type"]
+    lt = schema.get("logicalType")
+    if lt in ("date", "timestamp-micros", "timestamp-millis", "decimal"):
+        # the three logical types a lake actually serves (Avro spec
+        # "Logical Types"): decode the base encoding, surface the
+        # logical value — date(int: days), timestamp-micros/millis
+        # (long), decimal(bytes: two's-complement big-endian unscaled)
+        import datetime as _dt
+        from decimal import Decimal as _Dec
+
+        base = _compile_reader(t, names)
+        epoch_d = _dt.date(1970, 1, 1)
+        epoch_ts = _dt.datetime(1970, 1, 1)
+        if lt == "date":
+            return lambda r: epoch_d + _dt.timedelta(days=base(r))
+        if lt == "timestamp-micros":
+            return lambda r: epoch_ts + _dt.timedelta(microseconds=base(r))
+        if lt == "timestamp-millis":
+            return lambda r: epoch_ts + _dt.timedelta(milliseconds=base(r))
+        scale = int(schema.get("scale", 0))
+
+        def _read_dec(r: Reader) -> "_Dec":
+            raw = base(r)
+            unscaled = int.from_bytes(raw, "big", signed=True)
+            return _Dec(unscaled).scaleb(-scale)
+
+        return _read_dec
     if t in _PRIMITIVES or isinstance(t, (list, dict)):
-        # {"type": "long", "logicalType": ...} wrapper — surface the
-        # base type (logical types are annotations, not encodings)
+        # other logical types surface their base encoding
         return _compile_reader(t, names)
     if t == "record":
         fields: list[tuple[str, Callable[[Reader], Any]]] = []
@@ -286,6 +311,48 @@ def _compile_writer(
 
         return _w_union
     t = schema["type"]
+    lt = schema.get("logicalType")
+    if lt in ("date", "timestamp-micros", "timestamp-millis", "decimal"):
+        import datetime as _dt
+        from decimal import Decimal as _Dec
+
+        base = _compile_writer(t, names)
+        epoch_d = _dt.date(1970, 1, 1)
+        epoch_ts = _dt.datetime(1970, 1, 1)
+        if lt == "date":
+
+            def _w_date(v, out: bytearray) -> None:
+                if isinstance(v, _dt.date) and not isinstance(
+                    v, _dt.datetime
+                ):
+                    v = (v - epoch_d).days
+                base(int(v), out)
+
+            return _w_date
+        if lt in ("timestamp-micros", "timestamp-millis"):
+            div = 1 if lt == "timestamp-micros" else 1000
+
+            def _w_ts(v, out: bytearray) -> None:
+                if hasattr(v, "value"):  # pandas.Timestamp: ns, exact
+                    v = v.value // 1000
+                elif isinstance(v, _dt.datetime):
+                    td = v.replace(tzinfo=None) - epoch_ts
+                    v = (
+                        td.days * 86_400_000_000
+                        + td.seconds * 1_000_000
+                        + td.microseconds
+                    )
+                base(int(v) // div, out)
+
+            return _w_ts
+        scale = int(schema.get("scale", 0))
+
+        def _w_dec(v, out: bytearray) -> None:
+            unscaled = int(_Dec(v).scaleb(scale))
+            n = max(1, (unscaled.bit_length() + 8) // 8)
+            base(unscaled.to_bytes(n, "big", signed=True), out)
+
+        return _w_dec
     if t in _PRIMITIVES or isinstance(t, (list, dict)):
         return _compile_writer(t, names)
     if t == "record":
@@ -320,8 +387,10 @@ def _compile_writer(
     if t == "array":
         item = _compile_writer(schema["items"], names)
 
-        def _w_array(v: list, out: bytearray) -> None:
-            if v:
+        def _w_array(v, out: bytearray) -> None:
+            # len(), not truthiness: Arrow batches surface list columns
+            # as numpy arrays, whose bool() is ambiguous
+            if len(v):
                 encode_long(len(v), out)
                 for x in v:
                     item(x, out)
@@ -332,7 +401,7 @@ def _compile_writer(
         val = _compile_writer(schema["values"], names)
 
         def _w_map(v: dict, out: bytearray) -> None:
-            if v:
+            if len(v):
                 encode_long(len(v), out)
                 for k, x in v.items():
                     kb = k.encode("utf-8")
@@ -540,7 +609,11 @@ def read_avro(spark, path: str, spark_schema: str):
     from pyspark.sql import functions as F  # noqa: N812
 
     bf = spark.read.format("binaryFile").load(path).select("content")
-    names = [c.strip().split()[0].strip("`") for c in spark_schema.split(",")]
+    import re
+
+    # split on TOP-LEVEL commas only: "p decimal(12,2)" is one field
+    parts = re.split(r",(?![^(<]*[)>])", spark_schema)
+    names = [c.strip().split()[0].strip("`") for c in parts]
 
     def _decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:

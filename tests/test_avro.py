@@ -197,3 +197,67 @@ def test_spark_write_read_roundtrip(spark):
         got = {(r.k, r.v, r.n) for r in back.collect()}
     want = {(str(i), i * 1.5, i) for i in range(1000)}
     assert got == want
+
+
+def test_logical_types_roundtrip():
+    """date / timestamp-micros / decimal logical types (the lake trio)
+    survive the container roundtrip as their logical Python values."""
+    import datetime as dt
+    from decimal import Decimal
+
+    schema = json.dumps(
+        {
+            "type": "record",
+            "name": "lt",
+            "fields": [
+                {"name": "d", "type": {"type": "int", "logicalType": "date"}},
+                {
+                    "name": "ts",
+                    "type": {
+                        "type": "long",
+                        "logicalType": "timestamp-micros",
+                    },
+                },
+                {
+                    "name": "m",
+                    "type": {
+                        "type": "bytes",
+                        "logicalType": "decimal",
+                        "precision": 12,
+                        "scale": 2,
+                    },
+                },
+            ],
+        }
+    )
+    rows = [
+        {
+            "d": dt.date(2024, 2, 29),
+            "ts": dt.datetime(2024, 2, 29, 12, 34, 56, 789012),
+            "m": Decimal("-12345.67"),
+        },
+        {
+            "d": dt.date(1969, 12, 31),
+            "ts": dt.datetime(1969, 12, 31, 23, 59, 59, 999999),
+            "m": Decimal("0.01"),
+        },
+        {
+            "d": dt.date(1970, 1, 1),
+            "ts": dt.datetime(1970, 1, 1),
+            "m": Decimal("99999999.99"),
+        },
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "t.avro")
+        write_container(path, schema, rows)
+        back = list(iter_container_records(open(path, "rb").read()))
+    assert back == rows
+    # raw integer inputs pass through the date/ts writers unchanged
+    w = compile_datum_writer(schema)
+    out = bytearray()
+    w({"d": 0, "ts": 0, "m": Decimal("0.00")}, out)
+    r = compile_datum_reader(schema)
+    got = r(Reader(bytes(out)))
+    assert got["d"] == dt.date(1970, 1, 1) and got["ts"] == dt.datetime(
+        1970, 1, 1
+    )

@@ -131,3 +131,37 @@ def test_graph_index_variant_keys_do_not_collide(spark):
         )
         == p1
     )
+
+
+def test_graph_index_append_stream_equals_batch_and_idempotent(spark):
+    """The incremental NSW append must reproduce the batch arrival
+    graph exactly (the NSW insertion rule makes node edges a function
+    of earlier ids), and re-running over the same work dir must not
+    duplicate appends (_SUCCESS-gated idempotence)."""
+    import tempfile
+
+    from jhu_data_parser_spark.operators.similarity import _rmtree_at_exit
+    from jhu_data_parser_spark.plans.pipeline20 import (
+        sim_graph_arrival_edges,
+    )
+    from jhu_data_parser_spark.streaming.jobs import (
+        run_graph_index_append_stream,
+    )
+
+    batch = sorted(map(tuple, sim_graph_arrival_edges(spark, SF).collect()))
+    wd = tempfile.mkdtemp(prefix="jdps_test_gidx_")
+    _rmtree_at_exit(wd)
+    s1 = sorted(
+        map(
+            tuple,
+            run_graph_index_append_stream(spark, SF, work_dir=wd).collect(),
+        )
+    )
+    assert s1 == batch
+    s2 = sorted(
+        map(
+            tuple,
+            run_graph_index_append_stream(spark, SF, work_dir=wd).collect(),
+        )
+    )
+    assert s2 == batch
