@@ -623,3 +623,88 @@ def stream_graph_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return run_graph_index_append_stream(spark, sf_dir)
+
+
+_MULTI_BF = f"""
+      SELECT query_id, vec_id FROM (
+        SELECT q.vec_id AS query_id, e.vec_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY list_dot_product(e.emb, q.emb)
+                   / (sqrt(list_dot_product(e.emb, e.emb))
+                      * sqrt(list_dot_product(q.emb, q.emb))) DESC,
+                   e.vec_id
+               ) AS rank
+        FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+              FROM embeddings WHERE {_GM_WHERE}) e,
+             (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+              FROM embeddings WHERE {_GM_QWHERE}) q)
+      WHERE rank <= {_GM_K}
+"""
+
+
+def _graph_multi_recall_oracle() -> str:
+    return f"""
+    WITH {_graph_multi_ctes()},
+    gsel AS (
+      SELECT t.query_id, t.id AS vec_id
+      FROM mh{_G_HOPS} t
+      JOIN mqd qd ON qd.query_id = t.query_id
+      JOIN embeddings e ON e.vec_id = t.id
+      QUALIFY row_number() OVER (
+        PARTITION BY t.query_id
+        ORDER BY list_dot_product(CAST(e.embedding AS DOUBLE[]), qd.qe)
+          / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                   CAST(e.embedding AS DOUBLE[])))
+             * sqrt(list_dot_product(qd.qe, qd.qe))) DESC, e.vec_id
+      ) <= {_GM_K}),
+    bf AS ({_MULTI_BF}),
+    hit AS (
+      SELECT query_id, vec_id FROM bf
+      INTERSECT
+      SELECT query_id, vec_id FROM gsel)
+    SELECT q.vec_id AS query_id,
+           CAST({_GM_K} AS INT) AS k,
+           CAST(COUNT(h.vec_id) AS BIGINT) AS n_overlap,
+           CAST(COUNT(h.vec_id) AS DOUBLE) / CAST({_GM_K} AS DOUBLE)
+             AS recall
+    FROM (SELECT vec_id FROM embeddings WHERE {_GM_QWHERE}) q
+    LEFT JOIN hit h ON h.query_id = q.vec_id
+    GROUP BY 1
+    """
+
+
+@query("sim_graph_recall_multi", oracle=_graph_multi_recall_oracle())
+def sim_graph_recall_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query recall@{k} of the BATCH graph-serving path against
+    per-query brute force — the quality table a retrieval service
+    publishes next to its latency: one row per request-batch query,
+    zeros preserved (a query whose beam missed everything still
+    reports). Both arms replay in the oracle, so the driver hash
+    certifies every per-query recall number."""
+    e = load_table(spark, sf_dir, "embeddings")
+    corpus = e.filter(F.expr(_GM_WHERE))
+    queries = e.filter(F.expr(_GM_QWHERE)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    gsel = sim_graph_topk_multi(spark, sf_dir).select("query_id", "vec_id")
+    bf = sim.topk_cosine_many(corpus, queries, k=_GM_K).select(
+        "query_id", "vec_id"
+    )
+    hit = bf.join(gsel, ["query_id", "vec_id"])
+    counts = hit.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hit")
+    )
+    return (
+        queries.select("query_id")
+        .join(counts, "query_id", "left")
+        .select(
+            "query_id",
+            F.lit(_GM_K).cast("int").alias("k"),
+            F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_overlap"),
+            (
+                F.coalesce("n_hit", F.lit(0)).cast("double")
+                / F.lit(_GM_K).cast("double")
+            ).alias("recall"),
+        )
+    )
