@@ -689,7 +689,8 @@ _AVRO_LOGICAL_ORACLE = """
            CAST(COUNT(*) AS BIGINT) AS n_rows,
            CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
                 AS BIGINT) AS price_cents,
-           CAST(SUM(epoch_us(o_orderdate)) AS BIGINT) AS ts_checksum,
+           CAST(SUM(epoch_us(o_orderdate) % 86400000000) AS BIGINT)
+             AS tod_checksum,
            CAST(SUM(CAST(o_orderdate AS DATE) - DATE '1970-01-01')
                 AS BIGINT) AS date_checksum
     FROM orders GROUP BY 1
@@ -759,7 +760,13 @@ def source_avro_orders_logical(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("oprice") * 100).cast("long"))
         .cast("long")
         .alias("price_cents"),
-        F.sum(F.unix_micros("ots")).cast("long").alias("ts_checksum"),
+        # time-of-day micros, NOT raw epoch micros: Σ epoch_us is
+        # ~1.7e15/row and ANSI-overflows a per-year group by sf0.1
+        # (the verify-skill Σ-bound rule); day + time-of-day together
+        # still pin the full timestamp
+        F.sum(F.unix_micros("ots") % 86_400_000_000)
+        .cast("long")
+        .alias("tod_checksum"),
         F.sum(F.datediff("odate", F.lit("1970-01-01")))
         .cast("long")
         .alias("date_checksum"),

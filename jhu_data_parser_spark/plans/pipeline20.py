@@ -59,7 +59,7 @@ _G_PLANES = 6  # RP planes per band (64 buckets)
 _G_BANDS = 4
 _G_SEED = 42
 _G_BEAM = 64  # efSearch analogue
-_G_HOPS = 3  # re-rank rounds
+_G_HOPS = 2  # re-rank rounds (r12 sweep: 2×depth-2 already 1.0 recall)
 _G_DEPTH = 2  # edge levels expanded per round
 _G_TOPK = 10
 
