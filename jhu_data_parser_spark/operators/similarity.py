@@ -1377,19 +1377,126 @@ def quantize_unit_vectors(
     ``list_dot_product`` on DOUBLE[]), the division one IEEE op, and
     ROUND is HALF_UP in both engines — bit-portable like
     ``clustering.quantize_vectors``."""
+    # The norm must be HOISTED behind a join barrier: HOF lambdas get
+    # no loop-invariant CSE, and CollapseProject re-inlines a plain
+    # alias straight back into the lambda (verified on the optimized
+    # plan), so an in-lambda norm recomputes the O(d) dot per ELEMENT
+    # — O(d²)/row, 64× redundant at d=64 (~12 s vs ~2 s for the 200k-
+    # row 100× corpus). The id-equi self-join is the cheap side of
+    # that trade and AQE picks its strategy.
     norm = (
         f"sqrt(aggregate(zip_with({vec_col}, {vec_col}, "
         "(a, b) -> CAST(a AS DOUBLE) * CAST(b AS DOUBLE)), "
         "CAST(0.0 AS DOUBLE), (s, x) -> s + x))"
     )
-    return df.select(
-        F.col(id_col).alias("id"),
+    vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("__v"))
+    norms = df.select(
+        F.col(id_col).alias("id"), F.expr(norm).alias("__n")
+    )
+    return vecs.join(norms, "id").select(
+        "id",
         F.expr(
-            f"transform({vec_col}, x -> "
-            f"CAST(ROUND(CAST(x AS DOUBLE) * {scale} / {norm}, 0) "
+            f"transform(__v, x -> "
+            f"CAST(ROUND(CAST(x AS DOUBLE) * {scale} / __n, 0) "
             "AS BIGINT))"
         ).alias("q"),
     )
+
+
+def _banded_buckets(
+    corpus: "DataFrame",
+    dim: int,
+    n_planes: int,
+    bands: int,
+    seed: int,
+    vec_col: str,
+    id_col: str,
+    exact_buckets: bool,
+) -> "DataFrame":
+    """``(id, b0..b{bands-1})`` — one RP-LSH bucket column per band
+    (seeds ``seed + band``). ``exact_buckets=True`` uses the
+    sequential-double column expression (cross-engine replayable, the
+    oracle-gated path); ``False`` the Arrow matmul (bulk builds, same
+    rule as :func:`topk_cosine_lsh`)."""
+    if exact_buckets:
+        return corpus.select(
+            F.col(id_col).alias("id"),
+            *[
+                rp_bucket_expr(vec_col, n_planes, dim, seed + b).alias(
+                    f"b{b}"
+                )
+                for b in range(bands)
+            ],
+        )
+    bucketed = corpus.select(F.col(id_col).alias("id"), vec_col)
+    for b in range(bands):
+        bucketed = rp_lsh_bucket(
+            bucketed, dim, n_planes, seed + b, vec_col, f"b{b}"
+        )
+    return bucketed.drop(vec_col)
+
+
+def _banded_pairs(
+    bucketed: "DataFrame", bands: int, earlier_only: bool
+) -> "DataFrame":
+    """Distinct candidate pairs ``(src, dst)`` from per-band equi
+    self-joins (never all-pairs). ``earlier_only`` keeps only
+    ``dst < src`` (the arrival-order NSW insertion rule); otherwise
+    both directions survive (``src != dst``)."""
+    pairs = None
+    for b in range(bands):
+        left = bucketed.select("id", f"b{b}")
+        right = bucketed.select(
+            F.col("id").alias("dst_id"), F.col(f"b{b}").alias(f"rb{b}")
+        )
+        pred = (
+            (F.col("dst_id") < F.col("id"))
+            if earlier_only
+            else (F.col("id") != F.col("dst_id"))
+        )
+        p = (
+            left.join(right, F.col(f"b{b}") == F.col(f"rb{b}"))
+            .filter(pred)
+            .select(F.col("id").alias("src"), F.col("dst_id").alias("dst"))
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    return pairs.distinct()
+
+
+def rank_pairs_by_d2(
+    cand: "DataFrame",
+    qa: "DataFrame",
+    qb: "DataFrame",
+    m: int,
+    include_rank: bool = False,
+) -> "DataFrame":
+    """Rank candidate pairs by exact integer squared-L2 and keep each
+    src's top-``m`` (ties by dst) — the ONE ranking implementation
+    behind the batch builds and the streaming index append (a
+    tie-break or metric change here cannot silently diverge the
+    hash-gated stream ≡ batch equivalence). ``cand`` is (src, dst);
+    ``qa`` (src, qa); ``qb`` (dst, qb)."""
+    from pyspark.sql import Window
+
+    d2 = (
+        cand.join(qa, "src")
+        .join(qb, "dst")
+        .select(
+            "src",
+            "dst",
+            F.expr(
+                "aggregate(zip_with(qa, qb, (a, b) -> (a - b) * (a - b)), "
+                "CAST(0 AS BIGINT), (s, x) -> s + x)"
+            ).alias("d2"),
+        )
+    )
+    w = Window.partitionBy("src").orderBy("d2", "dst")
+    ranked = (
+        d2.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= m)
+    )
+    cols = ["src", "dst", "rank"] if include_rank else ["src", "dst"]
+    return ranked.select(*cols)
 
 
 def knn_graph_banded(
@@ -1437,59 +1544,14 @@ def knn_graph_banded(
     determinism matters — at 13+ planes × several bands the matmul is
     the right tool (same rule as :func:`topk_cosine_lsh`).
     """
-    from pyspark.sql import Window
-
     qz = quantize_unit_vectors(corpus, id_col=id_col, vec_col=vec_col)
-    if exact_buckets:
-        bucketed = corpus.select(
-            F.col(id_col).alias("id"),
-            *[
-                rp_bucket_expr(vec_col, n_planes, dim, seed + b).alias(
-                    f"b{b}"
-                )
-                for b in range(bands)
-            ],
-        )
-    else:
-        bucketed = corpus.select(F.col(id_col).alias("id"), vec_col)
-        for b in range(bands):
-            bucketed = rp_lsh_bucket(
-                bucketed, dim, n_planes, seed + b, vec_col, f"b{b}"
-            )
-        bucketed = bucketed.drop(vec_col)
-    pairs = None
-    for b in range(bands):
-        left = bucketed.select("id", f"b{b}")
-        right = bucketed.select(
-            F.col("id").alias("dst_id"), F.col(f"b{b}").alias(f"rb{b}")
-        )
-        p = (
-            left.join(right, F.col(f"b{b}") == F.col(f"rb{b}"))
-            .filter(F.col("id") != F.col("dst_id"))
-            .select(F.col("id").alias("src"), F.col("dst_id").alias("dst"))
-        )
-        pairs = p if pairs is None else pairs.unionByName(p)
-    cand = pairs.distinct()
+    bucketed = _banded_buckets(
+        corpus, dim, n_planes, bands, seed, vec_col, id_col, exact_buckets
+    )
+    cand = _banded_pairs(bucketed, bands, earlier_only=False)
     qa = qz.select(F.col("id").alias("src"), F.col("q").alias("qa"))
     qb = qz.select(F.col("id").alias("dst"), F.col("q").alias("qb"))
-    d2 = (
-        cand.join(qa, "src")
-        .join(qb, "dst")
-        .select(
-            "src",
-            "dst",
-            F.expr(
-                "aggregate(zip_with(qa, qb, (a, b) -> (a - b) * (a - b)), "
-                "CAST(0 AS BIGINT), (s, x) -> s + x)"
-            ).alias("d2"),
-        )
-    )
-    w = Window.partitionBy("src").orderBy("d2", "dst")
-    return (
-        d2.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= m)
-        .select("src", "dst")
-    )
+    return rank_pairs_by_d2(cand, qa, qb, m, include_rank=False)
 
 
 def knn_graph_arrival(
@@ -1511,52 +1573,19 @@ def knn_graph_arrival(
     INCREMENTAL builder that appends per-batch edges (ids ascending
     across batches) reproduces this graph bit-for-bit — stream ≡
     batch ≡ SQL, the incremental-index discipline applied to a graph.
-    Candidates and ranking are the :func:`knn_graph_banded` machinery
-    (banded equi self-join, integer squared-L2 over quantized unit
-    vectors, ties by id)."""
-    from pyspark.sql import Window
-
+    Candidates and ranking are the SAME shared helpers as
+    :func:`knn_graph_banded` (banded equi self-join, integer
+    squared-L2 over quantized unit vectors, ties by id) — one
+    implementation, so a metric/tie-break change cannot silently
+    diverge the two graphs."""
     qz = quantize_unit_vectors(corpus, id_col=id_col, vec_col=vec_col)
-    bucketed = corpus.select(
-        F.col(id_col).alias("id"),
-        *[
-            rp_bucket_expr(vec_col, n_planes, dim, seed + b).alias(f"b{b}")
-            for b in range(bands)
-        ],
+    bucketed = _banded_buckets(
+        corpus, dim, n_planes, bands, seed, vec_col, id_col, True
     )
-    pairs = None
-    for b in range(bands):
-        left = bucketed.select("id", f"b{b}")
-        right = bucketed.select(
-            F.col("id").alias("dst_id"), F.col(f"b{b}").alias(f"rb{b}")
-        )
-        p = (
-            left.join(right, F.col(f"b{b}") == F.col(f"rb{b}"))
-            .filter(F.col("dst_id") < F.col("id"))
-            .select(F.col("id").alias("src"), F.col("dst_id").alias("dst"))
-        )
-        pairs = p if pairs is None else pairs.unionByName(p)
-    cand = pairs.distinct()
+    cand = _banded_pairs(bucketed, bands, earlier_only=True)
     qa = qz.select(F.col("id").alias("src"), F.col("q").alias("qa"))
     qb = qz.select(F.col("id").alias("dst"), F.col("q").alias("qb"))
-    d2 = (
-        cand.join(qa, "src")
-        .join(qb, "dst")
-        .select(
-            "src",
-            "dst",
-            F.expr(
-                "aggregate(zip_with(qa, qb, (a, b) -> (a - b) * (a - b)), "
-                "CAST(0 AS BIGINT), (s, x) -> s + x)"
-            ).alias("d2"),
-        )
-    )
-    w = Window.partitionBy("src").orderBy("d2", "dst")
-    return (
-        d2.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= m)
-        .select("src", "dst", "rank")
-    )
+    return rank_pairs_by_d2(cand, qa, qb, m, include_rank=True)
 
 
 _KNN_GRAPH_CACHE: dict = {}

@@ -296,7 +296,9 @@ def _v3_frames(spark: SparkSession, sf_dir: str) -> dict:
 
     d = load_table(spark, sf_dir, "documents")
     fp = _file_fingerprint(d.inputFiles())
-    key = (id(spark.sparkContext), fp)
+    # applicationId, not id(sc): a recycled CPython id after a context
+    # teardown would serve checkpointed RDDs from a dead context
+    key = (spark.sparkContext.applicationId, fp)
     if _fingerprint_cacheable(fp) and key in _V3_FRAMES_CACHE:
         return _V3_FRAMES_CACHE[key]
     rawu = d.select("doc_id", F.expr(_url_raw_spark(_V3_UID)).alias("url"))

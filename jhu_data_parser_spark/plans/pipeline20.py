@@ -67,12 +67,19 @@ _G_TOPK = 10
 # monotone in cosine — the beam ranks by the same order the exact
 # re-rank and the brute-force arm use (without the normalization the
 # L2 beam chases large-norm vectors and recall collapses)
-_QZ_EXPR = (
-    "list_transform(CAST(embedding AS DOUBLE[]), "
-    "x -> CAST(ROUND(x * 1000000 / "
-    "sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), "
-    "CAST(embedding AS DOUBLE[])))) AS BIGINT))"
-)
+def _qz_sql(where: str) -> str:
+    """Quantized-unit-vector subquery (vec_id, q): the norm computes
+    ONCE per row in its own projection level — the SQL twin of the
+    Spark side's join-barrier hoist (an in-lambda norm would be the
+    same O(d²)-per-row shape there)."""
+    return (
+        "SELECT vec_id, list_transform(emb, x -> "
+        "CAST(ROUND(x * 1000000 / n) AS BIGINT)) AS q "
+        "FROM (SELECT vec_id, emb, "
+        "sqrt(list_dot_product(emb, emb)) AS n "
+        "FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb "
+        f"FROM embeddings WHERE {where}) t1) t2"
+    )
 _D2_SQL = (
     "CAST(list_sum(list_transform(list_zip({a}, {b}), "
     "v -> (v[1] - v[2]) * (v[1] - v[2]))) AS BIGINT)"
@@ -145,8 +152,7 @@ def _graph_ctes() -> str:
             FROM embeddings WHERE vec_id <> 0),
     bks AS MATERIALIZED (SELECT e.id, {bucket_cols} FROM emb e, pl),
     qz AS MATERIALIZED (
-      SELECT vec_id AS id, {_QZ_EXPR} AS q
-      FROM embeddings WHERE vec_id <> 0),
+      SELECT vec_id AS id, q FROM ({_qz_sql("vec_id <> 0")}) zz),
     pairs AS (
 {pair_arms}),
     pd AS (
@@ -158,7 +164,7 @@ def _graph_ctes() -> str:
                row_number() OVER (PARTITION BY src ORDER BY d2, dst) AS rn
         FROM pd) t
       WHERE rn <= {_G_M}),
-    qq AS (SELECT {_QZ_EXPR} AS qv FROM embeddings WHERE vec_id = 0),
+    qq AS (SELECT q AS qv FROM ({_qz_sql("vec_id = 0")}) zq),
     qb AS (SELECT {qbucket_cols}
            FROM (SELECT CAST(embedding AS DOUBLE[]) AS emb
                  FROM embeddings WHERE vec_id = 0) e, pl),
@@ -207,7 +213,7 @@ def _graph_recall_oracle() -> str:
 
 
 def _graph_beam(spark: SparkSession, sf_dir: str):
-    """Shared build+search: returns (embeddings, corpus, final beam)."""
+    """Shared build+search: returns (corpus, final beam)."""
     from jhu_data_parser_spark.operators.similarity import (
         quantize_unit_vectors,
     )
@@ -268,7 +274,7 @@ def _graph_beam(spark: SparkSession, sf_dir: str):
         depth=_G_DEPTH,
         entry_ids=seeds,
     )
-    return e, corpus, bm
+    return corpus, bm
 
 
 @query("sim_cosine_topk_graph", oracle=_GRAPH_TOPK_ORACLE)
@@ -280,7 +286,7 @@ def sim_cosine_topk_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle replays build, search, and re-rank end-to-end."""
     from jhu_data_parser_spark.plans.llm import _query_vec
 
-    e, corpus, bm = _graph_beam(spark, sf_dir)
+    corpus, bm = _graph_beam(spark, sf_dir)
     qv = _query_vec(spark, sf_dir, 0)
     shortlist = corpus.join(
         F.broadcast(bm.select(F.col("id").alias("vec_id"))), "vec_id"
@@ -297,7 +303,7 @@ def sim_graph_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     the hash certifies the measured recall itself)."""
     from jhu_data_parser_spark.plans.llm import _query_vec
 
-    e, corpus, bm = _graph_beam(spark, sf_dir)
+    corpus, bm = _graph_beam(spark, sf_dir)
     qv = _query_vec(spark, sf_dir, 0)
     shortlist = corpus.join(
         F.broadcast(bm.select(F.col("id").alias("vec_id"))), "vec_id"
@@ -383,8 +389,7 @@ def _graph_multi_ctes() -> str:
              FROM embeddings WHERE {_GM_WHERE}),
     mbks AS MATERIALIZED (SELECT e.id, {bucket_cols} FROM memb e, pl),
     mqz AS MATERIALIZED (
-      SELECT vec_id AS id, {_QZ_EXPR} AS q
-      FROM embeddings WHERE {_GM_WHERE}),
+      SELECT vec_id AS id, q FROM ({_qz_sql(_GM_WHERE)}) zz),
     mpairs AS (
 {pair_arms}),
     mpd AS (
@@ -397,8 +402,8 @@ def _graph_multi_ctes() -> str:
                row_number() OVER (PARTITION BY src ORDER BY d2, dst) AS rn
         FROM mpd) t
       WHERE rn <= {_G_M}),
-    mqq AS (SELECT vec_id AS query_id, {_QZ_EXPR} AS qv
-            FROM embeddings WHERE {_GM_QWHERE}),
+    mqq AS (SELECT vec_id AS query_id, q AS qv
+            FROM ({_qz_sql(_GM_QWHERE)}) zq),
     mqb AS (SELECT e.query_id, {qbucket_cols}
             FROM (SELECT vec_id AS query_id,
                          CAST(embedding AS DOUBLE[]) AS emb
@@ -563,8 +568,7 @@ def _arrival_ctes() -> str:
              FROM embeddings WHERE vec_id <> 0),
     abks AS MATERIALIZED (SELECT e.id, {bucket_cols} FROM aemb e, pl),
     aqz AS MATERIALIZED (
-      SELECT vec_id AS id, {_QZ_EXPR} AS q
-      FROM embeddings WHERE vec_id <> 0),
+      SELECT vec_id AS id, q FROM ({_qz_sql("vec_id <> 0")}) zz),
     apairs AS (
 {pair_arms}),
     apd AS (

@@ -71,6 +71,18 @@ def _unzigzag(z: int) -> int:
     return (z >> 1) ^ -(z & 1)
 
 
+def _is_null(v: Any) -> bool:
+    """Null detection that survives the pandas boundary: None, float
+    NaN, and pandas NaT all count (NaT/NaN are self-unequal); arrays
+    and other containers are never null."""
+    if v is None:
+        return True
+    try:
+        return bool(v != v)
+    except (TypeError, ValueError):
+        return False
+
+
 def encode_long(n: int, out: bytearray) -> None:
     z = _zigzag(n)
     while z > 0x7F:
@@ -110,7 +122,7 @@ class Reader:
             if not b & 0x80:
                 break
             shift += 7
-            if shift > 70:
+            if shift > 63:  # 10 bytes max for a zigzag long (shift 0..63)
                 raise ValueError("avro: varint too long")
         return _unzigzag(z)
 
@@ -161,11 +173,20 @@ def _compile_reader(
         # the three logical types a lake actually serves (Avro spec
         # "Logical Types"): decode the base encoding, surface the
         # logical value — date(int: days), timestamp-micros/millis
-        # (long), decimal(bytes: two's-complement big-endian unscaled)
+        # (long), decimal over bytes OR fixed (two's-complement
+        # big-endian unscaled; fixed is what Java/Hive writers emit).
+        # When the schema node ITSELF defines a named type (fixed),
+        # compile the full definition minus the annotation so the
+        # name registers.
         import datetime as _dt
         from decimal import Decimal as _Dec
 
-        base = _compile_reader(t, names)
+        base_schema: Any = (
+            t
+            if t in _PRIMITIVES
+            else {k: v for k, v in schema.items() if k != "logicalType"}
+        )
+        base = _compile_reader(base_schema, names)
         epoch_d = _dt.date(1970, 1, 1)
         epoch_ts = _dt.datetime(1970, 1, 1)
         if lt == "date":
@@ -187,7 +208,6 @@ def _compile_reader(
         return _compile_reader(t, names)
     if t == "record":
         fields: list[tuple[str, Callable[[Reader], Any]]] = []
-        rec: dict[str, Any] = {}
 
         def _read_record(r: Reader) -> dict[str, Any]:
             return {name: fn(r) for name, fn in fields}
@@ -195,7 +215,6 @@ def _compile_reader(
         _register(schema, _read_record, names)
         for f in schema["fields"]:
             fields.append((f["name"], _compile_reader(f["type"], names)))
-        del rec
         return _read_record
     if t == "enum":
         symbols = list(schema["symbols"])
@@ -298,8 +317,11 @@ def _compile_writer(
         def _w_union(v: Any, out: bytearray) -> None:
             # the only union-branch dispatch this engine writes is the
             # ubiquitous ["null", T]; wider unions pick the first
-            # non-null branch (the writer controls its own schemas)
-            if v is None and null_idx >= 0:
+            # non-null branch (the writer controls its own schemas).
+            # _is_null, not `is None`: pandas hands missing values as
+            # NaT/NaN, which would otherwise corrupt the non-null
+            # branch (NaT.value is INT64_MIN) or crash int()
+            if _is_null(v) and null_idx >= 0:
                 encode_long(null_idx, out)
                 return
             for i, fn in enumerate(branches):
@@ -316,7 +338,13 @@ def _compile_writer(
         import datetime as _dt
         from decimal import Decimal as _Dec
 
-        base = _compile_writer(t, names)
+        base_schema: Any = (
+            t
+            if t in _PRIMITIVES
+            else {k: v for k, v in schema.items() if k != "logicalType"}
+        )
+        base = _compile_writer(base_schema, names)
+        fixed_size = int(schema["size"]) if t == "fixed" else None
         epoch_d = _dt.date(1970, 1, 1)
         epoch_ts = _dt.datetime(1970, 1, 1)
         if lt == "date":
@@ -349,7 +377,11 @@ def _compile_writer(
 
         def _w_dec(v, out: bytearray) -> None:
             unscaled = int(_Dec(v).scaleb(scale))
-            n = max(1, (unscaled.bit_length() + 8) // 8)
+            n = (
+                fixed_size
+                if fixed_size is not None
+                else max(1, (unscaled.bit_length() + 8) // 8)
+            )
             base(unscaled.to_bytes(n, "big", signed=True), out)
 
         return _w_dec
@@ -618,7 +650,19 @@ def read_avro(spark, path: str, spark_schema: str):
     def _decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
             for raw in pdf["content"]:
-                for block in iter_container_blocks(bytes(raw)):
+                raw = bytes(raw)
+                # fail loudly on a name mismatch — rec.get() would
+                # otherwise yield a silently all-null column for a
+                # one-character schema typo
+                hdr_schema, _, _ = read_container_header(Reader(raw))
+                have = {f["name"] for f in json.loads(hdr_schema)["fields"]}
+                missing = [n for n in names if n not in have]
+                if missing:
+                    raise ValueError(
+                        f"avro: requested columns {missing} not in "
+                        f"container fields {sorted(have)}"
+                    )
+                for block in iter_container_blocks(raw):
                     yield pd.DataFrame(
                         {n: [rec.get(n) for rec in block] for n in names}
                     )

@@ -1993,8 +1993,6 @@ def run_graph_index_append_stream(
     import pyarrow.dataset as pads
     import pyarrow.parquet as pq
 
-    from pyspark.sql import Window
-
     from jhu_data_parser_spark.operators import similarity as sim
     from jhu_data_parser_spark.plans.pipeline20 import (
         _G_DIM,
@@ -2043,10 +2041,15 @@ def run_graph_index_append_stream(
         new_posts = (
             corpus.select(
                 F.col("vec_id").alias("id"),
+                # cast long: the bucket expr is int32, but the seed
+                # dir declared b{b} long — a mixed-type parquet
+                # dataset only reads via type-widening luck
                 *[
                     sim.rp_bucket_expr(
                         "embedding", _G_PLANES, _G_DIM, _G_SEED + b
-                    ).alias(f"b{b}")
+                    )
+                    .cast("long")
+                    .alias(f"b{b}")
                     for b in range(_GA_BANDS)
                 ],
             )
@@ -2069,7 +2072,6 @@ def run_graph_index_append_stream(
                     all_posts.select(
                         F.col("id").alias("dst_id"),
                         F.col(f"b{b}").alias(f"rb{b}"),
-                        F.col("q").alias("qb"),
                     ),
                     F.col(f"b{b}") == F.col(f"rb{b}"),
                 )
@@ -2080,34 +2082,15 @@ def run_graph_index_append_stream(
                 )
             )
             pairs = p if pairs is None else pairs.unionByName(p)
-        cand = pairs.distinct()
-        d2 = (
-            cand.join(
-                new_posts.select(
-                    F.col("id").alias("src"), F.col("q").alias("qa")
-                ),
-                "src",
-            )
-            .join(
-                all_posts.select(
-                    F.col("id").alias("dst"), F.col("q").alias("qb")
-                ),
-                "dst",
-            )
-            .select(
-                "src",
-                "dst",
-                F.expr(
-                    "aggregate(zip_with(qa, qb, (a, b) -> (a - b) * (a - b)),"
-                    " CAST(0 AS BIGINT), (s, x) -> s + x)"
-                ).alias("d2"),
-            )
-        )
-        w = Window.partitionBy("src").orderBy("d2", "dst")
-        edges = (
-            d2.withColumn("rank", F.row_number().over(w).cast("int"))
-            .filter(F.col("rank") <= _GA_M)
-            .select("src", "dst", "rank")
+        # the ONE shared ranking implementation (sim.rank_pairs_by_d2)
+        # — the stream cannot silently diverge from the batch graph's
+        # metric or tie-break
+        edges = sim.rank_pairs_by_d2(
+            pairs.distinct(),
+            new_posts.select(F.col("id").alias("src"), F.col("q").alias("qa")),
+            all_posts.select(F.col("id").alias("dst"), F.col("q").alias("qb")),
+            _GA_M,
+            include_rank=True,
         )
         # per-batch artifacts are a few thousand rows — one file each
         # (a production append would target file sizes, not task count)

@@ -261,3 +261,128 @@ def test_logical_types_roundtrip():
     assert got["d"] == dt.date(1970, 1, 1) and got["ts"] == dt.datetime(
         1970, 1, 1
     )
+
+
+def test_timestamp_millis_roundtrip():
+    import datetime as dt
+
+    schema = json.dumps(
+        {
+            "type": "record",
+            "name": "tm",
+            "fields": [
+                {
+                    "name": "ts",
+                    "type": {
+                        "type": "long",
+                        "logicalType": "timestamp-millis",
+                    },
+                }
+            ],
+        }
+    )
+    rows = [
+        {"ts": dt.datetime(2024, 2, 29, 12, 34, 56, 789000)},
+        {"ts": dt.datetime(1969, 12, 31, 23, 59, 59, 1000)},
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "t.avro")
+        write_container(path, schema, rows)
+        back = list(iter_container_records(open(path, "rb").read()))
+    assert back == rows
+
+
+def test_pandas_missing_values_take_null_branch(spark):
+    """pandas hands missing values to the writer as NaT/NaN, not None —
+    the union writer must route them to the null branch (NaT.value is
+    INT64_MIN and would silently encode as a year-290000-BC timestamp;
+    a nullable long becomes float NaN and int(nan) would crash)."""
+    df = spark.sql(
+        """SELECT * FROM VALUES
+             (1L, TIMESTAMP'2024-01-02 03:04:05', 7L, 1.5D),
+             (2L, CAST(NULL AS TIMESTAMP), CAST(NULL AS LONG),
+              CAST(NULL AS DOUBLE))
+           AS t(id, ts, n, v)"""
+    )
+    schema_json = json.dumps(
+        {
+            "type": "record",
+            "name": "r",
+            "fields": [
+                {"name": "id", "type": "long"},
+                {
+                    "name": "ts",
+                    "type": [
+                        "null",
+                        {"type": "long", "logicalType": "timestamp-micros"},
+                    ],
+                },
+                {"name": "n", "type": ["null", "long"]},
+                {"name": "v", "type": ["null", "double"]},
+            ],
+        }
+    )
+    with tempfile.TemporaryDirectory() as d:
+        write_avro(df.coalesce(1), d, schema_json).collect()
+        back = {
+            r.id: (r.ts, r.n, r.v)
+            for r in read_avro(
+                spark, d, "id long, ts timestamp, n long, v double"
+            ).collect()
+        }
+    assert back[2] == (None, None, None)
+    assert back[1][1:] == (7, 1.5)
+    assert back[1][0] is not None
+
+
+def test_decimal_over_fixed_roundtrip():
+    """decimal backed by a FIXED base (what Java/Hive/Flink writers
+    emit) must roundtrip, registering the named type."""
+    from decimal import Decimal
+
+    schema = json.dumps(
+        {
+            "type": "record",
+            "name": "fx",
+            "fields": [
+                {
+                    "name": "m",
+                    "type": {
+                        "type": "fixed",
+                        "name": "amt",
+                        "size": 8,
+                        "logicalType": "decimal",
+                        "precision": 18,
+                        "scale": 2,
+                    },
+                }
+            ],
+        }
+    )
+    rows = [{"m": Decimal("-12345.67")}, {"m": Decimal("99999999999.99")}]
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "t.avro")
+        write_container(path, schema, rows)
+        raw = open(path, "rb").read()
+        assert list(iter_container_records(raw)) == rows
+
+
+def test_read_avro_missing_column_fails_loudly(spark):
+    df = spark.range(3).selectExpr("id AS a")
+    schema_json = json.dumps(
+        {
+            "type": "record",
+            "name": "r",
+            "fields": [{"name": "a", "type": "long"}],
+        }
+    )
+    with tempfile.TemporaryDirectory() as d:
+        write_avro(df.coalesce(1), d, schema_json).collect()
+        with pytest.raises(Exception, match="not in"):
+            read_avro(spark, d, "a_typo long").collect()
+
+
+def test_oversize_varint_rejected():
+    raw = bytes([0x80] * 10 + [0x01])  # 11-byte varint (Avro max is 10)
+    with pytest.raises(ValueError, match="varint"):
+        Reader(raw).read_long()
