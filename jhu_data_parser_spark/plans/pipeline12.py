@@ -771,3 +771,85 @@ def source_avro_orders_logical(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("date_checksum"),
     )
+
+
+# Delta-lite table roundtrips — the modern-lake TABLE layer over the
+# format matrix (sources/delta_lite.py: the public Delta transaction
+# protocol's JSON log, vendored — no delta-spark jar in this
+# distribution). Three commits: v0 overwrite(base), v1 append(hi-qty
+# slice), v2 overwrite(slice only — emits remove actions). Reading
+# LATEST proves log replay honors removes; reading version 1 proves
+# time travel reconstructs the pre-overwrite snapshot from the same
+# immutable data files. Oracles recompute both snapshots from the
+# parquet source.
+_DELTA_SLICE = "l_quantity >= 45"
+
+
+def _delta_demo_table(spark: SparkSession, sf_dir: str) -> str:
+    import tempfile
+
+    from jhu_data_parser_spark.operators.similarity import _rmtree_at_exit
+    from jhu_data_parser_spark.sources.delta_lite import write_delta
+
+    table = tempfile.mkdtemp(prefix="jdps_delta_")
+    _rmtree_at_exit(table)
+    base = _roundtrip_cols(spark, sf_dir)
+    write_delta(base, table, mode="overwrite")  # v0
+    write_delta(
+        base.filter(F.expr(_DELTA_SLICE)), table, mode="append"
+    )  # v1
+    write_delta(
+        base.filter(F.expr(_DELTA_SLICE)), table, mode="overwrite"
+    )  # v2
+    return table
+
+
+_DELTA_LATEST_ORACLE = f"""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS price_cents,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM lineitem WHERE {_DELTA_SLICE} GROUP BY l_returnflag
+    """
+
+_DELTA_V1_ORACLE = f"""
+    WITH all_rows AS (
+      SELECT l_returnflag, l_extendedprice, l_quantity FROM lineitem
+      UNION ALL
+      SELECT l_returnflag, l_extendedprice, l_quantity FROM lineitem
+      WHERE {_DELTA_SLICE})
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS price_cents,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM all_rows GROUP BY l_returnflag
+    """
+
+
+@query("source_delta_roundtrip", oracle=_DELTA_LATEST_ORACLE)
+def source_delta_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-lite LATEST snapshot after overwrite→append→overwrite:
+    the final read must contain ONLY the last overwrite's rows even
+    though every earlier data file still sits in the table dir —
+    i.e. the log's remove actions, not the filesystem, define the
+    table. Cents-exact aggregate vs the slice recomputed from
+    parquet."""
+    from jhu_data_parser_spark.sources.delta_lite import read_delta
+
+    table = _delta_demo_table(spark, sf_dir)
+    return _roundtrip_agg(read_delta(spark, table))
+
+
+@query("source_delta_time_travel", oracle=_DELTA_V1_ORACLE)
+def source_delta_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-lite TIME TRAVEL: the same table read at version 1 (after
+    the append, before the overwrite) reconstructs base ∪ slice from
+    the immutable data files the later overwrite logically removed —
+    the audit/rollback read every lake user expects from a table
+    format. Aggregate vs the UNION ALL recomputed from parquet."""
+    from jhu_data_parser_spark.sources.delta_lite import read_delta
+
+    table = _delta_demo_table(spark, sf_dir)
+    return _roundtrip_agg(read_delta(spark, table, version=1))
