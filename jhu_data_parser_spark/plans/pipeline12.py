@@ -853,3 +853,28 @@ def source_delta_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     table = _delta_demo_table(spark, sf_dir)
     return _roundtrip_agg(read_delta(spark, table, version=1))
+
+
+@query(
+    "stream_delta_append_daily",
+    oracle="""
+    SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 10000) AS BIGINT)) AS BIGINT)
+             AS value_fp
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_delta_append_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once streaming appends into the Delta-lite table (the
+    protocol's ``txn`` (appId, version) handshake — a replayed
+    micro-batch is recognized and skipped, no idempotent-filename
+    tricks needed), then daily counts from the table's LATEST
+    snapshot. The oracle recomputes the same aggregate from the
+    source parquet: a hash match proves no batch was lost or
+    double-committed. Idempotence under re-delivery is additionally
+    pytest-pinned (tests/test_delta_lite.py)."""
+    from jhu_data_parser_spark.streaming.jobs import run_delta_append_stream
+
+    return run_delta_append_stream(spark, sf_dir)

@@ -56,15 +56,42 @@ def _versions(table: str) -> list[int]:
     return sorted(out)
 
 
+def last_txn_version(table: str, app_id: str) -> int:
+    """Highest committed ``txn`` version for ``app_id`` (−1 if none) —
+    the protocol's idempotent-streaming-sink handshake: a re-delivered
+    micro-batch is recognized and skipped by its (appId, version)."""
+    last = -1
+    for v in _versions(table):
+        with open(_log_path(table, v)) as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                a = json.loads(line)
+                t = a.get("txn")
+                if t and t.get("appId") == app_id:
+                    last = max(last, int(t["version"]))
+    return last
+
+
 def write_delta(
-    spark_df: DataFrame, table: str, mode: str = "overwrite"
+    spark_df: DataFrame,
+    table: str,
+    mode: str = "overwrite",
+    txn: tuple[str, int] | None = None,
 ) -> int:
     """Commit the DataFrame to the Delta-lite table; returns the new
-    version. ``overwrite`` removes all previously-active files in the
-    commit (log-only — old data files stay for time travel, the Delta
+    version (or the current one when an idempotent txn is skipped).
+    ``overwrite`` removes all previously-active files in the commit
+    (log-only — old data files stay for time travel, the Delta
     semantics); ``append`` adds alongside them. The data write is one
     distributed parquet job to a staging dir; only the file RENAMES
-    and the log append are driver-side (metadata-sized)."""
+    and the log append are driver-side (metadata-sized).
+
+    ``txn=(app_id, version)`` records the protocol's ``txn`` action
+    with the commit and SKIPS the whole write when that (appId,
+    version) is already committed — exactly-once streaming appends
+    under checkpoint replay / upstream re-delivery."""
     import shutil
     import tempfile
 
@@ -72,6 +99,9 @@ def write_delta(
         raise ValueError(f"mode {mode!r}")
     os.makedirs(os.path.join(table, _LOG_DIR), exist_ok=True)
     versions = _versions(table)
+    if txn is not None and versions:
+        if int(txn[1]) <= last_txn_version(table, txn[0]):
+            return versions[-1]  # idempotent re-delivery: no-op
     version = (versions[-1] + 1) if versions else 0
 
     stage = tempfile.mkdtemp(prefix="jdps_delta_stage_")
@@ -124,6 +154,10 @@ def write_delta(
             actions.append(
                 {"remove": {"path": pth, "dataChange": True}}
             )
+    if txn is not None:
+        actions.append(
+            {"txn": {"appId": txn[0], "version": int(txn[1])}}
+        )
     actions.extend(adds)
     # single-writer commit: write-then-rename so a torn write never
     # surfaces as a half-commit

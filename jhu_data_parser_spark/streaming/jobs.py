@@ -2129,6 +2129,93 @@ def run_graph_index_append_stream(
     return spark.read.parquet(edge_dir).select("src", "dst", "rank")
 
 
+def run_delta_append_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    n_chunks: int = 2,
+    table: str | None = None,
+) -> DataFrame:
+    """Exactly-once streaming appends into the Delta-lite table via
+    the protocol's ``txn`` actions (sources/delta_lite.py): event
+    chunks arrive as micro-batches; each foreachBatch appends with
+    ``txn=("jdps-events-stream", batch_id)``, so a checkpoint replay
+    or upstream re-delivery of a batch is recognized by its (appId,
+    version) and SKIPPED — the Delta streaming-sink handshake, which
+    is how a real lake gets exactly-once file sinks without
+    idempotent file names. The read-back aggregates daily counts from
+    the table's LATEST snapshot; the batch oracle recomputes them
+    from the source parquet, so the driver hash proves no batch was
+    lost OR double-committed. Timestamps travel as epoch-micros
+    BIGINTs (computed at staging) so no engine TZ semantics are in
+    play. Idempotence is additionally pytest-pinned by re-running the
+    stream over the same table."""
+    import time as _time
+
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    from jhu_data_parser_spark.sources.delta_lite import (
+        read_delta,
+        write_delta,
+    )
+
+    src = os.path.join(sf_dir, "events.parquet")
+    stage = _cleanup_at_exit(tempfile.mkdtemp(prefix="jdps_delta_src_"))
+    dset = pads.dataset(src, format="parquet")
+    ids = dset.to_table(columns=["event_id"]).column("event_id")
+    lo, hi = pc.min(ids).as_py(), pc.max(ids).as_py()
+    del ids
+    bounds = [lo + (hi - lo + 1) * k // n_chunks for k in range(n_chunks + 1)]
+    now = _time.time() - 1000
+    for k in range(n_chunks):
+        flt = (pads.field("event_id") >= bounds[k]) & (
+            pads.field("event_id") < bounds[k + 1]
+        )
+        t = dset.to_table(
+            columns=["event_id", "ts", "event_type", "value"], filter=flt
+        )
+        t = t.set_column(
+            t.schema.get_field_index("ts"),
+            "ts_us",
+            pc.cast(t.column("ts"), "int64"),
+        )
+        path = os.path.join(stage, f"chunk_{k:03d}.parquet")
+        pq.write_table(t, path)
+        os.utime(path, (now + 30 * k, now + 30 * k))
+
+    if table is None:
+        table = _cleanup_at_exit(tempfile.mkdtemp(prefix="jdps_delta_tbl_"))
+    ckpt = _cleanup_at_exit(tempfile.mkdtemp(prefix="jdps_delta_ckpt_"))
+
+    def _batch(bdf: DataFrame, batch_id: int) -> None:
+        write_delta(
+            bdf, table, mode="append", txn=("jdps-events-stream", batch_id)
+        )
+
+    schema = spark.read.parquet(stage).schema
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+        .writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    snap = read_delta(spark, table)
+    return snap.groupBy(
+        F.expr("ts_us DIV 86400000000").cast("long").alias("day"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.expr("CAST(ROUND(value * 10000) AS BIGINT)"))
+        .cast("long")
+        .alias("value_fp"),
+    )
+
+
 def run_cusum_drift_stream(
     spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 8
 ) -> DataFrame:
