@@ -1390,8 +1390,22 @@ def quantize_unit_vectors(
         "CAST(0.0 AS DOUBLE), (s, x) -> s + x))"
     )
     vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("__v"))
+    # Zero/NULL-norm guard: an all-zero (or NULL) embedding has no
+    # cosine direction; dividing through would emit NULL/NaN q arrays
+    # whose NULL ordering DIVERGES between Spark (NULLS FIRST asc) and
+    # DuckDB (NULLS LAST) — a silent oracle break. Fail loudly instead
+    # (fail-loudly rule): filter zero vectors upstream if they are
+    # expected.
     norms = df.select(
-        F.col(id_col).alias("id"), F.expr(norm).alias("__n")
+        F.col(id_col).alias("id"), F.expr(norm).alias("__n0")
+    ).select(
+        "id",
+        F.expr(
+            "CASE WHEN __n0 IS NULL OR __n0 = CAST(0.0 AS DOUBLE) "
+            "THEN CAST(raise_error('quantize_unit_vectors: zero- or "
+            "null-norm embedding (cosine undefined); filter upstream') "
+            "AS DOUBLE) ELSE __n0 END"
+        ).alias("__n"),
     )
     return vecs.join(norms, "id").select(
         "id",
@@ -1649,8 +1663,13 @@ def knn_graph_index(
             for k in _KNN_GRAPH_CACHE
             if k[1:] == key[1:] and corpus_dirs(k[0]) == dirs
         ]
+        # at-exit, not immediate: a lazy DataFrame returned from an
+        # earlier knn_graph_index call over the same (now rewritten)
+        # corpus may still hold the superseded path — same rationale
+        # as the capacity-eviction path below (bounded disk held
+        # until exit beats a mid-query FileNotFound)
         for k in stale:
-            _rmtree_quiet(_KNN_GRAPH_CACHE.pop(k))
+            _rmtree_at_exit(_KNN_GRAPH_CACHE.pop(k))
         while len(_KNN_GRAPH_CACHE) >= _KNN_GRAPH_CACHE_MAX:
             oldest = next(iter(_KNN_GRAPH_CACHE))
             _rmtree_at_exit(_KNN_GRAPH_CACHE.pop(oldest))

@@ -17,6 +17,14 @@ long, float, double, bytes, string) and all named/complex types
 with ``NotImplementedError`` — the same strict-boundary rule as the
 multimodal codecs (never fake a decode).
 
+Null coercion (documented, deliberate): the union writer treats any
+self-unequal value (float NaN, pandas NaT) as NULL when the union has
+a null branch — the correct semantics at the Spark/pandas boundary,
+where missing values surface as NaN/NaT. A caller who needs a literal
+IEEE NaN persisted in a ``["null","double"]`` union should write
+through a non-null schema (plain ``"double"``), where NaN round-trips
+exactly.
+
 Scale posture (100 TB): the Spark integration reads container files
 through the ``binaryFile`` source and decodes with Arrow-batched
 ``mapInPandas`` — FILES are the parallelism unit, records are decoded
@@ -124,6 +132,11 @@ class Reader:
             shift += 7
             if shift > 63:  # 10 bytes max for a zigzag long (shift 0..63)
                 raise ValueError("avro: varint too long")
+        if z >> 64:
+            # a 10th byte may carry payload bits beyond the 64-bit
+            # zigzag range; fail loudly instead of decoding an
+            # out-of-range value from corrupt input
+            raise ValueError("avro: varint overflows 64-bit range")
         return _unzigzag(z)
 
 

@@ -1346,26 +1346,31 @@ def run_pack_batches_incremental_stream(
     import time as _time
 
     import pyarrow.compute as pc
+    import pyarrow.dataset as pads
     import pyarrow.parquet as pq
 
     from pyspark.sql import Window
 
     src = os.path.join(sf_dir, "documents.parquet")
     # --- stage the landing prefix (test scaffolding: in production the
-    # upstream crawler writes these files; sizes here are bounded by the
-    # test corpus, not a 100 TB concern) -------------------------------
+    # upstream crawler writes these files). Never hold the full
+    # documents table in driver memory: bound the id range from the
+    # single doc_id column, then cut each crawl chunk with a
+    # pushed-down dataset filter (one chunk resident at a time) — the
+    # same memory posture as the substring-span stream's stager below.
     stage = _cleanup_at_exit(tempfile.mkdtemp(prefix="jdps_pack_src_"))
-    tbl = pq.read_table(src)
-    ids = tbl.column("doc_id")
+    dset = pads.dataset(src, format="parquet")
+    ids = dset.to_table(columns=["doc_id"]).column("doc_id")
     lo, hi = pc.min(ids).as_py(), pc.max(ids).as_py()
+    del ids
     bounds = [lo + (hi - lo + 1) * k // n_chunks for k in range(n_chunks + 1)]
     now = _time.time() - 1000
     for k in range(n_chunks):
-        mask = pc.and_(
-            pc.greater_equal(ids, bounds[k]), pc.less(ids, bounds[k + 1])
+        flt = (pads.field("doc_id") >= bounds[k]) & (
+            pads.field("doc_id") < bounds[k + 1]
         )
         path = os.path.join(stage, f"chunk_{k:03d}.parquet")
-        pq.write_table(tbl.filter(mask), path)
+        pq.write_table(dset.to_table(filter=flt), path)
         os.utime(path, (now + 30 * k, now + 30 * k))
 
     # frozen benchmark set (decontamination reference — static, bounded)
