@@ -855,6 +855,108 @@ def source_delta_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _roundtrip_agg(read_delta(spark, table, version=1))
 
 
+_DELTA_PART_ORACLE = f"""
+    WITH all_rows AS (
+      SELECT l_returnflag, l_extendedprice, l_quantity FROM lineitem
+      UNION ALL
+      SELECT l_returnflag, l_extendedprice, l_quantity FROM lineitem
+      WHERE {_DELTA_SLICE})
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS price_cents,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM all_rows WHERE l_returnflag IN ('A', 'R')
+    GROUP BY l_returnflag
+    """
+
+
+@query("source_delta_partitioned", oracle=_DELTA_PART_ORACLE)
+def source_delta_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-lite PARTITIONED table (``partition_by=['l_returnflag']``):
+    data files land in Hive-style ``l_returnflag=…/`` dirs with
+    per-file ``partitionValues`` in the add log and ``partitionColumns``
+    in metaData (the protocol shape); the snapshot read hands Spark
+    the active file list plus the table basePath, so the flag filter
+    becomes ``PartitionFilters`` on the scan — whole partition dirs
+    pruned at planning time (the Athena-partition-pruning story of
+    the reference's ``type=`` layout, ``/root/reference/src/parser.py:73-75``,
+    carried into the table layer; pruning is plan-pinned in
+    tests/test_delta_lite.py). Aggregate over two flags of the
+    overwrite+append snapshot vs the parquet-recomputed oracle."""
+    from jhu_data_parser_spark.operators.similarity import _rmtree_at_exit
+    from jhu_data_parser_spark.sources.delta_lite import (
+        read_delta,
+        write_delta,
+    )
+    import tempfile
+
+    table = tempfile.mkdtemp(prefix="jdps_delta_part_")
+    _rmtree_at_exit(table)
+    base = _roundtrip_cols(spark, sf_dir)
+    write_delta(
+        base, table, mode="overwrite", partition_by=["l_returnflag"]
+    )
+    write_delta(base.filter(F.expr(_DELTA_SLICE)), table, mode="append")
+    snap = read_delta(spark, table).filter(
+        F.col("l_returnflag").isin("A", "R")
+    )
+    return _roundtrip_agg(snap)
+
+
+_DELTA_CP_ORACLE = """
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS price_cents,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM lineitem WHERE l_quantity >= 21 GROUP BY l_returnflag
+    """
+
+
+@query("source_delta_checkpoint", oracle=_DELTA_CP_ORACLE)
+def source_delta_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-lite CHECKPOINT replay, made load-bearing: 13 commits
+    (quantity-band appends around a mid-history overwrite at v5) so the
+    writer emits the v10 checkpoint parquet + ``_last_checkpoint``,
+    then every JSON commit ≤ v10 is DELETED (the protocol's log-cleanup
+    allowance) before the read — the snapshot can only come from
+    checkpoint state + the two tail commits. A hash match therefore
+    proves the checkpoint carried the adds, the v5 overwrite's removes
+    (nothing resurrected), and the schema. Oracle recomputes the
+    surviving bands (quantity ≥ 21) from parquet."""
+    import os
+    import tempfile
+
+    from jhu_data_parser_spark.operators.similarity import _rmtree_at_exit
+    from jhu_data_parser_spark.sources.delta_lite import (
+        read_delta,
+        write_delta,
+    )
+
+    table = tempfile.mkdtemp(prefix="jdps_delta_cp_")
+    _rmtree_at_exit(table)
+    base = _roundtrip_cols(spark, sf_dir)
+
+    def band(k: int) -> DataFrame:
+        return base.filter(
+            (F.col("l_quantity") >= k * 4 + 1)
+            & (F.col("l_quantity") < (k + 1) * 4 + 1)
+        )
+
+    write_delta(band(0), table, mode="overwrite")  # v0
+    for k in range(1, 5):  # v1..v4
+        write_delta(band(k), table, mode="append")
+    write_delta(band(5), table, mode="overwrite")  # v5: drops bands 0-4
+    for k in range(6, 13):  # v6..v12 (checkpoint fires at v10)
+        write_delta(band(k), table, mode="append")
+    logdir = os.path.join(table, "_delta_log")
+    for f in os.listdir(logdir):  # log cleanup below the checkpoint
+        if f.endswith(".json") and int(f[:-5]) <= 10:
+            os.remove(os.path.join(logdir, f))
+    return _roundtrip_agg(read_delta(spark, table))
+
+
 @query(
     "stream_delta_append_daily",
     oracle="""

@@ -1,7 +1,9 @@
 """Delta-lite protocol layer: commit/replay semantics beyond what the
-two catalog queries pin — empty-table errors, history, unsupported
-protocol requirements failing loudly, and schema fidelity through the
-committed schemaString."""
+catalog queries pin — empty-table errors, history, unsupported
+protocol requirements failing loudly, schema fidelity through the
+committed schemaString, partitioned tables (layout, partitionValues,
+planning-time pruning), and checkpoint parquet replay (log-tail
+seeding, log cleanup, txn high-water marks)."""
 
 from __future__ import annotations
 
@@ -11,7 +13,12 @@ import tempfile
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from jhu_data_parser_spark.sources.delta_lite import (
+    _checkpoint_versions,
+    last_txn_version,
+    latest_version,
     read_delta,
     table_history,
     write_delta,
@@ -62,3 +69,123 @@ def test_not_a_table_errors(spark):
     with tempfile.TemporaryDirectory() as t:
         with pytest.raises(ValueError, match="not a table"):
             read_delta(spark, t)
+
+
+def test_partitioned_table_layout_and_pruning(spark):
+    df = spark.range(90).select(
+        "id",
+        (F.col("id") % 3).cast("string").alias("k"),
+        (F.col("id") * 2.0).alias("v"),
+    )
+    with tempfile.TemporaryDirectory() as t:
+        write_delta(df, t, "overwrite", partition_by=["k"])
+        # Hive-style layout + partitionValues recorded in the add log
+        assert sorted(
+            d for d in os.listdir(t) if d != "_delta_log"
+        ) == ["k=0", "k=1", "k=2"]
+        adds = [
+            json.loads(l)["add"]
+            for l in open(os.path.join(t, "_delta_log", f"{0:020d}.json"))
+            if '"add"' in l
+        ]
+        assert all(a["partitionValues"].get("k") in "012" for a in adds)
+        assert all(a["path"].startswith("k=") for a in adds)
+        # appends inherit the committed partitioning; conflicts reject
+        write_delta(df.withColumn("id", F.col("id") + 100), t, "append")
+        with pytest.raises(ValueError, match="partitioned by"):
+            write_delta(df, t, "append", partition_by=["id"])
+        back = read_delta(spark, t)
+        assert back.count() == 180
+        # partition column reconstructed with the COMMITTED type
+        assert dict(back.dtypes)["k"] == "string"
+        assert back.filter(F.col("k") == "1").count() == 60
+        # planning-time pruning: the partition filter reaches the scan
+        plan = (
+            back.filter(F.col("k") == "1")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+        assert pf and "k#" in pf[0].split("PartitionFilters")[1].split("]")[0]
+        # time travel on a partitioned table
+        assert read_delta(spark, t, version=0).count() == 90
+
+
+def test_checkpoint_replay_and_log_cleanup(spark):
+    base = spark.range(10).select("id", F.lit(1.0).alias("v"))
+    with tempfile.TemporaryDirectory() as t:
+        write_delta(base, t, "overwrite", txn=("app", 0))
+        for i in range(1, 13):
+            write_delta(
+                base.withColumn("id", F.col("id") + F.lit(i * 10)),
+                t,
+                "append",
+                txn=("app", i),
+            )
+        # checkpoint at the protocol's 10-commit convention + pointer
+        assert _checkpoint_versions(t) == [10]
+        ptr = json.load(
+            open(os.path.join(t, "_delta_log", "_last_checkpoint"))
+        )
+        assert ptr["version"] == 10
+        assert latest_version(t) == 12
+        assert read_delta(spark, t).count() == 130
+        assert last_txn_version(t, "app") == 12
+        # log cleanup: delete every JSON commit <= the checkpoint; the
+        # snapshot must rebuild from checkpoint + tail alone
+        logdir = os.path.join(t, "_delta_log")
+        for f in os.listdir(logdir):
+            if f.endswith(".json") and int(f[:-5]) <= 10:
+                os.remove(os.path.join(logdir, f))
+        assert read_delta(spark, t).count() == 130
+        # txn high-water survives via the checkpoint's txn rows
+        assert last_txn_version(t, "app") == 12
+        # idempotent re-delivery still recognized after cleanup
+        v_before = latest_version(t)
+        write_delta(base, t, "append", txn=("app", 3))
+        assert latest_version(t) == v_before
+        # time travel to the checkpoint version itself works; a
+        # pre-checkpoint version whose log is gone fails loudly
+        assert read_delta(spark, t, version=10).count() == 110
+        with pytest.raises(ValueError, match="version 5"):
+            read_delta(spark, t, version=5)
+
+
+def test_checkpoint_preserves_removes_and_partitioning(spark):
+    """An overwrite BEFORE the checkpoint must not resurrect removed
+    files when replay seeds from the checkpoint; partitionColumns ride
+    the checkpoint's metaData row."""
+    df = spark.range(20).select(
+        "id", (F.col("id") % 2).cast("string").alias("k")
+    )
+    with tempfile.TemporaryDirectory() as t:
+        write_delta(df, t, "overwrite", partition_by=["k"])  # v0
+        for i in range(1, 5):
+            write_delta(
+                df.withColumn("id", F.col("id") + F.lit(i * 100)),
+                t,
+                "append",
+            )
+        # v5 overwrite drops everything before it
+        write_delta(
+            df.withColumn("id", F.col("id") + F.lit(999)), t, "overwrite"
+        )
+        for i in range(6, 11):  # v6..v10 (checkpoint fires at v10)
+            write_delta(
+                df.withColumn("id", F.col("id") + F.lit(i * 1000)),
+                t,
+                "append",
+            )
+        assert _checkpoint_versions(t) == [10]
+        logdir = os.path.join(t, "_delta_log")
+        for f in os.listdir(logdir):
+            if f.endswith(".json"):
+                os.remove(os.path.join(logdir, f))
+        back = read_delta(spark, t)
+        # only v5..v10 rows: 6 commits x 20 rows
+        assert back.count() == 120
+        assert back.filter(F.col("id") < 999).count() == 0
+        # partitioning survived the checkpoint round trip
+        assert dict(back.dtypes)["k"] == "string"
+        assert back.filter(F.col("k") == "1").count() == 60
