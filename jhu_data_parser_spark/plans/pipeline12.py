@@ -457,6 +457,62 @@ def source_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _roundtrip_agg(back)
 
 
+@query("source_avro_split_scan", oracle=_ROUNDTRIP_ORACLE)
+def source_avro_split_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE Avro container read across SYNC-MARKER BYTE-RANGE SPLITS:
+    the projection is written to a single container file (the
+    pathological shape for a file-per-task reader — at 100 TB a
+    single multi-GB container must fan out, not pin one task), then
+    read with ``split_bytes`` forced small enough that the driver
+    plans many ranges; each task seeks into its range, scans to the
+    next 16-byte sync, and decodes only the blocks it owns
+    (``sources/avro_container.py:iter_file_blocks``; split-size sweep
+    incl. mid-block and in-header boundaries pytest-pinned in
+    tests/test_avro.py). Same cents-exact aggregate and oracle as the
+    per-file roundtrip — the hash proves the split plan covers every
+    block exactly once."""
+    import json
+    import os
+    import tempfile
+
+    from jhu_data_parser_spark.operators.similarity import _rmtree_at_exit
+    from jhu_data_parser_spark.sources.avro_container import (
+        plan_avro_splits,
+        read_avro,
+        write_avro,
+    )
+
+    out = tempfile.mkdtemp(prefix="jdps_avro_split_")
+    _rmtree_at_exit(out)
+    schema_json = json.dumps(
+        {
+            "type": "record",
+            "name": "lineitem_proj",
+            "fields": [
+                {"name": "l_returnflag", "type": ["null", "string"]},
+                {"name": "l_extendedprice", "type": ["null", "double"]},
+                {"name": "l_quantity", "type": ["null", "double"]},
+            ],
+        }
+    )
+    write_avro(
+        _roundtrip_cols(spark, sf_dir).coalesce(1), out, schema_json
+    ).collect()
+    # size splits so the one container fans out to ~16 ranges
+    total = sum(
+        os.path.getsize(os.path.join(out, f)) for f in os.listdir(out)
+    )
+    split_bytes = max(1, total // 16)
+    assert len(plan_avro_splits(out, split_bytes)) > 1
+    back = read_avro(
+        spark,
+        out,
+        "l_returnflag string, l_extendedprice double, l_quantity double",
+        split_bytes=split_bytes,
+    )
+    return _roundtrip_agg(back)
+
+
 @query("source_csv_roundtrip", oracle=_ROUNDTRIP_ORACLE)
 def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lineitem projection → headered CSV → read back with an EXPLICIT

@@ -25,19 +25,23 @@ IEEE NaN persisted in a ``["null","double"]`` union should write
 through a non-null schema (plain ``"double"``), where NaN round-trips
 exactly.
 
-Scale posture (100 TB): the Spark integration reads container files
-through the ``binaryFile`` source and decodes with Arrow-batched
-``mapInPandas`` — FILES are the parallelism unit, records are decoded
-and emitted ONE CONTAINER BLOCK at a time so executor memory is
-bounded by the writer's block size, never the file size. A corpus of
-one enormous file would additionally split on the 16-byte sync marker
-(the classic Hadoop AvroInputFormat strategy: seek to an arbitrary
-byte offset, scan to the next sync, decode blocks from there) — the
-block-framing the spec provides exactly for that purpose; at this
-harness's file counts the per-file unit is the honest shape. The
-write path is one container file per DataFrame partition, encoded
-incrementally per Arrow batch (one Avro block per batch) — a real
-distributed write, no driver-side staging.
+Scale posture (100 TB): the read plans SYNC-MARKER SPLITS on the
+driver (file listing + stat only — metadata-sized) and decodes them
+with Arrow-batched ``mapInPandas``: BYTE RANGES are the parallelism
+unit, so one multi-GB container fans out across the cluster instead
+of pinning a single task (the classic Hadoop AvroInputFormat
+strategy: seek to an arbitrary offset, scan to the next 16-byte sync,
+decode only the blocks whose first byte the split owns — the
+block-framing the spec provides exactly for that purpose). Records
+are decoded and emitted ONE CONTAINER BLOCK at a time via per-block
+seek+read, so executor memory is bounded by the writer's block size,
+never the file or split size, and no file ever rides through a Spark
+row (no 2 GB binary-column ceiling). Tasks open paths directly — a
+shared filesystem (the cluster norm: HDFS fuse, NFS, object-store
+mounts) is assumed, same as every staged-artifact path in this
+engine. The write path is one container file per DataFrame
+partition, encoded incrementally per Arrow batch (one Avro block per
+batch) — a real distributed write, no driver-side staging.
 """
 
 from __future__ import annotations
@@ -643,42 +647,165 @@ def write_avro(df, out_dir: str, schema_json: str, codec: str = "deflate"):
     return df.mapInPandas(_write, "path string, n_rows long")
 
 
-def read_avro(spark, path: str, spark_schema: str):
-    """Distributed Avro read: ``binaryFile`` rows (whole container
-    files) decode via Arrow-batched ``mapInPandas``, emitting one
-    pandas frame per container BLOCK — never the whole file's rows at
-    once. Column order/types come from the caller's explicit Spark
-    schema (the no-inferSchema rule)."""
+def read_file_header(fh) -> tuple[str, str, bytes, int]:
+    """Parse the container header from an open binary file, reading
+    incrementally (the header is a few hundred bytes unless the schema
+    is enormous). -> (schema_json, codec, sync, header_end_offset)."""
+    size = 1 << 16
+    while True:
+        fh.seek(0)
+        buf = fh.read(size)
+        try:
+            r = Reader(buf)
+            schema_json, codec, sync = read_container_header(r)
+            return schema_json, codec, sync, r.pos
+        except ValueError as e:
+            # grow only on truncation; corrupt magic/meta stays loud
+            if "truncated" not in str(e) or len(buf) < size:
+                raise
+            size *= 2
+
+
+def _scan_to_block_start(fh, sync: bytes, start: int) -> int | None:
+    """First block-start offset ≥ ``start``: blocks begin immediately
+    after a sync marker, so scan forward from ``start − 16`` for the
+    sync byte pattern (the Hadoop AvroInputFormat strategy — the spec
+    frames blocks with the marker exactly so a reader can enter the
+    stream at an arbitrary byte offset). Returns None when no further
+    block starts exist. A data payload containing the marker bytes
+    would mis-frame and fail loudly on the next sync check — the
+    16-byte collision the spec's random-marker design makes
+    negligible."""
+    pos = max(start - SYNC_SIZE, 0)
+    fh.seek(pos)
+    tail = b""
+    chunk_size = 1 << 20
+    while True:
+        chunk = fh.read(chunk_size)
+        if not chunk:
+            return None
+        buf = tail + chunk
+        idx = buf.find(sync)
+        if idx != -1:
+            return pos - len(tail) + idx + SYNC_SIZE
+        tail = buf[-(SYNC_SIZE - 1) :]
+        pos += len(chunk)
+
+
+def iter_file_blocks(
+    path: str, start: int, end: int
+) -> Iterator[list[Any]]:
+    """Decode the container blocks OWNED by the byte range
+    ``[start, end)`` of one file — a block is owned by the split its
+    first byte (the count varint, right after a sync or the header)
+    falls into. Reads are seek+per-block, so memory is bounded by one
+    block regardless of file or split size."""
+    with open(path, "rb") as fh:
+        schema_json, codec, sync, header_end = read_file_header(fh)
+        read_datum = compile_datum_reader(schema_json)
+        file_size = os.path.getsize(path)
+        if start <= header_end:
+            b = header_end
+        else:
+            nxt = _scan_to_block_start(fh, sync, start)
+            if nxt is None:
+                return
+            b = nxt
+        while b < end and b < file_size:
+            fh.seek(b)
+            head = fh.read(20)  # two varints ≤ 10 bytes each
+            r = Reader(head)
+            count = r.read_long()
+            size = r.read_long()
+            data_start = b + r.pos
+            fh.seek(data_start)
+            block = fh.read(size)
+            if len(block) < size:
+                raise ValueError("avro: truncated block")
+            if fh.read(SYNC_SIZE) != sync:
+                raise ValueError(
+                    "avro: sync marker mismatch (corrupt block or "
+                    "mis-framed split)"
+                )
+            if codec == "deflate":
+                block = zlib.decompress(block, -15)
+            br = Reader(block)
+            yield [read_datum(br) for _ in range(count)]
+            if not br.eof():
+                raise ValueError("avro: trailing bytes in block")
+            b = data_start + size + SYNC_SIZE
+
+
+def plan_avro_splits(
+    path: str, split_bytes: int
+) -> list[tuple[str, int, int]]:
+    """Driver-side split plan: ``(file, start, end)`` byte ranges of
+    at most ``split_bytes`` each — metadata-sized (file listing +
+    stat, never data reads). ``path`` may be one container file or a
+    directory of them."""
+    if os.path.isdir(path):
+        files = sorted(
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith(".avro")
+        )
+    else:
+        files = [path]
+    if not files:
+        raise ValueError(f"avro: no container files at {path}")
+    splits: list[tuple[str, int, int]] = []
+    for f in files:
+        size = os.path.getsize(f)
+        n = max(1, (size + split_bytes - 1) // split_bytes)
+        for k in range(n):
+            splits.append((f, k * split_bytes, min((k + 1) * split_bytes, size)))
+    return splits
+
+
+def read_avro(spark, path: str, spark_schema: str, split_bytes: int = 128 << 20):
+    """Distributed Avro read over SYNC-MARKER SPLITS: the driver plans
+    byte ranges of ≤ ``split_bytes`` per task (one multi-GB container
+    parallelizes across the cluster instead of pinning one task — and
+    no file ever rides through a single Spark row, so the 2 GB column
+    limit is out of the picture); each task seeks into its range,
+    scans to the next sync marker, and decodes ONLY the blocks whose
+    first byte it owns, one block-sized pandas frame at a time.
+    Column order/types come from the caller's explicit Spark schema
+    (the no-inferSchema rule)."""
     import pandas as pd
 
     from pyspark.sql import functions as F  # noqa: N812
 
-    bf = spark.read.format("binaryFile").load(path).select("content")
     import re
 
     # split on TOP-LEVEL commas only: "p decimal(12,2)" is one field
     parts = re.split(r",(?![^(<]*[)>])", spark_schema)
     names = [c.strip().split()[0].strip("`") for c in parts]
 
+    splits = plan_avro_splits(path, split_bytes)
+    sdf = spark.createDataFrame(
+        splits, "path string, start long, end long"
+    ).repartition(len(splits))
+
     def _decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
-            for raw in pdf["content"]:
-                raw = bytes(raw)
+            for f, start, end in zip(pdf["path"], pdf["start"], pdf["end"]):
                 # fail loudly on a name mismatch — rec.get() would
                 # otherwise yield a silently all-null column for a
                 # one-character schema typo
-                hdr_schema, _, _ = read_container_header(Reader(raw))
-                have = {f["name"] for f in json.loads(hdr_schema)["fields"]}
+                with open(f, "rb") as fh:
+                    hdr_schema, _, _, _ = read_file_header(fh)
+                have = {f_["name"] for f_ in json.loads(hdr_schema)["fields"]}
                 missing = [n for n in names if n not in have]
                 if missing:
                     raise ValueError(
                         f"avro: requested columns {missing} not in "
                         f"container fields {sorted(have)}"
                     )
-                for block in iter_container_blocks(raw):
+                for block in iter_file_blocks(f, int(start), int(end)):
                     yield pd.DataFrame(
                         {n: [rec.get(n) for rec in block] for n in names}
                     )
 
-    out = bf.mapInPandas(_decode, spark_schema)
+    out = sdf.mapInPandas(_decode, spark_schema)
     return out.select(*[F.col(n) for n in names])

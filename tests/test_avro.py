@@ -386,3 +386,84 @@ def test_oversize_varint_rejected():
     raw = bytes([0x80] * 10 + [0x01])  # 11-byte varint (Avro max is 10)
     with pytest.raises(ValueError, match="varint"):
         Reader(raw).read_long()
+
+
+def test_varint_64bit_overflow_rejected():
+    # 10 bytes whose 10th carries payload bits past the 64-bit zigzag
+    # range: decodes without "too long" but must still fail loudly
+    raw = bytes([0xFF] * 9 + [0x7F])
+    with pytest.raises(ValueError, match="overflow"):
+        Reader(raw).read_long()
+
+
+def test_sync_marker_split_read(spark):
+    """One container, many blocks, read across byte-range splits: the
+    split plan must cover every block exactly once at ANY split size
+    (boundaries landing mid-block, on a sync, inside the header), and
+    the decode must genuinely run in >1 task."""
+    from jhu_data_parser_spark.sources.avro_container import (
+        plan_avro_splits,
+        write_container,
+    )
+
+    schema_json = json.dumps(
+        {
+            "type": "record",
+            "name": "r",
+            "fields": [
+                {"name": "id", "type": "long"},
+                {"name": "v", "type": "double"},
+            ],
+        }
+    )
+    rows = [{"id": i, "v": i * 0.5} for i in range(5000)]
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "part-00000.avro")
+        # small blocks so a single file has many split points
+        write_container(path, schema_json, rows, block_records=100)
+        size = os.path.getsize(path)
+        expected = sorted((r["id"], r["v"]) for r in rows)
+        # sweep split sizes incl. pathological ones (smaller than the
+        # header, prime-ish, one byte below/above a power of two)
+        for split_bytes in (37, 101, 1000, 4093, 1 << 14, size, 10 * size):
+            df = read_avro(
+                spark, d, "id long, v double", split_bytes=split_bytes
+            )
+            got = sorted((r.id, r.v) for r in df.collect())
+            assert got == expected, f"split_bytes={split_bytes}"
+        # the plan actually fans one file out to many tasks
+        splits = plan_avro_splits(d, 1000)
+        assert len(splits) > 10
+        n_parts = read_avro(
+            spark, d, "id long, v double", split_bytes=1000
+        ).rdd.getNumPartitions()
+        assert n_parts == len(splits)
+
+
+def test_split_read_multi_file_deflate(spark):
+    """Splits compose with the directory layout and the deflate codec
+    (block payloads compressed, framing offsets still byte-exact)."""
+    df = spark.range(20000).selectExpr(
+        "id", "CAST(id % 97 AS DOUBLE) AS v", "repeat('x', 50) AS pad"
+    )
+    schema_json = json.dumps(
+        {
+            "type": "record",
+            "name": "r",
+            "fields": [
+                {"name": "id", "type": "long"},
+                {"name": "v", "type": "double"},
+                {"name": "pad", "type": "string"},
+            ],
+        }
+    )
+    with tempfile.TemporaryDirectory() as d:
+        write_avro(df.repartition(4), d, schema_json, codec="deflate").collect()
+        back = read_avro(
+            spark, d, "id long, v double", split_bytes=5000
+        )
+        assert back.rdd.getNumPartitions() > 4
+        agg = back.selectExpr(
+            "count(*) AS n", "sum(id) AS s", "sum(v) AS sv"
+        ).collect()[0]
+        assert (agg.n, agg.s) == (20000, 20000 * 19999 // 2)
