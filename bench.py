@@ -77,6 +77,21 @@ def main() -> None:
         warm_dir = sf_dir
     for name in HEADLINE:
         materialize(queries[name](spark, warm_dir))
+    # Cold-cache funnel samples (r12 verdict item 5): the two funnel
+    # flagships serve steady state from the per-(session, fingerprint)
+    # frames cache, so min-of-N alone no longer measures the funnel
+    # BUILD. Take one timed sample per flagship with the cache cleared
+    # (sf0.001 warm-up above already JIT-warmed the plan shapes, so
+    # this reads build cost, not JVM cold start) and report it as
+    # "cold" so the build cost stays machine-readable round-over-round.
+    from jhu_data_parser_spark.plans import pipeline13
+
+    cold: dict[str, float] = {}
+    for name in ("pipeline_curation_funnel_v3", "pipeline_pack_batches"):
+        pipeline13._V3_FRAMES_CACHE.clear()
+        t0 = time.perf_counter()
+        materialize(queries[name](spark, sf_dir))
+        cold[name] = round(time.perf_counter() - t0, 3)
     # One untimed round at the TARGET sf: the sf0.001 warm-up misses
     # sf-keyed caches (adaptive-collapse probe, IVF index registry) and
     # the target files' footer cache, which otherwise land entirely on
@@ -193,6 +208,7 @@ def main() -> None:
         "n": runs,
         "run_id": run_id,
         "load1": load1_start,
+        "cold": cold,
         "n_samples": n_samples,
         "queries": timings,
         "medians": medians,
@@ -211,6 +227,7 @@ def main() -> None:
         "unit": "sec",
         "run_id": run_id,
         "load1": load1_start,
+        "cold": cold,
         "n_samples": n_samples,
         "queries": timings,
         "sf": detail["sf"],

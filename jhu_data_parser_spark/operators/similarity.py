@@ -1617,18 +1617,27 @@ def knn_graph_index(
     id_col: str = "vec_id",
     exact_buckets: bool = True,
     variant: str = "",
+    src_buckets: int = 16,
 ) -> str:
     """Build-once graph index: :func:`knn_graph_banded` written to a
     parquet dir, cached per (corpus file fingerprint, params) — the
     same index lifecycle as :func:`ivf_build_index` (a graph index is
     prebuilt in any real ANN deployment; serving never pays the build).
-    Returns the index path. At scale the edge table would be written
-    bucketed by src range so the per-hop broadcast-id join prunes
-    file groups; at harness sizes (≤ n·m rows) a plain layout reads in
-    one task wave. Same cache-key invariant as the IVF indexes: the
-    fingerprint covers input files only — callers indexing
-    DIFFERENTLY-FILTERED frames over the same parquet MUST pass a
-    distinct ``variant`` string (it is part of the key)."""
+    Returns the index path.
+
+    The edge table is written ``partitionBy(src_pt)`` with
+    ``src_pt = pmod(src, src_buckets)`` — the src-keyed layout that
+    lets every per-hop frontier join prune file groups: the beam's
+    ≤ beam-row id list is broadcast, the hop join is equi on
+    ``(src_pt, src)``, and Spark's broadcast-reuse dynamic partition
+    pruning turns the frontier into a planning-time ``PartitionFilters``
+    entry on the edge scan (plan-pinned in tests). At 100 TB the hop
+    then reads O(beam) partitions of an n·m-row table instead of the
+    whole table. ``src_buckets=0`` writes the flat layout. Same
+    cache-key invariant as the IVF indexes: the fingerprint covers
+    input files only — callers indexing DIFFERENTLY-FILTERED frames
+    over the same parquet MUST pass a distinct ``variant`` string (it
+    is part of the key)."""
     import os
     import tempfile
 
@@ -1644,14 +1653,21 @@ def knn_graph_index(
         id_col,
         exact_buckets,
         variant,
+        src_buckets,
     )
     cacheable = _fingerprint_cacheable(fp)
     if cacheable and key in _KNN_GRAPH_CACHE:
         return _KNN_GRAPH_CACHE[key]
     path = tempfile.mkdtemp(prefix="jdps_knng_index_")
-    knn_graph_banded(
+    edges = knn_graph_banded(
         corpus, dim, m, n_planes, bands, seed, vec_col, id_col, exact_buckets
-    ).write.parquet(path, mode="overwrite")
+    )
+    if src_buckets > 0:
+        edges.withColumn(
+            "src_pt", F.pmod(F.col("src"), F.lit(src_buckets)).cast("int")
+        ).write.partitionBy("src_pt").parquet(path, mode="overwrite")
+    else:
+        edges.write.parquet(path, mode="overwrite")
     if cacheable:
 
         def corpus_dirs(f_tuple):
@@ -1677,6 +1693,34 @@ def knn_graph_index(
     return path
 
 
+def _edges_hop(
+    edges: DataFrame,
+    frontier: DataFrame,
+    src_buckets: int,
+    keep: tuple = (),
+) -> DataFrame:
+    """One graph hop: join the (broadcast) frontier's ``src`` ids
+    against the edge table, returning the reached ``dst`` ids (plus
+    ``keep`` passthrough columns, e.g. ``query_id`` in batch serving).
+    When the edge table carries the ``src_pt`` partition column
+    (:func:`knn_graph_index`'s src-keyed layout) the join is equi on
+    ``(src_pt, src)`` — the partition-column key lets broadcast-reuse
+    dynamic partition pruning rewrite the edge scan's
+    ``PartitionFilters`` from the frontier, so each hop reads O(beam)
+    file groups instead of the whole edge table. Shared by the single-
+    and batch-query searches so the pruned shape cannot diverge."""
+    if src_buckets > 0 and "src_pt" in edges.columns:
+        f = frontier.withColumn(
+            "src_pt", F.pmod(F.col("src"), F.lit(src_buckets)).cast("int")
+        )
+        keys = ["src_pt", "src"]
+    else:
+        f, keys = frontier, ["src"]
+    return edges.join(F.broadcast(f), keys).select(
+        *keep, F.col("dst").alias("id")
+    )
+
+
 def graph_beam_search(
     corpus_qz: DataFrame,
     edges: DataFrame,
@@ -1685,6 +1729,7 @@ def graph_beam_search(
     hops: int = 4,
     depth: int = 1,
     entry_ids: DataFrame | None = None,
+    src_buckets: int = 16,
 ) -> DataFrame:
     """Greedy beam search over a kNN graph: start at the minimum-id
     entry point, expand the beam's out-edges each hop, keep the
@@ -1713,9 +1758,11 @@ def graph_beam_search(
     both recall AND wall-clock, because each round is one scheduled
     job and Spark's per-job latency dominates at small frontier
     sizes). Every hop is the BOUNDED-FRONTIER join shape: the
-    ≤ beam-row id list broadcasts against the edge table (equi on
-    src; a partitionBy(src) index layout turns this into partition
-    pruning), then the ≤ beam·mᵈᵉᵖᵗʰ candidate ids broadcast back
+    ≤ beam-row id list broadcasts against the edge table — equi on
+    ``(src_pt, src)`` when the index carries the src-keyed partition
+    layout, so dynamic partition pruning cuts the scan to O(beam)
+    file groups (:func:`_edges_hop`) — then the ≤ beam·mᵈᵉᵖᵗʰ
+    candidate ids broadcast back
     against the vector table for distances. Only visited candidates
     are ever scored — O(hops·beam·mᵈᵉᵖᵗʰ) distance evaluations
     total, never a corpus scan (the ANN serving contract). The
@@ -1743,10 +1790,11 @@ def graph_beam_search(
         cand = bm.select("id")
         frontier = bm.select("id")
         for _ in range(depth):
-            frontier = edges.join(
-                F.broadcast(frontier.select(F.col("id").alias("src"))),
-                "src",
-            ).select(F.col("dst").alias("id"))
+            frontier = _edges_hop(
+                edges,
+                frontier.select(F.col("id").alias("src")),
+                src_buckets,
+            )
             cand = cand.unionByName(frontier)
         scored = (
             corpus_qz.join(F.broadcast(cand.distinct()), "id")
@@ -1769,6 +1817,7 @@ def graph_beam_search_many(
     beam: int = 64,
     hops: int = 3,
     depth: int = 2,
+    src_buckets: int = 16,
 ) -> DataFrame:
     """Batch graph serving: :func:`graph_beam_search` for EVERY query
     in a request batch at once — one job sequence regardless of batch
@@ -1811,12 +1860,12 @@ def graph_beam_search_many(
         cand = bm.select("query_id", "id")
         frontier = bm.select("query_id", "id")
         for _ in range(depth):
-            frontier = edges.join(
-                F.broadcast(
-                    frontier.select("query_id", F.col("id").alias("src"))
-                ),
-                "src",
-            ).select("query_id", F.col("dst").alias("id"))
+            frontier = _edges_hop(
+                edges,
+                frontier.select("query_id", F.col("id").alias("src")),
+                src_buckets,
+                keep=("query_id",),
+            )
             cand = cand.unionByName(frontier)
         bm = _rank(cand)
     return bm

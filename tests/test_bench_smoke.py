@@ -40,6 +40,13 @@ def test_bench_emits_one_json_line():
         assert payload["value"] > 0
         # a contended run must be machine-readable from either line
         assert isinstance(payload["load1"], (int, float))
+        # the funnel build cost must stay measurable now that min-of-N
+        # reads the frames-cache steady state (r12 verdict item 5)
+        assert set(payload["cold"]) == {
+            "pipeline_curation_funnel_v3",
+            "pipeline_pack_batches",
+        }
+        assert all(v > 0 for v in payload["cold"].values())
     # the detail line always carries the full per-query map; the
     # compact line may degrade it (coarser rounding, then dropped) if
     # catalog growth pushes the line past the capture window — the

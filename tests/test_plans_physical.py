@@ -103,6 +103,44 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
     assert "dynamicpruningexpression" in plan.lower()
 
 
+def test_graph_hop_join_prunes_edge_partitions(spark):
+    """The graph-ANN hop join must prune the src-keyed edge layout:
+    knn_graph_index writes partitionBy(src_pt = pmod(src, B)), the
+    beam frontier joins equi on (src_pt, src), and broadcast-reuse DPP
+    rewrites the edge scan's PartitionFilters from the frontier — at
+    100 TB each hop reads O(beam) file groups of an n·m-row edge
+    table, not the whole table (r12 verdict item 4)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from jhu_data_parser_spark.operators import similarity as sim
+    from jhu_data_parser_spark.sources.tables import load_table
+
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    path = sim.knn_graph_index(
+        e.filter(F.col("vec_id") != 0),
+        dim=64,
+        m=4,
+        n_planes=4,
+        bands=2,
+        variant="t_dpp",
+        src_buckets=8,
+    )
+    # the layout on disk IS the src-keyed one the docstring promises
+    assert any(d.startswith("src_pt=") for d in os.listdir(path))
+    edges = spark.read.parquet(path)
+    frontier = e.filter(F.col("vec_id").isin([3, 7])).select(
+        F.col("vec_id").alias("src")
+    )
+    hop = sim._edges_hop(edges, frontier, src_buckets=8)
+    hop.write.format("noop").mode("overwrite").save()
+    plan = hop._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruningexpression" in plan.lower()
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf and "src_pt" in pf[0]
+
+
 def test_asof_join_is_one_shuffle(spark):
     """The union+window as-of construction must cost exactly ONE hash
     exchange (on the key) — the whole point vs a non-equi nested loop."""
