@@ -1013,6 +1013,159 @@ def source_delta_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _roundtrip_agg(read_delta(spark, table))
 
 
+@query("source_delta_skipping_scan", oracle=_DELTA_LATEST_ORACLE)
+def source_delta_skipping_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-lite DATA SKIPPING: every ``add`` logs per-file min/max
+    stats (aggregated from the parquet FOOTER at commit — no second
+    data pass); ``read_delta(skip=[('l_quantity','>=',45)])`` drops
+    files whose logged range excludes the predicate BEFORE any file is
+    opened (at 100 TB the planner never even lists them). The table is
+    range-laid-out on l_quantity so most files are skippable; the same
+    predicate is then applied as a REAL filter, so a hash match proves
+    skipping never over-pruned — a file wrongly dropped would lose
+    rows the oracle counts. File-count pruning is additionally pinned
+    in tests/test_delta_lite.py."""
+    import tempfile
+
+    from jhu_data_parser_spark.operators.similarity import _rmtree_at_exit
+    from jhu_data_parser_spark.sources.delta_lite import (
+        read_delta,
+        write_delta,
+    )
+
+    table = tempfile.mkdtemp(prefix="jdps_delta_skip_")
+    _rmtree_at_exit(table)
+    base = _roundtrip_cols(spark, sf_dir)
+    write_delta(
+        base.repartitionByRange(8, "l_quantity"), table, mode="overwrite"
+    )
+    snap = read_delta(spark, table, skip=[("l_quantity", ">=", 45)])
+    return _roundtrip_agg(snap.filter(F.col("l_quantity") >= 45))
+
+
+_DELTA_MERGE_ORACLE = """
+    WITH base AS (
+      SELECT o_orderkey AS k,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders),
+    src AS (
+      SELECT k, cents - 50 AS cents FROM base WHERE k % 10 = 3
+      UNION ALL
+      SELECT k + 100000000, CAST(42 AS BIGINT) FROM base WHERE k % 1000 = 1),
+    merged AS (
+      SELECT * FROM base WHERE k NOT IN (SELECT k FROM src)
+      UNION ALL SELECT * FROM src)
+    SELECT CAST(k % 7 AS INT) AS grp,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM merged GROUP BY 1
+    """
+
+
+@query("source_delta_merge_upsert", oracle=_DELTA_MERGE_ORACLE)
+def source_delta_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-lite MERGE (upsert): source rows update matching keys
+    (every 10th order gets a 50-cent discount) and insert new ones
+    (offset keys), executed as Delta's FILE-PRUNED rewrite — a
+    distributed semi-join on ``input_file_name`` finds the touched
+    files, only those are re-read and rewritten, and one commit swaps
+    them atomically (remove + add). At 100 TB the write cost scales
+    with the update footprint, not the table. The oracle recomputes
+    the merged state relationally from parquet: a hash match proves
+    updates landed, inserts landed, untouched rows survived, and
+    nothing duplicated across the rewrite boundary."""
+    import tempfile
+
+    from jhu_data_parser_spark.operators.similarity import _rmtree_at_exit
+    from jhu_data_parser_spark.sources.delta_lite import (
+        merge_delta,
+        read_delta,
+        write_delta,
+    )
+
+    table = tempfile.mkdtemp(prefix="jdps_delta_merge_")
+    _rmtree_at_exit(table)
+    base = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    write_delta(base.repartitionByRange(8, "k"), table, mode="overwrite")
+    src = (
+        base.filter(F.col("k") % 10 == 3)
+        .select("k", (F.col("cents") - 50).alias("cents"))
+        .unionByName(
+            base.filter(F.col("k") % 1000 == 1).select(
+                (F.col("k") + 100_000_000).alias("k"),
+                F.lit(42).cast("long").alias("cents"),
+            )
+        )
+    )
+    merge_delta(spark, table, src, on=["k"])
+    return (
+        read_delta(spark, table)
+        .groupBy((F.col("k") % 7).cast("int").alias("grp"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+        )
+    )
+
+
+_DELTA_ZORDER_ORACLE = """
+    SELECT CAST(o_custkey % 5 AS INT) AS grp,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_cents
+    FROM orders WHERE o_custkey < 500 GROUP BY 1
+    """
+
+
+@query("source_delta_optimize_zorder", oracle=_DELTA_ZORDER_ORACLE)
+def source_delta_optimize_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-lite OPTIMIZE + Z-ORDER: a shuffled 8-file layout (every
+    file spans the full custkey/price range — no skipping possible) is
+    rewritten clustered on the interleaved-bit Z-value of
+    (o_custkey, cents), committed with ``dataChange=false`` (remove +
+    add, content bit-identical). The read then data-skips on o_custkey
+    via the NEW files' logged min/max — multi-dimensional skipping,
+    the reason Z-order exists. A hash match proves the reorganization
+    changed the layout and nothing else (and that post-Z-order
+    skipping never over-prunes); the file-pruning counts on BOTH
+    Z-order columns are pinned in tests/test_delta_lite.py."""
+    import tempfile
+
+    from jhu_data_parser_spark.operators.similarity import _rmtree_at_exit
+    from jhu_data_parser_spark.sources.delta_lite import (
+        optimize_delta,
+        read_delta,
+        write_delta,
+    )
+
+    table = tempfile.mkdtemp(prefix="jdps_delta_zorder_")
+    _rmtree_at_exit(table)
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    write_delta(base.repartition(8), table, mode="overwrite")
+    optimize_delta(
+        spark, table, zorder_by=["o_custkey", "cents"], target_files=16
+    )
+    snap = read_delta(spark, table, skip=[("o_custkey", "<", 500)])
+    return (
+        snap.filter(F.col("o_custkey") < 500)
+        .groupBy((F.col("o_custkey") % 5).cast("int").alias("grp"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+        )
+    )
+
+
 @query(
     "stream_delta_append_daily",
     oracle="""

@@ -194,6 +194,7 @@ def _write_checkpoint(table: str, version: int, state: _Snapshot) -> None:
             ("size", pa.int64()),
             ("modificationTime", pa.int64()),
             ("dataChange", pa.bool_()),
+            ("stats", pa.string()),
         ]
     )
     txn_t = pa.struct([("appId", pa.string()), ("version", pa.int64())])
@@ -222,6 +223,7 @@ def _write_checkpoint(table: str, version: int, state: _Snapshot) -> None:
                     "size": int(a.get("size", 0)),
                     "modificationTime": int(a.get("modificationTime", 0)),
                     "dataChange": bool(a.get("dataChange", True)),
+                    "stats": a.get("stats"),
                 }
             }
         )
@@ -284,6 +286,126 @@ def last_txn_version(table: str, app_id: str) -> int:
     return _replay(table, v).txns.get(app_id, -1)
 
 
+_STATS_SKIP_TYPES = ("string", "binary")
+
+
+def _stats_value(v):
+    """JSON encoding for a footer min/max: numbers stay numbers;
+    date/timestamp become ISO strings (lexicographic == chronological,
+    so the skipping comparator needs no type dispatch). Returns None
+    for values that don't encode cleanly (the file is then kept)."""
+    import datetime
+
+    if isinstance(v, bool) or v is None:
+        return None
+    if isinstance(v, (int, float)):
+        # NaN min/max carries no ordering information
+        return None if v != v else v
+    if isinstance(v, datetime.datetime):
+        return v.strftime("%Y-%m-%dT%H:%M:%S.%f")
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    return None
+
+
+def _file_stats(path: str) -> str | None:
+    """Per-file stats for the ``add`` action (the protocol's ``stats``
+    JSON string): numRecords + min/max/nullCount per top-level column,
+    AGGREGATED FROM THE PARQUET FOOTER row-group statistics — a
+    metadata-only read at commit time, never a second data pass.
+    String/binary columns are skipped (parquet writers may truncate
+    their statistics; a possibly-inexact bound must never skip a
+    file), as are columns whose footer lacks min/max."""
+    import pyarrow.parquet as pq
+
+    try:
+        md = pq.ParquetFile(path).metadata
+    except Exception:
+        return None
+    mins: dict = {}
+    maxs: dict = {}
+    nulls: dict = {}
+    skip: set = set()
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            name = col.path_in_schema
+            if "." in name or name in skip:
+                continue  # nested leaves: file-level stats are top-level
+            st = col.statistics
+            if (
+                st is None
+                or not st.has_min_max
+                or st.physical_type == "BYTE_ARRAY"
+                or st.physical_type == "FIXED_LEN_BYTE_ARRAY"
+            ):
+                skip.add(name)
+                continue
+            lo, hi = _stats_value(st.min), _stats_value(st.max)
+            if lo is None or hi is None:
+                skip.add(name)
+                continue
+            mins[name] = lo if name not in mins else min(mins[name], lo)
+            maxs[name] = hi if name not in maxs else max(maxs[name], hi)
+            if st.has_null_count:
+                nulls[name] = nulls.get(name, 0) + st.null_count
+    for name in skip:
+        mins.pop(name, None)
+        maxs.pop(name, None)
+        nulls.pop(name, None)
+    return json.dumps(
+        {
+            "numRecords": md.num_rows,
+            "minValues": mins,
+            "maxValues": maxs,
+            "nullCount": nulls,
+        },
+        sort_keys=True,
+    )
+
+
+def _file_may_match(add: dict, conjuncts: list[tuple]) -> bool:
+    """Data skipping: can the file possibly hold a row satisfying ALL
+    ``(col, op, value)`` conjuncts? Missing stats (or a column without
+    them) keep the file — skipping must never drop a potential match.
+    Values compare in the :func:`_stats_value` encoding (pass
+    datetime/date objects for temporal columns)."""
+    raw = add.get("stats")
+    try:
+        stats = json.loads(raw) if raw else {}
+    except (TypeError, ValueError):
+        stats = {}
+    mins, maxs = stats.get("minValues", {}), stats.get("maxValues", {})
+    pv = add.get("partitionValues") or {}
+    for col, op, value in conjuncts:
+        if col in pv:
+            # partition columns carry no footer stats; their logged
+            # value supports exact equality pruning (ranges would
+            # compare string-encoded values — conservatively kept)
+            if op in ("=", "==") and pv[col] != (
+                None if value is None else str(value)
+            ):
+                return False
+            continue
+        v = _stats_value(value)
+        if v is None or col not in mins or col not in maxs:
+            continue
+        lo, hi = mins[col], maxs[col]
+        if op in (">", ">="):
+            if (hi < v) or (op == ">" and hi == v):
+                return False
+        elif op in ("<", "<="):
+            if (lo > v) or (op == "<" and lo == v):
+                return False
+        elif op in ("=", "=="):
+            if v < lo or v > hi:
+                return False
+        else:
+            raise ValueError(f"delta-lite: unsupported skip op {op!r}")
+    return True
+
+
 def _partition_values_from_rel(rel: str) -> dict[str, str | None]:
     """Parse Hive-style ``col=value/`` components of a relative data
     file path into the add action's ``partitionValues`` (unescaped;
@@ -307,6 +429,8 @@ def write_delta(
     mode: str = "overwrite",
     txn: tuple[str, int] | None = None,
     partition_by: list[str] | None = None,
+    remove_paths: list[str] | None = None,
+    data_change: bool = True,
 ) -> int:
     """Commit the DataFrame to the Delta-lite table; returns the new
     version (or the current one when an idempotent txn is skipped).
@@ -326,6 +450,18 @@ def write_delta(
     version) is already committed — exactly-once streaming appends
     under checkpoint replay / upstream re-delivery.
 
+    Each ``add`` carries the protocol's ``stats`` JSON (numRecords +
+    per-column min/max/nullCount), aggregated from the parquet FOOTER
+    row-group statistics at commit time — metadata-only, no second
+    data pass; :func:`read_delta`'s ``skip`` then prunes files from
+    the log alone, before any file is opened.
+
+    ``remove_paths`` (``append`` mode only — MERGE/OPTIMIZE commits)
+    additionally logs ``remove`` actions for those active files in the
+    SAME commit: the atomic swap-files shape. ``data_change=False``
+    marks adds and removes as reorganization (compaction), letting
+    incremental consumers skip the commit.
+
     Every ``_CHECKPOINT_INTERVAL`` versions the commit also writes the
     checkpoint parquet + ``_last_checkpoint`` pointer, bounding every
     later replay to the log tail."""
@@ -334,6 +470,8 @@ def write_delta(
 
     if mode not in ("overwrite", "append"):
         raise ValueError(f"mode {mode!r}")
+    if remove_paths and mode != "append":
+        raise ValueError("delta-lite: remove_paths requires mode='append'")
     os.makedirs(os.path.join(table, _LOG_DIR), exist_ok=True)
     versions = _versions(table)
     cps = _checkpoint_versions(table)
@@ -378,21 +516,17 @@ def write_delta(
             dst = os.path.join(table, rel_dst)
             os.makedirs(os.path.dirname(dst), exist_ok=True)
             shutil.move(os.path.join(stage, rel), dst)
-            adds.append(
-                {
-                    "add": {
-                        "path": rel_dst,
-                        "partitionValues": _partition_values_from_rel(
-                            rel_dst
-                        ),
-                        "size": os.path.getsize(dst),
-                        "modificationTime": int(
-                            os.path.getmtime(dst) * 1000
-                        ),
-                        "dataChange": True,
-                    }
-                }
-            )
+            add = {
+                "path": rel_dst,
+                "partitionValues": _partition_values_from_rel(rel_dst),
+                "size": os.path.getsize(dst),
+                "modificationTime": int(os.path.getmtime(dst) * 1000),
+                "dataChange": data_change,
+            }
+            stats = _file_stats(dst)
+            if stats is not None:
+                add["stats"] = stats
+            adds.append({"add": add})
     finally:
         shutil.rmtree(stage, ignore_errors=True)
 
@@ -418,6 +552,17 @@ def write_delta(
             actions.append(
                 {"remove": {"path": pth, "dataChange": True}}
             )
+    if remove_paths:
+        active_now = prev_state.active if prev_state is not None else {}
+        unknown = sorted(set(remove_paths) - set(active_now))
+        if unknown:
+            raise ValueError(
+                f"delta-lite: remove_paths not active: {unknown[:3]}"
+            )
+        for pth in sorted(set(remove_paths)):
+            actions.append(
+                {"remove": {"path": pth, "dataChange": data_change}}
+            )
     if txn is not None:
         actions.append(
             {"txn": {"appId": txn[0], "version": int(txn[1])}}
@@ -437,7 +582,10 @@ def write_delta(
 
 
 def read_delta(
-    spark: SparkSession, table: str, version: int | None = None
+    spark: SparkSession,
+    table: str,
+    version: int | None = None,
+    skip: list[tuple] | None = None,
 ) -> DataFrame:
     """Snapshot read (optionally time-traveled to ``version``): replay
     the log (checkpoint-seeded), feed the active file list + the
@@ -445,7 +593,17 @@ def read_delta(
     column projection are the ordinary Catalyst paths over exactly the
     committed files. Partitioned tables read with ``basePath`` so the
     Hive layout reconstructs the partition columns and a filter on
-    them becomes ``PartitionFilters`` (planning-time file pruning)."""
+    them becomes ``PartitionFilters`` (planning-time file pruning).
+
+    ``skip`` — conjunctive ``(col, op, value)`` predicates evaluated
+    against each file's logged min/max stats (op in < <= > >= =):
+    files that provably hold no matching row are dropped from the scan
+    BEFORE any file is opened (Delta data skipping — at 100 TB the
+    planner never even lists the skipped files; parquet row-group
+    pruning only helps after the footer read). Skipping is a
+    file-PRUNING hint only, never a row filter: callers still apply
+    the real predicate, so a conservative keep (missing stats, string
+    columns) costs correctness nothing."""
     v = latest_version(table) if version is None else version
     if version is not None:
         known = set(_versions(table)) | set(_checkpoint_versions(table))
@@ -455,13 +613,171 @@ def read_delta(
             )
     state = _replay(table, v)
     schema = StructType.fromJson(json.loads(state.schema_string))
-    if not state.active:
+    active = state.active
+    if skip:
+        active = {
+            p: a for p, a in active.items() if _file_may_match(a, skip)
+        }
+    if not active:
         return spark.createDataFrame([], schema)
-    paths = [os.path.join(table, p) for p in sorted(state.active)]
+    paths = [os.path.join(table, p) for p in sorted(active)]
     reader = spark.read.schema(schema)
     if state.partition_columns:
         reader = reader.option("basePath", table)
     return reader.parquet(*paths)
+
+
+def _rel_from_uri(uri: str, table: str) -> str:
+    """Map ``input_file_name()``'s URI back to the add-action relative
+    path (file:// scheme + percent-encoding stripped)."""
+    from urllib.parse import unquote, urlparse
+
+    p = unquote(urlparse(uri).path)
+    return os.path.relpath(p, os.path.abspath(table))
+
+
+def merge_delta(
+    spark: SparkSession,
+    table: str,
+    source: DataFrame,
+    on: list[str],
+) -> int:
+    """MERGE upsert (``WHEN MATCHED THEN UPDATE SET * / WHEN NOT
+    MATCHED THEN INSERT *``): source rows replace target rows sharing
+    the ``on`` key; unmatched source rows insert. ``source`` must be
+    key-unique (Delta's multiple-matches error is the caller's
+    contract here).
+
+    The execution is Delta's file-pruned rewrite, not a table rewrite:
+
+    1. a distributed semi-join of the snapshot (tagged with
+       ``input_file_name``) against the source keys finds the TOUCHED
+       files — the only driver-side state is that file list
+       (metadata-sized);
+    2. only touched files are re-read; their non-matching rows are
+       kept (anti-join) and unioned with the full source (matched
+       rows = updates, unmatched = inserts — both are just the source
+       rows, since every matching target row lives in a touched file);
+    3. one commit removes the touched files and adds the rewritten
+       ones — readers see the merge atomically, untouched files are
+       never rewritten (at 100 TB the write cost scales with the
+       UPDATE footprint, not the table).
+
+    Returns the committed version."""
+    from pyspark.sql import functions as F
+
+    v = latest_version(table)
+    state = _replay(table, v)
+    schema = StructType.fromJson(json.loads(state.schema_string))
+    cols = schema.fieldNames()
+    if sorted(source.columns) != sorted(cols):
+        raise ValueError(
+            f"delta-lite: merge source columns {sorted(source.columns)} "
+            f"!= table columns {sorted(cols)}"
+        )
+    missing = [k for k in on if k not in cols]
+    if missing:
+        raise ValueError(f"delta-lite: merge keys not in table: {missing}")
+    target = read_delta(spark, table, version=v)
+    keys = source.select(*on)
+    touched = [
+        _rel_from_uri(r["_f"], table)
+        for r in target.withColumn("_f", F.input_file_name())
+        .join(keys, on, "left_semi")
+        .select("_f")
+        .distinct()
+        .collect()
+    ]
+    if touched:
+        reader = spark.read.schema(schema)
+        if state.partition_columns:
+            reader = reader.option("basePath", table)
+        kept = reader.parquet(
+            *[os.path.join(table, p) for p in sorted(touched)]
+        ).join(keys, on, "left_anti")
+        new_data = kept.select(*cols).unionByName(source.select(*cols))
+    else:
+        new_data = source.select(*cols)
+    return write_delta(
+        new_data, table, mode="append", remove_paths=touched
+    )
+
+
+def optimize_delta(
+    spark: SparkSession,
+    table: str,
+    zorder_by: list[str] | None = None,
+    target_files: int = 1,
+) -> int:
+    """OPTIMIZE: bin-pack the snapshot's active files into
+    ``target_files`` per partition (plain compaction), optionally
+    Z-ORDER clustered on two numeric columns first. The rewrite
+    commits ``remove`` (old) + ``add`` (new) with ``dataChange=false``
+    — the table CONTENT is bit-identical (hash-gated in the catalog);
+    only the layout changes, and incremental consumers may skip the
+    commit.
+
+    Z-ordering: each ``zorder_by`` column maps to an 8-bit linear
+    bucket between its global min/max (one tiny aggregate — two
+    numbers per column driver-side), the per-row Z-value interleaves
+    the two columns' bucket bits, and the rewrite range-partitions +
+    sorts on Z — so every output file covers a narrow range of BOTH
+    columns and the logged min/max stats make :func:`read_delta`'s
+    ``skip`` effective on EITHER column (multi-dimensional data
+    skipping, the reason Z-order exists). Returns the committed
+    version."""
+    from pyspark.sql import functions as F
+
+    v = latest_version(table)
+    state = _replay(table, v)
+    if not state.active:
+        return v
+    snap = read_delta(spark, table, version=v)
+    cols = snap.columns
+    if zorder_by:
+        if len(zorder_by) != 2:
+            raise ValueError("delta-lite: zorder_by takes exactly 2 columns")
+        a, b = zorder_by
+        lims = snap.agg(
+            F.min(a).alias("a_lo"),
+            F.max(a).alias("a_hi"),
+            F.min(b).alias("b_lo"),
+            F.max(b).alias("b_hi"),
+        ).collect()[0]
+
+        def bucket(col: str, lo, hi) -> str:
+            if lo is None or hi is None or float(hi) == float(lo):
+                return "CAST(0 AS INT)"
+            return (
+                f"CAST(least(255.0, greatest(0.0, "
+                f"floor((CAST(`{col}` AS DOUBLE) - {float(lo)!r}) "
+                f"/ ({float(hi)!r} - {float(lo)!r}) * 256.0))) AS INT)"
+            )
+
+        ba = bucket(a, lims["a_lo"], lims["a_hi"])
+        bb = bucket(b, lims["b_lo"], lims["b_hi"])
+        z = " + ".join(
+            f"(shiftleft(shiftright(_ba, {i}) & 1, {2 * i + 1}) + "
+            f"shiftleft(shiftright(_bb, {i}) & 1, {2 * i}))"
+            for i in range(8)
+        )
+        packed = (
+            snap.withColumn("_ba", F.expr(ba))
+            .withColumn("_bb", F.expr(bb))
+            .withColumn("_z", F.expr(z))
+            .repartitionByRange(max(1, target_files), "_z")
+            .sortWithinPartitions("_z")
+            .drop("_ba", "_bb", "_z")
+        )
+    else:
+        packed = snap.repartition(max(1, target_files))
+    return write_delta(
+        packed.select(*cols),
+        table,
+        mode="append",
+        remove_paths=sorted(state.active),
+        data_change=False,
+    )
 
 
 def table_history(table: str) -> list[dict]:

@@ -19,6 +19,8 @@ from jhu_data_parser_spark.sources.delta_lite import (
     _checkpoint_versions,
     last_txn_version,
     latest_version,
+    merge_delta,
+    optimize_delta,
     read_delta,
     table_history,
     write_delta,
@@ -189,3 +191,161 @@ def test_checkpoint_preserves_removes_and_partitioning(spark):
         # partitioning survived the checkpoint round trip
         assert dict(back.dtypes)["k"] == "string"
         assert back.filter(F.col("k") == "1").count() == 60
+
+
+def _adds(table, version):
+    return [
+        json.loads(l)["add"]
+        for l in open(
+            os.path.join(table, "_delta_log", f"{version:020d}.json")
+        )
+        if '"add"' in l
+    ]
+
+
+def test_add_stats_and_data_skipping(spark):
+    """Every add carries footer-aggregated stats; read_delta(skip=…)
+    prunes files the min/max ranges exclude — from the LOG alone,
+    before any file is opened — and never prunes a possible match."""
+    df = spark.range(1000).select(
+        "id", (F.col("id") * 2.0).alias("v")
+    )
+    with tempfile.TemporaryDirectory() as t:
+        # range-partitioned write → disjoint id ranges per file
+        write_delta(df.repartitionByRange(10, "id"), t, "overwrite")
+        adds = _adds(t, 0)
+        assert len(adds) == 10
+        for a in adds:
+            st = json.loads(a["stats"])
+            assert st["numRecords"] == 100
+            assert st["minValues"]["id"] <= st["maxValues"]["id"]
+            assert st["nullCount"]["id"] == 0
+        full = read_delta(spark, t)
+        assert len(full.inputFiles()) == 10
+        # ~1 of 10 files can hold id >= 950
+        skinny = read_delta(spark, t, skip=[("id", ">=", 950)])
+        assert len(skinny.inputFiles()) < 4
+        assert skinny.filter(F.col("id") >= 950).count() == 50
+        # equality point lookup
+        point = read_delta(spark, t, skip=[("id", "=", 123)])
+        assert len(point.inputFiles()) == 1
+        assert point.filter(F.col("id") == 123).count() == 1
+        # conjunct that excludes everything
+        none = read_delta(spark, t, skip=[("id", ">", 99999)])
+        assert none.count() == 0
+        # skipping is a pruning hint: rows outside the predicate are
+        # still present in kept files (callers apply the real filter)
+        assert skinny.count() >= 50
+
+
+def test_data_skipping_conservative_on_strings_and_partitions(spark):
+    """String columns carry no stats (truncation hazard) so string
+    predicates keep every file; partition-value equality prunes."""
+    df = spark.range(100).select(
+        "id",
+        F.format_string("s%03d", F.col("id")).alias("s"),
+        (F.col("id") % 4).cast("string").alias("k"),
+    )
+    with tempfile.TemporaryDirectory() as t:
+        write_delta(df, t, "overwrite", partition_by=["k"])
+        adds = _adds(t, 0)
+        for a in adds:
+            st = json.loads(a["stats"])
+            assert "s" not in st["minValues"]  # strings: no stats
+            assert "id" in st["minValues"]
+        all_files = len(read_delta(spark, t).inputFiles())
+        kept = read_delta(spark, t, skip=[("s", ">=", "s050")])
+        assert len(kept.inputFiles()) == all_files  # conservative
+        one = read_delta(spark, t, skip=[("k", "=", "2")])
+        assert len(one.inputFiles()) < all_files
+        assert one.filter(F.col("k") == "2").count() == 25
+
+
+def test_merge_upsert_rewrites_only_touched_files(spark):
+    df = spark.range(1000).select("id", (F.col("id") * 1.0).alias("v"))
+    with tempfile.TemporaryDirectory() as t:
+        write_delta(df.repartitionByRange(10, "id"), t, "overwrite")
+        # updates hit ids 0-49 (one file's range); inserts are new keys
+        src = spark.range(50).select(
+            "id", F.lit(-1.0).alias("v")
+        ).unionByName(
+            spark.range(2000, 2010).select("id", F.lit(9.0).alias("v"))
+        )
+        v = merge_delta(spark, t, src, on=["id"])
+        assert v == 1
+        # only the touched file(s) were removed — not the table
+        log = open(os.path.join(t, "_delta_log", f"{1:020d}.json")).read()
+        removes = log.count('"remove"')
+        assert 1 <= removes <= 2
+        back = read_delta(spark, t)
+        assert back.count() == 1010
+        assert back.filter(F.col("v") == -1.0).count() == 50
+        assert back.filter(F.col("id") >= 2000).count() == 10
+        # untouched rows intact
+        assert back.filter(
+            (F.col("id") >= 50) & (F.col("id") < 1000) & (F.col("v") < 0)
+        ).count() == 0
+        # pre-merge snapshot still time-travelable
+        assert read_delta(spark, t, version=0).filter(
+            F.col("v") == -1.0
+        ).count() == 0
+        # no-match merge inserts only, removes nothing
+        src2 = spark.range(3000, 3003).select(
+            "id", F.lit(7.0).alias("v")
+        )
+        merge_delta(spark, t, src2, on=["id"])
+        log2 = open(os.path.join(t, "_delta_log", f"{2:020d}.json")).read()
+        assert '"remove"' not in log2
+        assert read_delta(spark, t).count() == 1013
+        # schema mismatch fails loudly
+        with pytest.raises(ValueError, match="source columns"):
+            merge_delta(spark, t, spark.range(3), on=["id"])
+
+
+def test_optimize_compacts_without_data_change(spark):
+    df = spark.range(500).select("id", (F.col("id") % 7.0).alias("v"))
+    with tempfile.TemporaryDirectory() as t:
+        for i in range(5):  # 5 small appends → many small files
+            write_delta(
+                df.filter(F.col("id") % 5 == i), t,
+                "overwrite" if i == 0 else "append",
+            )
+        before = read_delta(spark, t)
+        n_before = len(before.inputFiles())
+        total = before.count()
+        v = optimize_delta(spark, t, target_files=1)
+        after = read_delta(spark, t)
+        assert len(after.inputFiles()) < n_before
+        assert after.count() == total
+        assert set(r.id for r in after.collect()) == set(range(500))
+        # reorganization commit: dataChange false on adds AND removes
+        log = open(os.path.join(t, "_delta_log", f"{v:020d}.json")).read()
+        for line in log.splitlines():
+            a = json.loads(line)
+            act = a.get("add") or a.get("remove")
+            assert act is not None and act["dataChange"] is False
+
+
+def test_optimize_zorder_enables_two_column_skipping(spark):
+    """After Z-ORDER on (x, y), file-level min/max ranges are narrow
+    on BOTH columns — skip prunes files for predicates on either."""
+    df = spark.range(4096).select(
+        (F.col("id") % 64).alias("x"),
+        (F.col("id") / 64).cast("long").alias("y"),
+        F.col("id").alias("payload"),
+    )
+    with tempfile.TemporaryDirectory() as t:
+        # shuffled initial layout: every file spans ~the full x/y range
+        write_delta(df.repartition(8), t, "overwrite")
+        all_x = read_delta(spark, t, skip=[("x", ">=", 60)])
+        assert len(all_x.inputFiles()) == 8  # no clustering, no pruning
+        v = optimize_delta(spark, t, zorder_by=["x", "y"], target_files=16)
+        zx = read_delta(spark, t, skip=[("x", ">=", 60)])
+        zy = read_delta(spark, t, skip=[("y", ">=", 60)])
+        assert len(zx.inputFiles()) < 16
+        assert len(zy.inputFiles()) < 16
+        # content identical after the rewrite
+        back = read_delta(spark, t)
+        assert back.count() == 4096
+        assert back.agg(F.sum("payload")).collect()[0][0] == sum(range(4096))
+        assert read_delta(spark, t, version=v - 1).count() == 4096
