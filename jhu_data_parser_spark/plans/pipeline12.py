@@ -1166,6 +1166,137 @@ def source_delta_optimize_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DELTA_CDF_ORACLE = """
+    SELECT CAST(CASE WHEN l_quantity <= 8 THEN 1
+                     WHEN l_quantity <= 12 THEN 2
+                     WHEN l_quantity <= 16 THEN 3
+                     ELSE 5 END AS BIGINT) AS _commit_version,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS price_cents
+    FROM lineitem WHERE l_quantity BETWEEN 5 AND 20 GROUP BY 1
+    """
+
+
+@query("source_delta_cdf_incremental", oracle=_DELTA_CDF_ORACLE)
+def source_delta_cdf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-lite CHANGE DATA FEED (append-only): quantity bands land
+    as commits v1..v3, an OPTIMIZE compaction commits v4 with
+    ``dataChange=false``, band 4 lands as v5; the incremental consumer
+    reads ``read_delta_changes(from_version=1)`` — only rows each
+    commit ADDED, tagged ``_commit_version``. The oracle maps each
+    band to the version that committed it: a hash match proves (a)
+    per-commit attribution is exact, (b) the reorganization commit
+    contributed NOTHING even though it re-added every row's file
+    (the dataChange flag is load-bearing), and (c) no row was lost or
+    double-delivered. At 100 TB this is the daily-delta read — the
+    consumer never rescans the table."""
+    import tempfile
+
+    from jhu_data_parser_spark.operators.similarity import _rmtree_at_exit
+    from jhu_data_parser_spark.sources.delta_lite import (
+        optimize_delta,
+        read_delta_changes,
+        write_delta,
+    )
+
+    table = tempfile.mkdtemp(prefix="jdps_delta_cdf_")
+    _rmtree_at_exit(table)
+    base = _roundtrip_cols(spark, sf_dir)
+
+    def band(k: int) -> DataFrame:
+        return base.filter(
+            (F.col("l_quantity") >= k * 4 + 1)
+            & (F.col("l_quantity") < (k + 1) * 4 + 1)
+        )
+
+    write_delta(band(0), table, mode="overwrite")  # v0 (pre-watermark)
+    for k in range(1, 4):  # v1..v3
+        write_delta(band(k), table, mode="append")
+    optimize_delta(spark, table, target_files=2)  # v4: dataChange=false
+    write_delta(band(4), table, mode="append")  # v5
+    return (
+        read_delta_changes(spark, table, from_version=1)
+        .groupBy("_commit_version")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(
+                F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast(
+                    "long"
+                )
+            )
+            .cast("long")
+            .alias("price_cents"),
+        )
+    )
+
+
+_DELTA_EVOLVE_ORACLE = """
+    WITH evolved AS (
+      SELECT o_orderkey AS k,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+             CAST(NULL AS VARCHAR) AS seg
+      FROM orders
+      UNION ALL
+      SELECT o_orderkey + 500000000,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT),
+             o_orderstatus
+      FROM orders WHERE o_orderkey % 3 = 0)
+    SELECT COALESCE(seg, 'none') AS seg,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM evolved GROUP BY 1
+    """
+
+
+@query("source_delta_schema_evolution", oracle=_DELTA_EVOLVE_ORACLE)
+def source_delta_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-lite SCHEMA EVOLUTION: a later append carries a new
+    trailing column under ``merge_schema=True`` — the commit re-emits
+    metaData with the widened schema, files from earlier commits read
+    the new column as NULL (parquet missing-column semantics), and
+    a mismatched append WITHOUT the opt-in fails loudly (pytest-
+    pinned). The oracle recomputes the union with an explicit NULL
+    column: a hash match proves old rows surface nulls (not defaults,
+    not errors) and new rows carry their values — the add-a-feature-
+    column migration every long-lived 100 TB table eventually needs,
+    executed without rewriting a byte of existing data."""
+    import tempfile
+
+    from jhu_data_parser_spark.operators.similarity import _rmtree_at_exit
+    from jhu_data_parser_spark.sources.delta_lite import (
+        read_delta,
+        write_delta,
+    )
+
+    table = tempfile.mkdtemp(prefix="jdps_delta_evo_")
+    _rmtree_at_exit(table)
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    write_delta(base, table, mode="overwrite")
+    evolved_rows = orders.filter(F.col("o_orderkey") % 3 == 0).select(
+        (F.col("o_orderkey") + 500_000_000).alias("k"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+        F.col("o_orderstatus").alias("seg"),
+    )
+    write_delta(evolved_rows, table, mode="append", merge_schema=True)
+    return (
+        read_delta(spark, table)
+        .groupBy(F.coalesce(F.col("seg"), F.lit("none")).alias("seg"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+        )
+    )
+
+
 @query(
     "stream_delta_append_daily",
     oracle="""

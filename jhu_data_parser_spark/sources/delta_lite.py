@@ -423,6 +423,44 @@ def _partition_values_from_rel(rel: str) -> dict[str, str | None]:
     return values
 
 
+def _evolve_schema(
+    committed: StructType, incoming: StructType, allow: bool
+) -> StructType | None:
+    """Schema check/evolution for a commit against the committed
+    schema. Same fields → None (no metaData re-emit). New TRAILING
+    fields with ``allow`` (mergeSchema) → the widened schema (old
+    files read the new columns as null — the parquet missing-column
+    semantics Delta itself relies on). Anything else — a type change,
+    a dropped column, new columns without ``allow`` — raises: schema
+    drift must never be silent."""
+    have = {f.name: f for f in committed.fields}
+    new_fields = []
+    for f in incoming.fields:
+        if f.name in have:
+            if f.dataType != have[f.name].dataType:
+                raise ValueError(
+                    f"delta-lite: column {f.name!r} type "
+                    f"{f.dataType.simpleString()} != committed "
+                    f"{have[f.name].dataType.simpleString()}"
+                )
+        else:
+            new_fields.append(f)
+    missing = [n for n in have if n not in {f.name for f in incoming.fields}]
+    if missing:
+        raise ValueError(
+            f"delta-lite: commit missing committed columns {missing}"
+        )
+    if not new_fields:
+        return None
+    if not allow:
+        raise ValueError(
+            "delta-lite: new columns "
+            f"{[f.name for f in new_fields]} require merge_schema=True"
+        )
+    out = StructType(list(committed.fields) + new_fields)
+    return out
+
+
 def write_delta(
     spark_df: DataFrame,
     table: str,
@@ -431,6 +469,7 @@ def write_delta(
     partition_by: list[str] | None = None,
     remove_paths: list[str] | None = None,
     data_change: bool = True,
+    merge_schema: bool = False,
 ) -> int:
     """Commit the DataFrame to the Delta-lite table; returns the new
     version (or the current one when an idempotent txn is skipped).
@@ -478,8 +517,14 @@ def write_delta(
     current = max(versions + cps) if (versions or cps) else None
 
     prev_state: _Snapshot | None = None
+    evolved: StructType | None = None
     if current is not None:
         prev_state = _replay(table, current)
+        evolved = _evolve_schema(
+            StructType.fromJson(json.loads(prev_state.schema_string)),
+            spark_df.schema,
+            merge_schema,
+        )
         committed_parts = prev_state.partition_columns
         if partition_by is not None and list(partition_by) != committed_parts:
             raise ValueError(
@@ -552,6 +597,21 @@ def write_delta(
             actions.append(
                 {"remove": {"path": pth, "dataChange": True}}
             )
+    if evolved is not None:
+        # schema evolution: the commit re-emits metaData with the
+        # widened schema; files from earlier commits read the new
+        # trailing columns as null (parquet missing-column semantics)
+        actions.append(
+            {
+                "metaData": {
+                    "id": uuid.uuid4().hex,
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": evolved.json(),
+                    "partitionColumns": parts,
+                    "configuration": {},
+                }
+            }
+        )
     if remove_paths:
         active_now = prev_state.active if prev_state is not None else {}
         unknown = sorted(set(remove_paths) - set(active_now))
@@ -778,6 +838,114 @@ def optimize_delta(
         remove_paths=sorted(state.active),
         data_change=False,
     )
+
+
+def read_delta_changes(
+    spark: SparkSession,
+    table: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Incremental CHANGE read (CDF-lite): the rows ADDED by each
+    commit in ``[from_version, to_version]``, tagged with
+    ``_commit_version`` — the incremental-consumer handshake (a
+    downstream job reads only what landed since its last high-water
+    mark, never rescanning the table; at 100 TB this is the difference
+    between a daily delta and a daily full scan).
+
+    Append-only ranges only, loudly: a commit whose ``remove`` actions
+    carry ``dataChange=true`` (overwrite / MERGE rewrite) raises
+    ``NotImplementedError`` — its adds re-contain previously-delivered
+    rows, so emitting them as inserts would double-count (full CDF
+    needs per-row change types; this layer refuses rather than lies).
+    Reorganization commits (``dataChange=false`` — OPTIMIZE) are
+    correctly SKIPPED: their adds carry no new rows. Commit JSONs in
+    range must still exist (checkpoint-cleaned logs can't be diffed)."""
+    v_hi = latest_version(table) if to_version is None else to_version
+    have = set(_versions(table))
+    want = [v for v in range(from_version, v_hi + 1)]
+    missing = sorted(set(want) - have)
+    if missing:
+        raise ValueError(
+            f"delta-lite: commit logs missing for versions {missing[:5]} "
+            "(cleaned up past a checkpoint?) — cannot diff"
+        )
+    state = _replay(table, v_hi)
+    schema = StructType.fromJson(json.loads(state.schema_string))
+    per_version: list[tuple[int, list[str]]] = []
+    for v in want:
+        adds: list[str] = []
+        with open(_log_path(table, v)) as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                a = json.loads(line)
+                if "remove" in a and a["remove"].get("dataChange", True):
+                    raise NotImplementedError(
+                        f"delta-lite: version {v} rewrites data "
+                        "(dataChange=true remove) — append-only CDF "
+                        "cannot represent it"
+                    )
+                if "add" in a and a["add"].get("dataChange", True):
+                    adds.append(a["add"]["path"])
+        per_version.append((v, adds))
+    from pyspark.sql import functions as F
+
+    parts: list[DataFrame] = []
+    for v, adds in per_version:
+        if not adds:
+            continue
+        reader = spark.read.schema(schema)
+        if state.partition_columns:
+            reader = reader.option("basePath", table)
+        parts.append(
+            reader.parquet(*[os.path.join(table, p) for p in sorted(adds)])
+            .withColumn("_commit_version", F.lit(v).cast("long"))
+        )
+    if not parts:
+        return spark.createDataFrame(
+            [], schema.add("_commit_version", "long")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def vacuum_delta(table: str, keep_from_version: int) -> list[str]:
+    """Physically delete data files no snapshot ≥ ``keep_from_version``
+    references (the retention-bounded VACUUM: reclaims the space
+    time travel was holding; versions before the cutoff stop being
+    readable — by explicit choice here, vs Delta's retention-hours
+    default). Returns the deleted relative paths. The log itself is
+    untouched (history stays listable); a time-travel read below the
+    cutoff fails at scan time on the missing file — vacuum trades
+    exactly that for space, same as Delta."""
+    v_hi = latest_version(table)
+    keep: set = set()
+    for v in range(keep_from_version, v_hi + 1):
+        known = set(_versions(table)) | set(_checkpoint_versions(table))
+        if v in known or v == v_hi:
+            keep.update(_replay(table, min(v, v_hi)).active)
+    referenced: set = set()
+    for v in _versions(table):
+        with open(_log_path(table, v)) as fh:
+            for line in fh:
+                line = line.strip()
+                if line:
+                    a = json.loads(line)
+                    if "add" in a:
+                        referenced.add(a["add"]["path"])
+    for cp in _checkpoint_versions(table):
+        referenced.update(_load_checkpoint(table, cp).active)
+    deleted = []
+    for rel in sorted(referenced - keep):
+        p = os.path.join(table, rel)
+        if os.path.isfile(p):
+            os.remove(p)
+            deleted.append(rel)
+    return deleted
 
 
 def table_history(table: str) -> list[dict]:

@@ -22,7 +22,9 @@ from jhu_data_parser_spark.sources.delta_lite import (
     merge_delta,
     optimize_delta,
     read_delta,
+    read_delta_changes,
     table_history,
+    vacuum_delta,
     write_delta,
 )
 
@@ -349,3 +351,84 @@ def test_optimize_zorder_enables_two_column_skipping(spark):
         assert back.count() == 4096
         assert back.agg(F.sum("payload")).collect()[0][0] == sum(range(4096))
         assert read_delta(spark, t, version=v - 1).count() == 4096
+
+
+def test_cdf_incremental_reads_skip_reorganization(spark):
+    df = spark.range(10).select("id", (F.col("id") * 1.0).alias("v"))
+    with tempfile.TemporaryDirectory() as t:
+        write_delta(df, t, "overwrite")  # v0
+        write_delta(df.withColumn("id", F.col("id") + 100), t, "append")
+        write_delta(df.withColumn("id", F.col("id") + 200), t, "append")
+        v_opt = optimize_delta(spark, t, target_files=1)  # v3, no change
+        write_delta(df.withColumn("id", F.col("id") + 300), t, "append")
+        ch = read_delta_changes(spark, t, from_version=1)
+        got = {
+            r["_commit_version"]: r["n"]
+            for r in ch.groupBy("_commit_version")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        # v3 (OPTIMIZE, dataChange=false) contributes NOTHING —
+        # its adds re-contain old rows; CDF must skip them
+        assert got == {1: 10, 2: 10, 4: 10}
+        assert v_opt == 3
+        # version attribution is per-commit, not per-file-order
+        assert read_delta_changes(spark, t, 4, 4).agg(
+            F.min("id")
+        ).collect()[0][0] == 300
+        # a data-rewriting commit in range fails loudly, never lies
+        write_delta(df, t, "overwrite")  # v5
+        with pytest.raises(NotImplementedError, match="append-only"):
+            read_delta_changes(spark, t, from_version=1)
+        # empty range on a fresh high-water mark
+        assert read_delta_changes(spark, t, 6, 5).count() == 0
+
+
+def test_schema_evolution_append(spark):
+    df = spark.range(10).select("id", (F.col("id") * 1.0).alias("v"))
+    df2 = spark.range(10, 20).select(
+        "id", (F.col("id") * 1.0).alias("v"), F.lit("x").alias("tag")
+    )
+    with tempfile.TemporaryDirectory() as t:
+        write_delta(df, t, "overwrite")
+        # new column without opt-in: loud
+        with pytest.raises(ValueError, match="merge_schema"):
+            write_delta(df2, t, "append")
+        write_delta(df2, t, "append", merge_schema=True)
+        back = read_delta(spark, t)
+        assert dict(back.dtypes)["tag"] == "string"
+        assert back.count() == 20
+        # old files read the new column as null
+        assert back.filter(F.col("tag").isNull()).count() == 10
+        assert back.filter(F.col("tag") == "x").count() == 10
+        # time travel sees the pre-evolution schema
+        assert "tag" not in read_delta(spark, t, version=0).columns
+        # dropped column / type change stay loud
+        with pytest.raises(ValueError, match="missing committed"):
+            write_delta(df2.drop("v"), t, "append", merge_schema=True)
+        with pytest.raises(ValueError, match="type"):
+            write_delta(
+                df2.withColumn("v", F.col("v").cast("int")),
+                t,
+                "append",
+                merge_schema=True,
+            )
+
+
+def test_vacuum_reclaims_below_cutoff(spark):
+    df = spark.range(10).select("id")
+    with tempfile.TemporaryDirectory() as t:
+        write_delta(df, t, "overwrite")  # v0
+        write_delta(df.withColumn("id", F.col("id") + 10), t, "overwrite")
+        write_delta(df.withColumn("id", F.col("id") + 20), t, "append")
+        deleted = vacuum_delta(t, keep_from_version=1)
+        assert deleted  # v0's files were only referenced below cutoff
+        # kept versions still read in full
+        assert read_delta(spark, t).count() == 20
+        assert read_delta(spark, t, version=1).count() == 10
+        # history is still listable; the vacuumed snapshot is not
+        assert [h["version"] for h in table_history(t)] == [0, 1, 2]
+        with pytest.raises(Exception):
+            read_delta(spark, t, version=0).collect()
+        # idempotent
+        assert vacuum_delta(t, keep_from_version=1) == []
