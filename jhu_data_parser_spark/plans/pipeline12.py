@@ -1297,6 +1297,34 @@ def source_delta_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+_DELTA_CDF_MERGE_ORACLE = """
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS price_cents
+    FROM lineitem WHERE l_quantity BETWEEN 1 AND 20 GROUP BY l_returnflag
+    """
+
+
+@query("stream_delta_cdf_merge", oracle=_DELTA_CDF_MERGE_ORACLE)
+def stream_delta_cdf_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lakehouse incremental loop end-to-end: a source Delta-lite
+    table takes 5 band-append commits; a consumer tails its CHANGE
+    FEED version-by-version and MERGEs per-flag running totals into a
+    downstream Delta-lite table under the ``txn`` exactly-once
+    handshake (CDF + MERGE + txn composing — how a derived table
+    stays fresh off a source table's commit log without rescans).
+    The oracle is the plain batch aggregate over all bands: a hash
+    match proves every version was delivered exactly once and folded
+    correctly. Re-delivery idempotence is separately pytest-pinned
+    (tests/test_delta_lite.py)."""
+    from jhu_data_parser_spark.streaming.jobs import (
+        run_delta_cdf_merge_stream,
+    )
+
+    return run_delta_cdf_merge_stream(spark, sf_dir)
+
+
 @query(
     "stream_delta_append_daily",
     oracle="""

@@ -701,6 +701,7 @@ def merge_delta(
     table: str,
     source: DataFrame,
     on: list[str],
+    txn: tuple[str, int] | None = None,
 ) -> int:
     """MERGE upsert (``WHEN MATCHED THEN UPDATE SET * / WHEN NOT
     MATCHED THEN INSERT *``): source rows replace target rows sharing
@@ -728,6 +729,8 @@ def merge_delta(
 
     v = latest_version(table)
     state = _replay(table, v)
+    if txn is not None and int(txn[1]) <= state.txns.get(txn[0], -1):
+        return v  # idempotent re-delivery: skip before any join work
     schema = StructType.fromJson(json.loads(state.schema_string))
     cols = schema.fieldNames()
     if sorted(source.columns) != sorted(cols):
@@ -759,7 +762,7 @@ def merge_delta(
     else:
         new_data = source.select(*cols)
     return write_delta(
-        new_data, table, mode="append", remove_paths=touched
+        new_data, table, mode="append", remove_paths=touched, txn=txn
     )
 
 

@@ -432,3 +432,31 @@ def test_vacuum_reclaims_below_cutoff(spark):
             read_delta(spark, t, version=0).collect()
         # idempotent
         assert vacuum_delta(t, keep_from_version=1) == []
+
+
+def test_cdf_merge_rollup_idempotent_under_redelivery(spark):
+    """Re-delivering already-merged versions (the checkpoint-replay
+    failure mode) must change NOTHING in the downstream table: the
+    txn high-water mark recognizes them before any join work."""
+    import tempfile as _tf
+
+    from jhu_data_parser_spark.streaming.jobs import (
+        run_delta_cdf_merge_stream,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    clean = {
+        tuple(r)
+        for r in run_delta_cdf_merge_stream(spark, sf).collect()
+    }
+    res = _tf.mkdtemp(prefix="jdps_cdfres_t_")
+    replayed = {
+        tuple(r)
+        for r in run_delta_cdf_merge_stream(
+            spark, sf, reprocess_versions=(1, 3, 0, 4), results=res
+        ).collect()
+    }
+    assert clean == replayed
+    # the re-deliveries committed nothing: 5 result versions only
+    # (v0 bootstrap overwrite + 4 merges), no extra commits
+    assert latest_version(res) == 4
