@@ -1297,6 +1297,54 @@ def source_delta_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+_DELTA_DELETE_ORACLE = """
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS price_cents,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM lineitem WHERE NOT (l_quantity >= 30 AND l_quantity < 41)
+    GROUP BY l_returnflag
+    """
+
+
+@query("source_delta_delete_where", oracle=_DELTA_DELETE_ORACLE)
+def source_delta_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-lite row-level DELETE WHERE as a file-pruned rewrite: the
+    quantity-range-laid-out table deletes a quantity stripe — the
+    log's min/max stats narrow the candidate files before any file is
+    opened (``skip``), fully-covered files drop with a remove-only
+    action (no rewrite), the partially-covered boundary files rewrite
+    their survivors, and one commit swaps it all atomically. At
+    100 TB a delete against a date range touches that range's files
+    and nothing else (GDPR-erasure / retention economics). The oracle
+    recomputes the complement from parquet: a hash match proves
+    exactly the predicate's rows vanished — no survivor lost at the
+    rewrite boundary, no row outside the stripe touched."""
+    import tempfile
+
+    from jhu_data_parser_spark.operators.similarity import _rmtree_at_exit
+    from jhu_data_parser_spark.sources.delta_lite import (
+        delete_delta,
+        read_delta,
+        write_delta,
+    )
+
+    table = tempfile.mkdtemp(prefix="jdps_delta_del_")
+    _rmtree_at_exit(table)
+    base = _roundtrip_cols(spark, sf_dir)
+    write_delta(
+        base.repartitionByRange(8, "l_quantity"), table, mode="overwrite"
+    )
+    delete_delta(
+        spark,
+        table,
+        "l_quantity >= 30 AND l_quantity < 41",
+        skip=[("l_quantity", "<", 41), ("l_quantity", ">=", 30)],
+    )
+    return _roundtrip_agg(read_delta(spark, table))
+
+
 _DELTA_CDF_MERGE_ORACLE = """
     SELECT l_returnflag,
            CAST(COUNT(*) AS BIGINT) AS n_rows,

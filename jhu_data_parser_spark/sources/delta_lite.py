@@ -766,6 +766,63 @@ def merge_delta(
     )
 
 
+def delete_delta(
+    spark: SparkSession,
+    table: str,
+    predicate: str,
+    skip: list[tuple] | None = None,
+) -> int:
+    """Row-level DELETE WHERE: rewrite only the files that hold a
+    matching row (same file-pruned shape as :func:`merge_delta` —
+    the semi-scan finds touched files, survivors are rewritten, one
+    atomic remove+add commit; at 100 TB the cost scales with the
+    delete footprint). ``skip`` (the same ``(col, op, value)``
+    conjuncts as :func:`read_delta`) narrows the candidate files from
+    the log's stats BEFORE any file is opened — a delete against a
+    date range touches only that range's files. Files whose every row
+    matches are dropped without a rewrite (remove-only). Returns the
+    committed version."""
+    from pyspark.sql import functions as F
+
+    v = latest_version(table)
+    state = _replay(table, v)
+    schema = StructType.fromJson(json.loads(state.schema_string))
+    cols = schema.fieldNames()
+    candidates = read_delta(spark, table, version=v, skip=skip)
+    touched_rows = (
+        candidates.withColumn("_f", F.input_file_name())
+        .filter(F.expr(predicate))
+        .groupBy("_f")
+        .count()
+        .collect()
+    )
+    touched = {
+        _rel_from_uri(r["_f"], table): r["count"] for r in touched_rows
+    }
+    if not touched:
+        return v  # nothing matches: no commit (idempotent no-op)
+    sizes = {
+        p: json.loads(state.active[p]["stats"]).get("numRecords")
+        for p in touched
+        if state.active[p].get("stats")
+    }
+    # files fully covered by the delete need no rewrite — remove only
+    drop_whole = {p for p, n in sizes.items() if n == touched[p]}
+    rewrite = sorted(set(touched) - drop_whole)
+    if rewrite:
+        reader = spark.read.schema(schema)
+        if state.partition_columns:
+            reader = reader.option("basePath", table)
+        survivors = reader.parquet(
+            *[os.path.join(table, p) for p in rewrite]
+        ).filter(~F.expr(predicate)).select(*cols)
+    else:
+        survivors = spark.createDataFrame([], schema)
+    return write_delta(
+        survivors, table, mode="append", remove_paths=sorted(touched)
+    )
+
+
 def optimize_delta(
     spark: SparkSession,
     table: str,

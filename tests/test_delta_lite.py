@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from jhu_data_parser_spark.sources.delta_lite import (
     _checkpoint_versions,
+    delete_delta,
     last_txn_version,
     latest_version,
     merge_delta,
@@ -432,6 +433,33 @@ def test_vacuum_reclaims_below_cutoff(spark):
             read_delta(spark, t, version=0).collect()
         # idempotent
         assert vacuum_delta(t, keep_from_version=1) == []
+
+
+def test_delete_where_rewrites_only_touched_files(spark):
+    df = spark.range(1000).select("id", (F.col("id") * 1.0).alias("v"))
+    with tempfile.TemporaryDirectory() as t:
+        write_delta(df.repartitionByRange(10, "id"), t, "overwrite")
+        # stripe covers one file fully (100..199) and one partially
+        v = delete_delta(
+            spark, t, "id >= 100 AND id < 250", skip=[("id", "<", 250)]
+        )
+        assert v == 1
+        back = read_delta(spark, t)
+        assert back.count() == 850
+        assert back.filter((F.col("id") >= 100) & (F.col("id") < 250)).count() == 0
+        assert back.filter(F.col("id") == 99).count() == 1
+        log = open(os.path.join(t, "_delta_log", f"{1:020d}.json")).read()
+        removes = log.count('"remove"')
+        assert removes <= 3  # only the stripe's files, not the table
+        # fully-covered files are dropped without a rewrite: the new
+        # adds hold only the partial file's survivors
+        adds = _adds(t, 1)
+        assert sum(json.loads(a["stats"])["numRecords"] for a in adds) == 50
+        # no-match delete: no commit at all (idempotent no-op)
+        assert delete_delta(spark, t, "id = 123456") == 1
+        assert latest_version(t) == 1
+        # pre-delete snapshot still travels
+        assert read_delta(spark, t, version=0).count() == 1000
 
 
 def test_cdf_merge_rollup_idempotent_under_redelivery(spark):
