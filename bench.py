@@ -39,14 +39,16 @@ LEGACY12 = [
 ]
 
 # Flagship capabilities added since r1 (r9 verdict item 4): the full
-# curation funnel's packed-batch deliverable + its yield table, and
-# batch IVF-PQ ANN serving. Reported alongside the legacy set; the
-# JSON carries value_legacy12 so round-over-round totals stay
-# comparable across the set change.
+# curation funnel's packed-batch deliverable + its yield table, batch
+# IVF-PQ ANN serving, and (r13) the Delta-lite file-pruned MERGE
+# upsert — the lakehouse DML headline. Reported alongside the legacy
+# set; the JSON carries value_legacy12 so round-over-round totals
+# stay comparable across set changes.
 FLAGSHIP = [
     "pipeline_pack_batches",
     "pipeline_curation_funnel_v3",
     "sim_cosine_topk_ivfpq_multi",
+    "source_delta_merge_upsert",
 ]
 
 HEADLINE = LEGACY12 + FLAGSHIP

@@ -38,12 +38,22 @@ Avro codec:
   story of ``/root/reference/src/parser.py:73-75`` carried into the
   table layer.
 
-Scope (documented, loud): single-writer commits (no concurrent-commit
-arbitration), no deletion vectors / column mapping (reader version >1
-fails with ``NotImplementedError`` — never a wrong read). Removed
-files are never vacuumed (all versions stay time-travelable); since
-checkpoints are always taken (interval 10), replay cost is bounded
-regardless of commit count.
+Beyond snapshots/time travel the layer carries the lakehouse DML +
+maintenance surface: per-file min/max ``stats`` in every add (footer-
+aggregated) with read-side data skipping; file-pruned MERGE upsert,
+row-level DELETE WHERE, OPTIMIZE bin-packing + Z-order (all as atomic
+remove+add commits, ``dataChange=false`` for reorganizations);
+append-only CHANGE DATA FEED (``read_delta_changes``); schema
+evolution under ``merge_schema``; CHECK constraints
+(``delta.constraints.*`` in metaData configuration, validated on
+every commit); retention-bounded ``vacuum_delta``; and OPTIMISTIC
+concurrent commits (atomic link(2) claim per version — blind appends
+retry, non-commuting commits raise ``ConcurrentWriteConflict``).
+
+Scope (documented, loud): no deletion vectors / column mapping
+(reader version >1 fails with ``NotImplementedError`` — never a
+wrong read); CDF refuses rewrite commits rather than emitting
+per-row change types.
 """
 
 from __future__ import annotations
@@ -58,6 +68,13 @@ from pyspark.sql.types import StructType
 _LOG_DIR = "_delta_log"
 _CHECKPOINT_INTERVAL = 10
 _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+class ConcurrentWriteConflict(RuntimeError):
+    """Another writer committed the contended version and the two
+    commits do not commute (overwrite, schema change, or rewrites of
+    the same files). Blind appends never raise this — they retry at
+    the next version automatically."""
 
 
 def _log_path(table: str, version: int) -> str:
@@ -113,13 +130,20 @@ def latest_version(table: str) -> int:
 class _Snapshot:
     """Fully-replayed table state at one version."""
 
-    __slots__ = ("active", "schema_string", "partition_columns", "txns")
+    __slots__ = (
+        "active",
+        "schema_string",
+        "partition_columns",
+        "txns",
+        "configuration",
+    )
 
     def __init__(self) -> None:
         self.active: dict[str, dict] = {}  # rel path -> add action dict
         self.schema_string: str | None = None
         self.partition_columns: list[str] = []
         self.txns: dict[str, int] = {}  # appId -> high-water version
+        self.configuration: dict[str, str] = {}  # delta.constraints.* etc
 
 
 def _apply_action(state: _Snapshot, a: dict) -> None:
@@ -134,6 +158,7 @@ def _apply_action(state: _Snapshot, a: dict) -> None:
         state.partition_columns = list(
             a["metaData"].get("partitionColumns") or []
         )
+        state.configuration = dict(a["metaData"].get("configuration") or {})
     elif "add" in a:
         state.active[a["add"]["path"]] = a["add"]
     elif "remove" in a:
@@ -160,6 +185,10 @@ def _load_checkpoint(table: str, cp_version: int) -> _Snapshot:
                     a["add"]["partitionValues"] = dict(
                         a["add"].get("partitionValues") or []
                     )
+                elif kind == "metaData":
+                    a["metaData"]["configuration"] = dict(
+                        a["metaData"].get("configuration") or []
+                    )
                 _apply_action(state, a)
     if state.schema_string is None:
         raise ValueError(
@@ -185,6 +214,7 @@ def _write_checkpoint(table: str, version: int, state: _Snapshot) -> None:
             ("id", pa.string()),
             ("schemaString", pa.string()),
             ("partitionColumns", pa.list_(pa.string())),
+            ("configuration", pa.map_(pa.string(), pa.string())),
         ]
     )
     add_t = pa.struct(
@@ -206,6 +236,7 @@ def _write_checkpoint(table: str, version: int, state: _Snapshot) -> None:
                 "id": uuid.uuid4().hex,
                 "schemaString": state.schema_string,
                 "partitionColumns": state.partition_columns,
+                "configuration": sorted(state.configuration.items()),
             }
         },
     ]
@@ -470,6 +501,7 @@ def write_delta(
     remove_paths: list[str] | None = None,
     data_change: bool = True,
     merge_schema: bool = False,
+    constraints: dict[str, str] | None = None,
 ) -> int:
     """Commit the DataFrame to the Delta-lite table; returns the new
     version (or the current one when an idempotent txn is skipped).
@@ -536,8 +568,36 @@ def write_delta(
             txn[0], -1
         ):
             return current  # idempotent re-delivery: no-op
+        if constraints is not None:
+            raise ValueError(
+                "delta-lite: constraints are set at table creation"
+            )
+        config = dict(prev_state.configuration)
     else:
         parts = list(partition_by or [])
+        config = {
+            f"delta.constraints.{k}": v
+            for k, v in (constraints or {}).items()
+        }
+    # CHECK constraints (the protocol's delta.constraints.* metadata):
+    # every commit validates the incoming rows — one limit(1) probe per
+    # constraint over the input frame (Delta folds this into the write
+    # job; the lite layer pays a probe scan and stays loud)
+    from pyspark.sql import functions as F
+
+    for key in sorted(config):
+        if not key.startswith("delta.constraints."):
+            continue
+        pred = config[key]
+        bad = spark_df.filter(
+            ~F.coalesce(F.expr(pred), F.lit(False))
+        ).limit(1)
+        if bad.count() > 0:
+            name = key[len("delta.constraints.") :]
+            raise ValueError(
+                f"delta-lite: CHECK constraint {name!r} ({pred}) "
+                f"violated, e.g. by row {bad.collect()[0].asDict()}"
+            )
     version = (current + 1) if current is not None else 0
 
     stage = tempfile.mkdtemp(prefix="jdps_delta_stage_")
@@ -587,7 +647,7 @@ def write_delta(
                     "format": {"provider": "parquet", "options": {}},
                     "schemaString": spark_df.schema.json(),
                     "partitionColumns": parts,
-                    "configuration": {},
+                    "configuration": config,
                 }
             }
         )
@@ -608,7 +668,7 @@ def write_delta(
                     "format": {"provider": "parquet", "options": {}},
                     "schemaString": evolved.json(),
                     "partitionColumns": parts,
-                    "configuration": {},
+                    "configuration": config,
                 }
             }
         )
@@ -628,13 +688,48 @@ def write_delta(
             {"txn": {"appId": txn[0], "version": int(txn[1])}}
         )
     actions.extend(adds)
-    # single-writer commit: write-then-rename so a torn write never
-    # surfaces as a half-commit
-    tmp = _log_path(table, version) + ".tmp"
-    with open(tmp, "w") as fh:
-        for a in actions:
-            fh.write(json.dumps(a) + "\n")
-    os.rename(tmp, _log_path(table, version))
+    # OPTIMISTIC commit: the log file is claimed with an atomic
+    # link(2) — exclusive create, never an overwriting rename — so two
+    # writers racing for the same version cannot clobber each other.
+    # The loser re-validates against the winner's state and either
+    # retries at the next version (blind appends commute — Delta's
+    # ConcurrentAppend allowance), skips (its txn landed concurrently),
+    # or raises ConcurrentWriteConflict (overwrites, schema changes,
+    # and rewrites of files the winner touched do NOT commute).
+    while True:
+        tmp = _log_path(table, version) + f".{uuid.uuid4().hex}.tmp"
+        with open(tmp, "w") as fh:
+            for a in actions:
+                fh.write(json.dumps(a) + "\n")
+        try:
+            os.link(tmp, _log_path(table, version))
+            os.unlink(tmp)
+            break
+        except FileExistsError:
+            os.unlink(tmp)
+            new_state = _replay(table, version)
+            if txn is not None and int(txn[1]) <= new_state.txns.get(
+                txn[0], -1
+            ):
+                # the same (appId, version) landed concurrently: this
+                # delivery is a duplicate; its staged files stay
+                # orphaned-and-invisible (never logged — Delta's own
+                # abort semantics; vacuum ignores unreferenced files)
+                return version
+            if mode != "append" or evolved is not None or version == 0:
+                raise ConcurrentWriteConflict(
+                    f"delta-lite: version {version} at {table} was "
+                    "committed concurrently and this commit does not "
+                    "commute (overwrite / schema change / table create)"
+                )
+            if remove_paths and any(
+                p not in new_state.active for p in remove_paths
+            ):
+                raise ConcurrentWriteConflict(
+                    f"delta-lite: concurrent commit at version {version} "
+                    "removed files this rewrite also touches"
+                )
+            version += 1
 
     if version > 0 and version % _CHECKPOINT_INTERVAL == 0:
         _write_checkpoint(table, version, _replay(table, version))
@@ -724,6 +819,9 @@ def merge_delta(
        never rewritten (at 100 TB the write cost scales with the
        UPDATE footprint, not the table).
 
+    ``txn=(app_id, version)`` makes the merge exactly-once under
+    re-delivery: an already-committed (appId, version) is recognized
+    from the high-water mark BEFORE any join work and skipped.
     Returns the committed version."""
     from pyspark.sql import functions as F
 

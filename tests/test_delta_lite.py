@@ -462,6 +462,128 @@ def test_delete_where_rewrites_only_touched_files(spark):
         assert read_delta(spark, t, version=0).count() == 1000
 
 
+def test_check_constraints_enforced_every_commit(spark):
+    df = spark.range(10).select("id", (F.col("id") * 1.0).alias("v"))
+    with tempfile.TemporaryDirectory() as t:
+        write_delta(
+            df, t, "overwrite", constraints={"v_nonneg": "v >= 0"}
+        )
+        # violating append fails loudly and commits nothing
+        with pytest.raises(ValueError, match="v_nonneg"):
+            write_delta(
+                df.withColumn("v", F.col("v") - 100.0), t, "append"
+            )
+        assert latest_version(t) == 0
+        # NULL never satisfies a CHECK (SQL semantics via coalesce)
+        with pytest.raises(ValueError, match="v_nonneg"):
+            write_delta(
+                df.withColumn("v", F.lit(None).cast("double")),
+                t,
+                "append",
+            )
+        write_delta(df, t, "append")  # clean append passes
+        # constraints survive the checkpoint round trip
+        for i in range(2, 12):
+            write_delta(df, t, "append")
+        logdir = os.path.join(t, "_delta_log")
+        for f in os.listdir(logdir):
+            if f.endswith(".json") and int(f[:-5]) <= 10:
+                os.remove(os.path.join(logdir, f))
+        with pytest.raises(ValueError, match="v_nonneg"):
+            write_delta(
+                df.withColumn("v", F.col("v") - 100.0), t, "append"
+            )
+        # late constraint creation is rejected (creation-time only)
+        with pytest.raises(ValueError, match="table creation"):
+            write_delta(df, t, "append", constraints={"x": "id >= 0"})
+
+
+def test_concurrent_appends_retry_and_conflicts_raise(spark, monkeypatch):
+    """A writer losing the version race MID-FLIGHT (its link(2) claim
+    hits an existing log file) must RETRY blind appends at the next
+    version (both commits land, nothing clobbered) and RAISE for
+    non-commuting commits (overwrite; rewrites whose removed files the
+    winner also touched). The steal is injected between the loser's
+    replay and its claim via an os.link hook — the actual race
+    window."""
+    from jhu_data_parser_spark.sources import delta_lite as dl
+
+    df = spark.range(10).select("id")
+
+    def steal_once(content: str):
+        orig_link = os.link
+        state = {"stolen": False}
+
+        def hooked(src, dst, *a, **kw):
+            if not state["stolen"] and dst.endswith(".json"):
+                state["stolen"] = True
+                with open(dst, "w") as fh:
+                    fh.write(content)
+            return orig_link(src, dst, *a, **kw)
+
+        monkeypatch.setattr(dl.os, "link", hooked)
+        return state
+
+    with tempfile.TemporaryDirectory() as t:
+        write_delta(df, t, "overwrite")  # v0
+        # blind append: v1 stolen mid-flight → lands at v2
+        st = steal_once('{"add": {"path": "ghost.parquet", '
+                        '"partitionValues": {}, "dataChange": true}}\n')
+        v = write_delta(df.withColumn("id", F.col("id") + 10), t, "append")
+        assert st["stolen"] and v == 2
+        assert latest_version(t) == 2
+        monkeypatch.undo()
+        # overwrite does not commute: loud conflict
+        steal_once("")
+        with pytest.raises(dl.ConcurrentWriteConflict):
+            write_delta(df, t, "overwrite")
+        monkeypatch.undo()
+        # rewrite racing a commit that removed the same file: loud
+        victim = sorted(dl._replay(t, 2).active)[0]
+        steal_once(
+            '{"remove": {"path": '
+            + json.dumps(victim)
+            + ', "dataChange": true}}\n'
+        )
+        with pytest.raises(dl.ConcurrentWriteConflict, match="also touches"):
+            write_delta(
+                df.limit(0), t, "append", remove_paths=[victim]
+            )
+
+
+def test_concurrent_appends_threaded(spark):
+    """N threads appending concurrently: every append lands exactly
+    once at a distinct version — the optimistic-retry loop under real
+    contention."""
+    import threading
+
+    df10 = spark.range(10).select("id")
+    with tempfile.TemporaryDirectory() as t:
+        write_delta(df10, t, "overwrite")
+        errs = []
+
+        def appender(k):
+            try:
+                write_delta(
+                    df10.withColumn("id", F.col("id") + 100 * (k + 1)),
+                    t,
+                    "append",
+                )
+            except Exception as e:  # pragma: no cover
+                errs.append(e)
+
+        threads = [
+            threading.Thread(target=appender, args=(k,)) for k in range(4)
+        ]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        assert not errs
+        assert latest_version(t) == 4
+        assert read_delta(spark, t).count() == 50
+
+
 def test_cdf_merge_rollup_idempotent_under_redelivery(spark):
     """Re-delivering already-merged versions (the checkpoint-replay
     failure mode) must change NOTHING in the downstream table: the
