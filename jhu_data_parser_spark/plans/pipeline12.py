@@ -1345,6 +1345,68 @@ def source_delta_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _roundtrip_agg(read_delta(spark, table))
 
 
+_DELTA_UPDATE_ORACLE = """
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN l_quantity >= 45
+                         THEN CAST(floor(l_extendedprice * 100 + 0.5)
+                                   AS BIGINT) * 2
+                         ELSE CAST(floor(l_extendedprice * 100 + 0.5)
+                                   AS BIGINT) END)
+                AS BIGINT) AS price_cents,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM lineitem GROUP BY l_returnflag
+    """
+
+
+@query("source_delta_update_where", oracle=_DELTA_UPDATE_ORACLE)
+def source_delta_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-lite row-level UPDATE SET ... WHERE: double the stored
+    cents on the high-quantity stripe of a range-laid-out table — the
+    same stats-pruned touched-file rewrite as DELETE (candidate files
+    narrowed from logged min/max before any open; non-matching rows in
+    touched files pass through; one atomic commit). The oracle applies
+    the CASE transform relationally: a hash match proves exactly the
+    predicate's rows changed, by exactly the SET expression, and the
+    rewrite boundary lost nothing."""
+    import tempfile
+
+    from jhu_data_parser_spark.operators.similarity import _rmtree_at_exit
+    from jhu_data_parser_spark.sources.delta_lite import (
+        read_delta,
+        update_delta,
+        write_delta,
+    )
+
+    table = tempfile.mkdtemp(prefix="jdps_delta_upd_")
+    _rmtree_at_exit(table)
+    base = _roundtrip_cols(spark, sf_dir).withColumn(
+        "cents",
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long"),
+    )
+    write_delta(
+        base.repartitionByRange(8, "l_quantity"), table, mode="overwrite"
+    )
+    update_delta(
+        spark,
+        table,
+        {"cents": "cents * 2"},
+        "l_quantity >= 45",
+        skip=[("l_quantity", ">=", 45)],
+    )
+    return (
+        read_delta(spark, table)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("cents").cast("long").alias("price_cents"),
+            F.sum(F.col("l_quantity").cast("long"))
+            .cast("long")
+            .alias("sum_qty"),
+        )
+    )
+
+
 _DELTA_CDF_MERGE_ORACLE = """
     SELECT l_returnflag,
            CAST(COUNT(*) AS BIGINT) AS n_rows,

@@ -921,6 +921,69 @@ def delete_delta(
     )
 
 
+def update_delta(
+    spark: SparkSession,
+    table: str,
+    set_exprs: dict[str, str],
+    predicate: str,
+    skip: list[tuple] | None = None,
+) -> int:
+    """Row-level UPDATE SET ... WHERE: the same stats-pruned
+    touched-file rewrite as :func:`delete_delta` — candidate files
+    narrowed from the log's min/max (``skip``), a semi-scan finds
+    files holding a matching row, only those rewrite (matching rows
+    get ``set_exprs`` applied, the rest pass through), one atomic
+    remove+add commit. ``set_exprs`` maps column name → SQL
+    expression (evaluated against the pre-update row, so swaps like
+    ``{"a": "b", "b": "a"}`` behave like SQL UPDATE). Updating a
+    partition column of a partitioned table is supported — rewritten
+    rows land in their new partition dirs. No-match updates commit
+    nothing. Returns the committed version."""
+    from pyspark.sql import functions as F
+
+    v = latest_version(table)
+    state = _replay(table, v)
+    schema = StructType.fromJson(json.loads(state.schema_string))
+    cols = schema.fieldNames()
+    unknown_cols = sorted(set(set_exprs) - set(cols))
+    if unknown_cols:
+        raise ValueError(
+            f"delta-lite: update targets unknown columns {unknown_cols}"
+        )
+    candidates = read_delta(spark, table, version=v, skip=skip)
+    touched = sorted(
+        {
+            _rel_from_uri(r["_f"], table)
+            for r in candidates.withColumn("_f", F.input_file_name())
+            .filter(F.expr(predicate))
+            .select("_f")
+            .distinct()
+            .collect()
+        }
+    )
+    if not touched:
+        return v
+    reader = spark.read.schema(schema)
+    if state.partition_columns:
+        reader = reader.option("basePath", table)
+    rows = reader.parquet(*[os.path.join(table, p) for p in touched])
+    hit = F.coalesce(F.expr(predicate), F.lit(False))
+    rewritten = rows.select(
+        *[
+            F.when(hit, F.expr(set_exprs[c]))
+            .otherwise(F.col(c))
+            .cast(schema[c].dataType)  # pin the committed column type
+            .alias(c)
+            if c in set_exprs
+            else F.col(c)
+            for c in cols
+        ]
+    )
+    return write_delta(
+        rewritten, table, mode="append", remove_paths=touched
+    )
+
+
 def optimize_delta(
     spark: SparkSession,
     table: str,

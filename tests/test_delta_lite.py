@@ -584,6 +584,38 @@ def test_concurrent_appends_threaded(spark):
         assert read_delta(spark, t).count() == 50
 
 
+def test_update_where_simultaneous_assignment(spark):
+    from jhu_data_parser_spark.sources.delta_lite import update_delta
+
+    df = spark.range(100).select(
+        "id", (F.col("id") * 1.0).alias("a"), (F.col("id") * 2.0).alias("b")
+    )
+    with tempfile.TemporaryDirectory() as t:
+        write_delta(df.repartitionByRange(5, "id"), t, "overwrite")
+        # swap a/b on a stripe: SQL simultaneous-assignment semantics
+        v = update_delta(
+            spark,
+            t,
+            {"a": "b", "b": "a"},
+            "id >= 40 AND id < 60",
+            skip=[("id", ">=", 40), ("id", "<", 60)],
+        )
+        assert v == 1
+        back = read_delta(spark, t)
+        r50 = back.filter(F.col("id") == 50).collect()[0]
+        assert (r50["a"], r50["b"]) == (100.0, 50.0)  # swapped
+        r10 = back.filter(F.col("id") == 10).collect()[0]
+        assert (r10["a"], r10["b"]) == (10.0, 20.0)  # untouched
+        assert back.count() == 100
+        # only the stripe's files rewrote
+        log = open(os.path.join(t, "_delta_log", f"{1:020d}.json")).read()
+        assert 1 <= log.count('"remove"') <= 2
+        # no-match update commits nothing; unknown column is loud
+        assert update_delta(spark, t, {"a": "0.0"}, "id = 99999") == 1
+        with pytest.raises(ValueError, match="unknown columns"):
+            update_delta(spark, t, {"zz": "1"}, "id = 1")
+
+
 def test_cdf_merge_rollup_idempotent_under_redelivery(spark):
     """Re-delivering already-merged versions (the checkpoint-replay
     failure mode) must change NOTHING in the downstream table: the
