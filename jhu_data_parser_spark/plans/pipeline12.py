@@ -1345,6 +1345,97 @@ def source_delta_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _roundtrip_agg(read_delta(spark, table))
 
 
+# Iceberg-lite table roundtrips — the SECOND major open table format
+# (sources/iceberg_lite.py: the public Iceberg v1 spec's JSON metadata
+# + Avro manifest tree, vendored; the manifests are read and written
+# by this repo's own Avro container codec — the format matrix
+# composing with itself). Same three-commit shape as the Delta demo,
+# so the oracles are shared: a hash match proves the manifest walk
+# (metadata.json → manifest list → manifests → data files) reaches
+# exactly the snapshot's files.
+
+
+def _iceberg_demo_table(spark: SparkSession, sf_dir: str) -> tuple:
+    import tempfile
+
+    from jhu_data_parser_spark.operators.similarity import _rmtree_at_exit
+    from jhu_data_parser_spark.sources.iceberg_lite import write_iceberg
+
+    table = tempfile.mkdtemp(prefix="jdps_ice_")
+    _rmtree_at_exit(table)
+    base = _roundtrip_cols(spark, sf_dir)
+    write_iceberg(base, table, mode="overwrite")  # s0
+    s1 = write_iceberg(
+        base.filter(F.expr(_DELTA_SLICE)), table, mode="append"
+    )
+    write_iceberg(
+        base.filter(F.expr(_DELTA_SLICE)), table, mode="overwrite"
+    )  # s2
+    return table, s1
+
+
+@query("source_iceberg_roundtrip", oracle=_DELTA_LATEST_ORACLE)
+def source_iceberg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg-lite LATEST snapshot after overwrite→append→overwrite:
+    the current snapshot's manifest list must reach ONLY the last
+    overwrite's files even though every earlier data file still sits
+    in data/ — the metadata tree, not the filesystem, defines the
+    table (no directory listing anywhere in the read path). Cents-
+    exact aggregate vs the slice recomputed from parquet."""
+    from jhu_data_parser_spark.sources.iceberg_lite import read_iceberg
+
+    table, _ = _iceberg_demo_table(spark, sf_dir)
+    return _roundtrip_agg(read_iceberg(spark, table))
+
+
+@query("source_iceberg_time_travel", oracle=_DELTA_V1_ORACLE)
+def source_iceberg_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg-lite TIME TRAVEL: reading the append snapshot by id
+    reconstructs base ∪ slice from the immutable manifests the later
+    overwrite left behind — and because appends REUSE the previous
+    snapshot's manifests verbatim (the spec's metadata economy,
+    pytest-pinned), the travel read walks the same Avro files the
+    original commit wrote. Aggregate vs UNION ALL from parquet."""
+    from jhu_data_parser_spark.sources.iceberg_lite import read_iceberg
+
+    table, s1 = _iceberg_demo_table(spark, sf_dir)
+    return _roundtrip_agg(read_iceberg(spark, table, snapshot_id=s1))
+
+
+@query("source_iceberg_partition_prune", oracle=_DELTA_PART_ORACLE)
+def source_iceberg_partition_prune(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Iceberg-lite IDENTITY-PARTITIONED table: each manifest entry
+    carries the file's typed partition value, so the reader prunes
+    data files from the MANIFESTS alone — no listing, no footer reads,
+    no file opens for pruned partitions (Iceberg's defining trick;
+    the data files keep the column, unlike Hive layouts). Two
+    partition-filtered reads (flags A and R) of the overwrite+append
+    snapshot, unioned and aggregated vs the parquet-recomputed oracle;
+    file-count pruning is pytest-pinned."""
+    import tempfile
+
+    from jhu_data_parser_spark.operators.similarity import _rmtree_at_exit
+    from jhu_data_parser_spark.sources.iceberg_lite import (
+        read_iceberg,
+        write_iceberg,
+    )
+
+    table = tempfile.mkdtemp(prefix="jdps_ice_part_")
+    _rmtree_at_exit(table)
+    base = _roundtrip_cols(spark, sf_dir)
+    write_iceberg(base, table, mode="overwrite", partition_by="l_returnflag")
+    write_iceberg(base.filter(F.expr(_DELTA_SLICE)), table, mode="append")
+    snap_a = read_iceberg(
+        spark, table, partition_filter=("l_returnflag", "A")
+    ).filter(F.col("l_returnflag") == "A")
+    snap_r = read_iceberg(
+        spark, table, partition_filter=("l_returnflag", "R")
+    ).filter(F.col("l_returnflag") == "R")
+    return _roundtrip_agg(snap_a.unionByName(snap_r))
+
+
 _DELTA_UPDATE_ORACLE = """
     SELECT l_returnflag,
            CAST(COUNT(*) AS BIGINT) AS n_rows,
