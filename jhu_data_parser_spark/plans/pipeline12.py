@@ -1436,6 +1436,39 @@ def source_iceberg_partition_prune(
     return _roundtrip_agg(snap_a.unionByName(snap_r))
 
 
+@query("source_iceberg_bounds_skipping", oracle=_DELTA_LATEST_ORACLE)
+def source_iceberg_bounds_skipping(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Iceberg-lite BOUNDS pruning: every manifest entry carries
+    per-column lower/upper bounds (spec Appendix D — field-id-keyed,
+    binary-encoded, aggregated from parquet footers at commit with no
+    second data pass); the quantity-range-laid-out table reads with
+    ``bounds_filter`` and the same predicate as a real filter, so a
+    hash match proves the manifest-only pruning never dropped a file
+    holding a matching row (the Delta data-skipping certificate,
+    replayed through the SECOND table format's metadata tree —
+    pruned file counts pytest-pinned)."""
+    import tempfile
+
+    from jhu_data_parser_spark.operators.similarity import _rmtree_at_exit
+    from jhu_data_parser_spark.sources.iceberg_lite import (
+        read_iceberg,
+        write_iceberg,
+    )
+
+    table = tempfile.mkdtemp(prefix="jdps_ice_bounds_")
+    _rmtree_at_exit(table)
+    base = _roundtrip_cols(spark, sf_dir)
+    write_iceberg(
+        base.repartitionByRange(8, "l_quantity"), table, mode="overwrite"
+    )
+    snap = read_iceberg(
+        spark, table, bounds_filter=[("l_quantity", ">=", 45.0)]
+    )
+    return _roundtrip_agg(snap.filter(F.col("l_quantity") >= 45))
+
+
 _DELTA_UPDATE_ORACLE = """
     SELECT l_returnflag,
            CAST(COUNT(*) AS BIGINT) AS n_rows,

@@ -137,6 +137,38 @@ def _avro_primitive(ice_type: str) -> object:
     return base
 
 
+def _bound_encode(v, ice_type: str) -> bytes | None:
+    """Single-value binary serialization for manifest ``lower_bounds``
+    / ``upper_bounds`` (spec: Appendix D, little-endian)."""
+    import struct
+
+    if v is None:
+        return None
+    try:
+        if ice_type == "long":
+            return struct.pack("<q", int(v))
+        if ice_type == "int":
+            return struct.pack("<i", int(v))
+        if ice_type == "double":
+            return struct.pack("<d", float(v))
+        if ice_type == "float":
+            return struct.pack("<f", float(v))
+    except (struct.error, ValueError, TypeError):
+        return None
+    return None  # strings/other: no bounds (truncation rules omitted)
+
+
+def _bound_decode(raw: bytes, ice_type: str):
+    import struct
+
+    fmt = {"long": "<q", "int": "<i", "double": "<d", "float": "<f"}.get(
+        ice_type
+    )
+    if fmt is None or raw is None or len(raw) != struct.calcsize(fmt):
+        return None
+    return struct.unpack(fmt, raw)[0]
+
+
 def _manifest_entry_schema(part_field: tuple[str, str] | None) -> dict:
     """Avro schema for ``manifest_entry`` (spec: Manifests) with a
     typed identity-partition struct. Field ids ride as ``field-id``
@@ -199,6 +231,62 @@ def _manifest_entry_schema(part_field: tuple[str, str] | None) -> dict:
                             "name": "file_size_in_bytes",
                             "type": "long",
                             "field-id": 104,
+                        },
+                        {
+                            "name": "lower_bounds",
+                            "field-id": 125,
+                            "default": None,
+                            "type": [
+                                "null",
+                                {
+                                    "type": "array",
+                                    "logicalType": "map",
+                                    "items": {
+                                        "type": "record",
+                                        "name": "k126_v127",
+                                        "fields": [
+                                            {
+                                                "name": "key",
+                                                "type": "int",
+                                                "field-id": 126,
+                                            },
+                                            {
+                                                "name": "value",
+                                                "type": "bytes",
+                                                "field-id": 127,
+                                            },
+                                        ],
+                                    },
+                                },
+                            ],
+                        },
+                        {
+                            "name": "upper_bounds",
+                            "field-id": 128,
+                            "default": None,
+                            "type": [
+                                "null",
+                                {
+                                    "type": "array",
+                                    "logicalType": "map",
+                                    "items": {
+                                        "type": "record",
+                                        "name": "k129_v130",
+                                        "fields": [
+                                            {
+                                                "name": "key",
+                                                "type": "int",
+                                                "field-id": 129,
+                                            },
+                                            {
+                                                "name": "value",
+                                                "type": "bytes",
+                                                "field-id": 130,
+                                            },
+                                        ],
+                                    },
+                                },
+                            ],
                         },
                     ],
                 },
@@ -404,6 +492,7 @@ def write_iceberg(
             name = f"{uuid.uuid4().hex}-{idx:05d}.parquet"
             idx += 1
             dst = os.path.join(data_dir, name)
+            lowers, uppers = _footer_bounds(md, ice_schema)
             shutil.move(src, dst)
             entries.append(
                 {
@@ -419,6 +508,8 @@ def write_iceberg(
                         ),
                         "record_count": md.num_rows,
                         "file_size_in_bytes": os.path.getsize(dst),
+                        "lower_bounds": lowers,
+                        "upper_bounds": uppers,
                     },
                 }
             )
@@ -515,6 +606,47 @@ def write_iceberg(
     return snapshot_id
 
 
+def _footer_bounds(md, ice_schema: dict):
+    """Per-column lower/upper bounds for a manifest entry, aggregated
+    from the parquet FOOTER row-group statistics (metadata-only; no
+    second data pass — the Delta-lite stats discipline, keyed by the
+    spec's field ids and binary-encoded per Appendix D). Numeric
+    columns only; a column missing stats in any row group gets no
+    bounds (a possibly-inexact bound must never prune a file)."""
+    by_name = {f["name"]: (f["id"], f["type"]) for f in ice_schema["fields"]}
+    mins: dict = {}
+    maxs: dict = {}
+    skip: set = set()
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            name = col.path_in_schema
+            if name not in by_name or name in skip:
+                continue
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                skip.add(name)
+                continue
+            lo, hi = st.min, st.max
+            if _bound_encode(lo, by_name[name][1]) is None:
+                skip.add(name)
+                continue
+            mins[name] = lo if name not in mins else min(mins[name], lo)
+            maxs[name] = hi if name not in maxs else max(maxs[name], hi)
+    lowers = [
+        {"key": by_name[n][0], "value": _bound_encode(v, by_name[n][1])}
+        for n, v in sorted(mins.items())
+        if n not in skip
+    ]
+    uppers = [
+        {"key": by_name[n][0], "value": _bound_encode(v, by_name[n][1])}
+        for n, v in sorted(maxs.items())
+        if n not in skip
+    ]
+    return (lowers or None), (uppers or None)
+
+
 def _partition_value(raw: str, ice_type: str):
     """Typed partition value from the staged Hive dir component."""
     from urllib.parse import unquote
@@ -529,11 +661,43 @@ def _partition_value(raw: str, ice_type: str):
     return raw  # string / date ride as strings in the dir name
 
 
+def _entry_may_match(entry: dict, conjuncts: list, ice_schema: dict) -> bool:
+    """Range pruning from a manifest entry's lower/upper bounds: can
+    the file hold a row satisfying ALL ``(col, op, value)`` conjuncts
+    (op in < <= > >= =)? Missing bounds keep the file — pruning must
+    never drop a potential match."""
+    by_name = {f["name"]: (f["id"], f["type"]) for f in ice_schema["fields"]}
+    df = entry["data_file"]
+    lowers = {kv["key"]: kv["value"] for kv in (df.get("lower_bounds") or [])}
+    uppers = {kv["key"]: kv["value"] for kv in (df.get("upper_bounds") or [])}
+    for col, op, value in conjuncts:
+        if col not in by_name:
+            raise ValueError(f"iceberg-lite: no column {col!r}")
+        fid, ice_type = by_name[col]
+        lo = _bound_decode(lowers.get(fid), ice_type)
+        hi = _bound_decode(uppers.get(fid), ice_type)
+        if lo is None or hi is None:
+            continue
+        if op in (">", ">="):
+            if (hi < value) or (op == ">" and hi == value):
+                return False
+        elif op in ("<", "<="):
+            if (lo > value) or (op == "<" and lo == value):
+                return False
+        elif op in ("=", "=="):
+            if value < lo or value > hi:
+                return False
+        else:
+            raise ValueError(f"iceberg-lite: unsupported op {op!r}")
+    return True
+
+
 def read_iceberg(
     spark: SparkSession,
     table: str,
     snapshot_id: int | None = None,
     partition_filter: tuple | None = None,
+    bounds_filter: list | None = None,
 ) -> DataFrame:
     """Snapshot read (optionally time-traveled to ``snapshot_id``):
     walk metadata.json → manifest list (Avro) → manifests (Avro) →
@@ -542,14 +706,18 @@ def read_iceberg(
     metadata tree, no directory listing anywhere (Iceberg's defining
     property; at 100 TB listing is the enemy). ``partition_filter``
     ``(col, value)`` prunes files from the manifests' identity-
-    partition values BEFORE any file is opened."""
+    partition values; ``bounds_filter`` ``[(col, op, value), ...]``
+    prunes from the entries' per-column lower/upper bounds — both
+    BEFORE any file is opened, and both pruning hints only (callers
+    still apply the real predicate)."""
     meta = _load_metadata(table)
     sid = (
         meta.get("current-snapshot-id")
         if snapshot_id is None
         else snapshot_id
     )
-    schema = _schema_from_iceberg(meta["schemas"][0])
+    ice_schema = meta["schemas"][0]
+    schema = _schema_from_iceberg(ice_schema)
     entries = _snapshot_entries(table, meta, sid)
     files = []
     for e in entries:
@@ -560,6 +728,10 @@ def read_iceberg(
             pv = (e["data_file"].get("partition") or {}).get(col)
             if pv is not None and pv != val:
                 continue
+        if bounds_filter and not _entry_may_match(
+            e, bounds_filter, ice_schema
+        ):
+            continue
         files.append(os.path.join(table, e["data_file"]["file_path"]))
     if not files:
         return spark.createDataFrame([], schema)

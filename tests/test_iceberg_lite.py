@@ -101,6 +101,41 @@ def test_identity_partition_pruning_from_manifests(spark):
         ).count() == 60
 
 
+def test_bounds_pruning_from_manifests(spark):
+    """Manifest entries carry per-column lower/upper bounds (spec
+    Appendix D binary encoding, keyed by field id, aggregated from
+    parquet footers at commit); bounds_filter prunes data files from
+    the manifests alone and never drops a possible match."""
+    df = (
+        spark.range(1000)
+        .select("id", (F.col("id") * 2.0).alias("v"))
+        .repartitionByRange(10, "id")
+    )
+    with tempfile.TemporaryDirectory() as t:
+        write_iceberg(df, t, "overwrite")
+        meta = _load_metadata(t)
+        list0 = _read_avro_records(
+            os.path.join(t, meta["snapshots"][0]["manifest-list"])
+        )
+        entries = _read_avro_records(
+            os.path.join(t, list0[0]["manifest_path"])
+        )
+        assert all(e["data_file"]["lower_bounds"] for e in entries)
+        full = read_iceberg(spark, t)
+        assert len(full.inputFiles()) == 10
+        skinny = read_iceberg(spark, t, bounds_filter=[("id", ">=", 950)])
+        assert len(skinny.inputFiles()) < 4
+        assert skinny.filter(F.col("id") >= 950).count() == 50
+        point = read_iceberg(spark, t, bounds_filter=[("id", "=", 123)])
+        assert len(point.inputFiles()) == 1
+        assert point.filter(F.col("id") == 123).count() == 1
+        # double column prunes too; unknown column is loud
+        dv = read_iceberg(spark, t, bounds_filter=[("v", "<", 100.0)])
+        assert len(dv.inputFiles()) == 1
+        with pytest.raises(ValueError, match="no column"):
+            read_iceberg(spark, t, bounds_filter=[("zz", "=", 1)])
+
+
 def test_unsupported_format_version_fails_loudly(spark):
     df = spark.range(3).select("id")
     with tempfile.TemporaryDirectory() as t:
