@@ -1625,11 +1625,13 @@ def knn_graph_index(
     prebuilt in any real ANN deployment; serving never pays the build).
     Returns the index path.
 
-    The edge table is written ``partitionBy(src_pt)`` with
-    ``src_pt = pmod(src, src_buckets)`` — the src-keyed layout that
-    lets every per-hop frontier join prune file groups: the beam's
-    ≤ beam-row id list is broadcast, the hop join is equi on
-    ``(src_pt, src)``, and Spark's broadcast-reuse dynamic partition
+    The edge table is written ``partitionBy(src_pt{N})`` with
+    ``src_pt{N} = pmod(src, src_buckets)`` (the bucket count rides in
+    the COLUMN NAME so the hop join can never tag the frontier with a
+    mismatched modulus) — the src-keyed layout that lets every
+    per-hop frontier join prune file groups: the beam's ≤ beam-row id
+    list is broadcast, the hop join is equi on
+    ``(src_pt{N}, src)``, and Spark's broadcast-reuse dynamic partition
     pruning turns the frontier into a planning-time ``PartitionFilters``
     entry on the edge scan (plan-pinned in tests). At 100 TB the hop
     then reads O(beam) partitions of an n·m-row table instead of the
@@ -1663,9 +1665,14 @@ def knn_graph_index(
         corpus, dim, m, n_planes, bands, seed, vec_col, id_col, exact_buckets
     )
     if src_buckets > 0:
+        # the bucket count rides IN the column name (src_pt16): the
+        # hop join derives it from the read-back schema, so a caller
+        # can never tag the frontier with a mismatched modulus (which
+        # would silently drop edges from every hop)
+        pt = f"src_pt{src_buckets}"
         edges.withColumn(
-            "src_pt", F.pmod(F.col("src"), F.lit(src_buckets)).cast("int")
-        ).write.partitionBy("src_pt").parquet(path, mode="overwrite")
+            pt, F.pmod(F.col("src"), F.lit(src_buckets)).cast("int")
+        ).write.partitionBy(pt).parquet(path, mode="overwrite")
     else:
         edges.write.parquet(path, mode="overwrite")
     if cacheable:
@@ -1696,24 +1703,31 @@ def knn_graph_index(
 def _edges_hop(
     edges: DataFrame,
     frontier: DataFrame,
-    src_buckets: int,
     keep: tuple = (),
 ) -> DataFrame:
     """One graph hop: join the (broadcast) frontier's ``src`` ids
     against the edge table, returning the reached ``dst`` ids (plus
     ``keep`` passthrough columns, e.g. ``query_id`` in batch serving).
-    When the edge table carries the ``src_pt`` partition column
-    (:func:`knn_graph_index`'s src-keyed layout) the join is equi on
-    ``(src_pt, src)`` — the partition-column key lets broadcast-reuse
-    dynamic partition pruning rewrite the edge scan's
+    When the edge table carries a ``src_pt{N}`` partition column
+    (:func:`knn_graph_index`'s src-keyed layout; the bucket count N is
+    read from the COLUMN NAME, so the frontier's modulus can never
+    silently mismatch the layout's) the join is equi on
+    ``(src_pt{N}, src)`` — the partition-column key lets
+    broadcast-reuse dynamic partition pruning rewrite the edge scan's
     ``PartitionFilters`` from the frontier, so each hop reads O(beam)
     file groups instead of the whole edge table. Shared by the single-
     and batch-query searches so the pruned shape cannot diverge."""
-    if src_buckets > 0 and "src_pt" in edges.columns:
+    import re
+
+    pt = next(
+        (c for c in edges.columns if re.fullmatch(r"src_pt\d+", c)), None
+    )
+    if pt is not None:
+        nb = int(pt[len("src_pt") :])
         f = frontier.withColumn(
-            "src_pt", F.pmod(F.col("src"), F.lit(src_buckets)).cast("int")
+            pt, F.pmod(F.col("src"), F.lit(nb)).cast("int")
         )
-        keys = ["src_pt", "src"]
+        keys = [pt, "src"]
     else:
         f, keys = frontier, ["src"]
     return edges.join(F.broadcast(f), keys).select(
@@ -1729,7 +1743,6 @@ def graph_beam_search(
     hops: int = 4,
     depth: int = 1,
     entry_ids: DataFrame | None = None,
-    src_buckets: int = 16,
 ) -> DataFrame:
     """Greedy beam search over a kNN graph: start at the minimum-id
     entry point, expand the beam's out-edges each hop, keep the
@@ -1791,9 +1804,7 @@ def graph_beam_search(
         frontier = bm.select("id")
         for _ in range(depth):
             frontier = _edges_hop(
-                edges,
-                frontier.select(F.col("id").alias("src")),
-                src_buckets,
+                edges, frontier.select(F.col("id").alias("src"))
             )
             cand = cand.unionByName(frontier)
         scored = (
@@ -1817,7 +1828,6 @@ def graph_beam_search_many(
     beam: int = 64,
     hops: int = 3,
     depth: int = 2,
-    src_buckets: int = 16,
 ) -> DataFrame:
     """Batch graph serving: :func:`graph_beam_search` for EVERY query
     in a request batch at once — one job sequence regardless of batch
@@ -1863,7 +1873,6 @@ def graph_beam_search_many(
             frontier = _edges_hop(
                 edges,
                 frontier.select("query_id", F.col("id").alias("src")),
-                src_buckets,
                 keep=("query_id",),
             )
             cand = cand.unionByName(frontier)

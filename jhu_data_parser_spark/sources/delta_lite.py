@@ -396,6 +396,24 @@ def _file_stats(path: str) -> str | None:
     )
 
 
+def _pv_may_equal(pv: str | None, value) -> bool:
+    """Can a Hive-encoded partition value equal ``value``? False ONLY
+    on a provable mismatch (the skipping contract: never drop a
+    possible match)."""
+    if value is None or pv is None:
+        return pv is None and value is None
+    if isinstance(value, bool):
+        return pv == ("true" if value else "false")
+    if isinstance(value, (int, float)):
+        try:
+            return float(pv) == float(value)
+        except ValueError:
+            return True  # unparseable dir value: keep the file
+    if isinstance(value, str):
+        return pv == value
+    return True  # unknown value type: keep the file
+
+
 def _file_may_match(add: dict, conjuncts: list[tuple]) -> bool:
     """Data skipping: can the file possibly hold a row satisfying ALL
     ``(col, op, value)`` conjuncts? Missing stats (or a column without
@@ -413,11 +431,14 @@ def _file_may_match(add: dict, conjuncts: list[tuple]) -> bool:
         if col in pv:
             # partition columns carry no footer stats; their logged
             # value supports exact equality pruning (ranges would
-            # compare string-encoded values — conservatively kept)
-            if op in ("=", "==") and pv[col] != (
-                None if value is None else str(value)
-            ):
-                return False
+            # compare string-encoded values — conservatively kept).
+            # Prune only on a PROVABLE mismatch of the Hive-encoded
+            # string: bools encode lowercase, numbers compare
+            # numerically (dir "1.0" must match value 1), anything
+            # unparseable keeps the file.
+            if op in ("=", "=="):
+                if not _pv_may_equal(pv[col], value):
+                    return False
             continue
         v = _stats_value(value)
         if v is None or col not in mins or col not in maxs:
@@ -722,12 +743,20 @@ def write_delta(
                     "committed concurrently and this commit does not "
                     "commute (overwrite / schema change / table create)"
                 )
-            if remove_paths and any(
-                p not in new_state.active for p in remove_paths
-            ):
+            if remove_paths:
+                # a rewrite (MERGE/UPDATE/DELETE/OPTIMIZE) was computed
+                # against a snapshot the winner has since changed: even
+                # if our removed files are all still active, the winner
+                # may have ADDED rows this rewrite should have read
+                # (concurrent insert of a merge key, rows matching a
+                # delete predicate) — committing anyway would violate
+                # serializability, so ONLY blind appends retry
+                # (Delta's ConcurrentAppendException discipline)
                 raise ConcurrentWriteConflict(
                     f"delta-lite: concurrent commit at version {version} "
-                    "removed files this rewrite also touches"
+                    "invalidated this rewrite's snapshot (files it "
+                    "touches may coexist with rows it never read) — "
+                    "recompute against the new snapshot and retry"
                 )
             version += 1
 
@@ -911,9 +940,14 @@ def delete_delta(
         reader = spark.read.schema(schema)
         if state.partition_columns:
             reader = reader.option("basePath", table)
+        # survivors = rows the predicate does NOT positively match:
+        # a NULL predicate keeps the row (SQL DELETE semantics) — a
+        # bare ~expr would drop NULL rows from the rewrite silently
         survivors = reader.parquet(
             *[os.path.join(table, p) for p in rewrite]
-        ).filter(~F.expr(predicate)).select(*cols)
+        ).filter(
+            ~F.coalesce(F.expr(predicate), F.lit(False))
+        ).select(*cols)
     else:
         survivors = spark.createDataFrame([], schema)
     return write_delta(
@@ -1144,11 +1178,11 @@ def vacuum_delta(table: str, keep_from_version: int) -> list[str]:
     cutoff fails at scan time on the missing file — vacuum trades
     exactly that for space, same as Delta."""
     v_hi = latest_version(table)
+    known = set(_versions(table)) | set(_checkpoint_versions(table))
     keep: set = set()
     for v in range(keep_from_version, v_hi + 1):
-        known = set(_versions(table)) | set(_checkpoint_versions(table))
-        if v in known or v == v_hi:
-            keep.update(_replay(table, min(v, v_hi)).active)
+        if v in known:
+            keep.update(_replay(table, v).active)
     referenced: set = set()
     for v in _versions(table):
         with open(_log_path(table, v)) as fh:

@@ -69,6 +69,7 @@ def main() -> None:
         pred = p if pred is None else (pred | p)
     seeds = bucketed.crossJoin(F.broadcast(qb)).filter(pred).select("id")
 
+    results = None  # cross-layout: both layouts must serve THE SAME beam
     for label, sb in (("flat", 0), ("bucketed16", 16)):
         t0 = time.perf_counter()
         path = sim.knn_graph_index(
@@ -85,7 +86,6 @@ def main() -> None:
         edges = spark.read.parquet(path)
         n_edges = edges.count()
         times = []
-        results = None
         for _ in range(n_serves):
             t0 = time.perf_counter()
             bm = sim.graph_beam_search(
@@ -96,7 +96,6 @@ def main() -> None:
                 hops=_G_HOPS,
                 depth=_G_DEPTH,
                 entry_ids=seeds,
-                src_buckets=sb,
             )
             rows = sorted((r.id, r.d2) for r in bm.collect())
             times.append(time.perf_counter() - t0)

@@ -462,6 +462,44 @@ def test_delete_where_rewrites_only_touched_files(spark):
         assert read_delta(spark, t, version=0).count() == 1000
 
 
+def test_delete_keeps_null_predicate_rows(spark):
+    """SQL DELETE semantics: a row whose predicate evaluates to NULL
+    is NOT deleted — it must survive the touched-file rewrite (a bare
+    ~predicate filter would silently drop it; review-pass regression)."""
+    from jhu_data_parser_spark.sources.delta_lite import delete_delta
+
+    df = spark.range(10).select(
+        "id",
+        F.when(F.col("id") < 3, F.col("id")).alias("c"),  # c NULL for id>=3
+    )
+    with tempfile.TemporaryDirectory() as t:
+        write_delta(df.coalesce(1), t, "overwrite")
+        delete_delta(spark, t, "c = 1")
+        back = read_delta(spark, t)
+        assert back.count() == 9  # only c=1 deleted
+        assert back.filter(F.col("c").isNull()).count() == 7  # all kept
+
+
+def test_partition_value_pruning_is_type_conservative(spark):
+    """Hive dir strings encode booleans lowercase and doubles with a
+    decimal point; equality pruning must match them numerically /
+    spec-exactly, never via str(value) (review-pass regression)."""
+    df = spark.range(20).select(
+        "id",
+        (F.col("id") % 2 == 0).alias("b"),
+        (F.col("id") % 2).cast("double").alias("x"),
+    )
+    with tempfile.TemporaryDirectory() as t:
+        write_delta(df, t, "overwrite", partition_by=["b"])
+        kept = read_delta(spark, t, skip=[("b", "=", True)])
+        assert kept.filter(F.col("b")).count() == 10  # not over-pruned
+        assert len(kept.inputFiles()) < len(read_delta(spark, t).inputFiles())
+    with tempfile.TemporaryDirectory() as t:
+        write_delta(df, t, "overwrite", partition_by=["x"])
+        kept = read_delta(spark, t, skip=[("x", "=", 1)])  # int vs "1.0"
+        assert kept.filter(F.col("x") == 1.0).count() == 10
+
+
 def test_check_constraints_enforced_every_commit(spark):
     df = spark.range(10).select("id", (F.col("id") * 1.0).alias("v"))
     with tempfile.TemporaryDirectory() as t:
@@ -538,14 +576,15 @@ def test_concurrent_appends_retry_and_conflicts_raise(spark, monkeypatch):
         with pytest.raises(dl.ConcurrentWriteConflict):
             write_delta(df, t, "overwrite")
         monkeypatch.undo()
-        # rewrite racing a commit that removed the same file: loud
+        # a rewrite (remove_paths commit) racing ANY concurrent commit
+        # is loud — even if its removed files are all still active,
+        # the winner may have added rows the rewrite should have read
         victim = sorted(dl._replay(t, 2).active)[0]
-        steal_once(
-            '{"remove": {"path": '
-            + json.dumps(victim)
-            + ', "dataChange": true}}\n'
-        )
-        with pytest.raises(dl.ConcurrentWriteConflict, match="also touches"):
+        steal_once('{"add": {"path": "other.parquet", '
+                   '"partitionValues": {}, "dataChange": true}}\n')
+        with pytest.raises(
+            dl.ConcurrentWriteConflict, match="invalidated"
+        ):
             write_delta(
                 df.limit(0), t, "append", remove_paths=[victim]
             )

@@ -128,17 +128,17 @@ def test_graph_hop_join_prunes_edge_partitions(spark):
         src_buckets=8,
     )
     # the layout on disk IS the src-keyed one the docstring promises
-    assert any(d.startswith("src_pt=") for d in os.listdir(path))
+    assert any(d.startswith("src_pt8=") for d in os.listdir(path))
     edges = spark.read.parquet(path)
     frontier = e.filter(F.col("vec_id").isin([3, 7])).select(
         F.col("vec_id").alias("src")
     )
-    hop = sim._edges_hop(edges, frontier, src_buckets=8)
+    hop = sim._edges_hop(edges, frontier)
     hop.write.format("noop").mode("overwrite").save()
     plan = hop._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruningexpression" in plan.lower()
     pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
-    assert pf and "src_pt" in pf[0]
+    assert pf and "src_pt8" in pf[0]
 
 
 def test_asof_join_is_one_shuffle(spark):
