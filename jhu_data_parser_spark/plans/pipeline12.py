@@ -1560,6 +1560,38 @@ def stream_delta_cdf_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_iceberg_append_daily",
+    oracle="""
+    SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 10000) AS BIGINT)) AS BIGINT)
+             AS value_fp
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_iceberg_append_daily(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exactly-once streaming appends into the Iceberg-lite table —
+    the Iceberg twin of ``stream_delta_append_daily``, using the
+    ledger the spec actually provides: no txn action exists, so each
+    micro-batch stamps ``jdps-batch-id`` into its snapshot SUMMARY
+    (Iceberg's commit-metadata channel — real Iceberg streaming sinks
+    store their epoch id exactly this way) and a re-delivered batch
+    is recognized from the snapshot log before committing. Daily
+    counts from the current snapshot vs the parquet-recomputed
+    oracle: a hash match proves no batch was lost or
+    double-committed; idempotence under re-delivery is pytest-pinned
+    (re-running the stream adds zero snapshots)."""
+    from jhu_data_parser_spark.streaming.jobs import (
+        run_iceberg_append_stream,
+    )
+
+    return run_iceberg_append_stream(spark, sf_dir)
+
+
+@query(
     "stream_delta_append_daily",
     oracle="""
     SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,

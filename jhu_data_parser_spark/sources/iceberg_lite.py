@@ -397,6 +397,7 @@ def write_iceberg(
     table: str,
     mode: str = "overwrite",
     partition_by: str | None = None,
+    summary_props: dict | None = None,
 ) -> int:
     """Commit the DataFrame as a new Iceberg-v1 snapshot; returns the
     snapshot id. ``overwrite`` snapshots reference only the new
@@ -560,7 +561,10 @@ def write_iceberg(
         {
             "snapshot-id": snapshot_id,
             "timestamp-ms": int(time.time() * 1000),
-            "summary": {"operation": mode},
+            # summary properties are the spec's commit-metadata channel
+            # (real Iceberg streaming sinks store their epoch id here
+            # for exactly-once resume — the snapshot log IS the ledger)
+            "summary": {"operation": mode, **(summary_props or {})},
             "manifest-list": list_rel,
         }
     )
@@ -747,6 +751,68 @@ def iceberg_snapshots(table: str) -> list[dict]:
             "snapshot-id": s["snapshot-id"],
             "timestamp-ms": s["timestamp-ms"],
             "operation": s.get("summary", {}).get("operation"),
+            "summary": dict(s.get("summary", {})),
         }
         for s in meta.get("snapshots", [])
     ]
+
+
+def expire_snapshots(table: str, keep_last: int) -> list[str]:
+    """Expire all but the newest ``keep_last`` snapshots (the spec's
+    maintenance operation — the snapshot log grows per commit and
+    old snapshots pin every data file they reach): writes a new
+    metadata version carrying only the kept snapshots, then deletes
+    manifest lists, manifests, and DATA files reachable ONLY from
+    expired snapshots (files shared with kept snapshots survive —
+    appends reuse manifests, so sharing is the norm). Returns deleted
+    relative paths. Expired snapshot ids stop being time-travelable,
+    by definition."""
+    if keep_last < 1:
+        raise ValueError("iceberg-lite: keep_last must be >= 1")
+    with open(_hint_path(table)) as fh:
+        version = int(fh.read().strip())
+    meta = _load_metadata(table, version)
+    snaps = meta.get("snapshots", [])
+    if len(snaps) <= keep_last:
+        return []
+    kept, expired = snaps[-keep_last:], snaps[:-keep_last]
+    if meta["current-snapshot-id"] not in {s["snapshot-id"] for s in kept}:
+        raise ValueError("iceberg-lite: cannot expire the current snapshot")
+
+    def reach(snapshot_list):
+        lists, manifests, data = set(), set(), set()
+        for s in snapshot_list:
+            lists.add(s["manifest-list"])
+            for mf in _read_avro_records(
+                os.path.join(table, s["manifest-list"])
+            ):
+                manifests.add(mf["manifest_path"])
+                for e in _read_avro_records(
+                    os.path.join(table, mf["manifest_path"])
+                ):
+                    data.add(e["data_file"]["file_path"])
+        return lists, manifests, data
+
+    k_lists, k_manifests, k_data = reach(kept)
+    e_lists, e_manifests, e_data = reach(expired)
+    doomed = sorted(
+        (e_lists - k_lists) | (e_manifests - k_manifests) | (e_data - k_data)
+    )
+    meta = dict(meta)
+    meta["snapshots"] = kept
+    meta["last-updated-ms"] = int(time.time() * 1000)
+    with open(
+        os.path.join(_meta_dir(table), f"v{version + 1}.metadata.json"), "w"
+    ) as fh:
+        json.dump(meta, fh)
+    tmp = _hint_path(table) + ".tmp"
+    with open(tmp, "w") as fh:
+        fh.write(str(version + 1))
+    os.rename(tmp, _hint_path(table))
+    deleted = []
+    for rel in doomed:
+        p = os.path.join(table, rel)
+        if os.path.isfile(p):
+            os.remove(p)
+            deleted.append(rel)
+    return deleted

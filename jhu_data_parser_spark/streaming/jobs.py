@@ -2320,6 +2320,107 @@ def run_delta_cdf_merge_stream(
     return read_delta(spark, results)
 
 
+def run_iceberg_append_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    n_chunks: int = 2,
+    table: str | None = None,
+) -> DataFrame:
+    """Exactly-once streaming appends into the Iceberg-lite table —
+    the Iceberg twin of :func:`run_delta_append_stream`, with the
+    idempotence ledger the spec actually provides: there is no txn
+    action, so (exactly like Iceberg's real streaming sink stores its
+    epoch id in commit metadata) each foreachBatch stamps
+    ``jdps-batch-id`` into the snapshot SUMMARY, and a re-delivered
+    batch is recognized by scanning the snapshot log's summaries
+    before committing — the snapshot log IS the ledger, driver-side
+    and metadata-sized. The read-back aggregates daily counts from
+    the current snapshot; the batch oracle recomputes them from the
+    source parquet, so the driver hash proves no batch was lost or
+    double-committed. Idempotence additionally pytest-pinned by
+    re-running the stream over the same table (snapshot count must
+    not grow)."""
+    import time as _time
+
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    from jhu_data_parser_spark.sources.iceberg_lite import (
+        iceberg_snapshots,
+        read_iceberg,
+        write_iceberg,
+    )
+
+    src = os.path.join(sf_dir, "events.parquet")
+    stage = _cleanup_at_exit(tempfile.mkdtemp(prefix="jdps_ice_src_"))
+    dset = pads.dataset(src, format="parquet")
+    ids = dset.to_table(columns=["event_id"]).column("event_id")
+    lo, hi = pc.min(ids).as_py(), pc.max(ids).as_py()
+    del ids
+    bounds = [lo + (hi - lo + 1) * k // n_chunks for k in range(n_chunks + 1)]
+    now = _time.time() - 1000
+    for k in range(n_chunks):
+        flt = (pads.field("event_id") >= bounds[k]) & (
+            pads.field("event_id") < bounds[k + 1]
+        )
+        t = dset.to_table(
+            columns=["event_id", "ts", "event_type", "value"], filter=flt
+        )
+        t = t.set_column(
+            t.schema.get_field_index("ts"),
+            "ts_us",
+            pc.cast(t.column("ts"), "int64"),
+        )
+        path = os.path.join(stage, f"chunk_{k:03d}.parquet")
+        pq.write_table(t, path)
+        os.utime(path, (now + 30 * k, now + 30 * k))
+
+    if table is None:
+        table = _cleanup_at_exit(tempfile.mkdtemp(prefix="jdps_ice_tbl_"))
+        os.rmdir(table)  # write_iceberg creates the tree itself
+    ckpt = _cleanup_at_exit(tempfile.mkdtemp(prefix="jdps_ice_ckpt_"))
+
+    def _batch(bdf: DataFrame, batch_id: int) -> None:
+        try:
+            committed = {
+                s["summary"].get("jdps-batch-id")
+                for s in iceberg_snapshots(table)
+            }
+        except ValueError:  # not a table yet: first commit
+            committed = set()
+        if str(batch_id) in committed:
+            return  # re-delivered batch: the snapshot log remembers
+        write_iceberg(
+            bdf,
+            table,
+            mode="append",
+            summary_props={"jdps-batch-id": str(batch_id)},
+        )
+
+    schema = spark.read.parquet(stage).schema
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+        .writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    snap = read_iceberg(spark, table)
+    return snap.groupBy(
+        F.expr("ts_us DIV 86400000000").cast("long").alias("day"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.expr("CAST(ROUND(value * 10000) AS BIGINT)"))
+        .cast("long")
+        .alias("value_fp"),
+    )
+
+
 def run_cusum_drift_stream(
     spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 8
 ) -> DataFrame:

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from jhu_data_parser_spark.sources.iceberg_lite import (
     _load_metadata,
     _read_avro_records,
+    expire_snapshots,
     iceberg_snapshots,
     read_iceberg,
     write_iceberg,
@@ -146,6 +147,59 @@ def test_unsupported_format_version_fails_loudly(spark):
         json.dump(meta, open(mpath, "w"))
         with pytest.raises(NotImplementedError, match="format-version 2"):
             read_iceberg(spark, t)
+
+
+def test_expire_snapshots_keeps_shared_files(spark):
+    """Expiring old snapshots deletes only what THEY alone reach:
+    appends reuse manifests, so a kept snapshot's shared data files
+    must survive; an overwritten-away snapshot's files go."""
+    df = spark.range(10).select("id")
+    with tempfile.TemporaryDirectory() as t:
+        s0 = write_iceberg(df, t, "overwrite")
+        write_iceberg(df.withColumn("id", F.col("id") + 10), t, "overwrite")
+        s2 = write_iceberg(df.withColumn("id", F.col("id") + 20), t, "append")
+        deleted = expire_snapshots(t, keep_last=2)
+        # s0's data + manifest + manifest list are unreachable: gone
+        assert deleted
+        assert all(d.startswith(("data/", "metadata/")) for d in deleted)
+        # kept snapshots read in full (shared manifests survived)
+        assert read_iceberg(spark, t).count() == 20
+        assert {s["snapshot-id"] for s in iceberg_snapshots(t)} == {
+            iceberg_snapshots(t)[0]["snapshot-id"],
+            s2,
+        }
+        with pytest.raises(ValueError, match=f"snapshot {s0}"):
+            read_iceberg(spark, t, snapshot_id=s0)
+        # idempotent; keeping more than exists is a no-op
+        assert expire_snapshots(t, keep_last=2) == []
+        with pytest.raises(ValueError, match="keep_last"):
+            expire_snapshots(t, keep_last=0)
+
+
+def test_iceberg_append_stream_idempotent(spark):
+    """Re-running the streaming append over the same table must not
+    add snapshots: the jdps-batch-id summary ledger recognizes every
+    re-delivered batch (the spec's commit-metadata channel)."""
+    import tempfile as _tf
+
+    from jhu_data_parser_spark.streaming.jobs import (
+        run_iceberg_append_stream,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    table = _tf.mkdtemp(prefix="jdps_ice_stream_t_")
+    os.rmdir(table)
+    first = {
+        tuple(r)
+        for r in run_iceberg_append_stream(spark, sf, table=table).collect()
+    }
+    n_snaps = len(iceberg_snapshots(table))
+    again = {
+        tuple(r)
+        for r in run_iceberg_append_stream(spark, sf, table=table).collect()
+    }
+    assert first == again
+    assert len(iceberg_snapshots(table)) == n_snaps  # nothing re-committed
 
 
 def test_schema_mismatch_rejected(spark):
