@@ -61,8 +61,20 @@ def materialize(df) -> None:
 def main() -> None:
     # 1-min loadavg BEFORE any Spark work: this reads EXTERNAL
     # contention (the bench's own 32-thread burst would dominate a
-    # reading taken at emit time).
+    # reading taken at emit time). Self-defense (r13 verdict item 5:
+    # BENCH_r13.json went into the record at load1 13.13 and every
+    # apparent regression was machine load): if the machine is busy,
+    # wait briefly for it to drain — and if it never does, proceed but
+    # stamp the artifact "contended": true so no reader mistakes a
+    # loaded-machine reading for an engine regression.
+    threshold = float(os.environ.get("SPARK_GRAFT_LOAD1_MAX", "2.0"))
     load1_start = round(os.getloadavg()[0], 2)
+    waited = 0.0
+    while load1_start > threshold and waited < 120.0:
+        time.sleep(20.0)
+        waited += 20.0
+        load1_start = round(os.getloadavg()[0], 2)
+    contended = load1_start > threshold
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark(app_name="jdps-bench")
@@ -131,6 +143,12 @@ def main() -> None:
         name: (max(runs, 9) if probe[name] < 1.0 else runs) for name in HEADLINE
     }
     rounds["dedup_near_pairs"] += 2
+    # r13 verdict item 5: join_shipping_priority_top10 drifted two
+    # rounds quiet-to-quiet with untouched code — pin it at min-of-15
+    # so the drift verdict settles on samples, not machine luck.
+    rounds["join_shipping_priority_top10"] = max(
+        rounds["join_shipping_priority_top10"], 15
+    )
     samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
 
     def run_round(r: int) -> None:
@@ -210,6 +228,7 @@ def main() -> None:
         "n": runs,
         "run_id": run_id,
         "load1": load1_start,
+        "contended": contended,
         "cold": cold,
         "n_samples": n_samples,
         "queries": timings,
@@ -229,6 +248,7 @@ def main() -> None:
         "unit": "sec",
         "run_id": run_id,
         "load1": load1_start,
+        "contended": contended,
         "cold": cold,
         "n_samples": n_samples,
         "queries": timings,

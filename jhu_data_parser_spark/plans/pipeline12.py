@@ -1469,6 +1469,215 @@ def source_iceberg_bounds_skipping(
     return _roundtrip_agg(snap.filter(F.col("l_quantity") >= 45))
 
 
+_ICE_HIDDEN_ORACLE = """
+    WITH cut AS (SELECT min(ts) + INTERVAL 15 DAY AS c FROM events)
+    SELECT event_type,
+           CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(floor(value * 10000 + 0.5) AS BIGINT))
+                AS BIGINT) AS value_fp
+    FROM events, cut WHERE ts >= cut.c
+    GROUP BY event_type, day
+    """
+
+
+@query("source_iceberg_hidden_partition", oracle=_ICE_HIDDEN_ORACLE)
+def source_iceberg_hidden_partition(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Iceberg HIDDEN PARTITIONING (the spec's defining feature —
+    the Athena partition-pruning story of the reference,
+    /root/reference/src/parser.py:73-75 + src/README.md:5,11,
+    applied the way a 100 TB events table needs): the table is
+    partitioned by ``day(ts)`` — a TRANSFORM, not a physical column —
+    so each manifest entry carries days-since-epoch while the data
+    keeps raw timestamps. The reader filters the RAW ``ts`` (a 15-day
+    cutoff); the manifest walk maps the literal through the committed
+    transform and prunes whole days of files before any file opens
+    (file-count pruning pytest-pinned; boundary-day rows before the
+    cutoff survive the prune and die to the real predicate). The
+    oracle recomputes from parquet with the same cutoff: a hash match
+    proves transform pruning never dropped a matching row. The bucket
+    transform's murmur3 is pinned to the spec's own Appendix-B test
+    vectors in tests/test_iceberg_lite.py."""
+    import tempfile
+
+    from jhu_data_parser_spark.operators.similarity import _rmtree_at_exit
+    from jhu_data_parser_spark.sources.iceberg_lite import (
+        read_iceberg,
+        write_iceberg,
+    )
+
+    table = tempfile.mkdtemp(prefix="jdps_ice_hidden_")
+    _rmtree_at_exit(table)
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    write_iceberg(events, table, mode="overwrite", partition_by="day(ts)")
+    import datetime as dt
+
+    cut = events.agg(F.min("ts")).collect()[0][0] + dt.timedelta(days=15)
+    snap = read_iceberg(spark, table, partition_filter=[("ts", ">=", cut)])
+    return (
+        snap.filter(F.col("ts") >= F.lit(cut))
+        .groupBy(
+            "event_type",
+            F.floor(F.floor(F.col("ts").cast("double")) / 86400)
+            .cast("long")
+            .alias("day"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(
+                F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("long")
+            )
+            .cast("long")
+            .alias("value_fp"),
+        )
+    )
+
+
+@query("source_iceberg_schema_evolution", oracle=_DELTA_EVOLVE_ORACLE)
+def source_iceberg_schema_evolution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Iceberg SCHEMA EVOLUTION: a later append carries a new
+    trailing column under ``merge_schema=True`` — the new schema
+    joins the metadata's ``schemas`` list under a fresh schema-id
+    (old field ids stay stable, the spec's id-based evolution),
+    ``current-schema-id`` advances, and the read resolves the
+    CURRENT schema so files from earlier snapshots surface the new
+    column as NULL; time travel to a pre-evolution snapshot reads
+    with the old schema (both pytest-pinned). Same oracle as the
+    Delta twin — the two table formats must agree bit-for-bit on
+    the add-a-feature-column migration."""
+    import tempfile
+
+    from jhu_data_parser_spark.operators.similarity import _rmtree_at_exit
+    from jhu_data_parser_spark.sources.iceberg_lite import (
+        read_iceberg,
+        write_iceberg,
+    )
+
+    table = tempfile.mkdtemp(prefix="jdps_ice_evo_")
+    _rmtree_at_exit(table)
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    write_iceberg(base, table, mode="overwrite")
+    evolved_rows = orders.filter(F.col("o_orderkey") % 3 == 0).select(
+        (F.col("o_orderkey") + 500_000_000).alias("k"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+        F.col("o_orderstatus").alias("seg"),
+    )
+    write_iceberg(evolved_rows, table, mode="append", merge_schema=True)
+    return (
+        read_iceberg(spark, table)
+        .groupBy(F.coalesce(F.col("seg"), F.lit("none")).alias("seg"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+        )
+    )
+
+
+@query("source_iceberg_delete_where", oracle=_DELTA_DELETE_ORACLE)
+def source_iceberg_delete_where(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Iceberg copy-on-write DELETE WHERE: the quantity-range-laid-out
+    table deletes a quantity stripe — manifest BOUNDS narrow the
+    candidate files before any file opens, fully-covered files drop
+    without a rewrite, boundary files rewrite their survivors (NULL
+    predicate keeps the row — SQL DELETE semantics), and ONE snapshot
+    swaps it all: only the manifests referencing touched files are
+    rewritten, the rest reuse verbatim (manifest-level metadata
+    economy; at 100 TB both data AND metadata cost scale with the
+    delete footprint). The commit claims exactly read-version+1 — a
+    concurrent commit during the rewrite job aborts loudly instead of
+    committing against a stale snapshot. Same oracle as the Delta
+    twin: the two formats must agree on the complement."""
+    import tempfile
+
+    from jhu_data_parser_spark.operators.similarity import _rmtree_at_exit
+    from jhu_data_parser_spark.sources.iceberg_lite import (
+        delete_iceberg,
+        read_iceberg,
+        write_iceberg,
+    )
+
+    table = tempfile.mkdtemp(prefix="jdps_ice_del_")
+    _rmtree_at_exit(table)
+    base = _roundtrip_cols(spark, sf_dir)
+    write_iceberg(
+        base.repartitionByRange(8, "l_quantity"), table, mode="overwrite"
+    )
+    delete_iceberg(
+        spark,
+        table,
+        "l_quantity >= 30 AND l_quantity < 41",
+        bounds_filter=[("l_quantity", "<", 41.0), ("l_quantity", ">=", 30.0)],
+    )
+    return _roundtrip_agg(read_iceberg(spark, table))
+
+
+@query("source_iceberg_merge_upsert", oracle=_DELTA_MERGE_ORACLE)
+def source_iceberg_merge_upsert(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Iceberg MERGE (upsert) as the copy-on-write overwrite: a
+    distributed semi-join on ``input_file_name`` finds the touched
+    files, only those re-read (survivors anti-join the source keys)
+    and one snapshot commits the swap — untouched manifests reuse
+    verbatim. Same oracle as the Delta twin: updates landed, inserts
+    landed, untouched rows survived, nothing duplicated across the
+    rewrite boundary — the DML matrix now holds for BOTH vendored
+    table formats."""
+    import tempfile
+
+    from jhu_data_parser_spark.operators.similarity import _rmtree_at_exit
+    from jhu_data_parser_spark.sources.iceberg_lite import (
+        merge_iceberg,
+        read_iceberg,
+        write_iceberg,
+    )
+
+    table = tempfile.mkdtemp(prefix="jdps_ice_merge_")
+    _rmtree_at_exit(table)
+    base = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    write_iceberg(base.repartitionByRange(8, "k"), table, mode="overwrite")
+    src = (
+        base.filter(F.col("k") % 10 == 3)
+        .select("k", (F.col("cents") - 50).alias("cents"))
+        .unionByName(
+            base.filter(F.col("k") % 1000 == 1).select(
+                (F.col("k") + 100_000_000).alias("k"),
+                F.lit(42).cast("long").alias("cents"),
+            )
+        )
+    )
+    merge_iceberg(spark, table, src, on=["k"])
+    return (
+        read_iceberg(spark, table)
+        .groupBy((F.col("k") % 7).cast("int").alias("grp"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+        )
+    )
+
+
 _DELTA_UPDATE_ORACLE = """
     SELECT l_returnflag,
            CAST(COUNT(*) AS BIGINT) AS n_rows,

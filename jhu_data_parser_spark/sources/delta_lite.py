@@ -523,6 +523,7 @@ def write_delta(
     data_change: bool = True,
     merge_schema: bool = False,
     constraints: dict[str, str] | None = None,
+    read_version: int | None = None,
 ) -> int:
     """Commit the DataFrame to the Delta-lite table; returns the new
     version (or the current one when an idempotent txn is skipped).
@@ -554,6 +555,16 @@ def write_delta(
     marks adds and removes as reorganization (compaction), letting
     incremental consumers skip the commit.
 
+    ``read_version`` (REQUIRED with ``remove_paths``) is the snapshot
+    version the rewrite was computed against. A rewrite commits only
+    as ``read_version + 1``: any commit that landed between the
+    snapshot read and this call — the widest race window, the whole
+    Spark join/rewrite job — makes the claimed version differ and the
+    commit raises :class:`ConcurrentWriteConflict` instead of
+    silently committing a result computed against a stale snapshot
+    (Delta's read-snapshot conflict check; the link(2) claim below
+    only arbitrates the narrower same-version race).
+
     Every ``_CHECKPOINT_INTERVAL`` versions the commit also writes the
     checkpoint parquet + ``_last_checkpoint`` pointer, bounding every
     later replay to the log tail."""
@@ -564,6 +575,11 @@ def write_delta(
         raise ValueError(f"mode {mode!r}")
     if remove_paths and mode != "append":
         raise ValueError("delta-lite: remove_paths requires mode='append'")
+    if remove_paths and read_version is None:
+        raise ValueError(
+            "delta-lite: remove_paths requires read_version (the "
+            "snapshot version the rewrite was computed against)"
+        )
     os.makedirs(os.path.join(table, _LOG_DIR), exist_ok=True)
     versions = _versions(table)
     cps = _checkpoint_versions(table)
@@ -610,16 +626,32 @@ def write_delta(
         if not key.startswith("delta.constraints."):
             continue
         pred = config[key]
-        bad = spark_df.filter(
-            ~F.coalesce(F.expr(pred), F.lit(False))
-        ).limit(1)
-        if bad.count() > 0:
+        # collect the probe ONCE: a count()-then-collect() pair can
+        # disagree on a nondeterministic input and mask the real
+        # violation message behind an IndexError
+        bad_rows = (
+            spark_df.filter(~F.coalesce(F.expr(pred), F.lit(False)))
+            .limit(1)
+            .collect()
+        )
+        if bad_rows:
             name = key[len("delta.constraints.") :]
             raise ValueError(
                 f"delta-lite: CHECK constraint {name!r} ({pred}) "
-                f"violated, e.g. by row {bad.collect()[0].asDict()}"
+                f"violated, e.g. by row {bad_rows[0].asDict()}"
             )
     version = (current + 1) if current is not None else 0
+    if remove_paths and version != read_version + 1:
+        # a commit landed between the rewrite's snapshot read and this
+        # call (the whole Spark job ran in that window): the rewrite's
+        # output may coexist with rows it never read — refuse BEFORE
+        # staging any data (the link(2) race below only catches two
+        # writers claiming the SAME version)
+        raise ConcurrentWriteConflict(
+            f"delta-lite: rewrite computed at version {read_version} "
+            f"but the table is now at {version - 1} — recompute "
+            "against the current snapshot and retry"
+        )
 
     stage = tempfile.mkdtemp(prefix="jdps_delta_stage_")
     try:
@@ -758,6 +790,28 @@ def write_delta(
                     "touches may coexist with rows it never read) — "
                     "recompute against the new snapshot and retry"
                 )
+            # blind-append retry: re-validate against the WINNER's
+            # metadata — if the winner evolved the schema, this append
+            # was validated against the old one and must not commit
+            # (Delta's MetadataChangedException discipline)
+            try:
+                drift = _evolve_schema(
+                    StructType.fromJson(json.loads(new_state.schema_string)),
+                    spark_df.schema,
+                    False,
+                )
+            except ValueError as exc:
+                raise ConcurrentWriteConflict(
+                    f"delta-lite: version {version} at {table} changed "
+                    f"the table schema concurrently ({exc}) — this "
+                    "append was validated against the old schema"
+                ) from exc
+            if drift is not None:
+                raise ConcurrentWriteConflict(
+                    f"delta-lite: version {version} at {table} changed "
+                    "the table schema concurrently — this append was "
+                    "validated against the old schema"
+                )
             version += 1
 
     if version > 0 and version % _CHECKPOINT_INTERVAL == 0:
@@ -889,7 +943,12 @@ def merge_delta(
     else:
         new_data = source.select(*cols)
     return write_delta(
-        new_data, table, mode="append", remove_paths=touched, txn=txn
+        new_data,
+        table,
+        mode="append",
+        remove_paths=touched,
+        txn=txn,
+        read_version=v,
     )
 
 
@@ -951,7 +1010,11 @@ def delete_delta(
     else:
         survivors = spark.createDataFrame([], schema)
     return write_delta(
-        survivors, table, mode="append", remove_paths=sorted(touched)
+        survivors,
+        table,
+        mode="append",
+        remove_paths=sorted(touched),
+        read_version=v,
     )
 
 
@@ -1014,7 +1077,11 @@ def update_delta(
         ]
     )
     return write_delta(
-        rewritten, table, mode="append", remove_paths=touched
+        rewritten,
+        table,
+        mode="append",
+        remove_paths=touched,
+        read_version=v,
     )
 
 
@@ -1092,6 +1159,7 @@ def optimize_delta(
         mode="append",
         remove_paths=sorted(state.active),
         data_change=False,
+        read_version=v,
     )
 
 

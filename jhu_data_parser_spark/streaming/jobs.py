@@ -2349,6 +2349,7 @@ def run_iceberg_append_stream(
     from jhu_data_parser_spark.sources.iceberg_lite import (
         iceberg_snapshots,
         read_iceberg,
+        table_properties,
         write_iceberg,
     )
 
@@ -2387,15 +2388,26 @@ def run_iceberg_append_stream(
                 s["summary"].get("jdps-batch-id")
                 for s in iceberg_snapshots(table)
             }
+            # the high-water batch id ALSO rides in table properties —
+            # snapshot expiration drops expired snapshots' summaries,
+            # so a summary-only ledger forgets batches beyond the
+            # retention horizon and would re-commit them; properties
+            # survive every commit AND expire_snapshots (batch ids are
+            # monotonic under structured-streaming replay, so ≤ the
+            # high-water mark means already-committed)
+            hw = int(
+                table_properties(table).get("jdps-batch-high-water", -1)
+            )
         except ValueError:  # not a table yet: first commit
-            committed = set()
-        if str(batch_id) in committed:
-            return  # re-delivered batch: the snapshot log remembers
+            committed, hw = set(), -1
+        if batch_id <= hw or str(batch_id) in committed:
+            return  # re-delivered batch: the ledger remembers
         write_iceberg(
             bdf,
             table,
             mode="append",
             summary_props={"jdps-batch-id": str(batch_id)},
+            table_props={"jdps-batch-high-water": str(batch_id)},
         )
 
     schema = spark.read.parquet(stage).schema

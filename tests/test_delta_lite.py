@@ -579,15 +579,96 @@ def test_concurrent_appends_retry_and_conflicts_raise(spark, monkeypatch):
         # a rewrite (remove_paths commit) racing ANY concurrent commit
         # is loud — even if its removed files are all still active,
         # the winner may have added rows the rewrite should have read
-        victim = sorted(dl._replay(t, 2).active)[0]
+        cur = latest_version(t)
+        victim = sorted(dl._replay(t, cur).active)[0]
         steal_once('{"add": {"path": "other.parquet", '
                    '"partitionValues": {}, "dataChange": true}}\n')
         with pytest.raises(
             dl.ConcurrentWriteConflict, match="invalidated"
         ):
             write_delta(
+                df.limit(0),
+                t,
+                "append",
+                remove_paths=[victim],
+                read_version=cur,
+            )
+
+
+def test_rewrite_stale_snapshot_conflict(spark):
+    """A rewrite computed at version v must NOT commit if ANY commit
+    landed before it claims v+1 — the widest race window (the whole
+    Spark job runs between snapshot read and commit), closed by the
+    read_version check rather than the link(2) same-version race."""
+    from jhu_data_parser_spark.sources import delta_lite as dl
+
+    df = spark.range(10).select("id")
+    with tempfile.TemporaryDirectory() as t:
+        write_delta(df, t, "overwrite")  # v0
+        victim = sorted(dl._replay(t, 0).active)[0]
+        # a concurrent append lands AFTER the rewrite read its
+        # snapshot (v0) but BEFORE the rewrite commits
+        write_delta(df.withColumn("id", F.col("id") + 100), t, "append")
+        with pytest.raises(
+            dl.ConcurrentWriteConflict, match="recompute"
+        ):
+            write_delta(
+                df.limit(0),
+                t,
+                "append",
+                remove_paths=[victim],
+                read_version=0,
+            )
+        # remove_paths without read_version is a programming error
+        with pytest.raises(ValueError, match="read_version"):
+            write_delta(
                 df.limit(0), t, "append", remove_paths=[victim]
             )
+
+
+def test_retry_append_schema_changed_conflict(spark, monkeypatch):
+    """A blind append that loses the link(2) race to a commit that
+    EVOLVED the schema must raise (Delta's MetadataChangedException):
+    retrying silently would commit files validated against the old
+    schema, surfacing the new columns as null without consent."""
+    from jhu_data_parser_spark.sources import delta_lite as dl
+
+    df = spark.range(5).select("id")
+    with tempfile.TemporaryDirectory() as t:
+        write_delta(df, t, "overwrite")  # v0
+        orig_link = os.link
+        state = {"stolen": False}
+
+        def hooked(src, dst, *a, **kw):
+            if not state["stolen"] and dst.endswith(".json"):
+                state["stolen"] = True
+                evolved = df.withColumn("extra", F.lit(1).cast("long"))
+                with open(dst, "w") as fh:
+                    fh.write(
+                        json.dumps(
+                            {
+                                "metaData": {
+                                    "id": "x",
+                                    "format": {
+                                        "provider": "parquet",
+                                        "options": {},
+                                    },
+                                    "schemaString": evolved.schema.json(),
+                                    "partitionColumns": [],
+                                    "configuration": {},
+                                }
+                            }
+                        )
+                        + "\n"
+                    )
+            return orig_link(src, dst, *a, **kw)
+
+        monkeypatch.setattr(dl.os, "link", hooked)
+        with pytest.raises(
+            dl.ConcurrentWriteConflict, match="schema"
+        ):
+            write_delta(df.withColumn("id", F.col("id") + 10), t, "append")
+        assert state["stolen"]
 
 
 def test_concurrent_appends_threaded(spark):
