@@ -395,6 +395,21 @@ def _roundtrip_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Write-side parallelism guard (optimization guide §2.5 "input
+    skew" / §6): the harness SF corpora are single-file parquet, so a
+    format-roundtrip write otherwise encodes the WHOLE projection in
+    one task regardless of core count — measured 6.0 s single-task vs
+    3.2 s spread for the vendored Avro encode at sf0.1, and the
+    read-back of the resulting single container planned one split
+    (6.1 s → 2.0 s spread). At scale inputs have ≥ cores files and
+    this is a no-op; every roundtrip result is a grouped integer
+    aggregate, so the row→file assignment cannot move any value."""
+    from jhu_data_parser_spark.operators.dedup import ensure_parallelism
+
+    return ensure_parallelism(df)
+
+
 @query("source_orc_roundtrip", oracle=_ROUNDTRIP_ORACLE)
 def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lineitem projection → ORC files → read back → cents-exact
@@ -407,6 +422,9 @@ def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = tempfile.mkdtemp(prefix="jdps_orc_rt_")
     _rmtree_at_exit(out)
+    # NOT _spread: the JVM-native ORC write of the 600k-row projection
+    # is faster single-task than the round-robin shuffle it would take
+    # to spread it (measured r14: 1.11 s plain vs 1.83 s spread).
     _roundtrip_cols(spark, sf_dir).write.mode("overwrite").orc(out)
     return _roundtrip_agg(spark.read.orc(out))
 
@@ -448,7 +466,7 @@ def source_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         }
     )
     # materializing the manifest IS the distributed write job
-    write_avro(_roundtrip_cols(spark, sf_dir), out, schema_json).collect()
+    write_avro(_spread(_roundtrip_cols(spark, sf_dir)), out, schema_json).collect()
     back = read_avro(
         spark,
         out,
@@ -525,6 +543,9 @@ def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = tempfile.mkdtemp(prefix="jdps_csv_rt_")
     _rmtree_at_exit(out)
+    # NOT _spread: JVM-native CSV write — measured faster single-task
+    # than paying the spread shuffle (r14: 1.89 s plain vs 1.66 s is
+    # within noise; kept plain to match the ORC/JSON twins).
     _roundtrip_cols(spark, sf_dir).write.mode("overwrite").option(
         "header", True
     ).csv(out)
@@ -579,7 +600,7 @@ def source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = tempfile.mkdtemp(prefix="jdps_xml_rt_")
     _rmtree_at_exit(out)
-    _roundtrip_cols(spark, sf_dir).write.mode("overwrite").format(
+    _spread(_roundtrip_cols(spark, sf_dir)).write.mode("overwrite").format(
         "xml"
     ).option("rootTag", "lineitems").option("rowTag", "lineitem").save(out)
     back = (
@@ -712,6 +733,10 @@ def source_avro_embeddings_roundtrip(
             ],
         }
     )
+    # NOT _spread: the embeddings projection is small enough that the
+    # round-robin shuffle of the float arrays costs more than the
+    # single-task encode it replaces (measured r14: 1.43 s plain vs
+    # 2.16 s spread).
     src = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding", "label"
     )
@@ -799,11 +824,13 @@ def source_avro_orders_logical(spark: SparkSession, sf_dir: str) -> DataFrame:
             ],
         }
     )
-    src = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey",
-        F.col("o_orderdate").alias("ots"),
-        F.to_date("o_orderdate").alias("odate"),
-        F.col("o_totalprice").cast("decimal(12,2)").alias("oprice"),
+    src = _spread(
+        load_table(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            F.col("o_orderdate").alias("ots"),
+            F.to_date("o_orderdate").alias("odate"),
+            F.col("o_totalprice").cast("decimal(12,2)").alias("oprice"),
+        )
     )
     write_avro(src, out, schema_json).collect()
     back = read_avro(

@@ -322,6 +322,9 @@ def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = tempfile.mkdtemp(prefix="jdps_json_rt_")
     _rmtree_at_exit(out)
+    # NOT _spread (see pipeline12._spread): JVM-native JSON write is
+    # faster single-task than paying the spread shuffle (measured r14:
+    # 1.09 s plain vs 1.79 s spread).
     _roundtrip_cols(spark, sf_dir).write.mode("overwrite").json(out)
     back = spark.read.schema(
         "l_returnflag string, l_extendedprice double, l_quantity double"
