@@ -81,6 +81,63 @@ def _write_batch_once(
     w.parquet(target)
 
 
+# Spark-DDL scalar type → pyarrow type, for the empty bootstrap sinks
+# below. Only the types those sinks actually use — extend loudly.
+_EMPTY_SINK_TYPES = {
+    "long": "int64",
+    "bigint": "int64",
+    "int": "int32",
+    "double": "float64",
+    "string": "string",
+}
+
+
+def _write_empty_sink(target: str, ddl: str) -> None:
+    """Write the empty ``batch_id=-1`` bootstrap dir of an append-only
+    sink WITHOUT a Spark job. The bootstrap sinks exist only so the
+    first union read of the dir resolves a schema; committing an empty
+    DataFrame through a full Spark write was a measured 0.3-1.5 s of
+    driver-bound job/commit overhead PER SINK (4 sinks = the spans
+    stream paid ~1.6 s before its first batch). A driver-side pyarrow
+    footer with the same schema is byte-compatible for the reader and
+    costs ~1 ms. Same ``_SUCCESS`` discipline as
+    :func:`_write_batch_once` (the marker commits the dir)."""
+    import re
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if os.path.exists(os.path.join(target, "_SUCCESS")):
+        return
+    if os.path.isdir(target):
+        import shutil
+
+        shutil.rmtree(target, ignore_errors=True)
+    fields = []
+    for part in re.split(r",(?![^<]*>)", ddl):
+        name, typ = part.strip().split(None, 1)
+        typ = typ.strip().lower()
+        m = re.fullmatch(r"array<(\w+)>", typ)
+        if m:
+            inner = _EMPTY_SINK_TYPES.get(m.group(1))
+            if inner is None:
+                raise ValueError(f"empty-sink type unsupported: {typ}")
+            pa_type = pa.list_(getattr(pa, inner)())
+        else:
+            scalar = _EMPTY_SINK_TYPES.get(typ)
+            if scalar is None:
+                raise ValueError(f"empty-sink type unsupported: {typ}")
+            pa_type = getattr(pa, scalar)()
+        fields.append(pa.field(name, pa_type))
+    schema = pa.schema(fields)
+    os.makedirs(target, exist_ok=True)
+    pq.write_table(
+        schema.empty_table(), os.path.join(target, "part-00000-empty.parquet")
+    )
+    with open(os.path.join(target, "_SUCCESS"), "w"):
+        pass
+
+
 def _rocksdb_provider_available(spark: SparkSession) -> bool:
     """True when the RocksDB state-store provider's JNI bundle is
     loadable in this Spark build — the provider switch must degrade to
@@ -589,9 +646,9 @@ def run_incremental_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # Seed the sink with the empty schema so a zero-match run still
     # reads back as a typed empty frame.
-    _write_batch_once(
-        spark.createDataFrame([], "id_new long, id_old long, jaccard double"),
+    _write_empty_sink(
         os.path.join(out_dir, "batch_id=-1"),
+        "id_new long, id_old long, jaccard double",
     )
 
     q = (
@@ -662,13 +719,11 @@ def run_cms_heavy_hitters_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.path.join(sk_dir, f"batch_id={batch_id}"),
         )
 
-    _write_batch_once(
-        spark.createDataFrame([], "token string, cnt long"),
-        os.path.join(tc_dir, "batch_id=-1"),
+    _write_empty_sink(
+        os.path.join(tc_dir, "batch_id=-1"), "token string, cnt long"
     )
-    _write_batch_once(
-        spark.createDataFrame([], "j int, bucket long, cell long"),
-        os.path.join(sk_dir, "batch_id=-1"),
+    _write_empty_sink(
+        os.path.join(sk_dir, "batch_id=-1"), "j int, bucket long, cell long"
     )
 
     q = (
@@ -921,9 +976,8 @@ def run_quantile_sketch_stream(
         )
         _write_batch_once(part, os.path.join(out_dir, f"batch_id={batch_id}"))
 
-    _write_batch_once(
-        spark.createDataFrame([], "lang string, bucket long, cnt long"),
-        os.path.join(out_dir, "batch_id=-1"),
+    _write_empty_sink(
+        os.path.join(out_dir, "batch_id=-1"), "lang string, bucket long, cnt long"
     )
 
     q = (
@@ -1037,9 +1091,8 @@ def run_wilson_value_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             _partials(bdf), os.path.join(out_dir, f"batch_id={batch_id}")
         )
 
-    _write_batch_once(
-        spark.createDataFrame([], "event_type string, n long, w long"),
-        os.path.join(out_dir, "batch_id=-1"),
+    _write_empty_sink(
+        os.path.join(out_dir, "batch_id=-1"), "event_type string, n long, w long"
     )
 
     q = (
@@ -1081,9 +1134,9 @@ def run_holt_forecast_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.path.join(out_dir, f"batch_id={batch_id}"),
         )
 
-    _write_batch_once(
-        spark.createDataFrame([], "event_type string, day long, n long"),
+    _write_empty_sink(
         os.path.join(out_dir, "batch_id=-1"),
+        "event_type string, day long, n long",
     )
 
     q = (
@@ -1399,15 +1452,12 @@ def run_pack_batches_incremental_stream(
         os.makedirs(state_dir, exist_ok=True)
     ckpt = _cleanup_at_exit(tempfile.mkdtemp(prefix="jdps_pack_ckpt_"))
 
-    _write_batch_once(
-        spark.createDataFrame([], "source string, off_tok long"),
-        os.path.join(state_dir, "batch_id=-1"),
+    _write_empty_sink(
+        os.path.join(state_dir, "batch_id=-1"), "source string, off_tok long"
     )
-    _write_batch_once(
-        spark.createDataFrame(
-            [], "source string, doc_id long, n_tok long, pack_id long"
-        ),
+    _write_empty_sink(
         os.path.join(out_dir, "batch_id=-1"),
+        "source string, doc_id long, n_tok long, pack_id long",
     )
 
     def _batch(bdf: DataFrame, batch_id: int) -> None:
@@ -1800,23 +1850,20 @@ def run_substring_spans_incremental_stream(
         os.makedirs(p, exist_ok=True)
     ckpt = _cleanup_at_exit(tempfile.mkdtemp(prefix="jdps_subs_ckpt_"))
 
-    _write_batch_once(
-        spark.createDataFrame([], "doc long, pos long, gh string"),
-        os.path.join(index_dir, "batch_id=-1"),
+    from concurrent.futures import ThreadPoolExecutor
+
+    _write_empty_sink(
+        os.path.join(index_dir, "batch_id=-1"), "doc long, pos long, gh string"
     )
-    _write_batch_once(
-        spark.createDataFrame(
-            [], "doc_a long, doc_b long, pos_a long, pos_b long, gh string"
-        ),
+    _write_empty_sink(
         os.path.join(seeds_dir, "batch_id=-1"),
+        "doc_a long, doc_b long, pos_a long, pos_b long, gh string",
     )
-    _write_batch_once(
-        spark.createDataFrame([], "xh long, mh string"),
-        os.path.join(state_dir, "batch_id=-1"),
+    _write_empty_sink(
+        os.path.join(state_dir, "batch_id=-1"), "xh long, mh string"
     )
-    _write_batch_once(
-        spark.createDataFrame([], "gh string, df_part long"),
-        os.path.join(dfs_dir, "batch_id=-1"),
+    _write_empty_sink(
+        os.path.join(dfs_dir, "batch_id=-1"), "gh string, df_part long"
     )
 
     gram_expr = (
@@ -1897,23 +1944,35 @@ def run_substring_spans_incremental_stream(
             .filter(F.col("doc_a") < F.col("doc_b"))
             .select("doc_a", "doc_b", "pos_a", "pos_b", "gh")
         )
+        # The seeds write runs FIRST and alone: it is the only sink
+        # that consumes the banded joins, and running it materializes
+        # the lazily-checkpointed fresh/postings/gated frames exactly
+        # once. The remaining three sinks are then cheap derived jobs
+        # over already-checkpointed parents with no mutual dependency
+        # — submit them concurrently (guide §2.6) so the micro-batch
+        # pays one tail, not three back-to-back driver-bound commits
+        # (measured r14: 12.0 → 9.4 s min-of-2 for the whole stream).
         _write_batch_once(
             new_old.unionByName(new_new),
             os.path.join(seeds_dir, f"batch_id={batch_id}"),
         )
-        _write_batch_once(
-            postings, os.path.join(index_dir, f"batch_id={batch_id}")
-        )
-        _write_batch_once(
-            fresh.select("xh", "mh"),
-            os.path.join(state_dir, f"batch_id={batch_id}"),
-        )
-        _write_batch_once(
-            postings.groupBy("gh").agg(
-                F.countDistinct("doc").cast("long").alias("df_part")
+        tail = [
+            (postings, os.path.join(index_dir, f"batch_id={batch_id}")),
+            (
+                fresh.select("xh", "mh"),
+                os.path.join(state_dir, f"batch_id={batch_id}"),
             ),
-            os.path.join(dfs_dir, f"batch_id={batch_id}"),
-        )
+            (
+                postings.groupBy("gh").agg(
+                    F.countDistinct("doc").cast("long").alias("df_part")
+                ),
+                os.path.join(dfs_dir, f"batch_id={batch_id}"),
+            ),
+        ]
+        with ThreadPoolExecutor(max_workers=3) as sink_pool:
+            list(pool_err for pool_err in sink_pool.map(
+                lambda s: _write_batch_once(s[0], s[1]), tail
+            ))
 
     schema = spark.read.parquet(stage).schema
     q = (
@@ -2032,13 +2091,12 @@ def run_graph_index_append_stream(
     ckpt = _cleanup_at_exit(tempfile.mkdtemp(prefix="jdps_gidx_ckpt_"))
 
     band_cols = ", ".join(f"b{b} long" for b in range(_GA_BANDS))
-    _write_batch_once(
-        spark.createDataFrame([], f"id long, {band_cols}, q array<bigint>"),
+    _write_empty_sink(
         os.path.join(post_dir, "batch_id=-1"),
+        f"id long, {band_cols}, q array<bigint>",
     )
-    _write_batch_once(
-        spark.createDataFrame([], "src long, dst long, rank int"),
-        os.path.join(edge_dir, "batch_id=-1"),
+    _write_empty_sink(
+        os.path.join(edge_dir, "batch_id=-1"), "src long, dst long, rank int"
     )
 
     def _batch(bdf: DataFrame, batch_id: int) -> None:
@@ -2463,9 +2521,9 @@ def run_cusum_drift_stream(
         )
         _write_batch_once(part, os.path.join(out_dir, f"batch_id={batch_id}"))
 
-    _write_batch_once(
-        spark.createDataFrame([], "event_type string, day long, x long"),
+    _write_empty_sink(
         os.path.join(out_dir, "batch_id=-1"),
+        "event_type string, day long, x long",
     )
 
     q = (
