@@ -3115,3 +3115,34 @@ def test_normalized_dedup_beats_raw_md5(spark):
         .count()
     )
     assert raw_groups == 0
+
+
+def test_portable_minhash_signature_spread_invariant(spark):
+    """The r14 spread inside minhash_signature_portable must not change a
+    single signature byte: the min aggregates are placement-independent,
+    so spread=True and spread=False are bit-identical on a corpus small
+    enough that ensure_parallelism actually repartitions (the case the
+    spread exists for)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from jhu_data_parser_spark.operators.dedup import minhash_signature_portable
+
+    rng = random.Random(1414)
+    vocab = [f"w{i}" for i in range(40)]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 12))))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string").coalesce(1)
+    t = df.select("doc_id", F.split(F.lower(F.col("text")), " ").alias("toks"))
+    a = sorted(
+        (r["doc_id"], tuple(r["mh"]))
+        for r in minhash_signature_portable(t, spread=True).collect()
+    )
+    b = sorted(
+        (r["doc_id"], tuple(r["mh"]))
+        for r in minhash_signature_portable(t, spread=False).collect()
+    )
+    assert a == b
