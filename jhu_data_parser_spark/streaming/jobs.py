@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import os
 import tempfile
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -54,6 +55,48 @@ def _rmtree_now(path: str) -> None:
 
     shutil.rmtree(path, ignore_errors=True)
     _ATEXIT_DIRS.discard(path)
+
+
+_STATE_PARTITIONS_ENV = "SPARK_GRAFT_STREAM_STATE_PARTITIONS"
+
+
+def stream_state_partitions() -> int:
+    """Default shuffle/state partition count for this engine's
+    availableNow streaming runs.
+
+    Every stateful streaming operator instantiates one state store per
+    shuffle partition per micro-batch (a stream-stream join: four), and
+    each store pays fixed per-batch commit work regardless of row count
+    — so on a small backlog the partition count IS the latency floor.
+    Measured at sf0.1 (min-of-2, identical oracle-gated results):
+    sessionize 10.2 s @ 32 → 6.0 s @ 8, KMV daily 5.7 → 3.5,
+    watermark dedup 2.8 → 1.9. Env-overridable because a production
+    deployment sizes this UP (executors × cores) so state and
+    throughput scale out — the same knob ``run_stream_stream_join``
+    already exposes per call.
+    """
+    return int(os.environ.get(_STATE_PARTITIONS_ENV, "8"))
+
+
+@contextmanager
+def scoped_state_partitions(spark: SparkSession, n: int | None = None):
+    """Scope ``spark.sql.shuffle.partitions`` to ``n`` (default
+    :func:`stream_state_partitions`) for one streaming run, restoring
+    the prior value afterwards. Placement-only: state partitioning
+    never changes what a stateful query computes (grouping keys hash to
+    SOME partition either way), only how many state-store instances
+    each micro-batch commits."""
+    if n is None:
+        n = stream_state_partitions()
+    prior = spark.conf.get("spark.sql.shuffle.partitions", None)
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        if prior is None:
+            spark.conf.unset("spark.sql.shuffle.partitions")
+        else:
+            spark.conf.set("spark.sql.shuffle.partitions", prior)
 
 
 def _write_batch_once(
@@ -219,14 +262,15 @@ def run_daily_counts_availablenow(
     """Run the daily-counts stream to completion (availableNow) into a
     memory sink; returns the result as a DataFrame."""
     agg = daily_counts(read_events_stream(spark, sf_dir))
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(table)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with scoped_state_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(table)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(table)
 
 
@@ -266,15 +310,16 @@ def run_dedup_stream(
                 "org.apache.spark.sql.execution.streaming.state."
                 "RocksDBStateStoreProvider",
             )
-        q = (
-            deduped.writeStream.format("parquet")
-            .option("path", out_dir)
-            .option("checkpointLocation", ckpt)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        with scoped_state_partitions(spark):
+            q = (
+                deduped.writeStream.format("parquet")
+                .option("path", out_dir)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
     finally:
         if use_rocksdb:
             if prev is None:
@@ -311,14 +356,15 @@ def run_stream_sample(
         F.count(F.lit(1)).alias("n_kept"),
         dec_sum("value", scale=4).alias("kept_value"),
     )
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(table)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with scoped_state_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(table)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(table)
 
 
@@ -344,14 +390,15 @@ def run_stream_static_enrich(
         F.count(F.lit(1)).alias("n_events"),
         dec_sum("value", scale=4).alias("total_value"),
     )
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(table)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with scoped_state_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(table)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(table)
 
 

@@ -258,6 +258,8 @@ def run_sessionize_stateful(
     """Run the stateful sessionizer over the events table to completion
     and return every session (tail sessions flushed by the sentinel —
     see :func:`read_events_stream_with_sentinel`)."""
+    from jhu_data_parser_spark.streaming.jobs import scoped_state_partitions
+
     sessions = sessionize_stateful(
         read_events_stream_with_sentinel(spark, sf_dir), gap_minutes
     )
@@ -265,14 +267,15 @@ def run_sessionize_stateful(
     # Catalyst would push it below the watermark node, the sentinel row
     # would never reach the event-time tracker, and the tail state would
     # never flush.
-    q = (
-        sessions.writeStream.format("memory")
-        .queryName(table)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with scoped_state_partitions(spark):
+        q = (
+            sessions.writeStream.format("memory")
+            .queryName(table)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(table).filter("user_id >= 0")
 
 
@@ -289,6 +292,8 @@ def run_builtin_session_windows(
     lag/cumsum sessionization."""
     from pyspark.sql import functions as F
 
+    from jhu_data_parser_spark.streaming.jobs import scoped_state_partitions
+
     ev = read_events_stream_with_sentinel(spark, sf_dir)
     agg = (
         ev.withWatermark("ts", "0 seconds")
@@ -297,14 +302,15 @@ def run_builtin_session_windows(
         .select("user_id", F.col("w.start").alias("session_start"), "n_events")
     )
     # Sentinel filter after the sink — see run_sessionize_stateful.
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(table)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with scoped_state_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(table)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(table).filter("user_id >= 0")
 
 
@@ -600,15 +606,18 @@ def run_kmv_daily_stream(
         .cast("long")
         .alias("h"),
     )
+    from jhu_data_parser_spark.streaming.jobs import scoped_state_partitions
+
     out = kmv_daily_stateful(ev, k)
-    q = (
-        out.writeStream.format("memory")
-        .queryName(table)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with scoped_state_partitions(spark):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(table)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     # Sentinel filter after the sink (see run_sessionize_stateful): the
     # sentinel's 2100-01-01 day key must reach the event-time tracker.
     return spark.table(table).filter("day < '2100-01-01'")
