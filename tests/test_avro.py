@@ -18,6 +18,7 @@ from jhu_data_parser_spark.sources.avro_container import (
     compile_datum_reader,
     compile_datum_writer,
     encode_long,
+    flat_block_encoder,
     iter_container_blocks,
     iter_container_records,
     read_avro,
@@ -467,3 +468,86 @@ def test_split_read_multi_file_deflate(spark):
             "count(*) AS n", "sum(id) AS s", "sum(v) AS sv"
         ).collect()[0]
         assert (agg.n, agg.s) == (20000, 20000 * 19999 // 2)
+
+
+def test_flat_block_encoder_byte_identical_to_datum_writer():
+    """The column-vectorized fast encode (write_avro's hot path) must
+    produce the EXACT byte stream of the compiled per-record writer —
+    same union indexes, varints, IEEE LE floats, and the documented
+    NaN→null coercion on null-union branches."""
+    import pandas as pd
+
+    cases = [
+        (  # the format-roundtrip shape: nullable string + doubles,
+           # with nulls, NaN, -0.0, huge magnitudes, unicode, empty
+            [
+                {"name": "s", "type": ["null", "string"]},
+                {"name": "d", "type": ["null", "double"]},
+                {"name": "q", "type": ["null", "double"]},
+            ],
+            {
+                "s": ["a", None, "", "é" * 300, "word"],
+                "d": [1.5, float("nan"), -0.0, 1e308, None],
+                "q": [0.25, 2.0, 3.0, 4.0, 5.0],
+            },
+        ),
+        (  # plain (non-null) primitives: NaN must stay a real NaN
+            [
+                {"name": "d", "type": "double"},
+                {"name": "f", "type": "float"},
+                {"name": "l", "type": "long"},
+                {"name": "i", "type": "int"},
+                {"name": "b", "type": "boolean"},
+                {"name": "s", "type": "string"},
+            ],
+            {
+                "d": [float("nan"), 2.5],
+                "f": [1.5, -2.5],
+                "l": [-1, 2**62],
+                "i": [0, -(2**31)],
+                "b": [True, False],
+                "s": ["", "hello"],
+            },
+        ),
+        (  # nullable varint/boolean (nulls arrive as pandas NaN/None)
+            [
+                {"name": "l", "type": ["null", "long"]},
+                {"name": "b", "type": ["null", "boolean"]},
+                {"name": "x", "type": ["null", "bytes"]},
+            ],
+            {
+                "l": [1.0, None, -63.0],
+                "b": [True, None, False],
+                "x": [b"\x00\x01", None, b""],
+            },
+        ),
+    ]
+    for schema_fields, data in cases:
+        schema_json = json.dumps(
+            {"type": "record", "name": "t", "fields": schema_fields}
+        )
+        fields = [f["name"] for f in schema_fields]
+        fast = flat_block_encoder(schema_json)
+        assert fast is not None
+        pdf = pd.DataFrame(data)
+        got = fast([pdf[n] for n in fields])
+        wd = compile_datum_writer(schema_json)
+        body = bytearray()
+        cols = [pdf[n].tolist() for n in fields]
+        for vals in zip(*cols):
+            wd(dict(zip(fields, vals)), body)
+        assert got == bytes(body)
+
+
+def test_flat_block_encoder_bails_on_complex_schemas():
+    """Everything the fast path cannot encode byte-identically must
+    return None (generic closure-tree path), never approximate."""
+    for bad in (
+        [{"name": "a", "type": {"type": "array", "items": "long"}}],
+        [{"name": "a", "type": ["null", "string", "long"]}],
+        [{"name": "a", "type": ["string", "null"]}],  # non-canonical order
+        [{"name": "a", "type": {"type": "long", "logicalType": "timestamp-micros"}}],
+        [{"name": "a", "type": {"type": "record", "name": "n", "fields": []}}],
+    ):
+        sj = json.dumps({"type": "record", "name": "t", "fields": bad})
+        assert flat_block_encoder(sj) is None
