@@ -227,6 +227,7 @@ def minhash_candidates(
     bands: int = 16,
     shingle_k: int = 3,
     use_arrow_udf: bool = True,
+    spread: bool = True,
 ) -> DataFrame:
     """LSH candidate pairs: equal band-hash in any band, each pair
     emitted exactly once (from its first colliding band — no terminal
@@ -257,7 +258,11 @@ def minhash_candidates(
         sig = minhash_signature_fast(text_col, num_hashes, shingle_k)
     else:
         sig = minhash_signature(token_shingles(text_col, shingle_k), num_hashes)
-    with_sig = ensure_parallelism(df).select(F.col(id_col), sig.alias("sig"))
+    # spread=False: callers whose input is ALREADY cores-spread (the
+    # exact_collapse output) opt out — the probe here would otherwise
+    # stack a second round-robin exchange on top of the first
+    spread_df = ensure_parallelism(df) if spread else df
+    with_sig = spread_df.select(F.col(id_col), sig.alias("sig"))
     bhs = F.expr(
         f"transform(sequence(0, {bands - 1}), b -> "
         f"xxhash64(slice(sig, b * {rows_per_band} + 1, {rows_per_band})))"
@@ -1270,9 +1275,25 @@ def near_dup_pairs_minhash(
     reps, members = exact_collapse(df, id_col, text_col)
 
     cands = minhash_candidates(
-        reps, id_col, text_col, num_hashes, bands, shingle_k, use_arrow_udf
+        reps,
+        id_col,
+        text_col,
+        num_hashes,
+        bands,
+        shingle_k,
+        use_arrow_udf,
+        spread=False,  # exact_collapse output is already cores-spread
     )
-    toks = reps.select(
+    # toks source: on the no-duplicates branch reps ≡ df row-for-row but
+    # carries exact_collapse's round-robin exchange — pointless for this
+    # cheap per-row projection (it feeds a broadcast/join build, not a
+    # CPU-heavy kernel), and evaluated once per verify branch. Reading
+    # toks straight off the scan drops two full-text exchanges from the
+    # plan; on the collapsed branch reps is the right (smaller) frame.
+    toks_src = (
+        df.select(F.col(id_col), F.col(text_col)) if members is None else reps
+    )
+    toks = toks_src.select(
         F.col(id_col),
         F.expr(f"array_distinct(split(lower({text_col}), '\\\\s+'))").alias("toks"),
     )

@@ -429,7 +429,7 @@ def dedup_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     137 s → seconds at 100× replication)."""
     d = load_table(spark, sf_dir, "documents")
     reps, members = dd.exact_collapse(d)
-    cands = dd.minhash_candidates(reps)
+    cands = dd.minhash_candidates(reps, spread=False)
     return dd.expand_collapsed_pairs(cands, members)
 
 

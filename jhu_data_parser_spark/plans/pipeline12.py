@@ -1118,7 +1118,12 @@ def source_delta_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("cents"),
     )
-    write_delta(base.repartitionByRange(8, "k"), table, mode="overwrite")
+    # hash- rather than range-partitioned base layout: repartitionByRange
+    # pays a separate sampling job (~0.2 s at sf0.1, guide §2.4) and buys
+    # nothing here — the k % 10 == 3 update keys touch EVERY file under
+    # any layout, so the merge's touched-file set, rewrite footprint and
+    # final state are identical (oracle re-verified at sf0.001/sf0.01)
+    write_delta(base.repartition(8, "k"), table, mode="overwrite")
     src = (
         base.filter(F.col("k") % 10 == 3)
         .select("k", (F.col("cents") - 50).alias("cents"))
