@@ -381,8 +381,10 @@ def _v3_frames(spark: SparkSession, sf_dir: str) -> dict:
         & ~F.col("contam")
         & ~F.col("nd")
     ).select("doc_id")
-    doc_lines = d.join(surv, "doc_id").select(
-        "doc_id", "source", F.expr(_BOILER_LINES_SPARK).alias("lines")
+    doc_lines = (
+        d.join(surv, "doc_id")
+        .select("doc_id", "source", F.split("text", " ").alias("w"))
+        .select("doc_id", "source", F.expr(_BOILER_LINES_SPARK).alias("lines"))
     )
     ex = doc_lines.select(
         "doc_id", "source", F.posexplode("lines").alias("pos", "line")

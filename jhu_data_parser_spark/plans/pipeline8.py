@@ -235,13 +235,18 @@ def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 # byte sequence.
 # --------------------------------------------------------------------------
 
+# consumes a pre-split token column `w` (callers project
+# split(text, ' ') AS w first): HOF lambdas are interpreted with no
+# CSE, so an inline split(text) here re-tokenized the WHOLE text once
+# per 6-word chunk — O(len²/6) per doc (r14, same class as the
+# containment shingle fix)
 _BOILER_LINES_SPARK = """
     concat(
       filter(array(CASE WHEN doc_id % 4 = 0
                         THEN 'subscribe to our newsletter today' END),
              x -> x IS NOT NULL),
-      transform(sequence(0, CAST(ceil(size(split(text, ' ')) / 6.0) AS INT) - 1),
-                i -> array_join(slice(split(text, ' '), i * 6 + 1, 6), ' ')),
+      transform(sequence(0, CAST(ceil(size(w) / 6.0) AS INT) - 1),
+                i -> array_join(slice(w, i * 6 + 1, 6), ' ')),
       filter(array(CASE WHEN doc_id % 6 = 0
                         THEN 'copyright 2024 all rights reserved' END,
                    CASE WHEN doc_id % 9 = 0
@@ -294,8 +299,8 @@ def text_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     reassembled in original line order."""
     d = load_table(spark, sf_dir, "documents")
     doc_lines = d.select(
-        "doc_id", F.expr(_BOILER_LINES_SPARK).alias("lines")
-    )
+        "doc_id", F.split("text", " ").alias("w")
+    ).select("doc_id", F.expr(_BOILER_LINES_SPARK).alias("lines"))
     # n_lines rides the exploded rows: every doc keeps ≥1 organic line
     # (planted boilerplate never equals a 6-word soup chunk), so the
     # final rollup needs no join back to a second evaluation of the
@@ -487,16 +492,30 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lesson: long-key joins and long-array intersects beat ~17-char
     # string keys severalfold; the STRING-set oracle re-proves the
     # hashed counts, so the driver gate doubles as a collision check).
-    sh = reps.select(
-        "id",
-        F.expr(
-            "CASE WHEN size(split(text, ' ')) >= 3 "
-            "THEN array_distinct(transform("
-            "sequence(1, size(split(text, ' ')) - 2), "
-            "i -> xxhash64(concat_ws(' ', slice(split(text, ' '), i, 3))))) "
-            "ELSE CAST(array() AS ARRAY<BIGINT>) END"
-        ).alias("s"),
-    ).localCheckpoint(eager=False)
+    # Two-step hash (r14, guide §4.1 HOFs are interpreted — no CSE
+    # inside a lambda): the old one-expression form re-ran
+    # split(text) per ITERATION and built a shingle string per
+    # position (O(len²) per doc — measured 2.0 s for this stage);
+    # hashing each token once and then hashing consecutive token-hash
+    # TRIPLES natively is 0.5 s for identical per-doc set sizes.
+    # Equal 3-token windows still collide by construction and the
+    # prefix filter's recall holds for ANY tie-break (pigeonhole over
+    # any ⌊(1−τ)n⌋+1 subset), so the verified pair set is unchanged.
+    sh = (
+        reps.select("id", F.expr("transform(split(text, ' '), t -> xxhash64(t))").alias("th"))
+        .select(
+            "id",
+            F.expr(
+                "CASE WHEN size(th) >= 3 "
+                "THEN array_distinct(transform("
+                "sequence(1, size(th) - 2), "
+                "i -> xxhash64(element_at(th, i), element_at(th, i + 1), "
+                "element_at(th, i + 2)))) "
+                "ELSE CAST(array() AS ARRAY<BIGINT>) END"
+            ).alias("s"),
+        )
+        .localCheckpoint(eager=False)
+    )
     ex = sh.select("id", F.size("s").alias("n"), F.explode("s").alias("shingle"))
     # Global shingle rarity: ONE exchange of the exploded table (window
     # count over the shingle key), then the per-doc df-ascending prefix.
