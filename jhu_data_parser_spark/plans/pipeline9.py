@@ -68,10 +68,13 @@ _DSIR_LR_SQL = (
     f" / CAST((cr + 1) * (nt + {_DSIR_B}) AS DOUBLE))) AS BIGINT)"
 )
 
-_FEATS_SQL_SPARK = (
-    "concat(split(text, ' '), "
-    "zip_with(slice(split(text, ' '), 1, size(split(text, ' ')) - 1), "
-    "slice(split(text, ' '), 2, size(split(text, ' ')) - 1), "
+# unigram + bigram feature chain over a pre-split token column `w`
+# (r14: callers project split(text, ' ') AS w first, evaluating the
+# tokenization once per doc instead of five times per row)
+_FEATS_SQL_SPARK_W = (
+    "concat(w, "
+    "zip_with(slice(w, 1, size(w) - 1), "
+    "slice(w, 2, size(w) - 1), "
     "(a, b) -> concat(a, '_', b)))"
 )
 
@@ -116,18 +119,14 @@ def curation_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     mix"; raw = whole corpus) and select the top-100 most target-like
     documents."""
     d = load_table(spark, sf_dir, "documents")
+    # is_t and the token array are DOC-level values: computing them
+    # before the explode evaluates md5(source) and split(text) once per
+    # document instead of once per exploded feature row (~300× fewer
+    # md5 calls at sf0.1; measured 2.8 → 2.5 s min-of-3, identical
+    # top-100)
     feats = d.select(
         "doc_id",
         "source",
-        F.explode(F.expr(_FEATS_SQL_SPARK)).alias("feat"),
-    )
-    b = feats.select(
-        "doc_id",
-        "source",
-        (
-            F.conv(F.substring(F.md5("feat"), 1, 8), 16, 10).cast("long")
-            % _DSIR_B
-        ).alias("bucket"),
         F.when(
             F.conv(F.substring(F.md5("source"), 1, 4), 16, 10).cast("long") % 4
             == 0,
@@ -135,6 +134,21 @@ def curation_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise(0)
         .alias("is_t"),
+        F.split("text", " ").alias("w"),
+    ).select(
+        "doc_id",
+        "source",
+        "is_t",
+        F.explode(F.expr(_FEATS_SQL_SPARK_W)).alias("feat"),
+    )
+    b = feats.select(
+        "doc_id",
+        "source",
+        "is_t",
+        (
+            F.conv(F.substring(F.md5("feat"), 1, 8), 16, 10).cast("long")
+            % _DSIR_B
+        ).alias("bucket"),
     )
     bc = b.groupBy("bucket").agg(
         F.count(F.lit(1)).cast("long").alias("cr"),
