@@ -805,20 +805,23 @@ def lr_quality_raw_frame(df: DataFrame, text_col: str = "text") -> DataFrame:
     if n_scan < sc.defaultParallelism:
         df = df.repartition(sc.defaultParallelism, "doc_id")
     stop_sql = ", ".join(f"'{s}'" for s in _LR_STOPWORDS)
-    toks = F.split(F.col(text_col), " ")
-    n = F.size(toks).cast("long")
-    letters = (F.length(text_col) - (F.size(toks) - 1)).cast("long")
+    # tokenize ONCE per row per branch (r14): the previous inline form
+    # re-ran split(text) 3-5 times per row across the stat and feature
+    # expressions — pure expression cost, identical values
+    toked = df.select("doc_id", F.col(text_col).alias("__t"), F.split(text_col, " ").alias("__w"))
+    n = F.size("__w").cast("long")
+    letters = (F.length("__t") - (F.size("__w") - 1)).cast("long")
     n_hash = (
-        F.length(text_col)
-        - F.length(F.replace(F.col(text_col), F.lit("#"), F.lit("")))
+        F.length("__t")
+        - F.length(F.replace(F.col("__t"), F.lit("#"), F.lit("")))
     ).cast("long")
     n_nonalpha = F.expr(
-        f"size(filter(split({text_col}, ' '), w -> NOT (w rlike '[a-z]')))"
+        "size(filter(__w, w -> NOT (w rlike '[a-z]')))"
     ).cast("long")
     n_stop = F.expr(
-        f"size(array_intersect(split({text_col}, ' '), array({stop_sql})))"
+        f"size(array_intersect(__w, array({stop_sql})))"
     ).cast("long")
-    stats = df.select(
+    stats = toked.select(
         "doc_id",
         n.alias("n"),
         letters.alias("letters"),
@@ -826,14 +829,14 @@ def lr_quality_raw_frame(df: DataFrame, text_col: str = "text") -> DataFrame:
         n_nonalpha.alias("nna"),
         n_stop.alias("ns"),
     )
-    feats = df.select(
+    feats = toked.select(
         "doc_id",
-        (2 * F.size(F.split(text_col, " ")) - 1).cast("long").alias("nf"),
+        (2 * F.size("__w") - 1).cast("long").alias("nf"),
         F.explode(
             F.expr(
-                f"concat(split({text_col}, ' '), "
-                f"zip_with(slice(split({text_col}, ' '), 1, size(split({text_col}, ' ')) - 1), "
-                f"slice(split({text_col}, ' '), 2, size(split({text_col}, ' ')) - 1), "
+                "concat(__w, "
+                "zip_with(slice(__w, 1, size(__w) - 1), "
+                "slice(__w, 2, size(__w) - 1), "
                 "(a, b) -> concat(a, '_', b)))"
             )
         ).alias("feat"),
