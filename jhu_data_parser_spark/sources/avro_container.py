@@ -677,7 +677,25 @@ def flat_block_encoder(schema_json: str):
         return col.tolist() if hasattr(col, "tolist") else list(col)
 
     def _enc_fixed(col, dt: str, width: int, nullable: bool) -> list[bytes]:
-        arr = np.ascontiguousarray(np.asarray(col, dtype=dt))
+        raw = np.asarray(col)
+        # Match the per-record writer's failure modes instead of numpy's
+        # silent coercions (ADVICE r14): float(None) raises TypeError
+        # there, so a None in a NON-nullable column must raise here too
+        # (np.asarray(None, float) would silently write NaN); and
+        # struct.pack('<f', 1e40) raises OverflowError, so a finite
+        # double that lands outside float32 range must not silently
+        # become inf. Nullable columns keep the documented NaN/None →
+        # null coercion.
+        if not nullable and raw.dtype == object:
+            for v in raw.tolist():
+                if v is None:
+                    raise TypeError("avro: null value for non-null field")
+        arr = np.ascontiguousarray(raw.astype(dt, copy=False))
+        if width == 4 and raw.dtype != np.float32:
+            wide = raw.astype("<f8", copy=False)
+            clipped = np.isinf(arr) & np.isfinite(wide)
+            if clipped.any():
+                raise OverflowError("avro: float out of range for float32")
         n = len(arr)
         if nullable:
             pre = np.empty((n, width + 1), dtype=np.uint8)

@@ -551,3 +551,36 @@ def test_flat_block_encoder_bails_on_complex_schemas():
     ):
         sj = json.dumps({"type": "record", "name": "t", "fields": bad})
         assert flat_block_encoder(sj) is None
+
+
+def test_flat_block_encoder_raises_like_per_record_writer():
+    """Schema-violating input must fail loudly, exactly where the
+    per-record writer fails (ADVICE r14): None in a NON-nullable
+    double/float column raises TypeError (never silently NaN), and a
+    finite double outside float32 range raises OverflowError (never
+    silently inf). A genuine inf survives both paths."""
+    import struct
+
+    sj = json.dumps(
+        {
+            "type": "record",
+            "name": "t",
+            "fields": [{"name": "a", "type": "double"}],
+        }
+    )
+    enc = flat_block_encoder(sj)
+    with pytest.raises(TypeError):
+        enc([[1.0, None]])
+
+    sjf = json.dumps(
+        {
+            "type": "record",
+            "name": "t",
+            "fields": [{"name": "a", "type": "float"}],
+        }
+    )
+    encf = flat_block_encoder(sjf)
+    with pytest.raises(OverflowError):
+        encf([[1e40]])
+    # a true infinity is representable and must still encode
+    assert encf([[float("inf")]]) == struct.pack("<f", float("inf"))
