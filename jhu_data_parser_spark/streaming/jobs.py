@@ -181,6 +181,55 @@ def _write_empty_sink(target: str, ddl: str) -> None:
         pass
 
 
+def _union_by_tag(frames: list) -> DataFrame:
+    """Superset-schema union of several per-batch sink frames, each row
+    tagged with its sink name — so one micro-batch lands ALL its sinks
+    through ONE write job and ONE ``_SUCCESS`` commit instead of one
+    job+commit per sink (guide §1.2: the per-batch job submission +
+    file-commit overhead was the measured latency floor of the
+    incremental streams, 0.3–1.5 s per sink at harness scale).
+    ``frames`` is ``[(tag, df), ...]``; the caller writes the union
+    with ``partition_by=["tag"]`` so each logical sink stays separately
+    readable with partition pruning. Columns absent from a frame are
+    null-padded — null columns encode to almost nothing in parquet.
+    ``partitionBy`` on a write never shuffles: each branch's rows carry
+    exactly one tag value, so the file layout (and file count) per
+    sink is the same as separate writes. Atomicity strictly improves:
+    the per-batch sinks commit together or not at all, so a crash can
+    no longer leave e.g. segments committed but state missing."""
+    cols: list = []  # (name, dataType) in first-appearance order
+    seen: set = set()
+    for _tag, df in frames:
+        for f in df.schema.fields:
+            if f.name not in seen:
+                seen.add(f.name)
+                cols.append((f.name, f.dataType))
+    out = None
+    for tag, df in frames:
+        have = set(df.columns)
+        part = df.select(
+            F.lit(tag).alias("tag"),
+            *[
+                F.col(n) if n in have else F.lit(None).cast(t).alias(n)
+                for n, t in cols
+            ],
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+def _tag_read(
+    spark: SparkSession, root: str, tag: str, cols: list
+) -> DataFrame:
+    """Read back ONE logical sink from a tag-partitioned per-batch
+    union dir (:func:`_union_by_tag` layout ``batch_id=N/tag=X``).
+    The tag equality is a partition filter — pruned at the file index,
+    so each sink read touches only its own files."""
+    return (
+        spark.read.parquet(root).filter(F.col("tag") == tag).select(*cols)
+    )
+
+
 def _rocksdb_provider_available(spark: SparkSession) -> bool:
     """True when the RocksDB state-store provider's JNI bundle is
     loadable in this Spark build — the provider switch must degrade to
@@ -1490,28 +1539,32 @@ def run_pack_batches_incremental_stream(
     # checkpoint recomputes batch ids 0..N, finds every sink committed,
     # skips all writes, and reads back identical rows).
     if work_dir is None:
-        out_dir = _cleanup_at_exit(tempfile.mkdtemp(prefix="jdps_pack_segs_"))
-        state_dir = _cleanup_at_exit(tempfile.mkdtemp(prefix="jdps_pack_state_"))
-    else:
-        out_dir = os.path.join(work_dir, "segments")
-        state_dir = os.path.join(work_dir, "state")
-        os.makedirs(out_dir, exist_ok=True)
-        os.makedirs(state_dir, exist_ok=True)
+        work_dir = _cleanup_at_exit(tempfile.mkdtemp(prefix="jdps_pack_wd_"))
+    # ONE tag-partitioned sink root (segments + state): one write job +
+    # one _SUCCESS commit per micro-batch instead of two (guide §1.2)
+    sink_root = os.path.join(work_dir, "sinks")
+    os.makedirs(sink_root, exist_ok=True)
     ckpt = _cleanup_at_exit(tempfile.mkdtemp(prefix="jdps_pack_ckpt_"))
 
-    _write_empty_sink(
-        os.path.join(state_dir, "batch_id=-1"), "source string, off_tok long"
+    snap_schema = (
+        "source string, doc_id long, n_tok long, pack_id long, off_tok long"
     )
     _write_empty_sink(
-        os.path.join(out_dir, "batch_id=-1"),
-        "source string, doc_id long, n_tok long, pack_id long",
+        os.path.join(sink_root, "batch_id=-1", "tag=bootstrap"), snap_schema
     )
 
     def _batch(bdf: DataFrame, batch_id: int) -> None:
-        seg_dir = os.path.join(out_dir, f"batch_id={batch_id}")
-        st_dir = os.path.join(state_dir, f"batch_id={batch_id}")
-        prev = spark.read.parquet(
-            os.path.join(state_dir, f"batch_id={batch_id - 1}")
+        tgt = os.path.join(sink_root, f"batch_id={batch_id}")
+        if os.path.exists(os.path.join(tgt, "_SUCCESS")):
+            return  # committed by a prior attempt: skip recompute too
+        prev = (
+            spark.read.schema(snap_schema + ", batch_id int, tag string")
+            .parquet(sink_root)
+            .filter(
+                (F.col("batch_id") == batch_id - 1)
+                & (F.col("tag") == "state")
+            )
+            .select("source", "off_tok")
         )
         surv = _pack_gate_survivors(bdf, bench)
         w = (
@@ -1534,11 +1587,15 @@ def run_pack_batches_incremental_stream(
                 ).alias("pack_id"),
             )
         )
-        _write_batch_once(seg, seg_dir)
-        # derive the next offset table from the COMMITTED segment so a
-        # restart retry reproduces it exactly
-        seg_rb = spark.read.parquet(seg_dir)
-        bsum = seg_rb.groupBy("source").agg(
+        # next-offset table from the SAME lineage as the segment (the
+        # per-source window exchange is shared across both branches of
+        # the merged write). Restart-exact without the committed-read
+        # round trip the two-commit form needed: seg is a deterministic
+        # function of (checkpointed batch file set, committed state
+        # N−1), and the union write commits seg and state ATOMICALLY —
+        # the crash window where segments existed without their state
+        # (the reason the read-back existed) is gone.
+        bsum = seg.groupBy("source").agg(
             F.sum("n_tok").cast("long").alias("b_tok")
         )
         new_state = (
@@ -1553,7 +1610,11 @@ def run_pack_batches_incremental_stream(
                 .alias("off_tok"),
             )
         )
-        _write_batch_once(new_state, st_dir)
+        _write_batch_once(
+            _union_by_tag([("seg", seg), ("state", new_state)]),
+            tgt,
+            partition_by=["tag"],
+        )
 
     schema = docs.schema
     q = (
@@ -1567,7 +1628,9 @@ def run_pack_batches_incremental_stream(
     )
     q.awaitTermination()
 
-    segs = spark.read.parquet(out_dir)
+    segs = _tag_read(
+        spark, sink_root, "seg", ["source", "doc_id", "n_tok", "pack_id"]
+    )
     return segs.groupBy("source", "pack_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("n_tok").cast("long").alias("n_tokens"),
@@ -1669,30 +1732,22 @@ def _run_dialog_threads_incremental_impl(
         os.utime(path, (now + 30 * k, now + 30 * k))
 
     if work_dir is None:
-        out_dir = _cleanup_at_exit(tempfile.mkdtemp(prefix="jdps_dlg_segs_"))
-        state_dir = _cleanup_at_exit(tempfile.mkdtemp(prefix="jdps_dlg_state_"))
-    else:
-        out_dir = os.path.join(work_dir, "segments")
-        state_dir = os.path.join(work_dir, "state")
-        os.makedirs(out_dir, exist_ok=True)
-        os.makedirs(state_dir, exist_ok=True)
+        work_dir = _cleanup_at_exit(tempfile.mkdtemp(prefix="jdps_dlg_wd_"))
+    # ONE tag-partitioned sink root (segments + state): one write job +
+    # one _SUCCESS commit per micro-batch instead of two (guide §1.2),
+    # and the bootstrap is a ~1 ms driver-side pyarrow footer instead
+    # of two full Spark empty-write jobs (0.3–1.5 s each).
+    sink_root = os.path.join(work_dir, "sinks")
+    os.makedirs(sink_root, exist_ok=True)
     ckpt = _cleanup_at_exit(tempfile.mkdtemp(prefix="jdps_dlg_ckpt_"))
 
-    _write_batch_once(
-        spark.createDataFrame(
-            [],
-            "user_id long, st_sec double, st_role string,"
-            " st_sess long, st_turn long",
-        ),
-        os.path.join(state_dir, "batch_id=-1"),
+    snap_schema = (
+        "user_id long, session_no long, turn_no long, role string,"
+        " n_events long, evt_checksum long, min_us long, max_us long,"
+        " st_sec double, st_role string, st_sess long, st_turn long"
     )
-    _write_batch_once(
-        spark.createDataFrame(
-            [],
-            "user_id long, session_no long, turn_no long, role string,"
-            " n_events long, evt_checksum long, min_us long, max_us long",
-        ),
-        os.path.join(out_dir, "batch_id=-1"),
+    _write_empty_sink(
+        os.path.join(sink_root, "batch_id=-1", "tag=bootstrap"), snap_schema
     )
 
     # shared constants — the stream must never drift from the batch
@@ -1703,10 +1758,17 @@ def _run_dialog_threads_incremental_impl(
     gap = _GAP_SEC
 
     def _batch(bdf: DataFrame, batch_id: int) -> None:
-        seg_dir = os.path.join(out_dir, f"batch_id={batch_id}")
-        st_dir = os.path.join(state_dir, f"batch_id={batch_id}")
-        prev = spark.read.parquet(
-            os.path.join(state_dir, f"batch_id={batch_id - 1}")
+        tgt = os.path.join(sink_root, f"batch_id={batch_id}")
+        if os.path.exists(os.path.join(tgt, "_SUCCESS")):
+            return  # committed by a prior attempt: skip recompute too
+        prev = (
+            spark.read.schema(snap_schema + ", batch_id int, tag string")
+            .parquet(sink_root)
+            .filter(
+                (F.col("batch_id") == batch_id - 1)
+                & (F.col("tag") == "state")
+            )
+            .select("user_id", "st_sec", "st_role", "st_sess", "st_turn")
         )
         role = dialog_role_expr()
         e = bdf.select(
@@ -1749,7 +1811,6 @@ def _run_dialog_threads_incremental_impl(
             F.min("us").cast("long").alias("min_us"),
             F.max("us").cast("long").alias("max_us"),
         )
-        _write_batch_once(seg, seg_dir)
         # end-of-batch per-user tail (max by (ts, event_id)) + counters
         tail = s.groupBy("user_id").agg(
             F.max(F.struct("ts", "event_id", "sec", "role")).alias("last"),
@@ -1769,7 +1830,19 @@ def _run_dialog_threads_incremental_impl(
             F.coalesce("b_sess", "st_sess").cast("long").alias("st_sess"),
             F.coalesce("b_turn", "st_turn").cast("long").alias("st_turn"),
         )
-        _write_batch_once(new_state, st_dir)
+        # one union-by-tag write: seg and new_state both derive from
+        # the same user_id window exchange, so the merged job shares
+        # that shuffle across both branches and commits atomically —
+        # seg and state can no longer diverge across a crash (the
+        # previous two-commit form could leave segments committed with
+        # state missing; both sinks are deterministic functions of
+        # (checkpointed batch file set, committed state N−1), so the
+        # single recompute-and-commit is restart-exact)
+        _write_batch_once(
+            _union_by_tag([("seg", seg), ("state", new_state)]),
+            tgt,
+            partition_by=["tag"],
+        )
 
     # schema from the STAGED chunks, not the source: DuckDB's COPY
     # always writes timestamp[us], so the chunk schema is uniform even
@@ -1790,7 +1863,21 @@ def _run_dialog_threads_incremental_impl(
     )
     q.awaitTermination()
 
-    segs = spark.read.parquet(out_dir)
+    segs = _tag_read(
+        spark,
+        sink_root,
+        "seg",
+        [
+            "user_id",
+            "session_no",
+            "turn_no",
+            "role",
+            "n_events",
+            "evt_checksum",
+            "min_us",
+            "max_us",
+        ],
+    )
     t = segs.groupBy("user_id", "session_no", "turn_no", "role").agg(
         F.sum("n_events").cast("long").alias("n_events"),
         F.sum("evt_checksum").cast("long").alias("evt_checksum"),
@@ -1889,40 +1976,48 @@ def run_substring_spans_incremental_stream(
 
     if work_dir is None:
         work_dir = _cleanup_at_exit(tempfile.mkdtemp(prefix="jdps_subs_wd_"))
-    index_dir = os.path.join(work_dir, "index")
-    seeds_dir = os.path.join(work_dir, "seeds")
-    state_dir = os.path.join(work_dir, "state")
-    dfs_dir = os.path.join(work_dir, "dfs")
-    for p in (index_dir, seeds_dir, state_dir, dfs_dir):
-        os.makedirs(p, exist_ok=True)
+    # ONE tag-partitioned sink root for all four logical sinks
+    # (index / seeds / state / dfs): each micro-batch commits
+    # ``batch_id=N/tag=*`` through a single write job + _SUCCESS
+    # (guide §1.2 — was 4 commits per batch; the commit protocol is
+    # sequential driver work, so 4 sinks ≈ 4× the floor).
+    sink_root = os.path.join(work_dir, "sinks")
+    os.makedirs(sink_root, exist_ok=True)
     ckpt = _cleanup_at_exit(tempfile.mkdtemp(prefix="jdps_subs_ckpt_"))
 
-    from concurrent.futures import ThreadPoolExecutor
-
+    # one superset-schema bootstrap file so the first batch's union
+    # reads resolve a schema (tag 'bootstrap' matches no sink filter)
     _write_empty_sink(
-        os.path.join(index_dir, "batch_id=-1"), "doc long, pos long, gh string"
-    )
-    _write_empty_sink(
-        os.path.join(seeds_dir, "batch_id=-1"),
-        "doc_a long, doc_b long, pos_a long, pos_b long, gh string",
-    )
-    _write_empty_sink(
-        os.path.join(state_dir, "batch_id=-1"), "xh long, mh string"
-    )
-    _write_empty_sink(
-        os.path.join(dfs_dir, "batch_id=-1"), "gh string, df_part long"
+        os.path.join(sink_root, "batch_id=-1", "tag=bootstrap"),
+        "doc long, pos long, gh long, xh long, mh string,"
+        " df_part long, doc_a long, doc_b long, pos_a long, pos_b long",
     )
 
-    gram_expr = (
-        f"transform(sequence(1, size(toks) - {_SUB_K - 1}), i -> "
-        f"struct(CAST(i AS BIGINT) AS pos, "
-        f"substr(md5(array_join(slice(toks, i, {_SUB_K}), ' ')), 1, 16)"
-        " AS gh))"
+    from jhu_data_parser_spark.operators.dedup import (
+        positional_gram_postings,
+    )
+
+    # explicit read schema for the per-batch snapshot reads: at ~15
+    # driver-bound micro-jobs per sub-second micro-batch, even the
+    # one-task parquet footer probe that schema inference runs per
+    # spark.read.parquet() is a measurable slice of the batch floor
+    snap_schema = (
+        "doc long, pos long, gh long, xh long, mh string,"
+        " df_part long, doc_a long, doc_b long, pos_a long, pos_b long,"
+        " batch_id int, tag string"
     )
 
     def _batch(bdf: DataFrame, batch_id: int) -> None:
-        prev_state = spark.read.parquet(state_dir)
-        old_index = spark.read.parquet(index_dir).select("doc", "pos", "gh")
+        tgt = os.path.join(sink_root, f"batch_id={batch_id}")
+        if os.path.exists(os.path.join(tgt, "_SUCCESS")):
+            return  # committed by a prior attempt: skip recompute too
+        # ONE snapshot read serves all three state look-backs (state /
+        # index / dfs) — one file listing, no schema-probe job
+        snap = spark.read.schema(snap_schema).parquet(sink_root)
+        prev_state = snap.filter(F.col("tag") == "state").select("xh", "mh")
+        old_index = snap.filter(F.col("tag") == "index").select(
+            "doc", "pos", "gh"
+        )
         reps = (
             bdf.filter(F.length("text") > 0)
             .groupBy(F.xxhash64("text").alias("xh"), F.md5("text").alias("mh"))
@@ -1930,20 +2025,15 @@ def run_substring_spans_incremental_stream(
                 F.min("doc_id").alias("doc"),
                 F.min_by("text", "doc_id").alias("text"),
             )
-            .join(prev_state.select("xh", "mh"), ["xh", "mh"], "anti")
+            .join(prev_state, ["xh", "mh"], "anti")
         )
         fresh = reps.select(
             "xh",
             "mh",
             "doc",
             F.split(F.lower("text"), " ").alias("toks"),
-        ).localCheckpoint(eager=False)
-        postings = (
-            fresh.filter(F.size("toks") >= _SUB_K)
-            .select("doc", F.explode(F.expr(gram_expr)).alias("pg"))
-            .select("doc", "pg.pos", "pg.gh")
-            .localCheckpoint(eager=False)
         )
+        postings = positional_gram_postings(fresh, _SUB_K)
         # over-cap stoplist from the merged df partials (disjoint docs
         # per batch ⇒ running df = SUM of partials): a gram past the
         # cap can only grow, so dropping it from seed generation now
@@ -1951,15 +2041,14 @@ def run_substring_spans_incremental_stream(
         # the O(df²) seed rows it would have emitted meanwhile. Full
         # postings still reach the index so final df stays exact.
         stop = (
-            spark.read.parquet(dfs_dir)
+            snap.filter(F.col("tag") == "dfs")
+            .select("gh", "df_part")
             .groupBy("gh")
             .agg(F.sum("df_part").alias("df_run"))
             .filter(F.col("df_run") > _SUB_DF_CAP)
             .select("gh")
         )
-        gated = postings.join(stop, "gh", "anti").localCheckpoint(
-            eager=False
-        )
+        gated = postings.join(stop, "gh", "anti")
         new_old = (
             old_index.select(
                 F.col("doc").alias("doc_a"),
@@ -1991,35 +2080,50 @@ def run_substring_spans_incremental_stream(
             .filter(F.col("doc_a") < F.col("doc_b"))
             .select("doc_a", "doc_b", "pos_a", "pos_b", "gh")
         )
-        # The seeds write runs FIRST and alone: it is the only sink
-        # that consumes the banded joins, and running it materializes
-        # the lazily-checkpointed fresh/postings/gated frames exactly
-        # once. The remaining three sinks are then cheap derived jobs
-        # over already-checkpointed parents with no mutual dependency
-        # — submit them concurrently (guide §2.6) so the micro-batch
-        # pays one tail, not three back-to-back driver-bound commits
-        # (measured r14: 12.0 → 9.4 s min-of-2 for the whole stream).
-        _write_batch_once(
-            new_old.unionByName(new_new),
-            os.path.join(seeds_dir, f"batch_id={batch_id}"),
+        # per-batch per-gram df partial: explode each doc's DISTINCT
+        # grams once and count — ONE map-side-partial exchange, vs
+        # countDistinct(doc) over the exploded postings which plans a
+        # two-round distinct aggregate (an extra AQE stage job on a
+        # sub-second batch). Equivalent by construction: a doc counts
+        # once per gram either way.
+        dfs_part = (
+            fresh.filter(F.size("toks") >= _SUB_K)
+            .select(
+                F.expr("transform(toks, t -> xxhash64(t))").alias("th")
+            )
+            .select(
+                F.explode(
+                    F.expr(
+                        "array_distinct(transform(sequence(1, size(th)"
+                        f" - {_SUB_K - 1}), i -> xxhash64("
+                        + ", ".join(
+                            f"element_at(th, i + {j})"
+                            for j in range(_SUB_K)
+                        )
+                        + ")))"
+                    )
+                ).alias("gh")
+            )
+            .groupBy("gh")
+            .agg(F.count(F.lit(1)).cast("long").alias("df_part"))
         )
-        tail = [
-            (postings, os.path.join(index_dir, f"batch_id={batch_id}")),
-            (
-                fresh.select("xh", "mh"),
-                os.path.join(state_dir, f"batch_id={batch_id}"),
+        # ONE job + ONE commit per micro-batch (was: seeds job+commit,
+        # then three concurrent tail commits — 4 sink commits/batch).
+        # No lazy checkpoints: every union branch sits on top of the
+        # reps exchange, so the expensive stages are shared shuffle
+        # reads; the narrow re-tokenization per branch is ~1.6k docs.
+        _write_batch_once(
+            _union_by_tag(
+                [
+                    ("seeds", new_old.unionByName(new_new)),
+                    ("index", postings),
+                    ("state", fresh.select("xh", "mh")),
+                    ("dfs", dfs_part),
+                ]
             ),
-            (
-                postings.groupBy("gh").agg(
-                    F.countDistinct("doc").cast("long").alias("df_part")
-                ),
-                os.path.join(dfs_dir, f"batch_id={batch_id}"),
-            ),
-        ]
-        with ThreadPoolExecutor(max_workers=3) as sink_pool:
-            list(pool_err for pool_err in sink_pool.map(
-                lambda s: _write_batch_once(s[0], s[1]), tail
-            ))
+            tgt,
+            partition_by=["tag"],
+        )
 
     schema = spark.read.parquet(stage).schema
     q = (
@@ -2033,7 +2137,7 @@ def run_substring_spans_incremental_stream(
     )
     q.awaitTermination()
 
-    index = spark.read.parquet(index_dir)
+    index = _tag_read(spark, sink_root, "index", ["doc", "pos", "gh"])
     mg = (
         index.groupBy("gh")
         .agg(F.countDistinct("doc").alias("df_docs"))
@@ -2043,7 +2147,12 @@ def run_substring_spans_incremental_stream(
         .select("gh")
     )
     seeds = (
-        spark.read.parquet(seeds_dir)
+        _tag_read(
+            spark,
+            sink_root,
+            "seeds",
+            ["doc_a", "doc_b", "pos_a", "pos_b", "gh"],
+        )
         .join(mg, "gh")
         .select(
             "doc_a",
@@ -2131,22 +2240,25 @@ def run_graph_index_append_stream(
 
     if work_dir is None:
         work_dir = _cleanup_at_exit(tempfile.mkdtemp(prefix="jdps_gidx_wd_"))
-    post_dir = os.path.join(work_dir, "postings")
-    edge_dir = os.path.join(work_dir, "edges")
-    for p in (post_dir, edge_dir):
-        os.makedirs(p, exist_ok=True)
+    # ONE tag-partitioned sink root (postings + edges): one write job +
+    # one _SUCCESS commit per micro-batch instead of two (guide §1.2)
+    sink_root = os.path.join(work_dir, "sinks")
+    os.makedirs(sink_root, exist_ok=True)
     ckpt = _cleanup_at_exit(tempfile.mkdtemp(prefix="jdps_gidx_ckpt_"))
 
     band_cols = ", ".join(f"b{b} long" for b in range(_GA_BANDS))
-    _write_empty_sink(
-        os.path.join(post_dir, "batch_id=-1"),
-        f"id long, {band_cols}, q array<bigint>",
+    snap_schema = (
+        f"id long, {band_cols}, q array<bigint>,"
+        " src long, dst long, rank int"
     )
     _write_empty_sink(
-        os.path.join(edge_dir, "batch_id=-1"), "src long, dst long, rank int"
+        os.path.join(sink_root, "batch_id=-1", "tag=bootstrap"), snap_schema
     )
 
     def _batch(bdf: DataFrame, batch_id: int) -> None:
+        tgt = os.path.join(sink_root, f"batch_id={batch_id}")
+        if os.path.exists(os.path.join(tgt, "_SUCCESS")):
+            return  # committed by a prior attempt: skip recompute too
         corpus = bdf.filter(F.col("vec_id") != 0)
         new_posts = (
             corpus.select(
@@ -2170,8 +2282,10 @@ def run_graph_index_append_stream(
             .localCheckpoint(eager=False)
         )
         all_posts = (
-            spark.read.parquet(post_dir)
-            .drop("batch_id")
+            spark.read.schema(snap_schema + ", batch_id int, tag string")
+            .parquet(sink_root)
+            .filter(F.col("tag") == "posts")
+            .select("id", *[f"b{b}" for b in range(_GA_BANDS)], "q")
             .unionByName(new_posts)
         )
         pairs = None
@@ -2203,13 +2317,21 @@ def run_graph_index_append_stream(
             include_rank=True,
         )
         # per-batch artifacts are a few thousand rows — one file each
-        # (a production append would target file sizes, not task count)
+        # (a production append would target file sizes, not task count).
+        # One union-by-tag write: a commit-free noop materializes the
+        # lazily-checkpointed new_posts first so the edges ranking and
+        # the posts branch both read the checkpoint cache, then both
+        # sinks commit atomically through one job + one _SUCCESS.
+        new_posts.write.format("noop").mode("overwrite").save()
         _write_batch_once(
-            edges.coalesce(1), os.path.join(edge_dir, f"batch_id={batch_id}")
-        )
-        _write_batch_once(
-            new_posts.coalesce(1),
-            os.path.join(post_dir, f"batch_id={batch_id}"),
+            _union_by_tag(
+                [
+                    ("posts", new_posts.coalesce(1)),
+                    ("edges", edges.coalesce(1)),
+                ]
+            ),
+            tgt,
+            partition_by=["tag"],
         )
 
     schema = spark.read.parquet(stage).schema
@@ -2236,7 +2358,7 @@ def run_graph_index_append_stream(
             spark.conf.unset("spark.sql.shuffle.partitions")
         else:
             spark.conf.set("spark.sql.shuffle.partitions", prior_sp)
-    return spark.read.parquet(edge_dir).select("src", "dst", "rank")
+    return _tag_read(spark, sink_root, "edges", ["src", "dst", "rank"])
 
 
 def run_delta_append_stream(

@@ -142,11 +142,15 @@ def test_incremental_pack_stream_is_multibatch_and_idempotent(spark, tmp_path):
     )
     assert r1
     for b in range(3):
-        for sub in ("segments", "state"):
-            marker = os.path.join(wd, sub, f"batch_id={b}", "_SUCCESS")
-            assert os.path.exists(marker), marker
+        # one tag-partitioned commit per batch (segments + state)
+        marker = os.path.join(wd, "sinks", f"batch_id={b}", "_SUCCESS")
+        assert os.path.exists(marker), marker
+        for tag in ("seg", "state"):
+            assert os.path.isdir(
+                os.path.join(wd, "sinks", f"batch_id={b}", f"tag={tag}")
+            )
     # tamper-check: record mtimes, re-run, nothing rewritten
-    seg0 = os.path.join(wd, "segments", "batch_id=0", "_SUCCESS")
+    seg0 = os.path.join(wd, "sinks", "batch_id=0", "_SUCCESS")
     mtime_before = os.path.getmtime(seg0)
     r2 = sorted(
         tuple(r)
@@ -171,14 +175,20 @@ def test_incremental_pack_state_carries_offsets(spark, tmp_path):
     wd = str(tmp_path / "packwork2")
     run_pack_batches_incremental_stream(spark, SF_SMOKE, work_dir=wd).collect()
     state = defaultdict(dict)
-    for b in range(-1, 3):
-        p = os.path.join(wd, "state", f"batch_id={b}")
-        for r in spark.read.parquet(p).collect():
-            state[b][r.source] = r.off_tok
+    snap = spark.read.parquet(os.path.join(wd, "sinks")).filter(
+        "tag = 'state'"
+    )
+    for r in snap.select("batch_id", "source", "off_tok").collect():
+        state[r.batch_id][r.source] = r.off_tok
     for b in range(0, 3):
         for src, off in state[b].items():
             assert off >= state[b - 1].get(src, 0)
-    segs = spark.read.parquet(os.path.join(wd, "segments")).collect()
+    segs = (
+        spark.read.parquet(os.path.join(wd, "sinks"))
+        .filter("tag = 'seg'")
+        .select("source", "n_tok")
+        .collect()
+    )
     per_src = defaultdict(int)
     for r in segs:
         per_src[r.source] += r.n_tok
@@ -275,10 +285,13 @@ def test_incremental_dialog_threads_merge_across_batches(spark, tmp_path):
         .collect()
     )
     assert got == want
-    # the long run must appear as partials in >1 batch segment
+    # the long run must appear as partials in >1 batch segment (sinks
+    # land in ONE tag-partitioned dir per batch — one commit per batch)
     from pyspark.sql import functions as F2
 
-    segs = spark.read.parquet(os.path.join(wd, "segments"))
+    segs = spark.read.parquet(os.path.join(wd, "sinks")).filter(
+        "tag = 'seg'"
+    )
     spans = (
         segs.groupBy("user_id", "session_no", "turn_no")
         .agg(F2.countDistinct("batch_id").alias("nb"))
@@ -287,7 +300,7 @@ def test_incremental_dialog_threads_merge_across_batches(spark, tmp_path):
     )
     assert spans > 0
     # idempotent re-run
-    seg0 = os.path.join(wd, "segments", "batch_id=0", "_SUCCESS")
+    seg0 = os.path.join(wd, "sinks", "batch_id=0", "_SUCCESS")
     mtime = os.path.getmtime(seg0)
     got2 = sorted(
         tuple(r)

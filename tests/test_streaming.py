@@ -606,7 +606,7 @@ def test_incremental_topology_sequence_with_crash_restart(spark, tmp_path):
             spark, SF_SMOKE, work_dir=pack_wd
         ).collect()
     )
-    seg_root = os.path.join(pack_wd, "segments")
+    seg_root = os.path.join(pack_wd, "sinks")
     batch_ids = sorted(
         int(d.split("=")[1])
         for d in os.listdir(seg_root)
@@ -614,9 +614,9 @@ def test_incremental_topology_sequence_with_crash_restart(spark, tmp_path):
     )
     assert len(batch_ids) >= 2, "need multiple micro-batches to crash between"
     last = batch_ids[-1]
-    # crash: batch `last` computed but never committed
+    # crash: batch `last` computed but never committed (segments and
+    # state now commit atomically in one tag-partitioned dir)
     shutil.rmtree(os.path.join(seg_root, f"batch_id={last}"))
-    shutil.rmtree(os.path.join(pack_wd, "state", f"batch_id={last}"))
     first_success = os.path.join(seg_root, "batch_id=0", "_SUCCESS")
     mtime0 = os.path.getmtime(first_success)
 

@@ -285,13 +285,16 @@ def test_substring_spans_stream_cross_batch_discovery(spark, tmp_path):
     assert got == [(0, 20, 5, 11, 16)]
     assert sorted(got) == sorted(want)
     # the seed rows for the pair live in the LAST batch's seed segment
-    # (new x old probe), proving cross-batch discovery
-    seeds = spark.read.parquet(os.path.join(wd, "seeds"))
+    # (new x old probe), proving cross-batch discovery (sinks land in
+    # ONE tag-partitioned dir per batch — one commit per micro-batch)
+    seeds = spark.read.parquet(os.path.join(wd, "sinks")).filter(
+        "tag = 'seeds'"
+    )
     assert (
         seeds.filter("doc_a = 0 AND doc_b = 20 AND batch_id = 2").count() > 0
     )
     # idempotent re-run: committed sinks untouched, identical result
-    s0 = os.path.join(wd, "index", "batch_id=0", "_SUCCESS")
+    s0 = os.path.join(wd, "sinks", "batch_id=0", "_SUCCESS")
     mtime = os.path.getmtime(s0)
     got2 = [
         tuple(r)
