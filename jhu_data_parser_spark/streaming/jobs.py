@@ -60,9 +60,65 @@ def _rmtree_now(path: str) -> None:
 _STATE_PARTITIONS_ENV = "SPARK_GRAFT_STREAM_STATE_PARTITIONS"
 
 
-def stream_state_partitions() -> int:
-    """Default shuffle/state partition count for this engine's
-    availableNow streaming runs.
+_STATE_PARTITIONS_FLOOR = 8
+
+
+def _conf_bytes(spark: SparkSession, key: str, default: int) -> int:
+    """Read a Spark size conf (``128m`` / ``4194304`` / ``1g``) as bytes."""
+    raw = spark.conf.get(key, None)
+    if raw is None:
+        return default
+    s = raw.strip().lower().removesuffix("b")
+    mult = 1
+    for suffix, m in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30), ("t", 1 << 40)):
+        if s.endswith(suffix):
+            s, mult = s[:-1], m
+            break
+    try:
+        return int(float(s) * mult)
+    except ValueError:
+        return default
+
+
+def _input_split_count(spark: SparkSession, input_path: str, copies: int = 1) -> int:
+    """Estimate how many scan splits the file source will produce for
+    ``input_path`` (a parquet file or a directory of part files, staged
+    ``copies`` times), using the same arithmetic as Spark's
+    ``FilePartition.maxSplitBytes``: each file is charged
+    ``openCostInBytes``, the split size is
+    ``min(maxPartitionBytes, max(openCost, totalBytes/defaultParallelism))``,
+    and files pack into splits of that size. This is the stream's
+    backlog size expressed in tasks — the signal the state-partition
+    default scales with."""
+    if os.path.isdir(input_path):
+        sizes = [
+            os.path.getsize(os.path.join(input_path, p))
+            for p in os.listdir(input_path)
+            if not p.startswith(("_", ".")) and p.endswith(".parquet")
+        ]
+    elif os.path.exists(input_path):
+        sizes = [os.path.getsize(input_path)]
+    else:
+        return 1
+    sizes = sizes * max(1, copies)
+    if not sizes:
+        return 1
+    open_cost = _conf_bytes(spark, "spark.sql.files.openCostInBytes", 4 * 1024 * 1024)
+    max_pb = _conf_bytes(spark, "spark.sql.files.maxPartitionBytes", 128 * 1024 * 1024)
+    default_par = max(1, spark.sparkContext.defaultParallelism)
+    total = sum(s + open_cost for s in sizes)
+    max_split = min(max_pb, max(open_cost, total // default_par + 1))
+    return max(1, -(-total // max_split))
+
+
+def stream_state_partitions(
+    spark: SparkSession | None = None,
+    input_path: str | None = None,
+    copies: int = 1,
+) -> int:
+    """Shuffle/state partition count for this engine's availableNow
+    streaming runs: the micro-batch input's estimated split count,
+    clamped to ``[8, defaultParallelism]``.
 
     Every stateful streaming operator instantiates one state store per
     shuffle partition per micro-batch (a stream-stream join: four), and
@@ -70,24 +126,55 @@ def stream_state_partitions() -> int:
     — so on a small backlog the partition count IS the latency floor.
     Measured at sf0.1 (min-of-2, identical oracle-gated results):
     sessionize 10.2 s @ 32 → 6.0 s @ 8, KMV daily 5.7 → 3.5,
-    watermark dedup 2.8 → 1.9. Env-overridable because a production
-    deployment sizes this UP (executors × cores) so state and
-    throughput scale out — the same knob ``run_stream_stream_join``
-    already exposes per call.
+    watermark dedup 2.8 → 1.9. The count is derived from the backlog
+    (more input splits → more rows per batch → more state stores pay
+    for themselves) rather than hard-coded, so a large deployment gets
+    scale-out state sizing without touching a knob; the
+    ``SPARK_GRAFT_STREAM_STATE_PARTITIONS`` env still overrides both
+    directions (the same knob ``run_stream_stream_join`` already
+    exposes per call). A malformed or non-positive env value degrades
+    to the adaptive default instead of crashing the run.
     """
-    return int(os.environ.get(_STATE_PARTITIONS_ENV, "8"))
+    raw = os.environ.get(_STATE_PARTITIONS_ENV)
+    if raw is not None:
+        try:
+            n = int(raw)
+        except ValueError:
+            n = 0
+        if n >= 1:
+            return n
+    if spark is not None and input_path is not None:
+        splits = _input_split_count(spark, input_path, copies)
+        ceiling = max(
+            _STATE_PARTITIONS_FLOOR, spark.sparkContext.defaultParallelism
+        )
+        return max(_STATE_PARTITIONS_FLOOR, min(splits, ceiling))
+    return _STATE_PARTITIONS_FLOOR
 
 
 @contextmanager
-def scoped_state_partitions(spark: SparkSession, n: int | None = None):
+def scoped_state_partitions(
+    spark: SparkSession,
+    n: int | None = None,
+    *,
+    input_path: str | None = None,
+    copies: int = 1,
+):
     """Scope ``spark.sql.shuffle.partitions`` to ``n`` (default
-    :func:`stream_state_partitions`) for one streaming run, restoring
-    the prior value afterwards. Placement-only: state partitioning
-    never changes what a stateful query computes (grouping keys hash to
-    SOME partition either way), only how many state-store instances
-    each micro-batch commits."""
+    :func:`stream_state_partitions` over ``input_path``) for one
+    streaming run, restoring the prior value afterwards.
+    Placement-only: state partitioning never changes what a stateful
+    query computes (grouping keys hash to SOME partition either way),
+    only how many state-store instances each micro-batch commits.
+
+    NOTE: this mutates the session-global ``spark.sql.shuffle.partitions``
+    for the duration of the run — it assumes the single-threaded runner
+    discipline this engine uses everywhere (one streaming run at a time
+    per SparkSession). A concurrent batch query on the same session
+    would silently inherit the scoped value; parallel runners must use
+    ``spark.newSession()`` per thread instead."""
     if n is None:
-        n = stream_state_partitions()
+        n = stream_state_partitions(spark, input_path, copies)
     prior = spark.conf.get("spark.sql.shuffle.partitions", None)
     spark.conf.set("spark.sql.shuffle.partitions", str(n))
     try:
@@ -311,7 +398,9 @@ def run_daily_counts_availablenow(
     """Run the daily-counts stream to completion (availableNow) into a
     memory sink; returns the result as a DataFrame."""
     agg = daily_counts(read_events_stream(spark, sf_dir))
-    with scoped_state_partitions(spark):
+    with scoped_state_partitions(
+        spark, input_path=os.path.join(sf_dir, "events.parquet")
+    ):
         q = (
             agg.writeStream.format("memory")
             .queryName(table)
@@ -359,7 +448,11 @@ def run_dedup_stream(
                 "org.apache.spark.sql.execution.streaming.state."
                 "RocksDBStateStoreProvider",
             )
-        with scoped_state_partitions(spark):
+        with scoped_state_partitions(
+            spark,
+            input_path=os.path.join(sf_dir, "events.parquet"),
+            copies=copies,
+        ):
             q = (
                 deduped.writeStream.format("parquet")
                 .option("path", out_dir)
@@ -405,7 +498,9 @@ def run_stream_sample(
         F.count(F.lit(1)).alias("n_kept"),
         dec_sum("value", scale=4).alias("kept_value"),
     )
-    with scoped_state_partitions(spark):
+    with scoped_state_partitions(
+        spark, input_path=os.path.join(sf_dir, "events.parquet")
+    ):
         q = (
             agg.writeStream.format("memory")
             .queryName(table)
@@ -439,7 +534,9 @@ def run_stream_static_enrich(
         F.count(F.lit(1)).alias("n_events"),
         dec_sum("value", scale=4).alias("total_value"),
     )
-    with scoped_state_partitions(spark):
+    with scoped_state_partitions(
+        spark, input_path=os.path.join(sf_dir, "events.parquet")
+    ):
         q = (
             agg.writeStream.format("memory")
             .queryName(table)

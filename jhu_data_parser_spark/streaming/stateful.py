@@ -28,6 +28,7 @@ from typing import Any, Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     ArrayType,
@@ -59,100 +60,166 @@ _OUT_SCHEMA = StructType(
 )
 
 # State rides as epoch-microsecond longs — engine-portable, no tz pitfalls.
+# Grouped state (r15): ONE state row per hash group of users, packed
+# as parallel arrays. applyInPandasWithState pays a Python round trip
+# (state get/update, frame assembly, timeout bookkeeping) PER KEY PER
+# MICRO-BATCH — at ~1500 user keys × 3 batches that fixed cost was the
+# entire operator (guide §4.5: batch per task, not per key). Grouping
+# by pmod(user_id, G) divides the round trips by ~keys/G while the
+# kernel regroups per user in pandas; the per-user fold, emission
+# horizon (watermark passes last + gap) and output set are IDENTICAL
+# for any G (pinned by the batch-equivalence tests and the oracle).
 _STATE_SCHEMA = StructType(
     [
-        StructField("start_us", LongType()),
-        StructField("last_us", LongType()),
-        StructField("n_events", LongType()),
+        StructField("user_ids", ArrayType(LongType())),
+        StructField("start_us", ArrayType(LongType())),
+        StructField("last_us", ArrayType(LongType())),
+        StructField("n_events", ArrayType(LongType())),
     ]
 )
 
 _US = 1_000_000
 
 
-def _session_fold(gap_seconds: int):
+def _session_fold_grouped(gap_seconds: int):
     gap_us = gap_seconds * _US
+
+    def emit(rows: list[tuple[int, int, int, int]]) -> pd.DataFrame:
+        # ONE frame for every session this group closes this batch —
+        # a 1-row pd.DataFrame per session costs ~100 µs each, which
+        # dominated the whole operator at tens of thousands of
+        # sessions per batch (measured 21.6 s → ~7 s at sf0.1).
+        return pd.DataFrame(
+            {
+                "user_id": [r[0] for r in rows],
+                "session_start": pd.to_datetime([r[1] for r in rows], unit="us"),
+                "session_end": pd.to_datetime([r[2] for r in rows], unit="us"),
+                "n_events": [r[3] for r in rows],
+            }
+        )
+
+    def _rearm_or_remove(state: GroupState, open_sessions: dict) -> None:
+        """Persist the packed per-user state and arm the group timeout
+        at the EARLIEST open horizon, clamped just past the current
+        watermark: a user whose last event arrived barely inside the
+        late cutoff can have last + gap already behind the watermark,
+        and an un-clamped timestamp raises INVALID_TIMEOUT_TIMESTAMP
+        and kills the query (hit on the multi-file 100× layout). The
+        clamped session times out on the next batch — the earliest the
+        engine allows."""
+        if not open_sessions:
+            state.remove()
+            return
+        uids = sorted(open_sessions)
+        state.update(
+            (
+                list(uids),
+                [open_sessions[u][0] for u in uids],
+                [open_sessions[u][1] for u in uids],
+                [open_sessions[u][2] for u in uids],
+            )
+        )
+        wm_ms = state.getCurrentWatermarkMs()
+        horizon_ms = min(
+            (open_sessions[u][1] + gap_us) // 1000 for u in uids
+        )
+        state.setTimeoutTimestamp(max(horizon_ms, wm_ms + 1))
 
     def fold(
         key: tuple[Any, ...],
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
-        user_id = key[0]
-
-        def emit(rows: list[tuple[int, int, int]]) -> pd.DataFrame:
-            # ONE frame for every session this group closes this batch —
-            # a 1-row pd.DataFrame per session costs ~100 µs each, which
-            # dominated the whole operator at tens of thousands of
-            # sessions per batch (measured 21.6 s → ~7 s at sf0.1).
-            return pd.DataFrame(
-                {
-                    "user_id": [user_id] * len(rows),
-                    "session_start": pd.to_datetime(
-                        [r[0] for r in rows], unit="us"
-                    ),
-                    "session_end": pd.to_datetime([r[1] for r in rows], unit="us"),
-                    "n_events": [r[2] for r in rows],
-                }
-            )
+        # open_sessions: user_id -> (start_us, last_us, n_events)
+        open_sessions: dict = {}
+        if state.exists:
+            uids, starts, lasts, ns = state.get
+            open_sessions = {
+                int(u): (int(s), int(lt), int(n))
+                for u, s, lt, n in zip(uids, starts, lasts, ns)
+            }
 
         if state.hasTimedOut:
-            start_us, last_us, n = state.get
-            state.remove()
-            yield emit([(start_us, last_us, n)])
+            # Close exactly the users whose horizon the watermark has
+            # passed (the same emission condition the per-key variant
+            # expressed through its own timeout); keep the rest armed.
+            wm_us = state.getCurrentWatermarkMs() * 1000
+            closed = []
+            for u in sorted(open_sessions):
+                start_us, last_us, n = open_sessions[u]
+                if last_us + gap_us <= wm_us:
+                    closed.append((u, start_us, last_us, n))
+                    del open_sessions[u]
+            _rearm_or_remove(state, open_sessions)
+            if closed:
+                yield emit(closed)
             return
 
-        ts_us = (
-            pd.concat([pdf["ts"] for pdf in pdfs])
-            .sort_values()
-            .astype("int64")
-            .floordiv(1000)  # pandas ns → µs
-            .to_list()
-        )
-        if state.exists:
-            start_us, last_us, n = state.get
-        else:
-            start_us, last_us, n = ts_us[0], ts_us[0] - gap_us, 0
+        pdf = pd.concat(list(pdfs))
+        ts_all = pdf["ts"].astype("int64").floordiv(1000)  # pandas ns → µs
+        closed: list[tuple[int, int, int, int]] = []
+        for user_id, ts_vals in ts_all.groupby(
+            pdf["user_id"].astype("int64"), sort=False
+        ):
+            user_id = int(user_id)
+            ts_us = ts_vals.sort_values().to_list()
+            if user_id in open_sessions:
+                start_us, last_us, n = open_sessions[user_id]
+            else:
+                start_us, last_us, n = ts_us[0], ts_us[0] - gap_us, 0
+            for t in ts_us:
+                if t - last_us >= gap_us and n > 0:
+                    closed.append((user_id, start_us, last_us, n))
+                    start_us, n = t, 0
+                elif n == 0:
+                    start_us = t
+                last_us = t
+                n += 1
+            open_sessions[user_id] = (start_us, last_us, n)
 
-        closed: list[tuple[int, int, int]] = []
-        for t in ts_us:
-            if t - last_us >= gap_us and n > 0:
-                closed.append((start_us, last_us, n))
-                start_us, n = t, 0
-            elif n == 0:
-                start_us = t
-            last_us = t
-            n += 1
-
-        state.update((start_us, last_us, n))
-        # Close the open session when the watermark passes its horizon.
-        # Clamp to just past the CURRENT watermark: a group whose last
-        # event arrived barely inside the late cutoff can have
-        # last + gap already behind the watermark, and an un-clamped
-        # timestamp raises INVALID_TIMEOUT_TIMESTAMP and kills the
-        # query (hit on the multi-file 100× layout; equally reachable
-        # in production from a slow group). The clamped session times
-        # out on the next batch — the earliest the engine allows.
-        wm_ms = state.getCurrentWatermarkMs()
-        state.setTimeoutTimestamp(max((last_us + gap_us) // 1000, wm_ms + 1))
+        _rearm_or_remove(state, open_sessions)
         if closed:
             yield emit(closed)
 
     return fold
 
 
+# Hash-group count for the packed sessionizer. More groups = more
+# parallelism across state partitions but more per-batch Python round
+# trips; the floor keeps every local core busy, and a deployment
+# tracking far larger key spaces sizes it up with the state-partition
+# knob (groups scale with stream_state_partitions' ceiling).
+_SESSION_GROUPS_FLOOR = 32
+
+
+def _session_groups(events: DataFrame) -> int:
+    try:
+        par = events.sparkSession.sparkContext.defaultParallelism
+    except Exception:
+        par = _SESSION_GROUPS_FLOOR
+    return max(_SESSION_GROUPS_FLOOR, par)
+
+
 def sessionize_stateful(
     events: DataFrame,
     gap_minutes: int = 30,
     watermark: str = "0 seconds",
+    groups: int | None = None,
 ) -> DataFrame:
     """Streaming sessionization of an ``events`` stream (needs ``ts`` and
-    ``user_id`` columns). Returns the closed-sessions stream."""
+    ``user_id`` columns). Returns the closed-sessions stream.
+
+    Grouping key is ``pmod(user_id, groups)`` — a hash GROUP of users,
+    not one user — so the per-key Python round trip amortizes over
+    ~keys/groups users; the kernel regroups per user and folds exactly
+    the per-user sessionization (result invariant in ``groups``)."""
+    n_groups = _session_groups(events) if groups is None else groups
     return (
         events.withWatermark("ts", watermark)
-        .groupBy("user_id")
+        .withColumn("grp", F.pmod(F.col("user_id"), F.lit(n_groups)))
+        .groupBy("grp")
         .applyInPandasWithState(
-            _session_fold(gap_minutes * 60),
+            _session_fold_grouped(gap_minutes * 60),
             outputStructType=_OUT_SCHEMA,
             stateStructType=_STATE_SCHEMA,
             outputMode="append",
@@ -267,7 +334,9 @@ def run_sessionize_stateful(
     # Catalyst would push it below the watermark node, the sentinel row
     # would never reach the event-time tracker, and the tail state would
     # never flush.
-    with scoped_state_partitions(spark):
+    with scoped_state_partitions(
+        spark, input_path=os.path.join(sf_dir, "events.parquet")
+    ):
         q = (
             sessions.writeStream.format("memory")
             .queryName(table)
@@ -302,7 +371,9 @@ def run_builtin_session_windows(
         .select("user_id", F.col("w.start").alias("session_start"), "n_events")
     )
     # Sentinel filter after the sink — see run_sessionize_stateful.
-    with scoped_state_partitions(spark):
+    with scoped_state_partitions(
+        spark, input_path=os.path.join(sf_dir, "events.parquet")
+    ):
         q = (
             agg.writeStream.format("memory")
             .queryName(table)
@@ -344,7 +415,7 @@ def has_tws_runtime() -> bool:
 def make_session_processor(gap_minutes: int = 30):
     """Build the ``StatefulProcessor`` for gap-based sessionization —
     the Spark-4 arbitrary-stateful API (typed value state + EXPLICIT
-    event-time timers), semantics identical to :func:`_session_fold`.
+    event-time timers), semantics identical to :func:`_session_fold_grouped` (per user).
 
     Exposed as a factory so the state machine is testable without a
     streaming runtime: tests drive ``init``/``handleInputRows``/
@@ -362,7 +433,7 @@ def make_session_processor(gap_minutes: int = 30):
 
         def _emit(self, user_id: int, rows: list[tuple[int, int, int]]):
             # One frame per group per batch — a 1-row frame per session
-            # is ~100 µs of construction each (same fix as _session_fold).
+            # is ~100 µs of construction each (same fix as the pandas sessionizer).
             return pd.DataFrame(
                 {
                     "user_id": [user_id] * len(rows),
@@ -609,7 +680,9 @@ def run_kmv_daily_stream(
     from jhu_data_parser_spark.streaming.jobs import scoped_state_partitions
 
     out = kmv_daily_stateful(ev, k)
-    with scoped_state_partitions(spark):
+    with scoped_state_partitions(
+        spark, input_path=os.path.join(sf_dir, "events.parquet")
+    ):
         q = (
             out.writeStream.format("memory")
             .queryName(table)

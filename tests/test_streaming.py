@@ -647,3 +647,42 @@ def test_incremental_topology_sequence_with_crash_restart(spark, tmp_path):
     idx = plans.QUERIES["stream_ivfpq_index_append"](spark, SF_SMOKE)
     res = compare(idx, con, plans.ORACLES["stream_ivfpq_index_append"])
     assert res["values_match"], res
+
+
+def test_stream_state_partitions_adaptive(spark, sf_dir, tmp_path, monkeypatch):
+    """The state-partition default derives from the backlog's split
+    count, clamped to [8, defaultParallelism]; the env override wins
+    when valid and degrades to the adaptive default when malformed."""
+    from jhu_data_parser_spark.streaming.jobs import (
+        _STATE_PARTITIONS_ENV,
+        stream_state_partitions,
+    )
+
+    monkeypatch.delenv(_STATE_PARTITIONS_ENV, raising=False)
+    events = os.path.join(sf_dir, "events.parquet")
+    # Small single-file backlog: clamps to the floor of 8.
+    assert stream_state_partitions(spark, events) == 8
+    # No spark/input: static floor.
+    assert stream_state_partitions() == 8
+    # A many-file backlog scales the count up to defaultParallelism:
+    # 64 staged copies charge openCostInBytes each, yielding more
+    # splits than the floor.
+    many = tmp_path / "many"
+    many.mkdir()
+    for i in range(64):
+        os.symlink(events, many / f"ev_{i}.parquet")
+    par = spark.sparkContext.defaultParallelism
+    adaptive = stream_state_partitions(spark, str(many))
+    assert adaptive == max(8, min(64, par)) or 8 <= adaptive <= max(8, par)
+    assert adaptive > 8 or par <= 8
+    # copies multiplies the backlog the same way.
+    assert stream_state_partitions(spark, events, copies=64) == adaptive
+    # Valid env override wins in both directions.
+    monkeypatch.setenv(_STATE_PARTITIONS_ENV, "3")
+    assert stream_state_partitions(spark, str(many)) == 3
+    monkeypatch.setenv(_STATE_PARTITIONS_ENV, "200")
+    assert stream_state_partitions() == 200
+    # Malformed / non-positive degrade to the adaptive default.
+    for bad in ("zero", "", "0", "-4"):
+        monkeypatch.setenv(_STATE_PARTITIONS_ENV, bad)
+        assert stream_state_partitions(spark, events) == 8
