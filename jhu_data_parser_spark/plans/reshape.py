@@ -101,13 +101,35 @@ def unpivot_lineitem_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 # array<struct> column is not hashable by the driver's row canonicalizer
 # (r01 returned TypeError), so the driver-facing surface serializes the
 # array with to_json — the nested build still happens (and is asserted
-# structurally in tests), the JSON string is just the wire format. No
-# portable DuckDB oracle exists for Spark's JSON rendering → rows-only,
-# with the value semantics carried by nested_daily_spend_roundtrip's
-# green hash check on the exploded form.
+# structurally in tests), the JSON string is just the wire format.
+# Oracle (backfilled r15 — this was the last rows-only gap the driver
+# could compare): DuckDB reconstructs Spark's exact to_json rendering
+# with string_agg — no spaces, struct-field order (order_day,
+# day_spend), array sorted by the leading struct field (sort_array ≡
+# ORDER BY order_day: the day key is unique per customer). Doubles are
+# safe to render portably here because every day_spend is an exact
+# k/100 with |k| < 2^31 (dec_sum's scaled-long sum of bounded order
+# totals): both Jackson (Spark) and DuckDB emit the shortest
+# round-trip decimal — "123.45", "100.0" — and neither switches to
+# scientific notation below 1e7 (Java) / 1e15 (DuckDB), far above the
+# per-customer daily spend envelope (~1e6). Verified hash-green at
+# sf0.001 and sf0.01.
 @query(
     "nested_daily_spend",
-    oracle=None,
+    oracle=f"""
+    SELECT o_custkey,
+           CAST(COUNT(*) AS INT) AS n_days,
+           '[' || string_agg(
+               '{{"order_day":"' || order_day || '","day_spend":'
+                   || CAST(day_spend AS VARCHAR) || '}}',
+               ',' ORDER BY order_day) || ']' AS time_series_json
+    FROM (
+      SELECT o_custkey,
+             strftime(o_orderdate, '%Y-%m-%d') AS order_day,
+             {DEC_SUM_SQL("o_totalprice")} AS day_spend
+      FROM orders GROUP BY o_custkey, strftime(o_orderdate, '%Y-%m-%d'))
+    GROUP BY o_custkey
+    """,
 )
 def nested_daily_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     nested = nested_daily_spend_raw(spark, sf_dir)
