@@ -1781,6 +1781,127 @@ def _edges_hop(
     )
 
 
+# ---------------------------------------------------------------------------
+# Driver-resident beam loop (r15). The beam STATE is parameter-bounded
+# (≤ |batch|·beam ids; an ANN serving node holds exactly this), and the
+# per-hop work touches only O(beam·m^depth) rows of corpus-sized tables
+# — so the loop runs on the driver and issues one bounded, pruned Spark
+# job per fetch, instead of composing a Catalyst plan per rank stage.
+# Why: the previous localCheckpoint-per-rank shape paid a FULL
+# analyze/optimize/plan pass per stage (measured 4.4 s driver planning
+# per sim_graph_topk_multi call, execution 0.48 s), and swapping the
+# checkpoint for a collected LocalRelation just moved the cost into
+# per-action AQE/window/broadcast overhead (~1.5 s × 3 ranks). Fetching
+# ids is ONE broadcast-join job; ranking ≤ a few thousand candidates is
+# exact int64 numpy (identical d2 arithmetic, ties by id — the oracle
+# replays every hop bit-for-bit). Every fetch recomputes from the
+# parquet inputs; nothing persists across invocations.
+# ---------------------------------------------------------------------------
+# Above this many ids, a fetch predicate switches from a single parsed
+# IN-list string (one stage, no broadcast build — measured 0.5-0.8 s
+# per broadcast-join fetch vs ~0.15 s single-stage at harness scale)
+# to a broadcast semi-join (bounded plan size at 100 TB candidate
+# volumes: beam·m^depth·|batch| can reach ~10^5).
+_FETCH_INLIST_MAX = 8192
+
+
+def _id_filter(df: DataFrame, col: str, ids: list):
+    """``df`` restricted to ``col`` ∈ ids: ONE parsed IN-list predicate
+    for small sets (no per-element py4j traffic, no broadcast-build
+    sub-job), a broadcast semi-join above the threshold."""
+    if len(ids) <= _FETCH_INLIST_MAX:
+        return df.filter(F.expr(f"{col} IN ({','.join(map(str, ids))})"))
+    ids_df = df.sparkSession.createDataFrame([(i,) for i in ids], f"{col} long")
+    return df.join(F.broadcast(ids_df), col)
+
+
+def _fetch_id_vecs(corpus_qz: DataFrame, ids, acc: dict) -> None:
+    """Fetch quantized vectors for the ids missing from ``acc``
+    (id → np.int64[dim]) with one bounded job."""
+    import numpy as np
+
+    need = sorted(int(i) for i in ids if int(i) not in acc)
+    if not need:
+        return
+    rows = _id_filter(corpus_qz, "id", need).select("id", "q").collect()
+    for r in rows:
+        acc[int(r["id"])] = np.asarray(r["q"], dtype=np.int64)
+
+
+def _fetch_adjacency(edges: DataFrame, srcs) -> dict:
+    """Out-edges of the given src ids as ``{src: [dst, ...]}`` — one
+    job. When the edge layout carries ``src_pt{N}`` (see
+    :func:`knn_graph_index`), the frontier\'s bucket values are known
+    driver-side, so the scan is STATICALLY partition-pruned (a literal
+    ``isin`` on the partition column — no DPP subquery needed)."""
+    import re
+
+    srcs = sorted({int(s) for s in srcs})
+    if not srcs:
+        return {}
+    pt = next((c for c in edges.columns if re.fullmatch(r"src_pt\d+", c)), None)
+    scan = edges
+    if pt is not None:
+        nb = int(pt[len("src_pt"):])
+        pts = sorted({((s % nb) + nb) % nb for s in srcs})
+        scan = scan.filter(F.col(pt).isin(pts))
+    adj: dict = {}
+    for r in _id_filter(scan, "src", srcs).select("src", "dst").collect():
+        adj.setdefault(int(r["src"]), []).append(int(r["dst"]))
+    return adj
+
+
+def _beam_loop_local(
+    corpus_qz: DataFrame,
+    edges: DataFrame,
+    qvecs: dict,
+    entries: dict,
+    beam: int,
+    hops: int,
+    depth: int,
+) -> dict:
+    """The shared greedy beam loop: per query, rank the seed candidates,
+    then ``hops`` rounds of (expand the beam ``depth`` edge levels,
+    re-rank everything seen) — candidate sets, integer d2 and (d2, id)
+    tie-breaks identical to the previous in-plan formulation (the
+    oracle replays every hop). Returns ``{qid: [(id, d2), ...]}``
+    sorted ascending."""
+    import numpy as np
+
+    vecs: dict = {}
+    _fetch_id_vecs(
+        corpus_qz, set().union(*entries.values()) if entries else set(), vecs
+    )
+
+    def rank(qid, cand_ids):
+        if not cand_ids:
+            return []
+        ids = np.fromiter(sorted(cand_ids), dtype=np.int64)
+        mat = np.stack([vecs[int(i)] for i in ids])
+        diff = mat - qvecs[qid]
+        d2 = np.einsum("ij,ij->i", diff, diff)
+        order = np.lexsort((ids, d2))[:beam]
+        return [(int(ids[o]), int(d2[o])) for o in order]
+
+    beams = {qid: rank(qid, set(entries.get(qid, ()))) for qid in qvecs}
+    for _ in range(hops):
+        cand = {qid: {i for i, _ in beams[qid]} for qid in beams}
+        frontier = {qid: set(c) for qid, c in cand.items()}
+        for _d in range(depth):
+            adj = _fetch_adjacency(edges, set().union(*frontier.values()))
+            nxt = {}
+            for qid, f in frontier.items():
+                nf: set = set()
+                for s in f:
+                    nf.update(adj.get(s, ()))
+                cand[qid].update(nf)
+                nxt[qid] = nf
+            frontier = nxt
+        _fetch_id_vecs(corpus_qz, set().union(*cand.values()), vecs)
+        beams = {qid: rank(qid, cand[qid]) for qid in beams}
+    return beams
+
+
 def graph_beam_search(
     corpus_qz: DataFrame,
     edges: DataFrame,
@@ -1812,58 +1933,27 @@ def graph_beam_search(
     Monotone by construction (the previous beam is always in the
     candidate set), so a fixed ``hops`` bound works without a
     visited-set. Every hop expands the frontier ``depth`` edge levels
-    before re-ranking (``depth=2`` explores neighbors-of-neighbors
-    per round — measured 3 rounds × depth 2 beats 10 × depth 1 on
-    both recall AND wall-clock, because each round is one scheduled
-    job and Spark's per-job latency dominates at small frontier
-    sizes). Every hop is the BOUNDED-FRONTIER join shape: the
-    ≤ beam-row id list broadcasts against the edge table — equi on
-    ``(src_pt, src)`` when the index carries the src-keyed partition
-    layout, so dynamic partition pruning cuts the scan to O(beam)
-    file groups (:func:`_edges_hop`) — then the ≤ beam·mᵈᵉᵖᵗʰ
-    candidate ids broadcast back
-    against the vector table for distances. Only visited candidates
-    are ever scored — O(hops·beam·mᵈᵉᵖᵗʰ) distance evaluations
-    total, never a corpus scan (the ANN serving contract). The
-    per-hop beam is lazily localCheckpointed: ≤ beam rows
-    (parameter-bounded, the small-derived-table rule), keeping plan
-    depth constant in hops.
+    before re-ranking, via the driver-resident loop
+    (:func:`_beam_loop_local`): the ≤ beam-id frontier fetches its
+    out-edges with one statically partition-pruned job against the
+    src-keyed layout, the ≤ beam·mᵈᵉᵖᵗʰ candidate vectors arrive by
+    one broadcast semi-join job, and the re-rank is exact int64
+    numpy with (d2, id) ties. Only visited candidates are ever
+    scored — O(hops·beam·mᵈᵉᵖᵗʰ) distance evaluations total, never a
+    corpus scan (the ANN serving contract); the beam state itself is
+    parameter-bounded, exactly what a serving node holds.
     """
-    qv = query_q.select(F.col("q").alias("qv"))
-    d2 = F.expr(
-        "aggregate(zip_with(q, qv, (a, b) -> (a - b) * (a - b)), "
-        "CAST(0 AS BIGINT), (s, x) -> s + x)"
-    )
-    seeds = corpus_qz.agg(F.min("id").alias("id"))
+    import numpy as np
+
+    spark = corpus_qz.sparkSession
+    qvec = np.asarray(query_q.select("q").head()["q"], dtype=np.int64)
+    seed_ids = {int(corpus_qz.agg(F.min("id")).head()[0])}
     if entry_ids is not None:
-        seeds = entry_ids.select("id").unionByName(seeds).distinct()
-    bm = (
-        corpus_qz.join(F.broadcast(seeds), "id")
-        .crossJoin(F.broadcast(qv))
-        .select("id", d2.alias("d2"))
-        .orderBy("d2", "id")
-        .limit(beam)
-        .localCheckpoint(eager=False)
+        seed_ids.update(int(r["id"]) for r in entry_ids.select("id").collect())
+    beams = _beam_loop_local(
+        corpus_qz, edges, {0: qvec}, {0: seed_ids}, beam, hops, depth
     )
-    for _ in range(hops):
-        cand = bm.select("id")
-        frontier = bm.select("id")
-        for _ in range(depth):
-            frontier = _edges_hop(
-                edges, frontier.select(F.col("id").alias("src"))
-            )
-            cand = cand.unionByName(frontier)
-        scored = (
-            corpus_qz.join(F.broadcast(cand.distinct()), "id")
-            .crossJoin(F.broadcast(qv))
-            .select("id", d2.alias("d2"))
-        )
-        bm = (
-            scored.orderBy("d2", "id")
-            .limit(beam)
-            .localCheckpoint(eager=False)
-        )
-    return bm
+    return spark.createDataFrame(beams[0], "id long, d2 long")
 
 
 def graph_beam_search_many(
@@ -1882,47 +1972,29 @@ def graph_beam_search_many(
     ``queries_q`` is the quantized query batch ``(query_id, q)``;
     ``entry_ids`` the per-query seed list ``(query_id, id)`` (bucket
     mates; a global min-id fallback row per query keeps empty-seed
-    queries alive). The beam state is ``(query_id, id)`` — hops join
-    the broadcast state against the edge table on src exactly as the
-    single-query search; the re-rank is one ``row_number`` per
-    query_id (WindowGroupLimit — per-task partial top-beam). State is
-    ≤ |batch|·beam rows: parameter-bounded, same checkpoint rule.
+    queries alive). All queries advance together through the shared
+    driver-resident loop (:func:`_beam_loop_local`): each depth level
+    is ONE pruned edge fetch for the union frontier, each hop ONE
+    vector fetch for the union candidate set, the per-query re-rank
+    exact int64 numpy — job count independent of batch size (the ANN
+    serving shape, like :func:`topk_cosine_many`), beam state
+    ≤ |batch|·beam rows (parameter-bounded).
 
     Returns the final per-query beam ``(query_id, id, d2)``."""
-    from pyspark.sql import Window
+    import numpy as np
 
-    qv = queries_q.select("query_id", F.col("q").alias("qv"))
-    d2 = F.expr(
-        "aggregate(zip_with(q, qv, (a, b) -> (a - b) * (a - b)), "
-        "CAST(0 AS BIGINT), (s, x) -> s + x)"
+    spark = corpus_qz.sparkSession
+    qvecs = {
+        int(r["query_id"]): np.asarray(r["q"], dtype=np.int64)
+        for r in queries_q.select("query_id", "q").collect()
+    }
+    entries: dict = {qid: set() for qid in qvecs}
+    for r in entry_ids.select("query_id", "id").collect():
+        entries.setdefault(int(r["query_id"]), set()).add(int(r["id"]))
+    beams = _beam_loop_local(
+        corpus_qz, edges, qvecs, entries, beam, hops, depth
     )
-    w = Window.partitionBy("query_id").orderBy("d2", "id")
-
-    def _rank(cand: DataFrame) -> DataFrame:
-        scored = (
-            corpus_qz.join(F.broadcast(cand.distinct()), "id")
-            .join(F.broadcast(qv), "query_id")
-            .select("query_id", "id", d2.alias("d2"))
-        )
-        return (
-            scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= beam)
-            .drop("rn")
-            .localCheckpoint(eager=False)
-        )
-
-    bm = _rank(entry_ids.select("query_id", "id"))
-    for _ in range(hops):
-        cand = bm.select("query_id", "id")
-        frontier = bm.select("query_id", "id")
-        for _ in range(depth):
-            frontier = _edges_hop(
-                edges,
-                frontier.select("query_id", F.col("id").alias("src")),
-                keep=("query_id",),
-            )
-            cand = cand.unionByName(frontier)
-        bm = _rank(cand)
-    return bm
+    rows = [(qid, i, d) for qid in sorted(beams) for (i, d) in beams[qid]]
+    return spark.createDataFrame(rows, "query_id long, id long, d2 long")
 
 

@@ -1,8 +1,8 @@
 #!/usr/bin/env python
-"""Dump .explain('formatted') for the named queries to plans/r14/.
+"""Dump .explain('formatted') for the named queries to plans/r15/.
 
-Usage: python scripts/dump_plans.py suffix name1,name2 [sf_dir]
-Writes plans/r14/<name>_<suffix>.txt for each query.
+Usage: python scripts/dump_plans.py suffix name1,name2 [sf_dir]; out dir via $JDPS_PLANS_DIR (default plans/r15)
+Writes <out>/<name>_<suffix>.txt for each query.
 """
 
 from __future__ import annotations
@@ -22,7 +22,7 @@ def main() -> None:
     sf_dir = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.1"
     spark = get_spark(app_name="jdps-dump-plans")
     spark.sparkContext.setLogLevel("ERROR")
-    out_dir = "/root/repo/plans/r14"
+    out_dir = os.environ.get("JDPS_PLANS_DIR", "/root/repo/plans/r15")
     os.makedirs(out_dir, exist_ok=True)
     for name in names:
         df = plans.QUERIES[name](spark, sf_dir)
