@@ -2146,25 +2146,20 @@ def run_substring_spans_incremental_stream(
             .select("gh")
         )
         gated = postings.join(stop, "gh", "anti")
-        new_old = (
-            old_index.select(
+        # ONE seed join instead of new×old plus new×new: chunks arrive
+        # doc_id-contiguous and ascending, so every old doc id is
+        # strictly below every new doc id — a single doc_a < doc_b
+        # filter over the (old ∪ new) a-side is exactly the union of
+        # the oriented new×old pairs (where the filter never rejects)
+        # and the deduped new×new pairs. Halves the gram-join stages
+        # per micro-batch (guide §2.4: two operations keyed the same
+        # way share one exchange).
+        a_side = old_index.unionByName(gated.select("doc", "pos", "gh"))
+        seeds_new = (
+            a_side.select(
                 F.col("doc").alias("doc_a"),
                 F.col("pos").alias("pos_a"),
                 "gh",
-            )
-            .join(
-                gated.select(
-                    F.col("doc").alias("doc_b"),
-                    F.col("pos").alias("pos_b"),
-                    "gh",
-                ),
-                "gh",
-            )
-            .select("doc_a", "doc_b", "pos_a", "pos_b", "gh")
-        )
-        new_new = (
-            gated.select(
-                F.col("doc").alias("doc_a"), F.col("pos").alias("pos_a"), "gh"
             )
             .join(
                 gated.select(
@@ -2212,7 +2207,7 @@ def run_substring_spans_incremental_stream(
         _write_batch_once(
             _union_by_tag(
                 [
-                    ("seeds", new_old.unionByName(new_new)),
+                    ("seeds", seeds_new),
                     ("index", postings),
                     ("state", fresh.select("xh", "mh")),
                     ("dfs", dfs_part),
