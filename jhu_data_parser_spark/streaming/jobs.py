@@ -1619,7 +1619,11 @@ def run_pack_batches_incremental_stream(
         pq.write_table(dset.to_table(filter=flt), path)
         os.utime(path, (now + 30 * k, now + 30 * k))
 
-    # frozen benchmark set (decontamination reference — static, bounded)
+    # frozen benchmark set (decontamination reference — static,
+    # bounded). Lazily checkpointed: every micro-batch broadcasts it,
+    # and without the cut each batch job re-ran the scan + distinct
+    # exchange (3 batches = 3 rebuilds of an identical table) — the
+    # small-derived-table checkpoint rule.
     docs = spark.read.parquet(src)
     bench = (
         docs.filter(F.col("doc_id") % 17 == 0)
@@ -1629,6 +1633,7 @@ def run_pack_batches_incremental_stream(
             ).alias("g")
         )
         .distinct()
+        .localCheckpoint(eager=False)
     )
 
     # ``work_dir`` pins the segment/state roots across calls (tests use
