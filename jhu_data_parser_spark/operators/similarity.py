@@ -1087,10 +1087,9 @@ def _ivfpq_encode_arrow(
     return df.select(F.col(id_col), F.col(vec_col)).mapInPandas(_map, schema)
 
 
-def topk_ivfpq_indexed_multi(
+def ivfpq_multi_shortlist(
     df: DataFrame,
     queries: list,
-    k: int = 10,
     n_probe: int = 3,
     shortlist: int = 50,
     n_cells: int = 8,
@@ -1104,10 +1103,15 @@ def topk_ivfpq_indexed_multi(
     cache_tag: str = "",
     residual: bool = False,
 ) -> DataFrame:
-    """Batch IVF-PQ serving (r8 verdict item 2): score a query BATCH
-    against the pre-built index with ONE pruned scan. ``queries`` is a
-    list of ``(query_id, q_ints)`` with q_ints the ROUND(x·1e6)
-    quantized vectors.
+    """The DISTRIBUTED half of batch IVF-PQ serving: build/load the
+    index and return the per-query ADC shortlist frame
+    ``(query_id, id, cell, adc_dist)`` — ONE cell-pruned index scan for
+    the whole batch, broadcast probe fan-out, literal-map LUTs, and a
+    WindowGroupLimit shortlist (each task keeps its partial top-n
+    before the single narrow exchange). Plan-pinned by
+    test_ivfpq_multi_single_scan_and_pruning; shared by
+    :func:`topk_ivfpq_indexed_multi`, which re-ranks the collected
+    shortlist driver-side.
 
     Plan shape: the driver picks each query's ``n_probe`` cells
     (O(Q·K·D) ints) and the scan prunes to the UNION of probed cells;
@@ -1115,11 +1119,10 @@ def topk_ivfpq_indexed_multi(
     fans each candidate row out to exactly the queries that probed its
     cell; ADC reads each query's LUT from a literal map keyed by
     query_id (flat PQ: the LUT is cell-independent); the per-query
-    shortlist and final rank are ``row_number() <= n`` windows —
-    WindowGroupLimit, so each task keeps only its partial top-n before
-    the shuffle. The exact re-rank joins the ≤Q·shortlist survivors back
-    into the base scan by broadcast. Corpus scans: ONE over the index,
-    ONE over the base table (plan-tested)."""
+    shortlist is a ``row_number() <= n`` window — WindowGroupLimit, so
+    each task keeps only its partial top-n before the one narrow
+    exchange (the distributed part stays distributed: the probed cells
+    are a corpus-sized candidate set at 100 TB)."""
     path, coarse, books = ivfpq_build_index(
         df,
         n_cells,
@@ -1219,41 +1222,105 @@ def topk_ivfpq_indexed_multi(
         sum(F.expr(t) for t in adc_terms).cast("long").alias("adc_dist"),
     )
     ws = Window.partitionBy("query_id").orderBy("adc_dist", "id")
-    short = (
+    return (
         adc.withColumn("rn", F.row_number().over(ws))
         .filter(F.col("rn") <= shortlist)
         .drop("rn")
     )
 
-    qmap = ", ".join(
-        f"{int(qid)}L, " + arr_lit(list(q_ints)) for qid, q_ints in queries
+
+def topk_ivfpq_indexed_multi(
+    df: DataFrame,
+    queries: list,
+    k: int = 10,
+    n_probe: int = 3,
+    shortlist: int = 50,
+    n_cells: int = 8,
+    coarse_iters: int = 2,
+    m: int = 4,
+    sub: int = 16,
+    pq_k: int = 16,
+    pq_iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cache_tag: str = "",
+    residual: bool = False,
+) -> DataFrame:
+    """Batch IVF-PQ top-k serving (r8 verdict item 2): the distributed
+    ADC shortlist (:func:`ivfpq_multi_shortlist` — one cell-pruned
+    index scan for the whole batch) plus a DRIVER-RESIDENT exact
+    re-rank, the serving posture the graph-ANN beam loop established.
+    ``queries`` is a list of ``(query_id, q_ints)`` with q_ints the
+    ROUND(x·1e6) quantized vectors.
+
+    The shortlist is parameter-bounded (≤ Q·shortlist rows — exactly
+    what an ANN serving node holds), so it is collected and the
+    surviving ids' quantized vectors fetched with ONE bounded
+    id-pruned job (:func:`_id_filter` — IN-list pushdown below 8192
+    ids, broadcast semi-join above) instead of broadcast-joining the
+    shortlist against a FULL base-table scan — at 100 TB that was a
+    corpus scan to fetch Q·shortlist vectors. Quantization still
+    happens Spark-side (the same ROUND(x·1e6) expression), the
+    re-rank is exact int64 numpy with (exact_dist, id) ties —
+    candidate sets and arithmetic identical to the former in-plan
+    formulation, which the oracle replays end to end. Every fetch
+    recomputes from the parquet inputs per invocation."""
+    spark = df.sparkSession
+    short = ivfpq_multi_shortlist(
+        df,
+        queries,
+        n_probe,
+        shortlist,
+        n_cells,
+        coarse_iters,
+        m,
+        sub,
+        pq_k,
+        pq_iters,
+        vec_col,
+        id_col,
+        cache_tag,
+        residual,
     )
-    base = df.select(
+
+    # Driver-resident exact re-rank over the collected shortlist: one
+    # bounded id-pruned vector fetch (quantized Spark-side so the
+    # HALF_UP rounding never leaves SQL), then int64 numpy squared-L2
+    # with (exact_dist, id) ties — bit-identical to the former in-plan
+    # zip_with/aggregate + row_number formulation.
+    import numpy as np
+
+    srows = short.collect()
+    base_qz = df.select(
         F.col(id_col).alias("id"),
         F.expr(
             f"transform({vec_col}, x -> "
             "CAST(ROUND(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT))"
-        ).alias("qv"),
+        ).alias("q"),
     )
-    rr = base.join(F.broadcast(short), "id").withColumn(
-        "exact_dist",
-        F.expr(
-            f"aggregate(zip_with(qv, element_at(map({qmap}), query_id), "
-            "(a, b) -> (a - b) * (a - b)), CAST(0 AS BIGINT), (acc, x) -> acc + x)"
-        ).cast("long"),
-    )
-    wr = Window.partitionBy("query_id").orderBy("exact_dist", "id")
-    return (
-        rr.withColumn("rank", F.row_number().over(wr))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id",
-            F.col("id").alias(id_col),
-            F.col("rank").cast("int").alias("rank"),
-            "cell",
-            F.col("adc_dist").cast("long").alias("adc_dist"),
-            "exact_dist",
-        )
+    vecs: dict = {}
+    _fetch_id_vecs(base_qz, {int(r["id"]) for r in srows}, vecs)
+    qvs = {int(qid): np.asarray(list(q_ints), dtype=np.int64) for qid, q_ints in queries}
+    by_q: dict = {}
+    for r in srows:
+        by_q.setdefault(int(r["query_id"]), []).append(r)
+    out_rows = []
+    for qid in sorted(by_q):
+        scored = []
+        for r in by_q[qid]:
+            d = vecs[int(r["id"])] - qvs[qid]
+            scored.append(
+                (int(d @ d), int(r["id"]), int(r["cell"]), int(r["adc_dist"]))
+            )
+        scored.sort()
+        out_rows += [
+            (qid, vid, rank, cell, adc, ed)
+            for rank, (ed, vid, cell, adc) in enumerate(scored[:k], start=1)
+        ]
+    return spark.createDataFrame(
+        out_rows,
+        f"query_id long, {id_col} long, rank int, cell long, "
+        "adc_dist long, exact_dist long",
     )
 
 

@@ -2807,6 +2807,79 @@ def test_ivfpq_arrow_encoder_matches_expression(spark):
         assert arrow == want, f"residual={residual}"
 
 
+def test_ivfpq_multi_driver_rerank_matches_inplan(spark):
+    """The driver-resident exact re-rank of topk_ivfpq_indexed_multi
+    must produce the IDENTICAL rows as the former in-plan formulation
+    (broadcast re-rank join + zip_with/aggregate + row_number over
+    (exact_dist, id)) — raw AND residual modes, on the real embeddings
+    table."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from jhu_data_parser_spark.operators import similarity as sim
+    from jhu_data_parser_spark.operators.clustering import quantize_vectors
+    from jhu_data_parser_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    nq, k = 5, 10
+    corpus = emb.filter(F.col("vec_id") >= nq)
+    queries = sorted(
+        (int(r["id"]), [int(v) for v in r["q"]])
+        for r in quantize_vectors(emb.filter(F.col("vec_id") < nq))
+        .select("id", "q")
+        .collect()
+    )
+    for residual in (False, True):
+        tag = f"embt_rr_{residual}"
+        got = sorted(
+            tuple(r)
+            for r in sim.topk_ivfpq_indexed_multi(
+                corpus, queries, k=k, cache_tag=tag, residual=residual
+            ).collect()
+        )
+        # reference: the old in-plan re-rank over the same shortlist
+        short = sim.ivfpq_multi_shortlist(
+            corpus, queries, cache_tag=tag, residual=residual
+        )
+        def arr_lit(vals):
+            return "array(" + ",".join(str(int(v)) + "L" for v in vals) + ")"
+        qmap = ", ".join(
+            f"{int(qid)}L, " + arr_lit(list(qi)) for qid, qi in queries
+        )
+        base = corpus.select(
+            F.col("vec_id").alias("id"),
+            F.expr(
+                "transform(embedding, x -> "
+                "CAST(ROUND(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT))"
+            ).alias("qv"),
+        )
+        rr = base.join(F.broadcast(short), "id").withColumn(
+            "exact_dist",
+            F.expr(
+                f"aggregate(zip_with(qv, element_at(map({qmap}), query_id), "
+                "(a, b) -> (a - b) * (a - b)), CAST(0 AS BIGINT), "
+                "(acc, x) -> acc + x)"
+            ).cast("long"),
+        )
+        wr = Window.partitionBy("query_id").orderBy("exact_dist", "id")
+        want = sorted(
+            tuple(r)
+            for r in rr.withColumn("rank", F.row_number().over(wr))
+            .filter(F.col("rank") <= k)
+            .select(
+                "query_id",
+                F.col("id").alias("vec_id"),
+                F.col("rank").cast("int").alias("rank"),
+                "cell",
+                F.col("adc_dist").cast("long").alias("adc_dist"),
+                "exact_dist",
+            )
+            .collect()
+        )
+        assert got == want, f"residual={residual}"
+
+
 def test_kmeans_fit_multi_collapse_equivalence(spark):
     """kmeans_fit_multi with collapse (forced via a tiny plain bound
     that the replicated points overflow while the distinct count fits)

@@ -780,33 +780,53 @@ def test_ivfpq_exhaustive_probe_degrades_to_exact(spark):
 
 
 def test_ivfpq_multi_single_scan_and_pruning(spark):
-    """Batch IVF-PQ serving scans the corpus exactly twice in total —
-    ONE pruned index scan shared by the whole query batch (not one per
-    query) and ONE base scan for the re-rank — with the index scan
-    pruned to the union of all probed cells and reading only the code
-    columns."""
+    """Batch IVF-PQ serving: the distributed ADC shortlist is ONE
+    pruned index scan shared by the whole query batch (not one per
+    query), pruned to the union of all probed cells and reading only
+    the code columns; the returned serve frame is a driver-computed
+    LocalRelation/ExistingRDD — NO corpus scan rides the re-rank (the
+    shortlist ids' vectors arrive via a bounded id-pruned fetch)."""
     import re
 
     from pyspark.sql import functions as F
 
     from jhu_data_parser_spark import plans
+    from jhu_data_parser_spark.operators import similarity as sim
+    from jhu_data_parser_spark.operators.clustering import quantize_vectors
+    from jhu_data_parser_spark.plans.pipeline13 import _IPM_NQUERIES
+    from jhu_data_parser_spark.sources.tables import load_table
 
-    out = plans.QUERIES["sim_cosine_topk_ivfpq_multi"](spark, SF_SMOKE)
-    rows = out.collect()
-    assert len(rows) == 50  # 5 queries x top-10
-    plan = out._jdf.queryExecution().executedPlan().toString()
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    corpus = emb.filter(F.col("vec_id") >= _IPM_NQUERIES)
+    queries = sorted(
+        (int(r["id"]), [int(v) for v in r["q"]])
+        for r in quantize_vectors(emb.filter(F.col("vec_id") < _IPM_NQUERIES))
+        .select("id", "q")
+        .collect()
+    )
+    short = sim.ivfpq_multi_shortlist(
+        corpus, queries, cache_tag="embeddings_ivfpq_multi"
+    )
+    short.collect()
+    plan = short._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [cell" in plan
     # AQE prints the same physical scan node in both the stage tree and
     # the final-plan section — dedupe scans by their attribute-id lists
     # (exprIds are unique per scan INSTANCE, shared across reprints).
     scans = set(re.findall(r"FileScan parquet \[([^\]]*)\]", plan))
     idx_scans = {s for s in scans if "code0" in s}
-    emb_scans = {s for s in scans if "embedding" in s}
     # exactly ONE index scan for the whole batch (codes only, no
-    # vectors) and ONE base-corpus scan (the re-rank side)
+    # vectors) and NO base-corpus scan in the shortlist half
     assert len(idx_scans) == 1
     assert all("embedding" not in s for s in idx_scans)
-    assert len(emb_scans) == 1
+    assert not any("embedding" in s for s in scans)
+
+    out = plans.QUERIES["sim_cosine_topk_ivfpq_multi"](spark, SF_SMOKE)
+    rows = out.collect()
+    assert len(rows) == 50  # 5 queries x top-10
+    serve_plan = out._jdf.queryExecution().executedPlan().toString()
+    # the serve result is driver-resident: no parquet scan at all
+    assert "FileScan parquet" not in serve_plan
 
 
 def test_binary_topk_shape(spark):
