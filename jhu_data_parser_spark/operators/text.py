@@ -190,7 +190,14 @@ def rolling_fingerprints(
             if len(t) < k:
                 out.append([])
                 continue
-            codes = np.fromiter((ord(ch) % 256 for ch in t), np.int64, count=len(t))
+            # codepoints via one C-level UTF-32 encode — ord(ch) per
+            # char is an interpreted per-character loop (measured the
+            # bulk of this kernel's time; same values, utf-32-le code
+            # units ARE the codepoints)
+            codes = (
+                np.frombuffer(t.encode("utf-32-le"), dtype="<u4").astype(np.int64)
+                % 256
+            )
             grams = sliding_window_view(codes, k) @ weights
             if len(grams) < window:
                 out.append([])

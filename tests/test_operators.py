@@ -411,6 +411,24 @@ def test_rolling_fingerprints_winnowing_guarantee(spark):
     # short docs produce no fingerprints rather than erroring
     tiny = spark.createDataFrame([(9, "abc")], "doc_id long, text string")
     assert tiny.select(rolling_fingerprints("text").alias("f")).first()["f"] == []
+    # the vectorized utf-32 codepoint path must match the per-char
+    # ord() % 256 reference exactly, including multi-byte and astral
+    # codepoints (utf-32-le code units ARE the codepoints)
+    import numpy as np
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    uni = "héllo wörld 汉字 \U0001f389 mixed ascii tail padd"
+    udf_out = (
+        spark.createDataFrame([(1, uni)], "doc_id long, text string")
+        .select(rolling_fingerprints("text").alias("f"))
+        .first()["f"]
+    )
+    k, w, b = 8, 4, 131
+    weights = np.array([b ** (k - 1 - j) for j in range(k)], dtype=np.int64)
+    codes = np.fromiter((ord(ch) % 256 for ch in uni), np.int64, count=len(uni))
+    grams = sliding_window_view(codes, k) @ weights
+    ref = np.unique(sliding_window_view(grams, w).min(axis=1)).tolist()
+    assert udf_out == ref
 
 
 def test_salted_broadcast_join_matches_plain_join(spark):
