@@ -2027,8 +2027,9 @@ def run_substring_spans_incremental_stream(
     The read-back applies the CORPUS-GLOBAL doc-frequency gate
     (a gram's final df is unknowable mid-stream: a boilerplate gram
     under the cap at batch k may blow past it at batch k+3 — so seeds
-    carry their gram hash and the gate filters them against the
-    final index's df table). Seed generation is ALSO gated mid-stream
+    carry their gram hash and the gate filters them against the final
+    df table, summed from the per-batch partials). Seed generation is
+    ALSO gated mid-stream
     by an over-cap gram stoplist: each batch sinks a per-gram df
     PARTIAL (batches hold disjoint collapsed docs, so partials merge
     by SUM), and the next batch anti-joins its postings against the
@@ -2141,7 +2142,9 @@ def run_substring_spans_incremental_stream(
         # cap can only grow, so dropping it from seed generation now
         # is exactly what the read-back gate would do later — minus
         # the O(df²) seed rows it would have emitted meanwhile. Full
-        # postings still reach the index so final df stays exact.
+        # postings still reach the index so later batches can probe
+        # every position; the UNGATED df partials keep the read-back
+        # gate's summed df exact.
         stop = (
             snap.filter(F.col("tag") == "dfs")
             .select("gh", "df_part")
@@ -2234,10 +2237,19 @@ def run_substring_spans_incremental_stream(
     )
     q.awaitTermination()
 
-    index = _tag_read(spark, sink_root, "index", ["doc", "pos", "gh"])
+    # corpus-global df gate from the per-batch df PARTIALS: batches
+    # hold disjoint collapsed docs (a rep is processed in exactly one
+    # batch), so a gram's final doc frequency is exactly the SUM of
+    # its partials — the same merge rule the mid-stream stoplist uses.
+    # Gating off the maintained (gh, df_part) summary instead of
+    # re-counting distinct docs over the postings index drops a
+    # corpus-wide index scan plus a two-round distinct aggregate from
+    # the read-back (guide §1.2): the index only ever APPENDS at
+    # scale, while the df table stays one row per (batch, gram).
     mg = (
-        index.groupBy("gh")
-        .agg(F.countDistinct("doc").alias("df_docs"))
+        _tag_read(spark, sink_root, "dfs", ["gh", "df_part"])
+        .groupBy("gh")
+        .agg(F.sum("df_part").alias("df_docs"))
         .filter(
             (F.col("df_docs") >= 2) & (F.col("df_docs") <= _SUB_DF_CAP)
         )

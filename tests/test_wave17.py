@@ -304,3 +304,56 @@ def test_substring_spans_stream_cross_batch_discovery(spark, tmp_path):
     ]
     assert got2 == got
     assert os.path.getmtime(s0) == mtime
+
+def test_substring_spans_stream_df_gate_sums_partials(spark, tmp_path):
+    """The read-back df gate is the SUM of the per-batch df partials.
+    Two properties that distinguish it from a broken partial merge:
+    a gram whose running df stays under the cap at every batch
+    boundary but whose summed df blows the cap must be gated out, and
+    a doc holding a gram at MANY positions must count once (else a
+    16-occurrence doc would push a df-2 pair past the cap). The
+    stream must stay bit-identical to the batch operator throughout."""
+    import os
+
+    from jhu_data_parser_spark.operators.dedup import substring_spans
+    from jhu_data_parser_spark.streaming.jobs import (
+        run_substring_spans_incremental_stream,
+    )
+
+    R = _toks("h", 1, 12)  # hot run: 17 docs -> final df 17 > cap 16
+    W = _toks("w", 1, 12)  # df-2 run: 16 positions in doc 6, 1 in doc 24
+    G = _toks("g", 1, 16)  # plain cross-batch pair
+    docs = []
+    # 17 hot docs: 6 in chunk 0 (ids 0-5), 6 in chunk 1 (9-14),
+    # 5 in chunk 2 (19-23); unique prefixes vary R's position
+    for i in list(range(0, 6)) + list(range(9, 15)) + list(range(19, 24)):
+        docs.append((i, _toks(f"p{i}x", 1, 1 + i % 3) + R))
+    wa = []
+    for j in range(16):  # W sixteen times, unique separators between
+        wa += W + [f"sep6x{j}"]
+    docs.append((6, wa))
+    docs.append((24, _toks("q24x", 1, 3) + W))
+    docs.append((15, _toks("q15x", 1, 2) + G))
+    docs.append((25, G + _toks("q25x", 1, 2)))
+    d = _docs_df(spark, docs)
+    sf = str(tmp_path / "corpus")
+    os.makedirs(sf)
+    d.coalesce(1).write.parquet(os.path.join(sf, "documents.parquet"))
+
+    got = [
+        tuple(r)
+        for r in run_substring_spans_incremental_stream(
+            spark, sf, n_chunks=3, work_dir=str(tmp_path / "subs")
+        ).collect()
+    ]
+    want = [
+        tuple(r)
+        for r in substring_spans(d, k=8, min_span=12, df_cap=16).collect()
+    ]
+    assert sorted(got) == sorted(want)
+    hot = set(range(0, 6)) | set(range(9, 15)) | set(range(19, 24))
+    # every hot-run pair gated out at read-back (summed df 17 > 16)
+    assert not [r for r in got if r[0] in hot and r[1] in hot]
+    # the df-2 pair survives with one span per occurrence position
+    assert len([r for r in got if (r[0], r[1]) == (6, 24)]) == 16
+    assert [r for r in got if (r[0], r[1]) == (15, 25)]
